@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash. All pure DataFrame ops (SURVEY.md §7 step 7).
+
+Scale design
+------------
+* Exact dedup: one hash-groupBy on a 128-bit fingerprint — a single shuffle
+  on a uniformly-distributed key; no skew by construction.
+* Jaccard pairs: inverted-index self-join on shingles. Shingles whose
+  document frequency exceeds ``max_df`` are dropped before the join (a
+  stop-shingle appearing in 10^6 docs would otherwise produce 10^12 join
+  rows — the classic skew bomb). AQE skew-join covers residual imbalance.
+* MinHash+LSH: signature is one groupBy producing ``num_perm`` min-columns;
+  candidate generation joins on (band, band_hash) buckets so the join fan-out
+  is |bucket|², never |corpus|². Candidates are verified with exact Jaccard,
+  so precision is exact and only recall depends on (bands × rows).
+* SimHash: 60-bit signature; pairs at Hamming distance ≤ k are found by
+  splitting the signature into ``k+1`` chunks and joining on chunk equality
+  — pigeonhole guarantees recall = 1 (any pair with ≤ k differing bits has
+  at least one identical chunk), then exact bit_count verification.
+
+Cross-engine determinism: md5-based hashes (functions/text.py) so a DuckDB
+oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
+
+#: Affine MinHash permutation constants (deterministic, engine-version-fixed;
+#: 31-bit multipliers keep a*h+b within int64 for 28-bit shingle hashes).
+MINHASH_MOD = 1 << 32
+
+
+def minhash_perms(num_perm: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs from a fixed LCG so Spark and oracle SQL share them."""
+    perms, state = [], 0x5DEECE66D
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % ((1 << 31) - 1) | 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MINHASH_MOD
+        perms.append((a, b))
+    return perms
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: one row per distinct
+    content, with the keeper id (min id) and duplicate count."""
+    return (
+        df.select(F.col(id_col), T.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
+                   max_df: int | None = None) -> DataFrame:
+    """Distinct (id, shingle) pairs; optional stop-shingle pruning."""
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(T.shingles(text_col, n)).alias("shingle"))
+    sh = sh.dropDuplicates(["doc", "shingle"])
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+               .filter(F.col("df_") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float, n: int = 3,
+                  max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold, via inverted-index
+    self-join (intersection counts) + per-doc shingle-set sizes."""
+    sh = _shingle_table(df, id_col, text_col, n, max_df).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "d1", "n_sh": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "n_sh": "n2"}), "d2")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 128, n: int = 3) -> DataFrame:
+    """MinHash signature: column ``mh_i`` = min over shingles of
+    ``(a_i * h28(shingle) + b_i) % 2^32``. One explode + one groupBy."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    h = T.hash28(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_perms(num_perm))
+    ]
+    return sh.groupBy(F.col("doc")).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float, num_perm: int = 128, bands: int = 32,
+                      n: int = 3) -> DataFrame:
+    """Near-dup pairs via MinHash LSH banding, verified with exact Jaccard.
+
+    Rows per band r = num_perm/bands; candidate pairs share ≥1 band hash.
+    Verification makes precision exact; recall at similarity s is
+    1-(1-s^r)^bands (≈1 for s ≥ threshold with the defaults).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    band_cols = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.xxhash64(*[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
+        for bi in range(bands)
+    ])
+    buckets = sig.select(F.col("doc"), F.explode(band_cols).alias("b")) \
+        .select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc") < F.col("y.doc")))
+        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
+        .dropDuplicates()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, threshold=0.0, n=n)
+    return (
+        cand.join(exact, ["d1", "d2"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 60) -> DataFrame:
+    """SimHash over token 60-bit hashes: bit j of the signature is the sign
+    of Σ_tokens (±1 by token bit j). One explode + one groupBy with ``bits``
+    conditional sums — all codegen'd."""
+    tok = df.select(F.col(id_col).alias("doc"),
+                    F.explode(T.tokens(text_col)).alias("tok"))
+    h = T.hash60(F.col("tok"))
+    sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*sums)
+    sig = sum(
+        (F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+         for j in range(bits)),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, bits: int = 60) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming. Banding on k+1 chunks gives
+    guaranteed recall 1 (pigeonhole); bit_count verification gives exact
+    precision — so output equals the brute-force O(n²) definition."""
+    chunks = max_hamming + 1
+    width = bits // chunks + (1 if bits % chunks else 0)
+    sig = simhash_signatures(df, id_col, text_col, bits).cache()
+    chunk_arr = F.array(*[
+        F.struct(F.lit(ci).alias("chunk"),
+                 F.shiftright(F.col("simhash"), ci * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"))
+        for ci in range(chunks)
+    ])
+    buckets = sig.select("doc", "simhash", F.explode(chunk_arr).alias("c")) \
+        .select("doc", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(y, (F.col("x.chunk") == F.col("y.chunk"))
+               & (F.col("x.cv") == F.col("y.cv"))
+               & (F.col("x.doc") < F.col("y.doc")))
+        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"),
+                F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"))
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

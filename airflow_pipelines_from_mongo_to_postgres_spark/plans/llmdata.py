@@ -1,0 +1,351 @@
+"""LLM-training-data operators over the ``documents`` / ``embeddings``
+fixtures: dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+similarity search (brute-force + IVF-bucketed ANN), text analysis
+(language-ID / quality / token counting / fingerprinting).
+
+Oracle strategy: every hash that must agree across engines is md5-based
+(functions/text.py), so DuckDB reproduces signatures bit-for-bit. The
+LSH-based queries verify candidates with EXACT measures, so their output
+equals the brute-force definition whenever recall is 1 — SimHash banding
+guarantees that by pigeonhole; MinHash banding achieves it at the chosen
+(threshold, bands, rows) on data with the fixtures' similarity profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
+from airflow_pipelines_from_mongo_to_postgres_spark.operators import dedup, similarity
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------- SQL pieces
+_TOKENS_SQL = "list_filter(string_split_regex(lower({col}), '\\s+'), t -> t <> '')"
+
+
+def _shingles_sql(col: str, n: int = 3) -> str:
+    toks = _TOKENS_SQL.format(col=col)
+    join = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return (f"(SELECT list_distinct(list_transform(range(1, greatest(len(ts) - {n - 1}, 0) + 1), "
+            f"i -> {join})) FROM (SELECT {toks} AS ts) __sh)")
+
+
+_SHINGLE_TABLE_SQL = f"""
+sh AS (
+  SELECT DISTINCT doc_id AS doc, s.shingle AS shingle
+  FROM documents, LATERAL unnest({_shingles_sql('text')}) s(shingle)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLE_TABLE_SQL},
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= {{threshold}}
+"""
+
+
+# --- q25: exact dedup via content fingerprint --------------------------------
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.exact_duplicates(d, "doc_id", "text")
+
+
+Q25_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keeper_id, count(*) AS copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- q26: exact n-gram Jaccard near-dup pairs --------------------------------
+def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3)
+
+
+Q26_SQL = _JACCARD_PAIRS_SQL.format(threshold=0.2)
+
+
+# --- q27: MinHash signatures (cross-engine bit parity) ------------------------
+_N_PERM_SIG = 16
+
+
+def q27_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_signatures(d, "doc_id", "text", num_perm=_N_PERM_SIG, n=3)
+
+
+def _minhash_sig_sql() -> str:
+    perms = dedup.minhash_perms(_N_PERM_SIG)
+    h = "CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT)"
+    mins = ",\n       ".join(
+        f"min(({a} * {h} + {b}) % {dedup.MINHASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    return f"WITH {_SHINGLE_TABLE_SQL} SELECT doc, {mins} FROM sh GROUP BY doc"
+
+
+Q27_SQL = _minhash_sig_sql()
+
+
+# --- q28: MinHash-LSH near-dup pairs (verified) -------------------------------
+def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2,
+                                   num_perm=128, bands=64, n=3)
+
+
+Q28_SQL = _JACCARD_PAIRS_SQL.format(threshold=0.2)  # exact == LSH-verified at recall 1
+
+
+# --- q29: SimHash Hamming pairs (guaranteed-recall banding) --------------------
+def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=8, bits=60)
+
+
+def _simhash_sql(max_hamming: int = 8, bits: int = 60) -> str:
+    h = "CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)"
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    bitexpr = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS doc, t.tok AS tok
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+sums AS (SELECT doc, {sums} FROM tok GROUP BY doc),
+sig AS (SELECT doc, {bitexpr} AS simhash FROM sums)
+SELECT a.doc AS d1, b.doc AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+Q29_SQL = _simhash_sql()
+
+
+# --- q30: language identification ----------------------------------------------
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", T.lang_id("text").alias("predicted_lang"))
+
+
+def _lang_id_sql() -> str:
+    toks = _TOKENS_SQL.format(col="text")
+    branches = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, len(list_intersect(list_distinct({toks}), [{words}])) AS score FROM documents"
+        .format(lang=lang, toks=toks,
+                words=", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang]))
+        for lang in sorted(T.LANG_MARKERS)
+    )
+    return f"""
+WITH scored AS ({branches}),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang AS predicted_lang FROM ranked WHERE rn = 1
+"""
+
+
+Q30_SQL = _lang_id_sql()
+
+
+# --- q31: quality scoring --------------------------------------------------------
+def q31_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    feats = T.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_hits"].alias("stopword_hits"),
+        T.quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+
+
+def _quality_sql() -> str:
+    toks = _TOKENS_SQL.format(col="text")
+    en = ", ".join(f"'{w}'" for w in T.LANG_MARKERS["en"])
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         len(list_intersect(list_distinct({toks}), [{en}])) AS stopword_hits
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens,
+         round(punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+         stopword_hits,
+         round(least(n_tokens / 64.0, 1.0) * 0.5
+               + least(stopword_hits / 3.0, 1.0) * 0.3
+               + (1 - least(round(punct * 1.0 / greatest(n_chars, 1), 6) * 10, 1.0)) * 0.2,
+               6) AS quality
+  FROM feats
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, punct_ratio,
+       CAST(stopword_hits AS INT) AS stopword_hits, quality
+FROM scored WHERE quality >= 0.5
+"""
+
+
+Q31_SQL = _quality_sql()
+
+
+# --- q32: BPE-ish token counting ---------------------------------------------------
+def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("lang", T.token_count_bpe("text").alias("bpe_tokens"),
+                 F.size(T.tokens("text")).alias("ws_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+             F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+             F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"))
+    )
+
+
+Q32_SQL = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(len({_TOKENS_SQL.format(col='text')})) AS BIGINT) AS total_ws_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}'))), 6) AS avg_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --- q33: brute-force cosine top-k ANN ----------------------------------------------
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(probe, e, "vec_id", "embedding", k=5)
+
+
+Q33_SQL = """
+WITH scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --- q34: cosine threshold pairs ------------------------------------------------------
+def q34_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_threshold_pairs(e, "vec_id", "embedding",
+                                             threshold=0.95)
+
+
+Q34_SQL = """
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+"""
+
+
+# --- q35: IVF-style bucketed ANN (search within coarse cell = label) -------------------
+def q35_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bucketed(probe, e, "vec_id", "embedding",
+                                           bucket_col="label", k=3)
+
+
+Q35_SQL = """
+WITH scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c
+    ON p.label = c.label AND p.vec_id <> c.vec_id
+  WHERE p.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --- q36: multimodal plumbing — opaque binary payload + typed metadata ------------------
+def q36_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns are opaque binary + metadata; decode is a stubbed
+    Pandas-UDF stage (operators/multimodal.py). The metadata path (size,
+    content hash, format tag) is real and oracle-checked here."""
+    d = load_table(spark, "documents", sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.lit("text/plain").alias("media_type"),
+    )
+
+
+Q36_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+       sha256(text) AS payload_sha256,
+       'text/plain' AS media_type
+FROM documents
+"""
+
+
+QUERIES = {
+    "q25_dedup_exact": q25_dedup_exact,
+    "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
+    "q27_minhash_signatures": q27_minhash_signatures,
+    "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
+    "q29_simhash_pairs": q29_simhash_pairs,
+    "q30_lang_id": q30_lang_id,
+    "q31_quality_filter": q31_quality_filter,
+    "q32_token_stats": q32_token_stats,
+    "q33_cosine_topk": q33_cosine_topk,
+    "q34_cosine_pairs": q34_cosine_pairs,
+    "q35_ann_ivf_label": q35_ann_ivf_label,
+    "q36_binary_metadata": q36_binary_metadata,
+}
+
+ORACLES = {
+    "q25_dedup_exact": Q25_SQL,
+    "q26_ngram_jaccard_pairs": Q26_SQL,
+    "q27_minhash_signatures": Q27_SQL,
+    "q28_minhash_lsh_pairs": Q28_SQL,
+    "q29_simhash_pairs": Q29_SQL,
+    "q30_lang_id": Q30_SQL,
+    "q31_quality_filter": Q31_SQL,
+    "q32_token_stats": Q32_SQL,
+    "q33_cosine_topk": Q33_SQL,
+    "q34_cosine_pairs": Q34_SQL,
+    "q35_ann_ivf_label": Q35_SQL,
+    "q36_binary_metadata": Q36_SQL,
+}

@@ -1,0 +1,221 @@
+"""Merge / keygen semantics (SURVEY.md §2.5–§2.6) exercised over the driver
+fixtures so the DuckDB oracle can verify them.
+
+The scenario mirrors the reference's daily-update path (ref
+dags/mongo_to_postgres_updation.py + dags/includes/utils.py): a warehouse
+"target" state plus an incoming "updates" batch, both derived
+deterministically from the ``orders`` / ``customer`` tables:
+
+* target  = orders with ``o_orderkey % 3 != 0``      (yesterday's warehouse)
+* updates = orders with ``o_orderdate >= 1999-01-01``, with mutated mutable
+  columns (status → 'U', totalprice × 1.1)           (today's S3 drop)
+
+M1–M10 semantics: on key match only the mutable subset refreshes; frozen
+columns keep first-insert values (ref user_table.py:106-110).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.keygen import assign_surrogate_keys
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import (
+    insert_if_absent,
+    merge_upsert,
+)
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+_CUTOFF = "1999-01-01"
+
+
+def _target(spark, sf_dir) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(F.col("o_orderkey") % 3 != 0)
+
+
+def _updates(spark, sf_dir) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp"))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+    )
+
+
+# --- q20: upsert with partial column update (M1–M10) ------------------------
+def q20_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = merge_upsert(
+        _target(spark, sf_dir), _updates(spark, sf_dir),
+        key="o_orderkey", mutable=["o_orderstatus", "o_totalprice"],
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+Q20_SQL = f"""
+WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+     updates AS (
+       SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+              round(o_totalprice * 1.1, 4) AS o_totalprice,
+              o_orderdate, o_orderpriority
+       FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+     )
+SELECT coalesce(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NULL THEN t.o_custkey ELSE coalesce(t.o_custkey, u.o_custkey) END AS o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       round(CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END, 4) AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NULL THEN t.o_orderdate ELSE coalesce(t.o_orderdate, u.o_orderdate) END AS o_orderdate,
+       CASE WHEN u.o_orderkey IS NULL THEN t.o_orderpriority ELSE coalesce(t.o_orderpriority, u.o_orderpriority) END AS o_orderpriority
+FROM target t FULL JOIN updates u ON t.o_orderkey = u.o_orderkey
+"""
+
+
+# --- q21: insert-if-absent (M11–M13, ON CONFLICT DO NOTHING) -----------------
+def q21_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = insert_if_absent(_target(spark, sf_dir), _updates(spark, sf_dir),
+                           key="o_orderkey")
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+Q21_SQL = f"""
+WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+     updates AS (
+       SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+              round(o_totalprice * 1.1, 4) AS o_totalprice,
+              o_orderdate, o_orderpriority
+       FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+     ),
+     merged AS (
+       SELECT * FROM target
+       UNION ALL
+       SELECT u.* FROM updates u
+       WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = u.o_orderkey)
+     )
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total_value
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+# --- q22: surrogate-key assignment (J1+J2) -----------------------------------
+def q22_surrogate_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    # Existing warehouse: first 60% of customers with serial ids in c_custkey
+    # order (simulates the serial PRIMARY KEY, ref migration DDL).
+    n_total = c.count()
+    k = int(n_total * 0.6)
+    w = Window.orderBy("c_custkey")
+    existing = (
+        c.filter(F.col("c_custkey") <= k)
+        .select(F.row_number().over(w).cast("long").alias("id"),
+                F.col("c_custkey").cast("string").alias("_id"))
+    )
+    # Incoming batch: overlaps the tail of existing + brand-new keys.
+    incoming = (
+        c.filter(F.col("c_custkey") > k * 0.8)
+        .select(F.col("c_custkey").cast("string").alias("_id"),
+                "c_name", "c_acctbal")
+    )
+    out = assign_surrogate_keys(existing, incoming, natural_key="_id",
+                                surrogate="id")
+    return out.select("id", "_id", "c_name")
+
+
+def _q22_sql(sf_dir: str) -> str:
+    # Oracle needs the same k; recompute from the table itself.
+    return """
+WITH params AS (SELECT CAST(floor(count(*) * 0.6) AS BIGINT) AS k FROM customer),
+     existing AS (
+       SELECT row_number() OVER (ORDER BY c_custkey) AS id,
+              CAST(c_custkey AS VARCHAR) AS _id
+       FROM customer, params WHERE c_custkey <= k
+     ),
+     incoming AS (
+       SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal
+       FROM customer, params WHERE c_custkey > k * 0.8
+     ),
+     mx AS (SELECT coalesce(max(id), 0) AS m FROM existing),
+     joined AS (
+       SELECT i._id, i.c_name, e.id AS existing_id FROM incoming i
+       LEFT JOIN existing e ON i._id = e._id
+     )
+SELECT CASE WHEN existing_id IS NOT NULL THEN existing_id
+            ELSE m + row_number() OVER (PARTITION BY (existing_id IS NULL) ORDER BY _id) END AS id,
+       _id, c_name
+FROM joined, mx
+"""
+
+
+Q22_SQL = _q22_sql("")
+
+
+# --- q23: referential-integrity validation (J3 as semi/anti audit) -----------
+def q23_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the reference declares FKs and relies on load order; Spark has no
+    FK enforcement, so the engine validates with an anti join (orphan scan)
+    — here counting lineitems whose order/part/supplier parents exist."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    ok_orders = li.join(o.select("o_orderkey"),
+                        li.l_orderkey == F.col("o_orderkey"), "left_semi")
+    orphan_parts = li.join(p.select("p_partkey"),
+                           li.l_partkey == F.col("p_partkey"), "left_anti")
+    return ok_orders.agg(F.count(F.lit(1)).alias("lineitems_with_parent_order")) \
+        .join(orphan_parts.agg(F.count(F.lit(1)).alias("lineitems_orphan_part")))
+
+
+Q23_SQL = """
+SELECT (SELECT count(*) FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS lineitems_with_parent_order,
+       (SELECT count(*) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS lineitems_orphan_part
+"""
+
+
+# --- q24: idempotency — applying the same batch twice ≡ once ------------------
+def q24_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _target(spark, sf_dir)
+    u = _updates(spark, sf_dir)
+    once = merge_upsert(t, u, key="o_orderkey",
+                        mutable=["o_orderstatus", "o_totalprice"])
+    twice = merge_upsert(once, u, key="o_orderkey",
+                         mutable=["o_orderstatus", "o_totalprice"])
+    # Row-level symmetric difference must be empty; emit the count so the
+    # oracle can assert 0 (plus total row count as a sanity anchor).
+    diff = once.exceptAll(twice).unionAll(twice.exceptAll(once))
+    return once.agg(F.count(F.lit(1)).alias("merged_rows")).join(
+        diff.agg(F.count(F.lit(1)).alias("idempotency_violations")))
+
+
+Q24_SQL = f"""
+WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+     updates AS (SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}')
+SELECT (SELECT count(DISTINCT o_orderkey) FROM (
+          SELECT o_orderkey FROM target UNION ALL SELECT o_orderkey FROM updates
+        )) AS merged_rows,
+       CAST(0 AS BIGINT) AS idempotency_violations
+"""
+
+
+QUERIES = {
+    "q20_merge_upsert": q20_merge_upsert,
+    "q21_insert_if_absent": q21_insert_if_absent,
+    "q22_surrogate_keygen": q22_surrogate_keygen,
+    "q23_fk_orphans": q23_fk_orphans,
+    "q24_merge_idempotent": q24_merge_idempotent,
+}
+
+ORACLES = {
+    "q20_merge_upsert": Q20_SQL,
+    "q21_insert_if_absent": Q21_SQL,
+    "q22_surrogate_keygen": Q22_SQL,
+    "q23_fk_orphans": Q23_SQL,
+    "q24_merge_idempotent": Q24_SQL,
+}

@@ -1,0 +1,521 @@
+"""Core relational operator surface (SURVEY.md §2.7) over the driver's
+TPC-H-ish fixtures: scan/project/filter, joins (broadcast / sort-merge /
+semi / anti), hash aggregation, rollup/cube, windows, set ops, top-k,
+scalar-function family, explode, JSON extraction.
+
+Every query is declared with the DataFrame API so Catalyst plans it
+(predicate pushdown + column pruning reach the parquet scan; small dims are
+broadcast; partial aggregation runs map-side). Double-typed aggregates are
+rounded on BOTH sides so the value-hash comparison is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- q01: TPC-H Q1-style pricing summary (scan → filter → hash agg) --------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: filter + projection (P1/P7: pushdown reaches the scan) -----------
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND o_orderpriority = '1-URGENT'
+"""
+
+
+# --- q03: multi-way join (customer ⋈ nation ⋈ region ⋈ orders) + agg -------
+def q03_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    # nation/region are tiny: broadcast explicitly so the big fact side
+    # never shuffles for them.
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.countDistinct("o_custkey").alias("customer_cnt"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT r_name AS region_name,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*) AS order_cnt,
+       count(DISTINCT o_custkey) AS customer_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- q04: broadcast join fact ⋈ dim + agg by brand --------------------------
+def q04_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT p_brand,
+       round(sum(l_quantity), 4) AS total_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- q05: left-semi join (EXISTS) -------------------------------------------
+def q05_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# --- q06: left-anti join (NOT EXISTS) ---------------------------------------
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+Q06_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- q07: window ranking — top-3 orders per customer ------------------------
+def q07_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q07_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --- q08: window running aggregate ------------------------------------------
+def q08_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+FROM orders
+"""
+
+
+# --- q09: lag/lead analytics -------------------------------------------------
+def q09_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev_date = F.lag("o_orderdate").over(w)
+    to_epoch = lambda c: c.cast("timestamp").cast("long")  # NTZ needs 2-step cast
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 4).alias("price_delta"),
+        (to_epoch(F.col("o_orderdate")) - to_epoch(prev_date)).alias("gap_seconds"),
+    )
+
+
+Q09_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER w, 4) AS price_delta,
+       date_diff('second', lag(o_orderdate) OVER w, o_orderdate) AS gap_seconds
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# --- q10: distinct / dropDuplicates ------------------------------------------
+def q10_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderpriority")
+        .dropDuplicates()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("distinct_customers"))
+    )
+
+
+Q10_SQL = """
+SELECT o_orderpriority, count(*) AS distinct_customers
+FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q11: rollup --------------------------------------------------------------
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+Q11_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- q12: cube ----------------------------------------------------------------
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS sum_price, count(*) AS cnt
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- q13: set operations -------------------------------------------------------
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = urgent.intersect(big)          # INTERSECT (distinct)
+    either = urgent.union(big).distinct()  # UNION
+    only_urgent = urgent.subtract(big)  # EXCEPT DISTINCT
+    return (
+        both.withColumn("bucket", F.lit("urgent_and_big"))
+        .unionByName(either.withColumn("bucket", F.lit("urgent_or_big")))
+        .unionByName(only_urgent.withColumn("bucket", F.lit("urgent_not_big")))
+        .join(open_.distinct().withColumnRenamed("o_custkey", "ok"),
+              F.col("o_custkey") == F.col("ok"), "left_semi")
+        .select(F.col("o_custkey").alias("custkey"), "bucket")
+    )
+
+
+Q13_SQL = """
+WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+     open_ AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     tagged AS (
+       SELECT o_custkey, 'urgent_and_big' AS bucket FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+       UNION ALL
+       SELECT o_custkey, 'urgent_or_big' FROM (SELECT * FROM urgent UNION SELECT * FROM big)
+       UNION ALL
+       SELECT o_custkey, 'urgent_not_big' FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
+     )
+SELECT t.o_custkey AS custkey, t.bucket
+FROM tagged t WHERE EXISTS (SELECT 1 FROM open_ o WHERE o.o_custkey = t.o_custkey)
+"""
+
+
+# --- q14: scalar function family (string/date/conditional) --------------------
+def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+        F.concat(F.lit("cust:"), F.col("c_name")).alias("tagged_name"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("balance"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+
+
+Q14_SQL = """
+SELECT c_custkey,
+       lower(c_name) AS name_lower,
+       upper(c_mktsegment) AS segment_upper,
+       concat('cust:', c_name) AS tagged_name,
+       substr(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       round(coalesce(c_acctbal, 0.0), 2) AS balance,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier
+FROM customer
+"""
+
+
+# --- q15: date functions + conditional aggregation -----------------------------
+def q15_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_orders"),
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 4).alias("finished_value"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+    )
+
+
+Q15_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       count(*) AS orders,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS finished_value,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# --- q16: global top-k (sort + limit) and max-key (O1/O2) ----------------------
+def q16_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+Q16_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+def q17_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2: SELECT id ORDER BY id DESC LIMIT 1 (ref utils.py:13-20) ≡ max().
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_orderkey").alias("max_id"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+
+
+Q17_SQL = "SELECT max(o_orderkey) AS max_id, count(*) AS row_cnt FROM orders"
+
+
+# --- q18: JSON extraction (events.props) ---------------------------------------
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(*) AS events
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- q19: count distinct (exact) ------------------------------------------------
+def q19_ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("ndv_part"),
+        F.countDistinct("l_suppkey").alias("ndv_supp"),
+        F.countDistinct("l_orderkey").alias("ndv_order"),
+    )
+
+
+Q19_SQL = """
+SELECT count(DISTINCT l_partkey) AS ndv_part,
+       count(DISTINCT l_suppkey) AS ndv_supp,
+       count(DISTINCT l_orderkey) AS ndv_order
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_revenue_by_region": q03_revenue_by_region,
+    "q04_brand_volume": q04_brand_volume,
+    "q05_customers_with_big_orders": q05_customers_with_big_orders,
+    "q06_customers_without_orders": q06_customers_without_orders,
+    "q07_top_orders_per_customer": q07_top_orders_per_customer,
+    "q08_running_customer_spend": q08_running_customer_spend,
+    "q09_order_gap": q09_order_gap,
+    "q10_distinct_pairs": q10_distinct_pairs,
+    "q11_rollup": q11_rollup,
+    "q12_cube": q12_cube,
+    "q13_set_ops": q13_set_ops,
+    "q14_scalar_functions": q14_scalar_functions,
+    "q15_monthly_order_stats": q15_monthly_order_stats,
+    "q16_top_lineitems": q16_top_lineitems,
+    "q17_max_key": q17_max_key,
+    "q18_json_extract": q18_json_extract,
+    "q19_ndv_exact": q19_ndv_exact,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_filter_project": Q02_SQL,
+    "q03_revenue_by_region": Q03_SQL,
+    "q04_brand_volume": Q04_SQL,
+    "q05_customers_with_big_orders": Q05_SQL,
+    "q06_customers_without_orders": Q06_SQL,
+    "q07_top_orders_per_customer": Q07_SQL,
+    "q08_running_customer_spend": Q08_SQL,
+    "q09_order_gap": Q09_SQL,
+    "q10_distinct_pairs": Q10_SQL,
+    "q11_rollup": Q11_SQL,
+    "q12_cube": Q12_SQL,
+    "q13_set_ops": Q13_SQL,
+    "q14_scalar_functions": Q14_SQL,
+    "q15_monthly_order_stats": Q15_SQL,
+    "q16_top_lineitems": Q16_SQL,
+    "q17_max_key": Q17_SQL,
+    "q18_json_extract": Q18_SQL,
+    "q19_ndv_exact": Q19_SQL,
+}

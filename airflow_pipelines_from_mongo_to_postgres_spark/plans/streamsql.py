@@ -1,0 +1,141 @@
+"""Event-time windowed analytics over the ``events`` fixture — the batch
+equivalents of the Structured Streaming path (streaming/windows.py runs the
+same logic with readStream + watermark; SURVEY.md §2.8).
+
+Window arithmetic is expressed as epoch math (floor(epoch/width)) on BOTH
+sides so the oracle agrees exactly with Spark's window() bucketing
+(Spark tumbling windows are epoch-aligned: start = floor(t/width)*width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+
+def _bucket(col, width_s: int, offset_s: int = 0):
+    epoch = F.unix_timestamp(col)  # whole seconds; bucketing unaffected by sub-second part
+    start = (F.floor((epoch - offset_s) / width_s) * width_s + offset_s)
+    return start.cast("timestamp")
+
+
+# --- q37: tumbling 5-minute windows ------------------------------------------
+def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            _bucket(F.col("ts"), 300).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+Q37_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000) AS window_start,
+       event_type, count(*) AS events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- q38: sliding windows (10 min, slide 5 min) --------------------------------
+def q38_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    # An event at t belongs to 2 windows: starts floor((t-off)/600)*600+off,
+    # off ∈ {0, 300} — same enumeration Spark's window(ts, '10 min', '5 min')
+    # produces; written as explicit epoch math for oracle parity.
+    withw = e.select(
+        "event_type", "value",
+        F.explode(F.array(
+            _bucket(F.col("ts"), 600, 0),
+            _bucket(F.col("ts"), 600, 300),
+        )).alias("window_start"),
+    )
+    return withw.groupBy("window_start", "event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+Q38_SQL = """
+WITH expanded AS (
+  SELECT event_type, value,
+         make_timestamp((CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) * 1000000) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_type, value,
+         make_timestamp((CAST(floor((epoch(ts) - 300) / 600) AS BIGINT) * 600 + 300) * 1000000) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS events,
+       round(avg(value), 6) AS avg_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+# --- q39: ordered per-user funnel (signup → purchase) ---------------------------
+def q39_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter((F.col("prev_type") == "signup") & (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("signup_then_purchase"))
+    )
+
+
+Q39_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+)
+SELECT user_id, count(*) AS signup_then_purchase
+FROM seq WHERE prev_type = 'signup' AND event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+# --- q40: late-data semantics — max observed timestamp per user (watermark anchor)
+def q40_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.min("ts").alias("first_seen"),
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                      .otherwise(0.0)), 4).alias("purchase_value"),
+    )
+
+
+Q40_SQL = """
+SELECT user_id, max(ts) AS last_seen, min(ts) AS first_seen,
+       count(*) AS events,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q37_tumbling_window": q37_tumbling_window,
+    "q38_sliding_window": q38_sliding_window,
+    "q39_funnel": q39_funnel,
+    "q40_user_activity": q40_user_activity,
+}
+
+ORACLES = {
+    "q37_tumbling_window": Q37_SQL,
+    "q38_sliding_window": Q38_SQL,
+    "q39_funnel": Q39_SQL,
+    "q40_user_activity": Q40_SQL,
+}
