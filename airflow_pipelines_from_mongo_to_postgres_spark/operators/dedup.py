@@ -132,9 +132,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
         .dropDuplicates()
     )
-    exact = jaccard_pairs(df, id_col, text_col, threshold=0.0, n=n)
+    # Verify ONLY the candidates (this is the LSH payoff: exact Jaccard is
+    # computed for |candidates| pairs, never |corpus|²/2).
+    sh = _shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnsRenamed({"doc": "d1"}), "d1")
+        .join(sh.withColumnsRenamed({"doc": "d2"}), ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        cand.join(exact, ["d1", "d2"])
+        inter.join(sizes.withColumnsRenamed({"doc": "d1", "n_sh": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "n_sh": "n2"}), "d2")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
