@@ -47,10 +47,11 @@ def first_element(array_path: str, field: str, default=None) -> Column:
     """P3: element-0 struct extraction, empty-list-safe.
 
     ``safe_list_get(element["products"], 0, {}).get("productId")``
-    (ref trades_table.py:17-21,69-74). ``element_at(..., 1)`` is null on
-    empty/missing arrays, so the guard branch collapses into coalesce.
+    (ref trades_table.py:17-21,69-74). ``try_element_at(..., 1)`` is null on
+    empty/missing arrays (ANSI-safe), so the guard branch collapses into
+    coalesce.
     """
-    c = F.element_at(F.col(array_path), 1).getField(field)
+    c = F.try_element_at(F.col(array_path), F.lit(1)).getField(field)
     return c if default is None else F.coalesce(c, F.lit(default))
 
 

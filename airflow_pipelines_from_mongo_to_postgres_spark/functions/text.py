@@ -23,13 +23,16 @@ def tokens(col) -> Column:
 
 
 def shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), the unit set for Jaccard dedup."""
+    """Word n-gram shingles (distinct), the unit set for Jaccard dedup.
+    Docs shorter than n tokens yield an empty set (guarded: Spark's
+    ``sequence(1, 0)`` would otherwise count DOWN)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
-    return F.array_distinct(gram)
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def hash28(col) -> Column:

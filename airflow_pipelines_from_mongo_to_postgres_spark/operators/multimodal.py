@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side contract (schemas, partitioning, batch shapes) is real and
+tested; the actual codec calls are STUBBED (``decoder=None`` → deterministic
+fake) because image/audio libraries are not in this container. Swap in a
+real decoder (PIL/torchaudio/ffmpeg) by passing ``decoder=`` — the Spark
+plan is unchanged.
+
+Scale notes: mapInPandas streams Arrow batches through one Python worker
+per core — decode cost parallelizes with partitions, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory for
+large payloads. Keep payloads ≤ a few MB per row; larger media belongs in
+object storage with the column holding a URI.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the feature-extraction stage.
+MEDIA_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("media_type", StringType(), True),
+    StructField("payload_bytes", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("format", StringType(), True),
+])
+
+
+def _stub_decode(payload: bytes) -> dict:
+    """Deterministic fake decoder: derives pseudo-dimensions from the
+    payload bytes. Replace with a real codec in production."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: real decoder required")
+    return {
+        "width": 16 + payload[0] % 64,
+        "height": 16 + payload[-1] % 64,
+        "format": "stub",
+    }
+
+
+def extract_media_features(df: DataFrame, id_col: str, payload_col: str,
+                           media_type_col: str | None = None,
+                           decoder: Callable[[bytes], dict] | None = None,
+                           ) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. One Arrow batch
+    in, one feature frame out; no per-row Python round trips."""
+    dec = decoder or _stub_decode
+    mt = media_type_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                try:
+                    d = dec(bytes(payload) if payload is not None else b"")
+                except NotImplementedError:
+                    d = {"width": None, "height": None, "format": None}
+                feats.append({
+                    "media_id": str(row[id_col]),
+                    "media_type": row[mt] if mt else "application/octet-stream",
+                    "payload_bytes": len(payload) if payload is not None else 0,
+                    **d,
+                })
+            yield pd.DataFrame(feats, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
+
+    cols = [id_col, payload_col] + ([mt] if mt else [])
+    return df.select(*cols).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def attach_payload(df: DataFrame, text_col: str, payload_col: str = "payload") -> DataFrame:
+    """Test helper: fabricate a binary payload column from text (the
+    fixtures carry no real media; the plumbing is what's under test)."""
+    return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8")) \
+             .withColumn(payload_col, F.col(payload_col).cast(BinaryType()))

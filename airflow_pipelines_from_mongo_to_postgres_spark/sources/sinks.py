@@ -1,0 +1,100 @@
+"""Sinks: parquet/CSV/JSON writers and the JDBC/Postgres merge sink.
+
+The reference writes row-at-a-time with a commit per row
+(ref dags/includes/user_table.py:105-121; ~100–1,000 rows/s analytic bound,
+BASELINE.md). The Spark-first replacement is set-based end to end:
+
+* append/overwrite → ``df.write.jdbc`` with ``batchsize`` (one INSERT per
+  batch, one txn per partition);
+* merge/upsert (M1–M13) → write the batch to a STAGING table via the same
+  batched path, then execute ONE server-side set-based statement::
+
+      INSERT INTO target (cols) SELECT cols FROM staging
+      ON CONFLICT (key) DO UPDATE SET m = EXCLUDED.m, ...   -- or DO NOTHING
+
+  so the per-row network round trips and per-row commits disappear.
+
+psycopg2/JDBC drivers aren't in this container: the SQL builders are pure
+and unit-tested; the executor functions gate their imports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: Sequence[str] = ()) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV staging-style sink (ref S5, user_table.py:90) — kept for export
+    compatibility; the engine itself never stages through CSV."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def upsert_statement(table: str, columns: Sequence[str], key: str | Sequence[str],
+                     mutable: Sequence[str], staging: str | None = None) -> str:
+    """The single set-based statement replacing the reference's per-row
+    ``INSERT ... ON CONFLICT`` loop (ref user_table.py:106-118)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    staging = staging or f"{table}_staging"
+    collist = ", ".join(columns)
+    conflict = ", ".join(keys)
+    if mutable:
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in mutable)
+        action = f"DO UPDATE SET {sets}"
+    else:
+        action = "DO NOTHING"
+    return (f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {staging} "
+            f"ON CONFLICT ({conflict}) {action}")
+
+
+def create_table_ddl(table: str, df: DataFrame, key: str = "_id") -> str:
+    """Derive Postgres DDL from the DataFrame schema (single source of
+    truth — SURVEY.md §1.3), with the reference's serial-PK + unique
+    natural key contract (ref mongo_to_postgres_migration.py:41-44)."""
+    type_map = {
+        "string": "varchar", "long": "bigint", "int": "integer",
+        "double": "double precision", "boolean": "boolean",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        "date": "date",
+    }
+    cols = []
+    for name, dtype in df.dtypes:
+        if name == "id":
+            cols.append("id serial PRIMARY KEY")
+        elif name == key:
+            cols.append(f"{name} {type_map.get(dtype, 'varchar')} UNIQUE")
+        else:
+            cols.append(f"{name} {type_map.get(dtype, 'varchar')}")
+    return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
+
+
+def jdbc_merge(df: DataFrame, url: str, table: str, key: str | Sequence[str],
+               mutable: Sequence[str], properties: dict | None = None,
+               batchsize: int = 10_000) -> None:
+    """Stage + merge into a live Postgres. Requires a JDBC driver on the
+    Spark classpath and a DBAPI driver for the final statement."""
+    staging = f"{table}_staging"
+    (df.write.mode("overwrite")
+       .option("batchsize", str(batchsize))
+       .jdbc(url, staging, properties=properties or {}))
+    stmt = upsert_statement(table, df.columns, key, mutable, staging)
+    try:
+        import psycopg2  # gated: not present in the test container
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "jdbc_merge needs a DBAPI driver to run the merge statement; "
+            f"generated statement: {stmt}") from e
+    dsn = url.replace("jdbc:postgresql://", "postgresql://")
+    with psycopg2.connect(dsn) as conn, conn.cursor() as cur:  # pragma: no cover
+        cur.execute(stmt)
+        conn.commit()

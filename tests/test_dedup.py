@@ -1,0 +1,87 @@
+"""Dedup operators: exact, Jaccard, MinHash-LSH recall/precision, SimHash
+pigeonhole guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.operators import dedup
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun")
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),         # near dup of 0
+        (3, "completely different content about spark query planning and shuffles"),
+        (4, "another unrelated document mentioning benchmarks and partitions only"),
+        (5, BASE + " extra tail words appended here"),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs, "doc_id", "text")
+    copies = {r.keeper_id: r.copies for r in out.collect()}
+    assert copies[0] == 2          # docs 0 and 1 collapse
+    assert out.count() == 5        # 6 docs → 5 distinct contents
+
+
+def test_exact_duplicates_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD")],
+        ["doc_id", "text"])
+    assert dedup.exact_duplicates(df, "doc_id", "text").count() == 1
+
+
+def test_jaccard_pairs_finds_near_dups(spark, docs):
+    pairs = {(r.d1, r.d2): r.jaccard
+             for r in dedup.jaccard_pairs(docs, "doc_id", "text", 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert all(d1 < d2 for d1, d2 in pairs)
+    assert not any({3, 4} & {d1, d2} for d1, d2 in pairs)
+
+
+def test_minhash_lsh_equals_exact_at_threshold(spark, docs):
+    exact = {(r.d1, r.d2) for r in
+             dedup.jaccard_pairs(docs, "doc_id", "text", 0.5).collect()}
+    lsh = {(r.d1, r.d2) for r in
+           dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5,
+                                   num_perm=128, bands=64).collect()}
+    assert lsh == exact  # recall 1 on high-sim pairs, precision exact
+
+
+def test_minhash_signature_identical_docs_collide(spark):
+    df = spark.createDataFrame([(1, BASE), (2, BASE)], ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", num_perm=8).collect()
+    a, b = ({k: v for k, v in r.asDict().items() if k != "doc"} for r in sigs)
+    assert a == b
+
+
+def test_simhash_banding_equals_bruteforce(spark, docs):
+    """Pigeonhole: chunk-join candidates + verify == full O(n²) scan."""
+    sig = dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    by_id = {r.doc: r.simhash for r in sig}
+    brute = set()
+    ids = sorted(by_id)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(by_id[i] ^ by_id[j]).count("1") <= 8:
+                brute.add((i, j))
+    banded = {(r.d1, r.d2) for r in
+              dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
+    assert banded == brute
+
+
+def test_stop_shingle_pruning(spark):
+    # a shingle present in every doc gets pruned with max_df, pairs survive
+    rows = [(i, f"common shingle text unique{i} word{i} tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pruned = dedup.jaccard_pairs(df, "doc_id", "text", 0.9, max_df=5)
+    assert pruned.count() == 0  # only the hot shingle was shared; it's gone

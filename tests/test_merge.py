@@ -1,0 +1,65 @@
+"""Merge family semantics (SURVEY.md §2.6 M1–M14) on literal frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import (
+    insert_if_absent,
+    merge_upsert,
+    quarantine_split,
+)
+
+COLS = ["_id", "status", "amount", "origin"]
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [("a", "new", 10.0, "t"), ("b", "new", 20.0, "t"), ("c", "old", 30.0, "t")],
+        COLS)
+
+
+def _updates(spark):
+    return spark.createDataFrame(
+        [("b", "done", 99.0, "u"), ("d", "new", 40.0, "u")], COLS)
+
+
+def test_merge_updates_only_mutable(spark):
+    out = merge_upsert(_target(spark), _updates(spark), key="_id",
+                       mutable=["status"])
+    rows = {r._id: r for r in out.collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    # matched row: mutable refreshed, frozen kept
+    assert rows["b"].status == "done" and rows["b"].amount == 20.0
+    assert rows["b"].origin == "t"
+    # untouched rows unchanged; new row fully from updates
+    assert rows["a"].status == "new" and rows["d"].origin == "u"
+
+
+def test_merge_idempotent(spark):
+    once = merge_upsert(_target(spark), _updates(spark), "_id", ["status"])
+    twice = merge_upsert(once, _updates(spark), "_id", ["status"])
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_insert_if_absent_do_nothing(spark):
+    out = insert_if_absent(_target(spark), _updates(spark), key="_id")
+    rows = {r._id: r for r in out.collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    assert rows["b"].status == "new"  # conflict → DO NOTHING (M11–M13)
+    assert rows["d"].amount == 40.0
+
+
+def test_merge_column_order_agnostic(spark):
+    upd = _updates(spark).select("origin", "amount", "status", "_id")
+    out = merge_upsert(_target(spark), upd, "_id", ["status"])
+    assert {r._id: r.status for r in out.collect()}["b"] == "done"
+
+
+def test_quarantine_split(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", None)], ["_id", "v"])
+    clean, bad = quarantine_split(
+        df, F.col("_id").isNotNull() & F.col("v").isNotNull())
+    assert clean.count() == 1 and bad.count() == 2  # M14: observable drops

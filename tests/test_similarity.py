@@ -1,0 +1,70 @@
+"""Similarity search: engine top-k vs numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.functions import vectors as V
+from airflow_pipelines_from_mongo_to_postgres_spark.operators import similarity
+
+DIM, N = 16, 60
+
+
+@pytest.fixture()
+def embs(spark):
+    rng = np.random.default_rng(42)
+    mat = rng.normal(size=(N, DIM)).astype("float32")
+    rows = [(i, mat[i].tolist(), int(i % 4)) for i in range(N)]
+    return (spark.createDataFrame(rows, ["vec_id", "embedding", "label"]),
+            mat.astype("float64"))
+
+
+def _np_topk(mat, qid, k, mask=None):
+    sims = mat @ mat[qid] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qid]))
+    order = [(round(-s, 6), i) for i, s in enumerate(sims)
+             if i != qid and (mask is None or mask[i])]
+    return [i for _, i in sorted(order)[:k]]
+
+
+def test_cosine_matches_numpy(spark, embs):
+    df, mat = embs
+    a = df.select(V.cosine(V.as_double("embedding"),
+                           V.as_double("embedding")).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-12 for r in a)
+
+
+def test_topk_matches_bruteforce(spark, embs):
+    df, mat = embs
+    probe = df.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(probe, df, "vec_id", "embedding", k=5).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q in range(3):
+        assert got[q] == _np_topk(mat, q, 5)
+
+
+def test_bucketed_topk_stays_in_bucket(spark, embs):
+    df, mat = embs
+    probe = df.filter(F.col("vec_id") < 4)
+    out = similarity.cosine_topk_bucketed(probe, df, "vec_id", "embedding",
+                                          "label", k=3).collect()
+    labels = {i: i % 4 for i in range(N)}
+    for r in out:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+    got = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q in range(4):
+        mask = [labels[i] == labels[q] for i in range(N)]
+        assert got[q] == _np_topk(mat, q, 3, mask)
+
+
+def test_threshold_pairs_symmetric_halfspace(spark, embs):
+    df, _ = embs
+    pairs = similarity.cosine_threshold_pairs(df, "vec_id", "embedding", 0.5)
+    rows = pairs.collect()
+    assert all(r.d1 < r.d2 for r in rows)
+    assert all(r.cosine >= 0.5 for r in rows)

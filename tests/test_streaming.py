@@ -1,0 +1,92 @@
+"""Structured Streaming: incremental file-drop merge (the reference's daily
+DAG lifecycle, SURVEY.md §2.8) and windowed aggregation parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, StringType, StructField, StructType, TimestampType,
+)
+
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import merge_upsert
+from airflow_pipelines_from_mongo_to_postgres_spark.plans.pipeline import Warehouse
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+    run_incremental_merge,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SCHEMA = StructType([
+    StructField("_id", StringType()),
+    StructField("status", StringType()),
+    StructField("amount", DoubleType()),
+])
+
+
+def test_incremental_merge_two_drops(spark, tmp_path):
+    drop = tmp_path / "drop"; drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    arch = str(tmp_path / "archive")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("t", spark.createDataFrame(
+        [("a", "new", 1.0), ("b", "new", 2.0)], SCHEMA))
+
+    (tmp_path / "drop" / "day1.csv").write_text(
+        "_id,status,amount\nb,done,99.0\nc,new,3.0\n")
+
+    def merge_batch(batch, batch_id):
+        wh.write("t", merge_upsert(wh.read("t"), batch, "_id", ["status"]))
+
+    run_incremental_merge(spark, str(drop), SCHEMA, merge_batch, ckpt,
+                          archive_dir=arch)
+    rows = {r._id: (r.status, r.amount) for r in wh.read("t").collect()}
+    assert rows == {"a": ("new", 1.0), "b": ("done", 2.0), "c": ("new", 3.0)}
+
+    # second drop — checkpoint must skip day1, process only day2
+    (tmp_path / "drop" / "day2.csv").write_text(
+        "_id,status,amount\na,gone,0.0\nd,new,4.0\n")
+    run_incremental_merge(spark, str(drop), SCHEMA, merge_batch, ckpt,
+                          archive_dir=arch)
+    rows = {r._id: (r.status, r.amount) for r in wh.read("t").collect()}
+    assert rows["a"] == ("gone", 1.0)  # mutable updated, frozen amount kept
+    assert rows["d"] == ("new", 4.0)
+    assert len(rows) == 4
+
+
+def test_streaming_window_equals_batch(spark, tmp_path, sf_dir):
+    """Same tumbling aggregation through readStream == through batch."""
+    from pyspark.sql.types import LongType
+
+    events = load_table(spark, "events", sf_dir)
+    # stream the parquet dir with the RAW schema (ts = nanos long, as on disk)
+    raw = StructType([
+        StructField(f.name, LongType() if f.name == "ts" else f.dataType)
+        for f in events.schema.fields])
+    src = tmp_path / "events_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw).parquet(str(src))
+    agg = tumbling_counts(stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = (agg.writeStream.format("memory").queryName("win_test")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.window_start, r.event_type): (r.events, r.total_value)
+           for r in spark.sql("SELECT * FROM win_test").collect()}
+
+    batch = tumbling_counts(events)
+    want = {(r.window_start, r.event_type): (r.events, r.total_value)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_sliding_counts_batch_shape(spark, sf_dir):
+    events = load_table(spark, "events", sf_dir)
+    out = sliding_counts(events)
+    # every event lands in exactly 2 sliding windows (10m width, 5m slide)
+    total = out.agg(F.sum("events").alias("s")).collect()[0].s
+    assert total == 2 * events.count()
