@@ -1,0 +1,92 @@
+"""Temporal custom operators Spark lacks as built-ins: as-of join and
+range (interval) join. Both are compositions of existing DataFrame ops —
+no UDFs, no driver-side loops (SURVEY.md §7 design rule).
+
+Scale design
+------------
+* ``asof_join`` uses the union + last(ignoreNulls) window technique: tag
+  both inputs, union them, and run ONE window over (keys, ts). Cost is a
+  single shuffle on the key columns — strictly cheaper than the naive
+  join + filter + row_number plan (two shuffles and an |left|×|right|
+  per-key blow-up before ranking). Skewed keys degrade to a per-key sort,
+  not a cross product.
+* ``range_join`` is an equi-join on the key columns with the range
+  predicate applied as a join condition; Spark plans a hash join on the
+  equi part and filters within matched buckets. For keyless interval
+  joins, bucketize the time axis first (not needed by current plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
+              left_ts: str, right_ts: str, right_cols: list[str],
+              strict: bool = False) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (< if ``strict``) within the same key group
+    (backward as-of join; unmatched left rows keep nulls).
+
+    ``right_cols`` are the right-side payload columns to carry; the matched
+    timestamp itself is exposed as ``asof_ts``.
+    """
+    payload = [c for c in right_cols if c != right_ts]
+    # Tag sides, align schemas: left keeps its columns, right contributes
+    # payload columns nulled on the left side and vice versa.
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+    )
+    rt = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r_ts"),
+    ).select(*lt.columns)  # column order alignment for union
+    # At equal ts: right rows sort before left for <= semantics (a right row
+    # at exactly left_ts is visible), after left for strict <.
+    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+    w = (Window.partitionBy(*keys).orderBy(F.col("__ts").asc(), side_order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = lt.unionByName(rt).select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+          for c in payload],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__f_{c}").alias(c) for c in payload],
+            F.col("__f_ts").alias("asof_ts"),
+        )
+    )
+
+
+def range_join(left: DataFrame, right: DataFrame, keys: list[str],
+               left_start: str, left_end: str, right_ts: str,
+               how: str = "inner") -> DataFrame:
+    """Join rows whose right-side timestamp falls in a left-derived interval:
+    equi on ``keys`` + ``left_start < right_ts <= left_end`` band predicate
+    (half-open on the left so a left row never matches itself at
+    ``right_ts == left_start``).
+
+    Right-side columns come back prefixed ``r_`` — this both avoids output
+    collisions and sidesteps Spark's ambiguous-attribute trap when left and
+    right derive from the same source (self-join lineage).
+    """
+    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond = (F.col(f"r_{right_ts}") > F.col(left_start)) \
+        & (F.col(f"r_{right_ts}") <= F.col(left_end))
+    for k in keys:
+        cond = (F.col(k) == F.col(f"r_{k}")) & cond
+    return left.join(r, cond, how)

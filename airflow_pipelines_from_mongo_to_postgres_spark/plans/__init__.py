@@ -11,9 +11,10 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
     mergeops,
     relational,
     streamsql,
+    temporal,
 )
 
-ALL_PLAN_MODULES = [relational, mergeops, llmdata, streamsql]
+ALL_PLAN_MODULES = [relational, mergeops, llmdata, streamsql, temporal]
 
 
 def all_queries():

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
-from airflow_pipelines_from_mongo_to_postgres_spark.operators import dedup, similarity
+from airflow_pipelines_from_mongo_to_postgres_spark.operators import (
+    dedup,
+    fingerprint,
+    similarity,
+)
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------- SQL pieces
@@ -236,6 +240,47 @@ FROM documents GROUP BY lang
 """
 
 
+# --- q41: winnowing rolling-hash fingerprints (Schleimer et al. 2003) ---------------
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+def q41_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return fingerprint.winnow_fingerprints(d, "doc_id", "text",
+                                           k=_WINNOW_K, w=_WINNOW_W)
+
+
+def _winnow_sql(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    toks = _TOKENS_SQL.format(col="text")
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id AS doc, {toks} AS ts FROM documents),
+grams AS (
+  SELECT doc, CASE WHEN len(ts) >= {k}
+    THEN list_transform(range(1, len(ts) - {k - 1} + 1), i -> {gram})
+    ELSE [] END AS gs
+  FROM toks
+),
+hs AS (
+  SELECT doc, list_transform(gs, g ->
+    CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)) AS hs
+  FROM grams
+),
+fps AS (
+  SELECT doc, CASE
+    WHEN len(hs) >= {w} THEN list_distinct(list_transform(
+      range(1, len(hs) - {w - 1} + 1), i -> list_min(hs[i:i+{w - 1}])))
+    WHEN len(hs) > 0 THEN [list_min(hs)]
+    ELSE [] END AS fps
+  FROM hs
+)
+SELECT doc, unnest(fps) AS fp FROM fps
+"""
+
+
+Q41_SQL = _winnow_sql()
+
+
 # --- q33: brute-force cosine top-k ANN ----------------------------------------------
 def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
@@ -261,16 +306,19 @@ FROM ranked WHERE rank <= 5
 
 # --- q34: cosine threshold pairs ------------------------------------------------------
 def q34_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.45 sits in the fixtures' tail (7/14/144 pairs at sf0.001/0.01/0.1) —
+    # high enough to be "near-dup", low enough that the query has output to
+    # hash-check (max pairwise cosine in the fixtures is ~0.5-0.6).
     e = load_table(spark, "embeddings", sf_dir)
     return similarity.cosine_threshold_pairs(e, "vec_id", "embedding",
-                                             threshold=0.95)
+                                             threshold=0.45)
 
 
 Q34_SQL = """
 SELECT a.vec_id AS d1, b.vec_id AS d2,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
 """
 
 
@@ -336,9 +384,11 @@ QUERIES = {
     "q34_cosine_pairs": q34_cosine_pairs,
     "q35_ann_ivf_label": q35_ann_ivf_label,
     "q36_binary_metadata": q36_binary_metadata,
+    "q41_winnow_fingerprints": q41_winnow_fingerprints,
 }
 
 ORACLES = {
+    "q41_winnow_fingerprints": Q41_SQL,
     "q25_dedup_exact": Q25_SQL,
     "q26_ngram_jaccard_pairs": Q26_SQL,
     "q27_minhash_signatures": Q27_SQL,

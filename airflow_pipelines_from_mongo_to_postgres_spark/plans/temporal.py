@@ -1,0 +1,129 @@
+"""Temporal custom-operator plans over the ``events`` fixture: as-of join,
+range (interval) join, hypertable-style time rollup, and sketch NDV.
+
+The reference has no temporal analytics (its only time handling is date
+columns + a daily schedule, SURVEY.md §2.8); these are the engine's
+scale-path extensions. Oracles: DuckDB's native ASOF JOIN independently
+checks our union+window as-of implementation — two genuinely different
+algorithms, one answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.operators import temporal
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+
+# --- q42: as-of join — last click at-or-before each purchase, per user --------
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("value").alias("click_value"))
+    return temporal.asof_join(purchases, clicks, keys=["user_id"],
+                              left_ts="ts", right_ts="ts",
+                              right_cols=["click_value"])
+
+
+Q42_SQL = """
+SELECT p.event_id, p.user_id, p.ts, c.value AS click_value, c.ts AS asof_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --- q43: range join — activity in the 5 minutes after each error, per user ---
+def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    joined = temporal.range_join(errors, e, keys=["user_id"],
+                                 left_start="start_ts", left_end="end_ts",
+                                 right_ts="ts", how="left")
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("r_event_id").alias("events_after"),
+        F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 4).alias("value_after"),
+    )
+
+
+Q43_SQL = """
+SELECT x.event_id, x.user_id, count(e.event_id) AS events_after,
+       round(coalesce(sum(e.value), 0), 4) AS value_after
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') x
+LEFT JOIN events e
+  ON e.user_id = x.user_id AND e.ts > x.ts
+  AND e.ts <= x.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2
+"""
+
+
+# --- q44: hypertable-style hierarchical time rollup ----------------------------
+def q44_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day → hour hierarchical rollup (continuous-aggregate shape): one scan
+    produces hourly, daily, and grand totals; partial aggregation happens
+    map-side, so the shuffle carries one row per (group, grain)."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        e.rollup("day", "hour")
+        .agg(
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q44_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_trunc('hour', ts) AS hour, value
+  FROM events
+)
+SELECT day, hour,
+       CAST(grouping(day) AS INT) AS g_day,
+       CAST(grouping(hour) AS INT) AS g_hour,
+       count(*) AS events, round(sum(value), 4) AS total_value
+FROM b
+GROUP BY ROLLUP (day, hour)
+"""
+
+
+# --- q45: sketch NDV (HyperLogLog++) — genuinely approximate, rows-only check --
+def q45_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HLL++ partial sketches merged across
+    partitions — constant memory per group vs the exact count's
+    per-group hash set. No oracle entry: DuckDB's approx_count_distinct
+    is a different sketch with different estimates (q19 covers exact NDV
+    with a full oracle)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+QUERIES = {
+    "q42_asof_join": q42_asof_join,
+    "q43_range_join": q43_range_join,
+    "q44_time_rollup": q44_time_rollup,
+    "q45_approx_ndv": q45_approx_ndv,
+}
+
+ORACLES = {
+    "q42_asof_join": Q42_SQL,
+    "q43_range_join": Q43_SQL,
+    "q44_time_rollup": Q44_SQL,
+}

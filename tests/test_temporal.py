@@ -1,0 +1,117 @@
+"""As-of join (union+window impl), range join, and winnowing fingerprints.
+
+The reference has no temporal analytics; these are engine extension
+operators (SURVEY.md §7). asof_join is additionally oracle-checked against
+DuckDB's native ASOF JOIN in plans/temporal.py (q42).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.fingerprint import (
+    winnow_fingerprints,
+)
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00")),
+         (2, "u1", _ts("2024-01-01 12:00:00")),
+         (3, "u2", _ts("2024-01-01 11:00:00")),
+         (4, "u3", _ts("2024-01-01 09:00:00"))],
+        ["trade_id", "user", "ts"])
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:30:00"), 10.0),
+         ("u1", _ts("2024-01-01 10:00:00"), 11.0),   # ties trade 1 exactly
+         ("u1", _ts("2024-01-01 11:59:00"), 12.0),
+         ("u2", _ts("2024-01-01 11:30:00"), 99.0)],  # after trade 3
+        ["user", "ts", "px"])
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    out = {r.trade_id: (r.px, r.asof_ts)
+           for r in asof_join(_trades(spark), _quotes(spark), ["user"],
+                              "ts", "ts", ["px"]).collect()}
+    assert out[1] == (11.0, _ts("2024-01-01 10:00:00"))  # equal ts visible
+    assert out[2] == (12.0, _ts("2024-01-01 11:59:00"))
+    assert out[3] == (None, None)   # only later quotes for u2
+    assert out[4] == (None, None)   # no quotes at all for u3
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    out = {r.trade_id: r.px
+           for r in asof_join(_trades(spark), _quotes(spark), ["user"],
+                              "ts", "ts", ["px"], strict=True).collect()}
+    assert out[1] == 10.0  # 10:00 quote no longer visible at 10:00 trade
+
+
+def test_asof_preserves_left_rowcount(spark):
+    assert asof_join(_trades(spark), _quotes(spark), ["user"],
+                     "ts", "ts", ["px"]).count() == 4
+
+
+def test_range_join_half_open_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        ["lid", "user", "start_ts", "end_ts"])
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), "at-start"),    # excluded (>)
+         ("u1", _ts("2024-01-01 10:30:00"), "inside"),
+         ("u1", _ts("2024-01-01 11:00:00"), "at-end"),      # included (<=)
+         ("u1", _ts("2024-01-01 11:00:01"), "after"),
+         ("u2", _ts("2024-01-01 10:30:00"), "other-key")],
+        ["user", "ts", "tag"])
+    got = {r.r_tag for r in
+           range_join(left, right, ["user"], "start_ts", "end_ts", "ts").collect()}
+    assert got == {"inside", "at-end"}
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[str, int]]:
+    toks = [t for t in text.lower().split() if t]
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_matches_python_reference(spark):
+    docs = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "one two three four"),
+            (3, "short doc"),           # < k tokens → no fingerprints
+            (4, "a b c d e")]           # k ≤ grams < w → global min only
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
+        got.setdefault(r.doc, set()).add(r.fp)
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _py_winnow(text, 3, 4), doc_id
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # Winnowing guarantee: a shared run of ≥ w+k-1 tokens ⇒ ≥1 shared fp.
+    common = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    df = spark.createDataFrame(
+        [(1, "intro words here " + common), (2, common + " trailing stuff")],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    shared = (fps.groupBy("fp").agg(F.countDistinct("doc").alias("n"))
+              .filter(F.col("n") == 2).count())
+    assert shared >= 1
