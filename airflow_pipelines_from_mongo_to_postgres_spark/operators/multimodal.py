@@ -81,6 +81,75 @@ def extract_media_features(df: DataFrame, id_col: str, payload_col: str,
     return df.select(*cols).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
 
 
+#: Output schema of the resize stage: payload out, new dims recorded.
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def resize_media(df: DataFrame, id_col: str, payload_col: str,
+                 width: int, height: int,
+                 resizer: Callable[[bytes, int, int], bytes] | None = None,
+                 ) -> DataFrame:
+    """1→1 mapInPandas resize stage. ``resizer`` is the real codec hook
+    (e.g. PIL thumbnail); the default stub is a deterministic fake that
+    keeps the plumbing testable without image libraries."""
+    rz = resizer or (lambda p, w, h: p[: max(1, (len(p) * w * h) // (w * h + len(p)))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                p = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                out.append({"media_id": str(row[id_col]),
+                            "payload": rz(p, width, height),
+                            "width": width, "height": height})
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+#: Output schema of frame sampling — ONE ROW PER SAMPLED FRAME (1→N).
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str, payload_col: str,
+                  num_frames: int = 4,
+                  sampler: Callable[[bytes, int], list[bytes]] | None = None,
+                  ) -> DataFrame:
+    """1→N mapInPandas frame sampling: each video payload row expands to
+    ``num_frames`` frame rows. The Arrow batch out is larger than the batch
+    in — mapInPandas (unlike a scalar pandas_udf) supports this shape,
+    which is why the whole multimodal family uses it. Stub sampler slices
+    the payload into ``num_frames`` even chunks."""
+    def _stub(p: bytes, n: int) -> list[bytes]:
+        if not p:
+            return []
+        step = max(1, len(p) // n)
+        return [p[i * step:(i + 1) * step] for i in range(min(n, len(p)))]
+
+    sm = sampler or _stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                p = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                for i, fr in enumerate(sm(p, num_frames)):
+                    out.append({"media_id": str(row[id_col]),
+                                "frame_idx": i, "frame": fr})
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
 def attach_payload(df: DataFrame, text_col: str, payload_col: str = "payload") -> DataFrame:
     """Test helper: fabricate a binary payload column from text (the
     fixtures carry no real media; the plumbing is what's under test)."""

@@ -126,14 +126,58 @@ FROM events GROUP BY user_id
 """
 
 
+# --- q46: session windows (10-minute inactivity gap) ---------------------------
+def q46_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window``: state merges as events arrive; the
+    streaming twin (streaming/windows.py::session_counts) runs the same
+    expression with a watermark bounding session state."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "10 minutes").alias("w"),
+                  F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "events", "total_value")
+    )
+
+
+# Gaps-and-islands reconstruction of session semantics: a new session starts
+# when the gap from the previous event is >= the 10-minute timeout; session
+# end = last event + timeout (exactly session_window's definition).
+Q46_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), g AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*) AS events, round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q37_tumbling_window": q37_tumbling_window,
     "q38_sliding_window": q38_sliding_window,
     "q39_funnel": q39_funnel,
     "q40_user_activity": q40_user_activity,
+    "q46_session_window": q46_session_window,
 }
 
 ORACLES = {
+    "q46_session_window": Q46_SQL,
     "q37_tumbling_window": Q37_SQL,
     "q38_sliding_window": Q38_SQL,
     "q39_funnel": Q39_SQL,

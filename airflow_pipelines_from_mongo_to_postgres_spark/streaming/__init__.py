@@ -2,8 +2,10 @@ from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import
     run_incremental_merge,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming.windows import (
+    session_counts,
     sliding_counts,
     tumbling_counts,
 )
 
-__all__ = ["run_incremental_merge", "tumbling_counts", "sliding_counts"]
+__all__ = ["run_incremental_merge", "tumbling_counts", "sliding_counts",
+           "session_counts"]

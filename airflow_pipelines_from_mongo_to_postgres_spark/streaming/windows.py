@@ -26,6 +26,24 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def session_counts(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "user_id", gap: str = "10 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Session windows keyed on inactivity gap. In streaming mode the
+    watermark lets Spark finalize (and drop state for) sessions whose gap
+    has provably expired — without it session state grows forever."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                    F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                key_col, "events", "total_value")
+    )
+
+
 def sliding_counts(events: DataFrame, ts_col: str = "ts",
                    key_col: str = "event_type", width: str = "10 minutes",
                    slide: str = "5 minutes",

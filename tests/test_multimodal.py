@@ -31,3 +31,33 @@ def test_custom_decoder_and_empty_payload(spark):
     assert rows["a"].width is None      # stubbed decode failure → null features
     assert rows["a"].payload_bytes == 0
     assert rows["b"].width == 3 and rows["b"].format == "len"
+
+
+def test_resize_media_stub(spark, sf_dir):
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        resize_media,
+    )
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    out = resize_media(attach_payload(docs, "text"), "doc_id", "payload",
+                       width=32, height=32).collect()
+    assert len(out) == 20
+    assert all(r.width == 32 and r.height == 32 for r in out)
+    assert all(r.payload is not None and len(r.payload) > 0 for r in out)
+
+
+def test_sample_frames_one_to_n(spark):
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        sample_frames,
+    )
+    df = spark.createDataFrame(
+        [("v1", b"0123456789abcdef"), ("v2", b"xy"), ("v3", b"")],
+        ["mid", "payload"])
+    rows = sample_frames(df, "mid", "payload", num_frames=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id["v1"]) == 4                   # full expansion
+    assert len(by_id["v2"]) == 2                   # payload shorter than n
+    assert "v3" not in by_id                       # empty payload -> no frames
+    assert b"".join(f.frame for f in sorted(by_id["v1"], key=lambda r: r.frame_idx))
+    assert sorted(r.frame_idx for r in by_id["v1"]) == [0, 1, 2, 3]

@@ -14,6 +14,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans.pipeline import Wareho
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
     run_incremental_merge,
+    session_counts,
     sliding_counts,
     tumbling_counts,
 )
@@ -81,6 +82,32 @@ def test_streaming_window_equals_batch(spark, tmp_path, sf_dir):
     batch = tumbling_counts(events)
     want = {(r.window_start, r.event_type): (r.events, r.total_value)
             for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_session_window_equals_batch(spark, tmp_path, sf_dir):
+    """session_counts through readStream + watermark == through batch."""
+    from pyspark.sql.types import LongType
+
+    events = load_table(spark, "events", sf_dir)
+    raw = StructType([
+        StructField(f.name, LongType() if f.name == "ts" else f.dataType)
+        for f in events.schema.fields])
+    src = tmp_path / "events_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw).parquet(str(src))
+    agg = session_counts(stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    q = (agg.writeStream.format("memory").queryName("sess_test")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start): (r.session_end, r.events, r.total_value)
+           for r in spark.sql("SELECT * FROM sess_test").collect()}
+    want = {(r.user_id, r.session_start): (r.session_end, r.events, r.total_value)
+            for r in session_counts(events).collect()}
     assert got == want
 
 
