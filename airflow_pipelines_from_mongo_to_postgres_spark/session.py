@@ -29,6 +29,15 @@ _DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     # Timestamps without timezone semantics match the parquet fixtures.
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)` below
+    # every explode; predicate pushdown then substitutes the generator's FULL
+    # expression tree into that filter (no CSE with the projection that still
+    # computes it). For array-building pipelines (shingles, winnowing) the
+    # duplicated tree re-tokenizes the document inside every element_at —
+    # measured 18x on q41 (64s -> 3.5s at sf0.01). The rule only saves work
+    # when arrays are often empty AND cheap to size-check; ours never are.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.shuffle.partitions": "32",
     # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
     # read as long and convert in the catalog (sources/catalog.py).

@@ -31,6 +31,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     runtime (both are SQLConf-level, runtime-settable).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Keep InferFiltersFromGenerate off even on a vanilla session: it clones
+    # the generator's whole expression tree into a pushed-down filter, which
+    # re-tokenizes documents inside every element_at (18x on winnowing /
+    # shingle explodes — see session.py for the full story).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), rejected by default readers.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
