@@ -50,6 +50,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan is narrower than the session's
+    parallelism. Small fixture files arrive as a single split, serializing
+    CPU-bound stages (shingling, md5 hashing) on one core; at 100 TB a scan
+    has thousands of splits and this is a no-op — the guard means we never
+    pay an extra shuffle where the input is already wide."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, n, sf_dir) for n in names}
