@@ -185,6 +185,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def drop_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                         threshold: float, n: int = 3,
+                         max_df: int | None = None) -> DataFrame:
+    """Corpus after near-dedup with the standard min-id-keeper policy: for
+    every similar pair (d1 < d2, jaccard ≥ threshold) the larger id is
+    dropped. One left_anti join against the distinct drop set — the pair
+    table is the expensive part and is the same plan as ``jaccard_pairs``.
+
+    (Min-id-keeper is the greedy approximation used by large-scale dedup
+    pipelines; it equals connected-component dedup when similarity clusters
+    are cliques, which near-dup clusters practically are.)"""
+    pairs = jaccard_pairs(df, id_col, text_col, threshold, n, max_df)
+    dropped = pairs.select(F.col("d2").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 60) -> DataFrame:
     """SimHash over token 60-bit hashes: bit j of the signature is the sign

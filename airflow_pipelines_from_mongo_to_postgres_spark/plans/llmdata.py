@@ -371,6 +371,58 @@ FROM documents
 """
 
 
+# --- q50: end-to-end corpus curation (lang gate → quality gate → exact dedup) -----
+def q50_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: keep English docs of acceptable
+    quality, then collapse exact duplicates to a min-id keeper. One shuffle
+    (the fingerprint groupBy) — the two gates are scan-side filters."""
+    d = load_table(spark, "documents", sf_dir)
+    kept = d.select("doc_id", "text",
+                    T.lang_id("text").alias("plang"),
+                    T.quality_score("text").alias("quality")) \
+        .filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+    return (
+        kept.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+def _curation_sql() -> str:
+    lang = _lang_id_sql()
+    quality = _quality_sql()
+    return f"""
+WITH lang_t AS ({lang}), qual_t AS ({quality}),
+kept AS (
+  SELECT d.doc_id,
+         md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents d
+  JOIN lang_t ON d.doc_id = lang_t.doc_id
+  JOIN qual_t ON d.doc_id = qual_t.doc_id
+  WHERE lang_t.predicted_lang = 'en'
+)
+SELECT fp, min(doc_id) AS keeper_id, count(*) AS copies
+FROM kept GROUP BY fp
+"""
+
+
+Q50_SQL = _curation_sql()
+
+
+# --- q51: near-dedup corpus (min-id keeper policy over Jaccard pairs) ---------------
+def q51_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.drop_near_duplicates(d, "doc_id", "text", threshold=0.2, n=3) \
+        .select("doc_id", "lang", "source")
+
+
+Q51_SQL = f"""
+WITH pairs AS ({_JACCARD_PAIRS_SQL.format(threshold=0.2)})
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -385,6 +437,8 @@ QUERIES = {
     "q35_ann_ivf_label": q35_ann_ivf_label,
     "q36_binary_metadata": q36_binary_metadata,
     "q41_winnow_fingerprints": q41_winnow_fingerprints,
+    "q50_corpus_curation": q50_corpus_curation,
+    "q51_near_dup_drop": q51_near_dup_drop,
 }
 
 ORACLES = {
@@ -401,4 +455,6 @@ ORACLES = {
     "q34_cosine_pairs": Q34_SQL,
     "q35_ann_ivf_label": Q35_SQL,
     "q36_binary_metadata": Q36_SQL,
+    "q50_corpus_curation": Q50_SQL,
+    "q51_near_dup_drop": Q51_SQL,
 }

@@ -476,6 +476,72 @@ FROM lineitem
 """
 
 
+# --- q47: GROUPING SETS (the third grouping variant next to q11/q12) ------------
+def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+Q47_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# --- q48: exact percentiles (continuous interpolation, Spark = quantile_cont) ----
+def q48_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+            F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        )
+    )
+
+
+Q48_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- q49: salted skew join (orders ⋈ customer scattered over salt buckets) -------
+def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.skew import (
+        salted_join,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(o, c, "o_custkey", "c_custkey", salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+
+
+Q49_SQL = """
+SELECT c_mktsegment, count(*) AS order_cnt,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -496,6 +562,9 @@ QUERIES = {
     "q17_max_key": q17_max_key,
     "q18_json_extract": q18_json_extract,
     "q19_ndv_exact": q19_ndv_exact,
+    "q47_grouping_sets": q47_grouping_sets,
+    "q48_percentiles": q48_percentiles,
+    "q49_salted_join": q49_salted_join,
 }
 
 ORACLES = {
@@ -518,4 +587,7 @@ ORACLES = {
     "q17_max_key": Q17_SQL,
     "q18_json_extract": Q18_SQL,
     "q19_ndv_exact": Q19_SQL,
+    "q47_grouping_sets": Q47_SQL,
+    "q48_percentiles": Q48_SQL,
+    "q49_salted_join": Q49_SQL,
 }
