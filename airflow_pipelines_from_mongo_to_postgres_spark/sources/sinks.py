@@ -33,6 +33,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int,
+                   bucket_cols: Sequence[str], sort_cols: Sequence[str] = (),
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Bucketed (pre-shuffled, optionally pre-sorted) parquet table.
+
+    Two tables bucketed the same way on their join key sort-merge-join with
+    ZERO exchanges — the shuffle is paid once at write time instead of per
+    query. At 100 TB this is the difference between re-shuffling the fact
+    table for every fact⋈fact join and reading co-located buckets. Same
+    trick serves aggregations: a groupBy on the bucket columns skips its
+    exchange too.
+
+    ``path`` makes the table external (data at ``path``, metadata in the
+    session catalog) — bucketing metadata lives in the catalog, which is
+    why this is ``saveAsTable`` and not ``.parquet()``.
+    """
+    w = df.write.mode(mode).format("parquet")
+    if path:
+        w = w.option("path", path)
+    w = w.bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV staging-style sink (ref S5, user_table.py:90) — kept for export
     compatibility; the engine itself never stages through CSV."""

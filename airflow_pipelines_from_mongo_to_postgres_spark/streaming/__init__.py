@@ -1,3 +1,7 @@
+from airflow_pipelines_from_mongo_to_postgres_spark.streaming.dedup import (
+    dedup_exact_stream,
+    dedup_within_watermark,
+)
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
     run_incremental_merge,
 )
@@ -8,4 +12,4 @@ from airflow_pipelines_from_mongo_to_postgres_spark.streaming.windows import (
 )
 
 __all__ = ["run_incremental_merge", "tumbling_counts", "sliding_counts",
-           "session_counts"]
+           "session_counts", "dedup_within_watermark", "dedup_exact_stream"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
     create_table_ddl,
     upsert_statement,
@@ -39,3 +41,31 @@ def test_file_sinks_roundtrip(spark, tmp_path):
     write_csv(df, str(tmp_path / "c"))
     got = spark.read.option("header", True).csv(str(tmp_path / "c"))
     assert got.count() == 2 and set(got.columns) == {"k", "v"}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables co-bucketed on the join key sort-merge-join without a single
+    shuffle — the write-once-shuffle-never pattern for fact⋈fact at scale."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k") \
+        .withColumn("lv", F.col("k") * 2)
+    right = spark.range(0, 1000).withColumnRenamed("id", "k") \
+        .withColumn("rv", F.col("k") + 7)
+    write_bucketed(left, "bk_left", 4, ["k"], sort_cols=["k"],
+                   path=str(tmp_path / "bk_left"))
+    write_bucketed(right, "bk_right", 4, ["k"], sort_cols=["k"],
+                   path=str(tmp_path / "bk_right"))
+    try:
+        a = spark.table("bk_left").hint("merge")
+        b = spark.table("bk_right")
+        joined = a.join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # buckets align; no shuffle either side
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")

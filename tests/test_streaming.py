@@ -117,3 +117,46 @@ def test_sliding_counts_batch_shape(spark, sf_dir):
     # every event lands in exactly 2 sliding windows (10m width, 5m slide)
     total = out.agg(F.sum("events").alias("s")).collect()[0].s
     assert total == 2 * events.count()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-posted rows inside one micro-batch collapse to first arrival."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+        dedup_exact_stream,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    src = tmp_path / "docs_src"; src.mkdir()
+    batch = spark.createDataFrame(
+        [(1, "hello world", "2024-01-01 00:00:00"),
+         (2, "Hello  World", "2024-01-01 00:01:00"),   # content dup of 1
+         (3, "different text", "2024-01-01 00:02:00")],
+        ["doc_id", "text", "ts_s"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    batch.write.parquet(str(src / "p"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "p"))
+    out = dedup_exact_stream(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.sql("SELECT * FROM dedup_test").collect()}
+    assert 3 in got and len(got) == 2  # one of {1,2} plus 3
+
+
+def test_batch_dedup_within_watermark_fallback(spark):
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+        dedup_within_watermark,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    assert dedup_within_watermark(df, ["k"]).count() == 2
