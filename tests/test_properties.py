@@ -1,0 +1,105 @@
+"""Property-based invariants (SURVEY.md §5.4) — hypothesis-generated nested
+documents and update batches against flatten and merge.
+
+Strategy sizes are kept small (Spark job per example is the cost driver);
+``deadline=None`` because JVM warm-up breaks per-example timing.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, LongType, StringType, StructField, StructType,
+)
+
+from airflow_pipelines_from_mongo_to_postgres_spark.functions import conform
+from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import merge_upsert
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+DOC_SCHEMA = StructType([
+    StructField("_id", StringType()),
+    StructField("personal", StructType([
+        StructField("first", StringType()),
+        StructField("last", StringType()),
+    ])),
+    StructField("deleted", BooleanType()),
+    StructField("tags", ArrayType(StringType())),
+])
+
+_ids = st.text(alphabet="abcdef0123456789", min_size=4, max_size=8)
+_name = st.one_of(st.none(), st.text(min_size=0, max_size=6))
+_doc = st.fixed_dictionaries({
+    "_id": _ids,
+    "personal": st.one_of(
+        st.none(),
+        st.fixed_dictionaries({"first": _name, "last": _name})),
+    "deleted": st.one_of(st.none(), st.booleans()),
+    "tags": st.one_of(st.none(), st.lists(st.sampled_from("xyz"), max_size=3)),
+})
+
+
+def _mkdf(spark, docs):
+    rows = [Row(_id=d["_id"],
+                personal=Row(**d["personal"]) if d["personal"] else None,
+                deleted=d["deleted"], tags=d["tags"]) for d in docs]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6, unique_by=lambda d: d["_id"]))
+@settings(**SETTINGS)
+def test_flatten_preserves_rows_and_defaults(spark, docs):
+    df = _mkdf(spark, docs)
+    flat = conform.flatten(df, {
+        "_id": F.col("_id"),
+        "first_name": conform.nested("personal.first"),
+        "deleted": conform.bool_default("deleted"),
+        "tags": conform.stringify("tags"),
+    })
+    got = {r._id: r for r in flat.collect()}
+    assert len(got) == len(docs)           # flatten is row-preserving
+    for d in docs:
+        r = got[d["_id"]]
+        want_first = (d["personal"] or {}).get("first")
+        assert r.first_name == want_first  # missing struct → null, not error
+        assert r.deleted is (d["deleted"] or False)  # bool default False
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=5, unique_by=lambda d: d["_id"]))
+@settings(**SETTINGS)
+def test_explode_drops_null_and_empty_arrays(spark, docs):
+    df = _mkdf(spark, docs)
+    out = conform.explode_unwind(df, "tags")
+    want = sum(len(d["tags"]) for d in docs if d["tags"])
+    assert out.count() == want             # $unwind default drops null/[]
+
+
+_kv = st.lists(
+    st.tuples(st.sampled_from("abcde"), st.integers(0, 99), st.integers(0, 99)),
+    min_size=0, max_size=5, unique_by=lambda t: t[0])
+
+
+@given(target=_kv, updates=_kv)
+@settings(**SETTINGS)
+def test_merge_upsert_idempotent_and_partial(spark, target, updates):
+    schema = StructType([StructField("_id", StringType()),
+                         StructField("mut", LongType()),
+                         StructField("frozen", LongType())])
+    t = spark.createDataFrame(target, schema)
+    u = spark.createDataFrame(updates, schema)
+    once = merge_upsert(t, u, "_id", ["mut"])
+    twice = merge_upsert(once, u, "_id", ["mut"])
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(once) == as_rows(twice)          # idempotent
+    got = {r._id: r for r in once.collect()}
+    tmap = {k: (m, f) for k, m, f in target}
+    umap = {k: (m, f) for k, m, f in updates}
+    assert set(got) == set(tmap) | set(umap)        # union of keys
+    for k, r in got.items():
+        if k in tmap and k in umap:
+            assert r.mut == umap[k][0]              # mutable refreshed
+            assert r.frozen == tmap[k][1]           # frozen kept
