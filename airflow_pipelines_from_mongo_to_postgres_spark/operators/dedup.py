@@ -142,10 +142,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     assert num_perm % bands == 0
     r = num_perm // bands
     # One shared shingle table for BOTH signature generation and candidate
-    # verification (cached: two consumers, one computation).
-    sh = _shingle_table(df, id_col, text_col, n).cache()
-    hashed = sh.select("doc", T.hash28(F.col("shingle")).alias("h"))
-    sig = hashed.groupBy("doc").agg(*[
+    # verification. Both hashes are computed in the same pass and the
+    # shingle STRING is dropped before the cache — the cached rows are two
+    # longs, not n-word strings.
+    sh = _shingle_table(df, id_col, text_col, n).select(
+        "doc", T.hash28(F.col("shingle")).alias("h"),
+        F.xxhash64("shingle").alias("sh64")).cache()
+    sig = sh.groupBy("doc").agg(*[
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_perms(num_perm))
     ])
@@ -165,19 +168,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .dropDuplicates()
     )
     # Verify ONLY the candidates (this is the LSH payoff: exact Jaccard is
-    # computed for |candidates| pairs, never |corpus|²/2). Joins run on the
-    # 8-byte xxhash64 of the shingle, not the string (see jaccard_pairs).
-    shv = sh.select("doc", F.xxhash64("shingle").alias("shingle"))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(shv.withColumnsRenamed({"doc": "d1"}), "d1")
-        .join(shv.withColumnsRenamed({"doc": "d2"}), ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # computed for |candidates| pairs, never |corpus|²/2). The per-doc
+    # shingle-hash set is collected once (one groupBy); the candidate set —
+    # orders of magnitude smaller than the corpus — is broadcast against it
+    # twice, so verification adds NO extra shuffle of shingle data and the
+    # intersection is a map-side array_intersect over two ~|doc| arrays.
+    arrs = sh.groupBy("doc").agg(F.collect_list("sh64").alias("arr"),
+                                 F.count(F.lit(1)).alias("n_sh"))
     return (
-        inter.join(sizes.withColumnsRenamed({"doc": "d1", "n_sh": "n1"}), "d1")
-        .join(sizes.withColumnsRenamed({"doc": "d2", "n_sh": "n2"}), "d2")
+        arrs.join(F.broadcast(cand), arrs.doc == cand.d1)
+        .select("d1", "d2", F.col("arr").alias("arr1"), F.col("n_sh").alias("n1"))
+        .join(arrs, F.col("d2") == arrs.doc)
+        .select("d1", "d2",
+                F.size(F.array_intersect("arr1", "arr")).alias("inter"),
+                "n1", F.col("n_sh").alias("n2"))
         .withColumn("jaccard", F.round(
             F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
