@@ -29,6 +29,15 @@ def norm(a) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def unit(a) -> Column:
+    """L2-normalized copy: ``cosine(a, b) == dot(unit(a), unit(b))``.
+    Normalizing each side ONCE per row before a pairwise join turns the
+    per-pair cost from 3 array passes (dot + two norms) into 1."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def cosine(a, b) -> Column:
     """Cosine similarity; null-safe only in the Spark sense (null arrays
     propagate null, matching SQL oracles)."""
