@@ -80,6 +80,80 @@ def cosine_topk_bucketed(probe: DataFrame, corpus: DataFrame, id_col: str,
     )
 
 
+def _rademacher_sign_bucket(vec, planes: int, table: int) -> F.Column:
+    """LSH bucket id for one hash table: ``planes`` sign bits of Rademacher
+    (±1) projections, packed into a long. The ±1 component for (table,
+    plane j, element i) derives from xxhash64 — deterministic across
+    engines and executors, no materialized projection matrix to ship."""
+    def signed(j):
+        # (x, i) index-lambda; j must close over a new scope per plane —
+        # a default arg would change the lambda's visible arity for PySpark.
+        return lambda x, i: x * F.when(
+            F.pmod(F.xxhash64(F.lit(table * 1024 + j), i), 2) == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    bits = []
+    for j in range(planes):
+        proj = F.aggregate(F.transform(vec, signed(j)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk_lsh(probe: DataFrame, corpus: DataFrame, id_col: str,
+                    vec_col: str, k: int, planes: int = 4,
+                    tables: int = 8) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: both sides hash into
+    ``tables`` independent bucket spaces; candidates share a bucket in ≥1
+    table; exact cosine reranks the candidates.
+
+    Scale shape: the corpus is scanned once to bucket (``tables`` rows per
+    vector), the join is equi on (table, bucket) — partition-parallel,
+    never |probe|×|corpus|. A pair at angle θ collides per table with
+    p = 1-(1-(1-θ/π)^planes); recall rises with ``tables``, candidate
+    volume falls with ``planes``. Defaults are tuned for weakly-clustered
+    corpora (near-neighbor cosine ~0.5 → θ~60°): planes=4/tables=8 gives
+    ~0.7 recall@5 on the fixtures; strongly-clustered real embedding
+    spaces support much higher ``planes`` (more pruning) at equal recall.
+
+    Output schema matches ``cosine_topk`` (rank may differ where recall<1:
+    this is the approximate path; the brute-force operator is the oracle).
+    """
+    def bucketize(df, side_id):
+        base = df.select(F.col(id_col).alias(side_id),
+                         V.unit(V.as_double(vec_col)).alias(f"__v_{side_id}"))
+        tagged = F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     _rademacher_sign_bucket(F.col(f"__v_{side_id}"), planes, t)
+                     .alias("b"))
+            for t in range(tables)
+        ])
+        return base.select(side_id, f"__v_{side_id}",
+                           F.explode(tagged).alias("tb")) \
+            .select(side_id, f"__v_{side_id}",
+                    F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    p = bucketize(probe, "query_id")
+    c = bucketize(spread(corpus), "neighbor_id")
+    cand = (
+        p.join(c, ["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(V.dot("__v_query_id", "__v_neighbor_id"), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def cosine_threshold_pairs(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float) -> DataFrame:
     """All pairs with cosine ≥ threshold (d1 < d2). Brute force n²/2 —

@@ -371,6 +371,17 @@ FROM documents
 """
 
 
+# --- q52: random-hyperplane LSH ANN (approximate — rows-only check) -----------------
+def q52_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: no SQL oracle by nature (recall < 1); the exact
+    brute-force q33 is the accuracy reference (recall measured in
+    tests/test_similarity.py). Deterministic: buckets derive from xxhash64,
+    so the driver's rows-only check is stable across runs."""
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
+
+
 # --- q50: end-to-end corpus curation (lang gate → quality gate → exact dedup) -----
 def q50_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: keep English docs of acceptable
@@ -439,6 +450,7 @@ QUERIES = {
     "q41_winnow_fingerprints": q41_winnow_fingerprints,
     "q50_corpus_curation": q50_corpus_curation,
     "q51_near_dup_drop": q51_near_dup_drop,
+    "q52_ann_lsh": q52_ann_lsh,  # rows-only: no oracle (approximate op)
 }
 
 ORACLES = {

@@ -68,3 +68,28 @@ def test_threshold_pairs_symmetric_halfspace(spark, embs):
     rows = pairs.collect()
     assert all(r.d1 < r.d2 for r in rows)
     assert all(r.cosine >= 0.5 for r in rows)
+
+
+def test_lsh_topk_recall_and_exact_rerank(spark, sf_dir):
+    """Approximate path: recall vs brute force above the tuned bound, and
+    every returned cosine equals the true (exact) cosine — the rerank is
+    exact even when candidate generation is approximate."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(probe, e, "vec_id", "embedding", k=5)
+    approx = similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
+    erows = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    arows = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    recall = len(erows.keys() & arows.keys()) / len(erows)
+    assert recall >= 0.5  # deterministic given fixed hash planes + fixtures
+    all_exact = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in similarity.cosine_topk(probe, e, "vec_id",
+                                                 "embedding", k=500).collect()}
+    for pair, cos in arows.items():
+        assert abs(all_exact[pair] - cos) < 1e-6
