@@ -141,23 +141,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    # One shared shingle table for BOTH signature generation and candidate
-    # verification. Both hashes are computed in the same pass and the
-    # shingle STRING is dropped before the cache — the cached rows are two
-    # longs, not n-word strings.
+    # Both hashes come from the same pass over the shingle table; the
+    # shingle STRING never leaves the map side.
     sh = _shingle_table(df, id_col, text_col, n).select(
         "doc", T.hash28(F.col("shingle")).alias("h"),
-        F.xxhash64("shingle").alias("sh64")).cache()
-    sig = sh.groupBy("doc").agg(*[
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_perms(num_perm))
-    ])
+        F.xxhash64("shingle").alias("sh64"))
+    # ONE groupBy produces the MinHash signature AND the verification
+    # payload (shingle-hash set + size): signature generation and exact-
+    # Jaccard verification need the same shuffle of the same rows by the
+    # same key, so fusing them halves the shuffled shingle volume. per_doc
+    # is cached (memory-and-disk, spills at scale): it feeds the banding
+    # branch plus both sides of the verification join, and recomputing it
+    # means re-reading + re-shingling the corpus.
+    per_doc = sh.groupBy("doc").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+          for i, (a, b) in enumerate(minhash_perms(num_perm))],
+        F.collect_list("sh64").alias("arr"),
+        F.count(F.lit(1)).alias("n_sh")).cache()
     band_cols = F.array(*[
         F.struct(F.lit(bi).alias("band"),
                  F.xxhash64(*[F.col(f"mh_{bi * r + j}") for j in range(r)]).alias("bh"))
         for bi in range(bands)
     ])
-    buckets = sig.select(F.col("doc"), F.explode(band_cols).alias("b")) \
+    buckets = per_doc.select(F.col("doc"), F.explode(band_cols).alias("b")) \
         .select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
@@ -168,20 +174,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .dropDuplicates()
     )
     # Verify ONLY the candidates (this is the LSH payoff: exact Jaccard is
-    # computed for |candidates| pairs, never |corpus|²/2). The per-doc
-    # shingle-hash set is collected once (one groupBy); the candidate set —
-    # orders of magnitude smaller than the corpus — is broadcast against it
-    # twice, so verification adds NO extra shuffle of shingle data and the
-    # intersection is a map-side array_intersect over two ~|doc| arrays.
-    arrs = sh.groupBy("doc").agg(F.collect_list("sh64").alias("arr"),
-                                 F.count(F.lit(1)).alias("n_sh"))
+    # computed for |candidates| pairs, never |corpus|²/2) by joining the
+    # tiny pair set back to the cached per-doc table. No broadcast() hints:
+    # a hint makes the driver build the broadcast relation eagerly on its
+    # own thread, and concurrent builds over a not-yet-materialized cached
+    # plan race to compute it (measured 2x wall-clock). As shuffle joins,
+    # AQE converts them to broadcasts at runtime from observed sizes.
+    pd1 = per_doc.select(F.col("doc").alias("d1"),
+                         F.col("arr").alias("arr1"), F.col("n_sh").alias("n1"))
+    pd2 = per_doc.select(F.col("doc").alias("d2"),
+                         F.col("arr").alias("arr2"), F.col("n_sh").alias("n2"))
     return (
-        arrs.join(F.broadcast(cand), arrs.doc == cand.d1)
-        .select("d1", "d2", F.col("arr").alias("arr1"), F.col("n_sh").alias("n1"))
-        .join(arrs, F.col("d2") == arrs.doc)
-        .select("d1", "d2",
-                F.size(F.array_intersect("arr1", "arr")).alias("inter"),
-                "n1", F.col("n_sh").alias("n2"))
+        cand.join(pd1, "d1").join(pd2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("arr1", "arr2")))
         .withColumn("jaccard", F.round(
             F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
