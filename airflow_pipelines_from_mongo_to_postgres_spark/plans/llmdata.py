@@ -20,6 +20,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
 from airflow_pipelines_from_mongo_to_postgres_spark.operators import (
     dedup,
     fingerprint,
+    graph,
     similarity,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
@@ -434,6 +435,43 @@ WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)
 """
 
 
+# --- q53: transitive near-dup clusters (connected components) -----------------------
+def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive clusters: every document labeled with
+    the min doc_id reachable through jaccard ≥ 0.2 edges (singletons label
+    themselves). Iterative min-label propagation (operators/graph.py);
+    the oracle is a DuckDB recursive CTE over the same edge set — the
+    fixpoint is hash-checked, not just row-counted."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3)
+    comps = graph.connected_components(pairs, "d1", "d2",
+                                       nodes=d.select("doc_id"))
+    return comps.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+
+
+Q53_SQL = f"""
+WITH RECURSIVE {_SHINGLE_TABLE_SQL},
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT d1, d2
+  FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+  WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= 0.2
+),
+edges AS (SELECT d1 AS s, d2 AS d FROM jp UNION ALL SELECT d2 AS s, d1 AS d FROM jp),
+reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.d AS node, r.label AS label FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -451,6 +489,7 @@ QUERIES = {
     "q50_corpus_curation": q50_corpus_curation,
     "q51_near_dup_drop": q51_near_dup_drop,
     "q52_ann_lsh": q52_ann_lsh,  # rows-only: no oracle (approximate op)
+    "q53_dedup_clusters": q53_dedup_clusters,
 }
 
 ORACLES = {
@@ -469,4 +508,5 @@ ORACLES = {
     "q36_binary_metadata": Q36_SQL,
     "q50_corpus_curation": Q50_SQL,
     "q51_near_dup_drop": Q51_SQL,
+    "q53_dedup_clusters": Q53_SQL,
 }

@@ -168,12 +168,38 @@ FROM g GROUP BY user_id, sid
 """
 
 
+# --- q54: CDC compaction — latest event state per user --------------------------
+def q54_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity path of streaming/stateful.py::latest_state_per_key
+    (the applyInPandasWithState changelog compactor): argmax over event
+    time per key. The streaming twin holds the same (ts, payload) as
+    per-key state and emits changed keys per micro-batch
+    (tests/test_streaming.py exercises that path)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.stateful import (
+        latest_state_per_key,
+    )
+    e = load_table(spark, "events", sf_dir)
+    return latest_state_per_key(e, "user_id", "ts", ["event_type", "value"])
+
+
+Q54_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_type DESC, value DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_type, value FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q37_tumbling_window": q37_tumbling_window,
     "q38_sliding_window": q38_sliding_window,
     "q39_funnel": q39_funnel,
     "q40_user_activity": q40_user_activity,
     "q46_session_window": q46_session_window,
+    "q54_latest_state": q54_latest_state,
 }
 
 ORACLES = {
@@ -182,4 +208,5 @@ ORACLES = {
     "q38_sliding_window": Q38_SQL,
     "q39_funnel": Q39_SQL,
     "q40_user_activity": Q40_SQL,
+    "q54_latest_state": Q54_SQL,
 }

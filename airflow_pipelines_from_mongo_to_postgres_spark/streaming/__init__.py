@@ -5,6 +5,9 @@ from airflow_pipelines_from_mongo_to_postgres_spark.streaming.dedup import (
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
     run_incremental_merge,
 )
+from airflow_pipelines_from_mongo_to_postgres_spark.streaming.stateful import (
+    latest_state_per_key,
+)
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming.windows import (
     session_counts,
     sliding_counts,
@@ -12,4 +15,5 @@ from airflow_pipelines_from_mongo_to_postgres_spark.streaming.windows import (
 )
 
 __all__ = ["run_incremental_merge", "tumbling_counts", "sliding_counts",
-           "session_counts", "dedup_within_watermark", "dedup_exact_stream"]
+           "session_counts", "dedup_within_watermark", "dedup_exact_stream",
+           "latest_state_per_key"]

@@ -160,3 +160,51 @@ def test_batch_dedup_within_watermark_fallback(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
     assert dedup_within_watermark(df, ["k"]).count() == 2
+
+
+def test_stateful_latest_compaction_across_restarts(spark, tmp_path):
+    """applyInPandasWithState CDC compactor: per-key latest survives a
+    query restart (checkpointed state) and older arrivals are suppressed."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+        latest_state_per_key,
+    )
+
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("v", LongType()),
+    ])
+    src = tmp_path / "cdc_src"; src.mkdir()
+    ckpt = str(tmp_path / "ck_cdc")
+
+    def run(name):
+        emitted = []
+
+        def sink(batch, batch_id):
+            emitted.extend(batch.collect())
+
+        stream = spark.readStream.schema(schema) \
+            .option("header", True).csv(str(src))
+        out = latest_state_per_key(stream, "k", "ts", ["v"])
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r.k: (str(r.ts), r.v) for r in emitted}
+
+    def drop(fname, rows):
+        lines = "k,ts,v\n" + "".join(f"{k},{ts},{v}\n" for k, ts, v in rows)
+        (src / fname).write_text(lines)
+
+    drop("b1.csv", [("a", "2024-01-01 00:00:10", 1), ("b", "2024-01-01 00:00:20", 2),
+                    ("a", "2024-01-01 00:00:15", 7)])
+    got1 = run("cdc_run1")
+    assert got1 == {"a": ("2024-01-01 00:00:15", 7), "b": ("2024-01-01 00:00:20", 2)}
+
+    # restart: a advances (emit), b regresses (suppressed by recovered state)
+    drop("b2.csv", [("a", "2024-01-01 00:00:30", 9), ("b", "2024-01-01 00:00:05", 0)])
+    got2 = run("cdc_run2")
+    assert got2 == {"a": ("2024-01-01 00:00:30", 9)}
