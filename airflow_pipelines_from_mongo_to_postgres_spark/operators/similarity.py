@@ -167,3 +167,67 @@ def cosine_threshold_pairs(df: DataFrame, id_col: str, vec_col: str,
         .select("d1", "d2", F.round(V.dot(F.col("v1"), F.col("v2")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
+                    vec_col: str, k: int, nlist: int = 16, nprobe: int = 4,
+                    seed: int = 42, max_iter: int = 10) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: k-means (pyspark.ml, JVM-side)
+    partitions the unit sphere into ``nlist`` cells; each corpus vector is
+    indexed under its nearest centroid; each probe searches its ``nprobe``
+    nearest cells with exact rerank. ``cosine_topk_bucketed`` is this
+    operator with the quantizer replaced by a user column.
+
+    Scale shape: training runs on the corpus via MLlib's distributed
+    Lloyd iterations (k-means|| init); assignment is one model.transform
+    scan; the search join is equi on cell id, so each task scans
+    |corpus|·(nprobe/nlist) rows, never the whole corpus. The centroid
+    table (nlist × dim, driver-side by construction) is the only
+    collected state — at nlist = 2^16 and dim = 1024 that is ~0.5 GB,
+    still broadcastable; beyond that, shard the quantizer.
+
+    On unit vectors, Euclidean argmin == cosine argmax (|a-b|² = 2-2cos),
+    so plain k-means IS spherical k-means for assignment purposes.
+
+    Like cosine_topk_lsh this is approximate (recall < 1 when a true
+    neighbor lives in an unprobed cell): rows-only driver check; recall
+    vs the brute-force oracle is gated in tests/test_similarity.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              V.unit(V.as_double(vec_col)).alias("cv"))
+    feats = c.select("neighbor_id", array_to_vector("cv").alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", F.col("prediction").alias("cell"))
+    indexed = c.join(assigned, "neighbor_id")
+
+    centroids = [(i, [float(x) for x in ctr])
+                 for i, ctr in enumerate(model.clusterCenters())]
+    cent = probe.sparkSession.createDataFrame(
+        centroids, "cell int, cvec array<double>")
+
+    p = probe.select(F.col(id_col).alias("query_id"),
+                     V.unit(V.as_double(vec_col)).alias("qv"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc())
+    probe_cells = (
+        p.join(F.broadcast(cent))
+        .withColumn("cdist", -V.dot(F.col("qv"), F.col("cvec")))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probe_cells.join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

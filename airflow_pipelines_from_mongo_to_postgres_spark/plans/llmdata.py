@@ -383,6 +383,19 @@ def q52_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
 
 
+# --- q55: trained-IVF ANN (k-means coarse quantizer — rows-only check) --------------
+def q55_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-trained coarse quantizer and nprobe>1 search.
+    Approximate (unprobed cells can hide true neighbors): no SQL oracle;
+    recall vs brute-force q33 is gated in tests/test_similarity.py.
+    Row count is exactly |probe|*k whenever every probed cell union holds
+    >= k candidates — stable for the driver's rows-only check."""
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf(probe, e, "vec_id", "embedding",
+                                      k=5, nlist=8, nprobe=3)
+
+
 # --- q50: end-to-end corpus curation (lang gate → quality gate → exact dedup) -----
 def q50_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: keep English docs of acceptable
@@ -490,6 +503,7 @@ QUERIES = {
     "q51_near_dup_drop": q51_near_dup_drop,
     "q52_ann_lsh": q52_ann_lsh,  # rows-only: no oracle (approximate op)
     "q53_dedup_clusters": q53_dedup_clusters,
+    "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,  # rows-only: no oracle (approximate op)
 }
 
 ORACLES = {

@@ -1,0 +1,54 @@
+"""Physical-plan assertions: the properties SURVEY.md §4 claims Catalyst
+provides for free must actually show up in the executed plan — filter
+pushdown to the parquet scan, column pruning in ReadSchema, broadcast
+joins for small dimensions, and whole-stage codegen on the hot path.
+These guard against silent regressions (a UDF or a non-pushable cast
+slipping into a plan turns a pruned scan into a full scan)."""
+
+from __future__ import annotations
+
+from airflow_pipelines_from_mongo_to_postgres_spark.plans.relational import (
+    q02_filter_project,
+    q03_revenue_by_region,
+)
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = _formatted_plan(q02_filter_project(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    line = pushed[0]
+    assert "o_orderpriority" in line and "o_orderdate" in line, line
+    assert "IsNotNull" in line or "EqualTo" in line, line
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    plan = _formatted_plan(q02_filter_project(spark, sf_dir))
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    line = schema_lines[0]
+    # orders has 9 columns; the scan must read only the 5 referenced
+    # (4 projected + o_orderpriority for the filter).
+    for col in ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+                "o_orderpriority"):
+        assert col in line, line
+    for col in ("o_comment", "o_clerk", "o_orderstatus"):
+        assert col not in line, line
+
+
+def test_small_dims_broadcast_not_shuffled(spark, sf_dir):
+    plan = _formatted_plan(q03_revenue_by_region(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_scan_agg_path_is_codegened(spark, sf_dir):
+    plan = _formatted_plan(q02_filter_project(spark, sf_dir))
+    # formatted mode tags codegen'd operators with "[codegen id : N]";
+    # filter and project must sit inside a whole-stage span.
+    assert "codegen id" in plan, plan

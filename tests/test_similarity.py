@@ -93,3 +93,27 @@ def test_lsh_topk_recall_and_exact_rerank(spark, sf_dir):
                                                  "embedding", k=500).collect()}
     for pair, cos in arows.items():
         assert abs(all_exact[pair] - cos) < 1e-6
+
+
+def test_ivf_topk_recall_and_exact_rerank(spark, sf_dir):
+    """Trained-IVF path: recall vs brute force above the nprobe-tuned
+    bound; returned cosines equal the true cosine (exact rerank)."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(probe, e, "vec_id", "embedding", k=5)
+    approx = similarity.cosine_topk_ivf(probe, e, "vec_id", "embedding",
+                                        k=5, nlist=8, nprobe=3)
+    erows = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    arows = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    assert len(erows.keys() & arows.keys()) / len(erows) >= 0.6
+    all_exact = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in similarity.cosine_topk(probe, e, "vec_id",
+                                                 "embedding", k=500).collect()}
+    for pair, cos in arows.items():
+        assert abs(all_exact[pair] - cos) < 1e-6
