@@ -231,3 +231,43 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def cosine_threshold_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                               threshold: float, planes: int = 4,
+                               tables: int = 8) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) at scale: random-
+    hyperplane LSH candidate generation + exact rerank — the all-pairs
+    twin of ``cosine_topk_lsh`` (which serves probe-set queries). The
+    brute-force ``cosine_threshold_pairs`` is the n²/2 oracle.
+
+    Scale shape: one scan buckets every vector into ``tables`` hash
+    tables; the candidate join is equi on (table, bucket), so pair work
+    is Σ|bucket|² per table, never n²/2. Near-dup thresholds make LSH
+    effective here: at cos >= 0.9 (θ <= 26°) a pair collides per table
+    with (1-θ/π)^planes ≈ 0.53, so missing all 8 tables happens with
+    p ≈ 0.2%; recall rises toward 1 as the threshold does — exactly the
+    regime dedup cares about.
+    """
+    base = spread(df).select(F.col(id_col).alias("_vid"),
+                             V.unit(V.as_double(vec_col)).alias("_v"))
+    tagged = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 _rademacher_sign_bucket(F.col("_v"), planes, t).alias("b"))
+        for t in range(tables)
+    ])
+    buckets = base.select("_vid", "_v", F.explode(tagged).alias("tb")) \
+        .select("_vid", "_v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(y, (F.col("x.t") == F.col("y.t")) & (F.col("x.b") == F.col("y.b"))
+               & (F.col("x._vid") < F.col("y._vid")))
+        .select(F.col("x._vid").alias("d1"), F.col("y._vid").alias("d2"),
+                F.col("x._v").alias("v1"), F.col("y._v").alias("v2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.select("d1", "d2",
+                    F.round(V.dot(F.col("v1"), F.col("v2")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -383,6 +383,19 @@ def q52_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
 
 
+# --- q56: embedding near-dup pairs via LSH (rows-only check) ------------------------
+def q56_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup through random-hyperplane LSH with
+    exact rerank — the scale path for q34 (brute n²/2, the oracle).
+    Deterministic (hash-derived planes, no RNG) so the rows-only check is
+    stable; precision is exact, recall ≈ 1-(1-(1-θ/π)³)¹⁶ ≈ 0.99 at the
+    fixtures' pair angle. Recall gated in tests/test_similarity.py."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_threshold_pairs_lsh(e, "vec_id", "embedding",
+                                                 threshold=0.45,
+                                                 planes=3, tables=16)
+
+
 # --- q55: trained-IVF ANN (k-means coarse quantizer — rows-only check) --------------
 def q55_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-trained coarse quantizer and nprobe>1 search.
@@ -504,6 +517,7 @@ QUERIES = {
     "q52_ann_lsh": q52_ann_lsh,  # rows-only: no oracle (approximate op)
     "q53_dedup_clusters": q53_dedup_clusters,
     "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,  # rows-only: no oracle (approximate op)
+    "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,  # rows-only: approximate op
 }
 
 ORACLES = {

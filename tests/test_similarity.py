@@ -117,3 +117,26 @@ def test_ivf_topk_recall_and_exact_rerank(spark, sf_dir):
                                                  "embedding", k=500).collect()}
     for pair, cos in arows.items():
         assert abs(all_exact[pair] - cos) < 1e-6
+
+
+def test_threshold_pairs_lsh_recall_at_high_threshold(spark, embs):
+    """Near-dup regime (cos >= 0.9): LSH pairs must recover nearly all
+    brute-force pairs, with exact cosines (rerank is exact). Near-dups
+    are planted (small perturbations of base vectors) so the exact pair
+    set is non-empty and recall is actually exercised."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, DIM))
+    rows = []
+    for i in range(20):
+        rows.append((i, base[i].tolist()))
+        rows.append((100 + i, (base[i] + 0.05 * rng.normal(size=DIM)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.d1, r.d2): r.cosine for r in similarity
+             .cosine_threshold_pairs(df, "vec_id", "embedding", 0.9).collect()}
+    approx = {(r.d1, r.d2): r.cosine for r in similarity
+              .cosine_threshold_pairs_lsh(df, "vec_id", "embedding", 0.9).collect()}
+    assert set(approx) <= set(exact)          # precision 1 (exact rerank)
+    if exact:
+        assert len(set(approx) & set(exact)) / len(exact) >= 0.8
+    for pair, cos in approx.items():
+        assert abs(exact[pair] - cos) < 1e-6
