@@ -383,6 +383,30 @@ def q52_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
 
 
+# --- q57: deterministic train/val/test split (hash-based, engine-portable) ----------
+def q57_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-stable 80/10/10 split: membership is a pure function of the
+    md5 variate of doc_id, so DuckDB reproduces every assignment —
+    RNG-free sampling is what makes training-set membership auditable."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    return sampling.train_val_test_split(d, "doc_id").select("doc_id", "split")
+
+
+Q57_SQL = """
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           / 268435456.0 AS u
+  FROM documents
+)
+"""
+
+
 # --- q56: embedding near-dup pairs via LSH (rows-only check) ------------------------
 def q56_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup through random-hyperplane LSH with
@@ -518,6 +542,7 @@ QUERIES = {
     "q53_dedup_clusters": q53_dedup_clusters,
     "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,  # rows-only: no oracle (approximate op)
     "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,  # rows-only: approximate op
+    "q57_dataset_split": q57_dataset_split,
 }
 
 ORACLES = {
@@ -537,4 +562,5 @@ ORACLES = {
     "q50_corpus_curation": Q50_SQL,
     "q51_near_dup_drop": Q51_SQL,
     "q53_dedup_clusters": Q53_SQL,
+    "q57_dataset_split": Q57_SQL,
 }
