@@ -383,6 +383,81 @@ def q52_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
 
 
+# --- q58: composed corpus build — gates → exact dedup → near-dedup → split ----------
+def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline as ONE lazy plan: language gate →
+    quality gate → exact dedup (min-id keeper) → near-dedup (jaccard
+    >= 0.2 drop) → deterministic split assignment. Every stage has an
+    exact SQL mirror, so the composition is value-hash-checked end to end
+    — the pipeline a user of this engine actually ships.
+
+    Shuffle ledger: fingerprint groupBy (1), shingle inverted-index join +
+    pair groupBy (2-3), split is shuffle-free — the gates fuse into the
+    scan. Same count at 100 TB; only partition counts grow."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    kept = d.select("doc_id", "text",
+                    T.lang_id("text").alias("plang"),
+                    T.quality_score("text").alias("quality")) \
+        .filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+    keepers = (kept.select("doc_id", T.fingerprint("text").alias("fp"))
+               .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    exact = kept.join(keepers, "doc_id", "left_semi")
+    deduped = dedup.drop_near_duplicates(exact, "doc_id", "text",
+                                         threshold=0.2, n=3)
+    return sampling.train_val_test_split(deduped, "doc_id") \
+        .select("doc_id", "split")
+
+
+def _corpus_build_sql() -> str:
+    lang = _lang_id_sql()
+    quality = _quality_sql()
+    toks = _TOKENS_SQL.format(col="text")
+    shingles = _shingles_sql("text")
+    return f"""
+WITH lang_t AS ({lang}), qual_t AS ({quality}),
+kept AS (
+  SELECT d.doc_id, d.text,
+         md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents d
+  JOIN lang_t ON d.doc_id = lang_t.doc_id
+  JOIN qual_t ON d.doc_id = qual_t.doc_id
+  WHERE lang_t.predicted_lang = 'en'
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp),
+ex AS (SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, s.shingle AS shingle
+  FROM ex, LATERAL unnest({shingles}) s(shingle)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d2 AS doc_id
+  FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+  WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= 0.2
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           / 268435456.0 AS u
+  FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+"""
+
+
+Q58_SQL = _corpus_build_sql()
+
+
 # --- q57: deterministic train/val/test split (hash-based, engine-portable) ----------
 def q57_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable 80/10/10 split: membership is a pure function of the
@@ -543,6 +618,7 @@ QUERIES = {
     "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,  # rows-only: no oracle (approximate op)
     "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,  # rows-only: approximate op
     "q57_dataset_split": q57_dataset_split,
+    "q58_corpus_build": q58_corpus_build,
 }
 
 ORACLES = {
@@ -563,4 +639,5 @@ ORACLES = {
     "q51_near_dup_drop": Q51_SQL,
     "q53_dedup_clusters": Q53_SQL,
     "q57_dataset_split": Q57_SQL,
+    "q58_corpus_build": Q58_SQL,
 }
