@@ -52,3 +52,29 @@ def test_scan_agg_path_is_codegened(spark, sf_dir):
     # formatted mode tags codegen'd operators with "[codegen id : N]";
     # filter and project must sit inside a whole-stage span.
     assert "codegen id" in plan, plan
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path, sf_dir):
+    """Hive-layout writes (write_parquet partition_by) must yield scans
+    whose partition filter eliminates non-matching directories — at scale
+    this is the difference between reading one day and reading the lake."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        write_parquet,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    path = str(tmp_path / "events_by_type")
+    write_parquet(events, path, partition_by=["event_type"])
+
+    scan = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = _formatted_plan(scan)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan
+    # and the pruned read returns exactly the matching slice
+    expected = events.filter(F.col("event_type") == "purchase").count()
+    assert scan.count() == expected
