@@ -13,7 +13,7 @@ guarantees that by pigeonhole; MinHash banding achieves it at the chosen
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
@@ -189,9 +189,10 @@ def q31_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("quality") >= 0.5)
 
 
-def _quality_sql() -> str:
+def _quality_sql(min_quality: float | None = 0.5) -> str:
     toks = _TOKENS_SQL.format(col="text")
     en = ", ".join(f"'{w}'" for w in T.LANG_MARKERS["en"])
+    gate = f"WHERE quality >= {min_quality}" if min_quality is not None else ""
     return f"""
 WITH feats AS (
   SELECT doc_id,
@@ -212,7 +213,7 @@ WITH feats AS (
 )
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, punct_ratio,
        CAST(stopword_hits AS INT) AS stopword_hits, quality
-FROM scored WHERE quality >= 0.5
+FROM scored {gate}
 """
 
 
@@ -458,6 +459,88 @@ FROM (
 Q58_SQL = _corpus_build_sql()
 
 
+# --- q59: stop-shingle inventory (df > threshold) -----------------------------------
+def q59_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles whose document frequency exceeds a cutoff — the exact
+    artifact ``jaccard_pairs(max_df=...)`` prunes with. At 100 TB a hot
+    shingle in 10^6 docs turns the inverted-index self-join into 10^12
+    rows; this inventory is computed with one groupBy and broadcast back
+    as an anti-join filter (operators/dedup.py::_shingle_table)."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = dedup._shingle_table(d, "doc_id", "text", n=3)
+    return (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_docs"))
+            .filter(F.col("df_docs") >= 4))
+
+
+Q59_SQL = f"""
+WITH {_SHINGLE_TABLE_SQL}
+SELECT shingle, count(*) AS df_docs
+FROM sh GROUP BY shingle HAVING count(*) >= 4
+"""
+
+
+# --- q60: curriculum bins — quality deciles ------------------------------------------
+def q60_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bin documents by quality score (curriculum ordering /
+    quality-stratified sampling input). ntile is one window over a single
+    global ordering — at scale, swap for approx quantile cutpoints
+    (q48 computes exact percentiles the same way) applied as a map-side
+    bucketing; semantics kept identical here for the oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+            .withColumn("decile", F.ntile(10).over(w)))
+
+
+Q60_SQL = f"""
+WITH q AS ({_quality_sql(min_quality=None)})
+SELECT doc_id, round(quality, 6) AS quality,
+       CAST(ntile(10) OVER (ORDER BY round(quality, 6) ASC, doc_id ASC) AS INT)
+         AS decile
+FROM q
+"""
+
+
+# --- q61: split decontamination — exact-dup leakage across train/test ----------------
+def q61_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test/val documents whose content fingerprint also appears in train
+    — the exact-duplicate contamination an eval set must not have. One
+    fingerprint projection + self-join on fp across split classes; at
+    scale the train-side fp set is the big side and the probe (eval) side
+    is broadcast."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    split = sampling.train_val_test_split(d, "doc_id") \
+        .select("doc_id", T.fingerprint("text").alias("fp"), "split")
+    train = split.filter(F.col("split") == "train").select("fp").distinct()
+    return (split.filter(F.col("split") != "train")
+            .join(train, "fp", "left_semi")
+            .select("doc_id", "split")
+            .withColumnRenamed("split", "leaked_split"))
+
+
+Q61_SQL = """
+WITH split AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+             / 268435456.0 AS u
+    FROM documents
+  )
+)
+SELECT doc_id, split AS leaked_split
+FROM split
+WHERE split <> 'train'
+  AND fp IN (SELECT fp FROM split WHERE split = 'train')
+"""
+
+
 # --- q57: deterministic train/val/test split (hash-based, engine-portable) ----------
 def q57_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable 80/10/10 split: membership is a pure function of the
@@ -619,6 +702,9 @@ QUERIES = {
     "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,  # rows-only: approximate op
     "q57_dataset_split": q57_dataset_split,
     "q58_corpus_build": q58_corpus_build,
+    "q59_stop_shingles": q59_stop_shingles,
+    "q60_quality_deciles": q60_quality_deciles,
+    "q61_split_decontamination": q61_split_decontamination,
 }
 
 ORACLES = {
@@ -640,4 +726,7 @@ ORACLES = {
     "q53_dedup_clusters": Q53_SQL,
     "q57_dataset_split": Q57_SQL,
     "q58_corpus_build": Q58_SQL,
+    "q59_stop_shingles": Q59_SQL,
+    "q60_quality_deciles": Q60_SQL,
+    "q61_split_decontamination": Q61_SQL,
 }
