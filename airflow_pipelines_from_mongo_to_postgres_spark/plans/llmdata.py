@@ -1,7 +1,10 @@
 """LLM-training-data operators over the ``documents`` / ``embeddings``
-fixtures: dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash),
-similarity search (brute-force + IVF-bucketed ANN), text analysis
-(language-ID / quality / token counting / fingerprinting).
+fixtures: dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+transitive clusters), similarity search (brute-force + IVF-bucketed +
+k-means-IVF + hyperplane-LSH ANN), text analysis (language-ID / quality /
+token counting / fingerprinting), corpus mechanics (deterministic
+sampling and splits, stop-shingle inventory, curriculum bins, eval-set
+decontamination, end-to-end corpus build).
 
 Oracle strategy: every hash that must agree across engines is md5-based
 (functions/text.py), so DuckDB reproduces signatures bit-for-bit. The
@@ -459,6 +462,17 @@ FROM (
 Q58_SQL = _corpus_build_sql()
 
 
+# --- q62: exact ANN top-k on the Arrow/BLAS path ------------------------------------
+def q62_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as q33, different physical strategy: mapInPandas gemm
+    with per-batch partial top-k instead of JVM per-element expressions.
+    Exact, so it shares q33's oracle — the Python hot path gets a full
+    value-hash gate, proving the Arrow batch plumbing loses nothing."""
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_np(probe, e, "vec_id", "embedding", k=5)
+
+
 # --- q59: stop-shingle inventory (df > threshold) -----------------------------------
 def q59_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingles whose document frequency exceeds a cutoff — the exact
@@ -705,6 +719,7 @@ QUERIES = {
     "q59_stop_shingles": q59_stop_shingles,
     "q60_quality_deciles": q60_quality_deciles,
     "q61_split_decontamination": q61_split_decontamination,
+    "q62_ann_topk_numpy": q62_ann_topk_numpy,
 }
 
 ORACLES = {
@@ -729,4 +744,5 @@ ORACLES = {
     "q59_stop_shingles": Q59_SQL,
     "q60_quality_deciles": Q60_SQL,
     "q61_split_decontamination": Q61_SQL,
+    "q62_ann_topk_numpy": Q33_SQL,  # exact twin of q33: same oracle
 }

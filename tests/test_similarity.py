@@ -140,3 +140,21 @@ def test_threshold_pairs_lsh_recall_at_high_threshold(spark, embs):
         assert len(set(approx) & set(exact)) / len(exact) >= 0.8
     for pair, cos in approx.items():
         assert abs(exact[pair] - cos) < 1e-6
+
+
+def test_numpy_topk_equals_jvm_topk(spark, sf_dir):
+    """The Arrow/BLAS path must return exactly the JVM expression path's
+    result (both exact; same rounding)."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    jvm = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+           similarity.cosine_topk(probe, e, "vec_id", "embedding", 5).collect()}
+    nps = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+           similarity.cosine_topk_np(probe, e, "vec_id", "embedding", 5).collect()}
+    assert jvm == nps
