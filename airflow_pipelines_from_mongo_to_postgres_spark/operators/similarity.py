@@ -286,44 +286,50 @@ def cosine_topk_np(probe: DataFrame, corpus: DataFrame, id_col: str,
     at dim >= 256 the gemm path wins by an order of magnitude; below
     that, ``cosine_topk``'s zip_with/aggregate stays competitive and
     avoids Python workers entirely. ``batch_probes`` caps the probe
-    matrix a closure ships (beyond that, chunk the probe set).
+    matrix one closure ships; larger probe sets are processed in chunks
+    of that size (one corpus scan per chunk — memory stays bounded, cost
+    grows linearly in |probe|, exactly the right tradeoff when the probe
+    set outgrows executor memory).
     """
     import numpy as np
 
     pr = [(r[0], r[1]) for r in
           probe.select(F.col(id_col), V.unit(V.as_double(vec_col))).collect()]
-    if len(pr) > batch_probes:
-        raise ValueError(f"probe set {len(pr)} exceeds batch_probes "
-                         f"{batch_probes}; chunk the probes")
-    qids = np.array([p[0] for p in pr])
-    qmat = np.array([p[1] for p in pr])          # Q × dim, unit rows
 
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               V.unit(V.as_double(vec_col)).alias("cv"))
 
-    def partial_topk(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cmat = np.stack(pdf["cv"].to_numpy())        # B × dim
-            nids = pdf["neighbor_id"].to_numpy()
-            sims = qmat @ cmat.T                         # Q × B gemm
-            for qi in range(len(qids)):
-                row = sims[qi]
-                keep = min(k + 1, len(row))              # +1 covers self-hit
-                top = np.argpartition(-row, keep - 1)[:keep]
-                mask = nids[top] != qids[qi]
-                yield pd.DataFrame({
-                    "query_id": qids[qi].repeat(mask.sum()),
-                    "neighbor_id": nids[top][mask],
-                    "cosine": np.round(row[top][mask], 6),
-                })
+    def chunk_scored(chunk):
+        qids = np.array([p[0] for p in chunk])
+        qmat = np.array([p[1] for p in chunk])       # Q × dim, unit rows
 
-    schema = ("query_id long, neighbor_id long, cosine double"
-              if qids.dtype.kind in "iu"
-              else "query_id string, neighbor_id string, cosine double")
-    scored = c.mapInPandas(partial_topk, schema)
+        def partial_topk(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cmat = np.stack(pdf["cv"].to_numpy())    # B × dim
+                nids = pdf["neighbor_id"].to_numpy()
+                sims = qmat @ cmat.T                     # Q × B gemm
+                for qi in range(len(qids)):
+                    row = sims[qi]
+                    keep = min(k + 1, len(row))          # +1 covers self-hit
+                    top = np.argpartition(-row, keep - 1)[:keep]
+                    mask = nids[top] != qids[qi]
+                    yield pd.DataFrame({
+                        "query_id": qids[qi].repeat(mask.sum()),
+                        "neighbor_id": nids[top][mask],
+                        "cosine": np.round(row[top][mask], 6),
+                    })
+
+        schema = ("query_id long, neighbor_id long, cosine double"
+                  if qids.dtype.kind in "iu"
+                  else "query_id string, neighbor_id string, cosine double")
+        return c.mapInPandas(partial_topk, schema)
+
+    scored = chunk_scored(pr[:batch_probes])
+    for start in range(batch_probes, len(pr), batch_probes):
+        scored = scored.unionByName(chunk_scored(pr[start:start + batch_probes]))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

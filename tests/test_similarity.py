@@ -158,3 +158,22 @@ def test_numpy_topk_equals_jvm_topk(spark, sf_dir):
     nps = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
            similarity.cosine_topk_np(probe, e, "vec_id", "embedding", 5).collect()}
     assert jvm == nps
+
+
+def test_numpy_topk_chunked_probes(spark, sf_dir):
+    """batch_probes smaller than the probe set must chunk transparently
+    and still equal the unchunked result."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    whole = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+             similarity.cosine_topk_np(probe, e, "vec_id", "embedding", 5).collect()}
+    chunked = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+               similarity.cosine_topk_np(probe, e, "vec_id", "embedding", 5,
+                                         batch_probes=3).collect()}
+    assert whole == chunked
