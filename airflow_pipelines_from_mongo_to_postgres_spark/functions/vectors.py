@@ -32,10 +32,17 @@ def norm(a) -> Column:
 def unit(a) -> Column:
     """L2-normalized copy: ``cosine(a, b) == dot(unit(a), unit(b))``.
     Normalizing each side ONCE per row before a pairwise join turns the
-    per-pair cost from 3 array passes (dot + two norms) into 1."""
+    per-pair cost from 3 array passes (dot + two norms) into 1.
+
+    The norm is evaluated once per ROW too: higher-order functions are
+    interpreted with no CSE across element evaluations, so embedding the
+    norm aggregate inside the divide lambda would recompute it for every
+    element — O(dim²). ``array_repeat`` materializes the scalar once and
+    ``zip_with`` divides elementwise, keeping the whole thing O(dim) in a
+    single Column expression (call sites stay one projection)."""
     a = F.col(a) if isinstance(a, str) else a
     n = norm(a)
-    return F.transform(a, lambda x: x / n)
+    return F.zip_with(a, F.array_repeat(n, F.size(a)), lambda x, m: x / m)
 
 
 def cosine(a, b) -> Column:

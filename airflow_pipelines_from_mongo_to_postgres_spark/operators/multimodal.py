@@ -60,22 +60,31 @@ def extract_media_features(df: DataFrame, id_col: str, payload_col: str,
     dec = decoder or _stub_decode
     mt = media_type_col
 
+    def safe_dec(p: bytes) -> dict:
+        try:
+            return dec(p)
+        except NotImplementedError:
+            return {"width": None, "height": None, "format": None}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Metadata fields are vectorized pandas column ops; only the codec
+        # hook itself goes through Series.map (its per-payload cost is the
+        # whole point of the stage — no other per-row Python remains).
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
-                try:
-                    d = dec(bytes(payload) if payload is not None else b"")
-                except NotImplementedError:
-                    d = {"width": None, "height": None, "format": None}
-                feats.append({
-                    "media_id": str(row[id_col]),
-                    "media_type": row[mt] if mt else "application/octet-stream",
-                    "payload_bytes": len(payload) if payload is not None else 0,
-                    **d,
-                })
-            yield pd.DataFrame(feats, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b"")
+            feats = payloads.map(safe_dec)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                "media_type": (pdf[mt] if mt
+                               else "application/octet-stream"),
+                "payload_bytes": payloads.str.len(),
+                "width": feats.map(lambda d: d["width"]),
+                "height": feats.map(lambda d: d["height"]),
+                "format": feats.map(lambda d: d["format"]),
+            })
 
     cols = [id_col, payload_col] + ([mt] if mt else [])
     return df.select(*cols).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
@@ -101,13 +110,16 @@ def resize_media(df: DataFrame, id_col: str, payload_col: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                p = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                out.append({"media_id": str(row[id_col]),
-                            "payload": rz(p, width, height),
-                            "width": width, "height": height})
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b"")
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                "payload": payloads.map(lambda p: rz(p, width, height)),
+                "width": width,
+                "height": height,
+            })
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
 
@@ -138,14 +150,20 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str,
     sm = sampler or _stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # 1→N via pandas explode: the sampler hook returns a frame list per
+        # row; explode + per-row cumcount reproduce the enumerate order.
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                p = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                for i, fr in enumerate(sm(p, num_frames)):
-                    out.append({"media_id": str(row[id_col]),
-                                "frame_idx": i, "frame": fr})
-            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA])
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b"")
+            out = pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                "frame": payloads.map(lambda p: sm(p, num_frames)),
+            }).explode("frame")
+            out = out[out["frame"].notna()]          # empty lists explode to NaN
+            out["frame_idx"] = out.groupby(level=0).cumcount()
+            yield out.reset_index(drop=True)[["media_id", "frame_idx", "frame"]]
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
 

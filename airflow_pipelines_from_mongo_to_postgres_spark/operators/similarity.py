@@ -186,8 +186,13 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
     collected state — at nlist = 2^16 and dim = 1024 that is ~0.5 GB,
     still broadcastable; beyond that, shard the quantizer.
 
-    On unit vectors, Euclidean argmin == cosine argmax (|a-b|² = 2-2cos),
-    so plain k-means IS spherical k-means for assignment purposes.
+    Metric consistency: corpus vectors are assigned to cells by MLlib's
+    Euclidean argmin over NON-unit centroids (means of unit vectors), so
+    |c|² matters. Probe cells are ranked with the SAME metric — for a unit
+    probe q, |q-c|² = 1 + |c|² - 2 q·c, so cdist = |c|² - 2 q·c gives the
+    identical cell ordering. Ranking by raw dot product instead would
+    diverge from the assignment (centroid norms differ per cell) and a
+    probe equal to an indexed vector could miss that vector's own cell.
 
     Like cosine_topk_lsh this is approximate (recall < 1 when a true
     neighbor lives in an unprobed cell): rows-only driver check; recall
@@ -204,10 +209,11 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
         "neighbor_id", F.col("prediction").alias("cell"))
     indexed = c.join(assigned, "neighbor_id")
 
-    centroids = [(i, [float(x) for x in ctr])
+    # |c|² precomputed driver-side (centroids already live there).
+    centroids = [(i, [float(x) for x in ctr], float(sum(x * x for x in ctr)))
                  for i, ctr in enumerate(model.clusterCenters())]
     cent = probe.sparkSession.createDataFrame(
-        centroids, "cell int, cvec array<double>")
+        centroids, "cell int, cvec array<double>, c2 double")
 
     p = probe.select(F.col(id_col).alias("query_id"),
                      V.unit(V.as_double(vec_col)).alias("qv"))
@@ -215,7 +221,7 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
         F.col("cdist").asc(), F.col("cell").asc())
     probe_cells = (
         p.join(F.broadcast(cent))
-        .withColumn("cdist", -V.dot(F.col("qv"), F.col("cvec")))
+        .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("qv"), F.col("cvec")))
         .withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= nprobe)
         .select("query_id", "qv", "cell")
@@ -296,6 +302,15 @@ def cosine_topk_np(probe: DataFrame, corpus: DataFrame, id_col: str,
     pr = [(r[0], r[1]) for r in
           probe.select(F.col(id_col), V.unit(V.as_double(vec_col))).collect()]
 
+    # Output id type from the PROBE SCHEMA, not the collected numpy dtype:
+    # an empty probe set must still return a correctly-typed empty frame
+    # (np.array([]) is float64, which would mis-pick the string branch and
+    # then crash the gemm at action time).
+    id_sql = probe.schema[id_col].dataType.simpleString()
+    schema = f"query_id {id_sql}, neighbor_id {id_sql}, cosine double"
+    if not pr:
+        return probe.sparkSession.createDataFrame([], schema + ", rank int")
+
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               V.unit(V.as_double(vec_col)).alias("cv"))
 
@@ -314,17 +329,22 @@ def cosine_topk_np(probe: DataFrame, corpus: DataFrame, id_col: str,
                 for qi in range(len(qids)):
                     row = sims[qi]
                     keep = min(k + 1, len(row))          # +1 covers self-hit
-                    top = np.argpartition(-row, keep - 1)[:keep]
+                    # Everything within one 6-dp rounding quantum of the
+                    # (k+1)-th best survives the partial cut, so the final
+                    # rounded-then-tiebroken window sees every candidate
+                    # that could still win a tie. Rounding itself happens
+                    # downstream via F.round (HALF_UP — same semantics as
+                    # the JVM twin and the shared oracle; np.round is
+                    # half-to-even and would diverge on exact ties).
+                    kth = np.partition(row, len(row) - keep)[len(row) - keep]
+                    top = np.flatnonzero(row >= kth - 1e-6)
                     mask = nids[top] != qids[qi]
                     yield pd.DataFrame({
                         "query_id": qids[qi].repeat(mask.sum()),
                         "neighbor_id": nids[top][mask],
-                        "cosine": np.round(row[top][mask], 6),
+                        "cosine": row[top][mask],
                     })
 
-        schema = ("query_id long, neighbor_id long, cosine double"
-                  if qids.dtype.kind in "iu"
-                  else "query_id string, neighbor_id string, cosine double")
         return c.mapInPandas(partial_topk, schema)
 
     scored = chunk_scored(pr[:batch_probes])
@@ -332,6 +352,7 @@ def cosine_topk_np(probe: DataFrame, corpus: DataFrame, id_col: str,
         scored = scored.unionByName(chunk_scored(pr[start:start + batch_probes]))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("cosine", F.round("cosine", 6))
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))

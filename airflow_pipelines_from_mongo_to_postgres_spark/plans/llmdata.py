@@ -16,7 +16,7 @@ guarantees that by pigeonhole; MinHash banding achieves it at the chosen
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
@@ -39,16 +39,30 @@ def _shingles_sql(col: str, n: int = 3) -> str:
             f"i -> {join})) FROM (SELECT {toks} AS ts) __sh)")
 
 
-_SHINGLE_TABLE_SQL = f"""
-sh AS (
+def _shingle_table_sql(max_df: int | None = None, source: str = "documents") -> str:
+    """CTE chain ``sh`` + ``sizes``; with ``max_df`` the hot shingles
+    (document frequency > max_df) are removed BEFORE sizes are counted —
+    the exact mirror of ``operators/dedup.py::_shingle_table``'s pruning."""
+    base = f"""
+sh0 AS (
   SELECT DISTINCT doc_id AS doc, s.shingle AS shingle
-  FROM documents, LATERAL unnest({_shingles_sql('text')}) s(shingle)
-),
-sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)
-"""
+  FROM {source}, LATERAL unnest({_shingles_sql('text')}) s(shingle)
+)"""
+    if max_df is None:
+        sh = "sh AS (SELECT doc, shingle FROM sh0)"
+    else:
+        sh = f"""
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {max_df}),
+sh AS (SELECT doc, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot))"""
+    return f"{base},\n{sh},\nsizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)"
 
-_JACCARD_PAIRS_SQL = f"""
-WITH {_SHINGLE_TABLE_SQL},
+
+_SHINGLE_TABLE_SQL = _shingle_table_sql()
+
+
+def _jaccard_pairs_sql(threshold: float, max_df: int | None = None) -> str:
+    return f"""
+WITH {_shingle_table_sql(max_df)},
 pairs AS (
   SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -57,8 +71,33 @@ pairs AS (
 SELECT d1, d2,
        round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
 FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
-WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= {{threshold}}
+WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= {threshold}
 """
+
+
+#: Stop-shingle cutoff shared by every PRUNED near-dup query (q51/q53/q58/
+#: q63): shingles in more than this many documents are dropped before the
+#: inverted-index self-join. 3 makes q59's df>=4 inventory exactly the
+#: pruned set. At 100 TB this is what bounds the join fan-out to
+#: Σ|posting list ≤ max_df|² instead of quadratic in the hottest shingle.
+NEAR_DUP_MAX_DF = 3
+
+#: Shared Jaccard pair tables, one per (app, sf_dir, threshold, n, max_df):
+#: q51/q53 (and any future consumer) reuse ONE persisted pair plan instead
+#: of re-running the shingle join per query — the single biggest cost in
+#: the sf0.01 correctness sweep. Bounded: a handful of keys per session.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str, threshold: float,
+                          n: int = 3, max_df: int | None = None) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, n, max_df)
+    if key not in _PAIR_CACHE:
+        d = load_table(spark, "documents", sf_dir)
+        _PAIR_CACHE[key] = dedup.jaccard_pairs(
+            d, "doc_id", "text", threshold=threshold, n=n, max_df=max_df,
+        ).persist()
+    return _PAIR_CACHE[key]
 
 
 # --- q25: exact dedup via content fingerprint --------------------------------
@@ -80,7 +119,7 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3)
 
 
-Q26_SQL = _JACCARD_PAIRS_SQL.format(threshold=0.2)
+Q26_SQL = _jaccard_pairs_sql(threshold=0.2)
 
 
 # --- q27: MinHash signatures (cross-engine bit parity) ------------------------
@@ -115,7 +154,7 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    num_perm=32, bands=16, n=3)
 
 
-Q28_SQL = _JACCARD_PAIRS_SQL.format(threshold=0.2)  # exact == LSH-verified at recall 1
+Q28_SQL = _jaccard_pairs_sql(threshold=0.2)  # exact == LSH-verified at recall 1
 
 
 # --- q29: SimHash Hamming pairs (guaranteed-recall banding) --------------------
@@ -397,7 +436,10 @@ def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle ledger: fingerprint groupBy (1), shingle inverted-index join +
     pair groupBy (2-3), split is shuffle-free — the gates fuse into the
-    scan. Same count at 100 TB; only partition counts grow."""
+    scan. Same count at 100 TB; only partition counts grow. The near-dedup
+    stage runs PRUNED (stop shingles with df > NEAR_DUP_MAX_DF dropped, df
+    counted on the post-exact-dedup corpus) — the declared pipeline is the
+    skew-safe plan, not just the operator knob."""
     from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
     d = load_table(spark, "documents", sf_dir)
     kept = d.select("doc_id", "text",
@@ -409,7 +451,8 @@ def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id"))
     exact = kept.join(keepers, "doc_id", "left_semi")
     deduped = dedup.drop_near_duplicates(exact, "doc_id", "text",
-                                         threshold=0.2, n=3)
+                                         threshold=0.2, n=3,
+                                         max_df=NEAR_DUP_MAX_DF)
     return sampling.train_val_test_split(deduped, "doc_id") \
         .select("doc_id", "split")
 
@@ -431,10 +474,12 @@ kept AS (
 ),
 keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp),
 ex AS (SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id AS doc, s.shingle AS shingle
   FROM ex, LATERAL unnest({shingles}) s(shingle)
 ),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {NEAR_DUP_MAX_DF}),
+sh AS (SELECT doc, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 pairs AS (
   SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
@@ -495,24 +540,53 @@ FROM sh GROUP BY shingle HAVING count(*) >= 4
 
 
 # --- q60: curriculum bins — quality deciles ------------------------------------------
+_DECILE_ACCURACY = 1 << 17  # rank-exact whenever n < accuracy (fixture scale)
+
+
 def q60_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-bin documents by quality score (curriculum ordering /
-    quality-stratified sampling input). ntile is one window over a single
-    global ordering — at scale, swap for approx quantile cutpoints
-    (q48 computes exact percentiles the same way) applied as a map-side
-    bucketing; semantics kept identical here for the oracle."""
+    quality-stratified sampling input) — MAP-SIDE binning, no global sort:
+    nine cutpoints come from one ``percentile_approx`` aggregate (partial +
+    final merge, GK sketch), ride to every partition via a broadcast
+    cross-join, and each row bins itself with an O(9) array filter. The
+    plan has no Window at all (gated in tests/test_plans.py) — a global
+    ntile would pull every row through one task's sort at 100 TB.
+
+    Bin semantics are value-based: decile = 1 + #{cutpoints < quality},
+    cutpoint_j = the ceil(j·n/10)-th smallest quality. GK with
+    accuracy > n returns exactly that rank's value, so the DuckDB oracle
+    states the same definition with an explicit row_number selection —
+    hash-green at fixture scale; at cluster scale the cutpoints degrade
+    gracefully to rank-error ≤ n/accuracy while the plan shape is
+    unchanged. (Unlike ntile, rows that tie on quality always share a bin,
+    so bins are equal-sized only up to tie mass.)"""
     d = load_table(spark, "documents", sf_dir)
-    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
-    return (d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
-            .withColumn("decile", F.ntile(10).over(w)))
+    q = d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+    cuts = q.agg(F.percentile_approx(
+        "quality", [j / 10.0 for j in range(1, 10)],
+        F.lit(_DECILE_ACCURACY)).alias("cuts"))
+    return (q.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "quality",
+                    (F.size(F.filter("cuts", lambda c: c < F.col("quality")))
+                     + 1).cast("int").alias("decile")))
 
 
 Q60_SQL = f"""
-WITH q AS ({_quality_sql(min_quality=None)})
-SELECT doc_id, round(quality, 6) AS quality,
-       CAST(ntile(10) OVER (ORDER BY round(quality, 6) ASC, doc_id ASC) AS INT)
-         AS decile
-FROM q
+WITH q AS ({_quality_sql(min_quality=None)}),
+ranked AS (
+  SELECT quality, row_number() OVER (ORDER BY quality) AS r,
+         count(*) OVER () AS n
+  FROM q
+),
+cuts AS (
+  SELECT list(quality ORDER BY r) AS cuts
+  FROM ranked
+  WHERE list_contains(list_transform(range(1, 10),
+                                     j -> CAST(ceil(j * n / 10.0) AS BIGINT)), r)
+)
+SELECT doc_id, quality,
+       CAST(1 + len(list_filter(cuts.cuts, c -> c < quality)) AS INT) AS decile
+FROM q, cuts
 """
 
 
@@ -645,16 +719,35 @@ Q50_SQL = _curation_sql()
 
 # --- q51: near-dedup corpus (min-id keeper policy over Jaccard pairs) ---------------
 def q51_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup with the min-id keeper policy, on the PRUNED scale path:
+    stop shingles (df > NEAR_DUP_MAX_DF) never enter the inverted-index
+    join, and the pair table is shared with q53 (one persisted plan)."""
     d = load_table(spark, "documents", sf_dir)
-    return dedup.drop_near_duplicates(d, "doc_id", "text", threshold=0.2, n=3) \
+    pairs = _jaccard_pairs_shared(spark, sf_dir, threshold=0.2, n=3,
+                                  max_df=NEAR_DUP_MAX_DF)
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    return d.join(dropped, "doc_id", "left_anti") \
         .select("doc_id", "lang", "source")
 
 
 Q51_SQL = f"""
-WITH pairs AS ({_JACCARD_PAIRS_SQL.format(threshold=0.2)})
+WITH pairs AS ({_jaccard_pairs_sql(threshold=0.2, max_df=NEAR_DUP_MAX_DF)})
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)
 """
+
+
+# --- q63: pruned Jaccard pairs (the declared skew-safe scale path, benched) ----------
+def q63_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jaccard_pairs`` with stop-shingle pruning ON — the plan that
+    survives a hot shingle at 100 TB (join fan-out bounded by
+    Σ|posting ≤ max_df|²). Benched in bench.py next to the unpruned q26 so
+    the pruning's cost/benefit carries a perf gate round over round."""
+    return _jaccard_pairs_shared(spark, sf_dir, threshold=0.2, n=3,
+                                 max_df=NEAR_DUP_MAX_DF)
+
+
+Q63_SQL = _jaccard_pairs_sql(threshold=0.2, max_df=NEAR_DUP_MAX_DF)
 
 
 # --- q53: transitive near-dup clusters (connected components) -----------------------
@@ -663,9 +756,11 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min doc_id reachable through jaccard ≥ 0.2 edges (singletons label
     themselves). Iterative min-label propagation (operators/graph.py);
     the oracle is a DuckDB recursive CTE over the same edge set — the
-    fixpoint is hash-checked, not just row-counted."""
+    fixpoint is hash-checked, not just row-counted. Edges come from the
+    PRUNED pair table (stop shingles dropped, shared plan with q51)."""
     d = load_table(spark, "documents", sf_dir)
-    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3)
+    pairs = _jaccard_pairs_shared(spark, sf_dir, threshold=0.2, n=3,
+                                  max_df=NEAR_DUP_MAX_DF)
     comps = graph.connected_components(pairs, "d1", "d2",
                                        nodes=d.select("doc_id"))
     return comps.select(F.col("node").alias("doc_id"),
@@ -673,7 +768,7 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q53_SQL = f"""
-WITH RECURSIVE {_SHINGLE_TABLE_SQL},
+WITH RECURSIVE {_shingle_table_sql(NEAR_DUP_MAX_DF)},
 pairs AS (
   SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -720,6 +815,7 @@ QUERIES = {
     "q60_quality_deciles": q60_quality_deciles,
     "q61_split_decontamination": q61_split_decontamination,
     "q62_ann_topk_numpy": q62_ann_topk_numpy,
+    "q63_jaccard_pruned": q63_jaccard_pruned,
 }
 
 ORACLES = {
@@ -745,4 +841,5 @@ ORACLES = {
     "q60_quality_deciles": Q60_SQL,
     "q61_split_decontamination": Q61_SQL,
     "q62_ann_topk_numpy": Q33_SQL,  # exact twin of q33: same oracle
+    "q63_jaccard_pruned": Q63_SQL,
 }

@@ -44,12 +44,18 @@ def main() -> None:
     # The text-pipeline expression trees cost 2-4s of one-time Janino/JIT
     # compilation; steady-state throughput is what the benchmark is for —
     # on a long-lived cluster session that compile is amortized to zero.
-    warm_dir = "/root/testdata/sf0.001"
+    # Derived from the sf_dir layout (smallest sibling, else sf_dir itself)
+    # so a custom SPARK_GRAFT_SF_DIR still warms up; a failed warm-up query
+    # logs loudly — silently skipping it would hand its compile cost to the
+    # first timed run and skew round-over-round comparisons.
+    siblings = sorted(Path(sf_dir).resolve().parent.glob("sf*"))
+    warm_dir = str(siblings[0]) if siblings else sf_dir
     for name in HEADLINE:
         try:
             qs[name](spark, warm_dir).count()
-        except Exception:
-            pass  # warm-up must never sink the bench
+        except Exception as e:  # warm-up must never sink the bench
+            print(f"# WARNING: warm-up {name} failed in {warm_dir}: {e}",
+                  file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
