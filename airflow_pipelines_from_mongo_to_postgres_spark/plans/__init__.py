@@ -14,7 +14,13 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
     temporal,
 )
 
-ALL_PLAN_MODULES = [relational, mergeops, llmdata, streamsql, temporal]
+# Cheap modules enumerate FIRST and the heavy llmdata tail LAST: the
+# driver's per-round correctness sweep runs queries in this order under a
+# wall-clock budget, so any truncation should cost the fewest rows (the
+# r01 file stopped mid-llmdata and left 12 cheap streamsql/temporal
+# queries with no driver-green evidence). llmdata additionally shares one
+# persisted jaccard-pair plan across q51/q53/q63 to shrink that tail.
+ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, llmdata]
 
 
 def all_queries():
