@@ -78,3 +78,17 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path, sf_dir):
     # and the pruned read returns exactly the matching slice
     expected = events.filter(F.col("event_type") == "purchase").count()
     assert scan.count() == expected
+
+
+def test_quality_deciles_has_no_global_window(spark, sf_dir):
+    """q60 bins by broadcast percentile_approx cutpoints; a Window with an
+    empty partitionBy would pull every row through ONE task's sort at
+    scale. The plan must contain no Window operator at all, and the
+    1-row cutpoint side must arrive by broadcast, not shuffle."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        q60_quality_deciles,
+    )
+
+    plan = _formatted_plan(q60_quality_deciles(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -61,3 +61,40 @@ def test_drop_near_duplicates_min_id_keeper(spark):
     kept = {r.doc_id for r in
             dedup.drop_near_duplicates(docs, "doc_id", "text", 0.5).collect()}
     assert kept == {0, 3}  # 1 and 2 drop against keeper 0
+
+
+@pytest.fixture()
+def hot_shingle_corpus(spark):
+    # Every doc shares one hot trigram ("alpha beta gamma", df = 12); the
+    # tails are pairwise-distinct. The hot posting list alone would fan the
+    # inverted-index self-join out to 12·11/2 = 66 candidate pairs.
+    rows = [(i, f"alpha beta gamma word{i} item{i} thing{i} tail{i}")
+            for i in range(12)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_max_df_bounds_posting_lists(spark, hot_shingle_corpus):
+    # After pruning, no shingle's posting list may exceed max_df — the
+    # join fan-out is bounded by Σ|posting ≤ max_df|² regardless of how
+    # hot the hottest shingle is.
+    pruned = dedup._shingle_table(hot_shingle_corpus, "doc_id", "text",
+                                  n=3, max_df=5)
+    top = (pruned.groupBy("shingle").count()
+           .agg(F.max("count").alias("m")).collect()[0].m)
+    assert top is not None and top <= 5
+    unpruned = dedup._shingle_table(hot_shingle_corpus, "doc_id", "text", n=3)
+    hot_df = (unpruned.groupBy("shingle").count()
+              .agg(F.max("count").alias("m")).collect()[0].m)
+    assert hot_df == 12  # the fixture really does carry a hot shingle
+
+
+def test_max_df_kills_hot_shingle_pair_blowup(spark, hot_shingle_corpus):
+    # Unpruned: the hot shingle manufactures all 66 pairs (jaccard 1/9
+    # each, above a 0.05 threshold). Pruned: the only shared shingle is
+    # gone, so no candidate pairs survive at all.
+    unpruned = dedup.jaccard_pairs(hot_shingle_corpus, "doc_id", "text",
+                                   threshold=0.05, n=3)
+    assert unpruned.count() == 66
+    pruned = dedup.jaccard_pairs(hot_shingle_corpus, "doc_id", "text",
+                                 threshold=0.05, n=3, max_df=5)
+    assert pruned.count() == 0
