@@ -103,6 +103,15 @@ def create_table_ddl(table: str, df: DataFrame, key: str = "_id") -> str:
     return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
 
 
+def drop_schema_ddl(schema: str = "public") -> tuple[str, str]:
+    """Drop-and-recreate statements for a warehouse reset (S8, ref
+    erase_schema.py:24-30). Returned as two statements — CASCADE drop,
+    then recreate — so callers can run them in one transaction or feed
+    them to any DBAPI/JDBC executor."""
+    return (f"DROP SCHEMA IF EXISTS {schema} CASCADE",
+            f"CREATE SCHEMA {schema}")
+
+
 def jdbc_merge(df: DataFrame, url: str, table: str, key: str | Sequence[str],
                mutable: Sequence[str], properties: dict | None = None,
                batchsize: int = 10_000) -> None:

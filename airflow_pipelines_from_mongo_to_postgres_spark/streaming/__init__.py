@@ -3,7 +3,9 @@ from airflow_pipelines_from_mongo_to_postgres_spark.streaming.dedup import (
     dedup_within_watermark,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
+    date_stamped_name,
     run_incremental_merge,
+    stamp_archived_files,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.streaming.stateful import (
     latest_state_per_key,
@@ -16,4 +18,4 @@ from airflow_pipelines_from_mongo_to_postgres_spark.streaming.windows import (
 
 __all__ = ["run_incremental_merge", "tumbling_counts", "sliding_counts",
            "session_counts", "dedup_within_watermark", "dedup_exact_stream",
-           "latest_state_per_key"]
+           "latest_state_per_key", "stamp_archived_files", "date_stamped_name"]

@@ -18,9 +18,59 @@ download → read → per-row upsert → archive the file. Spark-first:
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+def date_stamped_name(name: str, when: datetime) -> str:
+    """``{stem}_{dd_mm_YYYY}{ext}`` — the reference's backup naming
+    contract (ref erase_copy_daily_tables.py:16-18)."""
+    stem, dot, ext = name.rpartition(".")
+    if not dot:
+        stem, ext = name, ""
+    return f"{stem}_{when.strftime('%d_%m_%Y')}" + (f".{ext}" if ext else "")
+
+
+def stamp_archived_files(spark: SparkSession, archive_dir: str,
+                         when: datetime | None = None,
+                         suffix: str = ".csv") -> list[tuple[str, str]]:
+    """Rename files under ``archive_dir`` to the date-stamped backup
+    contract (S9). ``cleanSource=archive`` covers the move-out-of-the-way
+    lifecycle; this adds the ``{table}_{dd_mm_YYYY}.csv`` naming the
+    reference applies before its S3 upload (erase_copy_daily_tables.py:
+    16-24). Uses the Hadoop FileSystem API, so ONE code path renames on
+    file://, hdfs:// and s3a:// alike — pointing ``archive_dir`` at the
+    backup bucket replaces the reference's separate boto3 upload step.
+
+    Returns the (src, dst) pairs renamed. Already-stamped files (dst
+    exists or name already carries the stamp) are left alone, so the
+    daily run is idempotent within a day.
+    """
+    when = when or datetime.now()
+    stamp = when.strftime("%d_%m_%Y")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(archive_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    renamed: list[tuple[str, str]] = []
+    it = fs.listFiles(root, True)
+    todo = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.endswith(suffix) and stamp not in name:
+            todo.append(p)
+    for p in todo:
+        dst = jvm.org.apache.hadoop.fs.Path(
+            p.getParent(), date_stamped_name(p.getName(), when))
+        if not fs.exists(dst) and fs.rename(p, dst):
+            renamed.append((str(p), str(dst)))
+    return renamed
 
 
 def run_incremental_merge(

@@ -69,3 +69,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_drop_schema_ddl_matches_reference_contract():
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import drop_schema_ddl
+
+    drop, create = drop_schema_ddl("public")
+    assert drop == "DROP SCHEMA IF EXISTS public CASCADE"
+    assert create == "CREATE SCHEMA public"
+    drop, create = drop_schema_ddl("analytics")
+    assert "analytics" in drop and "analytics" in create

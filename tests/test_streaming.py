@@ -208,3 +208,34 @@ def test_stateful_latest_compaction_across_restarts(spark, tmp_path):
     drop("b2.csv", [("a", "2024-01-01 00:00:30", 9), ("b", "2024-01-01 00:00:05", 0)])
     got2 = run("cdc_run2")
     assert got2 == {"a": ("2024-01-01 00:00:30", 9)}
+
+
+def test_archive_files_get_date_stamped_names(spark, tmp_path):
+    """S9 backup-naming contract: after the daily run, archived drops are
+    renamed {table}_{dd_mm_YYYY}.csv (ref erase_copy_daily_tables.py:16-18);
+    re-stamping the same day is a no-op (idempotent daily task)."""
+    from datetime import datetime
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+        date_stamped_name,
+        stamp_archived_files,
+    )
+
+    when = datetime(2024, 3, 7)
+    assert date_stamped_name("users.csv", when) == "users_07_03_2024.csv"
+
+    arch = tmp_path / "archive" / "nested"
+    arch.mkdir(parents=True)
+    (arch / "users.csv").write_text("_id\n1\n")
+    (arch / "orders.csv").write_text("_id\n2\n")
+    (arch / "notes.txt").write_text("not a drop")
+
+    renamed = stamp_archived_files(spark, str(tmp_path / "archive"), when=when)
+    assert len(renamed) == 2
+    names = sorted(p.name for p in arch.iterdir())
+    assert names == ["notes.txt", "orders_07_03_2024.csv",
+                     "users_07_03_2024.csv"]
+    # same-day re-run: nothing left to stamp
+    assert stamp_archived_files(spark, str(tmp_path / "archive"), when=when) == []
+    # absent dir: graceful empty
+    assert stamp_archived_files(spark, str(tmp_path / "nope"), when=when) == []
