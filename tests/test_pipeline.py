@@ -36,7 +36,7 @@ def sources(spark):
 def test_migrate_then_daily_update(spark, tmp_path, sources):
     wh = Warehouse(spark, str(tmp_path))
     loaded = migrate(spark, wh, sources)
-    assert set(loaded) == set(sources)
+    assert set(loaded.loaded) == set(sources) and loaded.ok
 
     users = wh.read("users")
     n1 = users.count()
@@ -97,3 +97,51 @@ def test_insert_only_entity_ignores_conflicts(spark, tmp_path):
     assert len(after) == 20
     for _id, v in before.items():
         assert after[_id] == v  # DO NOTHING: conflicting updates dropped
+
+
+def test_poisoned_entity_does_not_abort_siblings(spark, tmp_path, sources):
+    """Failure isolation (engine form of ref retries=5 policy): one bad
+    source is reported failed; every sibling still loads."""
+    bad = dict(sources)
+    # organizations source missing every column the spec projects → the
+    # conform select raises at plan time for that entity only
+    bad["organizations"] = spark.createDataFrame([("x",)], ["wrong_col"])
+    wh = Warehouse(spark, str(tmp_path))
+    report = migrate(spark, wh, bad, on_error="continue")
+    assert report.failed == ["organizations"]
+    assert set(report.loaded) == {"users", "trades", "loanoffers"}
+    assert not report.ok
+    for t in report.tables:
+        if t.status == "failed":
+            assert t.error and t.attempts == 1
+    # siblings really are on disk
+    assert wh.exists("users") and not wh.exists("organizations")
+
+
+def test_retries_exhaust_then_report(spark, tmp_path, sources):
+    bad = {"organizations": spark.createDataFrame([("x",)], ["wrong_col"])}
+    wh = Warehouse(spark, str(tmp_path))
+    report = migrate(spark, wh, bad, on_error="continue", retries=2)
+    assert report.tables[0].attempts == 3  # 1 + 2 retries
+
+    with pytest.raises(Exception):
+        migrate(spark, wh, bad, on_error="raise")
+
+    with pytest.raises(ValueError):
+        migrate(spark, wh, bad, on_error="never-heard-of-it")
+
+
+def test_null_key_rows_quarantined_not_merged(spark, tmp_path):
+    """M14 surfaced in the report: null natural keys can never satisfy the
+    UNIQUE/ON CONFLICT contract — they land in {entity}__quarantine."""
+    spec = ENTITIES["organizations"]
+    rows = gen_rows(spec.schema, 10, seed=3)
+    poisoned = [dict(r, _id=None) for r in rows[:3]] + rows[3:]
+    wh = Warehouse(spark, str(tmp_path))
+    report = migrate(spark, wh, {"organizations":
+                                 spark.createDataFrame(poisoned, spec.schema)})
+    assert report.tables[0].quarantined == 3
+    assert wh.read("organizations").count() == 7
+    quarantined = wh.read("organizations__quarantine")
+    assert quarantined.count() == 3
+    assert {r._id for r in quarantined.collect()} == {None}
