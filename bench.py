@@ -4,8 +4,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Headline set spans the engine's cost classes: scan+agg, multi-join,
-window, merge dataflow, inverted-index Jaccard, MinHash-LSH, ANN top-k,
-event-time windows.
+window, merge dataflow, inverted-index Jaccard (unpruned q26 AND the
+stop-shingle-pruned scale path q63, so the pruning's cost/benefit carries
+a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join.
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ HEADLINE = [
     "q28_minhash_lsh_pairs",
     "q33_cosine_topk",
     "q37_tumbling_window",
+    "q42_asof_join",
+    "q63_jaccard_pruned",
 ]
 
 
