@@ -107,18 +107,21 @@ FROM merged GROUP BY o_orderstatus
 def q22_surrogate_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     # Existing warehouse: first 60% of customers with serial ids in c_custkey
-    # order (simulates the serial PRIMARY KEY, ref migration DDL).
-    n_total = c.count()
-    k = int(n_total * 0.6)
+    # order (simulates the serial PRIMARY KEY, ref migration DDL). The 60%
+    # threshold k rides along as a broadcast 1-row aggregate — no separate
+    # driver-side count() job per invocation (the whole scenario stays one
+    # lazy plan). The global row_number window is the scenario FIXTURE
+    # (serial ids), not the operator; keygen itself windows only the misses.
+    kdf = c.agg(F.floor(F.count(F.lit(1)) * 0.6).alias("k"))
     w = Window.orderBy("c_custkey")
     existing = (
-        c.filter(F.col("c_custkey") <= k)
+        c.join(F.broadcast(kdf)).filter(F.col("c_custkey") <= F.col("k"))
         .select(F.row_number().over(w).cast("long").alias("id"),
                 F.col("c_custkey").cast("string").alias("_id"))
     )
     # Incoming batch: overlaps the tail of existing + brand-new keys.
     incoming = (
-        c.filter(F.col("c_custkey") > k * 0.8)
+        c.join(F.broadcast(kdf)).filter(F.col("c_custkey") > F.col("k") * 0.8)
         .select(F.col("c_custkey").cast("string").alias("_id"),
                 "c_name", "c_acctbal")
     )
