@@ -750,6 +750,29 @@ def q63_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q63_SQL = _jaccard_pairs_sql(threshold=0.2, max_df=NEAR_DUP_MAX_DF)
 
 
+# --- q64: embedding-cosine near-dup corpus (min-id keeper) --------------------------
+def q64_embed_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup in EMBEDDING space: drop every vector whose cosine with a
+    lower-id vector is ≥ 0.45, keep the min-id representative — the same
+    keeper policy as the n-gram path (q51), on semantic rather than
+    lexical similarity. Declared on the exact threshold-pairs operator so
+    the result is hash-checkable; the LSH twin (q56, random-hyperplane
+    banding + exact rerank) is the 100 TB candidate-generation path, and
+    the keeper anti-join is identical either way."""
+    e = load_table(spark, "embeddings", sf_dir)
+    pairs = similarity.cosine_threshold_pairs(e, "vec_id", "embedding",
+                                              threshold=0.45)
+    dropped = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+Q64_SQL = f"""
+WITH pairs AS ({Q34_SQL.strip()})
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT DISTINCT d2 FROM pairs)
+"""
+
+
 # --- q53: transitive near-dup clusters (connected components) -----------------------
 def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive clusters: every document labeled with
@@ -816,6 +839,7 @@ QUERIES = {
     "q61_split_decontamination": q61_split_decontamination,
     "q62_ann_topk_numpy": q62_ann_topk_numpy,
     "q63_jaccard_pruned": q63_jaccard_pruned,
+    "q64_embed_near_dup_drop": q64_embed_near_dup_drop,
 }
 
 ORACLES = {
@@ -842,4 +866,5 @@ ORACLES = {
     "q61_split_decontamination": Q61_SQL,
     "q62_ann_topk_numpy": Q33_SQL,  # exact twin of q33: same oracle
     "q63_jaccard_pruned": Q63_SQL,
+    "q64_embed_near_dup_drop": Q64_SQL,
 }
