@@ -57,8 +57,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
-                   max_df: int | None = None) -> DataFrame:
+                   max_df: int | None = None,
+                   stop_shingles: DataFrame | None = None) -> DataFrame:
     """Distinct (id, shingle) pairs; optional stop-shingle pruning.
+
+    Pruning sources, in precedence order: ``stop_shingles`` (a DataFrame
+    whose ``shingle`` column lists the hot shingles — e.g. q59's
+    materialized inventory, the production pattern: count document
+    frequencies ONCE per corpus snapshot, reuse across every dedup job) or
+    ``max_df`` (count inline — a second pass over the corpus within this
+    plan). Both end in the same broadcast anti-join.
 
     The token array is materialized in its own projection BEFORE the
     n-gram transform: composing ``T.shingles`` directly would re-evaluate
@@ -76,7 +84,10 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
     gram = F.when(F.size("ts") >= n, F.array_distinct(gram)) \
         .otherwise(F.array().cast("array<string>"))
     sh = toks.select("doc", F.explode(gram).alias("shingle"))
-    if max_df is not None:
+    if stop_shingles is not None:
+        sh = sh.join(F.broadcast(stop_shingles.select("shingle")),
+                     "shingle", "left_anti")
+    elif max_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
                .filter(F.col("df_") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
@@ -85,7 +96,8 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float, n: int = 3,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  stop_shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, via inverted-index
     self-join (intersection counts) + per-doc shingle-set sizes.
 
@@ -94,7 +106,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ~|shingles|²/2⁶⁵), but the shuffle carries 8-byte longs instead of
     ~n·word-length strings and the hash-join compares longs.
     """
-    sh = _shingle_table(df, id_col, text_col, n, max_df) \
+    sh = _shingle_table(df, id_col, text_col, n, max_df, stop_shingles) \
         .select("doc", F.xxhash64("shingle").alias("shingle")).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -196,7 +208,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def drop_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                          threshold: float, n: int = 3,
-                         max_df: int | None = None) -> DataFrame:
+                         max_df: int | None = None,
+                         stop_shingles: DataFrame | None = None) -> DataFrame:
     """Corpus after near-dedup with the standard min-id-keeper policy: for
     every similar pair (d1 < d2, jaccard ≥ threshold) the larger id is
     dropped. One left_anti join against the distinct drop set — the pair
@@ -205,7 +218,8 @@ def drop_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     (Min-id-keeper is the greedy approximation used by large-scale dedup
     pipelines; it equals connected-component dedup when similarity clusters
     are cliques, which near-dup clusters practically are.)"""
-    pairs = jaccard_pairs(df, id_col, text_col, threshold, n, max_df)
+    pairs = jaccard_pairs(df, id_col, text_col, threshold, n, max_df,
+                          stop_shingles)
     dropped = pairs.select(F.col("d2").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
 

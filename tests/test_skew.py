@@ -98,3 +98,18 @@ def test_max_df_kills_hot_shingle_pair_blowup(spark, hot_shingle_corpus):
     pruned = dedup.jaccard_pairs(hot_shingle_corpus, "doc_id", "text",
                                  threshold=0.05, n=3, max_df=5)
     assert pruned.count() == 0
+
+
+def test_precomputed_stop_shingle_inventory_reused(spark, hot_shingle_corpus):
+    # The production pattern: the q59-style inventory is materialized once
+    # per corpus snapshot and passed in — same result as inline max_df
+    # counting, without the second shingle pass inside every dedup job.
+    inline = dedup.jaccard_pairs(hot_shingle_corpus, "doc_id", "text",
+                                 threshold=0.05, n=3, max_df=5)
+    inventory = (dedup._shingle_table(hot_shingle_corpus, "doc_id", "text", n=3)
+                 .groupBy("shingle").count().filter(F.col("count") > 5)
+                 .select("shingle"))
+    reused = dedup.jaccard_pairs(hot_shingle_corpus, "doc_id", "text",
+                                 threshold=0.05, n=3, stop_shingles=inventory)
+    assert sorted(map(tuple, reused.collect())) == \
+        sorted(map(tuple, inline.collect()))
