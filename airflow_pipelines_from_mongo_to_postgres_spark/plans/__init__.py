@@ -7,6 +7,7 @@ on both sides (the driver hash-compares by sorted column name).
 """
 
 from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
+    analytics,
     llmdata,
     mergeops,
     relational,
@@ -20,7 +21,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
 # r01 file stopped mid-llmdata and left 12 cheap streamsql/temporal
 # queries with no driver-green evidence). llmdata additionally shares one
 # persisted jaccard-pair plan across q51/q53/q63 to shrink that tail.
-ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, llmdata]
+ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, analytics, llmdata]
 
 
 def all_queries():

@@ -1,0 +1,366 @@
+"""Analytics breadth beyond the reference's surface (round-3 additions):
+TF-IDF term ranking and corpus word frequency over ``documents``, batch
+sessionization and time-spine gap-fill (LOCF) over ``events``, pivot /
+unpivot, aggregate-join filtering (TPC-H Q17 shape), and a fixed-width
+histogram over ``orders``.
+
+The reference computes none of these (SURVEY.md §2.7: its surface stops at
+project/flatten/merge); they extend the engine the same way §2.7's
+relational family does — declarative DataFrame plans with DuckDB oracles.
+
+Scale notes (100 TB stance):
+- TF-IDF: token join is an equi-join on the term; document-frequency and
+  corpus-size sides are vocabulary-sized (≪ corpus), AQE broadcasts them
+  when small. Top-k per doc is a bounded window keyed by doc_id.
+- Word frequency: global top-N uses orderBy().limit(N) (TakeOrdered — a
+  per-partition heap then a driver merge of N·P rows, no global sort); the
+  rank window runs AFTER the limit, over N rows, so no unbounded
+  single-partition window exists in the plan.
+- Sessionize: one shuffle on user_id; lag + running-sum windows share the
+  same (user_id, ts) sort order so Catalyst plans a single Window node.
+- Gap-fill: the spine explodes per event_type from aggregated bounds
+  (tiny), and LOCF is a running last(ignorenulls) within each event_type
+  partition — no global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.functions import text
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+#: DuckDB twin of functions.text.tokens() — keep in lockstep with
+#: plans/llmdata.py:_TOKENS_SQL (duplicated to keep each module's oracle
+#: self-contained).
+_TOKENS_SQL = "list_filter(string_split_regex(lower({col}), '\\s+'), t -> t <> '')"
+
+
+# --- q65: TF-IDF top terms per document ------------------------------------
+def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by smoothed TF-IDF (idf = ln((1+N)/(1+df))).
+
+    Rank orders by the ROUNDED score so oracle tie-breaks match; ties
+    resolve token-ascending.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+Q65_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, tfidf, rnk
+FROM (
+  SELECT doc_id, token, tf, df,
+         round(tf * ln((1.0 + n_docs) / (1.0 + df)), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(tf * ln((1.0 + n_docs) / (1.0 + df)), 6) DESC, token
+         ) AS rnk
+  FROM tf JOIN dfreq USING (token), n
+)
+WHERE rnk <= 3
+"""
+
+
+# --- q66: corpus word frequency (Zipf head) --------------------------------
+def q66_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 tokens corpus-wide. orderBy().limit(50) plans as TakeOrdered
+    (per-partition heaps, no global sort); the rank window then runs over
+    the 50 collected rows only — bounded by construction."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = (
+        d.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+Q66_SQL = f"""
+WITH toks AS (
+  SELECT t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+FROM counts
+ORDER BY cnt DESC, token
+LIMIT 50
+"""
+
+
+# --- q67: batch sessionization (30-min inactivity gap) ---------------------
+def q67_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic lag-gap sessionization: a new session starts when a user's
+    gap since their previous event exceeds 30 minutes. Interval arithmetic
+    on timestamps (not epoch-seconds casts) so microsecond precision
+    matches the oracle exactly. One shuffle on user_id; the lag and
+    running-sum windows share one sort."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    boundary = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        e.withColumn("session_seq", F.sum(boundary).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q67_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+# --- q68: pivot (long → wide conditional counts) ---------------------------
+def q68_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — without it Spark
+    runs an extra distinct job to discover values, and at 100 TB an
+    unbounded value set would explode the schema."""
+    o = load_table(spark, "orders", sf_dir)
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+Q68_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders
+GROUP BY 1
+"""
+
+
+# --- q69: unpivot / melt (wide → long) -------------------------------------
+def q69_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (Spark 3.4+ melt): wide per-flag aggregates into
+    (flag, metric, value) long form — the inverse of q68."""
+    li = load_table(spark, "lineitem", sf_dir)
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+Q69_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_discount), 4) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+"""
+
+
+# --- q70: aggregate-join filter (TPC-H Q17 shape) --------------------------
+def q70_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue per brand: lineitems with quantity
+    below 20% of their part's average. The correlated scalar subquery is
+    planned as an aggregate + equi-join (two scans of lineitem, one
+    shuffle each on l_partkey); part is dimension-sized → broadcast.
+
+    Exactness across engines: l_quantity is integer-valued, so sum (and
+    hence avg·0.2) is exact in double regardless of partial-agg order —
+    the strict `<` threshold cannot flip on a last-ulp difference.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thr"))
+    small = li.join(thr, "l_partkey").filter(F.col("l_quantity") < F.col("qty_thr"))
+    return (
+        small.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                   small.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q70_SQL = """
+WITH thr AS (
+  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_thr
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN thr USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < qty_thr
+GROUP BY 1
+"""
+
+
+# --- q71: fixed-width histogram --------------------------------------------
+def q71_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 × 50k-wide price bins (top bin open). Binning is a row-local
+    expression (floor of a division) — fully map-side, one tiny shuffle of
+    ≤10 groups."""
+    o = load_table(spark, "orders", sf_dir)
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9).cast("long"))
+    return (
+        o.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bin_lo", (F.col("bin") * 50000).cast("long"))
+    )
+
+
+Q71_SQL = """
+SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bin,
+       count(*) AS n_orders,
+       CAST(least(floor(o_totalprice / 50000.0), 9) * 50000 AS BIGINT) AS bin_lo
+FROM orders
+GROUP BY 1, 3
+"""
+
+
+# --- q72: hourly time-spine gap-fill with LOCF -----------------------------
+def q72_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type: generate the spine from
+    aggregated bounds (sequence + explode — bounds are one row per type,
+    so the explode fans out executor-side), left-join the real hourly
+    aggregate, and fill holes with last-observation-carried-forward
+    (running last(ignorenulls) per type — no global window)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "value")
+    hourly = e.groupBy("event_type", "hr").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    w = Window.partitionBy("event_type").orderBy("hr") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "hr", "avg_value",
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+Q72_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT s.event_type, s.hr, h.avg_value,
+       last_value(h.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+"""
+
+
+QUERIES = {
+    "q65_tfidf_top_terms": q65_tfidf_top_terms,
+    "q66_word_frequency": q66_word_frequency,
+    "q67_sessionize": q67_sessionize,
+    "q68_pivot_status": q68_pivot_status,
+    "q69_unpivot_metrics": q69_unpivot_metrics,
+    "q70_below_avg_quantity": q70_below_avg_quantity,
+    "q71_price_histogram": q71_price_histogram,
+    "q72_gap_fill_locf": q72_gap_fill_locf,
+}
+
+ORACLES = {
+    "q65_tfidf_top_terms": Q65_SQL,
+    "q66_word_frequency": Q66_SQL,
+    "q67_sessionize": Q67_SQL,
+    "q68_pivot_status": Q68_SQL,
+    "q69_unpivot_metrics": Q69_SQL,
+    "q70_below_avg_quantity": Q70_SQL,
+    "q71_price_histogram": Q71_SQL,
+    "q72_gap_fill_locf": Q72_SQL,
+}
