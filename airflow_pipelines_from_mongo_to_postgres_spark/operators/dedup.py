@@ -56,17 +56,13 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
-                   max_df: int | None = None,
-                   stop_shingles: DataFrame | None = None) -> DataFrame:
-    """Distinct (id, shingle) pairs; optional stop-shingle pruning.
-
-    Pruning sources, in precedence order: ``stop_shingles`` (a DataFrame
-    whose ``shingle`` column lists the hot shingles — e.g. q59's
-    materialized inventory, the production pattern: count document
-    frequencies ONCE per corpus snapshot, reuse across every dedup job) or
-    ``max_df`` (count inline — a second pass over the corpus within this
-    plan). Both end in the same broadcast anti-join.
+def build_shingle_table(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3) -> DataFrame:
+    """Unpruned distinct ``(doc, shingle)`` pairs — the shared base every
+    shingle-consuming operator derives from. In production this is computed
+    ONCE per corpus snapshot, persisted, and reused across jaccard /
+    MinHash / near-dedup jobs (the plan layer caches it the same way,
+    plans/llmdata.py::_shingles_shared).
 
     The token array is materialized in its own projection BEFORE the
     n-gram transform: composing ``T.shingles`` directly would re-evaluate
@@ -83,7 +79,26 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
     # sequence(1, k) counts DOWN for k < 1, so guard docs shorter than n tokens.
     gram = F.when(F.size("ts") >= n, F.array_distinct(gram)) \
         .otherwise(F.array().cast("array<string>"))
-    sh = toks.select("doc", F.explode(gram).alias("shingle"))
+    return toks.select("doc", F.explode(gram).alias("shingle"))
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
+                   max_df: int | None = None,
+                   stop_shingles: DataFrame | None = None,
+                   shingle_table: DataFrame | None = None) -> DataFrame:
+    """Distinct (id, shingle) pairs; optional stop-shingle pruning.
+
+    ``shingle_table`` injects a precomputed ``build_shingle_table`` result
+    (possibly persisted and shared across operators); pruning still applies
+    on top. Pruning sources, in precedence order: ``stop_shingles`` (a
+    DataFrame whose ``shingle`` column lists the hot shingles — e.g. q59's
+    materialized inventory, the production pattern: count document
+    frequencies ONCE per corpus snapshot, reuse across every dedup job) or
+    ``max_df`` (count inline — a second pass over the corpus within this
+    plan). Both end in the same broadcast anti-join.
+    """
+    sh = shingle_table if shingle_table is not None \
+        else build_shingle_table(df, id_col, text_col, n)
     if stop_shingles is not None:
         sh = sh.join(F.broadcast(stop_shingles.select("shingle")),
                      "shingle", "left_anti")
@@ -97,7 +112,8 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float, n: int = 3,
                   max_df: int | None = None,
-                  stop_shingles: DataFrame | None = None) -> DataFrame:
+                  stop_shingles: DataFrame | None = None,
+                  shingle_table: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, via inverted-index
     self-join (intersection counts) + per-doc shingle-set sizes.
 
@@ -106,7 +122,8 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ~|shingles|²/2⁶⁵), but the shuffle carries 8-byte longs instead of
     ~n·word-length strings and the hash-join compares longs.
     """
-    sh = _shingle_table(df, id_col, text_col, n, max_df, stop_shingles) \
+    sh = _shingle_table(df, id_col, text_col, n, max_df, stop_shingles,
+                        shingle_table) \
         .select("doc", F.xxhash64("shingle").alias("shingle")).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -127,13 +144,14 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_perm: int = 128, n: int = 3) -> DataFrame:
+                       num_perm: int = 128, n: int = 3,
+                       shingle_table: DataFrame | None = None) -> DataFrame:
     """MinHash signature: column ``mh_i`` = min over shingles of
     ``(a_i * h28(shingle) + b_i) % 2^32``. One explode + one groupBy."""
     # Materialize the md5-derived hash ONCE per shingle row — referencing
     # T.hash28 inside each of the num_perm aggregates would recompute the
     # md5 num_perm× per row (no CSE across aggregate expressions).
-    sh = _shingle_table(df, id_col, text_col, n) \
+    sh = _shingle_table(df, id_col, text_col, n, shingle_table=shingle_table) \
         .select("doc", T.hash28(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
@@ -144,7 +162,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float, num_perm: int = 128, bands: int = 32,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      shingle_table: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, verified with exact Jaccard.
 
     Rows per band r = num_perm/bands; candidate pairs share ≥1 band hash.
@@ -155,7 +174,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     r = num_perm // bands
     # Both hashes come from the same pass over the shingle table; the
     # shingle STRING never leaves the map side.
-    sh = _shingle_table(df, id_col, text_col, n).select(
+    sh = _shingle_table(df, id_col, text_col, n,
+                        shingle_table=shingle_table).select(
         "doc", T.hash28(F.col("shingle")).alias("h"),
         F.xxhash64("shingle").alias("sh64"))
     # ONE groupBy produces the MinHash signature AND the verification
@@ -209,7 +229,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def drop_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                          threshold: float, n: int = 3,
                          max_df: int | None = None,
-                         stop_shingles: DataFrame | None = None) -> DataFrame:
+                         stop_shingles: DataFrame | None = None,
+                         shingle_table: DataFrame | None = None) -> DataFrame:
     """Corpus after near-dedup with the standard min-id-keeper policy: for
     every similar pair (d1 < d2, jaccard ≥ threshold) the larger id is
     dropped. One left_anti join against the distinct drop set — the pair
@@ -219,7 +240,7 @@ def drop_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     pipelines; it equals connected-component dedup when similarity clusters
     are cliques, which near-dup clusters practically are.)"""
     pairs = jaccard_pairs(df, id_col, text_col, threshold, n, max_df,
-                          stop_shingles)
+                          stop_shingles, shingle_table)
     dropped = pairs.select(F.col("d2").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
 

@@ -123,7 +123,13 @@ def q67_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap since their previous event exceeds 30 minutes. Interval arithmetic
     on timestamps (not epoch-seconds casts) so microsecond precision
     matches the oracle exactly. One shuffle on user_id; the lag and
-    running-sum windows share one sort."""
+    running-sum windows share one sort.
+
+    ``value`` sums as DECIMAL(18,4) (exact, summation-order-independent)
+    rather than DOUBLE: float partial-aggregation order differs between
+    engines/runs and a last-ulp difference under round(·, 4) is a latent
+    hash hazard even when the fixture happens to sit far from every
+    rounding boundary."""
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -139,14 +145,14 @@ def q67_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
         )
     )
 
 
 Q67_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS boundary
@@ -155,12 +161,13 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 4) AS total_value
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS total_value
 FROM sessions
 GROUP BY 1, 2
 """
@@ -305,8 +312,13 @@ def q72_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (running last(ignorenulls) per type — no global window)."""
     e = load_table(spark, "events", sf_dir).select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "value")
+    # avg via exact decimal sum ÷ count — summation-order-independent
+    # numerator keeps the rounded double identical across engines.
     hourly = e.groupBy("event_type", "hr").agg(
-        F.round(F.avg("value"), 6).alias("avg_value"))
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("avg_value"))
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("mn"), F.max("hr").alias("mx"))
     spine = bounds.select(
@@ -326,7 +338,7 @@ def q72_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q72_SQL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hr,
-         round(avg(value), 6) AS avg_value
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_value
   FROM events GROUP BY 1, 2
 ),
 bounds AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),

@@ -88,6 +88,32 @@ NEAR_DUP_MAX_DF = 3
 #: the sf0.01 correctness sweep. Bounded: a handful of keys per session.
 _PAIR_CACHE: dict[tuple, DataFrame] = {}
 
+#: Shared unpruned (doc, shingle) tables, one per (app, sf_dir, n): the
+#: shingle build (tokenize + n-gram transform + explode + distinct) is the
+#: common prefix of q26/q27/q28 and every pair-cache consumer — computing
+#: it once per corpus snapshot is the production pattern
+#: (operators/dedup.py::build_shingle_table) and roughly halves the
+#: correctness sweep's llmdata cost.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shingles_shared(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    if key not in _SHINGLE_CACHE:
+        d = load_table(spark, "documents", sf_dir)
+        _SHINGLE_CACHE[key] = dedup.build_shingle_table(
+            d, "doc_id", "text", n=n).persist()
+    return _SHINGLE_CACHE[key]
+
+
+def clear_caches() -> None:
+    """Unpersist every session-level shared plan (bench isolation: without
+    this, earlier queries' caches distort later queries' timings)."""
+    for cache in (_PAIR_CACHE, _SHINGLE_CACHE):
+        for df in cache.values():
+            df.unpersist()
+        cache.clear()
+
 
 def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str, threshold: float,
                           n: int = 3, max_df: int | None = None) -> DataFrame:
@@ -96,6 +122,7 @@ def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str, threshold: float,
         d = load_table(spark, "documents", sf_dir)
         _PAIR_CACHE[key] = dedup.jaccard_pairs(
             d, "doc_id", "text", threshold=threshold, n=n, max_df=max_df,
+            shingle_table=_shingles_shared(spark, sf_dir, n),
         ).persist()
     return _PAIR_CACHE[key]
 
@@ -116,7 +143,8 @@ FROM documents GROUP BY 1
 # --- q26: exact n-gram Jaccard near-dup pairs --------------------------------
 def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3)
+    return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3,
+                               shingle_table=_shingles_shared(spark, sf_dir))
 
 
 Q26_SQL = _jaccard_pairs_sql(threshold=0.2)
@@ -128,7 +156,9 @@ _N_PERM_SIG = 16
 
 def q27_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    return dedup.minhash_signatures(d, "doc_id", "text", num_perm=_N_PERM_SIG, n=3)
+    return dedup.minhash_signatures(d, "doc_id", "text", num_perm=_N_PERM_SIG,
+                                    n=3,
+                                    shingle_table=_shingles_shared(spark, sf_dir))
 
 
 def _minhash_sig_sql() -> str:
@@ -151,7 +181,8 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≈ 1-8.5e-8 — exact-oracle-safe with 4× less signature work than 128/64.
     d = load_table(spark, "documents", sf_dir)
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2,
-                                   num_perm=32, bands=16, n=3)
+                                   num_perm=32, bands=16, n=3,
+                                   shingle_table=_shingles_shared(spark, sf_dir))
 
 
 Q28_SQL = _jaccard_pairs_sql(threshold=0.2)  # exact == LSH-verified at recall 1

@@ -5,6 +5,11 @@ same logic with readStream + watermark; SURVEY.md §2.8).
 Window arithmetic is expressed as epoch math (floor(epoch/width)) on BOTH
 sides so the oracle agrees exactly with Spark's window() bucketing
 (Spark tumbling windows are epoch-aligned: start = floor(t/width)*width).
+
+``value`` aggregates sum as DECIMAL(18,4) on both sides: double summation
+is order-dependent across engines/parallelism, and round(sum(double), 4)
+can flip on a last-ulp difference. Decimal addition is exact and
+order-independent, so the hashes are stable by construction.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
             F.countDistinct("user_id").alias("users"),
         )
     )
@@ -40,7 +45,7 @@ def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q37_SQL = """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000) AS window_start,
        event_type, count(*) AS events,
-       round(sum(value), 4) AS total_value,
+       sum(CAST(value AS DECIMAL(18,4))) AS total_value,
        count(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2
 """
@@ -59,9 +64,15 @@ def q38_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bucket(F.col("ts"), 600, 300),
         )).alias("window_start"),
     )
+    # avg via exact decimal sum ÷ count: the numerator is
+    # summation-order-independent, so the rounded double matches the
+    # oracle bit-for-bit.
     return withw.groupBy("window_start", "event_type").agg(
         F.count(F.lit(1)).alias("events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("avg_value"),
     )
 
 
@@ -76,7 +87,7 @@ WITH expanded AS (
   FROM events
 )
 SELECT window_start, event_type, count(*) AS events,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_value
 FROM expanded GROUP BY 1, 2
 """
 
@@ -113,15 +124,17 @@ def q40_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
         F.min("ts").alias("first_seen"),
         F.count(F.lit(1)).alias("events"),
-        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
-                      .otherwise(0.0)), 4).alias("purchase_value"),
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.col("value").cast("decimal(18,4)"))
+              .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("purchase_value"),
     )
 
 
 Q40_SQL = """
 SELECT user_id, max(ts) AS last_seen, min(ts) AS first_seen,
        count(*) AS events,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value
+       sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS purchase_value
 FROM events GROUP BY user_id
 """
 
@@ -136,7 +149,7 @@ def q46_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window(F.col("ts"), "10 minutes").alias("w"),
                   F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("events"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"))
         .select("user_id",
                 F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"),
@@ -149,7 +162,7 @@ def q46_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end = last event + timeout (exactly session_window's definition).
 Q46_SQL = """
 WITH s AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  >= INTERVAL 10 MINUTE
@@ -157,13 +170,14 @@ WITH s AS (
   FROM events
 ), g AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM s
 )
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 10 MINUTE AS session_end,
-       count(*) AS events, round(sum(value), 4) AS total_value
+       count(*) AS events,
+       sum(CAST(value AS DECIMAL(18,4))) AS total_value
 FROM g GROUP BY user_id, sid
 """
 

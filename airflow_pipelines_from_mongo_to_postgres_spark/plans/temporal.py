@@ -81,7 +81,9 @@ def q44_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("day").cast("int").alias("g_day"),
             F.grouping("hour").cast("int").alias("g_hour"),
             F.count(F.lit(1)).alias("events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # decimal sum: exact and summation-order-independent, so the
+            # hash can't flip on engine/parallelism differences
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
         )
     )
 
@@ -95,7 +97,8 @@ WITH b AS (
 SELECT day, hour,
        CAST(grouping(day) AS INT) AS g_day,
        CAST(grouping(hour) AS INT) AS g_hour,
-       count(*) AS events, round(sum(value), 4) AS total_value
+       count(*) AS events,
+       sum(CAST(value AS DECIMAL(18,4))) AS total_value
 FROM b
 GROUP BY ROLLUP (day, hour)
 """

@@ -6,7 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set spans the engine's cost classes: scan+agg, multi-join,
 window, merge dataflow, inverted-index Jaccard (unpruned q26 AND the
 stop-shingle-pruned scale path q63, so the pruning's cost/benefit carries
-a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join.
+a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join, and
+the end-to-end corpus build (q58).
+
+Isolation: every timed run starts from a cold cache — session-level shared
+plans (plans/llmdata.py) are cleared and spark.catalog.clearCache() drops
+the operators' internal .cache()/.persist() data between runs. Without
+this, executor-memory pressure from earlier queries' never-unpersisted
+caches distorts later timings (the round-2 q28 "+153%" regression was
+exactly this). Each query reports the median of SPARK_GRAFT_ITERS (3) runs.
 """
 
 from __future__ import annotations
@@ -31,7 +39,14 @@ HEADLINE = [
     "q37_tumbling_window",
     "q42_asof_join",
     "q63_jaccard_pruned",
+    "q58_corpus_build",
 ]
+
+
+def _clear_all_caches(spark) -> None:
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans import llmdata
+    llmdata.clear_caches()
+    spark.catalog.clearCache()
 
 
 def main() -> None:
@@ -59,13 +74,21 @@ def main() -> None:
         except Exception as e:  # warm-up must never sink the bench
             print(f"# WARNING: warm-up {name} failed in {warm_dir}: {e}",
                   file=sys.stderr)
+    _clear_all_caches(spark)
 
+    iters = int(os.environ.get("SPARK_GRAFT_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            _clear_all_caches(spark)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        print(f"# {name}: median {timings[name]}s of "
+              f"{[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -26,6 +26,22 @@ SCHEMA = StructType([
 ])
 
 
+def _ts_from_raw_long(parquet_path: str, col: str = "ts"):
+    """Column expr converting ``col`` read as a raw LongType back to a
+    timestamp, using the parquet file's declared timestamp unit (the
+    fixture has flipped between timestamp[ns] and timestamp[us] across
+    driver rounds — never hardcode the unit)."""
+    import pyarrow.parquet as pq
+
+    unit = pq.read_schema(parquet_path).field(col).type.unit
+    divisor = {"s": None, "ms": None, "us": 1, "ns": 1000}[unit]
+    if unit == "s":
+        return F.timestamp_seconds(F.col(col))
+    if unit == "ms":
+        return F.timestamp_millis(F.col(col))
+    return F.timestamp_micros(F.expr(f"{col} div {divisor}"))
+
+
 def test_incremental_merge_two_drops(spark, tmp_path):
     drop = tmp_path / "drop"; drop.mkdir()
     ckpt = str(tmp_path / "ckpt")
@@ -61,7 +77,7 @@ def test_streaming_window_equals_batch(spark, tmp_path, sf_dir):
     from pyspark.sql.types import LongType
 
     events = load_table(spark, "events", sf_dir)
-    # stream the parquet dir with the RAW schema (ts = nanos long, as on disk)
+    # stream the parquet dir with the RAW schema (ts = epoch long, as on disk)
     raw = StructType([
         StructField(f.name, LongType() if f.name == "ts" else f.dataType)
         for f in events.schema.fields])
@@ -70,7 +86,7 @@ def test_streaming_window_equals_batch(spark, tmp_path, sf_dir):
     (src / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(raw).parquet(str(src))
     agg = tumbling_counts(stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        "ts", _ts_from_raw_long(f"{sf_dir}/events.parquet")))
     q = (agg.writeStream.format("memory").queryName("win_test")
          .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / "ck"))
@@ -98,7 +114,7 @@ def test_streaming_session_window_equals_batch(spark, tmp_path, sf_dir):
     (src / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(raw).parquet(str(src))
     agg = session_counts(stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        "ts", _ts_from_raw_long(f"{sf_dir}/events.parquet")))
     q = (agg.writeStream.format("memory").queryName("sess_test")
          .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / "ck_sess"))

@@ -51,9 +51,11 @@ def main() -> int:
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    executed = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        executed += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -91,7 +93,8 @@ def main() -> int:
             failed.append(name)
             continue
         print(f"pass {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{executed - len(failed)}/{executed} executed pass "
+          f"({len(qs)} registered)")
     return 1 if failed else 0
 
 
