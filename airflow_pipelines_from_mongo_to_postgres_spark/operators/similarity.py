@@ -80,32 +80,52 @@ def cosine_topk_bucketed(probe: DataFrame, corpus: DataFrame, id_col: str,
     )
 
 
-def _rademacher_sign_bucket(vec, planes: int, table: int) -> F.Column:
-    """LSH bucket id for one hash table: ``planes`` sign bits of Rademacher
-    (±1) projections, packed into a long. The ±1 component for (table,
-    plane j, element i) derives from xxhash64 — deterministic across
-    engines and executors, no materialized projection matrix to ship."""
-    def signed(j):
-        # (x, i) index-lambda; j must close over a new scope per plane —
-        # a default arg would change the lambda's visible arity for PySpark.
-        return lambda x, i: x * F.when(
-            F.pmod(F.xxhash64(F.lit(table * 1024 + j), i), 2) == 0,
-            F.lit(1.0)).otherwise(F.lit(-1.0))
+def rademacher_signs(planes: int, tables: int, dim: int) -> list:
+    """Deterministic ±1.0 projection matrix, ``tables × planes × dim``:
+    sign(t, j, i) = parity of md5's first hex digit of ``"t:j:i"``. md5 is
+    engine-neutral, so a SQL oracle regenerates the IDENTICAL planes from
+    the same triple — the basis for hash-gating the LSH queries instead of
+    rows-only checks. The matrix ships as plan literals (≤ tables·planes·
+    dim doubles — 2 KB at the defaults, trivially broadcastable even at
+    dim 4096), replacing per-row hash evaluation with a plain dot product.
+    """
+    import hashlib
 
-    bits = []
-    for j in range(planes):
-        proj = F.aggregate(F.transform(vec, signed(j)),
+    return [[[1.0 if int(hashlib.md5(f"{t}:{j}:{i}".encode())
+                         .hexdigest()[0], 16) % 2 == 0 else -1.0
+              for i in range(dim)]
+             for j in range(planes)]
+            for t in range(tables)]
+
+
+def _sign_bucket(vec, signs_t: list) -> F.Column:
+    """LSH bucket id for one hash table: pack the sign bits of the
+    ``planes`` Rademacher projections of ``vec`` into a long. Projections
+    are taken on the RAW (double) vector — sign(dot(v, s)) is invariant
+    under positive scaling, so skipping normalization removes one source
+    of cross-engine floating-point divergence at bucket boundaries.
+
+    The projection is a zip_with/aggregate dot against the literal sign
+    array — left-to-right element order, mirroring the oracle's sequential
+    list_dot_product sum. (An unrolled element_at chain was tried and is
+    3-5× SLOWER: tables·planes·dim scalar terms blow up Janino compile
+    time; the HOF interpreter amortizes better at this shape.)"""
+    out = F.lit(0)
+    for j, srow in enumerate(signs_t):
+        proj = F.aggregate(F.zip_with(vec, F.lit(srow), lambda x, s: x * s),
                            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        out = out + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("long")
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(V.as_double(vec_col))).first()
+    return int(row[0])
 
 
 def cosine_topk_lsh(probe: DataFrame, corpus: DataFrame, id_col: str,
                     vec_col: str, k: int, planes: int = 4,
-                    tables: int = 8) -> DataFrame:
+                    tables: int = 8, dim: int | None = None) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: both sides hash into
     ``tables`` independent bucket spaces; candidates share a bucket in ≥1
     table; exact cosine reranks the candidates.
@@ -119,16 +139,23 @@ def cosine_topk_lsh(probe: DataFrame, corpus: DataFrame, id_col: str,
     ~0.7 recall@5 on the fixtures; strongly-clustered real embedding
     spaces support much higher ``planes`` (more pruning) at equal recall.
 
+    Hyperplanes are the md5-derived ``rademacher_signs`` literals, so a
+    SQL oracle replays bucketing exactly (the approximate result is
+    deterministic and hash-checkable, not merely rows-only). ``dim`` is
+    read from one probe row when not given.
+
     Output schema matches ``cosine_topk`` (rank may differ where recall<1:
     this is the approximate path; the brute-force operator is the oracle).
     """
+    signs = rademacher_signs(planes, tables, dim or _infer_dim(probe, vec_col))
+
     def bucketize(df, side_id):
         base = df.select(F.col(id_col).alias(side_id),
+                         V.as_double(vec_col).alias(f"__r_{side_id}"),
                          V.unit(V.as_double(vec_col)).alias(f"__v_{side_id}"))
         tagged = F.array(*[
             F.struct(F.lit(t).alias("t"),
-                     _rademacher_sign_bucket(F.col(f"__v_{side_id}"), planes, t)
-                     .alias("b"))
+                     _sign_bucket(F.col(f"__r_{side_id}"), signs[t]).alias("b"))
             for t in range(tables)
         ])
         return base.select(side_id, f"__v_{side_id}",
@@ -171,7 +198,8 @@ def cosine_threshold_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
                     vec_col: str, k: int, nlist: int = 16, nprobe: int = 4,
-                    seed: int = 42, max_iter: int = 10) -> DataFrame:
+                    seed: int = 42, max_iter: int = 10,
+                    centroids: list | None = None) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: k-means (pyspark.ml, JVM-side)
     partitions the unit sphere into ``nlist`` cells; each corpus vector is
     indexed under its nearest centroid; each probe searches its ``nprobe``
@@ -194,26 +222,52 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
     diverge from the assignment (centroid norms differ per cell) and a
     probe equal to an indexed vector could miss that vector's own cell.
 
-    Like cosine_topk_lsh this is approximate (recall < 1 when a true
-    neighbor lives in an unprobed cell): rows-only driver check; recall
-    vs the brute-force oracle is gated in tests/test_similarity.py.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``centroids`` injects a FROZEN quantizer (list of ``nlist`` dim-length
+    lists) and skips training entirely — the production serving pattern:
+    the quantizer is trained once on a corpus sample, persisted, and
+    reused across index builds and queries. Because assignment then
+    depends only on literal constants, a SQL oracle can replay the whole
+    approximate pipeline and the query hash-gates (q55). Assignment uses
+    the same |c|²-2u·c argmin as MLlib's transform (ties → lowest cell).
 
+    Like cosine_topk_lsh this is approximate (recall < 1 when a true
+    neighbor lives in an unprobed cell); recall vs the brute-force oracle
+    is gated in tests/test_similarity.py.
+    """
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               V.unit(V.as_double(vec_col)).alias("cv"))
-    feats = c.select("neighbor_id", array_to_vector("cv").alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    assigned = model.transform(feats).select(
-        "neighbor_id", F.col("prediction").alias("cell"))
-    indexed = c.join(assigned, "neighbor_id")
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # |c|² precomputed driver-side (centroids already live there).
-    centroids = [(i, [float(x) for x in ctr], float(sum(x * x for x in ctr)))
-                 for i, ctr in enumerate(model.clusterCenters())]
-    cent = probe.sparkSession.createDataFrame(
-        centroids, "cell int, cvec array<double>, c2 double")
+        feats = c.select("neighbor_id", array_to_vector("cv").alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+        assigned = model.transform(feats).select(
+            "neighbor_id", F.col("prediction").alias("cell"))
+        centroid_rows = [(i, [float(x) for x in ctr],
+                          float(sum(x * x for x in ctr)))
+                         for i, ctr in enumerate(model.clusterCenters())]
+        cent = probe.sparkSession.createDataFrame(
+            centroid_rows, "cell int, cvec array<double>, c2 double")
+        indexed = c.join(assigned, "neighbor_id")
+    else:
+        centroid_rows = [(i, [float(x) for x in ctr],
+                          float(sum(x * x for x in ctr)))
+                         for i, ctr in enumerate(centroids)]
+        cent = probe.sparkSession.createDataFrame(
+            centroid_rows, "cell int, cvec array<double>, c2 double")
+        # map-side argmin: corpus × broadcast(nlist) scored; min(struct)
+        # keeps the nearest cell (struct ordering breaks ties on cell id)
+        # and partial-aggregates map-side — one hash-agg shuffle of one
+        # row per corpus vector, no per-key sort.
+        indexed = (
+            c.join(F.broadcast(cent))
+            .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("cv"), F.col("cvec")))
+            .groupBy("neighbor_id")
+            .agg(F.min(F.struct("cdist", "cell")).alias("m"),
+                 F.first("cv").alias("cv"))
+            .select("neighbor_id", "cv", F.col("m.cell").alias("cell"))
+        )
 
     p = probe.select(F.col(id_col).alias("query_id"),
                      V.unit(V.as_double(vec_col)).alias("qv"))
@@ -241,7 +295,8 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
 
 def cosine_threshold_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
                                threshold: float, planes: int = 4,
-                               tables: int = 8) -> DataFrame:
+                               tables: int = 8,
+                               dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) at scale: random-
     hyperplane LSH candidate generation + exact rerank — the all-pairs
     twin of ``cosine_topk_lsh`` (which serves probe-set queries). The
@@ -254,12 +309,17 @@ def cosine_threshold_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     with (1-θ/π)^planes ≈ 0.53, so missing all 8 tables happens with
     p ≈ 0.2%; recall rises toward 1 as the threshold does — exactly the
     regime dedup cares about.
+
+    Hyperplanes are md5-derived literals (``rademacher_signs``), so the
+    SQL oracle replays bucketing exactly and the query hash-gates.
     """
+    signs = rademacher_signs(planes, tables, dim or _infer_dim(df, vec_col))
     base = spread(df).select(F.col(id_col).alias("_vid"),
+                             V.as_double(vec_col).alias("_r"),
                              V.unit(V.as_double(vec_col)).alias("_v"))
     tagged = F.array(*[
         F.struct(F.lit(t).alias("t"),
-                 _rademacher_sign_bucket(F.col("_v"), planes, t).alias("b"))
+                 _sign_bucket(F.col("_r"), signs[t]).alias("b"))
         for t in range(tables)
     ])
     buckets = base.select("_vid", "_v", F.explode(tagged).alias("tb")) \

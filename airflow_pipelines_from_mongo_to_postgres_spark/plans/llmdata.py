@@ -446,15 +446,79 @@ FROM documents
 """
 
 
-# --- q52: random-hyperplane LSH ANN (approximate — rows-only check) -----------------
+# --- q52: random-hyperplane LSH ANN (approximate, but hash-gated) -------------------
+#: Fixture embedding dimensionality (all SFs; generator-fixed). The LSH
+#: sign literals and the IVF centroid literals are dim-bound, and the
+#: oracle SQL string is built at import time, so the plan pins the same
+#: constant instead of peeking the parquet per call.
+_EMB_DIM = 64
+_Q52_PLANES, _Q52_TABLES = 4, 8
+
+
 def q52_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: no SQL oracle by nature (recall < 1); the exact
-    brute-force q33 is the accuracy reference (recall measured in
-    tests/test_similarity.py). Deterministic: buckets derive from xxhash64,
-    so the driver's rows-only check is stable across runs."""
+    """Approximate top-k — yet hash-gated: the hyperplanes are md5-derived
+    sign literals (operators/similarity.py::rademacher_signs), so DuckDB
+    replays bucketing, candidate generation, and exact rerank and the
+    output matches bit-for-bit even where recall < 1. Recall vs the exact
+    q33 is separately gated in tests/test_similarity.py."""
     e = load_table(spark, "embeddings", sf_dir)
     probe = e.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5)
+    return similarity.cosine_topk_lsh(probe, e, "vec_id", "embedding", k=5,
+                                      planes=_Q52_PLANES, tables=_Q52_TABLES,
+                                      dim=_EMB_DIM)
+
+
+def _sql_darray(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _lsh_buckets_sql(planes: int, tables: int) -> str:
+    """UNION-ALL CTE body assigning every embedding row its (t, b) bucket
+    per hash table, from the SAME md5-derived sign literals the Spark
+    operator embeds. Projections are on the raw (double) vector — sign is
+    scale-invariant, so normalization stays out of the bucket boundary."""
+    signs = similarity.rademacher_signs(planes, tables, _EMB_DIM)
+    parts = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_darray(signs[t][j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes)
+        )
+        parts.append(
+            f"SELECT vec_id, {t} AS t, CAST({bits} AS BIGINT) AS b FROM embeddings")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q52_sql() -> str:
+    return f"""
+WITH buckets AS (
+{_lsh_buckets_sql(_Q52_PLANES, _Q52_TABLES)}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets p JOIN buckets c ON p.t = c.t AND p.b = c.b AND p.vec_id <> c.vec_id
+  WHERE p.vec_id < 10
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+Q52_SQL = _q52_sql()
 
 
 # --- q58: composed corpus build — gates → exact dedup → near-dedup → split ----------
@@ -684,30 +748,134 @@ FROM (
 """
 
 
-# --- q56: embedding near-dup pairs via LSH (rows-only check) ------------------------
+# --- q56: embedding near-dup pairs via LSH (hash-gated) -----------------------------
+_Q56_PLANES, _Q56_TABLES = 3, 16
+
+
 def q56_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup through random-hyperplane LSH with
     exact rerank — the scale path for q34 (brute n²/2, the oracle).
-    Deterministic (hash-derived planes, no RNG) so the rows-only check is
-    stable; precision is exact, recall ≈ 1-(1-(1-θ/π)³)¹⁶ ≈ 0.99 at the
-    fixtures' pair angle. Recall gated in tests/test_similarity.py."""
+    Hash-gated: md5-derived sign literals let DuckDB replay the bucketing
+    + rerank pipeline exactly, so the driver checks values, not just row
+    counts. Precision is exact; recall ≈ 1-(1-(1-θ/π)³)¹⁶ ≈ 0.99 at the
+    fixtures' pair angle, gated in tests/test_similarity.py."""
     e = load_table(spark, "embeddings", sf_dir)
     return similarity.cosine_threshold_pairs_lsh(e, "vec_id", "embedding",
                                                  threshold=0.45,
-                                                 planes=3, tables=16)
+                                                 planes=_Q56_PLANES,
+                                                 tables=_Q56_TABLES,
+                                                 dim=_EMB_DIM)
 
 
-# --- q55: trained-IVF ANN (k-means coarse quantizer — rows-only check) --------------
+def _q56_sql() -> str:
+    return f"""
+WITH buckets AS (
+{_lsh_buckets_sql(_Q56_PLANES, _Q56_TABLES)}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS d1, c.vec_id AS d2
+  FROM buckets p JOIN buckets c ON p.t = c.t AND p.b = c.b AND p.vec_id < c.vec_id
+)
+SELECT d1, d2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.d1
+JOIN embeddings b ON b.vec_id = cand.d2
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+"""
+
+
+Q56_SQL = _q56_sql()
+
+
+# --- q55: trained-IVF ANN (frozen k-means coarse quantizer — hash-gated) ------------
+_IVF_NPROBE = 3
+
+
 def q55_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-trained coarse quantizer and nprobe>1 search.
-    Approximate (unprobed cells can hide true neighbors): no SQL oracle;
-    recall vs brute-force q33 is gated in tests/test_similarity.py.
-    Row count is exactly |probe|*k whenever every probed cell union holds
-    >= k candidates — stable for the driver's rows-only check."""
+    The quantizer is trained ONCE (tools/train_ivf_centroids.py: MLlib
+    k-means k=8 seed=42 on the sf0.01 corpus) and frozen into
+    plans/_ivf_centroids.py — the production serving pattern, and what
+    makes the approximate pipeline hash-gateable: assignment + probe-cell
+    ranking + exact rerank all derive from literals DuckDB replays.
+    Recall vs brute-force q33 is separately gated in
+    tests/test_similarity.py."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
     e = load_table(spark, "embeddings", sf_dir)
     probe = e.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_ivf(probe, e, "vec_id", "embedding",
-                                      k=5, nlist=8, nprobe=3)
+                                      k=5, nprobe=_IVF_NPROBE,
+                                      centroids=IVF_CENTROIDS)
+
+
+def _q55_sql() -> str:
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    # |c|² literals computed HERE (plain Python left-to-right sum) and the
+    # identical values flow into the Spark plan's centroid table — both
+    # engines compare the same doubles.
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_darray(c)}, {float(sum(x * x for x in c))!r})"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH cent(cell, cvec, c2) AS (
+  VALUES
+    {cent_rows}
+),
+u AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings
+),
+scored_cells AS (
+  SELECT u.vec_id, cent.cell,
+         cent.c2 - 2 * list_dot_product(u.v, cent.cvec) AS cdist
+  FROM u CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cdist ASC, cell ASC) AS rn
+    FROM scored_cells) WHERE rn = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cdist ASC, cell ASC) AS rn
+    FROM scored_cells WHERE vec_id < 10) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM probe_cells JOIN assigned USING (cell)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+Q55_SQL = _q55_sql()
 
 
 # --- q50: end-to-end corpus curation (lang gate → quality gate → exact dedup) -----
@@ -859,10 +1027,10 @@ QUERIES = {
     "q41_winnow_fingerprints": q41_winnow_fingerprints,
     "q50_corpus_curation": q50_corpus_curation,
     "q51_near_dup_drop": q51_near_dup_drop,
-    "q52_ann_lsh": q52_ann_lsh,  # rows-only: no oracle (approximate op)
+    "q52_ann_lsh": q52_ann_lsh,
     "q53_dedup_clusters": q53_dedup_clusters,
-    "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,  # rows-only: no oracle (approximate op)
-    "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,  # rows-only: approximate op
+    "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,
+    "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,
     "q57_dataset_split": q57_dataset_split,
     "q58_corpus_build": q58_corpus_build,
     "q59_stop_shingles": q59_stop_shingles,
@@ -889,7 +1057,10 @@ ORACLES = {
     "q36_binary_metadata": Q36_SQL,
     "q50_corpus_curation": Q50_SQL,
     "q51_near_dup_drop": Q51_SQL,
+    "q52_ann_lsh": Q52_SQL,
     "q53_dedup_clusters": Q53_SQL,
+    "q55_ann_ivf_kmeans": Q55_SQL,
+    "q56_embed_near_dup_lsh": Q56_SQL,
     "q57_dataset_split": Q57_SQL,
     "q58_corpus_build": Q58_SQL,
     "q59_stop_shingles": Q59_SQL,
