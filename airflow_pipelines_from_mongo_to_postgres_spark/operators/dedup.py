@@ -163,12 +163,24 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float, num_perm: int = 128, bands: int = 32,
                       n: int = 3,
-                      shingle_table: DataFrame | None = None) -> DataFrame:
+                      shingle_table: DataFrame | None = None,
+                      max_shingles: int | None = None) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding, verified with exact Jaccard.
 
     Rows per band r = num_perm/bands; candidate pairs share ≥1 band hash.
     Verification makes precision exact; recall at similarity s is
     1-(1-s^r)^bands (≈1 for s ≥ threshold with the defaults).
+
+    ``max_shingles`` bounds the per-document verification payload: the
+    ``collect_list`` array is otherwise proportional to document length,
+    and one book-length outlier (10⁶ shingles ≈ 8 MB) can blow a task.
+    With a cap, each document keeps only its ``max_shingles`` SMALLEST
+    xxhash64 shingle hashes — a bottom-k sketch, i.e. a uniform sample of
+    the shingle set — and verification switches to the standard bottom-k
+    Jaccard estimator: |A∩B ∩ bottom_k(A∪B)| / |bottom_k(A∪B)|
+    (Broder 1997; unbiased, err ~ 1/√k). Documents under the cap are
+    unaffected; uncapped (None) is exact everywhere and is what the
+    hash-gated q28 runs.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -178,6 +190,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_table=shingle_table).select(
         "doc", T.hash28(F.col("shingle")).alias("h"),
         F.xxhash64("shingle").alias("sh64"))
+    if max_shingles is not None:
+        # bottom-k by sh64 per doc: the rank window shares the groupBy's
+        # hash partitioning on doc, so this adds a sort but no extra
+        # shuffle. The signature is computed from the same sample (a
+        # bottom-k sketch is itself a uniform sample, so per-band recall
+        # degrades only by the estimator's ~1/√k noise).
+        from pyspark.sql import Window
+        wcap = Window.partitionBy("doc").orderBy("sh64")
+        sh = sh.withColumn("__rn", F.row_number().over(wcap)) \
+            .filter(F.col("__rn") <= max_shingles).drop("__rn")
     # ONE groupBy produces the MinHash signature AND the verification
     # payload (shingle-hash set + size): signature generation and exact-
     # Jaccard verification need the same shuffle of the same rows by the
@@ -216,12 +238,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                          F.col("arr").alias("arr1"), F.col("n_sh").alias("n1"))
     pd2 = per_doc.select(F.col("doc").alias("d2"),
                          F.col("arr").alias("arr2"), F.col("n_sh").alias("n2"))
+    joined = cand.join(pd1, "d1").join(pd2, "d2")
+    if max_shingles is None:
+        # exact: |A∩B| / |A∪B|
+        verified = (
+            joined.withColumn("inter", F.size(F.array_intersect("arr1", "arr2")))
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
+        )
+    else:
+        # bottom-k estimator: restrict to the k smallest hashes of the
+        # UNION (the arrays are already bottom-k per side, so their union's
+        # bottom-k is the pair's bottom-k sketch).
+        union_k = F.slice(F.array_sort(F.array_union("arr1", "arr2")),
+                          1, max_shingles)
+        inter_k = F.size(F.array_intersect(
+            union_k, F.array_intersect("arr1", "arr2")))
+        verified = joined.withColumn(
+            "jaccard", F.round(inter_k / F.size(union_k), 6))
     return (
-        cand.join(pd1, "d1").join(pd2, "d2")
-        .withColumn("inter", F.size(F.array_intersect("arr1", "arr2")))
-        .withColumn("jaccard", F.round(
-            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
 

@@ -14,8 +14,11 @@ BASELINE.md). The Spark-first replacement is set-based end to end:
 
   so the per-row network round trips and per-row commits disappear.
 
-psycopg2/JDBC drivers aren't in this container: the SQL builders are pure
-and unit-tested; the executor functions gate their imports.
+The merge statement executes through the session JVM's DriverManager
+(``jvm_execute``), so no Python DBAPI driver is ever required — the JDBC
+jar Spark needs for the staging write is the only dependency. Embedded
+Derby (shipped in Spark's jars) exercises the full staging + MERGE round
+trip live in tests/test_connectors.py via the ``ansi`` dialect.
 """
 
 from __future__ import annotations
@@ -82,6 +85,59 @@ def upsert_statement(table: str, columns: Sequence[str], key: str | Sequence[str
             f"ON CONFLICT ({conflict}) {action}")
 
 
+def merge_statement(table: str, columns: Sequence[str],
+                    key: str | Sequence[str], mutable: Sequence[str],
+                    staging: str | None = None,
+                    dialect: str = "postgres") -> str:
+    """Set-based staging→target merge statement for the given SQL dialect.
+
+    * ``postgres`` — ``INSERT ... ON CONFLICT`` (the reference's statement,
+      ref user_table.py:106-118, made set-based);
+    * ``ansi`` — standard ``MERGE INTO`` (Derby, DB2, SQL Server,
+      Postgres 15+): same semantics — update only the mutable column
+      subset on key match, insert the full row otherwise.
+    """
+    if dialect == "postgres":
+        return upsert_statement(table, columns, key, mutable, staging)
+    if dialect != "ansi":
+        raise ValueError(f"unknown dialect {dialect!r} (postgres|ansi)")
+    # Double-quote COLUMN identifiers: Spark's JDBC writer quotes them
+    # (case-exact), and names like ``_id`` are not legal unquoted in
+    # strict-ANSI engines (Derby rejects a leading underscore). Table
+    # names stay verbatim — Spark passes them unquoted to CREATE TABLE,
+    # so quoting here would miss the case-folded catalog entry.
+    def q(ident: str) -> str:
+        return f'"{ident}"'
+
+    keys = [key] if isinstance(key, str) else list(key)
+    staging = staging or f"{table}_staging"
+    cond = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    ins_cols = ", ".join(q(c) for c in columns)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
+    matched = ""
+    if mutable:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in mutable)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+    return (f"MERGE INTO {table} t USING {staging} s ON {cond} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
+
+
+def jvm_execute(spark, url: str, *statements: str) -> None:
+    """Execute SQL statements over JDBC through the JVM already attached to
+    the SparkSession (``java.sql.DriverManager``) — any driver on Spark's
+    classpath works (embedded Derby in tests, the Postgres jar on a real
+    cluster) and no Python DBAPI driver is needed at all."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for stmt in statements:
+            st.execute(stmt)
+        st.close()
+    finally:
+        conn.close()
+
+
 def create_table_ddl(table: str, df: DataFrame, key: str = "_id") -> str:
     """Derive Postgres DDL from the DataFrame schema (single source of
     truth — SURVEY.md §1.3), with the reference's serial-PK + unique
@@ -114,21 +170,19 @@ def drop_schema_ddl(schema: str = "public") -> tuple[str, str]:
 
 def jdbc_merge(df: DataFrame, url: str, table: str, key: str | Sequence[str],
                mutable: Sequence[str], properties: dict | None = None,
-               batchsize: int = 10_000) -> None:
-    """Stage + merge into a live Postgres. Requires a JDBC driver on the
-    Spark classpath and a DBAPI driver for the final statement."""
+               batchsize: int = 10_000, dialect: str = "postgres") -> str:
+    """Stage + merge into a live JDBC database: the batch lands in
+    ``{table}_staging`` via the batched ``df.write.jdbc`` path, then ONE
+    server-side set-based statement merges staging into the target —
+    replacing the reference's per-row INSERT + commit loop
+    (ref user_table.py:105-121). The statement executes through the
+    session JVM's DriverManager (``jvm_execute``), so the only driver
+    requirement is the JDBC jar Spark already needs for the staging write.
+    Returns the executed statement (for logging/auditing)."""
     staging = f"{table}_staging"
     (df.write.mode("overwrite")
        .option("batchsize", str(batchsize))
        .jdbc(url, staging, properties=properties or {}))
-    stmt = upsert_statement(table, df.columns, key, mutable, staging)
-    try:
-        import psycopg2  # gated: not present in the test container
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "jdbc_merge needs a DBAPI driver to run the merge statement; "
-            f"generated statement: {stmt}") from e
-    dsn = url.replace("jdbc:postgresql://", "postgresql://")
-    with psycopg2.connect(dsn) as conn, conn.cursor() as cur:  # pragma: no cover
-        cur.execute(stmt)
-        conn.commit()
+    stmt = merge_statement(table, df.columns, key, mutable, staging, dialect)
+    jvm_execute(df.sparkSession, url, stmt)
+    return stmt

@@ -87,17 +87,47 @@ def test_live_jdbc_roundtrip_embedded(spark, tmp_path):
 
 
 @needs_derby
-def test_live_jdbc_merge_stages_then_gates_on_dbapi(spark, tmp_path):
-    """jdbc_merge's staging write is LIVE (rows land in {table}_staging via
-    the batched JDBC path); only the final server-side ON CONFLICT gates on
-    the absent DBAPI driver, and the raised message carries the statement."""
-    from airflow_pipelines_from_mongo_to_postgres_spark.sources.connectors import read_jdbc
+def test_live_jdbc_merge_round_trip(spark, tmp_path):
+    """The FULL staged-merge path runs live against embedded Derby: batched
+    JDBC staging write + one server-side set-based MERGE INTO (ansi
+    dialect), semantics matching the reference's per-row ON CONFLICT loop
+    (ref user_table.py:105-121): on key match only the mutable column
+    subset updates (frozen columns keep first-insert values); misses
+    insert the full row. Post-merge table state must equal the dataflow
+    merge operator's result on the same inputs."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import merge_upsert
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.connectors import (
+        read_jdbc,
+        write_jdbc_append,
+    )
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import jdbc_merge
 
     url = f"jdbc:derby:{tmp_path}/db;create=true"
-    df = spark.createDataFrame([(1, "done"), (2, "new")], "_id bigint, status string")
-    with pytest.raises(NotImplementedError) as ei:
-        jdbc_merge(df, url, "orders", key="_id", mutable=["status"])
-    assert "ON CONFLICT (_id) DO UPDATE SET status = EXCLUDED.status" in str(ei.value)
-    staged = read_jdbc(spark, url, "orders_staging")
-    assert sorted(map(tuple, staged.collect())) == [(1, "done"), (2, "new")]
+    target = spark.createDataFrame(
+        [(1, "old", 10.0), (3, "keep", 30.0)],
+        "_id bigint, status string, amount double")
+    batch = spark.createDataFrame(
+        [(1, "done", 99.0), (2, "new", 2.0)],
+        "_id bigint, status string, amount double")
+
+    write_jdbc_append(target, url, "orders")
+    stmt = jdbc_merge(batch, url, "orders", key="_id", mutable=["status"],
+                      dialect="ansi")
+    assert "MERGE INTO orders" in stmt
+    assert 'UPDATE SET "status" = s."status"' in stmt
+
+    got = sorted(map(tuple, read_jdbc(spark, url, "orders").collect()))
+    want = sorted(map(tuple,
+                      merge_upsert(target, batch, "_id", ["status"]).collect()))
+    assert got == want
+    # mutable updated, frozen amount kept, miss inserted, untouched row kept
+    assert got == [(1, "done", 10.0), (2, "new", 2.0), (3, "keep", 30.0)]
+
+
+def test_merge_statement_ansi_do_nothing():
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import merge_statement
+
+    stmt = merge_statement("t", ["_id", "v"], "_id", mutable=[], dialect="ansi")
+    assert "WHEN MATCHED" not in stmt
+    assert stmt.endswith(
+        'WHEN NOT MATCHED THEN INSERT ("_id", "v") VALUES (s."_id", s."v")')

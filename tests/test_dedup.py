@@ -85,3 +85,37 @@ def test_stop_shingle_pruning(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pruned = dedup.jaccard_pairs(df, "doc_id", "text", 0.9, max_df=5)
     assert pruned.count() == 0  # only the hot shingle was shared; it's gone
+
+
+def test_max_shingles_caps_giant_doc_payload(spark):
+    """One book-length outlier must not blow the verification payload: with
+    a cap, each doc carries at most max_shingles hashes and the bottom-k
+    Jaccard estimate stays close to the exact value (err ~ 1/sqrt(k))."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(6_000)]
+    giant = " ".join(words)
+    # near dup: same text with a 5% tail swap
+    cut = int(len(words) * 0.95)
+    near = " ".join(words[:cut] + [f"x{i}" for i in range(len(words) - cut)])
+    df = spark.createDataFrame(
+        [(0, giant), (1, near), (2, "tiny unrelated doc here")],
+        ["doc_id", "text"])
+
+    exact = {(r.d1, r.d2): r.jaccard for r in
+             dedup.jaccard_pairs(df, "doc_id", "text", 0.2).collect()}
+    capped = {(r.d1, r.d2): r.jaccard for r in
+              dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.2,
+                                      num_perm=32, bands=16,
+                                      max_shingles=512).collect()}
+    assert (0, 1) in exact and (0, 1) in capped
+    assert abs(capped[(0, 1)] - exact[(0, 1)]) < 0.1   # ~1/sqrt(512) noise
+    assert (0, 2) not in capped
+
+    # under-cap docs are exact: rerun with a cap far above every doc size
+    uncapped_equiv = {(r.d1, r.d2): r.jaccard for r in
+                      dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.2,
+                                              num_perm=32, bands=16,
+                                              max_shingles=100_000).collect()}
+    assert uncapped_equiv[(0, 1)] == exact[(0, 1)]
