@@ -106,6 +106,67 @@ def lang_id(col) -> Column:
     return best.getField("lang")
 
 
+def ngrams_with_dups(col, n: int) -> Column:
+    """Word n-grams KEEPING duplicates (unlike ``shingles``): the unit for
+    repetition analysis, where the duplicate count IS the signal."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, gram) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(col) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher-style quality rules):
+    the fraction of duplicated word n-grams and token diversity. High
+    dup-n-gram fractions flag boilerplate / degenerate generations. All
+    integer counts + one division — bit-identical across engines."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    out: dict[str, Column] = {
+        "n_tokens": n_tok,
+        "token_diversity": F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6),
+    }
+    for n in (2, 3):
+        grams = ngrams_with_dups(col, n)
+        total = F.size(grams)
+        out[f"dup_{n}gram_ratio"] = F.round(
+            (total - F.size(F.array_distinct(grams)))
+            / F.greatest(total, F.lit(1)), 6)
+    return out
+
+
+#: PII patterns — engine-portable subset (no lookarounds; legal in both
+#: Java regex and RE2/DuckDB): emails, NANP-ish phone numbers, IPv4.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Occurrence count per PII class over the lowercased text."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col) -> Column:
+    """Masked copy: each PII class replaced by its [CLASS] tag, applied in
+    the fixed PII_PATTERNS order (email first so phone digits inside
+    addresses are already gone)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
 def quality_features(col) -> dict[str, Column]:
     """Length/punctuation/stopword features for quality filtering."""
     c = F.col(col) if isinstance(col, str) else col

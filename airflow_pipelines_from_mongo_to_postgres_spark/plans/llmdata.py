@@ -1011,6 +1011,136 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# --- q73: within-document repetition stats (Gopher-style quality rules) -------------
+def q73_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fractions + token diversity per document —
+    boilerplate and degenerate-generation detection. Pure Column
+    expressions over one scan: integer gram counts and a single division,
+    so both engines produce bit-identical doubles."""
+    d = load_table(spark, "documents", sf_dir)
+    f = T.repetition_features("text")
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["token_diversity"].alias("token_diversity"),
+        f["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        f["dup_3gram_ratio"].alias("dup_3gram_ratio"),
+    )
+
+
+def _grams_dup_sql(col: str, n: int) -> str:
+    toks = _TOKENS_SQL.format(col=col)
+    join = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return (f"(SELECT list_transform(range(1, greatest(len(ts) - {n - 1}, 0) + 1), "
+            f"i -> {join}) FROM (SELECT {toks} AS ts) __g{n})")
+
+
+Q73_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         {_TOKENS_SQL.format(col='text')} AS toks,
+         {_grams_dup_sql('text', 2)} AS g2,
+         {_grams_dup_sql('text', 3)} AS g3
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS token_diversity,
+       round((len(g2) - len(list_distinct(g2))) * 1.0 / greatest(len(g2), 1), 6) AS dup_2gram_ratio,
+       round((len(g3) - len(list_distinct(g3))) * 1.0 / greatest(len(g3), 1), 6) AS dup_3gram_ratio
+FROM g
+"""
+
+
+# --- q74: PII scan + scrub (emails / phones / IPv4) ---------------------------------
+def q74_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII occurrence counts and the fingerprint of the
+    scrubbed text (each match replaced by its [CLASS] tag). The pattern
+    set is the engine-portable subset (no lookarounds) so Java regex and
+    RE2 agree; at 100 TB this is one scan-side projection, no shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = T.pii_counts("text")
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(T.scrub_pii("text")).alias("scrubbed_fp"),
+    )
+
+
+def _pii_sql() -> str:
+    # DuckDB single-quoted strings treat backslash literally — do NOT
+    # double-escape regex backslashes (only quote-escape).
+    pats = {k: v.replace("'", "''") for k, v in T.PII_PATTERNS.items()}
+    scrub = "lower(text)"
+    for name, pat in T.PII_PATTERNS.items():
+        sql_pat = pat.replace("'", "''")
+        scrub = (f"regexp_replace({scrub}, '{sql_pat}', "
+                 f"'[{name.upper()}]', 'g')")
+    alias = {"email": "n_emails", "phone": "n_phones", "ipv4": "n_ipv4"}
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT) AS {alias[name]}"
+        for name, pat in pats.items()
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       md5({scrub}) AS scrubbed_fp
+FROM documents
+"""
+
+
+Q74_SQL = _pii_sql()
+
+
+# --- q75: sequence packing (token-budget bins for training batches) -----------------
+_PACK_BUDGET, _PACK_BUCKETS = 2048, 32
+
+
+def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into fixed token budgets —
+    the batch-assembly step of a training pipeline. Documents hash into
+    ``_PACK_BUCKETS`` independent streams (md5-derived, append-stable);
+    within a stream, a running token total assigns each doc the pack
+    whose budget window its first token lands in.
+
+    Scale: the window partitions on the bucket — ``_PACK_BUCKETS``-way
+    parallel, never a global sort; integer arithmetic end to end, so the
+    oracle matches exactly."""
+    from pyspark.sql import Window
+    d = load_table(spark, "documents", sf_dir)
+    staged = d.select(
+        "doc_id",
+        F.pmod(T.hash28(F.col("doc_id").cast("string")),
+               F.lit(_PACK_BUCKETS)).cast("int").alias("bucket"),
+        T.token_count_bpe("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        "doc_id", "bucket", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / _PACK_BUDGET).cast("int").alias("pack_id"),
+    )
+
+
+Q75_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+              % {_PACK_BUCKETS} AS INT) AS bucket,
+         len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {_PACK_BUDGET}) AS INT) AS pack_id
+FROM staged
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -1039,6 +1169,9 @@ QUERIES = {
     "q62_ann_topk_numpy": q62_ann_topk_numpy,
     "q63_jaccard_pruned": q63_jaccard_pruned,
     "q64_embed_near_dup_drop": q64_embed_near_dup_drop,
+    "q73_repetition_stats": q73_repetition_stats,
+    "q74_pii_scan": q74_pii_scan,
+    "q75_sequence_packing": q75_sequence_packing,
 }
 
 ORACLES = {
@@ -1069,4 +1202,7 @@ ORACLES = {
     "q62_ann_topk_numpy": Q33_SQL,  # exact twin of q33: same oracle
     "q63_jaccard_pruned": Q63_SQL,
     "q64_embed_near_dup_drop": Q64_SQL,
+    "q73_repetition_stats": Q73_SQL,
+    "q74_pii_scan": Q74_SQL,
+    "q75_sequence_packing": Q75_SQL,
 }

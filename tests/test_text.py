@@ -55,3 +55,43 @@ def test_hash28_range(spark):
     df = spark.createDataFrame([(f"w{i}",) for i in range(100)], ["t"])
     mx = df.select(F.max(T.hash28("t")).alias("m")).collect()[0].m
     assert 0 <= mx < (1 << 28)
+
+
+def test_pii_counts_and_scrub_cross_engine(spark):
+    """PII regexes must behave identically in Spark (Java regex) and the
+    DuckDB oracle (RE2): counts AND the scrubbed text fingerprint agree on
+    text that actually CONTAINS PII (the fixture corpus has none, so the
+    driver gate alone would never catch a dialect drift)."""
+    import duckdb
+    import pandas as pd
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import _pii_sql
+
+    rows = [
+        (0, "contact Bob.Smith+spam@example.co.uk or 555-867-5309 today"),
+        (1, "server at 10.0.255.7 and backup at 192.168.1.1 port 8080"),
+        (2, "call +1 415 555 2671 x99; mail root@localhost.localdomain"),
+        (3, "no sensitive content whatsoever in this row"),
+        (4, "a@b.io a@b.io twice, and 123.456.789.012 looks like an ip"),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = T.pii_counts("text")
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ipv4, r.fp)
+        for r in sdf.select(
+            "doc_id",
+            counts["email"].alias("n_emails"),
+            counts["phone"].alias("n_phones"),
+            counts["ipv4"].alias("n_ipv4"),
+            F.md5(T.scrub_pii("text")).alias("fp"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: tuple(r[1:]) for r in con.execute(
+        _pii_sql().replace("scrubbed_fp", "fp")).fetchall()}
+    assert got == want
+    assert got[0][0] == 1 and got[0][1] >= 1     # email + phone found
+    assert got[1][2] == 2                        # two IPv4s
+    assert got[3] == (0, 0, 0, got[3][3])        # clean row stays clean
