@@ -92,3 +92,32 @@ def test_quality_deciles_has_no_global_window(spark, sf_dir):
     plan = _formatted_plan(q60_quality_deciles(spark, sf_dir))
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_repetition_and_pii_scans_are_shuffle_free(spark, sf_dir):
+    """q73/q74 are pure scan-side projections — any Exchange in the plan
+    means a shuffle crept into what must stay a map-only pass at 100 TB."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        q73_repetition_stats,
+        q74_pii_scan,
+    )
+
+    for q in (q73_repetition_stats, q74_pii_scan):
+        plan = _formatted_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_partitions_on_bucket_only(spark, sf_dir):
+    """q75's running total must window per hash bucket: exactly one
+    hash-partitioned Exchange on `bucket` and no empty-partition (global)
+    Window sort."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        q75_sequence_packing,
+    )
+
+    plan = _formatted_plan(q75_sequence_packing(spark, sf_dir))
+    # formatted mode puts the operator ("(3) Exchange") and its arguments
+    # ("hashpartitioning(bucket#5, 32)") on separate lines
+    assert "hashpartitioning(bucket" in plan, plan
+    assert plan.count(") Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
