@@ -23,15 +23,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- q01: TPC-H Q1-style pricing summary (scan → filter → hash agg) --------
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product sums (disc_price, charge) go through DECIMAL(18,6): the
+    per-row product DOUBLE is bit-identical across engines (IEEE multiply
+    of the same inputs in the same expression order), casting it to 6-dp
+    decimal recovers the exact ≤6-dp value, and decimal addition is
+    summation-order-independent — so round(·,4) can never flip on
+    partial-agg order. Plain 2-dp column sums keep the double path (their
+    sums sit ≥50× the FP error away from any 4-dp boundary)."""
     li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -43,8 +54,8 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
        round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS sum_disc_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 4) AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
@@ -119,7 +130,10 @@ def q04_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("total_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            # product sum via decimal(18,6): order-independent (see q01)
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                    4).alias("revenue"),
         )
     )
 
@@ -127,7 +141,7 @@ def q04_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q04_SQL = """
 SELECT p_brand,
        round(sum(l_quantity), 4) AS total_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
