@@ -355,6 +355,33 @@ LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
 """
 
 
+# --- q77: SCD2 dimension build (validity intervals from an event stream) ----
+def q77_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each user event opens a
+    validity interval that closes when the next event for that user
+    arrives (lead over the per-user timeline); the newest row stays open
+    (valid_to null, is_current true). One shuffle on user_id; the window
+    orders by (ts, event_id) so ties are deterministic on both engines."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+Q77_SQL = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -364,6 +391,7 @@ QUERIES = {
     "q70_below_avg_quantity": q70_below_avg_quantity,
     "q71_price_histogram": q71_price_histogram,
     "q72_gap_fill_locf": q72_gap_fill_locf,
+    "q77_scd2_intervals": q77_scd2_intervals,
 }
 
 ORACLES = {
@@ -375,4 +403,5 @@ ORACLES = {
     "q70_below_avg_quantity": Q70_SQL,
     "q71_price_histogram": Q71_SQL,
     "q72_gap_fill_locf": Q72_SQL,
+    "q77_scd2_intervals": Q77_SQL,
 }

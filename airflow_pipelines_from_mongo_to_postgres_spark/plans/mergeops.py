@@ -207,12 +207,77 @@ SELECT (SELECT count(DISTINCT o_orderkey) FROM (
 """
 
 
+# --- q76: snapshot diff (CDC delta between two table states) -----------------
+def q76_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table: one
+    full-outer join emits insert / update / delete rows (unchanged rows
+    drop out). This is the delta the reference's daily DAG derives
+    implicitly by re-upserting everything (ref user_table.py:142-167);
+    computing it explicitly is what lets a 100 TB pipeline ship only the
+    changed rows downstream. One shuffle on the key; change detection is
+    a row-local comparison.
+
+    Snapshots are derived deterministically from ``orders``: snapshot A
+    drops keys ≡0 (mod 101) (so they surface as inserts in B), snapshot B
+    bumps the price of keys ≡0 (mod 97) (updates) and drops keys ≡0
+    (mod 103) (deletes)."""
+    o = load_table(spark, "orders", sf_dir)
+    snap_a = o.filter(F.col("o_orderkey") % 101 != 0) \
+        .select("o_orderkey", "o_totalprice")
+    snap_b = o.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0,
+               F.round(F.col("o_totalprice") * 1.1, 4))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+    a = snap_a.select(F.col("o_orderkey").alias("key"),
+                      F.col("o_totalprice").alias("old_price"))
+    b = snap_b.select(F.col("o_orderkey").alias("key"),
+                      F.col("o_totalprice").alias("new_price"))
+    joined = a.join(b, "key", "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("old_price").isNull(), F.lit("insert"))
+            .when(F.col("new_price").isNull(), F.lit("delete"))
+            .when(F.col("old_price") != F.col("new_price"), F.lit("update"))
+            .otherwise(F.lit("unchanged")))
+        .filter(F.col("change_type") != "unchanged")
+        .select("key", "change_type", "old_price", "new_price")
+    )
+
+
+Q76_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS key, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+b AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.1, 4)
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 103 <> 0
+)
+SELECT key,
+       CASE WHEN old_price IS NULL THEN 'insert'
+            WHEN new_price IS NULL THEN 'delete'
+            WHEN old_price <> new_price THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       old_price, new_price
+FROM a FULL JOIN b USING (key)
+WHERE CASE WHEN old_price IS NULL THEN 'insert'
+           WHEN new_price IS NULL THEN 'delete'
+           WHEN old_price <> new_price THEN 'update'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
 QUERIES = {
     "q20_merge_upsert": q20_merge_upsert,
     "q21_insert_if_absent": q21_insert_if_absent,
     "q22_surrogate_keygen": q22_surrogate_keygen,
     "q23_fk_orphans": q23_fk_orphans,
     "q24_merge_idempotent": q24_merge_idempotent,
+    "q76_snapshot_diff": q76_snapshot_diff,
 }
 
 ORACLES = {
@@ -221,4 +286,5 @@ ORACLES = {
     "q22_surrogate_keygen": Q22_SQL,
     "q23_fk_orphans": Q23_SQL,
     "q24_merge_idempotent": Q24_SQL,
+    "q76_snapshot_diff": Q76_SQL,
 }
