@@ -255,3 +255,71 @@ def test_archive_files_get_date_stamped_names(spark, tmp_path):
     assert stamp_archived_files(spark, str(tmp_path / "archive"), when=when) == []
     # absent dir: graceful empty
     assert stamp_archived_files(spark, str(tmp_path / "nope"), when=when) == []
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static broadcast join: streamed facts pick up dimension
+    attributes; results equal the batch join."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+        enrich_with_dimension,
+    )
+    from pyspark.sql.types import LongType, StringType
+
+    facts = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "zz", 30.0)],
+        "k bigint, dim_key string, v double")
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "dim_key string, label string")
+    src = tmp_path / "facts"; src.mkdir()
+    facts.write.parquet(str(src / "p"))
+
+    stream = spark.readStream.schema(facts.schema).parquet(str(src / "p"))
+    out = enrich_with_dimension(stream, dim, ["dim_key"])
+    q = (out.writeStream.format("memory").queryName("enrich_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_en"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.k, r.label) for r in spark.sql("SELECT * FROM enrich_test").collect()}
+    want = {(r.k, r.label) for r in
+            enrich_with_dimension(facts, dim, ["dim_key"]).collect()}
+    assert got == want
+    assert (3, None) in got  # left join keeps unmatched facts
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (purchases within 10 min of
+    a signup, per user) == the same join run in batch mode."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming import (
+        interval_join_streams,
+    )
+
+    signups = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")],
+        ["user_id", "ts_s"],
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    purchases = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 9.99),   # within 10 min → match
+         (1, "2024-01-01 00:20:00", 5.00),   # too late → no match
+         (2, "2024-01-01 01:09:59", 1.00),   # within → match
+         (3, "2024-01-01 00:01:00", 7.00)],  # no signup → no match
+        ["user_id", "ts_s", "amount"],
+    ).withColumn("pts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    sdir = tmp_path / "su"; sdir.mkdir(); signups.write.parquet(str(sdir / "p"))
+    pdir = tmp_path / "pu"; pdir.mkdir(); purchases.write.parquet(str(pdir / "p"))
+    s_stream = spark.readStream.schema(signups.schema).parquet(str(sdir / "p"))
+    p_stream = spark.readStream.schema(purchases.schema).parquet(str(pdir / "p"))
+
+    out = interval_join_streams(s_stream, p_stream, "user_id", "ts", "pts")
+    q = (out.writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.r_amount)
+           for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    want = {(r.user_id, r.r_amount) for r in
+            interval_join_streams(signups, purchases, "user_id", "ts", "pts")
+            .collect()}
+    assert got == want == {(1, 9.99), (2, 1.00)}
