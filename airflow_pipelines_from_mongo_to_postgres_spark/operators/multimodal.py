@@ -168,6 +168,69 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str,
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
 
 
+def _be_uint(bin_col, pos: int, nbytes: int):
+    """Big-endian unsigned int from ``nbytes`` at 1-indexed ``pos``."""
+    return F.conv(F.hex(F.substring(bin_col, pos, nbytes)), 16, 10).cast("int")
+
+
+def _le_uint(bin_col, pos: int, nbytes: int):
+    """Little-endian unsigned int: combine bytes low-to-high."""
+    out = F.lit(0)
+    for i in range(nbytes):
+        out = out + _be_uint(bin_col, pos + i, 1) * (1 << (8 * i))
+    return out.cast("int")
+
+
+def image_dimensions(payload_col) -> F.Column:
+    """``struct(format, width, height)`` parsed from the payload's header
+    bytes — PNG (IHDR, big-endian at offset 16), GIF (LE uint16 at 6),
+    BMP (LE int32 at 18). Pure Column expressions over ``substring``/
+    ``hex``/``conv``: runs inside whole-stage codegen with NO Python
+    workers and no image libraries — the header path most curation
+    pipelines need (dimension/aspect filters) without ever decoding.
+    Unknown or truncated payloads → null fields."""
+    b = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    is_png = F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A"
+    is_gif = F.hex(F.substring(b, 1, 4)) == "47494638"        # "GIF8"
+    is_bmp = F.hex(F.substring(b, 1, 2)) == "424D"            # "BM"
+    long_enough = F.octet_length(b)
+    return (
+        F.when(is_png & (long_enough >= 24), F.struct(
+            F.lit("png").alias("format"),
+            _be_uint(b, 17, 4).alias("width"),
+            _be_uint(b, 21, 4).alias("height")))
+        .when(is_gif & (long_enough >= 10), F.struct(
+            F.lit("gif").alias("format"),
+            _le_uint(b, 7, 2).alias("width"),
+            _le_uint(b, 9, 2).alias("height")))
+        .when(is_bmp & (long_enough >= 26), F.struct(
+            F.lit("bmp").alias("format"),
+            _le_uint(b, 19, 4).alias("width"),
+            _le_uint(b, 23, 4).alias("height")))
+        .otherwise(F.struct(
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height")))
+    )
+
+
+def header_media_features(df: DataFrame, id_col: str,
+                          payload_col: str) -> DataFrame:
+    """Scan-side (JVM-only) variant of ``extract_media_features`` for
+    formats whose dimensions live in fixed header offsets: no mapInPandas
+    stage, no Python workers — at 100 TB this is a plain projection
+    fused into the scan. Falls back to nulls where the header isn't
+    recognized (route those rows to the codec stage)."""
+    dims = image_dimensions(payload_col)
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.octet_length(F.col(payload_col)).alias("payload_bytes"),
+        dims.getField("format").alias("format"),
+        dims.getField("width").alias("width"),
+        dims.getField("height").alias("height"),
+    )
+
+
 def attach_payload(df: DataFrame, text_col: str, payload_col: str = "payload") -> DataFrame:
     """Test helper: fabricate a binary payload column from text (the
     fixtures carry no real media; the plumbing is what's under test)."""

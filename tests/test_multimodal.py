@@ -61,3 +61,35 @@ def test_sample_frames_one_to_n(spark):
     assert "v3" not in by_id                       # empty payload -> no frames
     assert b"".join(f.frame for f in sorted(by_id["v1"], key=lambda r: r.frame_idx))
     assert sorted(r.frame_idx for r in by_id["v1"]) == [0, 1, 2, 3]
+
+
+def test_header_dimensions_real_bytes(spark):
+    """image_dimensions parses REAL format headers (constructed with
+    struct.pack, no image libraries) — and stays JVM-side: the plan must
+    contain no Python worker stage."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        header_media_features,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+           + struct.pack("<III", 40, 800, 600) + b"\x00" * 20)
+    junk = b"\x00\x01\x02 not an image"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)),
+         (3, bytearray(bmp)), (4, bytearray(junk))],
+        "media_id long, payload binary")
+    out = header_media_features(df, "media_id", "payload")
+    got = {r.media_id: (r.format, r.width, r.height) for r in out.collect()}
+    assert got["1"] == ("png", 640, 480)
+    assert got["2"] == ("gif", 320, 200)
+    assert got["3"] == ("bmp", 800, 600)
+    assert got["4"] == (None, None, None)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
