@@ -1141,6 +1141,60 @@ FROM staged
 """
 
 
+# --- q78: corpus-unigram language-model score (perplexity-proxy curation) ----------
+def q78_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram distribution — the cheap perplexity proxy curation pipelines
+    use to rank documents before an expensive LM pass. One explode + one
+    vocabulary join (vocab ≪ corpus → AQE broadcast) + one groupBy.
+
+    Cross-engine exactness: each token's ln p is rounded to 9 dp FIRST
+    (ln bit-parity between the JVM and DuckDB holds on these magnitudes —
+    the same assumption q65's idf already relies on), then summed as
+    DECIMAL(18,9) — order-independent — and only then averaged, so the
+    6-dp output can't flip on aggregation order (sums of logs land
+    anywhere, unlike 2-dp money there is NO distance-to-boundary margin
+    to lean on)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("total")), 9)
+            .cast("decimal(18,9)").alias("lp"))
+    )
+    return (
+        logp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round((F.sum("lp") / F.count(F.lit(1))).cast("double"), 6)
+            .alias("mean_logp"),
+        )
+    )
+
+
+Q78_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT sum(cnt) AS total FROM vocab),
+logp AS (
+  SELECT doc_id,
+         CAST(round(ln(cnt * 1.0 / total), 9) AS DECIMAL(18,9)) AS lp
+  FROM toks JOIN vocab USING (token), total
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS mean_logp
+FROM logp GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -1172,6 +1226,7 @@ QUERIES = {
     "q73_repetition_stats": q73_repetition_stats,
     "q74_pii_scan": q74_pii_scan,
     "q75_sequence_packing": q75_sequence_packing,
+    "q78_lm_unigram_score": q78_lm_unigram_score,
 }
 
 ORACLES = {
@@ -1205,4 +1260,5 @@ ORACLES = {
     "q73_repetition_stats": Q73_SQL,
     "q74_pii_scan": Q74_SQL,
     "q75_sequence_packing": Q75_SQL,
+    "q78_lm_unigram_score": Q78_SQL,
 }
