@@ -103,3 +103,52 @@ def test_merge_upsert_idempotent_and_partial(spark, target, updates):
         if k in tmap and k in umap:
             assert r.mut == umap[k][0]              # mutable refreshed
             assert r.frozen == tmap[k][1]           # frozen kept
+
+
+_texts = st.lists(
+    st.tuples(st.integers(0, 999),
+              st.text(alphabet="ab cd", min_size=0, max_size=20)),
+    min_size=1, max_size=6, unique_by=lambda t: t[0])
+
+
+@given(docs=_texts)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_exact_dedup_conserves_rows_and_keepers(spark, docs):
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = exact_duplicates(df, "doc_id", "text").collect()
+    assert sum(r.copies for r in out) == len(docs)   # every row accounted for
+    ids = {d for d, _ in docs}
+    assert all(r.keeper_id in ids for r in out)      # keepers are real docs
+    # keeper is the MIN id of its fingerprint group
+    by_fp = {}
+    for r in out:
+        by_fp[r.fp] = r.keeper_id
+    import hashlib, re
+    for d, t in docs:
+        fp = hashlib.md5(re.sub(r"\s+", " ", t.lower()).strip().encode()).hexdigest()
+        assert by_fp[fp] <= d
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=2, max_size=8, unique=True))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_split_assignment_is_append_stable(spark, ids):
+    """Growing the corpus must never move an existing doc to a different
+    split — the property that makes hash-based splits safe for
+    incremental training-data builds (re-running after ingest cannot leak
+    train docs into test)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.sampling import (
+        train_val_test_split,
+    )
+
+    subset = spark.createDataFrame([(i, "x") for i in ids[:len(ids) // 2]],
+                                   ["doc_id", "text"])
+    superset = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+    small = {r.doc_id: r.split for r in train_val_test_split(subset, "doc_id").collect()}
+    big = {r.doc_id: r.split for r in train_val_test_split(superset, "doc_id").collect()}
+    assert all(big[k] == v for k, v in small.items())
