@@ -382,6 +382,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- q79: incremental aggregate maintenance (materialized-view delta merge) --
+_Q79_CUT = "2024-03-01"
+
+
+def q79_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a daily (day × event_type) aggregate INCREMENTALLY: the
+    standing aggregate over history is combined with the delta batch's
+    partial aggregate through one full-outer join — counts add, decimal
+    sums add — without rescanning history. At 100 TB this is the
+    difference between touching one day and re-reading the lake; the
+    ORACLE computes the same aggregate directly over all rows, so the
+    driver's hash gate IS the proof that combine(partial(A), partial(B))
+    == full(A ∪ B). Sums are DECIMAL(18,4) — associative and
+    order-independent, which is exactly the algebraic property
+    incremental maintenance needs (double sums are not associative)."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type", "ts",
+        F.col("value").cast("decimal(18,4)").alias("v"))
+    cut = F.lit(_Q79_CUT).cast("timestamp")
+
+    def part(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("v").alias("total_value"))
+
+    base, delta = part(e.filter(F.col("ts") < cut)), part(e.filter(F.col("ts") >= cut))
+    b = base.select("day", "event_type",
+                    F.col("events").alias("e1"), F.col("total_value").alias("t1"))
+    d = delta.select("day", "event_type",
+                     F.col("events").alias("e2"), F.col("total_value").alias("t2"))
+    return (
+        b.join(d, ["day", "event_type"], "full_outer")
+        .select(
+            "day", "event_type",
+            (F.coalesce("e1", F.lit(0)) + F.coalesce("e2", F.lit(0))).alias("events"),
+            (F.coalesce(F.col("t1"), F.lit(0).cast("decimal(18,4)"))
+             + F.coalesce(F.col("t2"), F.lit(0).cast("decimal(18,4)")))
+            .cast("decimal(28,4)").alias("total_value"),
+        )
+    )
+
+
+#: Oracle: the DIRECT aggregation — equality proves the incremental
+#: combine reproduces a full recomputation.
+Q79_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -392,6 +446,7 @@ QUERIES = {
     "q71_price_histogram": q71_price_histogram,
     "q72_gap_fill_locf": q72_gap_fill_locf,
     "q77_scd2_intervals": q77_scd2_intervals,
+    "q79_incremental_agg": q79_incremental_agg,
 }
 
 ORACLES = {
@@ -404,4 +459,5 @@ ORACLES = {
     "q71_price_histogram": Q71_SQL,
     "q72_gap_fill_locf": Q72_SQL,
     "q77_scd2_intervals": Q77_SQL,
+    "q79_incremental_agg": Q79_SQL,
 }
