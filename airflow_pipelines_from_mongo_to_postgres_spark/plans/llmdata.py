@@ -1195,6 +1195,64 @@ FROM logp GROUP BY doc_id
 """
 
 
+# --- q80: source mixing weights (domain-balance resampling factors) ----------------
+def q80_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition + the resampling weight that equalizes
+    each source's TOKEN contribution (weight = 1 / (n_sources ·
+    token_share)) — the 'domain mixing' step of a training-data build.
+    Token counts are integers (shares and weights are single deterministic
+    divisions); mean quality goes through a DECIMAL(18,6) sum of the
+    already-6dp-rounded per-row score. One groupBy + two broadcast
+    singleton aggregates."""
+    d = load_table(spark, "documents", sf_dir)
+    per_doc = d.select(
+        "source",
+        T.token_count_bpe("text").alias("toks"),
+        T.quality_score("text").cast("decimal(18,6)").alias("q"))
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("toks").alias("tokens"),
+        F.round((F.sum("q") / F.count(F.lit(1))).cast("double"), 6)
+        .alias("mean_quality"))
+    totals = per_src.agg(F.sum("tokens").alias("all_tokens"),
+                         F.count(F.lit(1)).alias("n_sources"))
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "docs", "tokens", "mean_quality",
+            F.round(F.col("tokens") / F.col("all_tokens"), 6).alias("token_share"),
+            F.round(F.col("all_tokens") / (F.col("n_sources") * F.col("tokens")), 6)
+            .alias("mix_weight"),
+        )
+    )
+
+
+Q80_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}')) AS toks,
+         CAST(round(least(len({_TOKENS_SQL.format(col='text')}) / 64.0, 1.0) * 0.5
+               + least(len(list_intersect(list_distinct({_TOKENS_SQL.format(col='text')}),
+                       [{", ".join(f"'{w}'" for w in T.LANG_MARKERS['en'])}])) / 3.0, 1.0) * 0.3
+               + (1 - least(round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                            / greatest(length(text), 1), 6) * 10, 1.0)) * 0.2,
+               6) AS DECIMAL(18,6)) AS q
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS docs,
+         CAST(sum(toks) AS BIGINT) AS tokens,
+         round(CAST(sum(q) / count(*) AS DOUBLE), 6) AS mean_quality
+  FROM per_doc GROUP BY source
+),
+totals AS (SELECT sum(tokens) AS all_tokens, count(*) AS n_sources FROM per_src)
+SELECT source, docs, tokens, mean_quality,
+       round(tokens * 1.0 / all_tokens, 6) AS token_share,
+       round(all_tokens * 1.0 / (n_sources * tokens), 6) AS mix_weight
+FROM per_src, totals
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -1227,6 +1285,7 @@ QUERIES = {
     "q74_pii_scan": q74_pii_scan,
     "q75_sequence_packing": q75_sequence_packing,
     "q78_lm_unigram_score": q78_lm_unigram_score,
+    "q80_source_mix": q80_source_mix,
 }
 
 ORACLES = {
@@ -1261,4 +1320,5 @@ ORACLES = {
     "q74_pii_scan": Q74_SQL,
     "q75_sequence_packing": Q75_SQL,
     "q78_lm_unigram_score": Q78_SQL,
+    "q80_source_mix": Q80_SQL,
 }
