@@ -408,21 +408,17 @@ def q79_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("events"),
             F.sum("v").alias("total_value"))
 
-    base, delta = part(e.filter(F.col("ts") < cut)), part(e.filter(F.col("ts") >= cut))
-    b = base.select("day", "event_type",
-                    F.col("events").alias("e1"), F.col("total_value").alias("t1"))
-    d = delta.select("day", "event_type",
-                     F.col("events").alias("e2"), F.col("total_value").alias("t2"))
-    return (
-        b.join(d, ["day", "event_type"], "full_outer")
-        .select(
-            "day", "event_type",
-            (F.coalesce("e1", F.lit(0)) + F.coalesce("e2", F.lit(0))).alias("events"),
-            (F.coalesce(F.col("t1"), F.lit(0).cast("decimal(18,4)"))
-             + F.coalesce(F.col("t2"), F.lit(0).cast("decimal(18,4)")))
-            .cast("decimal(28,4)").alias("total_value"),
-        )
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.aggmaint import (
+        combine_partial_aggs,
     )
+    base, delta = part(e.filter(F.col("ts") < cut)), part(e.filter(F.col("ts") >= cut))
+    base = base.withColumn("total_value",
+                           F.col("total_value").cast("decimal(28,4)"))
+    delta = delta.withColumn("total_value",
+                             F.col("total_value").cast("decimal(28,4)"))
+    return combine_partial_aggs(base, delta, ["day", "event_type"],
+                                count_cols=["events"],
+                                sum_cols=["total_value"])
 
 
 #: Oracle: the DIRECT aggregation — equality proves the incremental

@@ -63,3 +63,35 @@ def test_quarantine_split(spark):
     clean, bad = quarantine_split(
         df, F.col("_id").isNotNull() & F.col("v").isNotNull())
     assert clean.count() == 1 and bad.count() == 2  # M14: observable drops
+
+
+def test_combine_partial_aggs_multi_batch_equals_full(spark):
+    """Incremental maintenance over THREE delta slices, combined in two
+    different orders, must equal the direct full aggregation — the
+    associativity contract decimal sums provide (and double sums don't)."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.aggmaint import (
+        combine_partial_aggs,
+    )
+
+    rows = [(k, i, float(v) / 100) for i, (k, v) in enumerate(
+        [("a", 123), ("b", 457), ("a", 999), ("c", 31), ("b", 8),
+         ("a", 77), ("c", 4501), ("a", 6), ("b", 10000)])]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+
+    def part(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("decimal(28,4)")
+            .alias("s"))
+
+    s1, s2, s3 = (part(df.filter(F.col("i") % 3 == r)) for r in range(3))
+    keys, cc, sc = ["k"], ["n"], ["s"]
+    left = combine_partial_aggs(combine_partial_aggs(s1, s2, keys, cc, sc),
+                                s3, keys, cc, sc)
+    right = combine_partial_aggs(s1, combine_partial_aggs(s2, s3, keys, cc, sc),
+                                 keys, cc, sc)
+    full = part(df)
+    as_rows = lambda d: sorted(map(tuple, d.collect()))
+    assert as_rows(left) == as_rows(right) == as_rows(full)
