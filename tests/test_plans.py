@@ -121,3 +121,45 @@ def test_sequence_packing_partitions_on_bucket_only(spark, sf_dir):
     assert "hashpartitioning(bucket" in plan, plan
     assert plan.count(") Exchange") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_no_query_windows_over_single_partition(spark, sf_dir):
+    """Sweep ALL registered queries: no Window operator may sit on a
+    SinglePartition exchange — that shape pulls every row through one
+    task's sort at scale. 1-row global aggregates (max/count singletons)
+    legitimately end in SinglePartition and are NOT flagged; the gate
+    walks the plan tree and only inspects each Window's own subtree.
+    CartesianProduct is banned outright (broadcast NLJ handles the
+    singleton crossJoins). q22 is allowlisted: its global row_number is
+    the serial-PK scenario FIXTURE, documented in plans/mergeops.py."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    ALLOW = {
+        # global row_number IS the serial-PK scenario fixture (mergeops.py)
+        "q22_surrogate_keygen",
+        # rank over the 50 rows ALREADY reduced by TakeOrdered/limit —
+        # bounded by construction (plans/analytics.py q66 docstring)
+        "q66_word_frequency",
+    }
+    offenders, cartesian = [], []
+    for name, fn in entrymod.queries().items():
+        tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in tree:
+            cartesian.append(name)
+        if name in ALLOW:
+            continue
+        for ln in tree.splitlines():
+            # "Window [exprs], [partition cols], [order]" = partitioned;
+            # "Window [exprs], [order]" = GLOBAL (one task sorts everything)
+            m = re.search(r"\bWindow (\[.*)$", ln)
+            if not m:
+                continue
+            groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]",
+                                m.group(1))
+            if len(groups) < 3:
+                offenders.append(name)
+                break
+    assert not offenders, f"global-window queries: {offenders}"
+    assert not cartesian, f"cartesian-product queries: {cartesian}"
