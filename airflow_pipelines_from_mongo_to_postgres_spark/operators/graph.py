@@ -76,6 +76,51 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     return labels
 
 
+def pagerank(edges: DataFrame, src: str, dst: str, iterations: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (each pair
+    listed once; symmetrized internally). Returns (node, rank) after
+    ``iterations`` power steps of r(v) = (1-d) + d·Σ_{u→v} r(u)/deg(u),
+    starting from r=1.
+
+    Cross-engine exactness (the q81 oracle replays this in unrolled SQL
+    CTEs): each per-edge contribution r(u)/deg(u) is one double division
+    of identical operands (bit-identical across engines), rounded to 12
+    dp and summed as DECIMAL(22,12) — order-independent — then the rank
+    update is again single-op double arithmetic. Nothing depends on
+    aggregation order, so a fixed iteration count gives a hash-stable
+    result.
+
+    Scale: one groupBy shuffle per iteration over the edge list; degree
+    is precomputed once and the edge table is cached across iterations.
+    A fixed small iteration count (not convergence detection) keeps the
+    plan finite — rank movement past ~5 rounds is below curation
+    relevance on near-dup graphs."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))))\
+        .distinct().cache()
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    adj = sym.join(deg, "s").cache()
+    ranks = deg.select(F.col("s").alias("node"),
+                       F.lit(1.0).cast("double").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj.s == ranks.node)
+            .select(F.col("d").alias("node"),
+                    F.round(F.col("rank") / F.col("deg"), 12)
+                    .cast("decimal(22,12)").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+            .select("node",
+                    F.round(F.lit(1.0 - damping)
+                            + F.lit(damping) * F.col("csum").cast("double"), 12)
+                    .alias("rank"))
+        )
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
 def cluster_representatives(edges: DataFrame, src: str, dst: str,
                             nodes: DataFrame) -> DataFrame:
     """Corpus after transitive near-dedup: one keeper (min id) per

@@ -1195,6 +1195,67 @@ FROM logp GROUP BY doc_id
 """
 
 
+# --- q81: PageRank over the near-dup graph (iterative numeric fixpoint) ------------
+_PR_ITERS, _PR_DAMP = 5, 0.85
+
+
+def q81_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank power iterations over the PRUNED near-dup pair graph
+    (same persisted pair plan as q51/q53/q63) — ranks the most-connected
+    documents inside duplicate neighborhoods (dedup keeps the hub, or
+    flags it for manual review). Demonstrates the iterative-numeric
+    counterpart of q53's connected components with a FULL value oracle:
+    the SQL unrolls the five iterations into chained CTEs and reproduces
+    the decimal-stabilized arithmetic bit-for-bit."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators import graph
+    pairs = _jaccard_pairs_shared(spark, sf_dir, threshold=0.2,
+                                  max_df=NEAR_DUP_MAX_DF)
+    return graph.pagerank(pairs, "d1", "d2", iterations=_PR_ITERS,
+                          damping=_PR_DAMP)
+
+
+def _pagerank_sql() -> str:
+    base = 1.0 - _PR_DAMP
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+r{i} AS (
+  SELECT sym.d AS node,
+         round({base!r} + {_PR_DAMP!r} * CAST(sum(
+             CAST(round(r.rank / deg.deg, 12) AS DECIMAL(22,12))
+         ) AS DOUBLE), 12) AS rank
+  FROM sym JOIN deg ON deg.s = sym.s JOIN {prev} r ON r.node = sym.s
+  GROUP BY sym.d
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_shingle_table_sql(NEAR_DUP_MAX_DF)},
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT d1, d2
+  FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+  WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= 0.2
+),
+sym AS (
+  SELECT d1 AS s, d2 AS d FROM edges
+  UNION
+  SELECT d2 AS s, d1 AS d FROM edges
+),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+r0 AS (SELECT s AS node, 1.0::DOUBLE AS rank FROM deg),
+{",".join(its)}
+SELECT node, rank FROM {prev}
+"""
+
+
+Q81_SQL = _pagerank_sql()
+
+
 # --- q80: source mixing weights (domain-balance resampling factors) ----------------
 def q80_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus composition + the resampling weight that equalizes
@@ -1286,6 +1347,7 @@ QUERIES = {
     "q75_sequence_packing": q75_sequence_packing,
     "q78_lm_unigram_score": q78_lm_unigram_score,
     "q80_source_mix": q80_source_mix,
+    "q81_pagerank_neardup": q81_pagerank_neardup,
 }
 
 ORACLES = {
@@ -1321,4 +1383,5 @@ ORACLES = {
     "q75_sequence_packing": Q75_SQL,
     "q78_lm_unigram_score": Q78_SQL,
     "q80_source_mix": Q80_SQL,
+    "q81_pagerank_neardup": Q81_SQL,
 }

@@ -35,3 +35,18 @@ def test_representatives_one_per_cluster(spark):
     n = spark.createDataFrame([(x,) for x in [1, 2, 3, 10, 11, 99]], "node long")
     keepers = graph.cluster_representatives(e, "src", "dst", n)
     assert {r.node for r in keepers.collect()} == {1, 10, 99}
+
+
+def test_pagerank_symmetry_and_hub(spark):
+    """On a symmetric triangle all ranks are equal; adding a pendant node
+    attached to one vertex makes that vertex the top-ranked hub."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.graph import pagerank
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["a", "b"])
+    r = {row.node: row.rank for row in pagerank(tri, "a", "b").collect()}
+    assert len(set(r.values())) == 1        # perfect symmetry
+
+    star = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["a", "b"])
+    r2 = {row.node: row.rank for row in pagerank(star, "a", "b").collect()}
+    assert max(r2, key=r2.get) == 3         # the vertex with the pendant
+    assert abs(sum(r2.values()) - len(r2)) < 0.2   # mass approximately conserved
