@@ -22,17 +22,31 @@ def tokens(col) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 
 
-def shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), the unit set for Jaccard dedup.
-    Docs shorter than n tokens yield an empty set (guarded: Spark's
-    ``sequence(1, 0)`` would otherwise count DOWN)."""
-    toks = tokens(col)
+def ngrams_from_tokens(toks, n: int) -> Column:
+    """Word n-grams (duplicates KEPT) from a token-array column. Docs
+    shorter than n tokens yield an empty array (guarded: Spark's
+    ``sequence(1, 0)`` would otherwise count DOWN).
+
+    Pass a MATERIALIZED column (``df.select(tokens(c).alias("toks"))``
+    first), not the ``tokens(...)`` expression itself: there is no CSE
+    across higher-order-function boundaries, so an embedded tokenizer
+    re-runs inside every ``element_at`` — O(tokens²) regex splits per row
+    (measured 18×, see operators/dedup.py::build_shingle_table)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)) \
+    return F.when(F.size(toks) >= n, gram) \
         .otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the unit set for Jaccard dedup.
+    Convenience form over raw text — for hot paths stage the token array
+    first and use ``array_distinct(ngrams_from_tokens(...))`` (see the
+    CSE note on ngrams_from_tokens)."""
+    return F.array_distinct(ngrams_from_tokens(tokens(col), n))
 
 
 def hash28(col) -> Column:
@@ -106,24 +120,16 @@ def lang_id(col) -> Column:
     return best.getField("lang")
 
 
-def ngrams_with_dups(col, n: int) -> Column:
-    """Word n-grams KEEPING duplicates (unlike ``shingles``): the unit for
-    repetition analysis, where the duplicate count IS the signal."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, gram) \
-        .otherwise(F.array().cast("array<string>"))
-
-
-def repetition_features(col) -> dict[str, Column]:
-    """Within-document repetition signals (Gopher-style quality rules):
-    the fraction of duplicated word n-grams and token diversity. High
-    dup-n-gram fractions flag boilerplate / degenerate generations. All
-    integer counts + one division — bit-identical across engines."""
-    toks = tokens(col)
+def repetition_features(toks) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher-style quality rules)
+    over a MATERIALIZED token-array column: the fraction of duplicated
+    word n-grams and token diversity. High dup-n-gram fractions flag
+    boilerplate / degenerate generations. All integer counts + one
+    division — bit-identical across engines. Stage the tokens first
+    (``select(tokens(c).alias("toks"))``) so the gram lambdas index a
+    plain column, not a re-evaluated tokenizer (the O(tokens²) CSE
+    hazard on ngrams_from_tokens)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n_tok = F.size(toks)
     out: dict[str, Column] = {
         "n_tokens": n_tok,
@@ -131,7 +137,7 @@ def repetition_features(col) -> dict[str, Column]:
             F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6),
     }
     for n in (2, 3):
-        grams = ngrams_with_dups(col, n)
+        grams = ngrams_from_tokens(toks, n)
         total = F.size(grams)
         out[f"dup_{n}gram_ratio"] = F.round(
             (total - F.size(F.array_distinct(grams)))

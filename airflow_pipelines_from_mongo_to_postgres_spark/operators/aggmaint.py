@@ -25,12 +25,21 @@ def combine_partial_aggs(base: DataFrame, delta: DataFrame,
     Output schema matches the inputs, so the result feeds the next
     combine — associativity is what makes multi-batch maintenance
     order-insensitive (property-tested in tests/test_merge.py)."""
-    b = base.select(*keys, *[F.col(c).alias(f"__b_{c}")
-                             for c in [*count_cols, *sum_cols]])
-    d = delta.select(*keys, *[F.col(c).alias(f"__d_{c}")
-                              for c in [*count_cols, *sum_cols]])
-    joined = b.join(d, list(keys), "full_outer")
-    out_cols = [F.col(k) for k in keys]
+    b = base.select(*[F.col(k).alias(f"__bk_{k}") for k in keys],
+                    *[F.col(c).alias(f"__b_{c}")
+                      for c in [*count_cols, *sum_cols]])
+    d = delta.select(*[F.col(k).alias(f"__dk_{k}") for k in keys],
+                     *[F.col(c).alias(f"__d_{c}")
+                       for c in [*count_cols, *sum_cols]])
+    # eqNullSafe: a NULL grouping key must match itself, or the two sides'
+    # partials for the null group stay as separate rows and the combine
+    # silently diverges from a full recomputation.
+    cond = None
+    for k in keys:
+        c = F.col(f"__bk_{k}").eqNullSafe(F.col(f"__dk_{k}"))
+        cond = c if cond is None else cond & c
+    joined = b.join(d, cond, "full_outer")
+    out_cols = [F.coalesce(f"__bk_{k}", f"__dk_{k}").alias(k) for k in keys]
     for c in count_cols:
         out_cols.append((F.coalesce(f"__b_{c}", F.lit(0))
                          + F.coalesce(f"__d_{c}", F.lit(0))).alias(c))

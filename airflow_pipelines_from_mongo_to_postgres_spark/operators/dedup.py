@@ -178,9 +178,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     xxhash64 shingle hashes — a bottom-k sketch, i.e. a uniform sample of
     the shingle set — and verification switches to the standard bottom-k
     Jaccard estimator: |A∩B ∩ bottom_k(A∪B)| / |bottom_k(A∪B)|
-    (Broder 1997; unbiased, err ~ 1/√k). Documents under the cap are
-    unaffected; uncapped (None) is exact everywhere and is what the
-    hash-gated q28 runs.
+    (Broder 1997; unbiased, err ~ 1/√k). The estimator is EXACT for a
+    pair whose union fits the cap (the sliced union is then the full
+    union); a pair whose union exceeds it gets the estimate even when
+    both documents are individually under the cap. Uncapped (None) is
+    exact everywhere and is what the hash-gated q28 runs.
     """
     assert num_perm % bands == 0
     r = num_perm // bands

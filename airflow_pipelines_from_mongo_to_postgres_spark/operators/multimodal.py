@@ -169,16 +169,34 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str,
 
 
 def _be_uint(bin_col, pos: int, nbytes: int):
-    """Big-endian unsigned int from ``nbytes`` at 1-indexed ``pos``."""
-    return F.conv(F.hex(F.substring(bin_col, pos, nbytes)), 16, 10).cast("int")
+    """Big-endian unsigned int from ``nbytes`` at 1-indexed ``pos``.
+    LONG arithmetic throughout: a 4-byte field can carry values ≥ 2³¹
+    (e.g. a BMP top-down height stored as negative int32), and under
+    Spark 4's default ANSI mode an int overflow would CRASH the query
+    instead of yielding the documented null."""
+    return F.conv(F.hex(F.substring(bin_col, pos, nbytes)), 16, 10).cast("long")
 
 
 def _le_uint(bin_col, pos: int, nbytes: int):
-    """Little-endian unsigned int: combine bytes low-to-high."""
-    out = F.lit(0)
+    """Little-endian unsigned int: combine bytes low-to-high (long math)."""
+    out = F.lit(0).cast("long")
     for i in range(nbytes):
-        out = out + _be_uint(bin_col, pos + i, 1) * (1 << (8 * i))
-    return out.cast("int")
+        out = out + _be_uint(bin_col, pos + i, 1) * F.lit(1 << (8 * i)).cast("long")
+    return out
+
+
+def _clamp_int(col):
+    """Clamp a long into int range before casting — adversarial header
+    bytes must degrade to a saturated value, never an ANSI overflow crash."""
+    return F.least(col, F.lit((1 << 31) - 1).cast("long")).cast("int")
+
+
+def _le_int32_abs(bin_col, pos: int):
+    """|signed little-endian int32| — BMP height is negative for top-down
+    rows; the dimension filter wants magnitude either way."""
+    raw = _le_uint(bin_col, pos, 4)
+    return F.when(raw >= F.lit(1 << 31).cast("long"),
+                  F.lit(1 << 32).cast("long") - raw).otherwise(raw)
 
 
 def image_dimensions(payload_col) -> F.Column:
@@ -197,16 +215,16 @@ def image_dimensions(payload_col) -> F.Column:
     return (
         F.when(is_png & (long_enough >= 24), F.struct(
             F.lit("png").alias("format"),
-            _be_uint(b, 17, 4).alias("width"),
-            _be_uint(b, 21, 4).alias("height")))
+            _clamp_int(_be_uint(b, 17, 4)).alias("width"),
+            _clamp_int(_be_uint(b, 21, 4)).alias("height")))
         .when(is_gif & (long_enough >= 10), F.struct(
             F.lit("gif").alias("format"),
-            _le_uint(b, 7, 2).alias("width"),
-            _le_uint(b, 9, 2).alias("height")))
+            _clamp_int(_le_uint(b, 7, 2)).alias("width"),
+            _clamp_int(_le_uint(b, 9, 2)).alias("height")))
         .when(is_bmp & (long_enough >= 26), F.struct(
             F.lit("bmp").alias("format"),
-            _le_uint(b, 19, 4).alias("width"),
-            _le_uint(b, 23, 4).alias("height")))
+            _clamp_int(_le_int32_abs(b, 19)).alias("width"),
+            _clamp_int(_le_int32_abs(b, 23)).alias("height")))
         .otherwise(F.struct(
             F.lit(None).cast("string").alias("format"),
             F.lit(None).cast("int").alias("width"),

@@ -115,11 +115,23 @@ def _sign_bucket(vec, signs_t: list) -> F.Column:
         proj = F.aggregate(F.zip_with(vec, F.lit(srow), lambda x, s: x * s),
                            F.lit(0.0), lambda acc, x: acc + x)
         out = out + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out.cast("long")
+    # dim-mismatch must FAIL, not degrade: zip_with null-pads a wrong-width
+    # vector, the projection folds to null, every sign bit reads 0, and the
+    # candidate join silently degenerates toward a cross product. The
+    # assert is folded into the bucket value (+0) so column pruning can't
+    # drop it.
+    dim = len(signs_t[0])
+    chk = F.coalesce(
+        F.assert_true(F.size(vec) == dim,
+                      F.lit(f"LSH vector dim != configured dim {dim}"))
+        .cast("long"), F.lit(0))
+    return (out + chk).cast("long")
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(V.as_double(vec_col))).first()
+    if row is None or row[0] is None:
+        raise ValueError("cannot infer embedding dim: empty input (pass dim=)")
     return int(row[0])
 
 

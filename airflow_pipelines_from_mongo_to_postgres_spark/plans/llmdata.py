@@ -356,6 +356,29 @@ SELECT doc, unnest(fps) AS fp FROM fps
 Q41_SQL = _winnow_sql()
 
 
+
+def _unit_sql(v: str) -> str:
+    dv = f"{v}::DOUBLE[]"
+    return f"list_transform({dv}, x -> x / sqrt(list_dot_product({dv}, {dv})))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """round(dot(unit(a), unit(b)), 6) — the SAME floating-point procedure
+    as Spark's V.unit + V.dot (normalize per element, then one sequential
+    dot), not DuckDB's list_cosine_similarity (which divides once at the
+    end). The divide-once path differs in the last ulps, and a cosine
+    landing within ~1e-15 of a 6-dp boundary would round differently —
+    the same last-ulp hash-flake class the decimal sums eliminate."""
+    return f"round(list_dot_product({_unit_sql(a)}, {_unit_sql(b)}), 6)"
+
+
+#: Shared oracle CTE: unit-normalize every embedding ONCE per row (the
+#: inline _cosine_sql form re-normalizes per pair — measured ~10× slower
+#: DuckDB-side on the all-pairs queries).
+_UNIT_CTE = ("uembed AS (SELECT vec_id, label, "
+             + _unit_sql("embedding") + " AS uv FROM embeddings)")
+
+
 # --- q33: brute-force cosine top-k ANN ----------------------------------------------
 def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
@@ -363,11 +386,12 @@ def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(probe, e, "vec_id", "embedding", k=5)
 
 
-Q33_SQL = """
-WITH scored AS (
+Q33_SQL = f"""
+WITH {_UNIT_CTE},
+scored AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
-  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+         round(list_dot_product(p.uv, c.uv), 6) AS cosine
+  FROM uembed p JOIN uembed c ON p.vec_id <> c.vec_id
   WHERE p.vec_id < 10
 ), ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -389,11 +413,12 @@ def q34_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              threshold=0.45)
 
 
-Q34_SQL = """
+Q34_SQL = f"""
+WITH {_UNIT_CTE}
 SELECT a.vec_id AS d1, b.vec_id AS d2,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+       round(list_dot_product(a.uv, b.uv), 6) AS cosine
+FROM uembed a JOIN uembed b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.45
 """
 
 
@@ -405,11 +430,12 @@ def q35_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            bucket_col="label", k=3)
 
 
-Q35_SQL = """
-WITH scored AS (
+Q35_SQL = f"""
+WITH {_UNIT_CTE},
+scored AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
-  FROM embeddings p JOIN embeddings c
+         round(list_dot_product(p.uv, c.uv), 6) AS cosine
+  FROM uembed p JOIN uembed c
     ON p.label = c.label AND p.vec_id <> c.vec_id
   WHERE p.vec_id < 10
 ), ranked AS (
@@ -492,7 +518,8 @@ def _lsh_buckets_sql(planes: int, tables: int) -> str:
 
 def _q52_sql() -> str:
     return f"""
-WITH buckets AS (
+WITH {_UNIT_CTE},
+buckets AS (
 {_lsh_buckets_sql(_Q52_PLANES, _Q52_TABLES)}
 ),
 cand AS (
@@ -502,10 +529,10 @@ cand AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         round(list_dot_product(a.uv, b.uv), 6) AS cosine
   FROM cand
-  JOIN embeddings a ON a.vec_id = cand.query_id
-  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+  JOIN uembed a ON a.vec_id = cand.query_id
+  JOIN uembed b ON b.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -769,7 +796,8 @@ def q56_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q56_sql() -> str:
     return f"""
-WITH buckets AS (
+WITH {_UNIT_CTE},
+buckets AS (
 {_lsh_buckets_sql(_Q56_PLANES, _Q56_TABLES)}
 ),
 cand AS (
@@ -777,11 +805,11 @@ cand AS (
   FROM buckets p JOIN buckets c ON p.t = c.t AND p.b = c.b AND p.vec_id < c.vec_id
 )
 SELECT d1, d2,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       round(list_dot_product(a.uv, b.uv), 6) AS cosine
 FROM cand
-JOIN embeddings a ON a.vec_id = cand.d1
-JOIN embeddings b ON b.vec_id = cand.d2
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+JOIN uembed a ON a.vec_id = cand.d1
+JOIN uembed b ON b.vec_id = cand.d2
+WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.45
 """
 
 
@@ -823,7 +851,8 @@ def _q55_sql() -> str:
         for i, c in enumerate(IVF_CENTROIDS)
     )
     return f"""
-WITH cent(cell, cvec, c2) AS (
+WITH {_UNIT_CTE},
+cent(cell, cvec, c2) AS (
   VALUES
     {cent_rows}
 ),
@@ -859,10 +888,10 @@ cand AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         round(list_dot_product(a.uv, b.uv), 6) AS cosine
   FROM cand
-  JOIN embeddings a ON a.vec_id = cand.query_id
-  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+  JOIN uembed a ON a.vec_id = cand.query_id
+  JOIN uembed b ON b.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -1018,8 +1047,12 @@ def q73_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over one scan: integer gram counts and a single division,
     so both engines produce bit-identical doubles."""
     d = load_table(spark, "documents", sf_dir)
-    f = T.repetition_features("text")
-    return d.select(
+    # Stage the token array in its own projection FIRST — the gram
+    # lambdas then index a plain column instead of re-running the regex
+    # tokenizer per element (no CSE across HOF boundaries; measured 18×).
+    staged = d.select("doc_id", T.tokens("text").alias("__toks"))
+    f = T.repetition_features("__toks")
+    return staged.select(
         "doc_id",
         f["n_tokens"].alias("n_tokens"),
         f["token_diversity"].alias("token_diversity"),
@@ -1288,17 +1321,16 @@ def q80_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-doc quality comes from the ONE SQL source of truth
+#: (_quality_sql — the same string q31/q50/q60 gate against), not a
+#: hand-maintained copy that could drift from the Spark formula.
 Q80_SQL = f"""
-WITH per_doc AS (
-  SELECT source,
-         len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}')) AS toks,
-         CAST(round(least(len({_TOKENS_SQL.format(col='text')}) / 64.0, 1.0) * 0.5
-               + least(len(list_intersect(list_distinct({_TOKENS_SQL.format(col='text')}),
-                       [{", ".join(f"'{w}'" for w in T.LANG_MARKERS['en'])}])) / 3.0, 1.0) * 0.3
-               + (1 - least(round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
-                            / greatest(length(text), 1), 6) * 10, 1.0)) * 0.2,
-               6) AS DECIMAL(18,6)) AS q
-  FROM documents
+WITH qual AS ({_quality_sql(min_quality=None)}),
+per_doc AS (
+  SELECT d.source,
+         len(regexp_extract_all(lower(d.text), '{T.BPE_TOKEN_RE}')) AS toks,
+         CAST(qual.quality AS DECIMAL(18,6)) AS q
+  FROM documents d JOIN qual ON d.doc_id = qual.doc_id
 ),
 per_src AS (
   SELECT source, count(*) AS docs,

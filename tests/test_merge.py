@@ -95,3 +95,26 @@ def test_combine_partial_aggs_multi_batch_equals_full(spark):
     full = part(df)
     as_rows = lambda d: sorted(map(tuple, d.collect()))
     assert as_rows(left) == as_rows(right) == as_rows(full)
+
+
+def test_combine_partial_aggs_null_key_matches_full(spark):
+    """A NULL grouping key must merge across sides (eqNullSafe), or the
+    maintained aggregate silently diverges from a full recomputation."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.aggmaint import (
+        combine_partial_aggs,
+    )
+
+    from decimal import Decimal
+
+    schema = "k string, n bigint, s decimal(28,4)"
+    base = spark.createDataFrame(
+        [(None, 2, Decimal("10.0")), ("a", 1, Decimal("1.0"))], schema)
+    delta = spark.createDataFrame(
+        [(None, 3, Decimal("20.0")), ("b", 4, Decimal("4.0"))], schema)
+    out = {r.k: (r.n, float(r.s)) for r in combine_partial_aggs(
+        base, delta, ["k"], count_cols=["n"], sum_cols=["s"]).collect()}
+    assert out[None] == (5, 30.0)       # null group combined, not duplicated
+    assert out["a"] == (1, 1.0) and out["b"] == (4, 4.0)
+    assert len(out) == 3

@@ -93,3 +93,29 @@ def test_header_dimensions_real_bytes(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_header_dimensions_adversarial_bytes_never_crash(spark):
+    """Malformed headers must degrade (nulls / clamped values), never
+    throw under ANSI mode: top-down BMP (negative int32 height), a PNG
+    claiming width >= 2^31, and truncated magics."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        header_media_features,
+    )
+
+    topdown_bmp = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+                   + struct.pack("<Iii", 40, 800, -600) + b"\x00" * 20)
+    huge_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", 0xFFFFFFFF, 10) + b"\x00" * 13)
+    short_gif = b"GIF8"
+    df = spark.createDataFrame(
+        [(1, bytearray(topdown_bmp)), (2, bytearray(huge_png)),
+         (3, bytearray(short_gif))],
+        "media_id long, payload binary")
+    got = {r.media_id: (r.format, r.width, r.height)
+           for r in header_media_features(df, "media_id", "payload").collect()}
+    assert got["1"] == ("bmp", 800, 600)            # |negative height|
+    assert got["2"] == ("png", (1 << 31) - 1, 10)   # clamped, not crashed
+    assert got["3"] == (None, None, None)           # truncated magic
