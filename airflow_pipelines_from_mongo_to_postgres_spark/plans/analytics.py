@@ -432,6 +432,48 @@ GROUP BY 1, 2
 """
 
 
+# --- q82: robust outlier detection (median/MAD z-score per group) -----------
+def q82_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits > 3.5 robust z-scores from their type's
+    median (z = (v − med) / (1.4826·MAD)) — the anomaly gate that, unlike
+    mean/stddev, is not itself dragged by the outliers it hunts. Two
+    grouped exact percentiles (one shuffle each, partial-aggregated) +
+    broadcast joins of the per-type statistics; the z arithmetic is a
+    chain of single IEEE ops on engine-identical operands, so the rounded
+    output hash-matches. Groups with MAD = 0 are excluded (a constant
+    group has no scale to score against)."""
+    e = load_table(spark, "events", sf_dir)
+    meds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"))
+    withmed = e.join(F.broadcast(meds), "event_type")
+    mads = withmed.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        withmed.join(F.broadcast(mads), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 3.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+Q82_SQL = """
+WITH meds AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mads AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN meds m USING (event_type) GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       round((value - med) / (1.4826 * mad), 6) AS z
+FROM events JOIN meds USING (event_type) JOIN mads USING (event_type)
+WHERE mad > 0 AND abs(round((value - med) / (1.4826 * mad), 6)) > 3.5
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -443,6 +485,7 @@ QUERIES = {
     "q72_gap_fill_locf": q72_gap_fill_locf,
     "q77_scd2_intervals": q77_scd2_intervals,
     "q79_incremental_agg": q79_incremental_agg,
+    "q82_mad_outliers": q82_mad_outliers,
 }
 
 ORACLES = {
@@ -456,4 +499,5 @@ ORACLES = {
     "q72_gap_fill_locf": Q72_SQL,
     "q77_scd2_intervals": Q77_SQL,
     "q79_incremental_agg": Q79_SQL,
+    "q82_mad_outliers": Q82_SQL,
 }
