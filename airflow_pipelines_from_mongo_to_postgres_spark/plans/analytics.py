@@ -474,6 +474,47 @@ WHERE mad > 0 AND abs(round((value - med) / (1.4826 * mad), 6)) > 3.5
 """
 
 
+# --- q83: ordered per-user event timeline (sequence assembly) ----------------
+def q83_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's full event sequence serialized in event-time order —
+    the assembly step that turns an event log into sequence-model
+    training rows. Spark has no ordered string_agg, so the deterministic
+    recipe is sort_array(collect_list(struct(ts, event_id, payload)))
+    — the struct's (ts, event_id) prefix makes the lexicographic array
+    sort identical to the oracle's ORDER BY — then a transform +
+    concat_ws render. One shuffle on user_id; per-user payload is the
+    user's own event count (bound it upstream for power users)."""
+    e = load_table(spark, "events", sf_dir)
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so the
+    # cast is identity and epoch micros match DuckDB's epoch_us.
+    item = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("event_type").alias("et"),
+    )
+    arr = F.sort_array(F.collect_list(item))
+    return (
+        e.groupBy("user_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "user_id",
+            F.size("arr").alias("n_events"),
+            F.concat_ws("|", F.transform(
+                "arr",
+                lambda x: F.concat_ws(":", x["t"].cast("string"), x["et"]),
+            )).alias("timeline"),
+        )
+    )
+
+
+Q83_SQL = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(epoch_us(ts) || ':' || event_type, '|'
+                  ORDER BY ts, event_id) AS timeline
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -486,6 +527,7 @@ QUERIES = {
     "q77_scd2_intervals": q77_scd2_intervals,
     "q79_incremental_agg": q79_incremental_agg,
     "q82_mad_outliers": q82_mad_outliers,
+    "q83_user_timeline": q83_user_timeline,
 }
 
 ORACLES = {
@@ -500,4 +542,5 @@ ORACLES = {
     "q77_scd2_intervals": Q77_SQL,
     "q79_incremental_agg": Q79_SQL,
     "q82_mad_outliers": Q82_SQL,
+    "q83_user_timeline": Q83_SQL,
 }
