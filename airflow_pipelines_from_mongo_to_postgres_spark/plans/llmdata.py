@@ -1,10 +1,12 @@
 """LLM-training-data operators over the ``documents`` / ``embeddings``
 fixtures: dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash /
 transitive clusters), similarity search (brute-force + IVF-bucketed +
-k-means-IVF + hyperplane-LSH ANN), text analysis (language-ID / quality /
-token counting / fingerprinting), corpus mechanics (deterministic
+frozen-k-means-IVF + hyperplane-LSH ANN), text analysis (language-ID /
+quality / token counting / fingerprinting / repetition stats / PII
+scan+scrub / unigram-LM scoring), corpus mechanics (deterministic
 sampling and splits, stop-shingle inventory, curriculum bins, eval-set
-decontamination, end-to-end corpus build).
+decontamination, sequence packing, source mixing weights, near-dup-graph
+PageRank, end-to-end corpus build).
 
 Oracle strategy: every hash that must agree across engines is md5-based
 (functions/text.py), so DuckDB reproduces signatures bit-for-bit. The
