@@ -753,6 +753,75 @@ WHERE split <> 'train'
 """
 
 
+# --- q84: n-gram decontamination score (train↔eval shingle overlap) -----------------
+_SPLIT_SQL_CTE = """
+split AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+             / 268435456.0 AS u
+    FROM documents
+  )
+)"""
+
+
+def q84_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-document n-gram contamination against the eval splits:
+    the fraction of the doc's distinct shingles that also occur in any
+    val/test document. Exact-dup decontamination (q61) misses partial
+    copies; n-gram overlap is the standard stronger gate (a train doc
+    sharing most of its shingles with a test doc leaks the benchmark).
+    Shares the session shingle table; the eval-side distinct shingle set
+    is corpus-vocabulary-sized → AQE broadcasts the probe side. Integer
+    counts + one division — hash-exact."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    split = sampling.train_val_test_split(d, "doc_id").select("doc_id", "split")
+    sh = _shingles_shared(spark, sf_dir).join(
+        split, F.col("doc") == F.col("doc_id")).select("doc", "shingle", "split")
+    eval_sh = sh.filter(F.col("split") != "train") \
+        .select("shingle").distinct()
+    train_sh = sh.filter(F.col("split") == "train")
+    hits = (train_sh.join(eval_sh, "shingle", "left_semi")
+            .groupBy("doc").agg(F.count(F.lit(1)).alias("contaminated")))
+    sizes = train_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"), "n_shingles",
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            F.round(F.coalesce("contaminated", F.lit(0))
+                    / F.col("n_shingles"), 6).alias("contamination_ratio"),
+        )
+    )
+
+
+Q84_SQL = f"""
+WITH {_SHINGLE_TABLE_SQL},
+{_SPLIT_SQL_CTE},
+tagged AS (
+  SELECT sh.doc, sh.shingle, split.split
+  FROM sh JOIN split ON sh.doc = split.doc_id
+),
+eval_sh AS (SELECT DISTINCT shingle FROM tagged WHERE split <> 'train'),
+train_sh AS (SELECT doc, shingle FROM tagged WHERE split = 'train'),
+hits AS (
+  SELECT doc, count(*) AS contaminated
+  FROM train_sh WHERE shingle IN (SELECT shingle FROM eval_sh)
+  GROUP BY doc
+),
+tsizes AS (SELECT doc, count(*) AS n_shingles FROM train_sh GROUP BY doc)
+SELECT tsizes.doc AS doc_id, n_shingles,
+       coalesce(contaminated, 0) AS contaminated,
+       round(coalesce(contaminated, 0) * 1.0 / n_shingles, 6) AS contamination_ratio
+FROM tsizes LEFT JOIN hits ON tsizes.doc = hits.doc
+"""
+
+
 # --- q57: deterministic train/val/test split (hash-based, engine-portable) ----------
 def q57_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-stable 80/10/10 split: membership is a pure function of the
@@ -1382,6 +1451,7 @@ QUERIES = {
     "q78_lm_unigram_score": q78_lm_unigram_score,
     "q80_source_mix": q80_source_mix,
     "q81_pagerank_neardup": q81_pagerank_neardup,
+    "q84_ngram_contamination": q84_ngram_contamination,
 }
 
 ORACLES = {
@@ -1418,4 +1488,5 @@ ORACLES = {
     "q78_lm_unigram_score": Q78_SQL,
     "q80_source_mix": Q80_SQL,
     "q81_pagerank_neardup": Q81_SQL,
+    "q84_ngram_contamination": Q84_SQL,
 }
