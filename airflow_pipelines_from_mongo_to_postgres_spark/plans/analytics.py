@@ -515,6 +515,42 @@ FROM events GROUP BY user_id
 """
 
 
+# --- q85: weekly retention cohorts -------------------------------------------
+def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity week,
+    distinct active users counted per week offset. Two grouped
+    aggregations + one join on user_id; every measure is an integer
+    (distinct counts, day arithmetic on week-aligned truncations), so the
+    hash gate is exact by construction."""
+    e = load_table(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    acts = e.select("user_id",
+                    F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    return (
+        acts.join(firsts, "user_id")
+        .withColumn("week_offset",
+                    (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+                    .cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+Q85_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+acts AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS active_users
+FROM acts JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -528,6 +564,7 @@ QUERIES = {
     "q79_incremental_agg": q79_incremental_agg,
     "q82_mad_outliers": q82_mad_outliers,
     "q83_user_timeline": q83_user_timeline,
+    "q85_retention_cohorts": q85_retention_cohorts,
 }
 
 ORACLES = {
@@ -543,4 +580,5 @@ ORACLES = {
     "q79_incremental_agg": Q79_SQL,
     "q82_mad_outliers": Q82_SQL,
     "q83_user_timeline": Q83_SQL,
+    "q85_retention_cohorts": Q85_SQL,
 }
