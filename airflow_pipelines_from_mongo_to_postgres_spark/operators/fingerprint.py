@@ -62,3 +62,39 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     # array_distinct above already makes fingerprints unique per doc — no
     # dropDuplicates (that would be a whole-row shuffle for nothing).
     return fps.select("doc", F.explode("fps").alias("fp"))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5,
+                      k: int = 3, w: int = 4) -> DataFrame:
+    """Document pairs where either side's winnowing-fingerprint set is
+    largely contained in the other's: c(A|B) = |fp(A)∩fp(B)| / |fp(A)|
+    (Broder's containment). Asymmetric by nature — a short quote inside a
+    long document scores high containment but low Jaccard, which is why
+    dedup pipelines run containment ALONGSIDE the Jaccard family.
+
+    Same inverted-index shape as jaccard_pairs: fingerprints are already
+    a winnowed (sub-sampled) representation, so the posting lists are a
+    w-th of the shingle table's — containment inherits winnowing's
+    guarantee of detecting matches longer than w+k-1 tokens. Integer
+    intersections + one division per side: hash-exact across engines.
+    Emits d1 < d2 with both directions' containment.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).cache()
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "d1", "n_fp": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "n_fp": "n2"}), "d2")
+        .withColumn("containment_1_in_2", F.round(F.col("inter") / F.col("n1"), 6))
+        .withColumn("containment_2_in_1", F.round(F.col("inter") / F.col("n2"), 6))
+        .filter(F.greatest("containment_1_in_2", "containment_2_in_1")
+                >= threshold)
+        .select("d1", "d2", "containment_1_in_2", "containment_2_in_1")
+    )

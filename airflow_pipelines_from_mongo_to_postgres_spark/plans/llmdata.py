@@ -381,6 +381,41 @@ _UNIT_CTE = ("uembed AS (SELECT vec_id, label, "
              + _unit_sql("embedding") + " AS uv FROM embeddings)")
 
 
+# --- q86: fingerprint containment pairs (asymmetric near-dup) -----------------------
+def q86_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment over winnowing fingerprints — the asymmetric near-dup
+    notion Jaccard misses (a short quote inside a long doc). Same
+    inverted-index join shape as q26, on the winnowed (w×-smaller)
+    posting lists."""
+    d = load_table(spark, "documents", sf_dir)
+    return fingerprint.containment_pairs(d, "doc_id", "text",
+                                         threshold=0.5,
+                                         k=_WINNOW_K, w=_WINNOW_W)
+
+
+def _containment_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH fps AS ({_winnow_sql().strip()}),
+fsizes AS (SELECT doc, count(*) AS n_fp FROM fps GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(inter * 1.0 / s1.n_fp, 6) AS containment_1_in_2,
+       round(inter * 1.0 / s2.n_fp, 6) AS containment_2_in_1
+FROM pairs
+JOIN fsizes s1 ON d1 = s1.doc
+JOIN fsizes s2 ON d2 = s2.doc
+WHERE greatest(round(inter * 1.0 / s1.n_fp, 6),
+               round(inter * 1.0 / s2.n_fp, 6)) >= {threshold}
+"""
+
+
+Q86_SQL = _containment_sql()
+
+
 # --- q33: brute-force cosine top-k ANN ----------------------------------------------
 def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
@@ -1452,6 +1487,7 @@ QUERIES = {
     "q80_source_mix": q80_source_mix,
     "q81_pagerank_neardup": q81_pagerank_neardup,
     "q84_ngram_contamination": q84_ngram_contamination,
+    "q86_containment_pairs": q86_containment_pairs,
 }
 
 ORACLES = {
@@ -1489,4 +1525,5 @@ ORACLES = {
     "q80_source_mix": Q80_SQL,
     "q81_pagerank_neardup": Q81_SQL,
     "q84_ngram_contamination": Q84_SQL,
+    "q86_containment_pairs": Q86_SQL,
 }
