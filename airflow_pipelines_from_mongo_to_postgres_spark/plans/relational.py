@@ -532,6 +532,52 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- q87: remaining window-function surface (ntile / percent_rank / nth / RANGE) --
+def q87_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window shapes q07-q09 don't cover, in one plan: equi-depth
+    quartiles (ntile), relative rank (percent_rank — an exact integer
+    ratio), positional lookup (nth_value under the standard running
+    frame), and a RANGE value-based frame (peers within 5000 of the
+    current price BELOW it). All windows share one (priority, price,
+    orderkey) sort; the unique orderkey tiebreak keeps every result
+    deterministic on both engines. Output bounded by the price filter
+    AFTER the windows (standard semantics: windows see the whole
+    partition)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    wrange = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.col("o_totalprice").asc()) \
+        .rangeBetween(-5000, 0)
+    return (
+        o.select(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.first_value(F.col("o_orderkey")).over(w).alias("top_order"),
+            F.nth_value(F.col("o_orderkey"), 2).over(w).alias("second_order"),
+            F.count(F.lit(1)).over(wrange).alias("peers_within_5k_below"),
+        )
+        .filter(F.col("o_totalprice") > 450000)
+    )
+
+
+Q87_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       first_value(o_orderkey) OVER w AS top_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order,
+       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+         AS peers_within_5k_below
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+QUALIFY o_totalprice > 450000
+"""
+
+
 # --- q49: salted skew join (orders ⋈ customer scattered over salt buckets) -------
 def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_pipelines_from_mongo_to_postgres_spark.operators.skew import (
@@ -579,6 +625,7 @@ QUERIES = {
     "q47_grouping_sets": q47_grouping_sets,
     "q48_percentiles": q48_percentiles,
     "q49_salted_join": q49_salted_join,
+    "q87_window_breadth": q87_window_breadth,
 }
 
 ORACLES = {
@@ -604,4 +651,5 @@ ORACLES = {
     "q47_grouping_sets": Q47_SQL,
     "q48_percentiles": Q48_SQL,
     "q49_salted_join": Q49_SQL,
+    "q87_window_breadth": Q87_SQL,
 }
