@@ -40,6 +40,7 @@ HEADLINE = [
     "q42_asof_join",
     "q63_jaccard_pruned",
     "q58_corpus_build",
+    "q67_sessionize",
 ]
 
 
