@@ -578,6 +578,60 @@ QUALIFY o_totalprice > 450000
 """
 
 
+# --- q88: array higher-order-function family --------------------------------------
+def q88_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array HOF surface over grouped data: ordered list aggregation
+    (sort_array(collect_list(struct)) — Spark's deterministic stand-in
+    for ordered list()), element extraction via transform, filter,
+    aggregate-fold, slice + join. All-integer payloads keep every result
+    hash-exact. One groupBy shuffle; the mod-filter bounds output and is
+    pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("long").alias("q")))),
+        lambda x: x["q"],
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .groupBy("l_orderkey")
+        .agg(arr.alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.array_max("qtys").alias("max_qty"),
+            F.size(F.filter("qtys", lambda q: q > 25)).alias("n_big"),
+            F.aggregate("qtys", F.lit(0).cast("long"),
+                        lambda acc, q: acc + q).alias("qty_sum"),
+            F.concat_ws(",", F.transform(F.slice("qtys", 1, 3),
+                                         lambda q: q.cast("string")))
+            .alias("first3"),
+        )
+    )
+
+
+Q88_SQL = """
+SELECT l_orderkey,
+       CAST(len(qtys) AS INT) AS n_items,
+       list_max(qtys) AS max_qty,
+       CAST(len(list_filter(qtys, q -> q > 25)) AS INT) AS n_big,
+       CAST(list_sum(qtys) AS BIGINT) AS qty_sum,
+       array_to_string(list_transform(qtys[1:3], q -> CAST(q AS VARCHAR)), ',') AS first3
+FROM (
+  SELECT l_orderkey,
+         -- (linenumber, quantity) tiebreak: the fixture has duplicate
+         -- (orderkey, linenumber) pairs, and Spark's struct sort breaks
+         -- those ties on the quantity payload
+         list(CAST(l_quantity AS BIGINT)
+              ORDER BY l_linenumber, l_quantity) AS qtys
+  FROM lineitem
+  WHERE l_orderkey % 97 = 0
+  GROUP BY l_orderkey
+)
+"""
+
+
 # --- q49: salted skew join (orders ⋈ customer scattered over salt buckets) -------
 def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_pipelines_from_mongo_to_postgres_spark.operators.skew import (
@@ -626,6 +680,7 @@ QUERIES = {
     "q48_percentiles": q48_percentiles,
     "q49_salted_join": q49_salted_join,
     "q87_window_breadth": q87_window_breadth,
+    "q88_array_functions": q88_array_functions,
 }
 
 ORACLES = {
@@ -652,4 +707,5 @@ ORACLES = {
     "q48_percentiles": Q48_SQL,
     "q49_salted_join": Q49_SQL,
     "q87_window_breadth": Q87_SQL,
+    "q88_array_functions": Q88_SQL,
 }
