@@ -34,7 +34,7 @@ _SWEEP_PRIORITY = [
     "q79_incremental_agg", "q80_source_mix", "q81_pagerank_neardup",
     "q82_mad_outliers", "q83_user_timeline", "q84_ngram_contamination",
     "q85_retention_cohorts", "q86_containment_pairs", "q87_window_breadth",
-    "q88_array_functions",
+    "q88_array_functions", "q89_date_dimension",
     "q61_split_decontamination", "q62_ann_topk_numpy",
     "q63_jaccard_pruned", "q64_embed_near_dup_drop",
     # r1 evidence only (missed by the r2 sweep) — cheap text/metadata ops,

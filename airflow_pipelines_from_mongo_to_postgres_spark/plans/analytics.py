@@ -551,6 +551,54 @@ GROUP BY 1, 2
 """
 
 
+# --- q89: date-dimension build (calendar spine with derived attributes) -------
+def q89_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate the calendar dimension covering the orders table's date
+    range: a sequence+explode spine (bounds come from one tiny aggregate,
+    so the fan-out happens executor-side) with the derived attributes a
+    star schema needs. Day-of-week uses the ISO convention explicitly —
+    Spark's default dayofweek() (1=Sunday) and DuckDB's dayofweek
+    (0=Sunday) disagree, while Spark weekday()+1 == DuckDB isodow."""
+    o = load_table(spark, "orders", sf_dir)
+    bounds = o.agg(F.min(F.to_date("o_orderdate")).alias("mn"),
+                   F.max(F.to_date("o_orderdate")).alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d"))
+    isodow = F.weekday("d") + 1
+    return spine.select(
+        F.col("d").alias("date"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.weekofyear("d").alias("iso_week"),
+        isodow.alias("iso_dow"),
+        (isodow >= 6).alias("is_weekend"),
+        F.date_format("d", "yyyy-MM").alias("year_month"),
+    )
+
+
+Q89_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS mn,
+         CAST(max(o_orderdate) AS DATE) AS mx
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT d AS date,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(weekofyear(d) AS INT) AS iso_week,
+       CAST(isodow(d) AS INT) AS iso_dow,
+       isodow(d) >= 6 AS is_weekend,
+       strftime(d, '%Y-%m') AS year_month
+FROM spine
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -565,6 +613,7 @@ QUERIES = {
     "q82_mad_outliers": q82_mad_outliers,
     "q83_user_timeline": q83_user_timeline,
     "q85_retention_cohorts": q85_retention_cohorts,
+    "q89_date_dimension": q89_date_dimension,
 }
 
 ORACLES = {
@@ -581,4 +630,5 @@ ORACLES = {
     "q82_mad_outliers": Q82_SQL,
     "q83_user_timeline": Q83_SQL,
     "q85_retention_cohorts": Q85_SQL,
+    "q89_date_dimension": Q89_SQL,
 }
