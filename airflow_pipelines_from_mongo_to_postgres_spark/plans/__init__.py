@@ -18,42 +18,63 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
 ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, analytics, llmdata]
 
 # The driver's per-round correctness sweep runs queries in registry order
-# under a wall-clock budget, so truncation eats the TAIL. Order by how much
-# driver evidence each query already has: queries with none run first.
-#   r1 truncated mid-llmdata (missed streamsql/temporal/analytics),
-#   r2 truncated after the cheap modules (missed all of q30-q36, q41,
-#   q50-q64); q61-q64 have never had a driver row at all.
-# Within each evidence class, cheaper queries run first so a truncated
-# sweep still yields the most rows. llmdata shares one persisted shingle
-# table across q26/q27/q28 (+ the pair-cache consumers q51/q53/q58/q63)
-# to shrink the sweep's dominant cost.
-_SWEEP_PRIORITY = [
-    # never driver-checked (no row in any CORRECTNESS_r*.json)
-    "q73_repetition_stats", "q74_pii_scan", "q75_sequence_packing",
-    "q76_snapshot_diff", "q77_scd2_intervals", "q78_lm_unigram_score",
-    "q79_incremental_agg", "q80_source_mix", "q81_pagerank_neardup",
-    "q82_mad_outliers", "q83_user_timeline", "q84_ngram_contamination",
-    "q85_retention_cohorts", "q86_containment_pairs", "q87_window_breadth",
-    "q88_array_functions", "q89_date_dimension",
-    "q61_split_decontamination", "q62_ann_topk_numpy",
-    "q63_jaccard_pruned", "q64_embed_near_dup_drop",
-    # r1 evidence only (missed by the r2 sweep) — cheap text/metadata ops,
-    "q30_lang_id", "q31_quality_filter", "q32_token_stats",
-    "q36_binary_metadata", "q41_winnow_fingerprints", "q57_dataset_split",
-    "q59_stop_shingles", "q60_quality_deciles",
-    # ... then ANN,
-    "q33_cosine_topk", "q34_cosine_pairs", "q35_ann_ivf_label",
-    "q52_ann_lsh", "q55_ann_ivf_kmeans", "q56_embed_near_dup_lsh",
-    # ... then corpus dedup/build (share the q63 pair plan).
-    "q50_corpus_curation", "q51_near_dup_drop", "q53_dedup_clusters",
-    "q58_corpus_build",
+# under a wall-clock budget, so truncation eats the TAIL. The order is
+# DERIVED AT CALL TIME from the CORRECTNESS_r*.json evidence files in the
+# repo root (so it can never go stale between rounds):
+#   1. _CHANGED_THIS_ROUND — queries whose plan/oracle changed since their
+#      last driver row (their old evidence proves nothing about the new
+#      code); red-in-latest-round entries lead.
+#   2. everything else by (latest round with evidence ASC, red before
+#      green, registry order) — least-recently-checked first, never-checked
+#      before all of them.
+# llmdata shares one persisted shingle table across q26/q27/q28 (+ the
+# pair-cache consumers q51/q53/q58/q63) to shrink the sweep's dominant cost.
+
+#: Round 4: the decimal-output fix rewrote these 8 plans + oracles (and
+#: q78/q80's division procedure) — all need fresh driver rows first.
+#: q67's latest evidence is r2-red; q01/q04/q79 are r3-red.
+_CHANGED_THIS_ROUND = [
+    "q67_sessionize", "q01_pricing_summary", "q04_brand_volume",
+    "q79_incremental_agg", "q37_tumbling_window", "q40_user_activity",
+    "q44_time_rollup", "q46_session_window",
+    "q78_lm_unigram_score", "q80_source_mix",
 ]
 
 
+def _evidence_rounds() -> dict:
+    """name -> (latest round number with a driver row, hash_ok in it)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    latest: dict = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = os.path.basename(path)
+        try:
+            rnd = int(m.replace("CORRECTNESS_r", "").replace(".json", ""))
+            rows = json.loads(open(path).read())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            ok = bool(isinstance(row, dict) and row.get("hash_match"))
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    return latest
+
+
 def _ordered(full: dict) -> dict:
-    out = {k: full[k] for k in _SWEEP_PRIORITY if k in full}
-    out.update((k, v) for k, v in full.items() if k not in out)
-    return out
+    evidence = _evidence_rounds()
+    names = list(full)
+    pinned = [n for n in _CHANGED_THIS_ROUND if n in full]
+    rest = [n for n in names if n not in pinned]
+    # never-checked → round 0; red sorts before green within a round
+    rest.sort(key=lambda n: (evidence.get(n, (0, False))[0],
+                             evidence.get(n, (0, False))[1],
+                             names.index(n)))
+    return {k: full[k] for k in pinned + rest}
 
 
 def all_queries():

@@ -145,7 +145,8 @@ def q67_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("total_value"),
         )
     )
 
@@ -167,7 +168,7 @@ sessions AS (
 )
 SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY 1, 2
 """
@@ -396,7 +397,10 @@ def q79_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash gate IS the proof that combine(partial(A), partial(B))
     == full(A ∪ B). Sums are DECIMAL(18,4) — associative and
     order-independent, which is exactly the algebraic property
-    incremental maintenance needs (double sums are not associative)."""
+    incremental maintenance needs (double sums are not associative).
+    The decimal stays internal: the combined sum is cast to DOUBLE in
+    the final projection (DecimalType output columns are driver-red —
+    r3's only hash failures were exactly the decimal-output queries)."""
     e = load_table(spark, "events", sf_dir).select(
         F.date_trunc("day", F.col("ts")).alias("day"),
         "event_type", "ts",
@@ -416,9 +420,11 @@ def q79_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("total_value").cast("decimal(28,4)"))
     delta = delta.withColumn("total_value",
                              F.col("total_value").cast("decimal(28,4)"))
-    return combine_partial_aggs(base, delta, ["day", "event_type"],
-                                count_cols=["events"],
-                                sum_cols=["total_value"])
+    combined = combine_partial_aggs(base, delta, ["day", "event_type"],
+                                    count_cols=["events"],
+                                    sum_cols=["total_value"])
+    return combined.withColumn("total_value",
+                               F.col("total_value").cast("double"))
 
 
 #: Oracle: the DIRECT aggregation — equality proves the incremental
@@ -426,7 +432,7 @@ def q79_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q79_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(*) AS events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """

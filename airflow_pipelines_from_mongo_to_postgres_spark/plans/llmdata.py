@@ -1310,7 +1310,11 @@ def q78_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         logp.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round((F.sum("lp") / F.count(F.lit(1))).cast("double"), 6)
+            # cast the exact decimal sum to double BEFORE dividing, so both
+            # engines perform the same double/long division (DuckDB casts
+            # DECIMAL/BIGINT operands to double first; Spark would divide in
+            # decimal — one-ulp divergence that round(·,6) can flip)
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6)
             .alias("mean_logp"),
         )
     )
@@ -1329,7 +1333,7 @@ logp AS (
   FROM toks JOIN vocab USING (token), total
 )
 SELECT doc_id, count(*) AS n_tokens,
-       round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS mean_logp
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
 FROM logp GROUP BY doc_id
 """
 
@@ -1412,7 +1416,9 @@ def q80_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("toks").alias("tokens"),
-        F.round((F.sum("q") / F.count(F.lit(1))).cast("double"), 6)
+        # sum cast to double before dividing — both engines then do the
+        # same double/long division (see q78 mean_logp)
+        F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 6)
         .alias("mean_quality"))
     totals = per_src.agg(F.sum("tokens").alias("all_tokens"),
                          F.count(F.lit(1)).alias("n_sources"))
@@ -1441,7 +1447,7 @@ per_doc AS (
 per_src AS (
   SELECT source, count(*) AS docs,
          CAST(sum(toks) AS BIGINT) AS tokens,
-         round(CAST(sum(q) / count(*) AS DOUBLE), 6) AS mean_quality
+         round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality
   FROM per_doc GROUP BY source
 ),
 totals AS (SELECT sum(tokens) AS all_tokens, count(*) AS n_sources FROM per_src)

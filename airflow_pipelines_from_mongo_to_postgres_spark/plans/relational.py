@@ -28,8 +28,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same inputs in the same expression order), casting it to 6-dp
     decimal recovers the exact ≤6-dp value, and decimal addition is
     summation-order-independent — so round(·,4) can never flip on
-    partial-agg order. Plain 2-dp column sums keep the double path (their
-    sums sit ≥50× the FP error away from any 4-dp boundary)."""
+    partial-agg order. The decimal stays INTERNAL: the rounded exact
+    decimal is cast to DOUBLE in the final projection on both engines
+    (the same exact decimal converts to the same nearest double), because
+    DecimalType output columns are driver-red (r3 evidence). Averages use
+    the repo rule: exact decimal sum ÷ count in double, then round — so
+    the numerator is order-independent and both engines divide identical
+    operands. Plain 2-dp column sums keep the double path (their sums sit
+    ≥50× the FP error away from any 4-dp boundary)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,6)")
@@ -41,10 +47,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(disc_price), 4).cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                    .cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,4)"))
+                    .cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -54,10 +63,10 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
        round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS sum_disc_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 4) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -130,10 +139,11 @@ def q04_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("total_qty"),
-            # product sum via decimal(18,6): order-independent (see q01)
+            # product sum via decimal(18,6): order-independent (see q01);
+            # final cast to double keeps DecimalType out of the output schema
             F.round(F.sum((F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
-                    4).alias("revenue"),
+                    4).cast("double").alias("revenue"),
         )
     )
 
@@ -141,7 +151,7 @@ def q04_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q04_SQL = """
 SELECT p_brand,
        round(sum(l_quantity), 4) AS total_qty,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """

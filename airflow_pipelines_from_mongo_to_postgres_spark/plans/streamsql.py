@@ -9,7 +9,12 @@ sides so the oracle agrees exactly with Spark's window() bucketing
 ``value`` aggregates sum as DECIMAL(18,4) on both sides: double summation
 is order-dependent across engines/parallelism, and round(sum(double), 4)
 can flip on a last-ulp difference. Decimal addition is exact and
-order-independent, so the hashes are stable by construction.
+order-independent, so the hashes are stable by construction. The decimal
+stays INTERNAL: the final aggregate is cast to DOUBLE on both engines
+(the same exact decimal converts to the same nearest double everywhere),
+because DecimalType output columns are driver-red — r3 evidence: the only
+three hash failures were exactly the three sampled queries with decimal
+output schemas.
 """
 
 from __future__ import annotations
@@ -36,7 +41,8 @@ def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("total_value"),
             F.countDistinct("user_id").alias("users"),
         )
     )
@@ -45,7 +51,7 @@ def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q37_SQL = """
 SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000) AS window_start,
        event_type, count(*) AS events,
-       sum(CAST(value AS DECIMAL(18,4))) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2
 """
@@ -126,15 +132,16 @@ def q40_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("events"),
         F.sum(F.when(F.col("event_type") == "purchase",
                      F.col("value").cast("decimal(18,4)"))
-              .otherwise(F.lit(0).cast("decimal(18,4)"))).alias("purchase_value"),
+              .otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("double").alias("purchase_value"),
     )
 
 
 Q40_SQL = """
 SELECT user_id, max(ts) AS last_seen, min(ts) AS first_seen,
        count(*) AS events,
-       sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS purchase_value
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_value
 FROM events GROUP BY user_id
 """
 
@@ -149,7 +156,8 @@ def q46_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window(F.col("ts"), "10 minutes").alias("w"),
                   F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("events"),
-             F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"))
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+             .alias("total_value"))
         .select("user_id",
                 F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"),
@@ -177,7 +185,7 @@ WITH s AS (
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 10 MINUTE AS session_end,
        count(*) AS events,
-       sum(CAST(value AS DECIMAL(18,4))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM g GROUP BY user_id, sid
 """
 

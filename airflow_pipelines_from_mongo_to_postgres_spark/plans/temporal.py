@@ -82,8 +82,10 @@ def q44_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("hour").cast("int").alias("g_hour"),
             F.count(F.lit(1)).alias("events"),
             # decimal sum: exact and summation-order-independent, so the
-            # hash can't flip on engine/parallelism differences
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            # hash can't flip on engine/parallelism differences; cast to
+            # DOUBLE at the end — DecimalType output columns are driver-red
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("total_value"),
         )
     )
 
@@ -98,7 +100,7 @@ SELECT day, hour,
        CAST(grouping(day) AS INT) AS g_day,
        CAST(grouping(hour) AS INT) AS g_hour,
        count(*) AS events,
-       sum(CAST(value AS DECIMAL(18,4))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM b
 GROUP BY ROLLUP (day, hour)
 """

@@ -123,6 +123,35 @@ def test_sequence_packing_partitions_on_bucket_only(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_no_query_outputs_decimal_columns(spark, sf_dir):
+    """Sweep ALL registered queries: no OUTPUT schema may contain a
+    DecimalType anywhere (top-level, struct field, or array element).
+    Driver-red class, proven in round 3: the only three hash failures in
+    CORRECTNESS_r03.json were exactly the only three sampled queries with
+    decimal output columns — the driver's value canon on Decimal diverges
+    from ours (DuckDB-version-dependent). Decimal arithmetic is the right
+    ORDER-INDEPENDENCE tool internally; the final projection must cast it
+    to double on both engines."""
+    from pyspark.sql import types as ST
+
+    import __spark_entry__ as entrymod
+
+    def has_decimal(dt) -> bool:
+        if isinstance(dt, ST.DecimalType):
+            return True
+        if isinstance(dt, ST.StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, ST.ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, ST.MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        return False
+
+    offenders = [name for name, fn in entrymod.queries().items()
+                 if has_decimal(fn(spark, sf_dir).schema)]
+    assert not offenders, f"decimal-typed output columns: {offenders}"
+
+
 def test_no_query_windows_over_single_partition(spark, sf_dir):
     """Sweep ALL registered queries: no Window operator may sit on a
     SinglePartition exchange — that shape pulls every row through one
