@@ -177,6 +177,15 @@ Q27_SQL = _minhash_sig_sql()
 
 
 # --- q28: MinHash-LSH near-dup pairs (verified) -------------------------------
+#: Verification-payload cap: per-doc collect_list is bounded at 4096 hashes
+#: (32 KB/row) so ONE book-length outlier can't blow a task at 100×. The
+#: bottom-k estimator is EXACT for any pair whose shingle union fits the
+#: cap — fixture docs carry ≤ ~100 shingles (measured at sf0.01/sf0.1), so
+#: the hash gate still compares exact Jaccard against the exact oracle,
+#: with ~40× headroom for regenerated fixtures.
+_Q28_MAX_SHINGLES = 4096
+
+
 def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # num_perm=32 / bands=16 / r=2: near-dup pairs in the fixtures sit at
     # jaccard ≥ 0.8, so per-pair recall is 1-(1-s^2)^16 ≥ 1 - 0.36^16
@@ -184,7 +193,8 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2,
                                    num_perm=32, bands=16, n=3,
-                                   shingle_table=_shingles_shared(spark, sf_dir))
+                                   shingle_table=_shingles_shared(spark, sf_dir),
+                                   max_shingles=_Q28_MAX_SHINGLES)
 
 
 Q28_SQL = _jaccard_pairs_sql(threshold=0.2)  # exact == LSH-verified at recall 1

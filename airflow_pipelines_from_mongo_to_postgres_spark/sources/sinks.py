@@ -127,13 +127,25 @@ def jvm_execute(spark, url: str, *statements: str) -> None:
     """Execute SQL statements over JDBC through the JVM already attached to
     the SparkSession (``java.sql.DriverManager``) — any driver on Spark's
     classpath works (embedded Derby in tests, the Postgres jar on a real
-    cluster) and no Python DBAPI driver is needed at all."""
+    cluster) and no Python DBAPI driver is needed at all.
+
+    The statements run in ONE transaction: a failure mid-sequence rolls
+    back the earlier statements instead of leaving a half-applied batch
+    committed (autocommit would commit each statement as it ran). The
+    Statement handle is closed even when execute raises."""
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
+        conn.setAutoCommit(False)
         st = conn.createStatement()
-        for stmt in statements:
-            st.execute(stmt)
-        st.close()
+        try:
+            for stmt in statements:
+                st.execute(stmt)
+            conn.commit()
+        except BaseException:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
     finally:
         conn.close()
 
