@@ -2,10 +2,12 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side contract (schemas, partitioning, batch shapes) is real and
-tested; the actual codec calls are STUBBED (``decoder=None`` → deterministic
-fake) because image/audio libraries are not in this container. Swap in a
-real decoder (PIL/torchaudio/ffmpeg) by passing ``decoder=`` — the Spark
-plan is unchanged.
+tested. The IMAGE decode path is real too: ``decode_image`` reconstructs
+pixels for PNG (stdlib zlib inflate + scanline unfilter) and uncompressed
+BMP with no external library, preferring Pillow when importable
+(``decoded_media_features``). Audio/video codecs remain pluggable seams
+(``decoder=``/``sampler=`` hooks with deterministic fakes) — ffmpeg-class
+dependencies don't belong in the engine.
 
 Scale notes: mapInPandas streams Arrow batches through one Python worker
 per core — decode cost parallelizes with partitions, and
@@ -22,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -49,6 +52,147 @@ def _stub_decode(payload: bytes) -> dict:
         "height": 16 + payload[-1] % 64,
         "format": "stub",
     }
+
+
+# --- real pixel decoders (stdlib-only: zlib for PNG, byte math for BMP) ----
+#
+# The container ships no image library, but PNG's pixel path needs nothing
+# beyond zlib (stdlib) + the per-scanline unfilter pass, and uncompressed
+# BMP is plain byte arithmetic — so the decode seam is REAL for the two
+# formats the fixtures and tests exercise, not a stub. Pillow, when
+# importable, is preferred (more formats, C-speed); these cover the
+# container. Formats outside both decoders raise NotImplementedError and
+# flow to the documented null fallback in extract_media_features.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> samples per pixel (8-bit depth, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+    Sequential per scanline by necessity — each byte depends on the
+    reconstructed left/up neighbours."""
+    stride = width * ch
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1: pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:      # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"png filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _decode_png(payload: bytes) -> dict:
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a png")
+    width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29])
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png depth={depth} ctype={ctype} interlace={interlace}")
+    ch = _PNG_CHANNELS[ctype]
+    # walk chunks; IDAT may be split — concatenate before one inflate
+    idat, pos = [], 8
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        if tag == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + length])
+        if tag == b"IEND":
+            break
+        pos += 12 + length          # len + tag + data + crc
+    pixels = _png_unfilter(zlib.decompress(b"".join(idat)),
+                           width, height, ch)
+    n = len(pixels)
+    return {"width": width, "height": height, "format": "png",
+            "channels": ch,
+            "mean_pixel": round(sum(pixels) / n, 4) if n else None}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a bmp")
+    data_off, = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression, = struct.unpack("<I", payload[30:34])
+    if compression != 0 or bpp not in (24, 32) or planes != 1:
+        raise NotImplementedError(f"bmp bpp={bpp} compression={compression}")
+    height = abs(height)            # negative = top-down; magnitude only
+    ch = bpp // 8
+    stride = (width * ch + 3) & ~3  # rows pad to 4 bytes
+    total = n = 0
+    for y in range(height):
+        row = payload[data_off + y * stride:
+                      data_off + y * stride + width * ch]
+        total += sum(row)
+        n += len(row)
+    return {"width": width, "height": height, "format": "bmp",
+            "channels": ch,
+            "mean_pixel": round(total / n, 4) if n else None}
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL image decoder for the ``decoder=`` seam: Pillow when
+    available, else the stdlib PNG (zlib inflate + unfilter) and
+    uncompressed-BMP paths above. Returns width/height/format plus
+    ``channels`` and ``mean_pixel`` (proof the pixels were actually
+    reconstructed, not just the header read). Unsupported formats raise
+    NotImplementedError → the extract stage's null fallback."""
+    if not payload:
+        raise NotImplementedError("empty payload")
+    try:
+        import io
+
+        from PIL import Image  # optional fast path, not in this container
+        img = Image.open(io.BytesIO(payload))
+        import numpy as np
+        arr = np.asarray(img.convert("RGB"), dtype="float64")
+        return {"width": img.width, "height": img.height,
+                "format": (img.format or "unknown").lower(),
+                "channels": len(img.getbands()),
+                "mean_pixel": round(float(arr.mean()), 4)}
+    except ImportError:
+        pass
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError("unsupported image format")
 
 
 def extract_media_features(df: DataFrame, id_col: str, payload_col: str,
@@ -88,6 +232,57 @@ def extract_media_features(df: DataFrame, id_col: str, payload_col: str,
 
     cols = [id_col, payload_col] + ([mt] if mt else [])
     return df.select(*cols).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+#: Output schema of the PIXEL-decode stage: header fields plus the two
+#: that require actually reconstructing the image (channels, mean_pixel).
+DECODED_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("payload_bytes", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("format", StringType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("mean_pixel", DoubleType(), True),
+])
+
+
+def decoded_media_features(df: DataFrame, id_col: str, payload_col: str,
+                           decoder: Callable[[bytes], dict] | None = None,
+                           ) -> DataFrame:
+    """Full-decode feature extraction: like ``extract_media_features`` but
+    through the REAL ``decode_image`` path, emitting channel count and
+    mean pixel value (values that only exist if the pixels were
+    reconstructed). Unsupported formats degrade to null features, rows
+    are never dropped — route nulls to quarantine or a codec fleet."""
+    dec = decoder or decode_image
+
+    def safe(p: bytes) -> dict:
+        try:
+            return dec(p)
+        except (NotImplementedError, ValueError, OSError):
+            return {"width": None, "height": None, "format": None,
+                    "channels": None, "mean_pixel": None}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b"")
+            feats = payloads.map(safe)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                "payload_bytes": payloads.str.len(),
+                "width": feats.map(lambda d: d.get("width")),
+                "height": feats.map(lambda d: d.get("height")),
+                "format": feats.map(lambda d: d.get("format")),
+                "channels": feats.map(lambda d: d.get("channels")),
+                "mean_pixel": feats.map(lambda d: d.get("mean_pixel")),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, DECODED_FEATURES_SCHEMA)
 
 
 #: Output schema of the resize stage: payload out, new dims recorded.

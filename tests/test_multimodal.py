@@ -119,3 +119,165 @@ def test_header_dimensions_adversarial_bytes_never_crash(spark):
     assert got["1"] == ("bmp", 800, 600)            # |negative height|
     assert got["2"] == ("png", (1 << 31) - 1, 10)   # clamped, not crashed
     assert got["3"] == (None, None, None)           # truncated magic
+
+
+# --- real pixel decoding (no image library in the container) ---------------
+
+def _make_png(pixels, ctype: int, filters=None) -> bytes:
+    """Independent PNG encoder for the decode tests: forward-filters each
+    scanline with the given filter types (0..4), so the decoder's
+    unfilter pass is checked against separately-written filter math.
+    ``pixels`` is rows × width × channels nested lists, 8-bit."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    height, width = len(pixels), len(pixels[0])
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(width * ch)
+    for y, ftype in zip(range(height), filters):
+        line = bytes(b for px in pixels[y] for b in px)
+        raw.append(ftype)
+        for i in range(width * ch):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                f = line[i]
+            elif ftype == 1:
+                f = line[i] - left
+            elif ftype == 2:
+                f = line[i] - up
+            elif ftype == 3:
+                f = line[i] - ((left + up) >> 1)
+            else:                       # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                f = line[i] - pred
+            raw.append(f & 0xFF)
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + \
+            struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    # split IDAT in two to exercise multi-chunk concatenation
+    mid = len(comp) // 2
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+            + chunk(b"IEND", b""))
+
+
+def _make_bmp(pixels, bpp: int = 24, top_down: bool = False) -> bytes:
+    """Minimal uncompressed BMP writer (BITMAPINFOHEADER, padded rows)."""
+    import struct
+
+    ch = bpp // 8
+    height, width = len(pixels), len(pixels[0])
+    stride = (width * ch + 3) & ~3
+    rows = pixels if top_down else pixels[::-1]     # file order is bottom-up
+    body = b"".join(
+        bytes(b for px in row for b in px).ljust(stride, b"\x00")
+        for row in rows)
+    h = -height if top_down else height
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<iiiHHIIiiII", 40, width, h, 1, bpp, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def _expected_mean(pixels) -> float:
+    flat = [b for row in pixels for px in row for b in px]
+    return round(sum(flat) / len(flat), 4)
+
+
+def test_decode_png_all_filter_types():
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_image,
+    )
+    import random
+
+    rng = random.Random(7)
+    # 5 rows -> one scanline per filter type; RGB
+    pixels = [[[rng.randrange(256) for _ in range(3)] for _ in range(9)]
+              for _ in range(5)]
+    payload = _make_png(pixels, ctype=2, filters=[0, 1, 2, 3, 4])
+    got = decode_image(payload)
+    assert got == {"width": 9, "height": 5, "format": "png", "channels": 3,
+                   "mean_pixel": _expected_mean(pixels)}
+
+
+def test_decode_png_gray_and_rgba():
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_image,
+    )
+    gray = [[[y * 8 + x] for x in range(4)] for y in range(3)]
+    rgba = [[[x, y, 200, 255] for x in range(2)] for y in range(2)]
+    g = decode_image(_make_png(gray, ctype=0, filters=[4, 4, 4]))
+    assert (g["channels"], g["width"], g["height"]) == (1, 4, 3)
+    assert g["mean_pixel"] == _expected_mean(gray)
+    r = decode_image(_make_png(rgba, ctype=6, filters=[1, 2]))
+    assert (r["channels"], r["mean_pixel"]) == (4, _expected_mean(rgba))
+
+
+def test_decode_bmp_bottom_up_and_top_down():
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_image,
+    )
+    pixels = [[[10 * y + x, 0, 255] for x in range(3)] for y in range(4)]
+    for td in (False, True):
+        got = decode_image(_make_bmp(pixels, top_down=td))
+        assert got == {"width": 3, "height": 4, "format": "bmp",
+                       "channels": 3, "mean_pixel": _expected_mean(pixels)}
+
+
+def test_decoded_media_features_spark_path(spark):
+    """The real decoder through the Arrow mapInPandas stage: real PNG and
+    BMP rows decode to exact pixel stats; a non-image payload degrades to
+    null features without dropping the row."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decoded_media_features,
+    )
+
+    png_px = [[[x * 40, y * 60, 7] for x in range(5)] for y in range(4)]
+    bmp_px = [[[1, 2, 3], [4, 5, 6]]]
+    rows = [("p1", _make_png(png_px, ctype=2, filters=[0, 1, 2, 3])),
+            ("b1", _make_bmp(bmp_px)),
+            ("junk", b"not an image at all")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r for r in
+           decoded_media_features(df, "media_id", "payload").collect()}
+    assert got["p1"].format == "png" and got["p1"].channels == 3
+    assert got["p1"].mean_pixel == _expected_mean(png_px)
+    assert (got["p1"].width, got["p1"].height) == (5, 4)
+    assert got["b1"].format == "bmp"
+    assert got["b1"].mean_pixel == _expected_mean(bmp_px)
+    assert got["junk"].format is None and got["junk"].mean_pixel is None
+    assert got["junk"].payload_bytes == len(b"not an image at all")
+
+
+def test_decode_image_agrees_with_header_parser(spark):
+    """Same payload through the JVM header path (image_dimensions) and the
+    Python pixel path (decode_image): dimensions must agree — the header
+    fast-path is a correct pre-filter for the decode fleet."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_image,
+        image_dimensions,
+    )
+
+    px = [[[x, y, 0] for x in range(6)] for y in range(3)]
+    payloads = [("png", _make_png(px, ctype=2)), ("bmp", _make_bmp(px))]
+    df = spark.createDataFrame(payloads, "kind string, payload binary")
+    jvm = {r.kind: r.d for r in
+           df.select("kind", image_dimensions("payload").alias("d")).collect()}
+    for kind, payload in payloads:
+        py = decode_image(payload)
+        assert (jvm[kind].format, jvm[kind].width, jvm[kind].height) == \
+            (py["format"], py["width"], py["height"])
