@@ -37,6 +37,13 @@ def _rows(n: int = 2500) -> list[tuple[int, float, float]]:
         else:
             v = round(rng.uniform(0.0, 1_000.0), 2)  # today's fixture shape
         out.append((i % 7, v, rng.uniform(0.0, 0.2)))
+    # adversarial: doubles whose SHORTEST repr sits exactly on a 4-dp half
+    # boundary (their binary value is a hair off it). Probed: both engines
+    # round these identically (123.45675 -> 123.4568 on both), i.e. DuckDB's
+    # double->decimal cast agrees with Spark's shortest-repr HALF_UP — the
+    # one place the idioms could have disagreed by construction.
+    for j, v in enumerate([0.00005, 0.00015, 1.00005, 123.45675, 7.00025]):
+        out.append((j % 7, v, 0.05))
     return out
 
 
