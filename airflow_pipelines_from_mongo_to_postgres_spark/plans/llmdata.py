@@ -1468,6 +1468,106 @@ FROM per_src, totals
 """
 
 
+# --- q90: document chunking with overlap (context-window assembly) -----------
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 48
+
+
+def q90_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice each document's token stream into fixed-size chunks with a
+    stride overlap (the context-window assembly step between curation and
+    tokenization: max_len=64 tokens, stride=48 → 16-token overlap so no
+    span is ever split across a boundary without context). One explode of
+    the chunk-start sequence per doc — rows out ≈ n_tokens/stride, no
+    shuffle at all until a downstream consumer groups; chunk identity is
+    md5 of the joined tokens so the payload stays hash-gateable and
+    small. Scale: a pure map-side 1→N expansion; the sequence() bound
+    keeps the expansion proportional to document length (a book yields
+    len/stride chunks, never a cross product)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", T.tokens("text").alias("ts")) \
+        .withColumn("n", F.size("ts")).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+    return (
+        toks.select("doc_id", "ts", "n",
+                    F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.least(F.lit(_CHUNK_LEN), F.col("n") - F.col("chunk_start"))
+            .cast("int").alias("chunk_len"),
+            F.md5(F.concat_ws(
+                " ", F.slice("ts", F.col("chunk_start") + 1, _CHUNK_LEN)))
+            .alias("chunk_md5"),
+        )
+    )
+
+
+Q90_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL.format(col='text')} AS ts FROM documents
+),
+nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0)
+SELECT doc_id,
+       CAST(s.start AS INT) AS chunk_start,
+       CAST(least({_CHUNK_LEN}, n - s.start) AS INT) AS chunk_len,
+       md5(array_to_string(ts[s.start + 1 : s.start + {_CHUNK_LEN}], ' ')) AS chunk_md5
+FROM nz, LATERAL unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) s(start)
+"""
+
+
+# --- q91: vocabulary coverage / OOV rate per source ---------------------------
+_VOCAB_K = 1000
+
+
+def q91_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the top-K corpus vocabulary (count desc, token asc — the
+    tiebreak makes the K-boundary deterministic across engines) and
+    report each source's out-of-vocabulary token rate — the coverage
+    check run before committing to a tokenizer vocab. The vocab is a
+    TakeOrdered (parallel partial top-K, no global window) and joins
+    back broadcast: the corpus-sized token stream shuffles once for the
+    frequency count and once for the per-source rollup; the K-row vocab
+    never shuffles anything."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("source", F.explode(T.tokens("text")).alias("token"))
+    vocab = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), F.col("token").asc())
+             .limit(_VOCAB_K)
+             .select("token", F.lit(1).alias("__v")))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+Q91_SQL = f"""
+WITH toks AS (
+  SELECT source, t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, token ASC LIMIT {_VOCAB_K})
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v ON toks.token = v.token
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -1504,6 +1604,8 @@ QUERIES = {
     "q81_pagerank_neardup": q81_pagerank_neardup,
     "q84_ngram_contamination": q84_ngram_contamination,
     "q86_containment_pairs": q86_containment_pairs,
+    "q90_doc_chunking": q90_doc_chunking,
+    "q91_vocab_oov": q91_vocab_oov,
 }
 
 ORACLES = {
@@ -1542,4 +1644,6 @@ ORACLES = {
     "q81_pagerank_neardup": Q81_SQL,
     "q84_ngram_contamination": Q84_SQL,
     "q86_containment_pairs": Q86_SQL,
+    "q90_doc_chunking": Q90_SQL,
+    "q91_vocab_oov": Q91_SQL,
 }
