@@ -1568,6 +1568,308 @@ GROUP BY source
 """
 
 
+# --- q92: embedding int8 scalar quantization + reconstruction error ----------------
+def q92_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the compression
+    step before shipping an embedding table to an ANN index or a GPU
+    host (4× smaller than float32, 8× smaller than the double working
+    form). scale = max|v|/127, q_i = round(v_i/scale) ∈ [-127, 127],
+    and the output reports the reconstruction MSE so a curation pipeline
+    can gate on quantization loss. Pure map-side per-vector math (the
+    explode is 1→dim within a partition); the only shuffle is the final
+    per-vector groupBy, keyed on the unique vec_id — uniform by
+    construction. Cross-engine exactness: both engines do the same IEEE
+    double ops on identical inputs; the per-element squared error is
+    rounded to 12 dp and summed as DECIMAL (order-independent) before
+    the final double division."""
+    e = load_table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    s = v.select(
+        "vec_id", "emb",
+        (F.array_max(F.transform("emb", F.abs)) / F.lit(127.0)).alias("scale"))
+    per = s.select("vec_id", "scale", F.explode("emb").alias("x"))
+    qv = F.when(F.col("scale") == 0, F.lit(0)) \
+        .otherwise(F.round(F.col("x") / F.col("scale"), 0).cast("int"))
+    err = F.col("x") - qv.cast("double") * F.col("scale")
+    return (
+        per.select("vec_id", "scale",
+                   F.round(err * err, 12).cast("decimal(18,12)").alias("sq"))
+        .groupBy("vec_id", "scale")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.round(F.sum("sq").cast("double") / F.count(F.lit(1)), 9)
+            .alias("mse"),
+        )
+        .select("vec_id", F.round("scale", 9).alias("scale"), "n_dims", "mse")
+    )
+
+
+Q92_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+per AS (SELECT vec_id, scale, u.x AS x FROM s, LATERAL unnest(emb) u(x)),
+err AS (
+  SELECT vec_id, scale,
+         CAST(round(
+           (x - (CASE WHEN scale = 0 THEN 0
+                      ELSE CAST(round(x / scale) AS INT) END) * scale)
+           * (x - (CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(round(x / scale) AS INT) END) * scale),
+           12) AS DECIMAL(18,12)) AS sq
+  FROM per
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(count(*) AS INT) AS n_dims,
+       round(CAST(sum(sq) AS DOUBLE) / count(*), 9) AS mse
+FROM err GROUP BY vec_id, scale
+"""
+
+
+# --- q93: Bloom-filter eval-set decontamination -------------------------------------
+#: m = 8192 bit positions, k = 3 hash functions — sized for the fixture
+#: eval set (~100 docs → ~300 set bits → FP rate ≈ (300/8192)^3 ≈ 5e-5).
+#: At 100 TB the SAME plan holds with m scaled to the eval-set size (the
+#: position table is |set bits| ≤ m rows — always broadcastable).
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+
+def _bloom_pos(fp_col, i: int):
+    return F.pmod(T.hash28(F.concat(F.lit(f"bloom{i}:"), fp_col)),
+                  F.lit(_BLOOM_M))
+
+
+def q93_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership decontamination: the eval split's document
+    fingerprints are folded into an m-bit / k-hash Bloom set, and every
+    TRAIN document is probed against it. This is how decontamination runs
+    when the eval set is too large to broadcast verbatim but its Bloom
+    bits are not (m bits ≪ the fingerprint table) — no false negatives
+    by construction, and the output carries BOTH the bloom verdict and
+    the exact verdict so the false-positive rate is observable. The
+    position set is distinct-bounded at m rows → broadcast join; the
+    train side streams map-side. Hashes are md5-derived (hash28), so
+    DuckDB replays every bit decision."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    split = sampling.train_val_test_split(fp, "doc_id")
+    pos = split.select(
+        "doc_id", "fp", "split",
+        *[_bloom_pos(F.col("fp"), i).alias(f"p{i}") for i in range(_BLOOM_K)])
+    evl = pos.filter(F.col("split") != "train")
+    eval_pos = (evl.select(F.explode(F.array(*[f"p{i}" for i in range(_BLOOM_K)]))
+                           .alias("p")).distinct()
+                .withColumn("__hit", F.lit(1)))
+    eval_fp = evl.select("fp").distinct().withColumn("__exact", F.lit(1))
+    train = (pos.filter(F.col("split") == "train")
+             .select("doc_id", "fp",
+                     F.explode(F.array(*[f"p{i}" for i in range(_BLOOM_K)]))
+                     .alias("p")))
+    return (
+        train
+        .join(F.broadcast(eval_pos), "p", "left")
+        .join(F.broadcast(eval_fp), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.coalesce("__hit", F.lit(0))) == _BLOOM_K).alias("bloom_hit"),
+            (F.max(F.coalesce("__exact", F.lit(0))) == 1).alias("exact_hit"),
+        )
+    )
+
+
+Q93_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           / 268435456.0 AS u
+  FROM documents
+),
+split AS (
+  SELECT doc_id, fp,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM base
+),
+pos AS (
+  SELECT doc_id, fp, split,
+         CAST(concat('0x', substr(md5(concat('bloom0:', fp)), 1, 7)) AS BIGINT) % {_BLOOM_M} AS p0,
+         CAST(concat('0x', substr(md5(concat('bloom1:', fp)), 1, 7)) AS BIGINT) % {_BLOOM_M} AS p1,
+         CAST(concat('0x', substr(md5(concat('bloom2:', fp)), 1, 7)) AS BIGINT) % {_BLOOM_M} AS p2
+  FROM split
+),
+eval_pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT p0 AS p FROM pos WHERE split <> 'train'
+    UNION ALL SELECT p1 FROM pos WHERE split <> 'train'
+    UNION ALL SELECT p2 FROM pos WHERE split <> 'train')
+),
+eval_fp AS (SELECT DISTINCT fp FROM pos WHERE split <> 'train'),
+train_exp AS (
+  SELECT doc_id, fp, u.p
+  FROM pos, LATERAL unnest([p0, p1, p2]) u(p)
+  WHERE split = 'train'
+)
+SELECT t.doc_id,
+       (sum(CASE WHEN ep.p IS NOT NULL THEN 1 ELSE 0 END) = {_BLOOM_K}) AS bloom_hit,
+       (max(CASE WHEN ef.fp IS NOT NULL THEN 1 ELSE 0 END) = 1) AS exact_hit
+FROM train_exp t
+LEFT JOIN eval_pos ep ON t.p = ep.p
+LEFT JOIN eval_fp ef ON t.fp = ef.fp
+GROUP BY t.doc_id
+"""
+
+
+# --- q94: stratified source-balancing sample ----------------------------------------
+#: Per-stratum quota = (3/5)·min-source-count — a rational, so the keep
+#: decision stays in exact integer arithmetic (no float rate exists).
+_Q94_NUM, _Q94_DEN = 3, 5
+
+
+def q94_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample equalizing the source mix:
+    every source is hash-sampled toward the same quota (3/5 of the
+    smallest source's count), so over-represented sources are cut
+    hardest. The membership decision is the pure integer comparison
+    hash28(doc)·n_s·DEN < min_n·NUM·2^28 — append-stable and
+    bit-identical across engines; no float rate ever materializes.
+    Per-source counts are a broadcast scalar table; the sample itself is
+    a map-side filter directly over the scan. Integer headroom: the
+    comparison stays in int64 up to n_s·DEN < 2^35 (≈ 7 B docs per
+    stratum); past that, drop the variate to 20 bits."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    target = counts.agg(F.min("n_s").alias("min_n"))
+    h = T.hash28(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(target))
+        .filter(h * F.col("n_s") * F.lit(_Q94_DEN)
+                < F.col("min_n") * F.lit(_Q94_NUM * (1 << 28)))
+        .select("doc_id", "source")
+    )
+
+
+Q94_SQL = f"""
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+t AS (SELECT min(n_s) AS min_n FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts USING (source), t
+WHERE CAST(concat('0x', substr(md5(concat('strat:', CAST(d.doc_id AS VARCHAR))), 1, 7))
+           AS BIGINT) * n_s * {_Q94_DEN} < min_n * {_Q94_NUM * (1 << 28)}
+"""
+
+
+# --- q95: cross-source near-duplication matrix --------------------------------------
+def q95_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where is the duplication coming FROM: near-dup pair counts and
+    mean similarity per (source, source) cell — the report that tells a
+    corpus owner whether crawl A is recopying crawl B before they pay
+    for another pass. Reuses the session's persisted pruned pair plan
+    (one inverted-index join shared with q51/q53/q58/q63); the two
+    source lookups join against the slim (doc_id, source) projection and
+    the final matrix is a handful of rows. Mean jaccard is summed as
+    DECIMAL of the already-6dp-rounded pair values — order-independent."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = _jaccard_pairs_shared(spark, sf_dir, threshold=0.2, n=3,
+                                  max_df=NEAR_DUP_MAX_DF)
+    src = d.select("doc_id", "source")
+    j = (pairs
+         .join(src.select(F.col("doc_id").alias("d1"),
+                          F.col("source").alias("s1")), "d1")
+         .join(src.select(F.col("doc_id").alias("d2"),
+                          F.col("source").alias("s2")), "d2"))
+    return (
+        j.select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+            F.col("jaccard").cast("decimal(10,6)").alias("jd"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("jd").cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_jaccard"),
+        )
+    )
+
+
+Q95_SQL = f"""
+WITH pairs AS ({_jaccard_pairs_sql(threshold=0.2, max_df=NEAR_DUP_MAX_DF)})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6)
+         AS mean_jaccard
+FROM pairs
+JOIN documents da ON pairs.d1 = da.doc_id
+JOIN documents db ON pairs.d2 = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- q96: per-source token-distribution KL divergence --------------------------------
+def q96_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions — the drift gauge
+    that flags a source whose token mix diverges from the corpus before
+    it skews a tokenizer or mixing-weight fit. Every source term's
+    support is a subset of the corpus support (p_c > 0 wherever
+    p_s > 0), so the sum is always finite. One explode feeds two
+    aggregations (per-source-term and corpus-term); the corpus vocab
+    joins back on the term key and the per-source rollup is a
+    sources-sized result. Cross-engine exactness: identical double
+    divisions of exact integer counts, ln at 9 dp (the q78/q65 parity
+    assumption), DECIMAL term sum — order-independent."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("source", F.explode(T.tokens("text")).alias("token"))
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_all"))
+    total = toks.agg(F.count(F.lit(1)).alias("t_all"))
+    per_src = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c_s"))
+    n_src = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    p_s = F.col("c_s") / F.col("n_s")
+    p_c = F.col("c_all") / F.col("t_all")
+    contrib = F.round(p_s * F.log(p_s / p_c), 9).cast("decimal(18,9)")
+    return (
+        per_src.join(corpus, "token")
+        .join(F.broadcast(n_src), "source")
+        .crossJoin(F.broadcast(total))
+        .select("source", "n_s", contrib.alias("kt"))
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("kt").cast("double"), 6).alias("kl_divergence"),
+        )
+        .select(F.col("source"), F.col("n_s").alias("n_tokens"),
+                "n_terms", "kl_divergence")
+    )
+
+
+Q96_SQL = f"""
+WITH toks AS (
+  SELECT source, t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+corpus AS (SELECT token, count(*) AS c_all FROM toks GROUP BY 1),
+total AS (SELECT count(*) AS t_all FROM toks),
+per_src AS (SELECT source, token, count(*) AS c_s FROM toks GROUP BY 1, 2),
+n_src AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+terms AS (
+  SELECT p.source, n.n_s,
+         CAST(round((c_s * 1.0 / n_s) * ln((c_s * 1.0 / n_s) / (c_all * 1.0 / t_all)), 9)
+              AS DECIMAL(18,9)) AS kt
+  FROM per_src p JOIN corpus USING (token) JOIN n_src n ON p.source = n.source, total
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(kt) AS DOUBLE), 6) AS kl_divergence
+FROM terms GROUP BY source, n_s
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -1606,6 +1908,11 @@ QUERIES = {
     "q86_containment_pairs": q86_containment_pairs,
     "q90_doc_chunking": q90_doc_chunking,
     "q91_vocab_oov": q91_vocab_oov,
+    "q92_embedding_quantization": q92_embedding_quantization,
+    "q93_bloom_decontamination": q93_bloom_decontamination,
+    "q94_stratified_sample": q94_stratified_sample,
+    "q95_cross_source_dups": q95_cross_source_dups,
+    "q96_source_kl_divergence": q96_source_kl_divergence,
 }
 
 ORACLES = {
@@ -1646,4 +1953,9 @@ ORACLES = {
     "q86_containment_pairs": Q86_SQL,
     "q90_doc_chunking": Q90_SQL,
     "q91_vocab_oov": Q91_SQL,
+    "q92_embedding_quantization": Q92_SQL,
+    "q93_bloom_decontamination": Q93_SQL,
+    "q94_stratified_sample": Q94_SQL,
+    "q95_cross_source_dups": Q95_SQL,
+    "q96_source_kl_divergence": Q96_SQL,
 }

@@ -1,0 +1,114 @@
+"""Targeted property tests for the round-4 corpus-mechanics operators
+(q92 quantization, q93 bloom decontamination, q94 stratified sample,
+q95 cross-source matrix, q96 KL divergence). The cross-engine value
+gates live in the oracle sweep; these tests pin the operator-level
+invariants the hash gate can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.plans import llmdata
+
+
+@pytest.fixture(autouse=True)
+def _fresh_caches():
+    llmdata.clear_caches()
+    yield
+    llmdata.clear_caches()
+
+
+def test_quantization_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric int8 quantization's per-element error is at most half a
+    step (scale/2), so MSE <= scale^2/4 for every vector."""
+    out = llmdata.q92_embedding_quantization(spark, sf_dir).collect()
+    assert out, "fixture has embeddings"
+    for r in out:
+        assert r.n_dims == 64
+        assert r.mse <= (r.scale ** 2) / 4 + 1e-12, r
+        assert r.mse >= 0
+
+
+def test_quantization_zero_vector_is_lossless(spark):
+    e = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0] * 8),
+         Row(vec_id=2, embedding=[1.0, -1.0, 0.5, 0.25, 0.0, 0.0, 0.0, 0.0])])
+
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    s = v.select("vec_id", "emb",
+                 (F.array_max(F.transform("emb", F.abs)) / F.lit(127.0)).alias("scale"))
+    per = s.select("vec_id", "scale", F.explode("emb").alias("x"))
+    qv = F.when(F.col("scale") == 0, F.lit(0)) \
+        .otherwise(F.round(F.col("x") / F.col("scale"), 0).cast("int"))
+    err = F.col("x") - qv.cast("double") * F.col("scale")
+    rows = per.select("vec_id", (err * err).alias("sq")).groupBy("vec_id") \
+        .agg(F.sum("sq").alias("sse")).collect()
+    by_id = {r.vec_id: r.sse for r in rows}
+    assert by_id[1] == 0.0  # all-zero vector survives the scale=0 guard
+    assert by_id[2] >= 0.0
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every exact contamination hit must also be a bloom hit — Bloom
+    filters can only err toward false positives."""
+    out = llmdata.q93_bloom_decontamination(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        if r.exact_hit:
+            assert r.bloom_hit, f"false negative on doc {r.doc_id}"
+
+
+def test_stratified_sample_is_deterministic_and_balanced(spark):
+    # 3 sources with counts 300 / 60 / 30: quota = 3/5 * 30 = 18 docs per
+    # source in expectation; the heavy source must be cut ~16x harder.
+    rows = [Row(doc_id=i, source="big", text="t") for i in range(300)]
+    rows += [Row(doc_id=1000 + i, source="mid", text="t") for i in range(60)]
+    rows += [Row(doc_id=2000 + i, source="small", text="t") for i in range(30)]
+    d = spark.createDataFrame(rows)
+
+    import airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata as m
+    orig = m.load_table
+    m.load_table = lambda s, t, sf: d
+    try:
+        a = m.q94_stratified_sample(spark, "ignored")
+        got = {r.source: c for r, c in
+               [(x, x.n) for x in a.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .collect()]}
+        again = m.q94_stratified_sample(spark, "ignored").collect()
+    finally:
+        m.load_table = orig
+    # deterministic re-run
+    assert sorted((r.doc_id for r in again)) == sorted(r.doc_id for r in a.collect())
+    # every stratum lands near the common quota of 18 (binomial spread)
+    for src, n in got.items():
+        assert 6 <= n <= 30, (src, n, got)
+
+
+def test_cross_source_matrix_is_upper_triangular(spark, sf_dir):
+    out = llmdata.q95_cross_source_dups(spark, sf_dir).collect()
+    assert out, "fixture has near-dup pairs"
+    for r in out:
+        assert r.src_a <= r.src_b
+        assert r.n_pairs >= 1
+        assert 0.0 <= r.mean_jaccard <= 1.0
+
+
+def test_kl_divergence_nonnegative_and_zero_for_identical(spark, sf_dir):
+    out = llmdata.q96_source_kl_divergence(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # Gibbs: KL >= 0, up to the 9dp term rounding
+        assert r.kl_divergence >= -1e-6, r
+
+    # single-source corpus: source dist == corpus dist -> KL == 0
+    d = spark.createDataFrame(
+        [Row(doc_id=i, source="only", text="a b c a") for i in range(4)])
+    import airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata as m
+    orig = m.load_table
+    m.load_table = lambda s, t, sf: d
+    try:
+        rows = m.q96_source_kl_divergence(spark, "ignored").collect()
+    finally:
+        m.load_table = orig
+    assert len(rows) == 1 and abs(rows[0].kl_divergence) < 1e-9
