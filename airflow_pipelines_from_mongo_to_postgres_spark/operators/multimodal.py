@@ -444,6 +444,114 @@ def header_media_features(df: DataFrame, id_col: str,
     )
 
 
+def _le_from_hex(hx_col, byte_off: int, nbytes: int):
+    """Little-endian unsigned int from a HEX-STRING column at a fixed
+    0-indexed byte offset: reverse byte order in hex space, parse long.
+    Truncated payloads shorten the hex string, so missing HIGH bytes
+    drop out of the reversed concat — zero-extension, the same
+    degradation as the fixed-offset parsers. Long math for the
+    ANSI-overflow reason in ``_be_uint``."""
+    le = F.concat(*[F.substring(hx_col, 2 * (byte_off + i) + 1, 2)
+                    for i in reversed(range(nbytes))])
+    return F.coalesce(F.conv(le, 16, 10).cast("long"), F.lit(0).cast("long"))
+
+
+#: WAVE format tags worth naming; anything else reports its tag number.
+_WAV_FORMATS = {1: "pcm", 3: "ieee_float", 6: "alaw", 7: "mulaw",
+                0xFFFE: "extensible"}
+
+#: RIFF chunk-list hops to inspect — real recorder output puts LIST/INFO
+#: or ``fact`` chunks before ``data``, so fixed offsets aren't enough.
+_RIFF_HOPS = 4
+
+
+def audio_media_features(df: DataFrame, id_col: str,
+                         payload_col: str) -> DataFrame:
+    """Audio twin of ``header_media_features``: ``(media_id,
+    payload_bytes, format, codec, channels, sample_rate,
+    bits_per_sample, n_frames, duration_ms)`` parsed from WAV/RIFF
+    payloads — entirely JVM-side Column expressions (substring/hex/conv),
+    zero Python workers, so at 100 TB it is a projection fused into the
+    scan, exactly like ``image_dimensions``.
+
+    The RIFF chunk list is walked for ``_RIFF_HOPS`` hops to find
+    ``fmt `` and ``data`` wherever they sit. Each hop's offset/size is
+    MATERIALIZED as a named column in a staged projection chain rather
+    than inlined into one Column expression: the offsets compound per
+    hop (off' = off + 8 + size(off) + pad(size(off))), so inlining
+    multiplies the expression tree ~3× per level and ~7 header fields ×
+    4 hops of that blew up codegen to a JVM heap OOM. Catalyst keeps
+    the stages separate (CollapseProject refuses to inline non-cheap
+    aliases referenced more than once), so the physical plan is a short
+    chain of small projections inside one whole-stage-codegen span.
+
+    Unknown/truncated/hostile payloads degrade to nulls; the frame math
+    is zero-guarded so ANSI mode can't crash on a hostile block_align."""
+    fmt_id = b"fmt ".hex().upper()
+    data_id = b"data".hex().upper()
+
+    w = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("_p"),
+    ).withColumn("_off0", F.lit(13).cast("long"))
+    for i in range(_RIFF_HOPS):
+        # One 8-byte substring per hop: chunk id (4B) + LE size (4B).
+        w = (
+            w.withColumn(f"_hdr{i}",
+                         F.hex(F.substring(F.col("_p"),
+                                           F.col(f"_off{i}").cast("int"), 8)))
+            .withColumn(f"_sz{i}", _le_from_hex(F.col(f"_hdr{i}"), 4, 4))
+            .withColumn(f"_off{i + 1}",
+                        F.col(f"_off{i}") + 8 + F.col(f"_sz{i}")
+                        + F.pmod(F.col(f"_sz{i}"), 2))  # word-aligned
+        )
+    w = (
+        w.withColumn("_fmt_off", F.coalesce(*[
+            F.when(F.substring(F.col(f"_hdr{i}"), 1, 8) == fmt_id,
+                   F.col(f"_off{i}")) for i in range(_RIFF_HOPS)]))
+        .withColumn("_data_sz", F.coalesce(*[
+            F.when(F.substring(F.col(f"_hdr{i}"), 1, 8) == data_id,
+                   F.col(f"_sz{i}")) for i in range(_RIFF_HOPS)]))
+        # The 16-byte fmt body, grabbed once; fields are fixed offsets in it.
+        .withColumn("_fmt_hex",
+                    F.hex(F.substring(F.col("_p"),
+                                      (F.col("_fmt_off") + 8).cast("int"), 16)))
+    )
+    tag = _le_from_hex(F.col("_fmt_hex"), 0, 2)
+    channels = _le_from_hex(F.col("_fmt_hex"), 2, 2)
+    sample_rate = _le_from_hex(F.col("_fmt_hex"), 4, 4)
+    block_align = _le_from_hex(F.col("_fmt_hex"), 12, 2)
+    bits = _le_from_hex(F.col("_fmt_hex"), 14, 2)
+    w = (
+        w.withColumn("_valid",
+                     (F.hex(F.substring(F.col("_p"), 1, 4)) == b"RIFF".hex().upper())
+                     & (F.hex(F.substring(F.col("_p"), 9, 4)) == b"WAVE".hex().upper())
+                     & (F.octet_length(F.col("_p")) >= 44)
+                     & F.col("_fmt_off").isNotNull())
+        .withColumn("_codec", F.coalesce(
+            *[F.when(tag == k, F.lit(v)) for k, v in _WAV_FORMATS.items()],
+            F.concat(F.lit("tag_"), tag.cast("string"))))
+        .withColumn("_rate", sample_rate)
+        .withColumn("_n_frames",
+                    F.when(block_align > 0,
+                           F.col("_data_sz") / block_align)
+                    .otherwise(F.lit(None)).cast("long"))
+    )
+    return w.select(
+        F.col("media_id"),
+        F.octet_length(F.col("_p")).alias("payload_bytes"),
+        F.when(F.col("_valid"), F.lit("wav")).alias("format"),
+        F.when(F.col("_valid"), F.col("_codec")).alias("codec"),
+        F.when(F.col("_valid"), _clamp_int(channels)).alias("channels"),
+        F.when(F.col("_valid"), _clamp_int(F.col("_rate"))).alias("sample_rate"),
+        F.when(F.col("_valid"), _clamp_int(bits)).alias("bits_per_sample"),
+        F.when(F.col("_valid"), F.col("_n_frames")).alias("n_frames"),
+        F.when(F.col("_valid") & (F.col("_rate") > 0),
+               F.col("_n_frames") * F.lit(1000) / F.col("_rate"))
+        .cast("long").alias("duration_ms"),
+    )
+
+
 def attach_payload(df: DataFrame, text_col: str, payload_col: str = "payload") -> DataFrame:
     """Test helper: fabricate a binary payload column from text (the
     fixtures carry no real media; the plumbing is what's under test)."""

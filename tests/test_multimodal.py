@@ -281,3 +281,91 @@ def test_decode_image_agrees_with_header_parser(spark):
         py = decode_image(payload)
         assert (jvm[kind].format, jvm[kind].width, jvm[kind].height) == \
             (py["format"], py["width"], py["height"])
+
+
+def _wav_bytes(channels=2, rate=44100, bits=16, n_frames=1000,
+               fmt_tag=1, pre_data_chunks=()):
+    """Canonical RIFF/WAVE bytes via struct.pack — optionally with extra
+    chunks (e.g. LIST) between fmt and data, like real recorder output."""
+    import struct
+
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_frames * block_align)
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                         rate * block_align, block_align, bits))
+    extra = b"".join(cid + struct.pack("<I", len(body)) + body
+                     + (b"\x00" if len(body) % 2 else b"")
+                     for cid, body in pre_data_chunks)
+    payload = fmt + extra + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
+def test_audio_header_real_wav_bytes(spark):
+    """audio_header parses canonical AND non-canonical (LIST-before-data)
+    WAV layouts, names the codec, computes frames/duration — and stays
+    JVM-side (no Python worker stage in the plan)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        audio_media_features,
+    )
+
+    canonical = _wav_bytes(channels=2, rate=44100, bits=16, n_frames=44100)
+    listy = _wav_bytes(channels=1, rate=16000, bits=8, n_frames=8000,
+                       pre_data_chunks=[(b"LIST", b"INFOIART" + b"x" * 5)])
+    floaty = _wav_bytes(channels=1, rate=48000, bits=32, n_frames=480,
+                        fmt_tag=3)
+    junk = b"RIFFxxxxNOPE" + b"\x00" * 64
+
+    df = spark.createDataFrame(
+        [(1, bytearray(canonical)), (2, bytearray(listy)),
+         (3, bytearray(floaty)), (4, bytearray(junk)), (5, bytearray(b""))],
+        "media_id long, payload binary")
+    out = audio_media_features(df, "media_id", "payload")
+    got = {r.media_id: r for r in out.collect()}
+
+    r = got["1"]
+    assert (r.format, r.codec, r.channels, r.sample_rate,
+            r.bits_per_sample) == ("wav", "pcm", 2, 44100, 16)
+    assert r.n_frames == 44100 and r.duration_ms == 1000
+
+    r = got["2"]  # LIST chunk before data: fixed offsets would misparse
+    assert (r.codec, r.channels, r.sample_rate) == ("pcm", 1, 16000)
+    assert r.n_frames == 8000 and r.duration_ms == 500
+
+    r = got["3"]
+    assert r.codec == "ieee_float" and r.bits_per_sample == 32
+    assert r.duration_ms == 10
+
+    assert got["4"].format is None and got["5"].format is None
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_audio_header_adversarial_bytes_never_crash(spark):
+    """Hostile WAV headers (zero block_align / zero rate / giant declared
+    sizes / truncation mid-header) must yield nulls or clamped values,
+    never an ANSI arithmetic crash."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        audio_media_features,
+    )
+
+    zero_align = bytearray(_wav_bytes())
+    zero_align[32:34] = struct.pack("<H", 0)   # block_align = 0
+    zero_rate = bytearray(_wav_bytes())
+    zero_rate[24:28] = struct.pack("<I", 0)    # sample_rate = 0
+    huge = bytearray(_wav_bytes(n_frames=1))
+    huge[44 + 4:44 + 8] = struct.pack("<I", 0xFFFFFFFF)  # data size lies
+    truncated = bytes(_wav_bytes())[:40]
+
+    df = spark.createDataFrame(
+        [(1, zero_align), (2, zero_rate), (3, huge), (4, bytearray(truncated))],
+        "media_id long, payload binary")
+    rows = {r.media_id: r for r in
+            audio_media_features(df, "media_id", "payload").collect()}
+    assert rows["1"].n_frames is None and rows["1"].duration_ms is None
+    assert rows["2"].duration_ms is None
+    assert rows["3"].format == "wav"          # parses; frame count is bogus but finite
+    assert rows["4"].format is None           # shorter than a full header
