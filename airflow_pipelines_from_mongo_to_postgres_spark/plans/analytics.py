@@ -605,6 +605,147 @@ FROM spine
 """
 
 
+# --- q98: per-group statistical profile (exact-decimal moments) ---------------------
+def q98_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type numeric profile: n, min/max/mean, sample stddev,
+    and Pearson correlation between value and hour-of-day — the column
+    profiling an ingest pipeline runs before trusting a feed. Built-in
+    ``stddev``/``corr`` sum doubles and are summation-order-dependent
+    across engines, so every moment here is accumulated EXACTLY instead:
+    Σv, Σv², Σvh as DECIMAL (value is ≤4 dp so v² is ≤8 dp — exact), Σh,
+    Σh² as integers, then the closed-form moment formulas run in double
+    on identical scalar operands on both engines. One shuffle (the
+    groupBy); hour-of-day is epoch math so no session-timezone term
+    enters the comparison."""
+    e = load_table(spark, "events", sf_dir)
+    h = (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long")
+    v = F.col("value").cast("decimal(18,4)")
+    per = e.select("event_type", v.alias("v"), h.alias("h"))
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,8)")).alias("svv"),
+        F.sum("h").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum((F.col("v") * F.col("h")).cast("decimal(28,4)")).alias("svh"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    sv_d = F.col("sv").cast("double")
+    svv_d = F.col("svv").cast("double")
+    sh_d = F.col("sh").cast("double")
+    shh_d = F.col("shh").cast("double")
+    svh_d = F.col("svh").cast("double")
+    var_num = n_d * svv_d - sv_d * sv_d
+    hvar_num = n_d * shh_d - sh_d * sh_d
+    corr_den = F.sqrt(var_num * hvar_num)
+    return agg.select(
+        "event_type",
+        F.col("n"),
+        F.col("mn").cast("double").alias("min_value"),
+        F.col("mx").cast("double").alias("max_value"),
+        F.round(sv_d / n_d, 6).alias("mean_value"),
+        F.when(F.col("n") > 1,
+               F.round(F.sqrt(var_num / (n_d * (n_d - F.lit(1.0)))), 6))
+        .alias("stddev_value"),
+        F.when(corr_den > 0,
+               F.round((n_d * svh_d - sv_d * sh_d) / corr_den, 6))
+        .alias("corr_value_hour"),
+    )
+
+
+Q98_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS BIGINT) AS h
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(v) AS sv,
+         sum(CAST(v * v AS DECIMAL(28,8))) AS svv,
+         sum(h) AS sh,
+         sum(h * h) AS shh,
+         sum(CAST(v * h AS DECIMAL(28,4))) AS svh,
+         min(v) AS mn,
+         max(v) AS mx
+  FROM per GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(mn AS DOUBLE) AS min_value,
+       CAST(mx AS DOUBLE) AS max_value,
+       round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+       CASE WHEN n > 1 THEN
+         round(sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+       END AS stddev_value,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+                         - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))) > 0 THEN
+         round((CAST(n AS DOUBLE) * CAST(svh AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sh AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+                         - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))), 6)
+       END AS corr_value_hour
+FROM agg
+"""
+
+
+# --- q99: blocked fuzzy record linkage (edit distance) ------------------------------
+def q99_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over part names: candidate pairs come from an
+    EQUI-JOIN on blocking keys (the name's type noun + p_size), then the
+    expensive Levenshtein similarity runs only within blocks — the
+    standard blocking pattern that keeps fuzzy matching out of O(n²).
+    Catalyst extracts the blocking equality into a hash join and leaves
+    pk-ordering + distance as post-join filters; at 100 TB the cost is
+    Σ|block|², bounded by the blocking key's selectivity, never the
+    cross product. Levenshtein is integer-exact and identically defined
+    in both engines, so the gate is a full value hash."""
+    p = load_table(spark, "part", sf_dir)
+    k = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("nm"),
+        F.element_at(F.split(F.col("p_name"), " "), 2).alias("blk"),
+        F.col("p_size").alias("sz"),
+    )
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    return (
+        k.alias("a")
+        .join(k.alias("b"),
+              (F.col("a.blk") == F.col("b.blk"))
+              & (F.col("a.sz") == F.col("b.sz"))
+              & (F.col("a.pk") < F.col("b.pk")))
+        .where((dist >= 1) & (dist <= 3))
+        .select(
+            F.col("a.pk").alias("pk1"), F.col("b.pk").alias("pk2"),
+            F.col("a.nm").alias("name1"), F.col("b.nm").alias("name2"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+Q99_SQL = """
+WITH k AS (
+  SELECT p_partkey AS pk, p_name AS nm,
+         split_part(p_name, ' ', 2) AS blk, p_size AS sz
+  FROM part
+)
+SELECT a.pk AS pk1, b.pk AS pk2, a.nm AS name1, b.nm AS name2,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS edit_distance
+FROM k a JOIN k b ON a.blk = b.blk AND a.sz = b.sz AND a.pk < b.pk
+WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 3
+"""
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -620,6 +761,8 @@ QUERIES = {
     "q83_user_timeline": q83_user_timeline,
     "q85_retention_cohorts": q85_retention_cohorts,
     "q89_date_dimension": q89_date_dimension,
+    "q98_stats_profile": q98_stats_profile,
+    "q99_fuzzy_linkage": q99_fuzzy_linkage,
 }
 
 ORACLES = {
@@ -637,4 +780,6 @@ ORACLES = {
     "q83_user_timeline": Q83_SQL,
     "q85_retention_cohorts": Q85_SQL,
     "q89_date_dimension": Q89_SQL,
+    "q98_stats_profile": Q98_SQL,
+    "q99_fuzzy_linkage": Q99_SQL,
 }

@@ -1870,6 +1870,192 @@ FROM terms GROUP BY source, n_s
 """
 
 
+# --- q97: BM25 ranked retrieval ----------------------------------------------------
+#: Query terms, BM25 hyperparameters, result size. The terms are drawn
+#: from the fixture vocabulary; the operator is the standard Okapi BM25
+#: ranking used to mine "relevant to topic T" subsets out of a corpus.
+_BM25_TERMS = ("spark", "merge", "window", "hash")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def q97_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus for a fixed term set —
+    the scoring half of a keyword-mining pass (pull the top-k documents
+    about a topic into a fine-tune subset). Shape: the token stream is
+    FILTERED to the query terms before any aggregation, so the per-term
+    tf table is query-sized, not corpus-sized; document lengths are one
+    corpus aggregation (shared shape with q91's vocab scan); df and the
+    (N, avgdl) scalars broadcast. Top-k is orderBy+limit = TakeOrdered —
+    per-partition heaps, no global sort. Cross-engine exactness: identical
+    double operand order on both engines, per-term score rounded to 9 dp
+    and summed as DECIMAL (order-independent), final score the rounded
+    double both engines sort on with a doc_id tiebreak."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_tokens"))
+    tf = (toks.filter(F.col("token").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs").cast("double")
+                              - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5)))
+    norm = F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
+    contrib = idf * (F.col("tf").cast("double") * F.lit(2.2)) \
+        / (F.col("tf").cast("double") + F.lit(1.2) * norm)
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", avgdl)
+        .select("doc_id", "dl",
+                F.round(contrib, 9).cast("decimal(18,9)").alias("c"))
+        .groupBy("doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("matched_terms"),
+             F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.col("dl").alias("doc_tokens"), "matched_terms",
+                "bm25")
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+Q97_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ({_BM25_IN}) GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, dl.dl,
+         CAST(round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                       / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+           9) AS DECIMAL(18,9)) AS c
+  FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id, stats
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS doc_tokens,
+       CAST(count(*) AS BIGINT) AS matched_terms,
+       round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+FROM contrib GROUP BY doc_id, dl
+ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+
+# --- q100: deterministic weighted sampling (Efraimidis–Spirakis) -------------------
+_WS_K = 100
+
+
+def q100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via exponential keys
+    (Efraimidis–Spirakis A-ES): key = ln(u)/w with u a DETERMINISTIC
+    md5-derived uniform in (0,1) — maximizing key is maximizing u^(1/w),
+    so each document's inclusion probability is proportional to its
+    weight (n_chars: longer documents over-sampled, the usual
+    char-budget-proportional draw). Deterministic u makes the sample
+    reproducible and append-stable (adding documents never changes an
+    existing doc's key — the same property q57's split relies on), and
+    makes the query hash-gateable. One map-side projection + TakeOrdered
+    top-k: no shuffle at all beyond the k·P driver merge."""
+    d = load_table(spark, "documents", sf_dir)
+    u = (T.hash28(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+         + F.lit(1)).cast("double") / F.lit(1 << 28).cast("double")
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 12)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+    )
+
+
+Q100_SQL = f"""
+SELECT doc_id, n_chars,
+       round(ln(CAST(CAST(concat('0x', substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT)
+                     + 1 AS DOUBLE) / CAST({1 << 28} AS DOUBLE))
+             / CAST(n_chars AS DOUBLE), 12) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id ASC LIMIT {_WS_K}
+"""
+
+
+# --- q101: near-dup graph local clustering coefficients ----------------------------
+def q101_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree, triangle count, and local clustering coefficient
+    over the near-dup pair graph — the graph-shape diagnostic run before
+    trusting transitive dedup clusters (high clustering = genuine dup
+    cliques; low clustering + high degree = a hub shingle chaining
+    unrelated docs). Reuses the SAME persisted pruned pair plan as
+    q51/q53/q63. Triangles are counted as closed wedges joined against
+    the (d1 < d2)-oriented edge list — each triangle matched once per
+    apex, no enumeration of non-edges, so the cost is Σ deg(v)² on a
+    pruned graph whose degrees max_df already bounds. The oracle mirrors
+    the same wedge join verbatim."""
+    pairs = _jaccard_pairs_shared(spark, sf_dir, threshold=0.2, n=3,
+                                  max_df=NEAR_DUP_MAX_DF)
+    edges = pairs.select("d1", "d2")
+    und = edges.select(F.col("d1").alias("v"), F.col("d2").alias("n")) \
+        .unionAll(edges.select(F.col("d2").alias("v"), F.col("d1").alias("n")))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("degree")) \
+        .withColumnRenamed("v", "node")
+    wedges = (und.alias("x")
+              .join(und.alias("y"),
+                    (F.col("x.v") == F.col("y.v"))
+                    & (F.col("x.n") < F.col("y.n")))
+              .select(F.col("x.v").alias("node"), F.col("x.n").alias("a"),
+                      F.col("y.n").alias("b")))
+    tri = (wedges.join(edges, (F.col("a") == F.col("d1"))
+                       & (F.col("b") == F.col("d2")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    coeff = F.when(
+        F.col("degree") > 1,
+        F.round((F.lit(2) * t).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"), 6))
+    return (
+        deg.join(tri, "node", "left")
+        .select("node", "degree", t.alias("triangles"),
+                coeff.alias("clustering_coeff"))
+    )
+
+
+Q101_SQL = f"""
+WITH pairs AS ({_jaccard_pairs_sql(threshold=0.2, max_df=NEAR_DUP_MAX_DF)}),
+edges AS (SELECT d1, d2 FROM pairs),
+und AS (SELECT d1 AS v, d2 AS n FROM edges
+        UNION ALL SELECT d2 AS v, d1 AS n FROM edges),
+deg AS (SELECT v AS node, count(*) AS degree FROM und GROUP BY 1),
+wedges AS (
+  SELECT x.v AS node, x.n AS a, y.n AS b
+  FROM und x JOIN und y ON x.v = y.v AND x.n < y.n
+),
+tri AS (
+  SELECT w.node, count(*) AS triangles
+  FROM wedges w JOIN edges e ON w.a = e.d1 AND w.b = e.d2
+  GROUP BY 1
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree > 1
+            THEN round(CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                       / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+            ELSE NULL END AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -1913,6 +2099,9 @@ QUERIES = {
     "q94_stratified_sample": q94_stratified_sample,
     "q95_cross_source_dups": q95_cross_source_dups,
     "q96_source_kl_divergence": q96_source_kl_divergence,
+    "q97_bm25_search": q97_bm25_search,
+    "q100_weighted_sample": q100_weighted_sample,
+    "q101_graph_clustering": q101_graph_clustering,
 }
 
 ORACLES = {
@@ -1958,4 +2147,7 @@ ORACLES = {
     "q94_stratified_sample": Q94_SQL,
     "q95_cross_source_dups": Q95_SQL,
     "q96_source_kl_divergence": Q96_SQL,
+    "q97_bm25_search": Q97_SQL,
+    "q100_weighted_sample": Q100_SQL,
+    "q101_graph_clustering": Q101_SQL,
 }

@@ -97,3 +97,46 @@ def test_pivot_row_per_priority(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r["cnt_f"] + r["cnt_o"] + r["cnt_p"] > 0
+
+
+def test_stats_profile_matches_builtin_moments(spark, sf_dir):
+    """The exact-decimal closed-form moments must agree with Spark's
+    built-in stddev_samp/corr to float tolerance (the builtins are
+    order-dependent so they can't BE the gated implementation, but they
+    define the statistics)."""
+    out = {r.event_type: r for r in
+           analytics.q98_stats_profile(spark, sf_dir).collect()}
+    assert out
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+    e = load_table(spark, "events", sf_dir)
+    h = (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("double")
+    ref = {r.event_type: r for r in (
+        e.groupBy("event_type").agg(
+            F.stddev_samp("value").alias("sd"),
+            F.corr(F.col("value"), h).alias("cr"),
+            F.avg("value").alias("mean"),
+        ).collect())}
+    for et, r in out.items():
+        assert abs(r.stddev_value - ref[et].sd) < 1e-6
+        assert abs(r.mean_value - ref[et].mean) < 1e-6
+        if r.corr_value_hour is not None:
+            assert abs(r.corr_value_hour - ref[et].cr) < 1e-6
+            assert -1.0 <= r.corr_value_hour <= 1.0
+        assert r.min_value <= r.mean_value <= r.max_value
+
+
+def test_fuzzy_linkage_blocking_is_sound(spark, sf_dir):
+    """Every linked pair shares its blocking key (type noun + size), is
+    pk-ordered, and sits inside the declared distance band — and the
+    physical plan joins on the blocking equality (hash join), not a
+    cartesian filter."""
+    df = analytics.q99_fuzzy_linkage(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.pk1 < r.pk2
+        assert 1 <= r.edit_distance <= 3
+        assert r.name1.split(" ")[1] == r.name2.split(" ")[1]
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

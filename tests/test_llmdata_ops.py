@@ -112,3 +112,53 @@ def test_kl_divergence_nonnegative_and_zero_for_identical(spark, sf_dir):
     finally:
         m.load_table = orig
     assert len(rows) == 1 and abs(rows[0].kl_divergence) < 1e-9
+
+
+def test_bm25_ranked_and_bounded(spark, sf_dir):
+    """BM25 output is sorted by score desc with doc_id tiebreak, scores
+    are positive, and matched_terms never exceeds the query size."""
+    rows = llmdata.q97_bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= llmdata._BM25_TOPK
+    keys = [(-r.bm25, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.bm25 > 0
+        assert 1 <= r.matched_terms <= len(llmdata._BM25_TERMS)
+
+
+def test_weighted_sample_deterministic_and_weight_monotonic(spark, sf_dir):
+    """Two runs agree row-for-row, keys are non-positive, and raising a
+    document's weight can only raise its exponential key (ln(u) < 0 is
+    divided by a LARGER w)."""
+    a = llmdata.q100_weighted_sample(spark, sf_dir).collect()
+    b = llmdata.q100_weighted_sample(spark, sf_dir).collect()
+    assert a == b and len(a) == llmdata._WS_K
+    assert all(r.es_key <= 0 for r in a)
+
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_chars"))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("ws:"),
+                                           F.col("doc_id").cast("string"))), 1, 7),
+                16, 10).cast("long") + F.lit(1)).cast("double") \
+        / F.lit(1 << 28).cast("double")
+    k_small = F.log(u) / F.lit(100.0)
+    k_big = F.log(u) / F.lit(1000.0)
+    for r in d.select((k_big >= k_small).alias("mono")).collect():
+        assert r.mono
+
+
+def test_graph_clustering_invariants(spark, sf_dir):
+    """Local clustering coefficients live in [0, 1]; per-apex triangle
+    counts sum to 3x the global triangle count (each triangle has three
+    apexes); every listed node has degree >= 1."""
+    rows = llmdata.q101_graph_clustering(spark, sf_dir).collect()
+    assert rows
+    total_apex = 0
+    for r in rows:
+        assert r.degree >= 1
+        total_apex += r.triangles
+        if r.clustering_coeff is not None:
+            assert 0.0 <= r.clustering_coeff <= 1.0
+        max_tri = r.degree * (r.degree - 1) // 2
+        assert r.triangles <= max_tri
+    assert total_apex % 3 == 0
