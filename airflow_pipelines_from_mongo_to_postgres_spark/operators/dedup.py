@@ -174,15 +174,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ``max_shingles`` bounds the per-document verification payload: the
     ``collect_list`` array is otherwise proportional to document length,
     and one book-length outlier (10⁶ shingles ≈ 8 MB) can blow a task.
-    With a cap, each document keeps only its ``max_shingles`` SMALLEST
+    With a cap, each document STORES only its ``max_shingles`` SMALLEST
     xxhash64 shingle hashes — a bottom-k sketch, i.e. a uniform sample of
     the shingle set — and verification switches to the standard bottom-k
     Jaccard estimator: |A∩B ∩ bottom_k(A∪B)| / |bottom_k(A∪B)|
-    (Broder 1997; unbiased, err ~ 1/√k). The estimator is EXACT for a
-    pair whose union fits the cap (the sliced union is then the full
-    union); a pair whose union exceeds it gets the estimate even when
-    both documents are individually under the cap. Uncapped (None) is
-    exact everywhere and is what the hash-gated q28 runs.
+    (Broder 1997; unbiased, err ~ 1/√k). MinHash signatures always come
+    from the full shingle set (they are min-aggregates, already O(1) per
+    doc), so the cap never costs banding recall. The estimator is EXACT
+    for a pair whose union fits the cap (the sliced union is then the
+    full union); a pair whose union exceeds it gets the estimate even
+    when both documents are individually under the cap. The hash-gated
+    q28 entry runs with a cap sized above the fixture's largest union,
+    so its oracle comparison stays exact.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -192,27 +195,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_table=shingle_table).select(
         "doc", T.hash28(F.col("shingle")).alias("h"),
         F.xxhash64("shingle").alias("sh64"))
-    if max_shingles is not None:
-        # bottom-k by sh64 per doc: the rank window shares the groupBy's
-        # hash partitioning on doc, so this adds a sort but no extra
-        # shuffle. The signature is computed from the same sample (a
-        # bottom-k sketch is itself a uniform sample, so per-band recall
-        # degrades only by the estimator's ~1/√k noise).
-        from pyspark.sql import Window
-        wcap = Window.partitionBy("doc").orderBy("sh64")
-        sh = sh.withColumn("__rn", F.row_number().over(wcap)) \
-            .filter(F.col("__rn") <= max_shingles).drop("__rn")
     # ONE groupBy produces the MinHash signature AND the verification
     # payload (shingle-hash set + size): signature generation and exact-
     # Jaccard verification need the same shuffle of the same rows by the
-    # same key, so fusing them halves the shuffled shingle volume. per_doc
-    # is cached (memory-and-disk, spills at scale): it feeds the banding
-    # branch plus both sides of the verification join, and recomputing it
-    # means re-reading + re-shingling the corpus.
+    # same key, so fusing them halves the shuffled shingle volume. With a
+    # cap, the payload is the bottom-k slice of the sorted hash array —
+    # computed INSIDE the same aggregation (no pre-agg row_number window:
+    # that inserted a per-doc sort AND lost the map-side partial
+    # aggregation of the num_perm min()s, a measured ~20% on the bench
+    # entry). The signatures always come from the FULL shingle set, so
+    # banding recall never degrades; only the stored verification array
+    # is capped. per_doc is cached (memory-and-disk, spills at scale): it
+    # feeds the banding branch plus both sides of the verification join,
+    # and recomputing it means re-reading + re-shingling the corpus.
+    arr_agg = F.collect_list("sh64")
+    if max_shingles is not None:
+        arr_agg = F.slice(F.array_sort(arr_agg), 1, max_shingles)
     per_doc = sh.groupBy("doc").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
           for i, (a, b) in enumerate(minhash_perms(num_perm))],
-        F.collect_list("sh64").alias("arr"),
+        arr_agg.alias("arr"),
         F.count(F.lit(1)).alias("n_sh")).cache()
     band_cols = F.array(*[
         F.struct(F.lit(bi).alias("band"),
