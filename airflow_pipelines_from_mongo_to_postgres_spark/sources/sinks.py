@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
@@ -34,6 +35,66 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_by: Sequence[str],
+                      files_per_partition: int = 1,
+                      dynamic: bool = True) -> None:
+    """Lake-layout writer: hive-partitioned parquet with dynamic
+    partition overwrite and small-file control.
+
+    * **Dynamic overwrite** (``partitionOverwriteMode=dynamic``, set as a
+      per-write option so the session default is untouched): an
+      incremental batch replaces ONLY the partition directories it
+      contains. This is what makes a daily re-run idempotent at 100 TB —
+      static overwrite mode would truncate the whole lake to write one
+      day.
+    * **Small-file control**: rows are repartitioned by the partition
+      columns (plus a bounded file-bucket salt when
+      ``files_per_partition > 1``) before the write, so each partition
+      directory gets ~``files_per_partition`` parquet files instead of
+      one tiny file per shuffle task — the classic small-files bomb
+      (tasks × partitions files) that kills a 1000-executor scan with
+      open/seek overhead.
+
+    Readers prune on the partition columns for free (PartitionFilters in
+    the scan, asserted in tests/test_sinks.py).
+    """
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salted = df.withColumn(
+            "__file_bucket",
+            F.pmod(F.spark_partition_id(), F.lit(files_per_partition)))
+        salted = salted.repartition(*keys, F.col("__file_bucket")) \
+            .drop("__file_bucket")
+    else:
+        salted = df.repartition(*keys)
+    w = salted.write.mode("overwrite").partitionBy(*partition_by)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def write_range_layout(df: DataFrame, path: str,
+                       range_cols: Sequence[str],
+                       num_files: int) -> None:
+    """Data-skipping layout: range-repartition + sort within partitions
+    on ``range_cols`` before writing parquet.
+
+    Each output file then covers a DISJOINT range of the layout key, so
+    parquet footer min/max statistics let a selective reader skip whole
+    files/row-groups (Spark pushes comparison filters to the scan; the
+    footer check eliminates non-matching files without reading a single
+    data page). This is the single-column analogue of Z-ordering: at
+    100 TB a point/range query on the layout key touches
+    O(result-size / file-size) files instead of all of them. The
+    disjointness is asserted from the real parquet footers in
+    tests/test_sinks.py.
+    """
+    (df.repartitionByRange(num_files, *[F.col(c) for c in range_cols])
+       .sortWithinPartitions(*range_cols)
+       .write.mode("overwrite").parquet(path))
 
 
 def write_bucketed(df: DataFrame, table: str, buckets: int,

@@ -6,8 +6,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set spans the engine's cost classes: scan+agg, multi-join,
 window, merge dataflow, inverted-index Jaccard (unpruned q26 AND the
 stop-shingle-pruned scale path q63, so the pruning's cost/benefit carries
-a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join, and
-the end-to-end corpus build (q58).
+a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join,
+the end-to-end corpus build (q58), BM25 ranked retrieval (q97), and
+blocked fuzzy record linkage (q99).
 
 Isolation: every timed run starts from a cold cache — session-level shared
 plans (plans/llmdata.py) are cleared and spark.catalog.clearCache() drops
@@ -41,6 +42,8 @@ HEADLINE = [
     "q63_jaccard_pruned",
     "q58_corpus_build",
     "q67_sessionize",
+    "q97_bm25_search",
+    "q99_fuzzy_linkage",
 ]
 
 

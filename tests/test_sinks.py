@@ -79,3 +79,84 @@ def test_drop_schema_ddl_matches_reference_contract():
     assert create == "CREATE SCHEMA public"
     drop, create = drop_schema_ddl("analytics")
     assert "analytics" in drop and "analytics" in create
+
+
+def test_write_partitioned_dynamic_overwrite_and_file_counts(spark, tmp_path):
+    """Dynamic overwrite replaces only the partitions present in the
+    incremental batch; files_per_partition bounds the files per partition
+    directory; reads prune on the partition column."""
+    import glob
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import write_partitioned
+
+    path = str(tmp_path / "lake")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(100)],
+        "dt string, k int, v double")
+    write_partitioned(full, path, ["dt"])
+
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        files = glob.glob(f"{path}/dt={d}/*.parquet")
+        assert len(files) == 1, files
+
+    # incremental day-2 rewrite: v doubled, only 50 rows
+    day2 = spark.createDataFrame(
+        [("2024-01-02", i, float(i) * 2) for i in range(50)],
+        "dt string, k int, v double")
+    write_partitioned(day2, path, ["dt"])
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("dt") == "2024-01-01").count() == 100  # untouched
+    assert back.filter(F.col("dt") == "2024-01-03").count() == 100  # untouched
+    d2 = back.filter(F.col("dt") == "2024-01-02")
+    assert d2.count() == 50
+    assert d2.agg(F.sum("v")).first()[0] == sum(2.0 * i for i in range(50))
+
+    # partition pruning reaches the scan
+    pruned = back.filter(F.col("dt") == "2024-01-03")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:80]
+
+    # small-file control: ask for up to 4 files per partition
+    write_partitioned(full.repartition(8), path, ["dt"], files_per_partition=4)
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        files = glob.glob(f"{path}/dt={d}/*.parquet")
+        assert 1 <= len(files) <= 4, files
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_range_layout_files_cover_disjoint_key_ranges(spark, tmp_path):
+    """write_range_layout must produce parquet files whose footer min/max
+    stats on the layout key are pairwise disjoint — the property that
+    lets a selective scan skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import write_range_layout
+
+    path = str(tmp_path / "ranged")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    write_range_layout(df, path, ["k"], num_files=8)
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        kidx = md.schema.to_arrow_schema().get_field_index("k")
+        lo = min(md.row_group(i).column(kidx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(kidx).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) >= 4  # range partitioner actually split the key space
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # pairwise disjoint
+
+    # selective read pushes the comparison filter to the scan
+    back = spark.read.parquet(path).filter(F.col("k") == 1234)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
+    assert back.count() == 1
