@@ -746,6 +746,45 @@ WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 3
 """
 
 
+# --- q103: column profiler (null / distinct counts per column) ----------------------
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority")
+
+
+def q103_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: one row per column with
+    row/null/distinct counts — the ingest-time health check run before
+    trusting a feed (nullability drift, key-uniqueness drift, enum
+    cardinality drift all show up here). ONE aggregation pass computes
+    every column's stats (Spark plans the multi-distinct agg with an
+    Expand ×C — the standard profiling cost; swap countDistinct for
+    approx_count_distinct at 100 TB when ±2% is acceptable and the
+    Expand disappears), then a literal-array explode melts the single
+    result row into per-column rows — driver-free, no unions of C scans
+    like naive profilers."""
+    o = load_table(spark, "orders", sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    row = o.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    melted = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("n").alias("n_rows"),
+                 F.col(f"null_{c}").alias("n_null"),
+                 F.col(f"dist_{c}").alias("n_distinct"))
+        for c in _PROFILE_COLS])
+    return row.select(F.explode(melted).alias("p")).select("p.*")
+
+
+Q103_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS)
+
+
 QUERIES = {
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
@@ -763,6 +802,7 @@ QUERIES = {
     "q89_date_dimension": q89_date_dimension,
     "q98_stats_profile": q98_stats_profile,
     "q99_fuzzy_linkage": q99_fuzzy_linkage,
+    "q103_column_profile": q103_column_profile,
 }
 
 ORACLES = {
@@ -782,4 +822,5 @@ ORACLES = {
     "q89_date_dimension": Q89_SQL,
     "q98_stats_profile": Q98_SQL,
     "q99_fuzzy_linkage": Q99_SQL,
+    "q103_column_profile": Q103_SQL,
 }

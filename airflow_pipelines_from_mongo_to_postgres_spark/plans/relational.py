@@ -666,6 +666,79 @@ GROUP BY c_mktsegment
 """
 
 
+# --- q102: national market share (TPC-H Q8 shape, 7-table join) ---------------------
+def q102_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven-table star join (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
+    customer ⋈ nation×2 ⋈ region) computing one supplier-nation's share
+    of PROMO-part revenue sold to EUROPE customers, per order year — the
+    TPC-H Q8 shape, here to exercise Catalyst's join planning on the
+    deepest join tree in the registry. Declared broadcasts only on the
+    guaranteed-tiny dims (nation twice, region, the type-filtered part);
+    supplier/customer joins are left to AQE, which broadcasts them at
+    small SF and shuffle-joins them at 100 TB where they are fact-sized.
+    Filters (p_type, r_name) sit on the dimension scans so pruning
+    happens before any join. Share = exact decimal numerator/denominator
+    cast to double (q01/q04 idiom), so the division is the only float op
+    and runs on identical operands in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    n_cust = nat.select(F.col("n_nationkey").alias("cn_key"),
+                        F.col("n_regionkey").alias("cn_rkey"))
+    n_supp = nat.select(F.col("n_nationkey").alias("sn_key"),
+                        F.col("n_name").alias("supp_nation"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE") \
+        .select("r_regionkey")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                .otherwise(zero))
+    den = F.sum(vol)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(num.cast("double") / den.cast("double"), 6)
+            .alias("mkt_share"),
+            F.round(den, 4).cast("double").alias("total_volume"),
+        )
+    )
+
+
+Q102_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS mkt_share,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -689,6 +762,7 @@ QUERIES = {
     "q47_grouping_sets": q47_grouping_sets,
     "q48_percentiles": q48_percentiles,
     "q49_salted_join": q49_salted_join,
+    "q102_market_share": q102_market_share,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -716,6 +790,7 @@ ORACLES = {
     "q47_grouping_sets": Q47_SQL,
     "q48_percentiles": Q48_SQL,
     "q49_salted_join": Q49_SQL,
+    "q102_market_share": Q102_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }

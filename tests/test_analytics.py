@@ -140,3 +140,34 @@ def test_fuzzy_linkage_blocking_is_sound(spark, sf_dir):
         assert r.name1.split(" ")[1] == r.name2.split(" ")[1]
     plan = _formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_market_share_bounds_and_broadcast_dims(spark, sf_dir):
+    """Shares are valid fractions, volumes positive, and the tiny dims
+    (nation/region/filtered part) reach the plan as broadcast joins."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans import relational
+
+    df = relational.q102_market_share(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_volume > 0
+        assert 1995 <= r.o_year <= 2001
+    plan = _formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4  # part, region, nation x2
+
+
+def test_column_profile_invariants(spark, sf_dir):
+    """Profiler facts: one row per profiled column, distinct <= rows,
+    the primary key profiles as unique, and null counts are sane."""
+    rows = {r.column_name: r for r in
+            analytics.q103_column_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(analytics._PROFILE_COLS)
+    n = rows["o_orderkey"].n_rows
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n
+        assert 1 <= r.n_distinct <= n
+    assert rows["o_orderkey"].n_distinct == n  # PK uniqueness shows up here
+    assert rows["o_orderstatus"].n_distinct < 10  # enum cardinality
