@@ -24,14 +24,25 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
               left_ts: str, right_ts: str, right_cols: list[str],
-              strict: bool = False) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts`` <= ``left_ts`` (< if ``strict``) within the same key group
-    (backward as-of join; unmatched left rows keep nulls).
+              strict: bool = False, direction: str = "backward",
+              tolerance: str | None = None) -> DataFrame:
+    """For each left row, attach the nearest right row within the same
+    key group: the greatest ``right_ts`` <= ``left_ts`` for
+    ``direction="backward"`` (the default), the smallest
+    ``right_ts`` >= ``left_ts`` for ``"forward"`` (< / > if ``strict``).
+    Unmatched left rows keep nulls.
+
+    ``tolerance`` (an SQL interval literal body, e.g. ``"10 minutes"``)
+    nulls out matches farther than the tolerance from ``left_ts`` —
+    applied AFTER the window fill, so it costs a per-row comparison, not
+    a different plan. Direction only flips the window's sort order: the
+    single-shuffle union + last(ignoreNulls) plan is identical both
+    ways.
 
     ``right_cols`` are the right-side payload columns to carry; the matched
     timestamp itself is exposed as ``asof_ts``.
     """
+    assert direction in ("backward", "forward"), direction
     payload = [c for c in right_cols if c != right_ts]
     # Tag sides, align schemas: left keeps its columns, right contributes
     # payload columns nulled on the left side and vice versa.
@@ -51,10 +62,12 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
         *[F.col(c).alias(f"__r_{c}") for c in payload],
         F.col(right_ts).alias("__r_ts"),
     ).select(*lt.columns)  # column order alignment for union
-    # At equal ts: right rows sort before left for <= semantics (a right row
-    # at exactly left_ts is visible), after left for strict <.
+    # At equal ts: right rows sort before left for <=/>= semantics (a right
+    # row at exactly left_ts is visible), after left for strict </>.
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
-    w = (Window.partitionBy(*keys).orderBy(F.col("__ts").asc(), side_order)
+    ts_order = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    w = (Window.partitionBy(*keys).orderBy(ts_order, side_order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = lt.unionByName(rt).select(
         "*",
@@ -62,12 +75,19 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
           for c in payload],
         F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
     )
+    if tolerance is None:
+        ok = F.lit(True)
+    else:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        ok = (F.col("__f_ts") >= F.col("__ts") - tol) \
+            if direction == "backward" \
+            else (F.col("__f_ts") <= F.col("__ts") + tol)
     return (
         filled.filter(F.col("__side") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"__f_{c}").alias(c) for c in payload],
-            F.col("__f_ts").alias("asof_ts"),
+            *[F.when(ok, F.col(f"__f_{c}")).alias(c) for c in payload],
+            F.when(ok, F.col("__f_ts")).alias("asof_ts"),
         )
     )
 

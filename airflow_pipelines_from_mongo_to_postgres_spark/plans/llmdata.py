@@ -2056,6 +2056,53 @@ FROM deg d LEFT JOIN tri t ON d.node = t.node
 """
 
 
+# --- q104: BPE merge-pair statistics ------------------------------------------------
+_BPE_TOPK = 200
+
+
+def q104_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting step at the heart
+    of byte-pair-encoding tokenizer training (each BPE iteration merges
+    the most frequent adjacent pair; this op IS that argmax, generalized
+    to the top-K candidate table). The pair stream is built map-side by
+    zipping each token array with its own tail (``arrays_zip`` of two
+    slices — no self-join, no positional explode+join), so the only
+    shuffle is the pair-count groupBy and the top-K is a TakeOrdered
+    with a full (count desc, pair asc) tiebreak for a deterministic
+    K-boundary. At 100 TB this is exactly the WordPiece/BPE corpus-scan
+    shape: one pass, one shuffle on uniformly-hashed string pairs."""
+    d = load_table(spark, "documents", sf_dir)
+    ts = d.select(T.tokens("text").alias("ts")).filter(F.size("ts") > 1)
+    n = F.size("ts")
+    z = F.arrays_zip(
+        F.slice(F.col("ts"), 1, n - 1).alias("first_tok"),
+        F.slice(F.col("ts"), 2, n - 1).alias("second_tok"))
+    return (
+        ts.select(F.explode(z).alias("p"))
+        .groupBy(F.col("p.first_tok").alias("first_tok"),
+                 F.col("p.second_tok").alias("second_tok"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("first_tok").asc(),
+                 F.col("second_tok").asc())
+        .limit(_BPE_TOPK)
+    )
+
+
+Q104_SQL = f"""
+WITH toks AS (
+  SELECT {_TOKENS_SQL.format(col='text')} AS ts FROM documents
+),
+pairs AS (
+  SELECT ts[r.i] AS first_tok, ts[r.i + 1] AS second_tok
+  FROM toks, LATERAL unnest(range(1, len(ts))) r(i)
+  WHERE len(ts) > 1
+)
+SELECT first_tok, second_tok, count(*) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, first_tok ASC, second_tok ASC LIMIT {_BPE_TOPK}
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -2102,6 +2149,7 @@ QUERIES = {
     "q97_bm25_search": q97_bm25_search,
     "q100_weighted_sample": q100_weighted_sample,
     "q101_graph_clustering": q101_graph_clustering,
+    "q104_bpe_pair_stats": q104_bpe_pair_stats,
 }
 
 ORACLES = {
@@ -2150,4 +2198,5 @@ ORACLES = {
     "q97_bm25_search": Q97_SQL,
     "q100_weighted_sample": Q100_SQL,
     "q101_graph_clustering": Q101_SQL,
+    "q104_bpe_pair_stats": Q104_SQL,
 }

@@ -120,15 +120,47 @@ def q45_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q105: FORWARD as-of join with tolerance -----------------------------------
+def q105_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First click at-or-after each purchase, but only within 10 minutes —
+    the forward/tolerance variant of q42 (attribution windows, "next
+    action after the event" lookups). Same single-shuffle union+window
+    plan as backward as-of: direction only flips the sort order, and the
+    tolerance is a post-fill comparison, not a join-shape change. The
+    oracle is DuckDB's native ASOF with the reversed inequality plus the
+    same tolerance CASE."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("value").alias("click_value"))
+    return temporal.asof_join(purchases, clicks, keys=["user_id"],
+                              left_ts="ts", right_ts="ts",
+                              right_cols=["click_value"],
+                              direction="forward", tolerance="10 minutes")
+
+
+Q105_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts <= p.ts + INTERVAL 10 MINUTE THEN c.value END AS click_value,
+       CASE WHEN c.ts <= p.ts + INTERVAL 10 MINUTE THEN c.ts END AS asof_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
 QUERIES = {
     "q42_asof_join": q42_asof_join,
     "q43_range_join": q43_range_join,
     "q44_time_rollup": q44_time_rollup,
     "q45_approx_ndv": q45_approx_ndv,
+    "q105_asof_forward": q105_asof_forward,
 }
 
 ORACLES = {
     "q42_asof_join": Q42_SQL,
     "q43_range_join": Q43_SQL,
     "q44_time_rollup": Q44_SQL,
+    "q105_asof_forward": Q105_SQL,
 }

@@ -115,3 +115,31 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     shared = (fps.groupBy("fp").agg(F.countDistinct("doc").alias("n"))
               .filter(F.col("n") == 2).count())
     assert shared >= 1
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    out = {r.trade_id: r for r in
+           asof_join(_trades(spark), _quotes(spark), ["user"], "ts", "ts",
+                     ["px"], direction="forward").collect()}
+    assert out[1].px == 11.0                      # equal ts visible forward too
+    assert out[2].px is None                      # no quote after 12:00 for u1
+    assert out[3].px == 99.0                      # 11:30 is first at-or-after 11:00
+    assert out[4].px is None                      # u3 has no quotes at all
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    # backward with 15-minute tolerance: trade 2 (12:00) matches the 11:59
+    # quote (inside), trade 1 (10:00) matches its exact-tie quote (0 min),
+    # but a wide-gap match must null out.
+    out = {r.trade_id: r for r in
+           asof_join(_trades(spark), _quotes(spark), ["user"], "ts", "ts",
+                     ["px"], tolerance="15 minutes").collect()}
+    assert out[1].px == 11.0 and out[2].px == 12.0
+    # forward with a 10-minute tolerance: trade 3 (11:00) -> 11:30 quote is
+    # 30 min away, outside tolerance -> nulled
+    fwd = {r.trade_id: r for r in
+           asof_join(_trades(spark), _quotes(spark), ["user"], "ts", "ts",
+                     ["px"], direction="forward",
+                     tolerance="10 minutes").collect()}
+    assert fwd[3].px is None and fwd[3].asof_ts is None
+    assert fwd[1].px == 11.0
