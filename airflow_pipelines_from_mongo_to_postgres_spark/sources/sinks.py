@@ -76,6 +76,77 @@ def write_partitioned(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def lake_merge(spark, path: str, updates: DataFrame,
+               key: str | Sequence[str], partition_col: str,
+               mutable: Sequence[str],
+               files_per_partition: int = 1) -> list:
+    """MERGE (upsert with partial-column update) into a hive-partitioned
+    parquet lake, rewriting ONLY the partitions the update batch touches —
+    the table-format-free equivalent of a Delta/Iceberg ``MERGE INTO``.
+
+    Plan: the batch's distinct partition values are collected (bounded by
+    the batch's partition spread — a daily batch touches a handful of
+    days, never the lake), the lake is read WITH a static ``isin`` filter
+    on those values (partition pruning: untouched directories are never
+    opened), ``operators.merge.merge_upsert`` runs the set-based merge,
+    and ``write_partitioned``'s dynamic overwrite replaces exactly the
+    touched directories. Untouched partitions keep their files
+    byte-for-byte (asserted in tests/test_sinks.py).
+
+    Constraint: ``partition_col`` must be immutable per key (the standard
+    date-partitioned-fact contract) — a key that moves partitions would
+    leave its old row in an untouched directory.
+
+    Returns the list of touched partition values.
+    """
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import merge_upsert
+
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(path) \
+        .filter(F.col(partition_col).isin(touched))
+    merged = merge_upsert(current, updates, key, mutable)
+    write_partitioned(merged, path, [partition_col], files_per_partition)
+    return touched
+
+
+def compact_lake(spark, path: str, partition_col: str,
+                 max_files: int = 8, files_per_partition: int = 1) -> list:
+    """Small-file compaction for a hive-partitioned parquet lake: rewrite
+    ONLY the partitions whose parquet file count exceeds ``max_files``,
+    coalescing each to ``files_per_partition`` files.
+
+    File counts come from a METADATA listing (the JVM Hadoop FileSystem
+    API — works for local paths and any hadoop-compatible store), never
+    from scanning data; the rewrite reads just the offending partitions
+    (static ``isin`` filter → partition pruning) and dynamic overwrite
+    replaces them in place. Healthy partitions keep their files
+    byte-for-byte. This is the maintenance job that keeps a
+    streaming-appended lake scannable: micro-batches each add a file per
+    partition, and without compaction a 1000-executor scan pays
+    open/seek per tiny file.
+
+    Returns the list of compacted partition values (as the strings from
+    the directory names; Spark coerces them when filtering).
+    """
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    touched = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{partition_col}=")):
+            continue
+        nfiles = sum(1 for f in fs.listStatus(st.getPath())
+                     if f.getPath().getName().endswith(".parquet"))
+        if nfiles > max_files:
+            touched.append(name.split("=", 1)[1])
+    if touched:
+        sub = spark.read.parquet(path) \
+            .filter(F.col(partition_col).isin(touched))
+        write_partitioned(sub, path, [partition_col], files_per_partition)
+    return touched
+
+
 def write_range_layout(df: DataFrame, path: str,
                        range_cols: Sequence[str],
                        num_files: int) -> None:

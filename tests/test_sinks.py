@@ -160,3 +160,84 @@ def test_range_layout_files_cover_disjoint_key_ranges(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
     assert back.count() == 1
+
+
+def test_lake_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE into the partitioned lake: untouched partition directories
+    keep their files byte-for-byte; the touched day gets mutable-column
+    refreshes, frozen columns, and new-key inserts."""
+    import glob
+    import os
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        lake_merge,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    seed = spark.createDataFrame(
+        [(d, i, f"st0", float(i)) for d in ("d1", "d2", "d3")
+         for i in range(20)],
+        "dt string, k int, status string, amount double")
+    write_partitioned(seed, path, ["dt"])
+
+    def snapshot(day):
+        return {f: os.path.getmtime(f)
+                for f in glob.glob(f"{path}/dt={day}/*.parquet")}
+
+    before_d1, before_d3 = snapshot("d1"), snapshot("d3")
+
+    updates = spark.createDataFrame(
+        [("d2", 5, "st9", 99.0),     # existing key: status mutable, amount frozen
+         ("d2", 100, "new", 1.5)],   # brand-new key
+        "dt string, k int, status string, amount double")
+    touched = lake_merge(spark, path, updates, key=["dt", "k"],
+                         partition_col="dt", mutable=["status"])
+    assert touched == ["d2"]
+
+    assert snapshot("d1") == before_d1 and snapshot("d3") == before_d3
+
+    back = spark.read.parquet(path)
+    assert back.count() == 61
+    d2 = {r.k: r for r in back.filter(F.col("dt") == "d2").collect()}
+    assert d2[5].status == "st9" and d2[5].amount == 5.0   # mutable vs frozen
+    assert d2[100].status == "new" and d2[100].amount == 1.5
+    assert d2[7].status == "st0"                           # untouched key intact
+
+
+def test_compact_lake_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Partitions over the file-count threshold are coalesced; healthy
+    partitions keep their files byte-for-byte; content is preserved."""
+    import glob
+    import os
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        compact_lake,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    healthy = spark.createDataFrame(
+        [("d1", i, float(i)) for i in range(40)], "dt string, k int, v double")
+    write_partitioned(healthy, path, ["dt"])
+    # fragment d2: six micro-batch appends, one tiny file each (the
+    # streaming-sink pattern compaction exists to clean up)
+    for i in range(6):
+        batch = spark.createDataFrame(
+            [("d2", 100 + i, float(i))], "dt string, k int, v double")
+        batch.coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+
+    assert len(glob.glob(f"{path}/dt=d2/*.parquet")) > 4
+    before_d1 = {f: os.path.getmtime(f)
+                 for f in glob.glob(f"{path}/dt=d1/*.parquet")}
+
+    touched = compact_lake(spark, path, "dt", max_files=4)
+    assert touched == ["d2"]
+    assert len(glob.glob(f"{path}/dt=d2/*.parquet")) == 1
+    assert {f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/dt=d1/*.parquet")} == before_d1
+
+    back = spark.read.parquet(path)
+    assert back.count() == 46
+    assert back.filter(F.col("dt") == "d2").agg(F.sum("v")).first()[0] == \
+        sum(float(i) for i in range(6))
