@@ -1,0 +1,102 @@
+"""Tests for the Mongo aggregation-pipeline translator: the reference's
+own pipeline shape (ref dags/includes/loanapplication_table.py:26-49 —
+$match on a datetime bound, $unwind {path}, dotted-path $project) runs
+verbatim, plus the common $group/$sort/$limit/$in tail."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+
+@pytest.fixture()
+def apps(spark):
+    def doc(i, created, products, deleted=False):
+        return Row(
+            _id=f"a{i}",
+            dateCreated=created,
+            deleted=deleted,
+            status="open" if i % 2 == 0 else "closed",
+            personalDetails=Row(email=f"u{i}@x.io", primaryPhoneNumber=f"07{i}"),
+            products=products,
+            amount=float(10 * i),
+        )
+    return spark.createDataFrame([
+        doc(1, datetime(2022, 1, 1), ["p1", "p2"]),
+        doc(2, datetime(2023, 1, 1), ["p3"]),
+        doc(3, datetime(2023, 6, 1), []),            # empty → $unwind drops
+        doc(4, datetime(2023, 7, 1), None),          # null  → $unwind drops
+        doc(5, datetime(2024, 1, 1), ["p4", "p5"]),
+    ])
+
+
+def test_reference_pipeline_shape(apps):
+    out = apply_pipeline(apps, [
+        {"$match": {"dateCreated": {"$gt": datetime(2022, 10, 5)}}},
+        {"$unwind": {"path": "$products"}},
+        {"$project": {"personalDetails.email": 1, "deleted": 1,
+                      "dateCreated": 1, "status": 1, "products": 1}},
+    ])
+    rows = out.collect()
+    # docs 2 and 5 survive the date bound AND carry products: 1 + 2 rows
+    assert len(rows) == 3
+    assert out.columns == ["_id", "personalDetails.email", "deleted",
+                           "dateCreated", "status", "products"]
+    assert {r["products"] for r in rows} == {"p3", "p4", "p5"}
+    assert {r["personalDetails.email"] for r in rows} == {"u2@x.io", "u5@x.io"}
+
+
+def test_unwind_preserve_nulls(apps):
+    out = apply_pipeline(apps, [
+        {"$unwind": {"path": "$products", "preserveNullAndEmptyArrays": True}},
+    ])
+    # empty array contributes a null row; null array too: 2+1+1+1+2 rows
+    assert out.count() == 7
+    assert out.filter("products IS NULL").count() == 2
+
+
+def test_match_operators(apps):
+    assert apply_pipeline(apps, [
+        {"$match": {"status": {"$in": ["open"]}, "deleted": False}},
+    ]).count() == 2
+    assert apply_pipeline(apps, [
+        {"$match": {"$or": [{"_id": "a1"}, {"amount": {"$gte": 50.0}}]}},
+    ]).count() == 2
+    assert apply_pipeline(apps, [
+        {"$match": {"products": {"$exists": True}}},
+    ]).count() == 4
+
+
+def test_group_sort_limit(apps):
+    out = apply_pipeline(apps, [
+        {"$group": {"_id": "$status",
+                    "n": {"$sum": 1},
+                    "total": {"$sum": "$amount"}}},
+        {"$sort": {"_id": 1}},
+        {"$limit": 1},
+    ]).collect()
+    assert len(out) == 1
+    assert out[0]["_id"] == "closed"
+    assert out[0].n == 3 and out[0].total == 90.0
+
+    global_agg = apply_pipeline(apps, [
+        {"$group": {"_id": None, "mx": {"$max": "$amount"}}},
+    ]).collect()
+    assert global_agg[0]["_id"] is None and global_agg[0].mx == 50.0
+
+
+def test_project_exclude_and_addfields(apps):
+    out = apply_pipeline(apps, [
+        {"$addFields": {"amount2": "$amount"}},
+        {"$project": {"personalDetails": 0, "products": 0, "_id": 0}},
+    ])
+    assert "_id" not in out.columns and "products" not in out.columns
+    assert out.select("amount2").first()[0] is not None
+
+
+def test_count_stage(apps):
+    assert apply_pipeline(apps, [{"$count": "n"}]).first().n == 5
