@@ -1024,11 +1024,12 @@ Q55_SQL = _q55_sql()
 
 
 # --- q50: end-to-end corpus curation (lang gate → quality gate → exact dedup) -----
-def q50_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline: keep English docs of acceptable
-    quality, then collapse exact duplicates to a min-id keeper. One shuffle
-    (the fingerprint groupBy) — the two gates are scan-side filters."""
-    d = load_table(spark, "documents", sf_dir)
+def curated_fingerprint_agg(d: DataFrame) -> DataFrame:
+    """The q50 gate + dedup aggregate, factored so the BATCH plan (q50)
+    and the STREAMING micro-batch path (streaming/curation.py) run the
+    identical logic: keep English docs of acceptable quality, fingerprint,
+    collapse to (fp, min keeper_id, copies). Both outputs are mergeable
+    across batches because min and count are associative."""
     kept = d.select("doc_id", "text",
                     T.lang_id("text").alias("plang"),
                     T.quality_score("text").alias("quality")) \
@@ -1038,6 +1039,13 @@ def q50_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
     )
+
+
+def q50_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: keep English docs of acceptable
+    quality, then collapse exact duplicates to a min-id keeper. One shuffle
+    (the fingerprint groupBy) — the two gates are scan-side filters."""
+    return curated_fingerprint_agg(load_table(spark, "documents", sf_dir))
 
 
 def _curation_sql() -> str:

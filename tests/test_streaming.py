@@ -323,3 +323,39 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
             interval_join_streams(signups, purchases, "user_id", "ts", "pts")
             .collect()}
     assert got == want == {(1, 9.99), (2, 1.00)}
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path, sf_dir):
+    """Streamed corpus curation (two micro-batch file drops folded into
+    generation-addressed state) must converge to exactly the batch q50
+    answer on the union — min/count combiners are associative."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        curated_fingerprint_agg,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.curation import (
+        read_curated_state,
+        run_incremental_curation,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    drop = str(tmp_path / "drop")
+    # two drops: split the corpus in half, delivered as separate files
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(drop)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(drop)
+
+    run_incremental_curation(spark, drop, str(tmp_path / "ckpt"),
+                             str(tmp_path / "state"),
+                             max_files_per_trigger=1)
+
+    import glob
+    gens = glob.glob(str(tmp_path / "state" / "gen=*"))
+    assert len(gens) >= 2  # the cross-batch combine path actually ran
+
+    got = {r.fp: (r.keeper_id, r.copies) for r in
+           read_curated_state(spark, str(tmp_path / "state")).collect()}
+    want = {r.fp: (r.keeper_id, r.copies) for r in
+            curated_fingerprint_agg(docs).collect()}
+    assert got == want and len(want) > 0
