@@ -637,8 +637,11 @@ def q98_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_d = F.col("sh").cast("double")
     shh_d = F.col("shh").cast("double")
     svh_d = F.col("svh").cast("double")
-    var_num = n_d * svv_d - sv_d * sv_d
-    hvar_num = n_d * shh_d - sh_d * sh_d
+    # greatest(·, 0): for a constant-valued group the double-cast sums can
+    # make n·Σv² − (Σv)² land an ulp BELOW zero, and sqrt(−ε) is NaN — the
+    # clamp turns that into the mathematically-correct 0 on BOTH engines.
+    var_num = F.greatest(n_d * svv_d - sv_d * sv_d, F.lit(0.0))
+    hvar_num = F.greatest(n_d * shh_d - sh_d * sh_d, F.lit(0.0))
     corr_den = F.sqrt(var_num * hvar_num)
     return agg.select(
         "event_type",
@@ -673,6 +676,16 @@ agg AS (
          min(v) AS mn,
          max(v) AS mx
   FROM per GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, mn, mx, sv,
+         greatest(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 0.0) AS vn,
+         greatest(CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+                  - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE), 0.0) AS hn,
+         CAST(n AS DOUBLE) * CAST(svh AS DOUBLE)
+         - CAST(sv AS DOUBLE) * CAST(sh AS DOUBLE) AS cn
+  FROM agg
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
@@ -680,22 +693,12 @@ SELECT event_type,
        CAST(mx AS DOUBLE) AS max_value,
        round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
        CASE WHEN n > 1 THEN
-         round(sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
-                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
-                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+         round(sqrt(vn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
        END AS stddev_value,
-       CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
-                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
-                      * (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
-                         - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))) > 0 THEN
-         round((CAST(n AS DOUBLE) * CAST(svh AS DOUBLE)
-                - CAST(sv AS DOUBLE) * CAST(sh AS DOUBLE))
-               / sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
-                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
-                      * (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
-                         - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))), 6)
+       CASE WHEN sqrt(vn * hn) > 0 THEN
+         round(cn / sqrt(vn * hn), 6)
        END AS corr_value_hour
-FROM agg
+FROM m
 """
 
 
@@ -717,14 +720,23 @@ def q99_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(F.col("p_name"), " "), 2).alias("blk"),
         F.col("p_size").alias("sz"),
     )
-    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    # Bounded Levenshtein (threshold arg): the DP abandons a row pair the
+    # moment its distance provably exceeds 3 and returns -1, so far-apart
+    # names cost O(len·threshold) instead of O(len²). The length gate is
+    # a NECESSARY condition for lev <= 3 and costs two length reads — it
+    # runs first in the conjunction, so most in-block pairs never enter
+    # the DP at all. Both prunes are semantics-preserving: the oracle's
+    # unbounded levenshtein BETWEEN 1 AND 3 selects the identical pairs.
+    dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), 3)
+    len_gate = F.abs(F.length(F.col("a.nm"))
+                     - F.length(F.col("b.nm"))) <= 3
     return (
         k.alias("a")
         .join(k.alias("b"),
               (F.col("a.blk") == F.col("b.blk"))
               & (F.col("a.sz") == F.col("b.sz"))
               & (F.col("a.pk") < F.col("b.pk")))
-        .where((dist >= 1) & (dist <= 3))
+        .where(len_gate & (dist >= 1))
         .select(
             F.col("a.pk").alias("pk1"), F.col("b.pk").alias("pk2"),
             F.col("a.nm").alias("name1"), F.col("b.nm").alias("name2"),
