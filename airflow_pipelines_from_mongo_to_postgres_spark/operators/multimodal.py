@@ -181,7 +181,11 @@ def decode_image(payload: bytes) -> dict:
         from PIL import Image  # optional fast path, not in this container
         img = Image.open(io.BytesIO(payload))
         import numpy as np
-        arr = np.asarray(img.convert("RGB"), dtype="float64")
+        # Mean over the NATIVE bands (alpha included, gray single-channel)
+        # — the same definition the stdlib fallback uses — so the lake
+        # value for a payload never depends on whether Pillow happens to
+        # be installed on the executor image.
+        arr = np.asarray(img, dtype="float64")
         return {"width": img.width, "height": img.height,
                 "format": (img.format or "unknown").lower(),
                 "channels": len(img.getbands()),
@@ -258,9 +262,17 @@ def decoded_media_features(df: DataFrame, id_col: str, payload_col: str,
     dec = decoder or decode_image
 
     def safe(p: bytes) -> dict:
+        # Catches every corrupt-payload failure mode of the stdlib path:
+        # zlib.error (garbage/absent IDAT), IndexError/struct.error
+        # (truncated pixel data mid-unfilter), alongside the decoder's
+        # own declared errors — one bad file must degrade to nulls, not
+        # kill the task ("rows are never dropped").
+        import struct
+        import zlib
         try:
             return dec(p)
-        except (NotImplementedError, ValueError, OSError):
+        except (NotImplementedError, ValueError, OSError,
+                zlib.error, IndexError, struct.error):
             return {"width": None, "height": None, "format": None,
                     "channels": None, "mean_pixel": None}
 
@@ -490,6 +502,14 @@ def audio_media_features(df: DataFrame, id_col: str,
     fmt_id = b"fmt ".hex().upper()
     data_id = b"data".hex().upper()
 
+    def _pos(col):
+        # Hostile chunk sizes compound the hop offsets past int range, and
+        # under ANSI mode (the Spark 4 default) a bare cast("int") would
+        # CRASH the job on one corrupt file. Clamp first: a saturated
+        # position points past any real payload, substring returns "",
+        # and the row degrades to nulls as documented.
+        return F.least(col, F.lit((1 << 31) - 1).cast("long")).cast("int")
+
     w = df.select(
         F.col(id_col).cast("string").alias("media_id"),
         F.col(payload_col).alias("_p"),
@@ -499,7 +519,7 @@ def audio_media_features(df: DataFrame, id_col: str,
         w = (
             w.withColumn(f"_hdr{i}",
                          F.hex(F.substring(F.col("_p"),
-                                           F.col(f"_off{i}").cast("int"), 8)))
+                                           _pos(F.col(f"_off{i}")), 8)))
             .withColumn(f"_sz{i}", _le_from_hex(F.col(f"_hdr{i}"), 4, 4))
             .withColumn(f"_off{i + 1}",
                         F.col(f"_off{i}") + 8 + F.col(f"_sz{i}")
@@ -515,7 +535,7 @@ def audio_media_features(df: DataFrame, id_col: str,
         # The 16-byte fmt body, grabbed once; fields are fixed offsets in it.
         .withColumn("_fmt_hex",
                     F.hex(F.substring(F.col("_p"),
-                                      (F.col("_fmt_off") + 8).cast("int"), 16)))
+                                      _pos(F.col("_fmt_off") + 8), 16)))
     )
     tag = _le_from_hex(F.col("_fmt_hex"), 0, 2)
     channels = _le_from_hex(F.col("_fmt_hex"), 2, 2)

@@ -49,16 +49,18 @@ def _ref(v: Any) -> Column:
 
 
 def _match_cond(cond: dict[str, Any]) -> Column:
+    if not cond:
+        return F.lit(True)  # Mongo: {$match: {}} is match-all
     parts: list[Column] = []
     for field, spec in cond.items():
         if field == "$and":
-            sub = [_match_cond(c) for c in spec]
+            sub = [_match_cond(c) for c in spec] or [F.lit(True)]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc & c
             parts.append(acc)
         elif field == "$or":
-            sub = [_match_cond(c) for c in spec]
+            sub = [_match_cond(c) for c in spec] or [F.lit(True)]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc | c
@@ -145,7 +147,19 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]]) -> DataFrame:
                 path = spec["path"][1:]
                 preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
             fn = F.explode_outer if preserve else F.explode
-            df = df.withColumn(path, fn(F.col(path)))
+            if "." in path:
+                # Mongo replaces the nested field IN PLACE. explode is a
+                # generator (must sit in a top-level projection), so
+                # explode into a temp column first, then graft the element
+                # back into the struct with withField and drop the temp.
+                top, rest = path.split(".", 1)
+                tmp = "__unwound"
+                df = (df.withColumn(tmp, fn(F.col(path)))
+                      .withColumn(top,
+                                  F.col(top).withField(rest, F.col(tmp)))
+                      .drop(tmp))
+            else:
+                df = df.withColumn(path, fn(F.col(path)))
         elif op in ("$addFields", "$set"):
             for name, v in spec.items():
                 df = df.withColumn(name, _ref(v))

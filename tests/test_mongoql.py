@@ -100,3 +100,32 @@ def test_project_exclude_and_addfields(apps):
 
 def test_count_stage(apps):
     assert apply_pipeline(apps, [{"$count": "n"}]).first().n == 5
+
+
+def test_empty_match_is_match_all(apps):
+    """Mongo treats {$match: {}} (the output of a dynamically-built filter
+    with nothing selected) as match-all, not an error."""
+    assert apply_pipeline(apps, [{"$match": {}}]).count() == 5
+    assert apply_pipeline(apps, [{"$match": {"$and": []}}]).count() == 5
+    assert apply_pipeline(apps, [{"$match": {"$or": []}}]).count() == 5
+
+
+def test_dotted_unwind_replaces_nested_field(spark):
+    """$unwind on a dotted path must replace the array INSIDE the struct
+    (Mongo semantics), so later stages referencing the path see the
+    exploded element, not the pre-unwind array."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(_id="x", personalDetails=Row(name="a", emails=["e1", "e2"])),
+        Row(_id="y", personalDetails=Row(name="b", emails=["e3"])),
+    ])
+    out = apply_pipeline(df, [
+        {"$unwind": {"path": "$personalDetails.emails"}},
+        {"$match": {"personalDetails.emails": "e2"}},
+    ])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].personalDetails.emails == "e2"   # scalar, not array
+    assert rows[0].personalDetails.name == "a"      # siblings intact
+    assert out.columns == ["_id", "personalDetails"]  # no stray top-level col

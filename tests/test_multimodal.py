@@ -357,15 +357,62 @@ def test_audio_header_adversarial_bytes_never_crash(spark):
     zero_rate = bytearray(_wav_bytes())
     zero_rate[24:28] = struct.pack("<I", 0)    # sample_rate = 0
     huge = bytearray(_wav_bytes(n_frames=1))
-    huge[44 + 4:44 + 8] = struct.pack("<I", 0xFFFFFFFF)  # data size lies
+    huge[40:44] = struct.pack("<I", 0xFFFFFFFF)  # data-chunk size field lies
+    # fmt-chunk size lies too: the NEXT hop offset compounds past int32,
+    # which must clamp (ANSI mode would otherwise crash on the cast)
+    walker_bomb = bytearray(_wav_bytes(n_frames=1))
+    walker_bomb[16:20] = struct.pack("<I", 0xFFFFFFF0)
     truncated = bytes(_wav_bytes())[:40]
 
     df = spark.createDataFrame(
-        [(1, zero_align), (2, zero_rate), (3, huge), (4, bytearray(truncated))],
+        [(1, zero_align), (2, zero_rate), (3, huge), (4, bytearray(truncated)),
+         (5, walker_bomb)],
         "media_id long, payload binary")
     rows = {r.media_id: r for r in
             audio_media_features(df, "media_id", "payload").collect()}
     assert rows["1"].n_frames is None and rows["1"].duration_ms is None
     assert rows["2"].duration_ms is None
     assert rows["3"].format == "wav"          # parses; frame count is bogus but finite
+    assert rows["3"].n_frames == 0xFFFFFFFF // 4
     assert rows["4"].format is None           # shorter than a full header
+    assert rows["5"].format == "wav"          # fmt parses; data never found
+    assert rows["5"].n_frames is None         # -> no frame/duration claims
+
+
+def test_decoded_features_corrupt_png_degrades_to_nulls(spark):
+    """Corrupt PNGs (garbage IDAT, truncated pixel data, missing IDAT)
+    raise zlib.error / IndexError inside the stdlib decoder — the
+    mapInPandas stage must degrade those rows to null features, never
+    fail the task."""
+    import struct
+    import zlib
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decoded_media_features,
+    )
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    garbage_idat = magic + ihdr + chunk(b"IDAT", b"not-zlib-data") \
+        + chunk(b"IEND", b"")
+    truncated_idat = magic + ihdr \
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01")) + chunk(b"IEND", b"")
+    no_idat = magic + ihdr + chunk(b"IEND", b"")
+    good = magic + ihdr \
+        + chunk(b"IDAT", zlib.compress(b"\x00\x10\x20\x00\x30\x40")) \
+        + chunk(b"IEND", b"")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(garbage_idat)), (2, bytearray(truncated_idat)),
+         (3, bytearray(no_idat)), (4, bytearray(good))],
+        "media_id long, payload binary")
+    rows = {r.media_id: r for r in
+            decoded_media_features(df, "media_id", "payload").collect()}
+    assert rows["1"].format is None and rows["1"].mean_pixel is None
+    assert rows["2"].format is None
+    assert rows["3"].format is None
+    assert rows["4"].format == "png" and rows["4"].width == 2
