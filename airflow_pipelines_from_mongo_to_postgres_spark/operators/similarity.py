@@ -428,3 +428,97 @@ def cosine_topk_np(probe: DataFrame, corpus: DataFrame, id_col: str,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def cosine_topk_pq(probe: DataFrame, corpus: DataFrame, id_col: str,
+                   vec_col: str, k: int, codebooks: list,
+                   rerank: int = 50) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC; Jégou et al. 2011): the missing member of the ANN family next
+    to bucketed/LSH/IVF — the one that COMPRESSES the index itself.
+
+    Index: each unit corpus vector is split into M subvectors and each
+    subvector replaced by the id of its nearest codebook centroid — M
+    bytes per vector instead of dim doubles (64× smaller at M=8,
+    dim=64). Search: the probe builds a per-subvector lookup table of
+    partial distances to every centroid (M×K values — tiny, broadcast),
+    ADC-scores every corpus code by summing M table lookups, shortlists
+    ``rerank`` candidates, and exact-reranks only those.
+
+    Scale shape: the ADC join is equi on (subvector, cell) against a
+    broadcast LUT — the corpus side streams; per (probe, vector) exactly
+    M rows reach the shuffle, and only ``rerank`` full vectors per probe
+    are ever touched for exact scoring. At 100 TB the codes table is the
+    only thing scanned per query (M bytes/vector), which is the entire
+    point of PQ.
+
+    Cross-engine exactness (``codebooks`` frozen literals, q106): every
+    partial distance uses the same c²−2·q·c form and sequential-fold dot
+    product on both engines; per-subvector contributions are rounded to
+    9 dp and summed as DECIMAL so the ADC ordering cannot flip on
+    addition order; the shortlist and final rank both carry a
+    neighbor_id tiebreak. Approximate by construction (a true neighbor
+    can fall outside the shortlist); recall vs brute force is gated in
+    tests/test_similarity.py.
+    """
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    spark = probe.sparkSession
+    cb_rows = [(j, ci, [float(x) for x in c], float(sum(x * x for x in c)))
+               for j, book in enumerate(codebooks)
+               for ci, c in enumerate(book)]
+    cb = spark.createDataFrame(
+        cb_rows, "j int, cell int, cvec array<double>, c2 double")
+
+    def subvectors(df, out_id):
+        u = df.select(F.col(id_col).alias(out_id),
+                      V.unit(V.as_double(vec_col)).alias("uv"))
+        blocks = F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.slice("uv", j * subdim + 1, subdim).alias("sv"))
+            for j in range(m)])
+        return u.select(out_id, F.explode(blocks).alias("b")) \
+            .select(out_id, F.col("b.j").alias("j"), F.col("b.sv").alias("sv"))
+
+    pd_expr = F.col("c2") - 2 * V.dot(F.col("sv"), F.col("cvec"))
+    codes = (
+        subvectors(spread(corpus), "neighbor_id")
+        .join(F.broadcast(cb), "j")
+        .withColumn("pd", pd_expr)
+        .groupBy("neighbor_id", "j")
+        .agg(F.min(F.struct("pd", "cell")).alias("mn"))
+        .select("neighbor_id", "j", F.col("mn.cell").alias("cell"))
+    )
+    lut = (
+        subvectors(probe, "query_id")
+        .join(F.broadcast(cb), "j")
+        .select("query_id", "j", "cell",
+                F.round(pd_expr, 9).cast("decimal(18,9)").alias("pd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    short = adc.withColumn("rn", F.row_number().over(wshort)) \
+        .filter(F.col("rn") <= rerank).select("query_id", "neighbor_id")
+
+    cu = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       V.unit(V.as_double(vec_col)).alias("cv"))
+    pu = probe.select(F.col(id_col).alias("query_id"),
+                      V.unit(V.as_double(vec_col)).alias("qv"))
+    rer = (
+        short.join(cu, "neighbor_id").join(F.broadcast(pu), "query_id")
+        .withColumn("cosine", F.round(V.dot("qv", "cv"), 6))
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )

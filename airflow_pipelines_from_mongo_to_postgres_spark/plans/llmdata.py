@@ -2064,6 +2064,96 @@ FROM deg d LEFT JOIN tri t ON d.node = t.node
 """
 
 
+# --- q106: product-quantization ANN (ADC) -------------------------------------------
+_PQ_RERANK = 50
+
+
+def q106_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k: the index-compression member of the ANN family
+    (q33 brute, q35 IVF-label, q52 LSH, q55 trained-IVF, q62 Arrow-BLAS).
+    The codebooks are trained ONCE (tools/train_pq_codebooks.py: MLlib
+    k-means per 8-dim subvector, seeds 42..49, sf0.01 corpus) and frozen
+    into plans/_pq_codebooks.py, so assignment, the probe lookup tables,
+    the decimal ADC sums, and both tiebreaks all derive from literals
+    DuckDB replays — the approximate pipeline hash-gates exactly like
+    q55. Recall vs brute-force q33 is gated in tests/test_similarity.py."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._pq_codebooks import PQ_CODEBOOKS
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_pq(probe, e, "vec_id", "embedding",
+                                     k=5, codebooks=PQ_CODEBOOKS,
+                                     rerank=_PQ_RERANK)
+
+
+def _q106_sql() -> str:
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._pq_codebooks import (
+        PQ_CODEBOOKS,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    cb_rows = ",\n    ".join(
+        f"({j}, {ci}, {_sql_darray(c)}, {float(sum(x * x for x in c))!r})"
+        for j, book in enumerate(PQ_CODEBOOKS)
+        for ci, c in enumerate(book))
+    return f"""
+WITH {_UNIT_CTE},
+cb(j, cell, cvec, c2) AS (
+  VALUES
+    {cb_rows}
+),
+subs AS (
+  SELECT vec_id, CAST(r.j AS INT) AS j,
+         uv[CAST(r.j AS INT) * {PQ_SUBDIM} + 1 : CAST(r.j AS INT) * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM uembed, LATERAL unnest(range(0, {PQ_M})) r(j)
+),
+scored AS (
+  SELECT s.vec_id, s.j, cb.cell,
+         cb.c2 - 2 * list_dot_product(s.sv, cb.cvec) AS pd
+  FROM subs s JOIN cb ON s.j = cb.j
+),
+codes AS (
+  SELECT vec_id, j, cell FROM (
+    SELECT vec_id, j, cell,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY pd, cell) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, j, cell,
+         CAST(round(pd, 9) AS DECIMAL(18,9)) AS pd
+  FROM scored WHERE vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.pd) AS adc
+  FROM codes c JOIN lut l ON c.j = l.j AND c.cell = l.cell
+  WHERE l.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, neighbor_id ASC) AS rn
+    FROM adc)
+  WHERE rn <= {_PQ_RERANK}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.uv, n.uv), 6) AS cosine
+  FROM short s
+  JOIN uembed q ON s.query_id = q.vec_id
+  JOIN uembed n ON s.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer)
+WHERE rank <= 5
+"""
+
+
 # --- q104: BPE merge-pair statistics ------------------------------------------------
 _BPE_TOPK = 200
 
@@ -2158,6 +2248,7 @@ QUERIES = {
     "q100_weighted_sample": q100_weighted_sample,
     "q101_graph_clustering": q101_graph_clustering,
     "q104_bpe_pair_stats": q104_bpe_pair_stats,
+    "q106_ann_pq": q106_ann_pq,
 }
 
 ORACLES = {
@@ -2207,4 +2298,5 @@ ORACLES = {
     "q100_weighted_sample": Q100_SQL,
     "q101_graph_clustering": Q101_SQL,
     "q104_bpe_pair_stats": Q104_SQL,
+    "q106_ann_pq": _q106_sql(),
 }

@@ -193,6 +193,48 @@ def write_bucketed(df: DataFrame, table: str, buckets: int,
     w.saveAsTable(table)
 
 
+#: Columnar/row formats the sandboxed Spark distribution ships writers
+#: for. Avro is a separate external module (spark-avro jar) — absent
+#: here, so it's gated rather than listed; on a real cluster add the jar
+#: and extend this set.
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "overwrite",
+                partition_by: Sequence[str] = (),
+                **options: str) -> None:
+    """Format-dispatch writer: one call for parquet / ORC / JSON-lines /
+    CSV with the same partitioning semantics. ORC keeps the columnar
+    scan path (predicate pushdown + column pruning, same as parquet);
+    JSON-lines is the interchange format for downstream tokenizer /
+    training jobs that stream documents line by line."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(
+            f"unsupported format {fmt!r}; available: {SUPPORTED_FORMATS} "
+            "(avro needs the external spark-avro jar)")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", **options: str):
+    """Reader twin of ``write_table`` (CSV gets header+inferSchema)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", True).option("inferSchema", True)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV staging-style sink (ref S5, user_table.py:90) — kept for export
     compatibility; the engine itself never stages through CSV."""

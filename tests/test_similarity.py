@@ -177,3 +177,30 @@ def test_numpy_topk_chunked_probes(spark, sf_dir):
                similarity.cosine_topk_np(probe, e, "vec_id", "embedding", 5,
                                          batch_probes=3).collect()}
     assert whole == chunked
+
+
+def test_pq_topk_recall_and_exact_rerank(spark, sf_dir):
+    """PQ/ADC path: recall vs brute force above the rerank-tuned bound;
+    returned cosines equal the true cosine (the shortlist is ADC-ranked
+    but the final scores are exact)."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._pq_codebooks import PQ_CODEBOOKS
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(probe, e, "vec_id", "embedding", k=5)
+    approx = similarity.cosine_topk_pq(probe, e, "vec_id", "embedding",
+                                       k=5, codebooks=PQ_CODEBOOKS,
+                                       rerank=50)
+    erows = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    arows = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    assert len(erows.keys() & arows.keys()) / len(erows) >= 0.6
+    all_exact = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in similarity.cosine_topk(probe, e, "vec_id",
+                                                 "embedding", k=500).collect()}
+    for pair, cos in arows.items():
+        assert abs(all_exact[pair] - cos) < 1e-6
