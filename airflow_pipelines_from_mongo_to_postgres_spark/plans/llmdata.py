@@ -2154,6 +2154,80 @@ WHERE rank <= 5
 """
 
 
+# --- q107: count-min sketch (approximate frequency with overcount bound) ------------
+#: d hash rows × w counters; ε = e/w ≈ 0.27% of the token stream,
+#: δ = e^-d ≈ 5%. At 100 TB the sketch is STILL d·w counters — the point:
+#: frequency estimation in O(1) memory per executor with a mergeable
+#: (sum-per-cell) structure, where the exact count table grows with the
+#: vocabulary.
+_CMS_D, _CMS_W = 3, 1024
+_CMS_PROBE_K = 20
+
+
+def q107_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed with the
+    top-K true-frequency tokens: output carries BOTH the exact count and
+    the CMS estimate so the overcount (estimate >= truth, the CMS
+    guarantee) is observable — the same sketch-plus-truth audit shape as
+    q93's Bloom decontamination. Hashes are md5-derived (hash28), so
+    every counter placement replays in DuckDB and the query hash-gates.
+    Build: one explode ×d of the token stream into (row, pos) cells →
+    ONE groupBy onto at most d·w rows (the sketch — broadcastable
+    anywhere). Probe: the K probe tokens join the sketch on d cells each
+    and take the min estimate."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(T.tokens("text")).alias("token"))
+    cells = toks.select("token", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.pmod(T.hash28(F.concat(F.lit(f"cms{i}:"), F.col("token"))),
+                        F.lit(_CMS_W)).alias("pos"))
+        for i in range(_CMS_D)])).alias("c")) \
+        .select(F.col("c.r").alias("r"), F.col("c.pos").alias("pos"))
+    sketch = cells.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+              .orderBy(F.col("true_count").desc(), F.col("token").asc())
+              .limit(_CMS_PROBE_K))
+    probe_cells = probes.select("token", "true_count", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 F.pmod(T.hash28(F.concat(F.lit(f"cms{i}:"), F.col("token"))),
+                        F.lit(_CMS_W)).alias("pos"))
+        for i in range(_CMS_D)])).alias("c")) \
+        .select("token", "true_count", F.col("c.r").alias("r"),
+                F.col("c.pos").alias("pos"))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+_CMS_POS = ("CAST(concat('0x', substr(md5(concat('cms{i}:', token)), 1, 7)) "
+            f"AS BIGINT) % {_CMS_W}")
+Q107_SQL = f"""
+WITH toks AS (
+  SELECT t.tok AS token
+  FROM documents, LATERAL unnest({_TOKENS_SQL.format(col='text')}) t(tok)
+),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {i} AS r, {_CMS_POS.format(i=i)} AS pos FROM toks"
+                      for i in range(_CMS_D))}
+),
+sketch AS (SELECT r, pos, count(*) AS cnt FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT token, count(*) AS true_count FROM toks GROUP BY 1
+  ORDER BY true_count DESC, token ASC LIMIT {_CMS_PROBE_K}
+),
+probe_cells AS (
+  {" UNION ALL ".join(f"SELECT token, true_count, {i} AS r, {_CMS_POS.format(i=i)} AS pos FROM probes"
+                      for i in range(_CMS_D))}
+)
+SELECT p.token, CAST(p.true_count AS BIGINT) AS true_count,
+       CAST(min(s.cnt) AS BIGINT) AS cms_estimate
+FROM probe_cells p JOIN sketch s ON p.r = s.r AND p.pos = s.pos
+GROUP BY 1, 2
+"""
+
+
 # --- q104: BPE merge-pair statistics ------------------------------------------------
 _BPE_TOPK = 200
 
@@ -2249,6 +2323,7 @@ QUERIES = {
     "q101_graph_clustering": q101_graph_clustering,
     "q104_bpe_pair_stats": q104_bpe_pair_stats,
     "q106_ann_pq": q106_ann_pq,
+    "q107_count_min": q107_count_min,
 }
 
 ORACLES = {
@@ -2299,4 +2374,5 @@ ORACLES = {
     "q101_graph_clustering": Q101_SQL,
     "q104_bpe_pair_stats": Q104_SQL,
     "q106_ann_pq": _q106_sql(),
+    "q107_count_min": Q107_SQL,
 }

@@ -162,3 +162,16 @@ def test_graph_clustering_invariants(spark, sf_dir):
         max_tri = r.degree * (r.degree - 1) // 2
         assert r.triangles <= max_tri
     assert total_apex % 3 == 0
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """The CMS guarantee: estimate >= true count for every probed token,
+    and the overcount is bounded by eps * stream length (e/w) with high
+    probability — checked loosely at 3x the epsilon bound."""
+    rows = llmdata.q107_count_min(spark, sf_dir).collect()
+    assert len(rows) == llmdata._CMS_PROBE_K
+    for r in rows:
+        assert r.cms_estimate >= r.true_count, r
+        # loose sanity on the overcount: heavy hitters collide with at
+        # most the tail, which is << their own mass in a Zipf stream
+        assert r.cms_estimate <= 2 * r.true_count + 10_000, r
