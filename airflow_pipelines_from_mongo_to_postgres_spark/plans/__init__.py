@@ -41,6 +41,9 @@ _CHANGED_THIS_ROUND = [
     "q44_time_rollup", "q46_session_window",
     "q78_lm_unigram_score", "q80_source_mix",
     "q28_minhash_lsh_pairs",
+    # late-r4 decimal-sum migrations (review findings): r2-green rows
+    # predate the rewrite
+    "q43_range_join", "q21_insert_if_absent", "q70_below_avg_quantity",
 ]
 
 
@@ -57,9 +60,12 @@ def _evidence_rounds() -> dict:
         m = os.path.basename(path)
         try:
             rnd = int(m.replace("CORRECTNESS_r", "").replace(".json", ""))
-            rows = json.loads(open(path).read())
+            with open(path) as fh:
+                rows = json.load(fh)
         except (ValueError, OSError, json.JSONDecodeError):
             continue
+        if not isinstance(rows, dict):
+            continue  # evidence files are ordering HINTS — never fatal
         for name, row in rows.items():
             ok = bool(isinstance(row, dict) and row.get("hash_match"))
             prev = latest.get(name)
@@ -72,6 +78,11 @@ def _ordered(full: dict) -> dict:
     evidence = _evidence_rounds()
     names = list(full)
     pinned = [n for n in _CHANGED_THIS_ROUND if n in full]
+    # Within the pinned block, red-in-latest-evidence entries lead (list
+    # order is the tiebreak) — once a pinned query goes driver-green its
+    # slot yields to the ones still red, without hand-editing the list.
+    pinned.sort(key=lambda n: (evidence.get(n, (0, False))[1],
+                               _CHANGED_THIS_ROUND.index(n)))
     rest = [n for n in names if n not in pinned]
     # never-checked → round 0; red sorts before green within a round
     rest.sort(key=lambda n: (evidence.get(n, (0, False))[0],

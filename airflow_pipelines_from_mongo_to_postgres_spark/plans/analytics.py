@@ -246,7 +246,11 @@ def q70_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness across engines: l_quantity is integer-valued, so sum (and
     hence avg·0.2) is exact in double regardless of partial-agg order —
-    the strict `<` threshold cannot flip on a last-ulp difference.
+    the strict `<` threshold cannot flip on a last-ulp difference. The
+    revenue sum, however, divides by 7 BEFORE rounding, which shrinks
+    the q01 2-dp boundary margin ~70× — so it goes through the exact
+    decimal sum (cast to double, then divide: both engines divide
+    identical operands).
     """
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
@@ -258,7 +262,8 @@ def q70_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    small.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                    .cast("double") / F.lit(7.0), 4).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -270,7 +275,7 @@ WITH thr AS (
   FROM lineitem GROUP BY 1
 )
 SELECT p_brand,
-       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
        count(*) AS n_items
 FROM lineitem
 JOIN thr USING (l_partkey)
@@ -714,10 +719,14 @@ def q99_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product. Levenshtein is integer-exact and identically defined
     in both engines, so the gate is a full value hash."""
     p = load_table(spark, "part", sf_dir)
+    # try_element_at + coalesce(''): a one-token name must neither crash
+    # under ANSI mode (element_at throws on a missing index) nor block as
+    # NULL while the oracle's split_part blocks as '' — '' on both.
     k = p.select(
         F.col("p_partkey").alias("pk"),
         F.col("p_name").alias("nm"),
-        F.element_at(F.split(F.col("p_name"), " "), 2).alias("blk"),
+        F.coalesce(F.try_element_at(F.split(F.col("p_name"), " "), F.lit(2)),
+                   F.lit("")).alias("blk"),
         F.col("p_size").alias("sz"),
     )
     # Bounded Levenshtein (threshold arg): the DP abandons a row pair the

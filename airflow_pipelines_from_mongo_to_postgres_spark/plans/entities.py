@@ -305,12 +305,20 @@ ENTITIES: dict[str, EntitySpec] = {
 
 def topo_order(names=None) -> list[str]:
     """Parents-first load order (replaces the reference's hardcoded DAG
-    chain, ref mongo_to_postgres_migration.py:199)."""
+    chain, ref mongo_to_postgres_migration.py:199).
+
+    Names with no ENTITIES spec are appended LAST rather than raising
+    here: ordering runs before the runner's per-table isolation loop, so
+    a KeyError at this level would abort every sibling — the unknown
+    name instead flows into the loop and is recorded as that table's own
+    failure (pipeline.py::_run_entities isolation contract)."""
     names = list(names or ENTITIES)
+    known = [n for n in names if n in ENTITIES]
+    unknown = [n for n in names if n not in ENTITIES]
     seen: list[str] = []
 
     def visit(n: str, stack: tuple[str, ...] = ()):
-        if n in seen or n not in names:
+        if n in seen or n not in known:
             return
         if n in stack:
             raise ValueError(f"FK cycle at {n}")
@@ -318,6 +326,6 @@ def topo_order(names=None) -> list[str]:
             visit(p, stack + (n,))
         seen.append(n)
 
-    for n in names:
+    for n in known:
         visit(n)
-    return seen
+    return seen + unknown

@@ -693,9 +693,11 @@ def q59_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact ``jaccard_pairs(max_df=...)`` prunes with. At 100 TB a hot
     shingle in 10^6 docs turns the inverted-index self-join into 10^12
     rows; this inventory is computed with one groupBy and broadcast back
-    as an anti-join filter (operators/dedup.py::_shingle_table)."""
-    d = load_table(spark, "documents", sf_dir)
-    sh = dedup._shingle_table(d, "doc_id", "text", n=3)
+    as an anti-join filter (operators/dedup.py::_shingle_table). Reads
+    the session-shared PERSISTED shingle plan (same prefix as
+    q26/q27/q28 and the pair-cache consumers) instead of re-tokenizing
+    the corpus."""
+    sh = _shingles_shared(spark, sf_dir, n=3)
     return (sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_docs"))
             .filter(F.col("df_docs") >= 4))
@@ -1910,9 +1912,10 @@ def q97_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log(F.lit(1.0) + (F.col("n_docs").cast("double")
                               - F.col("df").cast("double") + F.lit(0.5))
                 / (F.col("df").cast("double") + F.lit(0.5)))
-    norm = F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
-    contrib = idf * (F.col("tf").cast("double") * F.lit(2.2)) \
-        / (F.col("tf").cast("double") + F.lit(1.2) * norm)
+    norm = F.lit(1.0 - _BM25_B) \
+        + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    contrib = idf * (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1)) \
+        / (F.col("tf").cast("double") + F.lit(_BM25_K1) * norm)
     return (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
@@ -1948,9 +1951,9 @@ contrib AS (
          CAST(round(
            ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                     / (CAST(df AS DOUBLE) + 0.5))
-           * (CAST(tf AS DOUBLE) * 2.2)
+           * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1!r})
            / (CAST(tf AS DOUBLE)
-              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+              + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * CAST(dl.dl AS DOUBLE)
                        / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
            9) AS DECIMAL(18,9)) AS c
   FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id, stats

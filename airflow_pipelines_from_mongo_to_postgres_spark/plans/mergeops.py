@@ -78,9 +78,12 @@ FROM target t FULL JOIN updates u ON t.o_orderkey = u.o_orderkey
 def q21_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = insert_if_absent(_target(spark, sf_dir), _updates(spark, sf_dir),
                            key="o_orderkey")
+    # The 'U' group sums 4-dp prices (round(×1.1, 4)), whose exact sum CAN
+    # sit on a 2-dp half-boundary — decimal sum, then double, then round.
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double"), 2).alias("total_value"),
     )
 
 
@@ -98,7 +101,8 @@ WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
        SELECT u.* FROM updates u
        WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = u.o_orderkey)
      )
-SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total_value
+SELECT o_orderstatus, count(*) AS cnt,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
 FROM merged GROUP BY o_orderstatus
 """
 

@@ -48,15 +48,20 @@ def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = temporal.range_join(errors, e, keys=["user_id"],
                                  left_start="start_ts", left_end="end_ts",
                                  right_ts="ts", how="left")
+    # value sums as DECIMAL (exact, order-independent) then casts double —
+    # round(sum(double)) is the cross-engine hash-flake class every other
+    # events.value aggregate already migrated off (streamsql.py header).
     return joined.groupBy("event_id", "user_id").agg(
         F.count("r_event_id").alias("events_after"),
-        F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 4).alias("value_after"),
+        F.round(F.coalesce(
+            F.sum(F.col("r_value").cast("decimal(18,4)")).cast("double"),
+            F.lit(0.0)), 4).alias("value_after"),
     )
 
 
 Q43_SQL = """
 SELECT x.event_id, x.user_id, count(e.event_id) AS events_after,
-       round(coalesce(sum(e.value), 0), 4) AS value_after
+       round(coalesce(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 0), 4) AS value_after
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') x
 LEFT JOIN events e
   ON e.user_id = x.user_id AND e.ts > x.ts

@@ -145,3 +145,13 @@ def test_null_key_rows_quarantined_not_merged(spark, tmp_path):
     quarantined = wh.read("organizations__quarantine")
     assert quarantined.count() == 3
     assert {r._id for r in quarantined.collect()} == {None}
+
+
+def test_unknown_source_fails_in_isolation(spark, tmp_path):
+    """An unknown source key must be recorded as its OWN table failure
+    with on_error='continue' — never abort the siblings before the
+    isolation loop even starts."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.entities import topo_order
+
+    order = topo_order(["users", "no_such_entity"])
+    assert order[-1] == "no_such_entity" and "users" in order
