@@ -168,6 +168,52 @@ def write_range_layout(df: DataFrame, path: str,
        .write.mode("overwrite").parquet(path))
 
 
+def write_zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
+                        num_files: int, bits: int = 8) -> None:
+    """Two-dimensional data-skipping layout: interleave the bits of both
+    columns' range-bucket ranks into a Z-value, then range-partition and
+    sort on it — the multi-column generalization of
+    ``write_range_layout``. Files then cover small RECTANGLES of the
+    (a, b) space instead of slabs of a single column, so a selective
+    filter on EITHER column (or both) skips most files via parquet
+    footer min/max stats; a single-column sort only skips for its lead
+    column.
+
+    Bucket ranks come from one tiny min/max aggregate broadcast back
+    (map-side math, no shuffle beyond the final range partition); the
+    interleave is ``2·bits`` shift/or terms — flat JVM expressions inside
+    codegen. The Z column is dropped before writing."""
+    lv = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(F.col(col_a).cast("double")).alias("__amin"),
+        F.max(F.col(col_a).cast("double")).alias("__amax"),
+        F.min(F.col(col_b).cast("double")).alias("__bmin"),
+        F.max(F.col(col_b).cast("double")).alias("__bmax"))
+
+    def bucket(c, mn, mx):
+        span = F.col(mx) - F.col(mn)
+        frac = F.when(span > 0,
+                      (F.col(c).cast("double") - F.col(mn)) / span) \
+            .otherwise(F.lit(0.0))
+        return F.least(F.lit(lv).cast("long"),
+                       F.floor(frac * (lv + 1)).cast("long"))
+
+    a = bucket(col_a, "__amin", "__amax")
+    b = bucket(col_b, "__bmin", "__bmax")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i) % 2, 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i) % 2, 2 * i))
+    (df.crossJoin(F.broadcast(bounds))
+       .withColumn("__z", z)
+       .repartitionByRange(num_files, F.col("__z"))
+       .sortWithinPartitions("__z")
+       .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+       .write.mode("overwrite").parquet(path))
+
+
 def write_bucketed(df: DataFrame, table: str, buckets: int,
                    bucket_cols: Sequence[str], sort_cols: Sequence[str] = (),
                    path: str | None = None, mode: str = "overwrite") -> None:

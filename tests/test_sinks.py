@@ -273,3 +273,45 @@ def test_write_table_format_roundtrips(spark, tmp_path):
 
     with pytest.raises(ValueError, match="avro"):
         write_table(df, str(tmp_path / "avro"), "avro")
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-ordered files cover rectangles of (a, b) space: a selective
+    filter on the SECOND column touches far fewer files than under an
+    a-sorted linear layout (where b-slices smear across every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    grid = spark.range(10_000).select(
+        (F.col("id") % 100).alias("a"), (F.col("id") / 100).cast("long").alias("b"))
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zorder_layout(grid, zpath, "a", "b", num_files=16)
+    write_range_layout(grid, lpath, ["a"], num_files=16)
+
+    def files_with_b_slice(path, lo, hi):
+        hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("b")
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hits += 1
+        return hits
+
+    z_hits = files_with_b_slice(zpath, 10, 15)
+    lin_hits = files_with_b_slice(lpath, 10, 15)
+    assert lin_hits == len(glob.glob(f"{lpath}/*.parquet"))  # b smears everywhere
+    assert z_hits <= lin_hits // 2, (z_hits, lin_hits)       # Z localizes b
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == 10_000 and back.columns == ["a", "b"]
