@@ -335,3 +335,81 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .dropDuplicates(["d1", "d2"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_jaccard_pairs(old_shingles: DataFrame, new_docs: DataFrame,
+                              id_col: str, text_col: str,
+                              threshold: float, n: int = 3,
+                              max_df: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Near-dup index maintenance for an APPENDED batch: pairs are
+    computed only where a NEW document participates — (new × old) ∪
+    (new × new) — never old × old, which the standing pair index already
+    holds. Returns ``(delta_pairs, updated_shingle_table)``; full-recompute
+    equivalence (standing ∪ delta == recompute over the union) is the
+    property test in tests/test_dedup.py.
+
+    This is the daily-corpus-append shape at 100 TB: the posting-list
+    join probes the lake-sized inverted index WITH the batch-sized new
+    side, so the shuffle/join cost is Σ|posting ∩ new| — proportional to
+    the batch, not the lake. ``max_df`` pruning applies over the UNION's
+    document frequencies, so the DELTA matches what a recompute would
+    emit; standing old×old pairs keep their original pruning (a shingle
+    that became hot only with this batch cannot retroactively remove
+    them) — periodic re-prune/compaction restores exact equivalence,
+    the standard index-maintenance trade-off. With ``max_df=None`` the
+    union property is exact, which is what the parity test pins.
+
+    Append-only contract: ``new_docs`` ids must be disjoint from the
+    standing corpus (re-ingested ids belong to the merge path, not
+    here).
+    """
+    new_sh = build_shingle_table(new_docs, id_col, text_col, n=n)
+    union_sh = old_shingles.unionByName(new_sh)
+    if max_df is not None:
+        hot = (union_sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df)
+               .select("shingle"))
+        union_pruned = union_sh.join(hot, "shingle", "left_anti")
+        new_pruned = new_sh.join(hot, "shingle", "left_anti")
+    else:
+        union_pruned, new_pruned = union_sh, new_sh
+    h_union = union_pruned.select(
+        "doc", F.xxhash64("shingle").alias("shingle")).cache()
+    h_new = new_pruned.select("doc", F.xxhash64("shingle").alias("shingle"))
+    sizes = h_union.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    new_ids = new_pruned.select("doc").distinct()
+    a, b = h_union.alias("a"), h_new.alias("b")
+    # one side of every candidate pair is NEW; normalize to d1 < d2 and
+    # drop new×new duplicates counted from both sides via the id order.
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") != F.col("b.doc")))
+        .select(F.least("a.doc", "b.doc").alias("d1"),
+                F.greatest("a.doc", "b.doc").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("raw"))
+    )
+    # a new×new pair is found from BOTH sides (each member probes the
+    # other), so its raw count is 2×|intersection|; new×old pairs are
+    # found once. Divide by the number of new members in the pair.
+    both_new = F.col("__n1").isNotNull() & F.col("__n2").isNotNull()
+    marked = (
+        inter
+        .join(new_ids.select(F.col("doc").alias("d1"),
+                             F.lit(1).alias("__n1")), "d1", "left")
+        .join(new_ids.select(F.col("doc").alias("d2"),
+                             F.lit(1).alias("__n2")), "d2", "left")
+        .withColumn("inter", F.when(both_new, F.col("raw") / 2)
+                    .otherwise(F.col("raw")).cast("long"))
+    )
+    delta = (
+        marked
+        .join(sizes.withColumnsRenamed({"doc": "d1", "n_sh": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "n_sh": "n2"}), "d2")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+    return delta, old_shingles.unionByName(new_sh)

@@ -119,3 +119,42 @@ def test_max_shingles_caps_giant_doc_payload(spark):
                                               num_perm=32, bands=16,
                                               max_shingles=100_000).collect()}
     assert uncapped_equiv[(0, 1)] == exact[(0, 1)]
+
+
+def test_incremental_jaccard_equals_full_recompute(spark):
+    """Append-maintenance property: standing pairs ∪ incremental delta
+    must equal a full recompute over the union (unpruned), and the delta
+    must contain ONLY pairs with a new member."""
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six seven"),
+        (4, "totally different words here okay then"),
+    ]
+    new_rows = [
+        (10, "alpha beta gamma delta epsilon theta"),   # near-dup of 1/2
+        (11, "one two three four five six eight"),      # near-dup of 3
+        (12, "alpha beta gamma delta epsilon iota"),    # near-dup of 1/2/10
+    ]
+    old_df = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    full_df = spark.createDataFrame(base_rows + new_rows, ["doc_id", "text"])
+
+    thr = 0.2
+    standing = {(r.d1, r.d2): r.jaccard for r in
+                dedup.jaccard_pairs(old_df, "doc_id", "text", thr).collect()}
+    old_sh = dedup.build_shingle_table(old_df, "doc_id", "text")
+    delta_df, updated_sh = dedup.incremental_jaccard_pairs(
+        old_sh, new_df, "doc_id", "text", thr)
+    delta = {(r.d1, r.d2): r.jaccard for r in delta_df.collect()}
+    recompute = {(r.d1, r.d2): r.jaccard for r in
+                 dedup.jaccard_pairs(full_df, "doc_id", "text", thr).collect()}
+
+    new_ids = {10, 11, 12}
+    assert all(d1 in new_ids or d2 in new_ids for d1, d2 in delta)
+    merged = dict(standing)
+    merged.update(delta)
+    assert merged == recompute and len(delta) > 0
+
+    # the returned shingle table is the union snapshot for the next batch
+    assert updated_sh.select("doc").distinct().count() == 7
