@@ -19,32 +19,78 @@ ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, analytics, llmdat
 
 # The driver's per-round correctness sweep runs queries in registry order
 # under a wall-clock budget, so truncation eats the TAIL. The order is
-# DERIVED AT CALL TIME from the CORRECTNESS_r*.json evidence files in the
-# repo root (so it can never go stale between rounds):
-#   1. _CHANGED_THIS_ROUND — queries whose plan/oracle changed since their
-#      last driver row (their old evidence proves nothing about the new
-#      code); red-in-latest-round entries lead.
+# DERIVED AT CALL TIME from two evidence sources in the repo root (so it
+# can never go stale between rounds, and no hand-maintained list exists
+# for a human to forget — round 4's q59 lesson):
+#   1. changed-since-stamped — queries whose plan-source + oracle-SQL
+#      fingerprint differs from the stamp in EVIDENCE_FPS.json (written by
+#      ``tools/stamp_evidence.py`` against the commit the driver last
+#      evaluated; a changed plan's old evidence proves nothing about the
+#      new code). Red-in-latest-round entries lead within the block.
 #   2. everything else by (latest round with evidence ASC, red before
 #      green, registry order) — least-recently-checked first, never-checked
 #      before all of them.
 # llmdata shares one persisted shingle table across q26/q27/q28 (+ the
 # pair-cache consumers q51/q53/q58/q63) to shrink the sweep's dominant cost.
 
-#: Round 4: the decimal-output fix rewrote these 8 plans + oracles (and
-#: q78/q80's division procedure) — all need fresh driver rows first.
-#: q67's latest evidence is r2-red; q01/q04/q79 are r3-red. q28's plan
-#: changed late in r4 (payload cap moved inside the signature
-#: aggregation), so its r3-green row no longer covers the running code.
-_CHANGED_THIS_ROUND = [
-    "q67_sessionize", "q01_pricing_summary", "q04_brand_volume",
-    "q79_incremental_agg", "q37_tumbling_window", "q40_user_activity",
-    "q44_time_rollup", "q46_session_window",
-    "q78_lm_unigram_score", "q80_source_mix",
-    "q28_minhash_lsh_pairs",
-    # late-r4 decimal-sum migrations (review findings): r2-green rows
-    # predate the rewrite
-    "q43_range_join", "q21_insert_if_absent", "q70_below_avg_quantity",
-]
+_REPO_ROOT = None
+
+
+def _repo_root() -> str:
+    import os
+    global _REPO_ROOT
+    if _REPO_ROOT is None:
+        _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    return _REPO_ROOT
+
+
+def fingerprint(name: str, fn, oracle_sql) -> str:
+    """Stable identity of a registered query: hash of the plan function's
+    source plus its oracle SQL. Changes to EITHER invalidate old driver
+    evidence. Falls back to the repr when source is unavailable (e.g. a
+    lambda defined in a REPL) — still deterministic per commit."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    payload = src + "\n--oracle--\n" + (oracle_sql or "<no-oracle>")
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def current_fingerprints() -> dict:
+    """name -> fingerprint over the live registry (queries + oracles)."""
+    qs: dict = {}
+    sqls: dict = {}
+    for m in ALL_PLAN_MODULES:
+        qs.update(m.QUERIES)
+        sqls.update(m.ORACLES)
+    return {n: fingerprint(n, fn, sqls.get(n)) for n, fn in qs.items()}
+
+
+def _stamped_fingerprints() -> dict:
+    import json
+    import os
+
+    path = os.path.join(_repo_root(), "EVIDENCE_FPS.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+        return data if isinstance(data, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}  # no stamps yet → everything counts as changed
+
+
+def changed_since_stamped() -> list:
+    """Names whose current fingerprint differs from the stamped one (or
+    that have no stamp). These lead the sweep order: their old driver
+    evidence no longer covers the running code."""
+    stamped = _stamped_fingerprints()
+    return [n for n, fp in current_fingerprints().items()
+            if stamped.get(n) != fp]
 
 
 def _evidence_rounds() -> dict:
@@ -53,8 +99,7 @@ def _evidence_rounds() -> dict:
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
+    root = _repo_root()
     latest: dict = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = os.path.basename(path)
@@ -77,12 +122,14 @@ def _evidence_rounds() -> dict:
 def _ordered(full: dict) -> dict:
     evidence = _evidence_rounds()
     names = list(full)
-    pinned = [n for n in _CHANGED_THIS_ROUND if n in full]
-    # Within the pinned block, red-in-latest-evidence entries lead (list
-    # order is the tiebreak) — once a pinned query goes driver-green its
-    # slot yields to the ones still red, without hand-editing the list.
+    changed = set(changed_since_stamped())
+    pinned = [n for n in names if n in changed]
+    # Within the pinned block, red-in-latest-evidence entries lead
+    # (registry order is the tiebreak) — once a pinned query goes
+    # driver-green its slot yields to the ones still red, with no list
+    # to hand-edit.
     pinned.sort(key=lambda n: (evidence.get(n, (0, False))[1],
-                               _CHANGED_THIS_ROUND.index(n)))
+                               names.index(n)))
     rest = [n for n in names if n not in pinned]
     # never-checked → round 0; red sorts before green within a round
     rest.sort(key=lambda n: (evidence.get(n, (0, False))[0],

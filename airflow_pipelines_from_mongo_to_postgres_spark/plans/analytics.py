@@ -162,8 +162,13 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- DuckDB types sum(integer) OVER (...) as HUGEINT; the driver's
+         -- fetch path renders HUGEINT differently from BIGINT (1 vs 1.0)
+         -- and flips the value hash even when every cell agrees. Spark's
+         -- side is LongType, so pin the oracle to BIGINT too.
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,

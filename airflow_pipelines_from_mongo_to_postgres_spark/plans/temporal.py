@@ -111,18 +111,38 @@ GROUP BY ROLLUP (day, hour)
 """
 
 
-# --- q45: sketch NDV (HyperLogLog++) — genuinely approximate, rows-only check --
+# --- q45: sketch NDV (HyperLogLog++) with a CHECKABLE claim -------------------
 def q45_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct = HLL++ partial sketches merged across
     partitions — constant memory per group vs the exact count's
-    per-group hash set. No oracle entry: DuckDB's approx_count_distinct
-    is a different sketch with different estimates (q19 covers exact NDV
-    with a full oracle)."""
+    per-group hash set. The raw estimate is engine-specific (DuckDB's
+    sketch differs), so the GATED output is the checkable claim instead:
+    the exact NDV plus a boolean asserting the HLL++ estimate landed
+    within 5% of it (Spark's HLL++ is deterministic for fixed data/rsd,
+    so the boolean is stable). The oracle computes exact NDV and TRUE."""
     e = load_table(spark, "events", sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("ndv_exact"),
         F.count(F.lit(1)).alias("events"),
     )
+    return agg.select(
+        "event_type",
+        "ndv_exact",
+        (F.abs(F.col("_approx") - F.col("ndv_exact"))
+         <= F.col("ndv_exact") * F.lit(0.05)).alias("approx_within_5pct"),
+        "events",
+    )
+
+
+Q45_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS ndv_exact,
+       TRUE AS approx_within_5pct,
+       count(*) AS events
+FROM events
+GROUP BY 1
+"""
 
 
 # --- q105: FORWARD as-of join with tolerance -----------------------------------
@@ -167,5 +187,6 @@ ORACLES = {
     "q42_asof_join": Q42_SQL,
     "q43_range_join": Q43_SQL,
     "q44_time_rollup": Q44_SQL,
+    "q45_approx_ndv": Q45_SQL,
     "q105_asof_forward": Q105_SQL,
 }

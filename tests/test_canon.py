@@ -107,3 +107,32 @@ def test_double_sum_would_not_be_stable(spark):
         import warnings
         warnings.warn("double sums happened to agree for this seed; "
                       "the decimal idioms remain the only guarantee")
+
+
+def test_no_oracle_outputs_exotic_duckdb_types(sf_dir):
+    """DESCRIBE every registered oracle on DuckDB and assert no output
+    column type falls outside the proven-green set. Driver-red class,
+    proven twice: round 3's only hash failures were the DecimalType
+    outputs, round 4's single red (q67) was the registry's single HUGEINT
+    output (``sum(integer) OVER (...)`` types as HUGEINT in DuckDB) — the
+    driver's fetch/canon path renders both differently from Spark even
+    when every cell agrees. Any aggregate that would produce
+    HUGEINT/DECIMAL must be cast (BIGINT/DOUBLE) in the oracle SQL."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    GREEN = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+             "TIMESTAMP", "DATE"}
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            base = typ.split("(")[0].strip().upper()
+            if base not in GREEN:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, f"exotic oracle output types: {offenders}"

@@ -192,3 +192,24 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
                 break
     assert not offenders, f"global-window queries: {offenders}"
     assert not cartesian, f"cartesian-product queries: {cartesian}"
+
+
+def test_pin_list_is_derived_not_hand_maintained():
+    """Round-4 lesson (q59): a hand-maintained changed-plan list misses
+    entries. The pin list must be DERIVED from fingerprints vs the
+    stamped EVIDENCE_FPS.json — and the hand list must be gone."""
+    from airflow_pipelines_from_mongo_to_postgres_spark import plans
+
+    assert not hasattr(plans, "_CHANGED_THIS_ROUND")
+    fps = plans.current_fingerprints()
+    import __spark_entry__ as entrymod
+    assert set(fps) == set(entrymod.queries())
+    # editing either the plan source or the oracle changes the fingerprint
+    def f(spark, sf_dir):
+        return None
+    a = plans.fingerprint("x", f, "SELECT 1")
+    b = plans.fingerprint("x", f, "SELECT 2")
+    assert a != b
+    # changed_since_stamped never raises when the stamp file is absent
+    changed = plans.changed_since_stamped()
+    assert isinstance(changed, list)
