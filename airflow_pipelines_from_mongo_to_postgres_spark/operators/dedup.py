@@ -361,9 +361,25 @@ def incremental_jaccard_pairs(old_shingles: DataFrame, new_docs: DataFrame,
 
     Append-only contract: ``new_docs`` ids must be disjoint from the
     standing corpus (re-ingested ids belong to the merge path, not
-    here).
+    here) — ENFORCED: a re-ingested id would duplicate its (doc,
+    shingle) rows in the union, silently inflating n_sh and
+    intersection counts, so overlap raises instead. The check
+    broadcast-semi-joins the batch's ids against the index's doc column
+    (a map-side filter over one column, no shuffle of the index) and
+    short-circuits at the first few hits.
     """
     new_sh = build_shingle_table(new_docs, id_col, text_col, n=n)
+    overlap = (old_shingles.select("doc")
+               .join(F.broadcast(
+                   new_docs.select(F.col(id_col).alias("doc")).distinct()),
+                   "doc", "left_semi")
+               .distinct())
+    sample = [r.doc for r in overlap.limit(5).collect()]
+    if sample:
+        raise ValueError(
+            "incremental_jaccard_pairs: new_docs re-ingests ids already in "
+            f"the standing corpus (e.g. {sample}); append-only contract "
+            "violated — route re-ingested documents through the merge path")
     union_sh = old_shingles.unionByName(new_sh)
     if max_df is not None:
         hot = (union_sh.groupBy("shingle")

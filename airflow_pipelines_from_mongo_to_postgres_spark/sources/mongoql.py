@@ -101,7 +101,14 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             else:
                 cols.append(_ref(v).alias(name))
         return df.select(*cols)
-    # exclusion projection
+    # exclusion projection. DataFrame.drop ignores nested fields, so a
+    # dotted exclusion path would silently SURVIVE where Mongo removes
+    # it — fail loudly instead of diverging.
+    dotted = [k for k in excludes if "." in k]
+    if dotted:
+        raise ValueError(
+            f"$project exclusion of nested paths is unsupported: {dotted} "
+            "(use an inclusion projection or flatten first)")
     drop = excludes + ([] if keep_id else ["_id"])
     return df.drop(*[c for c in drop if c in df.columns])
 

@@ -29,6 +29,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hive_unescape(name: str) -> str:
+    """Invert Hive's partition-directory escaping (space -> %20, '/' ->
+    %2F, ...). Mirrors
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    .unescapePathName: every %XX with two hex digits decodes; malformed
+    sequences pass through literally."""
+    out = []
+    i, n = 0, len(name)
+    while i < n:
+        c = name[i]
+        if c == "%" and i + 3 <= n:
+            hx = name[i + 1:i + 3]
+            try:
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: Sequence[str] = ()) -> None:
     w = df.write.mode(mode)
@@ -79,7 +102,7 @@ def write_partitioned(df: DataFrame, path: str,
 def lake_merge(spark, path: str, updates: DataFrame,
                key: str | Sequence[str], partition_col: str,
                mutable: Sequence[str],
-               files_per_partition: int = 1) -> list:
+               files_per_partition: int = 1, backup: bool = True) -> list:
     """MERGE (upsert with partial-column update) into a hive-partitioned
     parquet lake, rewriting ONLY the partitions the update batch touches —
     the table-format-free equivalent of a Delta/Iceberg ``MERGE INTO``.
@@ -97,6 +120,19 @@ def lake_merge(spark, path: str, updates: DataFrame,
     date-partitioned-fact contract) — a key that moves partitions would
     leave its old row in an untouched directory.
 
+    **Crash safety** (``backup=True``): dynamic partition overwrite is
+    not atomic across the touched directories — a crash inside the
+    commit window can leave a partition deleted-but-not-repopulated, and
+    a naive re-run would then read the DAMAGED state as "current" and
+    lose the rows that weren't in the batch. So before overwriting, the
+    touched partitions' pre-state is staged to ``<path>/_pending/<id>``
+    (underscore-prefixed → invisible to every Spark reader; cost is one
+    extra read+write of just the touched partitions, bounded by the
+    batch's partition spread, never the lake). The staging dir is
+    removed after a successful overwrite; ``lake_recover`` restores any
+    committed-but-unapplied staging on restart, after which the
+    idempotent batch simply re-runs.
+
     Returns the list of touched partition values.
     """
     from airflow_pipelines_from_mongo_to_postgres_spark.operators.merge import merge_upsert
@@ -105,12 +141,69 @@ def lake_merge(spark, path: str, updates: DataFrame,
     current = spark.read.parquet(path) \
         .filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(current, updates, key, mutable)
+    pending = _stage_pre_state(spark, path, current) if backup else None
     write_partitioned(merged, path, [partition_col], files_per_partition)
+    if pending is not None:
+        _delete_dir(spark, pending)
     return touched
 
 
+def _stage_pre_state(spark, path: str, current: DataFrame) -> str:
+    """Write the touched partitions' pre-merge rows to
+    ``<path>/_pending/<id>/data`` with Spark's own _SUCCESS marker.
+    The id is derived from the JVM clock (monotonic enough for one lake's
+    sequential batches)."""
+    ts = spark.sparkContext._jvm.java.lang.System.currentTimeMillis()
+    pending = f"{path}/_pending/{ts}"
+    current.write.mode("overwrite").parquet(f"{pending}/data")
+    return pending
+
+
+def _delete_dir(spark, p: str) -> None:
+    sc = spark.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jp.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(jp, True)
+    parent = jp.getParent()
+    if (parent.getName() == "_pending" and fs.exists(parent)
+            and len(fs.listStatus(parent)) == 0):
+        fs.delete(parent, False)
+
+
+def lake_recover(spark, path: str, partition_col: str,
+                 files_per_partition: int = 1) -> list:
+    """Restore a lake after a crashed ``lake_merge``/``compact_lake``:
+    for every ``_pending`` staging dir whose backup COMPLETED (has
+    _SUCCESS), rewrite its partitions back into the lake (dynamic
+    overwrite → exactly the staged directories), newest last so the most
+    recent pre-state wins; staging dirs without _SUCCESS crashed during
+    backup, i.e. the lake itself was never touched — both kinds are then
+    deleted. Returns the restored partition values. No-op (returns [])
+    on a clean lake — safe to call unconditionally at job start."""
+    sc = spark.sparkContext
+    root = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/_pending")
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    restored = []
+    entries = sorted((st.getPath().getName() for st in fs.listStatus(root)
+                      if st.isDirectory()), key=str)
+    for name in entries:
+        data = f"{path}/_pending/{name}/data"
+        marker = sc._jvm.org.apache.hadoop.fs.Path(f"{data}/_SUCCESS")
+        if fs.exists(marker):
+            pre = spark.read.parquet(data)
+            write_partitioned(pre, path, [partition_col],
+                              files_per_partition)
+            restored += [r[0] for r in
+                         pre.select(partition_col).distinct().collect()]
+        _delete_dir(spark, f"{path}/_pending/{name}")
+    return restored
+
+
 def compact_lake(spark, path: str, partition_col: str,
-                 max_files: int = 8, files_per_partition: int = 1) -> list:
+                 max_files: int = 8, files_per_partition: int = 1,
+                 backup: bool = True) -> list:
     """Small-file compaction for a hive-partitioned parquet lake: rewrite
     ONLY the partitions whose parquet file count exceeds ``max_files``,
     coalescing each to ``files_per_partition`` files.
@@ -132,6 +225,7 @@ def compact_lake(spark, path: str, partition_col: str,
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     touched = []
+    skipped_null = False
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(f"{partition_col}=")):
@@ -139,12 +233,31 @@ def compact_lake(spark, path: str, partition_col: str,
         nfiles = sum(1 for f in fs.listStatus(st.getPath())
                      if f.getPath().getName().endswith(".parquet"))
         if nfiles > max_files:
-            touched.append(name.split("=", 1)[1])
-    if touched:
-        sub = spark.read.parquet(path) \
-            .filter(F.col(partition_col).isin(touched))
+            raw = name.split("=", 1)[1]
+            # Directory names are hive-ESCAPED (space -> %20 etc.); the
+            # isin filter below compares against the unescaped VALUE, so
+            # a raw name would match nothing and the partition would be
+            # reported touched but never compacted. The null partition
+            # has no value to filter on — skip it (isin is null-safe
+            # false anyway).
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                skipped_null = True
+                continue
+            touched.append(_hive_unescape(raw))
+    if touched or skipped_null:
+        cond = F.lit(False)
+        if touched:
+            cond = F.col(partition_col).isin(touched)
+        if skipped_null:
+            cond = cond | F.col(partition_col).isNull()
+        sub = spark.read.parquet(path).filter(cond)
+        # same crash-safety staging as lake_merge: a crash inside the
+        # dynamic-overwrite commit window must not lose the partition
+        pending = _stage_pre_state(spark, path, sub) if backup else None
         write_partitioned(sub, path, [partition_col], files_per_partition)
-    return touched
+        if pending is not None:
+            _delete_dir(spark, pending)
+    return touched + ([None] if skipped_null else [])
 
 
 def write_range_layout(df: DataFrame, path: str,

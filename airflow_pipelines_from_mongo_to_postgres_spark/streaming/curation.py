@@ -39,9 +39,20 @@ def _latest_gen(spark: SparkSession, state_dir: str,
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
-    gens = [int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(jpath)
-            if st.isDirectory() and st.getPath().getName().startswith("gen=")]
+    # Only COMMITTED generations count: a parquet directory overwrite is
+    # not atomic, so a terminal reader (no before_epoch) could otherwise
+    # observe the half-written output of a batch that crashed mid-write.
+    # Spark's committer drops _SUCCESS last — its presence is the commit
+    # marker. (Retried batches were already safe via before_epoch.)
+    gens = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("gen=")):
+            continue
+        marker = sc._jvm.org.apache.hadoop.fs.Path(
+            f"{state_dir}/{name}/_SUCCESS")
+        if fs.exists(marker):
+            gens.append(int(name.split("=", 1)[1]))
     gens = [g for g in gens if below is None or g < below]
     return max(gens) if gens else None
 

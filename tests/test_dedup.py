@@ -158,3 +158,31 @@ def test_incremental_jaccard_equals_full_recompute(spark):
 
     # the returned shingle table is the union snapshot for the next batch
     assert updated_sh.select("doc").distinct().count() == 7
+
+
+def test_incremental_jaccard_rejects_reingested_ids(spark):
+    """Append-only contract is ENFORCED (ADVICE r4): a re-ingested id
+    would double its (doc, shingle) rows in the union and silently
+    corrupt jaccard values, so overlap raises."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different text about spark engines")],
+        ["doc_id", "text"])
+    sh = dedup.build_shingle_table(docs, "doc_id", "text", n=3)
+    reingest = spark.createDataFrame(
+        [(2, "a completely different text about spark engines"),
+         (3, "a brand new third document body")],
+        ["doc_id", "text"])
+    with pytest.raises(ValueError, match="append-only"):
+        dedup.incremental_jaccard_pairs(sh, reingest, "doc_id", "text",
+                                        threshold=0.2)
+    # disjoint batch still works
+    fresh = spark.createDataFrame(
+        [(3, "a brand new third document body")], ["doc_id", "text"])
+    delta, updated = dedup.incremental_jaccard_pairs(
+        sh, fresh, "doc_id", "text", threshold=0.2)
+    assert updated.select("doc").distinct().count() == 3

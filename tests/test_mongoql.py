@@ -129,3 +129,15 @@ def test_dotted_unwind_replaces_nested_field(spark):
     assert rows[0].personalDetails.emails == "e2"   # scalar, not array
     assert rows[0].personalDetails.name == "a"      # siblings intact
     assert out.columns == ["_id", "personalDetails"]  # no stray top-level col
+
+
+def test_dotted_project_exclusion_raises(apps):
+    """DataFrame.drop silently ignores nested fields, so a dotted
+    exclusion would diverge from Mongo semantics — it must fail loudly
+    (ADVICE r4)."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    with pytest.raises(ValueError, match="nested"):
+        apply_pipeline(apps, [{"$project": {"personalDetails.email": 0}}])

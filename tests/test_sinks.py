@@ -315,3 +315,93 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
 
     back = spark.read.parquet(zpath)
     assert back.count() == 10_000 and back.columns == ["a", "b"]
+
+
+def test_compact_lake_handles_escaped_and_null_partitions(spark, tmp_path):
+    """Hive-escaped directory names (':' -> %3A) must be UNESCAPED
+    before the isin rewrite filter, and the null partition
+    (__HIVE_DEFAULT_PARTITION__) must be compacted via isNull — both
+    were silently skipped-but-reported before (ADVICE r4)."""
+    import glob
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import compact_lake
+
+    path = str(tmp_path / "lake")
+    # fragment BOTH an escaped-char-valued and a null-valued partition
+    for i in range(6):
+        batch = spark.createDataFrame(
+            [("a:b", 10 + i, float(i)), (None, 20 + i, float(i))],
+            "dt string, k int, v double")
+        batch.coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+    assert len(glob.glob(f"{path}/dt=a%3Ab/*.parquet")) == 6
+    assert len(glob.glob(f"{path}/dt=__HIVE_DEFAULT_PARTITION__/*.parquet")) == 6
+
+    touched = compact_lake(spark, path, "dt", max_files=4)
+    assert touched == ["a:b", None]
+    assert len(glob.glob(f"{path}/dt=a%3Ab/*.parquet")) == 1
+    assert len(glob.glob(f"{path}/dt=__HIVE_DEFAULT_PARTITION__/*.parquet")) == 1
+
+    back = spark.read.parquet(path)
+    assert back.count() == 12
+    assert back.filter(F.col("dt").isNull()).count() == 6
+    assert back.filter(F.col("dt") == "a:b").count() == 6
+
+
+def test_lake_recover_restores_crashed_merge_then_rerun_converges(spark, tmp_path):
+    """Crash contract for lake_merge (VERDICT r4 #8): dynamic overwrite
+    is not atomic, so a crash inside the commit window can leave a
+    touched partition deleted-but-not-repopulated. lake_recover must
+    restore the staged pre-state, after which re-running the SAME
+    idempotent batch converges to the clean answer."""
+    import shutil
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        _stage_pre_state,
+        lake_merge,
+        lake_recover,
+        write_partitioned,
+    )
+
+    def build(path):
+        base = spark.createDataFrame(
+            [("d1", 1, 10.0), ("d1", 2, 20.0),
+             ("d2", 3, 30.0), ("d2", 4, 40.0)],
+            "dt string, k int, v double")
+        write_partitioned(base, path, ["dt"])
+
+    updates = spark.createDataFrame(
+        [("d2", 4, 44.0), ("d2", 5, 55.0)], "dt string, k int, v double")
+
+    # clean run -> the reference answer
+    clean = str(tmp_path / "clean")
+    build(clean)
+    lake_merge(spark, clean, updates, "k", "dt", ["v"])
+    def snap(path):
+        return sorted((r.dt, r.k, r.v)
+                      for r in spark.read.parquet(path).collect())
+
+    want = snap(clean)
+
+    # crashed run: pre-state staged, then the commit window "crashes"
+    # after deleting dt=d2 but before repopulating it
+    crash = str(tmp_path / "crash")
+    build(crash)
+    pre = spark.read.parquet(crash).filter(F.col("dt") == "d2")
+    _stage_pre_state(spark, crash, pre)
+    shutil.rmtree(f"{crash}/dt=d2")
+    assert spark.read.parquet(crash).count() == 2  # damage is real
+
+    restored = lake_recover(spark, crash, "dt")
+    assert restored == ["d2"]
+    assert snap(crash) == [("d1", 1, 10.0), ("d1", 2, 20.0),
+                           ("d2", 3, 30.0), ("d2", 4, 40.0)]
+
+    # recovery is idempotent / safe on a clean lake
+    assert lake_recover(spark, crash, "dt") == []
+
+    # re-run the same batch -> converges to the clean answer, and the
+    # successful run leaves no _pending residue behind
+    lake_merge(spark, crash, updates, "k", "dt", ["v"])
+    assert snap(crash) == want
+    import os
+    assert not os.path.exists(f"{crash}/_pending")

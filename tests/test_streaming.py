@@ -359,3 +359,33 @@ def test_streaming_curation_equals_batch(spark, tmp_path, sf_dir):
     want = {r.fp: (r.keeper_id, r.copies) for r in
             curated_fingerprint_agg(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_read_curated_state_ignores_uncommitted_generation(spark, tmp_path, sf_dir):
+    """A generation directory without _SUCCESS is a crashed mid-overwrite
+    batch — a terminal reader must fall back to the last COMMITTED
+    generation, never observe the half-written one (ADVICE r4)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        curated_fingerprint_agg,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.curation import (
+        read_curated_state,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    state = tmp_path / "state"
+    good = curated_fingerprint_agg(docs)
+    good.write.mode("overwrite").parquet(str(state / "gen=1"))
+
+    # simulate a crash: gen=2 has data files but no _SUCCESS marker
+    good.limit(1).write.mode("overwrite").parquet(str(state / "gen=2"))
+    (state / "gen=2" / "_SUCCESS").unlink()
+
+    got = read_curated_state(spark, str(state))
+    assert got.count() == good.count() > 1  # gen=1, not the 1-row gen=2
+
+    # and with no committed generation at all -> None
+    import shutil
+    shutil.rmtree(state / "gen=1")
+    assert read_curated_state(spark, str(state)) is None
