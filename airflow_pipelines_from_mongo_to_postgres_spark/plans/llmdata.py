@@ -99,34 +99,54 @@ _PAIR_CACHE: dict[tuple, DataFrame] = {}
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _shared(cache: dict, key: tuple, build) -> DataFrame:
+    """Lazy-UPGRADE sharing: the first consumer gets the plain lazy plan
+    (no persist mark — a single-consumer run, like one timed bench query,
+    must not pay cache-materialization it never amortizes; round 4's q26
+    +12% drift was exactly that tax). The SECOND consumer upgrades the
+    entry to .persist(), so the sweep's 3rd..Nth consumers read the
+    materialized cache. Worst case the plan computes twice (consumer 1 +
+    the upgrade's materialization) vs N times unshared."""
+    entry = cache.get(key)
+    if entry is None:
+        df = build()
+        cache[key] = (df, False)
+        return df
+    df, persisted = entry
+    if not persisted:
+        df = df.persist()
+        cache[key] = (df, True)
+    return df
+
+
 def _shingles_shared(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, n)
-    if key not in _SHINGLE_CACHE:
-        d = load_table(spark, "documents", sf_dir)
-        _SHINGLE_CACHE[key] = dedup.build_shingle_table(
-            d, "doc_id", "text", n=n).persist()
-    return _SHINGLE_CACHE[key]
+    return _shared(
+        _SHINGLE_CACHE, key,
+        lambda: dedup.build_shingle_table(
+            load_table(spark, "documents", sf_dir), "doc_id", "text", n=n))
 
 
 def clear_caches() -> None:
     """Unpersist every session-level shared plan (bench isolation: without
     this, earlier queries' caches distort later queries' timings)."""
     for cache in (_PAIR_CACHE, _SHINGLE_CACHE):
-        for df in cache.values():
-            df.unpersist()
+        for df, persisted in cache.values():
+            if persisted:
+                df.unpersist()
         cache.clear()
 
 
 def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str, threshold: float,
                           n: int = 3, max_df: int | None = None) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, threshold, n, max_df)
-    if key not in _PAIR_CACHE:
-        d = load_table(spark, "documents", sf_dir)
-        _PAIR_CACHE[key] = dedup.jaccard_pairs(
-            d, "doc_id", "text", threshold=threshold, n=n, max_df=max_df,
+    return _shared(
+        _PAIR_CACHE, key,
+        lambda: dedup.jaccard_pairs(
+            load_table(spark, "documents", sf_dir), "doc_id", "text",
+            threshold=threshold, n=n, max_df=max_df,
             shingle_table=_shingles_shared(spark, sf_dir, n),
-        ).persist()
-    return _PAIR_CACHE[key]
+        ))
 
 
 # --- q25: exact dedup via content fingerprint --------------------------------
