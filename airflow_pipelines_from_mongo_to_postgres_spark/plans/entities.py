@@ -223,8 +223,17 @@ def _accounts_flatten() -> dict[str, Column]:
 def _loanapplications_pre(df: DataFrame) -> DataFrame:
     # ref loanapplication_table.py:26-35 — $match(dateCreated > 2022-10-05)
     # then $unwind($products): the only server-side filter+explode pipeline.
+    # IDEMPOTENT: when the source already ran the reference pipeline
+    # (mongoql.apply_pipeline or the live connector's server-side
+    # aggregation.pipeline), products is already the exploded scalar and
+    # the date bound already applied — both steps are no-ops then, so one
+    # EntitySpec serves raw and pipeline-fed sources.
+    from pyspark.sql.types import ArrayType
+
     df = df.filter(F.col("dateCreated") > F.lit("2022-10-05 00:00:00").cast("timestamp"))
-    return C.explode_unwind(df, "products")
+    if isinstance(df.schema["products"].dataType, ArrayType):
+        df = C.explode_unwind(df, "products")
+    return df
 
 
 def _loanapplications_flatten() -> dict[str, Column]:
@@ -300,6 +309,93 @@ ENTITIES: dict[str, EntitySpec] = {
         "loandeals", schemas.LOAN_DEALS,
         _identity_flatten("_id", "minOffer", "totalBuying", "periodWeeks", "deleted"),
         insert_only=True),  # M13
+}
+
+
+def _dt(y: int, mo: int, d: int):
+    from datetime import datetime
+    return datetime(y, mo, d)
+
+
+#: The reference's per-collection MongoDB aggregation pipelines, VERBATIM
+#: (each cited to its dags/includes module). They run through
+#: sources/mongoql.apply_pipeline against nested fixtures, and the same
+#: lists serialize into the live connector's server-side
+#: ``aggregation.pipeline`` option — one definition, both paths. The
+#: pipeline output feeds each EntitySpec's flatten unchanged (dotted
+#: $project includes keep Mongo's nested shape).
+REFERENCE_PIPELINES: dict[str, list[dict]] = {
+    # ref user_table.py:25-53
+    "users": [{"$project": {
+        "username": 1,
+        "personalInformation.firstName": 1,
+        "personalInformation.lastName": 1,
+        "personalInformation.email": 1,
+        "personalInformation.phoneNumber": 1,
+        "companyInformation.companyName": 1,
+        "roles": 1, "deleted": 1, "blocked": 1, "hasPassword": 1,
+        "loggedIn": 1, "accountReviewed": 1, "validations": 1,
+        "lastLogin": 1, "dateCreated": 1}}],
+    # ref organizations_table.py:25-52
+    "organizations": [{"$project": {
+        "businessName": 1, "businessAddress": 1, "registrationNumber": 1,
+        "type": 1, "valueChain": 1, "createdBy": 1, "orgUser": 1,
+        "owner": 1, "deleted": 1, "dateCreated": 1,
+        "onboardingInformation": 1}}],
+    # ref trades_table.py:25-52
+    "trades": [{"$project": {
+        "type": 1, "name": 1, "products": 1, "totalPrice": 1, "number": 1,
+        "organization": 1, "createdBy": 1, "notes": 1, "status": 1,
+        "deleted": 1, "date": 1, "dueDate": 1, "dateCreated": 1}}],
+    # ref agribusiness_table.py:25-45
+    "agribusinesses": [{"$project": {
+        "organization": 1, "businessDetails": 1, "referrers": 1,
+        "contacts": 1, "createdBy": 1, "deleted": 1, "dateCreated": 1}}],
+    # ref invoices_table.py:25-56
+    "invoices": [{"$project": {
+        "organization": 1, "name": 1, "address": 1, "phoneNumber": 1,
+        "email": 1, "paymentTerms": 1, "paymentMethod": 1,
+        "termsAndConditions": 1, "taxPercentaje": 1, "total": 1,
+        "createdBy": 1, "products": 1, "deleted": 1, "status": 1,
+        "issueDate": 1, "supplyDate": 1, "dueDate": 1, "dateCreated": 1}}],
+    # ref cashflow_events_table.py:25-50
+    "cashflow_events": [{"$project": {
+        "organization": 1, "products": 1, "amount": 1, "type": 1,
+        "createdBy": 1, "deleted": 1, "status": 1, "date": 1,
+        "dateCreated": 1}}],
+    # ref cashflow_events_goals_table.py:25-48
+    "cashflow_event_goals": [{"$project": {
+        "organization": 1, "totalAmount": 1, "monthAmount": 1, "goal": 1,
+        "way": 1, "notify": 1, "createdBy": 1, "deleted": 1, "status": 1,
+        "date": 1, "dateCreated": 1}}],
+    # ref accounts_table.py:25-44
+    "accounts": [{"$project": {
+        "beneficiaryId": 1, "details": 1, "service": 1, "createdBy": 1,
+        "onModel": 1, "deleted": 1, "validated": 1, "dateCreated": 1}}],
+    # ref loanapplication_table.py:26-49 — the only $match + $unwind one
+    "loanapplications": [
+        {"$match": {"dateCreated": {"$gt": _dt(2022, 10, 5)}}},
+        {"$unwind": {"path": "$products"}},
+        {"$project": {
+            "personalDetails.email": 1,
+            "personalDetails.primaryPhoneNumber": 1,
+            "businessDetails.name": 1,
+            "deleted": 1, "dateCreated": 1, "assignee": 1, "status": 1,
+            "products": 1, "dealId": 1}}],
+    # ref mlscore_table.py:25-34
+    "mlscore": [{"$project": {
+        "loanId": 1, "score": 1, "categoriesTotalScore": 1,
+        "dateCreated": 1}}],
+    # ref loanoffers_table.py:25-35
+    "loanoffers": [{"$project": {
+        "financedAmount": 1, "period": 1, "minOffer": 1, "optOffer": 1}}],
+    # ref loanproducts_table.py:25-36
+    "loanproducts": [{"$project": {
+        "name": 1, "productType": 1, "type": 1, "sellersType": 1,
+        "totalBuyingPrice": 1}}],
+    # ref loandeals_table.py:25-34
+    "loandeals": [{"$project": {
+        "minOffer": 1, "totalBuying": 1, "periodWeeks": 1, "deleted": 1}}],
 }
 
 

@@ -21,9 +21,11 @@ Supported stages — the reference's three, plus the common tail:
 ``$sum: 1``), ``$sort``, ``$limit``, ``$skip``, ``$count``.
 
 Mongo-fidelity notes:
-* dotted ``$project`` includes are materialized as flat columns NAMED by
-  their dotted path (the conform layer's flatten specs expect exactly
-  that shape);
+* dotted ``$project`` includes PRESERVE the nested document shape, as
+  Mongo does ({'a.b': 1} outputs {a: {b: ...}}, null when the parent is
+  null/missing) — so the conform layer's nested-path flatten specs run
+  unchanged on pipeline output, and the reference's per-collection
+  pipeline definitions compose with plans/pipeline.py end to end;
 * ``$unwind`` defaults to dropping null/empty arrays, as Mongo does
   (preserveNullAndEmptyArrays=True maps to ``explode_outer``);
 * ``$skip`` uses DataFrame.offset — meaningful only after a ``$sort``,
@@ -86,20 +88,69 @@ def _match_cond(cond: dict[str, Any]) -> Column:
     return acc
 
 
+def _include_tree(includes: dict[str, Any]) -> dict:
+    """Group dotted inclusion paths by root into a nested tree: leaves
+    are (path, spec-value) tuples, inner nodes are dicts. Mongo rejects
+    path collisions ({'a': 1, 'a.b': 1}) — so do we."""
+    tree: dict = {}
+    for name, v in includes.items():
+        parts = name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(f"$project path collision at '{name}'")
+            node = nxt
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(f"$project path collision at '{name}'")
+        node[parts[-1]] = (name, v)
+    return tree
+
+
+def _tree_col(node, parent_path: str = "") -> Column:
+    if isinstance(node, tuple):
+        path, v = node
+        return F.col(path) if v in (1, True) else _ref(v)
+    struct = F.struct(*[
+        _tree_col(child,
+                  f"{parent_path}.{k}" if parent_path else k).alias(k)
+        for k, child in node.items()])
+    if parent_path:
+        # Mongo: a null/missing parent document stays null in the output,
+        # not a struct of nulls
+        return F.when(F.col(parent_path).isNull(),
+                      F.lit(None)).otherwise(struct)
+    return struct
+
+
+def _path_exists(schema, path: str) -> bool:
+    """Does a (possibly dotted) field path resolve in this schema?"""
+    from pyspark.sql import types as ST
+
+    node = schema
+    for part in path.split("."):
+        if not isinstance(node, ST.StructType) or part not in node.names:
+            return False
+        node = node[part].dataType
+    return True
+
+
 def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     keep_id = "_id" in df.columns and spec.get("_id", 1) not in (0, False)
     includes = {k: v for k, v in spec.items()
                 if k != "_id" and v not in (0, False)}
     excludes = [k for k, v in spec.items() if v in (0, False) and k != "_id"]
     if includes:
+        # Mongo omits includes of fields the document doesn't have;
+        # computed ('$ref'/literal) values are always kept
+        includes = {k: v for k, v in includes.items()
+                    if v not in (1, True) or _path_exists(df.schema, k)}
         cols: list[Column] = []
         if keep_id:
             cols.append(F.col("_id"))
-        for name, v in includes.items():
-            if v in (1, True):
-                cols.append(F.col(name).alias(name))
-            else:
-                cols.append(_ref(v).alias(name))
+        for root, child in _include_tree(includes).items():
+            cols.append(_tree_col(child, root if isinstance(child, dict)
+                                  else "").alias(root))
         return df.select(*cols)
     # exclusion projection. DataFrame.drop ignores nested fields, so a
     # dotted exclusion path would silently SURVIVE where Mongo removes
