@@ -394,8 +394,12 @@ def _le_uint(bin_col, pos: int, nbytes: int):
 
 def _clamp_int(col):
     """Clamp a long into int range before casting — adversarial header
-    bytes must degrade to a saturated value, never an ANSI overflow crash."""
-    return F.least(col, F.lit((1 << 31) - 1).cast("long")).cast("int")
+    bytes must degrade to a saturated value, never an ANSI overflow
+    crash. NULL-preserving: ``least`` skips nulls, so without the guard
+    a truncated read (null) would 'clamp' to INT_MAX instead of staying
+    the documented null."""
+    return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(
+        F.least(col, F.lit((1 << 31) - 1).cast("long")).cast("int"))
 
 
 def _le_int32_abs(bin_col, pos: int):
@@ -406,18 +410,77 @@ def _le_int32_abs(bin_col, pos: int):
                   F.lit(1 << 32).cast("long") - raw).otherwise(raw)
 
 
+#: JPEG marker-segment hops to walk before giving up on finding SOF.
+#: Real files put APP0/APP1(EXIF)/DQT/DHT/COM before the frame header;
+#: 12 hops covers every camera/encoder layout we've seen while keeping
+#: the walk bounded for hostile payloads.
+_JPEG_HOPS = 12
+
+#: SOF0-SOF15 marker type bytes minus DHT(C4)/JPG(C8)/DAC(CC) — baseline,
+#: progressive, lossless, arithmetic variants all share the
+#: precision(1)+height(2)+width(2) layout after the segment length.
+_JPEG_SOF_TYPES = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+
+
+def _jpeg_dims(b) -> F.Column:
+    """``struct(w, h)`` from a JPEG payload by walking the marker-segment
+    list to SOFn (ref: the JFIF/ISO 10918-1 segment grammar — FF <type>
+    <BE16 len incl. itself> <payload>; SOF carries precision(1B),
+    height(BE16), width(BE16) after the length). The walk is ONE
+    ``aggregate`` higher-order expression over ``_JPEG_HOPS`` iterations —
+    evaluated as a runtime loop, so unlike inlining compounding offsets
+    it adds a constant-size expression tree (the audio RIFF walk's
+    codegen-blowup lesson). Hostile/truncated payloads: substring past
+    the end yields '' → conv → null, which propagates to null dims."""
+
+    def dyn(pos, n):
+        # big-endian uint at a DYNAMIC 1-indexed position (long math)
+        p = F.least(pos, F.lit((1 << 31) - 1).cast("long")).cast("int")
+        return F.conv(F.hex(F.substring(b, p, n)), 16, 10).cast("long")
+
+    def step(acc, _):
+        off = acc.getField("off")
+        found = acc.getField("h").isNotNull()
+        is_marker = dyn(off, 1) == 255
+        mtype = dyn(off + 1, 1)
+        is_sof = is_marker & mtype.isin(_JPEG_SOF_TYPES)
+        seg_len = dyn(off + 2, 2)
+        return (
+            F.when(found, acc)
+            .when(is_sof, F.struct(
+                off.alias("off"),
+                _clamp_int(dyn(off + 7, 2)).alias("w"),
+                _clamp_int(dyn(off + 5, 2)).alias("h")))
+            .otherwise(F.struct(
+                (off + 2 + seg_len).alias("off"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h")))
+        )
+
+    init = F.struct(F.lit(3).cast("long").alias("off"),  # first marker after SOI
+                    F.lit(None).cast("int").alias("w"),
+                    F.lit(None).cast("int").alias("h"))
+    state = F.aggregate(F.sequence(F.lit(1), F.lit(_JPEG_HOPS)), init, step)
+    return F.struct(state.getField("w").alias("w"),
+                    state.getField("h").alias("h"))
+
+
 def image_dimensions(payload_col) -> F.Column:
     """``struct(format, width, height)`` parsed from the payload's header
     bytes — PNG (IHDR, big-endian at offset 16), GIF (LE uint16 at 6),
-    BMP (LE int32 at 18). Pure Column expressions over ``substring``/
-    ``hex``/``conv``: runs inside whole-stage codegen with NO Python
-    workers and no image libraries — the header path most curation
-    pipelines need (dimension/aspect filters) without ever decoding.
-    Unknown or truncated payloads → null fields."""
+    BMP (LE int32 at 18), JPEG (SOF marker walk, ``_jpeg_dims``). Pure
+    Column expressions over ``substring``/``hex``/``conv``: runs inside
+    whole-stage codegen with NO Python workers and no image libraries —
+    the header path most curation pipelines need (dimension/aspect
+    filters) without ever decoding. Unknown or truncated payloads →
+    null fields."""
     b = F.col(payload_col) if isinstance(payload_col, str) else payload_col
     is_png = F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A"
     is_gif = F.hex(F.substring(b, 1, 4)) == "47494638"        # "GIF8"
     is_bmp = F.hex(F.substring(b, 1, 2)) == "424D"            # "BM"
+    is_jpg = F.hex(F.substring(b, 1, 2)) == "FFD8"            # SOI
+    jpg = _jpeg_dims(b)
     long_enough = F.octet_length(b)
     return (
         F.when(is_png & (long_enough >= 24), F.struct(
@@ -432,6 +495,10 @@ def image_dimensions(payload_col) -> F.Column:
             F.lit("bmp").alias("format"),
             _clamp_int(_le_int32_abs(b, 19)).alias("width"),
             _clamp_int(_le_int32_abs(b, 23)).alias("height")))
+        .when(is_jpg & (long_enough >= 4), F.struct(
+            F.lit("jpeg").alias("format"),
+            jpg.getField("w").alias("width"),
+            jpg.getField("h").alias("height")))
         .otherwise(F.struct(
             F.lit(None).cast("string").alias("format"),
             F.lit(None).cast("int").alias("width"),

@@ -416,3 +416,53 @@ def test_decoded_features_corrupt_png_degrades_to_nulls(spark):
     assert rows["2"].format is None
     assert rows["3"].format is None
     assert rows["4"].format == "png" and rows["4"].width == 2
+
+
+def _jpeg_bytes(width, height, *, sof=0xC0, pre_segments=()):
+    """Hand-pack a JPEG header: SOI, the given marker segments, then a
+    SOFn frame header carrying (height, width). No image libraries."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    for mtype, payload in pre_segments:
+        out += bytes([0xFF, mtype]) + struct.pack(">H", len(payload) + 2) + payload
+    sof_payload = b"\x08" + struct.pack(">HH", height, width) + b"\x03" + b"\x00" * 9
+    out += bytes([0xFF, sof]) + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+    return out
+
+
+def test_jpeg_header_dimensions(spark):
+    """VERDICT r4 #7: JPEG dimensions via the SOF marker walk — baseline
+    and progressive SOF, EXIF-first layouts (big APP1 before the frame
+    header), and a no-SOF hostile payload degrading to nulls. Stays
+    JVM-side (no Python worker stage)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        header_media_features,
+    )
+
+    jfif = (0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    exif = (0xE1, b"Exif\x00\x00" + b"\x00" * 600)   # big APP1 first
+    dqt = (0xDB, b"\x00" + b"\x10" * 64)
+    baseline = _jpeg_bytes(1920, 1080, pre_segments=(jfif, dqt))
+    progressive = _jpeg_bytes(640, 480, sof=0xC2, pre_segments=(jfif,))
+    exif_first = _jpeg_bytes(4032, 3024, pre_segments=(exif, jfif, dqt))
+    bare = _jpeg_bytes(8, 8)                          # SOF immediately
+    no_sof = b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00" * 20  # APP0s forever
+    truncated = b"\xff\xd8\xff\xc0"  # SOF marker, dims cut off
+
+    df = spark.createDataFrame(
+        [(1, bytearray(baseline)), (2, bytearray(progressive)),
+         (3, bytearray(exif_first)), (4, bytearray(bare)),
+         (5, bytearray(no_sof)), (6, bytearray(truncated))],
+        "media_id long, payload binary")
+    out = header_media_features(df, "media_id", "payload")
+    got = {r.media_id: (r.format, r.width, r.height) for r in out.collect()}
+    assert got["1"] == ("jpeg", 1920, 1080)
+    assert got["2"] == ("jpeg", 640, 480)
+    assert got["3"] == ("jpeg", 4032, 3024)
+    assert got["4"] == ("jpeg", 8, 8)
+    assert got["5"] == ("jpeg", None, None)   # bounded walk gives up
+    assert got["6"] == ("jpeg", None, None)   # truncated degrades
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
