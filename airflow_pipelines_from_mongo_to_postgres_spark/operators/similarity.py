@@ -305,6 +305,66 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
+                       threshold: float, centroids: list) -> DataFrame:
+    """SemDeDup-shaped embedding dedup: assign every vector to its
+    nearest frozen-quantizer cell, compare pairs ONLY within a cell, and
+    drop the larger id of every pair with cosine ≥ threshold (min-id
+    keeper, same policy as the text near-dedup family). Output is one
+    row per input vector: ``(vec_id, cell, is_kept)``.
+
+    Scale shape: the centroid table broadcasts (map-side argmin, one
+    hash-agg shuffle of one row per vector — same plan as
+    ``cosine_topk_ivf``'s frozen branch), then the pair join is equi on
+    cell id: Σ|cell|² work, never n². Real deployments size nlist ~ √n
+    so cells stay bounded; a hot cell is a quantizer-retraining signal,
+    not a plan problem. This is the embedding-space analogue of the
+    shingle inverted index — and like it, the approximation is the
+    BOUNDARY (a near-dup pair split across two cells is missed; recall
+    vs the brute-force pair scan is gated in tests/test_similarity.py).
+
+    The ``assigned`` subplan feeds three consumers (both pair sides and
+    the verdict join); its hash-agg exchange is identical in all three,
+    so AQE's exchange reuse materializes the assignment ONCE and the
+    other two read the shuffle files (ReusedExchange — asserted from
+    the post-execution adaptive plan in tests/test_plans.py). No
+    persist() needed, nothing to unpersist.
+    """
+    c = spread(df).select(F.col(id_col).alias("vid"),
+                          V.unit(V.as_double(vec_col)).alias("v"))
+    centroid_rows = [(i, [float(x) for x in ctr],
+                      float(sum(x * x for x in ctr)))
+                     for i, ctr in enumerate(centroids)]
+    cent = df.sparkSession.createDataFrame(
+        centroid_rows, "cell int, cvec array<double>, c2 double")
+    assigned = (
+        c.join(F.broadcast(cent))
+        .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("v"), F.col("cvec")))
+        .groupBy("vid")
+        .agg(F.min(F.struct("cdist", "cell")).alias("m"),
+             F.first("v").alias("v"))
+        .select("vid", "v", F.col("m.cell").alias("cell"))
+    )
+    a = assigned.select(F.col("vid").alias("d1"), F.col("cell"),
+                        F.col("v").alias("v1"))
+    b = assigned.select(F.col("vid").alias("d2"), F.col("cell"),
+                        F.col("v").alias("v2"))
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(F.round(V.dot(F.col("v1"), F.col("v2")), 6)
+                >= F.lit(threshold))
+        .select(F.col("d2").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(True)),
+                      "vid", "left")
+        .select(F.col("vid").alias("vec_id"), "cell",
+                F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"))
+    )
+
+
 def cosine_threshold_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
                                threshold: float, planes: int = 4,
                                tables: int = 8,

@@ -2298,6 +2298,283 @@ ORDER BY pair_count DESC, first_tok ASC, second_tok ASC LIMIT {_BPE_TOPK}
 """
 
 
+# --- q108: semantic dedup (SemDeDup shape: IVF cells bound the pair scan) -----------
+_SEMANTIC_DEDUP_T = 0.42
+
+
+def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dedup bounded by the frozen IVF quantizer's
+    cells (the SemDeDup recipe: cluster, compare within cluster, keep
+    one per near-identical group). One row per vector with its cell and
+    keep/drop verdict — the curation-join-ready shape. Σ|cell|² pair
+    work, never n²; the quantizer literals make the whole approximate
+    pipeline DuckDB-replayable (same construction as q55)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    e = load_table(spark, "embeddings", sf_dir)
+    return similarity.semantic_dedup_ivf(e, "vec_id", "embedding",
+                                         threshold=_SEMANTIC_DEDUP_T,
+                                         centroids=IVF_CENTROIDS)
+
+
+def _q108_sql() -> str:
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_darray(c)}, {float(sum(x * x for x in c))!r})"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH cent(cell, cvec, c2) AS (
+  VALUES
+    {cent_rows}
+),
+u AS (
+  SELECT vec_id, {_unit_sql('embedding')} AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY c2 - 2 * list_dot_product(v, cvec) ASC, cell ASC) AS rn
+    FROM u CROSS JOIN cent) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v), 6) >= {_SEMANTIC_DEDUP_T}
+)
+SELECT a.vec_id, a.cell,
+       (d.vec_id IS NULL) AS is_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+Q108_SQL = _q108_sql()
+
+
+# --- q109: intra-document repetition ratio (Gopher-style dup-n-gram filter) ---------
+_REP_N = 2
+_REP_FLAG_T = 0.05
+
+
+def q109_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of a document's word bigrams that are repeats — the
+    Gopher/MassiveText "duplicated n-gram fraction" quality filter.
+    Entirely map-side Column math (tokenize once, one n-gram transform,
+    two array sizes): zero shuffles, fuses into the scan at any scale.
+    NON-distinct grams, unlike the shingle table — repetition is the
+    signal here, not the noise."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", T.tokens("text").alias("ts"))
+    gram = F.when(
+        F.size("ts") >= _REP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - (_REP_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ts", i + j) for j in range(_REP_N)]),
+        )).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", gram.alias("gs"))
+    total = F.size("gs").cast("long")
+    dist = F.size(F.array_distinct("gs")).cast("long")
+    dup = F.when(total > 0,
+                 F.round(F.lit(1.0) - dist.cast("double") / total, 6)) \
+        .otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        dist.alias("distinct_ngrams"),
+        dup.alias("dup_frac"),
+        (dup > F.lit(_REP_FLAG_T)).alias("flagged"),
+    )
+
+
+def _rep_grams_sql(col: str = "text") -> str:
+    toks = _TOKENS_SQL.format(col=col)
+    join = " || ' ' || ".join(f"ts[i+{j}]" for j in range(_REP_N))
+    return (f"(SELECT list_transform(range(1, greatest(len(ts) - {_REP_N - 1}, 0) + 1), "
+            f"i -> {join}) FROM (SELECT {toks} AS ts) __g)")
+
+
+Q109_SQL = f"""
+WITH g AS (
+  SELECT doc_id, {_rep_grams_sql()} AS gs FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(gs) AS BIGINT) AS total_ngrams,
+         CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_ngrams
+  FROM g
+)
+SELECT doc_id, total_ngrams, distinct_ngrams,
+       CASE WHEN total_ngrams > 0
+            THEN round(1.0 - distinct_ngrams::DOUBLE / total_ngrams, 6)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN total_ngrams > 0
+             THEN round(1.0 - distinct_ngrams::DOUBLE / total_ngrams, 6)
+             ELSE 0.0 END) > {_REP_FLAG_T} AS flagged
+FROM m
+"""
+
+
+# --- q110: PII redaction (regex replace + audit counts) ------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def q110_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact (not just detect) emails and phone numbers, emitting audit
+    counts plus a fingerprint of the redacted text. The fixture corpus
+    carries no PII, so the query PLANTS deterministic PII first (same
+    construction on both engines) — the regexes are exercised on rows
+    that actually match, never vacuously. Map-side only: regexp_count +
+    two regexp_replace per row, zero shuffles."""
+    d = load_table(spark, "documents", sf_dir)
+    planted = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" and backup."), F.col("source"),
+                        F.lit("@mail.org"))).otherwise(F.lit("")),
+        F.lit(" phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", planted.alias("t2"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t2"), F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE), F.lit("[PHONE]"))
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t2"), F.lit(_EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("t2"), F.lit(_PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_fp"),
+    )
+
+
+Q110_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' and backup.' || source || '@mail.org'
+                 ELSE '' END
+         || ' phone 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(t2, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+FROM t
+"""
+
+
+# --- q111: cross-source n-gram novelty (per-document leakage gauge) -----------------
+def q111_cross_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every document: what fraction of its distinct shingles also
+    occurs in at least one OTHER source? (A shingle present in ≥2
+    sources is shared by construction — the document's own source is one
+    of them.) The per-document twin of q95's source-level dup matrix:
+    q95 says WHICH sources leak into each other, this says WHICH
+    DOCUMENTS carry the leaked content. Reuses the session-shared
+    shingle table; one distinct + two hash-agg shuffles on shingle."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles_shared(spark, sf_dir)
+    src = d.select(F.col("doc_id").alias("doc"), "source")
+    nsrc = (sh.join(src, "doc")
+            .select("shingle", "source").distinct()
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n_sources")))
+    return (
+        sh.join(nsrc, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.when(F.col("n_sources") >= 2, 1).otherwise(0))
+             .cast("long").alias("shared_shingles"))
+        .select(F.col("doc").alias("doc_id"), "n_shingles",
+                "shared_shingles",
+                F.round(F.col("shared_shingles").cast("double")
+                        / F.col("n_shingles"), 6).alias("leak_frac"))
+    )
+
+
+Q111_SQL = f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id AS doc, s.shingle AS shingle
+  FROM documents, LATERAL unnest({_shingles_sql('text')}) s(shingle)
+),
+shs AS (
+  SELECT DISTINCT sh0.shingle, d.source
+  FROM sh0 JOIN documents d ON sh0.doc = d.doc_id
+),
+nsrc AS (SELECT shingle, count(*) AS n_sources FROM shs GROUP BY 1)
+SELECT sh0.doc AS doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN nsrc.n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_shingles,
+       round(sum(CASE WHEN nsrc.n_sources >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS leak_frac
+FROM sh0 JOIN nsrc ON sh0.shingle = nsrc.shingle
+GROUP BY 1
+"""
+
+
+# --- q112: sequence-length bucket packing stats (padding-waste audit) ----------------
+_LEN_BUCKETS = [16, 32, 64, 128, 256, 512]
+
+
+def q112_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram at power-of-two context buckets with the
+    padding waste each bucket pays — the audit that decides batch-packing
+    strategy for training (pad-to-bucket vs pack-to-fill). Bucket edges
+    are an exact integer CASE chain (identical on both engines — a
+    float log2 at a boundary would be a hash hazard); one small
+    hash-agg shuffle onto ≤ len(buckets) rows."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = F.size(T.tokens("text"))
+    expr = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS[:-1]):
+        expr = F.when(tok <= b, F.lit(b)).otherwise(expr)
+    agg = (d.select(expr.cast("int").alias("bucket"),
+                    tok.cast("long").alias("tok"))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("tok").alias("sum_tokens")))
+    return agg.select(
+        "bucket", "n_docs", "sum_tokens",
+        F.round(F.lit(1.0) - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket")), 6)
+        .alias("waste_frac"))
+
+
+def _bucket_case_sql(tok: str) -> str:
+    whens = " ".join(f"WHEN {tok} <= {b} THEN {b}"
+                     for b in _LEN_BUCKETS[:-1])
+    return f"CASE {whens} ELSE {_LEN_BUCKETS[-1]} END"
+
+
+Q112_SQL = f"""
+WITH t AS (
+  SELECT CAST({_bucket_case_sql(f"len({_TOKENS_SQL.format(col='text')})")} AS INT)
+           AS bucket,
+         CAST(len({_TOKENS_SQL.format(col='text')}) AS BIGINT) AS tok
+  FROM documents
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS sum_tokens,
+       round(1.0 - sum(tok)::DOUBLE / (count(*) * bucket), 6) AS waste_frac
+FROM t GROUP BY 1
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -2347,6 +2624,11 @@ QUERIES = {
     "q104_bpe_pair_stats": q104_bpe_pair_stats,
     "q106_ann_pq": q106_ann_pq,
     "q107_count_min": q107_count_min,
+    "q108_semantic_dedup": q108_semantic_dedup,
+    "q109_repetition_ratio": q109_repetition_ratio,
+    "q110_pii_redaction": q110_pii_redaction,
+    "q111_cross_source_novelty": q111_cross_source_novelty,
+    "q112_length_bucket_packing": q112_length_bucket_packing,
 }
 
 ORACLES = {
@@ -2398,4 +2680,9 @@ ORACLES = {
     "q104_bpe_pair_stats": Q104_SQL,
     "q106_ann_pq": _q106_sql(),
     "q107_count_min": Q107_SQL,
+    "q108_semantic_dedup": Q108_SQL,
+    "q109_repetition_ratio": Q109_SQL,
+    "q110_pii_redaction": Q110_SQL,
+    "q111_cross_source_novelty": Q111_SQL,
+    "q112_length_bucket_packing": Q112_SQL,
 }

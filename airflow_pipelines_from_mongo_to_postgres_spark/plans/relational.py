@@ -739,6 +739,65 @@ GROUP BY 1
 """
 
 
+# --- q113: latest-shipper audit (TPC-H Q21's exists/not-exists plan shape) --
+def q113_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were a LATEST shipper on multi-supplier orders —
+    TPC-H Q21's signature plan shape (the fixtures carry no
+    commit/receipt dates, so "kept waiting" becomes "shipped last"):
+    EXISTS another supplier on the order (left_semi) AND NOT EXISTS
+    another supplier shipping strictly later (left_anti). Both
+    correlated subqueries hit the SAME fact table — Catalyst plans two
+    shuffles on l_orderkey that AQE can co-locate, and the supplier dim
+    is broadcast. Top 25 by count with the name tiebreak, TakeOrdered —
+    no global sort materializes."""
+    l = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = l.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_suppkey").alias("s2"))
+    l3 = l.select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3"),
+                  F.col("l_shipdate").alias("ship3"))
+    waiting = (
+        l.join(l2, (F.col("l_orderkey") == F.col("o2"))
+               & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3"))
+              & (F.col("l_suppkey") != F.col("s3"))
+              & (F.col("ship3") > F.col("l_shipdate")), "left_anti")
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s),
+                     waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+Q113_SQL = """
+WITH waiting AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  WHERE EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate)
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -763,6 +822,7 @@ QUERIES = {
     "q48_percentiles": q48_percentiles,
     "q49_salted_join": q49_salted_join,
     "q102_market_share": q102_market_share,
+    "q113_latest_shipper": q113_latest_shipper,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -791,6 +851,7 @@ ORACLES = {
     "q48_percentiles": Q48_SQL,
     "q49_salted_join": Q49_SQL,
     "q102_market_share": Q102_SQL,
+    "q113_latest_shipper": Q113_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }

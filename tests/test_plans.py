@@ -213,3 +213,31 @@ def test_pin_list_is_derived_not_hand_maintained():
     # changed_since_stamped never raises when the stamp file is absent
     changed = plans.changed_since_stamped()
     assert isinstance(changed, list)
+
+
+def test_semantic_dedup_assignment_computed_once(spark, sf_dir):
+    """q108's assignment subplan feeds three consumers; AQE exchange
+    reuse must materialize it once (ReusedExchange in the post-execution
+    adaptive plan), so the corpus is scanned/assigned a single time."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        q108_semantic_dedup,
+    )
+
+    df = q108_semantic_dedup(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_new_text_audits_are_shuffle_free(spark, sf_dir):
+    """q109 (repetition ratio) and q110 (PII redaction) are per-row
+    audits — their plans must contain NO exchange at all: at 100 TB they
+    fuse into the scan."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
+        q109_repetition_ratio,
+        q110_pii_redaction,
+    )
+
+    for fn in (q109_repetition_ratio, q110_pii_redaction):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert ") Exchange" not in plan, plan

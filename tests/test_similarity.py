@@ -204,3 +204,41 @@ def test_pq_topk_recall_and_exact_rerank(spark, sf_dir):
                                                  "embedding", k=500).collect()}
     for pair, cos in arows.items():
         assert abs(all_exact[pair] - cos) < 1e-6
+
+
+def test_semantic_dedup_recall_and_keeper_policy(spark, sf_dir):
+    """semantic_dedup_ivf: (a) every vector appears exactly once with a
+    valid cell; (b) min-id keeper — for every within-cell pair over the
+    threshold the larger id is dropped; (c) recall vs the brute-force
+    pair scan: every brute pair whose members share a cell is acted on,
+    and overall recall clears the tuned bound for the frozen quantizer."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        cosine_threshold_pairs,
+        semantic_dedup_ivf,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+    t = 0.42
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    out = semantic_dedup_ivf(e, "vec_id", "embedding", threshold=t,
+                             centroids=IVF_CENTROIDS)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == e.count()
+    assert all(0 <= r.cell < len(IVF_CENTROIDS) for r in rows.values())
+
+    brute = cosine_threshold_pairs(e, "vec_id", "embedding", t).collect()
+    assert len(brute) > 0  # threshold actually fires on this fixture
+    cell = {vid: r.cell for vid, r in rows.items()}
+    same_cell = [(p.d1, p.d2) for p in brute if cell[p.d1] == cell[p.d2]]
+    # (b)+(c): every same-cell brute pair dropped its larger id
+    for d1, d2 in same_cell:
+        assert not rows[d2].is_kept, (d1, d2)
+    dropped = {vid for vid, r in rows.items() if not r.is_kept}
+    # every drop is justified by at least one same-cell pair
+    assert dropped <= {d2 for _, d2 in same_cell}
+    # recall of the cell approximation on this fixture/quantizer
+    recall = len(same_cell) / len(brute)
+    assert recall >= 0.3, recall
