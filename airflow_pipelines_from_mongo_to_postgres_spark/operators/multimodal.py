@@ -639,6 +639,126 @@ def audio_media_features(df: DataFrame, id_col: str,
     )
 
 
+def _be_from_hex(hx_col, byte_off: int, nbytes: int):
+    """Big-endian unsigned int from a HEX-STRING column at a fixed
+    0-indexed byte offset. Truncated payloads shorten the hex string —
+    conv of the partial prefix yields a smaller value (same degradation
+    class as ``_le_from_hex``); the callers' validity gates require the
+    anchoring boxes to have been FOUND, so truncation lands on nulls."""
+    return F.coalesce(
+        F.conv(F.substring(hx_col, 2 * byte_off + 1, 2 * nbytes), 16, 10)
+        .cast("long"),
+        F.lit(0).cast("long"))
+
+
+#: MP4/QuickTime box-walk hop counts: top level (ftyp, free/skip, wide,
+#: mdat-before-moov layouts) and inside moov (mvhd, iods, udta, traks).
+_MP4_TOP_HOPS = 4
+_MP4_MOOV_HOPS = 6
+
+
+def video_media_features(df: DataFrame, id_col: str,
+                         payload_col: str) -> DataFrame:
+    """Video twin of ``audio_media_features`` for the MP4/QuickTime
+    container: ``(media_id, payload_bytes, format, brand, timescale,
+    duration_ms, width, height)`` parsed from the ISO-BMFF box tree —
+    entirely JVM-side Column expressions, zero Python workers, a
+    projection fused into the scan at any scale.
+
+    Box grammar (ISO 14496-12): ``size(4 BE) type(4)`` then payload;
+    sizes INCLUDE the 8-byte header. The walk is the same staged
+    projection chain as the RIFF walk (one named column per hop — the
+    codegen-blowup lesson in ``audio_media_features``): top-level boxes
+    are hopped to find ``moov``, then moov's children to find ``mvhd``
+    (timescale + duration, version 0 and 1 layouts) and the first
+    ``trak`` (whose first child is ``tkhd`` in every real muxer's
+    output — width/height as 16.16 fixed point; the integer part is
+    read). 64-bit largesize boxes (size == 1) and malformed sizes < 8
+    poison the offset past any payload, degrading to nulls."""
+
+    def _pos(col):
+        return F.least(col, F.lit((1 << 31) - 1).cast("long")).cast("int")
+
+    def _box_walk(w, start_col: str, prefix: str, hops: int):
+        w = w.withColumn(f"{prefix}0", F.col(start_col))
+        for i in range(hops):
+            w = (
+                w.withColumn(
+                    f"{prefix}hdr{i}",
+                    F.hex(F.substring(F.col("_p"),
+                                      _pos(F.col(f"{prefix}{i}")), 8)))
+                .withColumn(f"{prefix}sz{i}",
+                            _be_from_hex(F.col(f"{prefix}hdr{i}"), 0, 4))
+                .withColumn(
+                    f"{prefix}{i + 1}",
+                    F.when(F.col(f"{prefix}sz{i}") >= 8,
+                           F.col(f"{prefix}{i}") + F.col(f"{prefix}sz{i}"))
+                    .otherwise(F.lit(1 << 40).cast("long")))
+            )
+        return w
+
+    def _find(prefix: str, hops: int, type4: bytes):
+        t = type4.hex().upper()
+        return F.coalesce(*[
+            F.when(F.substring(F.col(f"{prefix}hdr{i}"), 9, 8) == t,
+                   F.col(f"{prefix}{i}")) for i in range(hops)])
+
+    w = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("_p"),
+    ).withColumn("_t_start", F.lit(1).cast("long"))
+    w = _box_walk(w, "_t_start", "_t", _MP4_TOP_HOPS)
+    w = w.withColumn("_moov", _find("_t", _MP4_TOP_HOPS, b"moov"))
+    w = w.withColumn("_m_start", F.col("_moov") + 8)
+    w = _box_walk(w, "_m_start", "_m", _MP4_MOOV_HOPS)
+    w = (
+        w.withColumn("_mvhd", _find("_m", _MP4_MOOV_HOPS, b"mvhd"))
+        .withColumn("_trak", _find("_m", _MP4_MOOV_HOPS, b"trak"))
+        # mvhd payload: ver(1) flags(3) then v0: ctime(4) mtime(4)
+        # timescale(4) duration(4) / v1: ctime(8) mtime(8) timescale(4)
+        # duration(8) — grab 32 bytes once
+        .withColumn("_mv", F.hex(F.substring(F.col("_p"),
+                                             _pos(F.col("_mvhd") + 8), 32)))
+        # trak header(8) + tkhd box; v1 width sits at byte 104 — grab 112
+        .withColumn("_tk", F.hex(F.substring(F.col("_p"),
+                                             _pos(F.col("_trak") + 8), 112)))
+    )
+    mv_ver = _be_from_hex(F.col("_mv"), 0, 1)
+    timescale = F.when(mv_ver == 0, _be_from_hex(F.col("_mv"), 12, 4)) \
+        .otherwise(_be_from_hex(F.col("_mv"), 20, 4))
+    duration = F.when(mv_ver == 0, _be_from_hex(F.col("_mv"), 16, 4)) \
+        .otherwise(_be_from_hex(F.col("_mv"), 24, 8))
+    tk_is_tkhd = F.substring(F.col("_tk"), 9, 8) == b"tkhd".hex().upper()
+    tk_ver = _be_from_hex(F.col("_tk"), 8, 1)
+    # _tk starts at the tkhd box HEADER (trak's first child), so its
+    # payload begins at byte 8; 16.16 fixed-point width/height sit at
+    # payload offsets 76/80 (v0) or 88/92 (v1) — absolute 84/88 and
+    # 96/100 — and the integer part is the first 2 bytes of each field
+    width = F.when(tk_ver == 0, _be_from_hex(F.col("_tk"), 84, 2)) \
+        .otherwise(_be_from_hex(F.col("_tk"), 96, 2))
+    height = F.when(tk_ver == 0, _be_from_hex(F.col("_tk"), 88, 2)) \
+        .otherwise(_be_from_hex(F.col("_tk"), 100, 2))
+    w = w.withColumn(
+        "_valid",
+        (F.octet_length(F.col("_p")) >= 16)
+        & (F.hex(F.substring(F.col("_p"), 5, 4)) == b"ftyp".hex().upper())
+        & F.col("_moov").isNotNull() & F.col("_mvhd").isNotNull())
+    dims_ok = F.col("_valid") & F.col("_trak").isNotNull() & tk_is_tkhd
+    return w.select(
+        "media_id",
+        F.octet_length(F.col("_p")).alias("payload_bytes"),
+        F.when(F.col("_valid"), F.lit("mp4")).alias("format"),
+        F.when(F.col("_valid"),
+               F.substring(F.col("_p"), 9, 4).cast("string")).alias("brand"),
+        F.when(F.col("_valid"), _clamp_int(timescale)).alias("timescale"),
+        F.when(F.col("_valid") & (timescale > 0),
+               duration * F.lit(1000) / timescale)
+        .cast("long").alias("duration_ms"),
+        F.when(dims_ok, _clamp_int(width)).alias("width"),
+        F.when(dims_ok, _clamp_int(height)).alias("height"),
+    )
+
+
 def attach_payload(df: DataFrame, text_col: str, payload_col: str = "payload") -> DataFrame:
     """Test helper: fabricate a binary payload column from text (the
     fixtures carry no real media; the plumbing is what's under test)."""

@@ -466,3 +466,106 @@ def test_jpeg_header_dimensions(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def _box(type4, payload):
+    import struct
+    return struct.pack(">I", len(payload) + 8) + type4 + payload
+
+
+def _mp4_bytes(*, timescale=600, duration=1200, width=1280, height=720,
+               mvhd_ver=0, tkhd_ver=0, pre_boxes=(), moov_pre=()):
+    """Hand-pack an ISO-BMFF file: ftyp, optional filler boxes, then
+    moov[<moov_pre...>, mvhd, trak[tkhd]]. No media libraries."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if mvhd_ver == 0:
+        mv = b"\x00\x00\x00\x00" + struct.pack(">IIII", 1, 2, timescale,
+                                               duration) + b"\x00" * 80
+    else:
+        mv = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 1, 2, timescale,
+                                               duration) + b"\x00" * 80
+    mvhd = _box(b"mvhd", mv)
+    fixed = lambda v: struct.pack(">HH", v, 0)  # 16.16 fixed point
+    if tkhd_ver == 0:
+        tk = (b"\x00\x00\x00\x07" + struct.pack(">IIII", 1, 2, 1, 0)
+              + struct.pack(">I", duration) + b"\x00" * 8
+              + b"\x00" * 8 + b"\x00" * 36 + fixed(width) + fixed(height))
+    else:
+        tk = (b"\x01\x00\x00\x07" + struct.pack(">QQIIQ", 1, 2, 1, 0,
+                                                duration) + b"\x00" * 8
+              + b"\x00" * 8 + b"\x00" * 36 + fixed(width) + fixed(height))
+    trak = _box(b"trak", _box(b"tkhd", tk))
+    moov = _box(b"moov", b"".join(moov_pre) + mvhd + trak)
+    return ftyp + b"".join(pre_boxes) + moov
+
+
+def test_video_header_real_mp4_bytes(spark):
+    """video_media_features parses hand-packed ISO-BMFF boxes: canonical
+    layout, filler boxes before moov, iods/udta before mvhd, and the
+    version-1 (64-bit-time) mvhd/tkhd layouts. JVM-only plan."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        video_media_features,
+    )
+
+    canonical = _mp4_bytes()
+    filler = _mp4_bytes(pre_boxes=(_box(b"free", b"\x00" * 32),
+                                   _box(b"skip", b"\x00" * 8)),
+                        moov_pre=(_box(b"iods", b"\x00" * 12),),
+                        timescale=1000, duration=2500,
+                        width=1920, height=1080)
+    v1 = _mp4_bytes(mvhd_ver=1, tkhd_ver=1, timescale=90000,
+                    duration=450000, width=640, height=360)
+    junk = b"\x00\x01\x02 not a video"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(canonical)), (2, bytearray(filler)),
+         (3, bytearray(v1)), (4, bytearray(junk))],
+        "media_id long, payload binary")
+    out = video_media_features(df, "media_id", "payload")
+    got = {r.media_id: r for r in out.collect()}
+    r1 = got["1"]
+    assert (r1.format, r1.brand, r1.timescale) == ("mp4", "isom", 600)
+    assert r1.duration_ms == 2000 and (r1.width, r1.height) == (1280, 720)
+    r2 = got["2"]
+    assert r2.duration_ms == 2500 and (r2.width, r2.height) == (1920, 1080)
+    r3 = got["3"]
+    assert r3.timescale == 90000 and r3.duration_ms == 5000
+    assert (r3.width, r3.height) == (640, 360)
+    assert got["4"].format is None and got["4"].duration_ms is None
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_video_header_adversarial_bytes_never_crash(spark):
+    """Hostile MP4s degrade to nulls, never ANSI crashes: size-0 box
+    (walk poison), 64-bit largesize (size == 1, unsupported), truncated
+    mvhd, and a moov with no trak (duration without dims)."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        video_media_features,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    zero_size = ftyp + struct.pack(">I", 0) + b"moov"
+    largesize = ftyp + struct.pack(">I", 1) + b"moov" + b"\x00" * 16
+    truncated = _mp4_bytes()[:40]
+    no_trak = ftyp + _box(b"moov", _box(b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 1, 2, 600, 600)
+        + b"\x00" * 80))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(zero_size)), (2, bytearray(largesize)),
+         (3, bytearray(truncated)), (4, bytearray(no_trak))],
+        "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           video_media_features(df, "media_id", "payload").collect()}
+    assert got["1"].format is None        # poisoned walk -> no moov found
+    assert got["2"].format is None
+    assert got["3"].duration_ms is None   # mvhd cut off -> not found
+    r4 = got["4"]
+    assert r4.format == "mp4" and r4.duration_ms == 1000
+    assert r4.width is None and r4.height is None
