@@ -54,15 +54,16 @@ def _stub_decode(payload: bytes) -> dict:
     }
 
 
-# --- real pixel decoders (stdlib-only: zlib for PNG, byte math for BMP) ----
+# --- real pixel decoders (stdlib + numpy: PNG, BMP, baseline JPEG) ----------
 #
 # The container ships no image library, but PNG's pixel path needs nothing
-# beyond zlib (stdlib) + the per-scanline unfilter pass, and uncompressed
-# BMP is plain byte arithmetic — so the decode seam is REAL for the two
-# formats the fixtures and tests exercise, not a stub. Pillow, when
-# importable, is preferred (more formats, C-speed); these cover the
-# container. Formats outside both decoders raise NotImplementedError and
-# flow to the documented null fallback in extract_media_features.
+# beyond zlib (stdlib) + the per-scanline unfilter pass, uncompressed BMP
+# is plain byte arithmetic, and baseline JPEG is Huffman + dequant + an
+# 8×8 IDCT (numpy) — so the decode seam is REAL for the three formats the
+# tests exercise, not a stub. Pillow, when importable, is preferred (more
+# formats, C-speed); these cover the container. Formats outside the
+# decoders raise NotImplementedError and flow to the documented null
+# fallback in extract_media_features.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> samples per pixel (8-bit depth, non-interlaced only)
@@ -166,6 +167,269 @@ def _decode_bmp(payload: bytes) -> dict:
             "mean_pixel": round(total / n, 4) if n else None}
 
 
+# --- baseline JPEG pixel decode (stdlib + numpy — no image library) ---------
+#
+# Sequential baseline DCT (SOF0) with Huffman entropy coding covers the
+# overwhelming majority of real-world JPEGs. Progressive (SOF2),
+# arithmetic, lossless, and 12-bit variants raise NotImplementedError and
+# flow to the documented null fallback. numpy is used only for the 8×8
+# IDCT and plane math (vectorized); the entropy decode is a plain bit
+# loop — correct first, and the mapInPandas seam batches it per Arrow
+# block so the JVM pipeline shape is unchanged.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_DCT_M = None
+
+
+def _dct_matrix():
+    global _DCT_M
+    if _DCT_M is None:
+        import math
+
+        import numpy as np
+        m = np.zeros((8, 8))
+        for u in range(8):
+            a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+            for x in range(8):
+                m[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_M = m
+    return _DCT_M
+
+
+class _JpegMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing; a real marker (RSTn/EOI/...) raises _JpegMarker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p = data, pos
+        self.buf, self.n = 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise NotImplementedError("jpeg: truncated entropy data")
+            b = self.d[self.p]
+            self.p += 1
+            if b == 0xFF:
+                nxt = self.d[self.p] if self.p < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.p += 1
+                else:
+                    self.p += 1
+                    raise _JpegMarker(nxt)
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _huff_table(bits: list, vals: bytes) -> dict:
+    """Canonical Huffman: (code_length, code) -> symbol (ITU T.81 C.2)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a jpeg")
+    try:
+        return _decode_jpeg_inner(payload, np, struct)
+    except (IndexError, KeyError, ValueError, struct.error) as e:
+        # hostile/truncated payloads degrade to the documented
+        # unsupported-format path, never a raw slicing error
+        raise NotImplementedError(f"jpeg: malformed stream ({e})") from e
+
+
+def _decode_jpeg_inner(payload: bytes, np, struct) -> dict:
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple, dict] = {}     # (class 0=DC/1=AC, id) -> table
+    comps: list[dict] = []
+    width = height = 0
+    dri = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("jpeg: desynchronized marker stream")
+        marker = payload[pos + 1]
+        seg_len, = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:           # DQT (possibly several tables)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant table")
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[b + 1:b + 65], dtype=np.uint8)
+                qt[tid] = tbl.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:         # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _huff_table(
+                    bits, body[b + 17:b + 17 + n])
+                b += 17 + n
+        elif marker == 0xC0:         # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("jpeg: 12-bit precision")
+            for i in range(nc):
+                cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "q": qid})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: non-baseline frame (SOF{marker - 0xC0})")
+        elif marker == 0xDD:         # DRI
+            dri, = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:         # SOS — entropy data follows
+            ns = body[0]
+            for i in range(ns):
+                cid, tids = body[1 + 2 * i:3 + 2 * i]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["dc"] = tids >> 4
+                        comp["ac"] = tids & 0xF
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    else:
+        raise NotImplementedError("jpeg: no SOS segment")
+    if not comps or not width or not height:
+        raise NotImplementedError("jpeg: missing SOF0")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    m = _dct_matrix()
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
+    pred = [0] * len(comps)
+    r = _BitReader(payload, pos)
+    done = False
+    for my in range(mcuy):
+        if done:
+            break
+        for mx in range(mcux):
+            if dri and (my * mcux + mx) and (my * mcux + mx) % dri == 0:
+                # restart: byte-align, consume RSTn, reset DC predictors
+                r.align()
+                try:
+                    while True:
+                        r.bit()      # drain to the marker
+                except _JpegMarker as mk:
+                    if not 0xD0 <= mk.marker <= 0xD7:
+                        raise NotImplementedError("jpeg: lost restart sync")
+                pred = [0] * len(comps)
+            try:
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64)
+                            s = _huff_decode(r, huff[(0, c["dc"])])
+                            diff = _extend(r.receive(s), s)
+                            pred[ci] += diff
+                            coef[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(r, huff[(1, c["ac"])])
+                                run, size = rs >> 4, rs & 0xF
+                                if rs == 0x00:      # EOB
+                                    break
+                                if rs == 0xF0:      # ZRL
+                                    k += 16
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise NotImplementedError(
+                                        "jpeg: AC index overrun")
+                                coef[_ZIGZAG[k]] = _extend(
+                                    r.receive(size), size)
+                                k += 1
+                            block = (m.T @ ((coef.reshape(8, 8)
+                                             * qt[c["q"]])) @ m) + 128
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            except _JpegMarker as mk:
+                if mk.marker == 0xD9:   # EOI mid-grid: padded tail
+                    done = True
+                    break
+                raise NotImplementedError(
+                    f"jpeg: unexpected marker {mk.marker:#x}")
+        # (restart markers between MCU rows are handled by the dri check)
+
+    up = [np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                    hmax // c["h"], axis=1)[:height, :width]
+          for p, c in zip(planes, comps)]
+    if len(up) == 1:
+        rgb = np.clip(up[0], 0, 255)
+        channels = 1
+    elif len(up) == 3:
+        y, cb, cr = up
+        rgb = np.stack([
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ])
+        rgb = np.clip(rgb, 0, 255)
+        channels = 3
+    else:
+        raise NotImplementedError(f"jpeg: {len(up)} components")
+    return {"width": width, "height": height, "format": "jpeg",
+            "channels": channels,
+            "mean_pixel": round(float(np.round(rgb).mean()), 4)}
+
+
 def decode_image(payload: bytes) -> dict:
     """REAL image decoder for the ``decoder=`` seam: Pillow when
     available, else the stdlib PNG (zlib inflate + unfilter) and
@@ -196,6 +460,8 @@ def decode_image(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError("unsupported image format")
 
 

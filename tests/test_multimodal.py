@@ -272,8 +272,12 @@ def test_decode_image_agrees_with_header_parser(spark):
         image_dimensions,
     )
 
+    import numpy as np
+
     px = [[[x, y, 0] for x in range(6)] for y in range(3)]
-    payloads = [("png", _make_png(px, ctype=2)), ("bmp", _make_bmp(px))]
+    jpg = _jpeg_encode(np.full((24, 40, 3), 99, dtype=np.uint8))
+    payloads = [("png", _make_png(px, ctype=2)), ("bmp", _make_bmp(px)),
+                ("jpeg", jpg)]
     df = spark.createDataFrame(payloads, "kind string, payload binary")
     jvm = {r.kind: r.d for r in
            df.select("kind", image_dimensions("payload").alias("d")).collect()}
@@ -569,3 +573,243 @@ def test_video_header_adversarial_bytes_never_crash(spark):
     r4 = got["4"]
     assert r4.format == "mp4" and r4.duration_ms == 1000
     assert r4.width is None and r4.height is None
+
+
+# --- baseline JPEG: independent test-side encoder -> package decoder --------
+
+def _jpeg_encode(rgb, *, gray=False, chroma_sub=1, qy=4, qc=8):
+    """Independent baseline-JPEG encoder for the decode tests: forward
+    DCT + quantization + canonical Huffman with flat single-length code
+    tables (all DC symbols at 8 bits, all 162 AC run/size symbols at 16
+    bits — valid prefix codes by construction, no transcribed Annex K
+    tables to get wrong). ``rgb`` is an HxWx3 (or HxW if gray) numpy
+    uint8 array; ``chroma_sub=2`` emits 4:2:0."""
+    import math
+    import struct
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for x in range(8):
+            m[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    DC_SYMS = list(range(12))
+    AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 11)]
+    dc_codes = {sym: (8, i) for i, sym in enumerate(DC_SYMS)}
+    ac_codes = {sym: (16, i) for i, sym in enumerate(AC_SYMS)}
+    dc_bits = [0] * 16; dc_bits[7] = len(DC_SYMS)
+    ac_bits = [0] * 16; ac_bits[15] = len(AC_SYMS)
+
+    rgb = np.asarray(rgb, dtype=np.float64)
+    if gray:
+        planes = [rgb]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        if chroma_sub == 2:
+            h, w = y.shape
+            he, we = h + h % 2, w + w % 2
+            cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2]
+                  + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2]
+                  + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    height, width = planes[0].shape
+    qts = {0: np.full((8, 8), float(qy)), 1: np.full((8, 8), float(qc))}
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    padded = []
+    for p, (h, v) in zip(planes, samp):
+        ph, pw = mcuy * v * 8, mcux * h * 8
+        padded.append(np.pad(p, ((0, ph - p.shape[0]),
+                                 (0, pw - p.shape[1])), mode="edge"))
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code_len, code):
+        nonlocal bitbuf, nbits
+        for i in range(code_len - 1, -1, -1):
+            bitbuf = (bitbuf << 1) | ((code >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                out.append(bitbuf)
+                if bitbuf == 0xFF:
+                    out.append(0x00)
+                bitbuf, nbits = 0, 0
+
+    def put_val(v):
+        s = v if v >= 0 else -v
+        size = s.bit_length()
+        if v < 0:
+            v += (1 << size) - 1
+        return size, v
+
+    pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (h, v)) in enumerate(zip(padded, samp)):
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8] - 128
+                        fq = np.round((m @ blk @ m.T) / qts[qids[ci]]
+                                      ).astype(int)
+                        zz = [int(fq.flat[ZZ[k]]) for k in range(64)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        size, bitsv = put_val(diff)
+                        put(*dc_codes[size])
+                        if size:
+                            put(size, bitsv)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                put(*ac_codes[0xF0])
+                                run -= 16
+                            size, bitsv = put_val(zz[k])
+                            put(*ac_codes[(run << 4) | size])
+                            put(size, bitsv)
+                            run = 0
+                        if run:
+                            put(*ac_codes[0x00])
+    if nbits:
+        put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid):
+        zzq = bytes(int(qts[tid].flat[ZZ[k]]) for k in range(64))
+        return seg(0xDB, bytes([tid]) + zzq)
+
+    def dht(cls, tid, bits, syms):
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(syms))
+
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for i, (h, v) in enumerate(samp):
+        sof += bytes([i + 1, (h << 4) | v, qids[i]])
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])  # dc table 0, ac table 0
+    sos += b"\x00\x3f\x00"
+
+    jpg = b"\xff\xd8" + dqt(0)
+    if not gray:
+        jpg += dqt(1)
+    jpg += seg(0xC0, sof) + dht(0, 0, dc_bits, DC_SYMS) \
+        + dht(1, 0, ac_bits, AC_SYMS) + seg(0xDA, sos) \
+        + bytes(out) + b"\xff\xd9"
+    return jpg
+
+
+def test_decode_jpeg_roundtrip_444_420_gray():
+    """The package decoder reconstructs pixels from an INDEPENDENT
+    encoder (forward DCT + quant + canonical Huffman written here):
+    dims exact, channels right, mean within quantization error — for
+    4:4:4 color, 4:2:0 subsampled, odd (cropped) dims, and grayscale."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(7)
+    # smooth gradient + mild noise: realistic DCT energy, bounded error
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = (40 + 3 * xx + 2 * yy)[..., None] + np.array([0, 20, 40])
+    img = np.clip(base + rng.integers(-4, 5, (24, 32, 3)), 0, 255) \
+        .astype(np.uint8)
+
+    got = _decode_jpeg(_jpeg_encode(img))
+    assert (got["width"], got["height"], got["channels"]) == (32, 24, 3)
+    assert got["format"] == "jpeg"
+    assert abs(got["mean_pixel"] - img.mean()) < 3.0, got
+
+    sub = _decode_jpeg(_jpeg_encode(img, chroma_sub=2))
+    assert (sub["width"], sub["height"]) == (32, 24)
+    assert abs(sub["mean_pixel"] - img.mean()) < 3.0, sub
+
+    odd = img[:17, :23]   # crop forces partial MCUs
+    god = _decode_jpeg(_jpeg_encode(odd))
+    assert (god["width"], god["height"]) == (23, 17)
+    assert abs(god["mean_pixel"] - odd.mean()) < 3.0, god
+
+    gray = img[..., 0]
+    gg = _decode_jpeg(_jpeg_encode(gray, gray=True))
+    assert (gg["width"], gg["height"], gg["channels"]) == (32, 24, 1)
+    assert abs(gg["mean_pixel"] - gray.mean()) < 3.0, gg
+
+
+def test_decode_jpeg_flat_color_exact():
+    """A flat-color image is DC-only: every reconstruction step
+    (dequant, IDCT, level shift, color transform) must land within one
+    count of the source — a tight analytic correctness check."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import _decode_jpeg
+
+    img = np.full((16, 16, 3), [200, 100, 50], dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_encode(img, qy=1, qc=1))
+    assert abs(got["mean_pixel"] - img.mean()) < 1.0, got
+
+
+def test_decode_jpeg_rejects_progressive_and_truncated():
+    import numpy as np
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import _decode_jpeg
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    good = _jpeg_encode(img)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        _decode_jpeg(progressive)
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(good[: len(good) // 2])
+
+
+def test_decode_image_dispatches_jpeg(spark):
+    """decode_image + the mapInPandas seam handle JPEG payloads end to
+    end on Spark (decoded_media_features)."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decoded_media_features,
+    )
+
+    img = np.full((16, 16, 3), [10, 200, 30], dtype=np.uint8)
+    jpg = _jpeg_encode(img)
+    df = spark.createDataFrame([(1, bytearray(jpg)), (2, bytearray(b"nope"))],
+                               "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           decoded_media_features(df, "media_id", "payload").collect()}
+    r1 = got["1"]
+    assert (r1.format, r1.width, r1.height) == ("jpeg", 16, 16)
+    assert abs(r1.mean_pixel - img.mean()) < 1.5
+    assert got["2"].format is None
