@@ -746,7 +746,28 @@ def image_dimensions(payload_col) -> F.Column:
     is_gif = F.hex(F.substring(b, 1, 4)) == "47494638"        # "GIF8"
     is_bmp = F.hex(F.substring(b, 1, 2)) == "424D"            # "BM"
     is_jpg = F.hex(F.substring(b, 1, 2)) == "FFD8"            # SOI
+    is_webp = (F.hex(F.substring(b, 1, 4)) == b"RIFF".hex().upper()) \
+        & (F.hex(F.substring(b, 9, 4)) == b"WEBP".hex().upper())
     jpg = _jpeg_dims(b)
+    # WebP sub-formats, all fixed offsets: VP8 (lossy — 14-bit LE dims
+    # after the 0x9D012A sync), VP8L (lossless — 2×14 bits packed
+    # LSB-first after the 0x2F signature), VP8X (extended — 24-bit LE
+    # canvas minus one)
+    webp_tag = F.hex(F.substring(b, 13, 4))
+    vp8l_bits = _le_uint(b, 22, 4)
+    webp_w = (
+        F.when(webp_tag == b"VP8 ".hex().upper(),
+               _le_uint(b, 27, 2).bitwiseAND(F.lit(0x3FFF).cast("long")))
+        .when(webp_tag == b"VP8L".hex().upper(),
+              vp8l_bits.bitwiseAND(F.lit(0x3FFF).cast("long")) + 1)
+        .when(webp_tag == b"VP8X".hex().upper(), _le_uint(b, 25, 3) + 1))
+    webp_h = (
+        F.when(webp_tag == b"VP8 ".hex().upper(),
+               _le_uint(b, 29, 2).bitwiseAND(F.lit(0x3FFF).cast("long")))
+        .when(webp_tag == b"VP8L".hex().upper(),
+              F.shiftright(vp8l_bits, 14)
+              .bitwiseAND(F.lit(0x3FFF).cast("long")) + 1)
+        .when(webp_tag == b"VP8X".hex().upper(), _le_uint(b, 28, 3) + 1))
     long_enough = F.octet_length(b)
     return (
         F.when(is_png & (long_enough >= 24), F.struct(
@@ -765,6 +786,10 @@ def image_dimensions(payload_col) -> F.Column:
             F.lit("jpeg").alias("format"),
             jpg.getField("w").alias("width"),
             jpg.getField("h").alias("height")))
+        .when(is_webp & (long_enough >= 30), F.struct(
+            F.lit("webp").alias("format"),
+            _clamp_int(webp_w).alias("width"),
+            _clamp_int(webp_h).alias("height")))
         .otherwise(F.struct(
             F.lit(None).cast("string").alias("format"),
             F.lit(None).cast("int").alias("width"),

@@ -44,6 +44,8 @@ HEADLINE = [
     "q67_sessionize",
     "q97_bm25_search",
     "q99_fuzzy_linkage",
+    "q108_semantic_dedup",
+    "q113_latest_shipper",
 ]
 
 

@@ -813,3 +813,42 @@ def test_decode_image_dispatches_jpeg(spark):
     assert (r1.format, r1.width, r1.height) == ("jpeg", 16, 16)
     assert abs(r1.mean_pixel - img.mean()) < 1.5
     assert got["2"].format is None
+
+
+def test_webp_header_dimensions(spark):
+    """image_dimensions parses all three WebP sub-formats from
+    hand-packed RIFF bytes: VP8 (lossy), VP8L (lossless bit-packed
+    dims), VP8X (extended canvas). JVM-only plan."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        header_media_features,
+    )
+
+    def riff(tag, body):
+        chunk = tag + struct.pack("<I", len(body)) + body
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+                + chunk)
+
+    # VP8 lossy: 3-byte frame tag, sync 9D 01 2A, LE14 dims (+2 scale bits)
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 480, 640) + b"\x00" * 8)
+    # VP8L lossless: 0x2F sig, then width-1 (14b) | height-1 (14b) LSB-first
+    packed = (799) | ((599) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", packed) + b"\x00" * 8)
+    # VP8X extended: 4 flag bytes, canvas w-1 and h-1 as 24-bit LE
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (1023).to_bytes(3, "little")
+                + (767).to_bytes(3, "little") + b"\x00" * 4)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(vp8)), (2, bytearray(vp8l)), (3, bytearray(vp8x))],
+        "media_id long, payload binary")
+    out = header_media_features(df, "media_id", "payload")
+    got = {r.media_id: (r.format, r.width, r.height) for r in out.collect()}
+    assert got["1"] == ("webp", 480, 640)
+    assert got["2"] == ("webp", 800, 600)
+    assert got["3"] == ("webp", 1024, 768)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
