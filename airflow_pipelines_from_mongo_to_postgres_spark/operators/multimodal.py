@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -515,6 +516,109 @@ DECODED_FEATURES_SCHEMA = StructType([
     StructField("channels", IntegerType(), True),
     StructField("mean_pixel", DoubleType(), True),
 ])
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL audio sample decode for uncompressed RIFF/WAVE: walks the
+    chunk list to ``fmt `` + ``data``, then reconstructs the sample
+    stream with numpy (PCM 8/16/32-bit and IEEE-float 32/64). Returns
+    channels/rate/duration plus ``rms`` and ``peak`` over normalized
+    [-1, 1] samples — values that only exist if the samples were
+    actually decoded, the audio analogue of ``mean_pixel``. Compressed
+    codecs (MP3/AAC/alaw/...) raise NotImplementedError → the null
+    fallback."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a wav")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size, = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise NotImplementedError("wav: missing fmt/data chunk")
+    tag, channels, rate, _byterate, _block, bits = fmt
+    dtypes = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32,
+              (3, 32): np.float32, (3, 64): np.float64}
+    dt = dtypes.get((tag, bits))
+    if dt is None:
+        raise NotImplementedError(f"wav: format tag {tag} bits {bits}")
+    samples = np.frombuffer(
+        data[:len(data) - len(data) % np.dtype(dt).itemsize], dtype=dt
+    ).astype(np.float64)
+    if tag == 1 and bits == 8:
+        samples = (samples - 128) / 128.0       # unsigned 8-bit
+    elif tag == 1:
+        samples = samples / float(1 << (bits - 1))
+    n_frames = len(samples) // max(channels, 1)
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else None,
+        "rms": round(float(np.sqrt((samples ** 2).mean())), 6)
+        if len(samples) else None,
+        "peak": round(float(np.abs(samples).max()), 6)
+        if len(samples) else None,
+    }
+
+
+DECODED_AUDIO_SCHEMA = StructType([
+    StructField("media_id", StringType(), True),
+    StructField("payload_bytes", IntegerType(), True),
+    StructField("format", StringType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_frames", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("rms", DoubleType(), True),
+    StructField("peak", DoubleType(), True),
+])
+
+
+def decoded_audio_features(df: DataFrame, id_col: str, payload_col: str,
+                           decoder: Callable[[bytes], dict] | None = None,
+                           ) -> DataFrame:
+    """Audio twin of ``decoded_media_features``: the REAL sample-decode
+    path (``decode_audio``) behind the same Arrow-batched mapInPandas
+    seam. Unsupported codecs degrade to null features; rows are never
+    dropped."""
+    dec = decoder or decode_audio
+
+    def safe(p: bytes) -> dict:
+        import struct
+        try:
+            return dec(p)
+        except (NotImplementedError, ValueError, OSError,
+                IndexError, struct.error):
+            return {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b"")
+            feats = payloads.map(safe)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                "payload_bytes": payloads.str.len(),
+                **{f: feats.map(lambda d, f=f: d.get(f))
+                   for f in ("format", "channels", "sample_rate",
+                             "n_frames", "duration_ms", "rms", "peak")},
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, DECODED_AUDIO_SCHEMA)
 
 
 def decoded_media_features(df: DataFrame, id_col: str, payload_col: str,

@@ -175,12 +175,211 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# --- q114: ordered conversion funnel (view → click → purchase) ----------------
+def q114_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: first view, first click AFTER that view, first
+    purchase AFTER that click — the product-analytics pattern ('did the
+    user progress IN ORDER', not 'did these events co-occur'). Three
+    conditional min-aggregations chained by strictly-later joins, all
+    keyed on user_id: one partitioning serves every stage, AQE
+    broadcast-joins the shrinking step tables at low SF and
+    shuffle-joins them at 100 TB."""
+    e = load_table(spark, "events", sf_dir)
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str,
+                    out_col: str) -> DataFrame:
+        step = e.filter(F.col("event_type") == etype) \
+            .select("user_id", "ts")
+        return (step.join(prev, "user_id")
+                .filter(F.col("ts") > F.col(prev_col))
+                .groupBy("user_id",
+                         *[c for c in prev.columns if c != "user_id"])
+                .agg(F.min("ts").alias(out_col)))
+
+    v = e.filter(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    full = (v.join(c.select("user_id", "t_click"), "user_id", "left")
+            .join(p.select("user_id", "t_purchase"), "user_id", "left"))
+    return full.select(
+        "user_id", "t_view", "t_click", "t_purchase",
+        (F.lit(1) + F.col("t_click").isNotNull().cast("int")
+         + F.col("t_purchase").isNotNull().cast("int")).alias("funnel_depth"),
+    )
+
+
+Q114_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CAST(c.t_click IS NOT NULL AS INT)
+         + CAST(p.t_purchase IS NOT NULL AS INT) AS funnel_depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# --- q115: approximate-percentile sketch with a CHECKABLE claim ---------------
+def q115_quantile_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q45 pattern applied to quantiles: the raw KLL/GK sketch output
+    is engine-specific, so the GATED columns are the exact interpolated
+    percentiles plus booleans asserting the sketch landed within 5%
+    relative error of each (deterministic for fixed data/accuracy). At
+    100 TB the sketch is the only viable path (exact percentile sorts
+    every group); this query pins how far it strays."""
+    e = load_table(spark, "events", sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("value", 0.9, 10000).alias("_a90"),
+    )
+    tol = lambda a, x: (F.abs(F.col(a) - F.col(x))  # noqa: E731
+                        <= F.abs(F.col(x)) * 0.05 + 1e-9)
+    return agg.select(
+        "event_type", "p50_exact", "p90_exact",
+        tol("_a50", "p50_exact").alias("p50_within_5pct"),
+        tol("_a90", "p90_exact").alias("p90_within_5pct"),
+    )
+
+
+Q115_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+       TRUE AS p50_within_5pct,
+       TRUE AS p90_within_5pct
+FROM events GROUP BY 1
+"""
+
+
+# --- q116: time-weighted average (TWAP / TimescaleDB time_weight shape) -------
+def q116_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value with LOCF (step) weighting:
+    each observation holds until the next one, so its weight is the gap
+    to the successor — the irregular-sampling average that a plain AVG
+    gets wrong. One window (lead) and one aggregation, both on user_id:
+    a single shuffle. Exactness: value is cast to DECIMAL(18,4) and the
+    microsecond gap to DECIMAL(20,0); their product and sum are exact,
+    so the final double division is order-independent (the decimal-sum
+    canon, tests/test_canon.py)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ (nanos-as-long parquet); unix_micros
+    # requires TIMESTAMP — the session is pinned to UTC so the cast is a
+    # pure relabel and the gap arithmetic is unaffected
+    us = (F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+          - F.unix_micros(F.col("ts").cast("timestamp"))).cast("decimal(20,0)")
+    weighted = e.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * us).alias("wv"),
+        us.alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        weighted.groupBy("user_id")
+        .agg(F.sum("wv").alias("_swv"), F.sum("dur").alias("_sd"))
+        .select(
+            "user_id",
+            F.round(F.col("_swv").cast("double")
+                    / F.col("_sd").cast("double"), 6).alias("twap"),
+            F.col("_sd").cast("long").alias("observed_us"),
+        )
+    )
+
+
+Q116_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - ts)
+              AS DECIMAL(20,0)) AS dur
+  FROM events
+)
+SELECT user_id,
+       round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6)
+         AS twap,
+       CAST(sum(dur) AS BIGINT) AS observed_us
+FROM gaps WHERE dur IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --- q117: OHLC candlesticks (hourly open/high/low/close) ---------------------
+def q117_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The market-data compaction primitive: per hour, the first (open)
+    and last (close) value by (ts, event_id) plus min/max. first/last
+    are conditional aggregates over row-number endpoints — two windows
+    sharing ONE (hour, ts, event_id) sort, then one hash-agg; no
+    self-join. Raw values pass through untouched (no float arithmetic),
+    so the hash gate needs no rounding idiom."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir) \
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    asc = Window.partitionBy("hour").orderBy(F.asc("ts"), F.asc("event_id"))
+    desc = Window.partitionBy("hour").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (
+        e.withColumn("_ra", F.row_number().over(asc))
+        .withColumn("_rd", F.row_number().over(desc))
+        .groupBy("hour")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q117_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, ts, event_id, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT hour,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM h GROUP BY 1
+"""
+
+
 QUERIES = {
     "q42_asof_join": q42_asof_join,
     "q43_range_join": q43_range_join,
     "q44_time_rollup": q44_time_rollup,
     "q45_approx_ndv": q45_approx_ndv,
     "q105_asof_forward": q105_asof_forward,
+    "q114_funnel": q114_funnel,
+    "q115_quantile_claim": q115_quantile_claim,
+    "q116_twap": q116_twap,
+    "q117_ohlc": q117_ohlc,
 }
 
 ORACLES = {
@@ -189,4 +388,8 @@ ORACLES = {
     "q44_time_rollup": Q44_SQL,
     "q45_approx_ndv": Q45_SQL,
     "q105_asof_forward": Q105_SQL,
+    "q114_funnel": Q114_SQL,
+    "q115_quantile_claim": Q115_SQL,
+    "q116_twap": Q116_SQL,
+    "q117_ohlc": Q117_SQL,
 }

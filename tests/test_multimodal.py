@@ -852,3 +852,53 @@ def test_webp_header_dimensions(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_decode_audio_pcm_and_float_samples(spark):
+    """decode_audio reconstructs REAL samples: a pure sine at known
+    amplitude has rms = amp/sqrt(2) and peak ~= amp — checked for PCM16
+    and float32; alaw (compressed) degrades to nulls through the
+    mapInPandas seam."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_audio,
+        decoded_audio_features,
+    )
+
+    n, rate, amp = 4000, 8000, 0.5
+    t = np.arange(n)
+    sine = amp * np.sin(2 * np.pi * 440 * t / rate)
+
+    pcm16 = _wav_bytes(channels=1, rate=rate, bits=16, n_frames=0)
+    pcm16 = pcm16[:44] + (sine * (1 << 15)).astype("<i2").tobytes()
+    # patch the data-chunk and RIFF sizes
+    pcm16 = (pcm16[:4] + struct.pack("<I", len(pcm16) - 8) + pcm16[8:40]
+             + struct.pack("<I", n * 2) + pcm16[44:])
+
+    got = decode_audio(pcm16)
+    assert (got["channels"], got["sample_rate"]) == (1, rate)
+    assert got["n_frames"] == n and got["duration_ms"] == 500
+    assert abs(got["rms"] - amp / math.sqrt(2)) < 0.01
+    assert abs(got["peak"] - amp) < 0.01
+
+    f32 = (b"RIFF" + struct.pack("<I", 36 + n * 4) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+           + b"data" + struct.pack("<I", n * 4)
+           + sine.astype("<f4").tobytes())
+    gf = decode_audio(f32)
+    assert abs(gf["rms"] - amp / math.sqrt(2)) < 0.01
+
+    alaw = _wav_bytes(channels=1, rate=8000, bits=8, fmt_tag=6, n_frames=10)
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm16)), (2, bytearray(alaw)), (3, bytearray(b"x"))],
+        "media_id long, payload binary")
+    rows = {r.media_id: r for r in
+            decoded_audio_features(df, "media_id", "payload").collect()}
+    assert rows["1"].duration_ms == 500 and abs(rows["1"].peak - amp) < 0.01
+    assert rows["2"].format is None     # compressed codec -> null fallback
+    assert rows["3"].format is None
