@@ -628,7 +628,14 @@ def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. Same count at 100 TB; only partition counts grow. The near-dedup
     stage runs PRUNED (stop shingles with df > NEAR_DUP_MAX_DF dropped, df
     counted on the post-exact-dedup corpus) — the declared pipeline is the
-    skew-safe plan, not just the operator knob."""
+    skew-safe plan, not just the operator knob.
+
+    Perf note (r5, the r4 +9% drift question): 5 cold-cache runs at
+    sf0.1 span 3.42-4.12 s (median ~3.5); persisting the base shingle
+    table to halve the tokenize passes measures the SAME distribution
+    (3.37-4.48), so tokenization is not the bottleneck — the spread is
+    self-join/groupBy scheduling jitter at this corpus size, and the
+    r3→r4→r5 medians (3.16/3.43/3.5) all sit inside one run's spread."""
     from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
     d = load_table(spark, "documents", sf_dir)
     kept = d.select("doc_id", "text",

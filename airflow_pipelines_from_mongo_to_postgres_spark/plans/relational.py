@@ -798,6 +798,43 @@ LIMIT 25
 """
 
 
+# --- q118: idle high-balance customers (TPC-H Q22's plan shape) --------------
+def q118_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 re-keyed to the fixture schema (no phone column →
+    nation grouping): customers whose balance exceeds the average
+    POSITIVE balance and who have never ordered. Three distinct plan
+    ingredients in one query: an uncorrelated scalar subquery (1-row
+    broadcast cross join, no shuffle), a left_anti join against the
+    orders fact (the NOT EXISTS), and a small group-agg. The balance
+    sum goes through DECIMAL(18,4) for the order-independent hash."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg"))
+    rich = (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg")))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+             .alias("totacctbal"))
+    )
+
+
+Q118_SQL = """
+SELECT n.n_name, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -823,6 +860,7 @@ QUERIES = {
     "q49_salted_join": q49_salted_join,
     "q102_market_share": q102_market_share,
     "q113_latest_shipper": q113_latest_shipper,
+    "q118_idle_rich_customers": q118_idle_rich_customers,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -852,6 +890,7 @@ ORACLES = {
     "q49_salted_join": Q49_SQL,
     "q102_market_share": Q102_SQL,
     "q113_latest_shipper": Q113_SQL,
+    "q118_idle_rich_customers": Q118_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }
