@@ -1,0 +1,110 @@
+"""Byte-pair-encoding tokenizer ops: distributed merge-rule TRAINING and
+JVM-side merge APPLICATION.
+
+q104 computes one round of pair statistics; this module runs the actual
+BPE loop — the iterative distributed algorithm (like PageRank /
+connected components): each round one weighted pair-count aggregation
+over the current word segmentations, one 1-row argmax collect (the only
+driver-side state: the merge rule list itself, which IS the trained
+artifact), then the merge applied to every word via a higher-order
+``aggregate`` Column — no Python workers anywhere.
+
+Scale shape: the pair count is a hash aggregation over (pair) keys,
+partial map-side; the per-round argmax is a TakeOrdered(1). Word
+segmentations live in the distributed ``words`` frame keyed by the word
+string — the classic BPE-training trick of counting over the word
+VOCABULARY weighted by frequency rather than the raw corpus, so each
+round's cost is O(|vocab| · avg word length), independent of corpus
+row count after the first frequency aggregation. The lazy plan grows by
+one merge per round; ``checkpoint_every`` truncates lineage so hundreds
+of merges don't compound into a giant tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
+
+
+def _chars(col) -> F.Column:
+    """Split a word into single-character tokens (JVM-side).
+    ``sequence(1, 0)`` counts DOWN (the build_shingle_table foot-gun),
+    so the empty word is guarded to an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) > 0,
+                  F.transform(F.sequence(F.lit(1), F.length(c)),
+                              lambda i: F.substring(c, i, 1))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def merge_pair(seq_col, a: str, b: str) -> F.Column:
+    """Apply ONE merge rule (a, b) -> ab to a token-array column,
+    greedy left-to-right (standard BPE): fold the array, gluing the
+    current token onto the accumulator's tail when the pair matches.
+    ``F.get`` (not element_at) so the empty-accumulator probe is a null,
+    never an ANSI index error."""
+    sc = F.col(seq_col) if isinstance(seq_col, str) else seq_col
+    return F.aggregate(
+        sc,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == a) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b)))
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_vocabulary(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the whitespace-token stream — the weighted
+    vocabulary BPE training counts over."""
+    return (df.select(F.explode(T.tokens(text_col)).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def train_bpe_merges(df: DataFrame, text_col: str, num_merges: int,
+                     min_pair_freq: int = 2,
+                     checkpoint_every: int = 16) -> list:
+    """Learn up to ``num_merges`` BPE merge rules from the corpus.
+    Deterministic: the per-round argmax breaks count ties on (first,
+    second) token order, so the same corpus always yields the same
+    rules — a requirement for the frozen-artifact serving pattern
+    (_pq_codebooks / _ivf_centroids use the same discipline)."""
+    words = word_vocabulary(df, text_col) \
+        .withColumn("seq", _chars("w"))
+    merges: list = []
+    for i in range(num_merges):
+        pairs = words.select(
+            "freq",
+            F.explode(F.arrays_zip(
+                F.slice("seq", 1, F.size("seq") - 1).alias("a"),
+                F.slice("seq", 2, F.size("seq") - 1).alias("b"),
+            )).alias("p"))
+        best = (pairs.groupBy(F.col("p.a").alias("a"),
+                              F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0].cnt < min_pair_freq:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        words = words.withColumn("seq", merge_pair("seq", a, b))
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode_words(words: DataFrame, word_col: str,
+                     merges: list, out_col: str = "pieces") -> DataFrame:
+    """Segment each word with a trained merge list — merges applied in
+    rule-priority order, entirely as chained Column folds (no Python
+    workers). Expression depth grows with the rule count; for vocab-
+    sized rule lists apply in ``checkpoint_every``-sized projections
+    the same way training does (callers with >~100 rules should chunk)."""
+    seq = _chars(word_col)
+    for a, b in merges:
+        seq = merge_pair(seq, a, b)
+    return words.withColumn(out_col, seq)

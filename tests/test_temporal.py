@@ -143,3 +143,59 @@ def test_asof_tolerance_nulls_far_matches(spark):
                      tolerance="10 minutes").collect()}
     assert fwd[3].px is None and fwd[3].asof_ts is None
     assert fwd[1].px == 11.0
+
+
+def test_funnel_ordering_invariants(spark, sf_dir):
+    """q114: step timestamps are strictly increasing where present,
+    depth counts the non-null steps, and a later step never exists
+    without its predecessor."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.temporal import q114_funnel
+
+    rows = q114_funnel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.t_click is not None:
+            assert r.t_click > r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase > r.t_click
+        assert r.funnel_depth == 1 + (r.t_click is not None) \
+            + (r.t_purchase is not None)
+
+
+def test_twap_bounded_by_value_range(spark, sf_dir):
+    """q116: a weighted average must sit within [min, max] of the user's
+    observed values (excluding the weightless last observation), and the
+    observed span must equal last-first in microseconds."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.temporal import q116_twap
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+    got = {r.user_id: r for r in q116_twap(spark, sf_dir).collect()}
+    e = load_table(spark, "events", sf_dir)
+    bounds = {r.user_id: r for r in
+              e.groupBy("user_id").agg(
+                  F.min("value").alias("lo"), F.max("value").alias("hi"),
+                  (F.unix_micros(F.max("ts").cast("timestamp"))
+                   - F.unix_micros(F.min("ts").cast("timestamp")))
+                  .alias("span")).collect()}
+    assert got
+    for uid, r in got.items():
+        b = bounds[uid]
+        assert b.lo - 1e-9 <= r.twap <= b.hi + 1e-9
+        assert r.observed_us == b.span
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """q117: low <= open, close <= high for every candle, and candle
+    event counts sum to the table count."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.temporal import q117_ohlc
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+    rows = q117_ohlc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+    total = load_table(spark, "events", sf_dir).count()
+    assert sum(r.n_events for r in rows) == total
