@@ -340,7 +340,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 def incremental_jaccard_pairs(old_shingles: DataFrame, new_docs: DataFrame,
                               id_col: str, text_col: str,
                               threshold: float, n: int = 3,
-                              max_df: int | None = None) -> tuple[DataFrame, DataFrame]:
+                              max_df: int | None = None,
+                              enforce_disjoint: bool = True) -> tuple[DataFrame, DataFrame]:
     """Near-dup index maintenance for an APPENDED batch: pairs are
     computed only where a NEW document participates — (new × old) ∪
     (new × new) — never old × old, which the standing pair index already
@@ -364,22 +365,28 @@ def incremental_jaccard_pairs(old_shingles: DataFrame, new_docs: DataFrame,
     here) — ENFORCED: a re-ingested id would duplicate its (doc,
     shingle) rows in the union, silently inflating n_sh and
     intersection counts, so overlap raises instead. The check
-    broadcast-semi-joins the batch's ids against the index's doc column
-    (a map-side filter over one column, no shuffle of the index) and
-    short-circuits at the first few hits.
+    broadcast-semi-joins the batch's ids against the index's doc column:
+    a map-side filter, no index shuffle (zero survivors on the clean
+    path → the distinct is free), but it IS one extra single-column
+    pass over the index before useful work — pipelines that already
+    guarantee disjoint ids at the ingest boundary (e.g. a monotone
+    id-assignment service) can pass ``enforce_disjoint=False`` to skip
+    it; the per-batch pair computation below is unaffected either way.
     """
     new_sh = build_shingle_table(new_docs, id_col, text_col, n=n)
-    overlap = (old_shingles.select("doc")
-               .join(F.broadcast(
-                   new_docs.select(F.col(id_col).alias("doc")).distinct()),
-                   "doc", "left_semi")
-               .distinct())
-    sample = [r.doc for r in overlap.limit(5).collect()]
-    if sample:
-        raise ValueError(
-            "incremental_jaccard_pairs: new_docs re-ingests ids already in "
-            f"the standing corpus (e.g. {sample}); append-only contract "
-            "violated — route re-ingested documents through the merge path")
+    if enforce_disjoint:
+        overlap = (old_shingles.select("doc")
+                   .join(F.broadcast(
+                       new_docs.select(F.col(id_col).alias("doc")).distinct()),
+                       "doc", "left_semi")
+                   .distinct())
+        sample = [r.doc for r in overlap.limit(5).collect()]
+        if sample:
+            raise ValueError(
+                "incremental_jaccard_pairs: new_docs re-ingests ids already "
+                f"in the standing corpus (e.g. {sample}); append-only "
+                "contract violated — route re-ingested documents through "
+                "the merge path")
     union_sh = old_shingles.unionByName(new_sh)
     if max_df is not None:
         hot = (union_sh.groupBy("shingle")

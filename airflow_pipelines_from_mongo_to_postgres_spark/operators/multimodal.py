@@ -781,10 +781,12 @@ def _le_int32_abs(bin_col, pos: int):
 
 
 #: JPEG marker-segment hops to walk before giving up on finding SOF.
-#: Real files put APP0/APP1(EXIF)/DQT/DHT/COM before the frame header;
-#: 12 hops covers every camera/encoder layout we've seen while keeping
-#: the walk bounded for hostile payloads.
-_JPEG_HOPS = 12
+#: Real files put APP0/APP1(EXIF/XMP)/APP2(ICC)/DQT/DHT/COM before the
+#: frame header — and ICC profiles over 64KB legally SPAN MANY APP2
+#: segments (wide-gamut photos routinely carry 8+), so the bound is
+#: generous: the walk is one runtime aggregate() loop, extra hops cost
+#: iterations, not expression-tree size.
+_JPEG_HOPS = 32
 
 #: SOF0-SOF15 marker type bytes minus DHT(C4)/JPG(C8)/DAC(CC) — baseline,
 #: progressive, lossless, arithmetic variants all share the
@@ -1146,8 +1148,12 @@ def video_media_features(df: DataFrame, id_col: str,
         F.when(F.col("_valid"),
                F.substring(F.col("_p"), 9, 4).cast("string")).alias("brand"),
         F.when(F.col("_valid"), _clamp_int(timescale)).alias("timescale"),
+        # hostile duration bytes can read as ~2^63/1000-plus; clamp
+        # BEFORE the ms multiply or ANSI mode crashes the scan on one
+        # corrupt file (same rule as _clamp_int / the RIFF _pos clamp)
         F.when(F.col("_valid") & (timescale > 0),
-               duration * F.lit(1000) / timescale)
+               F.least(duration, F.lit(1 << 53).cast("long"))
+               * F.lit(1000) / timescale)
         .cast("long").alias("duration_ms"),
         F.when(dims_ok, _clamp_int(width)).alias("width"),
         F.when(dims_ok, _clamp_int(height)).alias("height"),

@@ -45,19 +45,81 @@ def _repo_root() -> str:
     return _REPO_ROOT
 
 
-def fingerprint(name: str, fn, oracle_sql) -> str:
-    """Stable identity of a registered query: hash of the plan function's
-    source plus its oracle SQL. Changes to EITHER invalidate old driver
-    evidence. Falls back to the repr when source is unavailable (e.g. a
-    lambda defined in a REPL) — still deterministic per commit."""
+_PKG_PREFIX = __name__.rsplit(".", 1)[0]  # the engine package root
+_SUPPORT_HASH_CACHE: dict = {}
+
+
+def _support_modules(plan_module) -> list:
+    """Transitive closure of ENGINE modules reachable from a plan
+    module's imports (operators/, functions/, sources/, streaming/ and
+    sibling plan helpers). Plan functions are thin wrappers — the query
+    logic lives in these modules, so a behavior change there must flip
+    the fingerprints of every consumer (review finding r5: hashing only
+    the wrapper's own source could never represent the r4 q28-class
+    incident the mechanism exists to prevent)."""
+    import inspect
+
+    seen: dict = {}
+    stack = [plan_module]
+    while stack:
+        mod = stack.pop()
+        for v in vars(mod).values():
+            target = None
+            if inspect.ismodule(v) and v.__name__.startswith(_PKG_PREFIX):
+                target = v
+            elif (inspect.isfunction(v) or inspect.isclass(v)) and \
+                    getattr(v, "__module__", "").startswith(_PKG_PREFIX):
+                import sys
+                target = sys.modules.get(v.__module__)
+            if target is not None and target.__name__ not in seen:
+                seen[target.__name__] = target
+                stack.append(target)
+    return [seen[k] for k in sorted(seen)]
+
+
+def _support_hash(plan_module) -> str:
+    """Hash of the combined source of every engine module the plan
+    module (transitively) imports. Module-level granularity: an edit to
+    operators/dedup.py re-pins every consumer of the dedup module —
+    slightly over-inclusive, never under-inclusive."""
     import hashlib
     import inspect
+
+    key = plan_module.__name__
+    if key not in _SUPPORT_HASH_CACHE:
+        h = hashlib.sha256()
+        for mod in _support_modules(plan_module):
+            if mod.__name__ == key:
+                continue  # the plan fn's own source is hashed per-query
+            try:
+                h.update(inspect.getsource(mod).encode())
+            except (OSError, TypeError):
+                h.update(repr(mod).encode())
+        _SUPPORT_HASH_CACHE[key] = h.hexdigest()[:16]
+    return _SUPPORT_HASH_CACHE[key]
+
+
+def fingerprint(name: str, fn, oracle_sql) -> str:
+    """Stable identity of a registered query: hash of the plan function's
+    source, its oracle SQL, AND the support-code hash of every engine
+    module its plan module imports (transitively). Changes to ANY of the
+    three invalidate old driver evidence. Falls back to the repr when
+    source is unavailable (e.g. a lambda defined in a REPL) — still
+    deterministic per commit."""
+    import hashlib
+    import inspect
+    import sys
 
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = repr(fn)
-    payload = src + "\n--oracle--\n" + (oracle_sql or "<no-oracle>")
+    support = ""
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    if mod is not None and mod.__name__.startswith(_PKG_PREFIX):
+        support = _support_hash(mod)
+    payload = (src + "\n--oracle--\n" + (oracle_sql or "<no-oracle>")
+               + "\n--support--\n" + support)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

@@ -805,12 +805,17 @@ def q118_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     POSITIVE balance and who have never ordered. Three distinct plan
     ingredients in one query: an uncorrelated scalar subquery (1-row
     broadcast cross join, no shuffle), a left_anti join against the
-    orders fact (the NOT EXISTS), and a small group-agg. The balance
-    sum goes through DECIMAL(18,4) for the order-independent hash."""
+    orders fact (the NOT EXISTS), and a small group-agg. BOTH money
+    aggregates go through DECIMAL(18,4): the threshold average
+    especially — a raw double AVG is partial-sum-order-dependent at the
+    ulp level, and a customer within one ulp of the boundary would flip
+    the strict '>' membership between engines (the repo's decimal-sum
+    canon, tests/test_canon.py)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg"))
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("__avg"))
     rich = (c.join(F.broadcast(avg_bal))
             .filter(F.col("c_acctbal") > F.col("__avg")))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
@@ -828,8 +833,9 @@ Q118_SQL = """
 SELECT n.n_name, count(*) AS numcust,
        CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                     WHERE c_acctbal > 0)
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                                 AS DOUBLE) / count(*)
+                     FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY 1
 """

@@ -124,11 +124,22 @@ def _tree_col(node, parent_path: str = "") -> Column:
 
 
 def _path_exists(schema, path: str) -> bool:
-    """Does a (possibly dotted) field path resolve in this schema?"""
+    """Does a (possibly dotted) field path resolve in this schema?
+    A path segment that lands on an ARRAY of documents raises instead of
+    answering: Mongo projects through arrays ({'products.price': 1}
+    keeps products as an array of {price} docs), a shape the struct
+    reconstruction here doesn't build — silently dropping the field
+    would lose data, so the caller must ``$unwind`` first (which is what
+    the reference's own pipelines do, ref loanapplication_table.py:33)."""
     from pyspark.sql import types as ST
 
     node = schema
-    for part in path.split("."):
+    parts = path.split(".")
+    for i, part in enumerate(parts):
+        if isinstance(node, ST.ArrayType) and i > 0:
+            raise ValueError(
+                f"$project include through an array at '{path}' is "
+                "unsupported: $unwind the array first")
         if not isinstance(node, ST.StructType) or part not in node.names:
             return False
         node = node[part].dataType

@@ -35,18 +35,20 @@ def _hive_unescape(name: str) -> str:
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     .unescapePathName: every %XX with two hex digits decodes; malformed
     sequences pass through literally."""
+    import string
+
     out = []
     i, n = 0, len(name)
     while i < n:
         c = name[i]
         if c == "%" and i + 3 <= n:
             hx = name[i + 1:i + 3]
-            try:
+            # strict two-hex-digit rule like the Java implementation —
+            # int(hx, 16) alone would also accept '+5' or ' f'
+            if all(ch in string.hexdigits for ch in hx):
                 out.append(chr(int(hx, 16)))
                 i += 3
                 continue
-            except ValueError:
-                pass
         out.append(c)
         i += 1
     return "".join(out)

@@ -189,3 +189,23 @@ def test_all_13_reference_pipelines_drive_migrate_e2e(spark, tmp_path):
         a = sorted(map(repr, wh_raw.read(name).collect()))
         b = sorted(map(repr, wh_piped.read(name).collect()))
         assert a == b and len(a) > 0, f"warehouse parity broke for {name}"
+
+
+def test_project_include_through_array_raises(spark):
+    """Mongo projects through arrays of documents; our struct
+    reconstruction doesn't build that shape — the include must fail
+    loudly ('$unwind first'), never silently drop the field."""
+    import pytest
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(_id="t1", products=[Row(price=1.0), Row(price=2.0)]),
+    ])
+    with pytest.raises(ValueError, match="unwind"):
+        apply_pipeline(df, [{"$project": {"products.price": 1}}])
+    # after $unwind the same include works (the reference's own shape)
+    out = apply_pipeline(df, [
+        {"$unwind": {"path": "$products"}},
+        {"$project": {"products.price": 1}},
+    ])
+    assert [r.products.price for r in out.collect()] == [1.0, 2.0]

@@ -902,3 +902,22 @@ def test_decode_audio_pcm_and_float_samples(spark):
     assert rows["1"].duration_ms == 500 and abs(rows["1"].peak - amp) < 0.01
     assert rows["2"].format is None     # compressed codec -> null fallback
     assert rows["3"].format is None
+
+
+def test_video_header_huge_duration_never_overflows(spark):
+    """A hostile v1 mvhd with duration ~2^60 must degrade via the clamp,
+    never crash the scan with an ANSI ARITHMETIC_OVERFLOW."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        video_media_features,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    mv = (b"\x01\x00\x00\x00"
+          + struct.pack(">QQIQ", 1, 2, 600, 1 << 60) + b"\x00" * 80)
+    hostile = ftyp + _box(b"moov", _box(b"mvhd", mv))
+    df = spark.createDataFrame([(1, bytearray(hostile))],
+                               "media_id long, payload binary")
+    r = video_media_features(df, "media_id", "payload").collect()[0]
+    assert r.format == "mp4" and r.duration_ms is not None  # clamped, alive

@@ -241,3 +241,32 @@ def test_new_text_audits_are_shuffle_free(spark, sf_dir):
     for fn in (q109_repetition_ratio, q110_pii_redaction):
         plan = _formatted_plan(fn(spark, sf_dir))
         assert ") Exchange" not in plan, plan
+
+
+def test_fingerprint_covers_support_modules():
+    """Review finding r5: plan functions are thin wrappers, so the
+    fingerprint must incorporate the transitive source of the engine
+    modules the plan module imports — an operators/ edit re-pins its
+    consumers even when the wrapper's own source is untouched."""
+    from airflow_pipelines_from_mongo_to_postgres_spark import plans
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans import llmdata
+
+    names = {m.__name__.rsplit(".", 1)[-1]
+             for m in plans._support_modules(llmdata)}
+    # direct imports AND transitive ones (dedup imports functions.text)
+    assert {"dedup", "similarity", "text", "catalog"} <= names
+
+    fp_before = plans.fingerprint(
+        "q26", llmdata.q26_ngram_jaccard_pairs, "SELECT 1")
+    key = llmdata.__name__
+    old = plans._SUPPORT_HASH_CACHE.get(key)
+    try:
+        plans._SUPPORT_HASH_CACHE[key] = "poisoned-support-hash"
+        fp_after = plans.fingerprint(
+            "q26", llmdata.q26_ngram_jaccard_pairs, "SELECT 1")
+    finally:
+        if old is None:
+            plans._SUPPORT_HASH_CACHE.pop(key, None)
+        else:
+            plans._SUPPORT_HASH_CACHE[key] = old
+    assert fp_before != fp_after

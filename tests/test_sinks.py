@@ -405,3 +405,15 @@ def test_lake_recover_restores_crashed_merge_then_rerun_converges(spark, tmp_pat
     assert snap(crash) == want
     import os
     assert not os.path.exists(f"{crash}/_pending")
+
+
+def test_hive_unescape_strict_hex_only():
+    """Malformed % sequences pass through literally (the Java rule);
+    int()-style '+5'/' f' laxity must not decode control characters."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import _hive_unescape
+
+    assert _hive_unescape("a%3Ab") == "a:b"
+    assert _hive_unescape("x%2Fy%25") == "x/y%"
+    assert _hive_unescape("bad%+5seq") == "bad%+5seq"
+    assert _hive_unescape("bad% fseq") == "bad% fseq"
+    assert _hive_unescape("tail%2") == "tail%2"
