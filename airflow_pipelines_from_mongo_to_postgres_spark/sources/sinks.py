@@ -285,25 +285,42 @@ def write_range_layout(df: DataFrame, path: str,
 
 def write_zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
                         num_files: int, bits: int = 8) -> None:
-    """Two-dimensional data-skipping layout: interleave the bits of both
-    columns' range-bucket ranks into a Z-value, then range-partition and
+    """Two-dimensional Z-order layout — kept as the common-case API;
+    delegates to the N-column generalization below."""
+    write_zorder_layout_n(df, path, [col_a, col_b], num_files, bits=bits)
+
+
+def write_zorder_layout_n(df: DataFrame, path: str, cols: Sequence[str],
+                          num_files: int, bits: int = 8) -> None:
+    """K-dimensional data-skipping layout: interleave the bits of every
+    column's range-bucket rank into one Z-value (round-robin, column 0's
+    bit most significant within each round), then range-partition and
     sort on it — the multi-column generalization of
-    ``write_range_layout``. Files then cover small RECTANGLES of the
-    (a, b) space instead of slabs of a single column, so a selective
-    filter on EITHER column (or both) skips most files via parquet
-    footer min/max stats; a single-column sort only skips for its lead
-    column.
+    ``write_range_layout``. Files then cover small HYPERRECTANGLES of
+    the column space instead of slabs of a single column, so a selective
+    filter on ANY of the layout columns (or several) skips most files
+    via parquet footer min/max stats; a single-column sort only skips
+    for its lead column.
 
     Bucket ranks come from one tiny min/max aggregate broadcast back
     (map-side math, no shuffle beyond the final range partition); the
-    interleave is ``2·bits`` shift/or terms — flat JVM expressions inside
-    codegen. The Z column is dropped before writing."""
+    interleave is ``k·bits`` shift/or terms — flat JVM expressions
+    inside codegen. ``k·bits`` must fit a long (≤ 63); past ~4 columns
+    drop ``bits`` — more dimensions at coarser resolution skips better
+    than fewer at finer, the standard Z-order trade-off. The Z column
+    is dropped before writing."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("write_zorder_layout_n needs at least one column")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long; "
+                         "reduce bits")
     lv = (1 << bits) - 1
-    bounds = df.agg(
-        F.min(F.col(col_a).cast("double")).alias("__amin"),
-        F.max(F.col(col_a).cast("double")).alias("__amax"),
-        F.min(F.col(col_b).cast("double")).alias("__bmin"),
-        F.max(F.col(col_b).cast("double")).alias("__bmax"))
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__min{j}"),
+                 F.max(F.col(c).cast("double")).alias(f"__max{j}")]
+    bounds = df.agg(*aggs)
 
     def bucket(c, mn, mx):
         span = F.col(mx) - F.col(mn)
@@ -313,19 +330,20 @@ def write_zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
         return F.least(F.lit(lv).cast("long"),
                        F.floor(frac * (lv + 1)).cast("long"))
 
-    a = bucket(col_a, "__amin", "__amax")
-    b = bucket(col_b, "__bmin", "__bmax")
+    ranks = [bucket(c, f"__min{j}", f"__max{j}")
+             for j, c in enumerate(cols)]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(a, i) % 2, 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b, i) % 2, 2 * i))
+        for j, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, i) % 2, i * k + (k - 1 - j)))
+    drop_cols = ["__z"] + [f"__min{j}" for j in range(k)] \
+        + [f"__max{j}" for j in range(k)]
     (df.crossJoin(F.broadcast(bounds))
        .withColumn("__z", z)
        .repartitionByRange(num_files, F.col("__z"))
        .sortWithinPartitions("__z")
-       .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+       .drop(*drop_cols)
        .write.mode("overwrite").parquet(path))
 
 

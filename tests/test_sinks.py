@@ -417,3 +417,49 @@ def test_hive_unescape_strict_hex_only():
     assert _hive_unescape("bad%+5seq") == "bad%+5seq"
     assert _hive_unescape("bad% fseq") == "bad% fseq"
     assert _hive_unescape("tail%2") == "tail%2"
+
+
+def test_zorder_n_three_columns_skip_on_each(spark, tmp_path):
+    """The k-dimensional Z-order: with a 3-column layout, a selective
+    slice on EVERY one of the three columns touches at most half the
+    files (a linear layout only localizes its lead column)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        write_zorder_layout_n,
+    )
+
+    n = 32_768
+    grid = spark.range(n).select(
+        (F.col("id") % 32).alias("a"),
+        ((F.col("id") / 32) % 32).cast("long").alias("b"),
+        (F.col("id") / 1024).cast("long").alias("c"))
+    path = str(tmp_path / "z3")
+    write_zorder_layout_n(grid, path, ["a", "b", "c"], num_files=32, bits=5)
+
+    def files_with_slice(col, lo, hi):
+        hits, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                hits += 1
+        return hits, total
+
+    for col in ("a", "b", "c"):
+        hits, total = files_with_slice(col, 3, 6)
+        assert hits <= total // 2, (col, hits, total)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n and back.columns == ["a", "b", "c"]
+
+    import pytest
+    with pytest.raises(ValueError, match="exceeds a long"):
+        write_zorder_layout_n(grid, path, ["a"] * 8, num_files=4, bits=8)
