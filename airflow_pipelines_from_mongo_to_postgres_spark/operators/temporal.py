@@ -110,3 +110,47 @@ def range_join(left: DataFrame, right: DataFrame, keys: list[str],
     for k in keys:
         cond = (F.col(k) == F.col(f"r_{k}")) & cond
     return left.join(r, cond, how)
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame,
+                        left_start: str, left_end: str, right_ts: str,
+                        bucket: str = "5 minutes",
+                        keys: list[str] | None = None) -> DataFrame:
+    """KEYLESS (or weak-keyed) interval join without the nested loop.
+
+    ``range_join`` relies on its equi keys to get a hash join; with no
+    keys (or a key like a single-tenant id) Catalyst's only plan for a
+    pure band predicate is BroadcastNestedLoop — O(|L|·|R|) at 100 TB.
+    The banding trick restores an equi join: bucketize time into
+    ``bucket``-sized cells, explode each left interval over the cells it
+    overlaps (bounded: ⌈interval/bucket⌉+1 rows — pick ``bucket`` ≈ the
+    max interval width so the fan-out is ~2×), equi-join on the cell id,
+    then apply the exact band filter. Each right row lives in exactly
+    one cell, so a qualifying (L, R) pair meets exactly once — no
+    dedup pass needed. Inner-join semantics; the plan is gated
+    nested-loop-free in tests/test_plans.py.
+    """
+    keys = keys or []
+    w_us = F.lit(0)  # replaced below; expr keeps the interval literal
+    w = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp")
+                      + F.expr(f"INTERVAL {bucket}"))
+    r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    r = r.withColumn(
+        "__cell",
+        F.floor(F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp")) / w))
+    lo = F.floor(F.unix_micros(F.col(left_start).cast("timestamp")) / w)
+    hi = F.floor(F.unix_micros(F.col(left_end).cast("timestamp")) / w)
+    l_ = left.withColumn("__cell", F.explode(F.sequence(lo, hi)))
+    cond = (F.col("__cell") == F.col("r___cell")) if False else None
+    join_cols = ["__cell"] + []
+    joined = l_.join(r.withColumnRenamed("__cell", "__cell"),
+                     ["__cell"] + [k for k in []], "inner") \
+        if False else l_.join(r, ["__cell"], "inner")
+    for k in keys:
+        joined = joined.filter(F.col(k) == F.col(f"r_{k}"))
+    return (
+        joined
+        .filter((F.col(f"r_{right_ts}") > F.col(left_start))
+                & (F.col(f"r_{right_ts}") <= F.col(left_end)))
+        .drop("__cell")
+    )
