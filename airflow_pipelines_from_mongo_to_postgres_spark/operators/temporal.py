@@ -112,6 +112,16 @@ def range_join(left: DataFrame, right: DataFrame, keys: list[str],
     return left.join(r, cond, how)
 
 
+def _interval_micros(bucket: str):
+    """Width of an SQL interval literal body in microseconds, as a
+    foldable Column. Anchored at an explicitly-UTC epoch literal
+    (``TIMESTAMP '...Z'``) so the session timezone cannot leak into the
+    value — a bare epoch string cast to timestamp is interpreted in
+    session time, making the width ``tz_offset + bucket`` off-UTC."""
+    return F.unix_micros(
+        F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {bucket}"))
+
+
 def range_join_bucketed(left: DataFrame, right: DataFrame,
                         left_start: str, left_end: str, right_ts: str,
                         bucket: str = "5 minutes",
@@ -124,33 +134,34 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
     The banding trick restores an equi join: bucketize time into
     ``bucket``-sized cells, explode each left interval over the cells it
     overlaps (bounded: ⌈interval/bucket⌉+1 rows — pick ``bucket`` ≈ the
-    max interval width so the fan-out is ~2×), equi-join on the cell id,
-    then apply the exact band filter. Each right row lives in exactly
-    one cell, so a qualifying (L, R) pair meets exactly once — no
-    dedup pass needed. Inner-join semantics; the plan is gated
-    nested-loop-free in tests/test_plans.py.
-    """
+    max interval width so the fan-out is ~2×), equi-join on the cell id
+    (plus any ``keys``), then apply the exact band filter. Each right
+    row lives in exactly one cell, so a qualifying (L, R) pair meets
+    exactly once — no dedup pass needed. Inner-join semantics. Gates:
+    tests/test_plans.py::test_range_join_bucketed_plan_is_hash_join
+    asserts the physical plan is a shuffled hash/sort-merge join with
+    no BroadcastNestedLoop; q119_error_burst_windows runs it against a
+    DuckDB oracle.
+
+    The cell width comes from the interval literal anchored at an
+    explicitly-UTC epoch (``TIMESTAMP '...Z'``), so an off-UTC session
+    timezone cannot silently inflate the bucket size (and with it the
+    explode fan-out)."""
     keys = keys or []
-    w_us = F.lit(0)  # replaced below; expr keeps the interval literal
-    w = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp")
-                      + F.expr(f"INTERVAL {bucket}"))
+    w = _interval_micros(bucket)
     r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
     r = r.withColumn(
-        "__cell",
+        "__rcell",
         F.floor(F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp")) / w))
     lo = F.floor(F.unix_micros(F.col(left_start).cast("timestamp")) / w)
     hi = F.floor(F.unix_micros(F.col(left_end).cast("timestamp")) / w)
     l_ = left.withColumn("__cell", F.explode(F.sequence(lo, hi)))
-    cond = (F.col("__cell") == F.col("r___cell")) if False else None
-    join_cols = ["__cell"] + []
-    joined = l_.join(r.withColumnRenamed("__cell", "__cell"),
-                     ["__cell"] + [k for k in []], "inner") \
-        if False else l_.join(r, ["__cell"], "inner")
+    cond = F.col("__cell") == F.col("__rcell")
     for k in keys:
-        joined = joined.filter(F.col(k) == F.col(f"r_{k}"))
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
     return (
-        joined
+        l_.join(r, cond, "inner")
         .filter((F.col(f"r_{right_ts}") > F.col(left_start))
                 & (F.col(f"r_{right_ts}") <= F.col(left_end)))
-        .drop("__cell")
+        .drop("__cell", "__rcell")
     )

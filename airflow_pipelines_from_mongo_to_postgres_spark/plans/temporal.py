@@ -370,6 +370,45 @@ FROM h GROUP BY 1
 """
 
 
+# --- q119: KEYLESS interval join — global activity burst after each error ----
+def q119_error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event opens a GLOBAL 2-minute window (no user key):
+    count and value-sum every event of any user inside it. With no equi
+    key, Catalyst's native plan for the band predicate is
+    BroadcastNestedLoop — O(|errors|·|events|); ``range_join_bucketed``
+    restores a hash join by bucketizing time into 2-minute cells
+    (explode fan-out ≤ 2 cells per error). Plan gated nested-loop-free
+    in tests/test_plans.py. Value sums as DECIMAL (exact,
+    order-independent) then casts double — the established
+    cross-engine hash-stability rule for events.value aggregates."""
+    e = load_table(spark, "events", sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("end_ts"),
+    )
+    joined = temporal.range_join_bucketed(
+        errors, e.select("event_id", "ts", "value"),
+        left_start="start_ts", left_end="end_ts", right_ts="ts",
+        bucket="2 minutes")
+    return joined.groupBy("event_id").agg(
+        F.count("r_event_id").alias("events_in_burst"),
+        F.round(F.sum(F.col("r_value").cast("decimal(18,4)"))
+                .cast("double"), 4).alias("burst_value"),
+    )
+
+
+Q119_SQL = """
+SELECT x.event_id, count(e.event_id) AS events_in_burst,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS burst_value
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') x
+JOIN events e
+  ON e.ts > x.ts AND e.ts <= x.ts + INTERVAL 2 MINUTE
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q42_asof_join": q42_asof_join,
     "q43_range_join": q43_range_join,
@@ -380,6 +419,7 @@ QUERIES = {
     "q115_quantile_claim": q115_quantile_claim,
     "q116_twap": q116_twap,
     "q117_ohlc": q117_ohlc,
+    "q119_error_burst_windows": q119_error_burst_windows,
 }
 
 ORACLES = {
@@ -392,4 +432,5 @@ ORACLES = {
     "q115_quantile_claim": Q115_SQL,
     "q116_twap": Q116_SQL,
     "q117_ohlc": Q117_SQL,
+    "q119_error_burst_windows": Q119_SQL,
 }

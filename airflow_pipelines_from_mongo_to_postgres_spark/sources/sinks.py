@@ -283,6 +283,39 @@ def write_range_layout(df: DataFrame, path: str,
        .write.mode("overwrite").parquet(path))
 
 
+_PARTITION_TOKEN_CACHE: dict[int, list[int]] = {}
+
+
+def _identity_partition_tokens(spark, n: int) -> list[int]:
+    """Long tokens ``t_0..t_{n-1}`` with ``pmod(hash(t_i), n) == i``.
+
+    ``df.repartition(n, col)`` places a row in partition
+    ``pmod(murmur3_42(col), n)`` — the same function ``F.hash`` exposes.
+    Pre-imaging it lets a plan target exact partition ids through the
+    ordinary deterministic hash exchange (no range sampling). Tokens are
+    found by probing ``spark.range`` chunks through ``F.hash`` itself
+    (so the value/type semantics match the exchange exactly: LongType,
+    seed 42); the collect is bounded at ≤ n rows per chunk and the
+    result is cached per n — murmur3's seed is fixed, so tokens are
+    valid across sessions."""
+    if n in _PARTITION_TOKEN_CACHE:
+        return _PARTITION_TOKEN_CACHE[n]
+    found: dict[int, int] = {}
+    start, chunk = 0, max(8 * n, 256)
+    while len(found) < n:
+        rows = (spark.range(start, start + chunk)
+                .select(F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"),
+                        F.col("id"))
+                .groupBy("p").agg(F.min("id").alias("t"))
+                .collect())
+        for r in rows:
+            found.setdefault(r.p, r.t)
+        start += chunk
+    tokens = [found[i] for i in range(n)]
+    _PARTITION_TOKEN_CACHE[n] = tokens
+    return tokens
+
+
 def write_zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
                         num_files: int, bits: int = 8) -> None:
     """Two-dimensional Z-order layout — kept as the common-case API;
@@ -308,7 +341,23 @@ def write_zorder_layout_n(df: DataFrame, path: str, cols: Sequence[str],
     inside codegen. ``k·bits`` must fit a long (≤ 63); past ~4 columns
     drop ``bits`` — more dimensions at coarser resolution skips better
     than fewer at finer, the standard Z-order trade-off. The Z column
-    is dropped before writing."""
+    is dropped before writing.
+
+    File-cut alignment: partitioning on the raw ``__z`` lets Spark's
+    range sampler place file boundaries MID-octant, which destroys the
+    skip bound for the column holding the fewest selector bits — and
+    even range-partitioning on the octant id is sampled, so two octants
+    can land in one file while another file goes empty. The exchange is
+    therefore made EXACT: each row's file id is the
+    ``ceil(log2(num_files))``-bit prefix of ``__z`` packed contiguously
+    into ``0..num_files-1`` (pure integer math, cuts on octant
+    boundaries by construction), and the file id is then mapped through
+    a driver-computed hash-preimage token table
+    (``_identity_partition_tokens``) so the ordinary hash exchange
+    places file id *i* in partition *i* deterministically — no sampling
+    anywhere. A non-power-of-two ``num_files`` packs adjacent whole
+    octants of the next power of two into some files; cuts stay
+    octant-aligned."""
     k = len(cols)
     if k < 1:
         raise ValueError("write_zorder_layout_n needs at least one column")
@@ -337,11 +386,20 @@ def write_zorder_layout_n(df: DataFrame, path: str, cols: Sequence[str],
         for j, r in enumerate(ranks):
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(r, i) % 2, i * k + (k - 1 - j)))
-    drop_cols = ["__z"] + [f"__min{j}" for j in range(k)] \
+    prefix_bits = min((num_files - 1).bit_length(), k * bits) \
+        if num_files > 1 else 0
+    # contiguous octant pack: fid = floor(octant * num_files / 2^prefix)
+    fid = F.shiftright(
+        F.shiftright(F.col("__z"), k * bits - prefix_bits)
+        * F.lit(num_files).cast("long"), prefix_bits)
+    tokens = _identity_partition_tokens(df.sparkSession, num_files)
+    tok_arr = F.array(*[F.lit(int(t)).cast("long") for t in tokens])
+    drop_cols = ["__z", "__tok"] + [f"__min{j}" for j in range(k)] \
         + [f"__max{j}" for j in range(k)]
     (df.crossJoin(F.broadcast(bounds))
        .withColumn("__z", z)
-       .repartitionByRange(num_files, F.col("__z"))
+       .withColumn("__tok", F.element_at(tok_arr, (fid + 1).cast("int")))
+       .repartition(num_files, F.col("__tok"))
        .sortWithinPartitions("__z")
        .drop(*drop_cols)
        .write.mode("overwrite").parquet(path))

@@ -270,3 +270,19 @@ def test_fingerprint_covers_support_modules():
         else:
             plans._SUPPORT_HASH_CACHE[key] = old
     assert fp_before != fp_after
+
+
+def test_range_join_bucketed_plan_is_hash_join(spark, sf_dir):
+    """q119's keyless band join must NOT plan as BroadcastNestedLoop
+    (O(|L|·|R|) at 100 TB): the cell-id banding restores an equi key,
+    so the physical plan must carry a hash or sort-merge join and no
+    nested-loop/cartesian operator anywhere."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.temporal import (
+        q119_error_burst_windows,
+    )
+
+    plan = _formatted_plan(q119_error_burst_windows(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+            or "BroadcastHashJoin" in plan), plan

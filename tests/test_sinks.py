@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
@@ -463,3 +464,46 @@ def test_zorder_n_three_columns_skip_on_each(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="exceeds a long"):
         write_zorder_layout_n(grid, path, ["a"] * 8, num_files=4, bits=8)
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+@pytest.mark.parametrize("num_files", [16, 32])
+def test_zorder_n_skip_bound_matrix(spark, tmp_path, k, num_files):
+    """The k-column skip guarantee across the (k, num_files) matrix:
+    with 4-bit bucket ranks every layout column's TOP bucket bit sits
+    in the file selector for all of these shapes, so a slice confined
+    to the lower half of ANY column touches at most half the files.
+    Exact-by-construction file cuts (hash-preimage exchange) make this
+    deterministic — no range-sampler jitter."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        write_zorder_layout_n,
+    )
+
+    cols = [chr(ord("a") + j) for j in range(k)]
+    n = 16 ** k
+    grid = spark.range(n).select(
+        *[((F.col("id") / (16 ** j)) % 16).cast("long").alias(c)
+          for j, c in enumerate(cols)])
+    path = str(tmp_path / f"z{k}_{num_files}")
+    write_zorder_layout_n(grid, path, cols, num_files=num_files, bits=4)
+
+    files = glob.glob(f"{path}/*.parquet")
+    for col in cols:
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= 2 and fmin <= 5:
+                hits += 1
+        assert hits <= len(files) // 2, (k, num_files, col, hits, len(files))
+
+    back = spark.read.parquet(path)
+    assert back.count() == n and sorted(back.columns) == cols

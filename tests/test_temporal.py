@@ -199,3 +199,64 @@ def test_ohlc_invariants(spark, sf_dir):
         assert r.low <= r.close <= r.high
     total = load_table(spark, "events", sf_dir).count()
     assert sum(r.n_events for r in rows) == total
+
+
+def test_range_join_bucketed_matches_plain_range_join(spark):
+    """Keyless banding parity: the cell-explode equi join must produce
+    exactly the plain band-predicate result (each qualifying pair once —
+    the one-cell-per-right-row argument), including the half-open
+    bounds, and regardless of where intervals straddle cell edges."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i, _ts(f"2024-01-01 10:{i:02d}:30"),
+          _ts(f"2024-01-01 10:{i + 7:02d}:30")) for i in range(0, 40, 3)],
+        ["lid", "start_ts", "end_ts"])
+    right = spark.createDataFrame(
+        [(j, _ts(f"2024-01-01 10:{j:02d}:{15 * (j % 4):02d}"), float(j))
+         for j in range(50)],
+        ["rid", "ts", "v"])
+
+    plain = {(r.lid, r.r_rid) for r in
+             range_join(left, right, [], "start_ts", "end_ts", "ts").collect()}
+    banded = {(r.lid, r.r_rid) for r in
+              range_join_bucketed(left, right, "start_ts", "end_ts", "ts",
+                                  bucket="5 minutes").collect()}
+    assert plain and banded == plain
+
+
+def test_range_join_bucketed_width_is_timezone_independent(spark):
+    """The bucket width derives from the interval literal at an
+    explicit-UTC anchor: an off-UTC session timezone must not inflate
+    cell size (tz_offset + bucket was the old bug — results stayed
+    right but the explode fan-out silently ballooned)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:30"), _ts("2024-01-01 10:04:30"))],
+        ["lid", "start_ts", "end_ts"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:02:00"), 1.0),
+         (2, _ts("2024-01-01 10:09:00"), 2.0)],
+        ["rid", "ts", "v"])
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.temporal import (
+        _interval_micros,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        # the width itself: with the old epoch-string anchor this came
+        # back as tz_offset + bucket (hours, not minutes) off-UTC
+        width = spark.range(1).select(
+            _interval_micros("2 minutes").alias("w")).first().w
+        assert width == 120_000_000
+        out = range_join_bucketed(left, right, "start_ts", "end_ts", "ts",
+                                  bucket="2 minutes")
+        assert {r.r_rid for r in out.collect()} == {1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
