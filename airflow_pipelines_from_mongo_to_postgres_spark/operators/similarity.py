@@ -330,6 +330,16 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
     the post-execution adaptive plan in tests/test_plans.py). No
     persist() needed, nothing to unpersist.
     """
+    return semantic_dedup_state(df, id_col, vec_col, threshold, centroids) \
+        .select(F.col("vid").alias("vec_id"), "cell", "is_kept")
+
+
+def _assign_cells(df: DataFrame, id_col: str, vec_col: str,
+                  centroids: list) -> DataFrame:
+    """(vid, unit-vector v, nearest cell) via the broadcast-argmin plan
+    shared by semantic_dedup_state and incremental_semantic_dedup: one
+    map-side score against the broadcast centroid table, one hash-agg
+    shuffle of one row per vector."""
     c = spread(df).select(F.col(id_col).alias("vid"),
                           V.unit(V.as_double(vec_col)).alias("v"))
     centroid_rows = [(i, [float(x) for x in ctr],
@@ -337,7 +347,7 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
                      for i, ctr in enumerate(centroids)]
     cent = df.sparkSession.createDataFrame(
         centroid_rows, "cell int, cvec array<double>, c2 double")
-    assigned = (
+    return (
         c.join(F.broadcast(cent))
         .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("v"), F.col("cvec")))
         .groupBy("vid")
@@ -345,6 +355,14 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
              F.first("v").alias("v"))
         .select("vid", "v", F.col("m.cell").alias("cell"))
     )
+
+
+def semantic_dedup_state(df: DataFrame, id_col: str, vec_col: str,
+                         threshold: float, centroids: list) -> DataFrame:
+    """``semantic_dedup_ivf`` with the unit vector kept in the output:
+    ``(vid, v, cell, is_kept)`` — the STANDING STATE consumed by
+    ``incremental_semantic_dedup`` for append-batch maintenance."""
+    assigned = _assign_cells(df, id_col, vec_col, centroids)
     a = assigned.select(F.col("vid").alias("d1"), F.col("cell"),
                         F.col("v").alias("v1"))
     b = assigned.select(F.col("vid").alias("d2"), F.col("cell"),
@@ -360,9 +378,71 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
     return (
         assigned.join(dropped.withColumn("__dropped", F.lit(True)),
                       "vid", "left")
-        .select(F.col("vid").alias("vec_id"), "cell",
+        .select("vid", "v", "cell",
                 F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"))
     )
+
+
+def incremental_semantic_dedup(standing: DataFrame, new_vecs: DataFrame,
+                               id_col: str, vec_col: str,
+                               threshold: float, centroids: list,
+                               enforce_monotone: bool = True
+                               ) -> tuple[DataFrame, DataFrame]:
+    """Semantic-dedup index maintenance for an APPENDED vector batch —
+    the embedding-space twin of ``incremental_jaccard_pairs``. The batch
+    is assigned to cells with the SAME frozen quantizer as the standing
+    state, then compared against batch ∪ (standing ∩ its cells) only:
+    pair work is Σ|cell ∩ batch|·|cell| — proportional to the batch,
+    never old×old (the standing verdicts already hold those). Returns
+    ``(delta_state, updated_state)`` where ``delta_state`` is one
+    ``(vid, v, cell, is_kept)`` row per new vector; standing ∪ delta ==
+    full ``semantic_dedup_state`` recompute over the union is the
+    property test in tests/test_similarity.py.
+
+    Scale shape: the batch side of the cell join is small, so AQE
+    broadcasts it — the lake-sized standing state is SCANNED, not
+    shuffled (same discipline as the shingle-index probe join).
+
+    Monotone-append contract: the min-id keeper makes old verdicts
+    depend only on earlier ids, so standing verdicts stay valid iff
+    every new id sorts AFTER every standing id. ENFORCED via two 1-row
+    bounded aggregates (max standing id vs min batch id — the same
+    guard-collect class as incremental_jaccard_pairs' 5-row sample);
+    out-of-order ids would silently flip old verdicts, so they raise.
+    Pipelines with a monotone id-assignment service can pass
+    ``enforce_monotone=False`` to skip the two probe jobs."""
+    new_assigned = _assign_cells(new_vecs, id_col, vec_col, centroids)
+    if enforce_monotone:
+        mx = standing.agg(F.max("vid")).first()[0]
+        mn = new_vecs.agg(F.min(id_col)).first()[0]
+        if mx is not None and mn is not None and mn <= mx:
+            raise ValueError(
+                "incremental_semantic_dedup: batch id "
+                f"{mn!r} does not sort after the standing max {mx!r}; "
+                "monotone-append contract violated — out-of-order ids "
+                "would flip standing keeper verdicts (full recompute or "
+                "the merge path handles those)")
+    earlier = standing.select("vid", "v", "cell").unionByName(new_assigned)
+    a = earlier.select(F.col("vid").alias("d1"), F.col("cell"),
+                       F.col("v").alias("v1"))
+    b = new_assigned.select(F.col("vid").alias("d2"), F.col("cell"),
+                            F.col("v").alias("v2"))
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(F.round(V.dot(F.col("v1"), F.col("v2")), 6)
+                >= F.lit(threshold))
+        .select(F.col("d2").alias("vid"))
+        .distinct()
+    )
+    delta = (
+        new_assigned.join(dropped.withColumn("__dropped", F.lit(True)),
+                          "vid", "left")
+        .select("vid", "v", "cell",
+                F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"))
+    )
+    return delta, standing.select("vid", "v", "cell", "is_kept") \
+        .unionByName(delta)
 
 
 def cosine_threshold_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,

@@ -98,13 +98,23 @@ def train_bpe_merges(df: DataFrame, text_col: str, num_merges: int,
 
 
 def bpe_encode_words(words: DataFrame, word_col: str,
-                     merges: list, out_col: str = "pieces") -> DataFrame:
+                     merges: list, out_col: str = "pieces",
+                     checkpoint_every: int = 64) -> DataFrame:
     """Segment each word with a trained merge list — merges applied in
     rule-priority order, entirely as chained Column folds (no Python
-    workers). Expression depth grows with the rule count; for vocab-
-    sized rule lists apply in ``checkpoint_every``-sized projections
-    the same way training does (callers with >~100 rules should chunk)."""
+    workers). Expression depth grows with the rule count, so the fold
+    is automatically broken into ``checkpoint_every``-rule PROJECTIONS
+    (each ``select`` materializes one named column, resetting the
+    expression tree the analyzer/codegen must swallow — the encode-side
+    mirror of training's ``localCheckpoint`` lineage truncation). A
+    50k-rule production tokenizer therefore plans as ~800 stacked
+    projections instead of one 50k-deep expression; all still one
+    narrow map stage at runtime, no shuffle."""
     seq = _chars(word_col)
-    for a, b in merges:
+    out = words
+    for i, (a, b) in enumerate(merges):
         seq = merge_pair(seq, a, b)
-    return words.withColumn(out_col, seq)
+        if (i + 1) % checkpoint_every == 0:
+            out = out.withColumn(out_col, seq)
+            seq = F.col(out_col)
+    return out.withColumn(out_col, seq)

@@ -242,3 +242,44 @@ def test_semantic_dedup_recall_and_keeper_policy(spark, sf_dir):
     # recall of the cell approximation on this fixture/quantizer
     recall = len(same_cell) / len(brute)
     assert recall >= 0.3, recall
+
+
+def test_incremental_semantic_dedup_matches_full_recompute(spark, sf_dir):
+    """standing ∪ delta == full semantic_dedup_state over the union —
+    the append-batch maintenance property (embedding-space twin of the
+    incremental-jaccard parity test) — and the monotone-append guard
+    raises on out-of-order ids instead of silently flipping standing
+    keeper verdicts."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_dedup_state,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+
+    t = 0.42
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    cut = e.approxQuantile("vec_id", [0.8], 0.0)[0]
+    old, batch = e.filter(F.col("vec_id") < cut), e.filter(F.col("vec_id") >= cut)
+    assert old.count() > 0 and batch.count() > 0
+
+    standing = semantic_dedup_state(old, "vec_id", "embedding", t,
+                                    IVF_CENTROIDS)
+    delta, updated = incremental_semantic_dedup(
+        standing, batch, "vec_id", "embedding", t, IVF_CENTROIDS)
+
+    full = semantic_dedup_state(e, "vec_id", "embedding", t, IVF_CENTROIDS)
+    want = {r.vid: (r.cell, r.is_kept) for r in full.collect()}
+    got = {r.vid: (r.cell, r.is_kept) for r in updated.collect()}
+    assert got == want
+    # delta covers exactly the batch — one verdict row per new vector
+    assert {r.vid for r in delta.collect()} == \
+        {r.vec_id for r in batch.select("vec_id").collect()}
+
+    with pytest.raises(ValueError, match="monotone-append"):
+        incremental_semantic_dedup(updated, batch.limit(1), "vec_id",
+                                   "embedding", t, IVF_CENTROIDS)

@@ -96,3 +96,38 @@ def test_single_merge_pair_column(spark):
     df = spark.createDataFrame([(["a", "b", "a", "b", "b"],)], ["seq"])
     out = df.select(merge_pair("seq", "a", "b").alias("m")).first().m
     assert out == ["ab", "ab", "b"]
+
+
+def test_encode_chunks_deep_rule_lists_automatically(spark):
+    """>100-rule encode: the fold auto-breaks into checkpoint_every-rule
+    projections, so a deep rule list plans and runs without the caller
+    chunking by hand. Parity vs the sequential Python application of
+    the same rules in priority order, plus lossless roundtrip."""
+    import itertools
+    import zlib
+
+    words = ["".join(p) for p in itertools.product("abcd", repeat=5)][:500]
+    freqs = {w: (zlib.crc32(w.encode()) % 7) + 1 for w in words}
+    merges = _reference_bpe_train(freqs, 150, min_pair_freq=1)
+    assert len(merges) > 100  # the shape the old docstring punted on
+
+    def py_apply(w: str) -> list:
+        s = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    df = spark.createDataFrame([(w,) for w in words[:80]], ["w"])
+    got = {r.w: r.pieces for r in
+           bpe_encode_words(df, "w", merges, checkpoint_every=32).collect()}
+    for w, pieces in got.items():
+        assert "".join(pieces) == w
+        assert pieces == py_apply(w), w
