@@ -709,22 +709,146 @@ FRAMES_SCHEMA = StructType([
 ])
 
 
+def _jpeg_end(p: bytes, start: int) -> int | None:
+    """End offset (exclusive) of the JPEG starting at ``start`` — a
+    marker/entropy WALK, no decode: length-prefixed segments up to SOS,
+    then the entropy stream scanned for a real marker (FF00 stuffing and
+    FFD0–D7 restarts skipped) until EOI. Returns None on malformed or
+    truncated data (hostile-payload rule: never raise, never scan past
+    the buffer)."""
+    n = len(p)
+    if start + 2 > n or p[start] != 0xFF or p[start + 1] != 0xD8:
+        return None
+    i = start + 2
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m == 0xD9:                       # EOI before any scan
+            return i + 2
+        if 0xD0 <= m <= 0xD7 or m in (0x01, 0xFF):
+            i += 2
+            continue
+        seg = (p[i + 2] << 8) | p[i + 3]
+        if seg < 2 or i + 2 + seg > n:
+            return None
+        i += 2 + seg
+        if m == 0xDA:                       # entropy-coded scan
+            while i + 1 < n:
+                if p[i] != 0xFF:
+                    i += 1
+                    continue
+                mm = p[i + 1]
+                if mm == 0x00 or 0xD0 <= mm <= 0xD7:
+                    i += 2                  # stuffed byte / restart
+                elif mm == 0xD9:
+                    return i + 2
+                elif mm == 0xFF:
+                    i += 1                  # fill byte
+                else:
+                    break                   # next segment (multi-scan)
+            if i + 1 >= n:
+                return None
+    return None
+
+
+def mjpeg_frame_spans(p: bytes) -> list:
+    """(start, end) spans of each JPEG in a bare concatenated-MJPEG
+    stream. Stops at the first byte run that is not a valid JPEG, so a
+    corrupt tail yields the good prefix instead of garbage frames."""
+    spans, i = [], 0
+    while i + 2 <= len(p) and p[i] == 0xFF and p[i + 1] == 0xD8:
+        end = _jpeg_end(p, i)
+        if end is None:
+            break
+        spans.append((i, end))
+        i = end
+    return spans
+
+
+def avi_movi_frames(p: bytes) -> list:
+    """Video-frame payloads from a RIFF/AVI container: walk the chunk
+    tree to the 'movi' LIST and collect '..dc'/'..db' chunk bodies (the
+    compressed-frame chunks — JPEG data under the MJPG codec), honoring
+    word alignment and one level of 'rec ' interleave nesting. Pure
+    offset arithmetic from the RIFF spec; malformed sizes end the walk
+    early rather than raising (same guard discipline as the header
+    parsers in video_media_features)."""
+    out: list = []
+    if len(p) < 12 or p[0:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return out
+
+    def chunks(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            four = p[i:i + 4]
+            size = int.from_bytes(p[i + 4:i + 8], "little")
+            body = i + 8
+            if body + size > hi:
+                return
+            yield four, body, size
+            i = body + size + (size & 1)    # chunks are word-aligned
+
+    def collect(lo: int, hi: int, depth: int) -> None:
+        for four, body, size in chunks(lo, hi):
+            if four == b"LIST" and size >= 4 and depth > 0 \
+                    and p[body:body + 4] == b"rec ":
+                collect(body + 4, body + size, depth - 1)
+            elif four[2:4] in (b"dc", b"db") and size > 0:
+                out.append(p[body:body + size])
+
+    for four, body, size in chunks(12, len(p)):
+        if four == b"LIST" and size >= 4 and p[body:body + 4] == b"movi":
+            collect(body + 4, body + size, depth=1)
+            break
+    return out
+
+
+def extract_video_frames(p: bytes, n: int) -> list:
+    """Up to ``n`` evenly-spaced REAL frames from an MJPEG-family
+    payload: RIFF/AVI containers via the movi-chunk walk, bare
+    concatenated-JPEG streams via the marker walk — both decodable by
+    the package's own baseline-JPEG decoder, no codec dependency.
+    Returns [] for payloads that are neither (callers distinguish
+    "no frames" from the byte-slicing stub explicitly)."""
+    if len(p) >= 12 and p[0:4] == b"RIFF" and p[8:12] == b"AVI ":
+        frames = avi_movi_frames(p)
+    elif len(p) >= 2 and p[0] == 0xFF and p[1] == 0xD8:
+        frames = [p[s:e] for s, e in mjpeg_frame_spans(p)]
+    else:
+        return []
+    if len(frames) <= n:
+        return frames
+    # deterministic even spacing over the full duration, first frame kept
+    return [frames[(j * len(frames)) // n] for j in range(n)]
+
+
 def sample_frames(df: DataFrame, id_col: str, payload_col: str,
                   num_frames: int = 4,
                   sampler: Callable[[bytes, int], list[bytes]] | None = None,
                   ) -> DataFrame:
     """1→N mapInPandas frame sampling: each video payload row expands to
-    ``num_frames`` frame rows. The Arrow batch out is larger than the batch
-    in — mapInPandas (unlike a scalar pandas_udf) supports this shape,
-    which is why the whole multimodal family uses it. Stub sampler slices
-    the payload into ``num_frames`` even chunks."""
-    def _stub(p: bytes, n: int) -> list[bytes]:
+    up to ``num_frames`` frame rows. The Arrow batch out is larger than
+    the batch in — mapInPandas (unlike a scalar pandas_udf) supports
+    this shape, which is why the whole multimodal family uses it.
+
+    The default sampler extracts REAL frames from MJPEG-family payloads
+    (RIFF/AVI 'movi' chunks, bare concatenated-JPEG streams) via
+    ``extract_video_frames`` — each emitted frame is a complete JPEG the
+    package's own decoder handles. Payloads in neither format fall back
+    to deterministic even byte slices (the documented stand-in for
+    codecs this container has no decoder for — predictive-coded MP4
+    etc.); pass ``sampler`` to plug a real codec."""
+    def _default(p: bytes, n: int) -> list[bytes]:
         if not p:
             return []
+        real = extract_video_frames(p, n)
+        if real:
+            return real
         step = max(1, len(p) // n)
         return [p[i * step:(i + 1) * step] for i in range(min(n, len(p)))]
 
-    sm = sampler or _stub
+    sm = sampler or _default
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # 1→N via pandas explode: the sampler hook returns a frame list per

@@ -921,3 +921,108 @@ def test_video_header_huge_duration_never_overflows(spark):
                                "media_id long, payload binary")
     r = video_media_features(df, "media_id", "payload").collect()[0]
     assert r.format == "mp4" and r.duration_ms is not None  # clamped, alive
+
+
+# --- real MJPEG/AVI frame sampling ------------------------------------------
+
+def _pack_avi(frames, extra_rec_frames=(), junk_tail=b""):
+    """Hand-packed RIFF/AVI from the spec: hdrl stub + movi LIST holding
+    '00dc' frame chunks (word-aligned), optionally a nested 'rec ' LIST
+    (interleave shape), optionally trailing junk (idx1 stand-in)."""
+    import struct
+
+    def chunk(four, body):
+        return four + struct.pack("<I", len(body)) + body + \
+            (b"\x00" if len(body) & 1 else b"")
+
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    if extra_rec_frames:
+        rec = b"rec " + b"".join(chunk(b"00dc", f) for f in extra_rec_frames)
+        movi_body += chunk(b"LIST", rec)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi + junk_tail
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_frames_real_avi_mjpeg(spark):
+    """The stub seam is closed: sample_frames on a hand-packed MJPEG/AVI
+    yields COMPLETE JPEGs that the package's own decoder reconstructs to
+    the exact per-frame flat colors, in even-spacing order; a nested
+    'rec ' frame is picked up too."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        _decode_jpeg,
+        sample_frames,
+    )
+
+    shades = [20, 60, 100, 140, 180, 220]
+    jpegs = [_jpeg_encode(np.full((16, 16, 3), s, dtype=np.uint8),
+                          qy=1, qc=1) for s in shades]
+    avi = _pack_avi(jpegs[:5], extra_rec_frames=jpegs[5:],
+                    junk_tail=b"idx1\x04\x00\x00\x00JUNK")
+    df = spark.createDataFrame([("v1", bytearray(avi))],
+                               "mid string, payload binary")
+    rows = sorted(sample_frames(df, "mid", "payload", num_frames=3).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    # 6 frames sampled to 3 -> indices 0, 2, 4
+    for row, want in zip(rows, [shades[0], shades[2], shades[4]]):
+        dec = _decode_jpeg(bytes(row.frame))
+        assert (dec["width"], dec["height"]) == (16, 16)
+        assert abs(dec["mean_pixel"] - want) < 1.0
+
+
+def test_sample_frames_bare_mjpeg_stream_and_hostile_tail(spark):
+    """Concatenated-JPEG MJPEG: the marker walk splits on true frame
+    boundaries (entropy data containing 0xFFD8-looking bytes must not
+    fool it), and a corrupt tail yields the good prefix, not garbage."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        _decode_jpeg,
+        mjpeg_frame_spans,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 255, (24, 24, 3)).astype(np.uint8)
+            for _ in range(4)]
+    jpegs = [_jpeg_encode(im) for im in imgs]
+    stream = b"".join(jpegs)
+    spans = mjpeg_frame_spans(stream)
+    assert [e - s for s, e in spans] == [len(j) for j in jpegs]
+
+    df = spark.createDataFrame(
+        [("ok", bytearray(stream)),
+         ("tail", bytearray(stream + b"\xff\xd8\xff\xe0garbage"))],
+        "mid string, payload binary")
+    got = {}
+    for r in sample_frames(df, "mid", "payload", num_frames=4).collect():
+        got.setdefault(r.media_id, []).append(r)
+    assert len(got["ok"]) == 4 and len(got["tail"]) == 4
+    for r in got["ok"]:
+        assert _decode_jpeg(bytes(r.frame))["width"] == 24
+
+
+def test_avi_walk_guards_malformed_sizes():
+    """Oversized/truncated chunk sizes end the walk (no raise, no
+    over-read) — the hostile-payload rule the other parsers follow."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        avi_movi_frames,
+        extract_video_frames,
+    )
+
+    frame = b"\xff\xd8fakejpegdata\xff\xd9"
+    good = _pack_avi([frame])
+    assert avi_movi_frames(good) == [frame]
+    # chunk size pointing past the buffer
+    evil = good.replace(struct.pack("<I", len(frame)),
+                        struct.pack("<I", 2 ** 31), 1)
+    assert avi_movi_frames(evil) == []
+    assert avi_movi_frames(good[:20]) == []
+    assert extract_video_frames(b"RIFF\x00\x00\x00\x00AVI ", 4) == []
+    assert extract_video_frames(b"", 4) == []
