@@ -146,6 +146,7 @@ def lake_merge(spark, path: str, updates: DataFrame,
     pending = _stage_pre_state(spark, path, current) if backup else None
     write_partitioned(merged, path, [partition_col], files_per_partition)
     if pending is not None:
+        _mark_committed(spark, pending)
         _delete_dir(spark, pending)
     return touched
 
@@ -161,6 +162,19 @@ def _stage_pre_state(spark, path: str, current: DataFrame) -> str:
     return pending
 
 
+def _mark_committed(spark, pending: str) -> None:
+    """Zero-byte ``<pending>/_COMMITTED`` written BETWEEN the dynamic
+    overwrite and the staging cleanup: a crash in that gap then leaves a
+    staging dir that ``lake_recover`` can tell apart from a torn
+    overwrite — the commit landed, so restoring the pre-state would
+    ROLL BACK committed data. One tiny create, only on the crash-safety
+    path."""
+    sc = spark.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path(f"{pending}/_COMMITTED")
+    fs = jp.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.create(jp, True).close()
+
+
 def _delete_dir(spark, p: str) -> None:
     sc = spark.sparkContext
     jp = sc._jvm.org.apache.hadoop.fs.Path(p)
@@ -174,14 +188,23 @@ def _delete_dir(spark, p: str) -> None:
 
 def lake_recover(spark, path: str, partition_col: str,
                  files_per_partition: int = 1) -> list:
-    """Restore a lake after a crashed ``lake_merge``/``compact_lake``:
-    for every ``_pending`` staging dir whose backup COMPLETED (has
-    _SUCCESS), rewrite its partitions back into the lake (dynamic
-    overwrite → exactly the staged directories), newest last so the most
-    recent pre-state wins; staging dirs without _SUCCESS crashed during
-    backup, i.e. the lake itself was never touched — both kinds are then
-    deleted. Returns the restored partition values. No-op (returns [])
-    on a clean lake — safe to call unconditionally at job start."""
+    """Restore a lake after a crashed ``lake_merge``/``compact_lake``,
+    distinguishing the three crash positions by the staging markers:
+
+    * ``_COMMITTED`` present — the dynamic overwrite fully landed and
+      only the cleanup was lost: restoring would ROLL BACK committed
+      data, so the staging dir is just deleted (nothing restored, the
+      batch must NOT re-run).
+    * ``data/_SUCCESS`` present, no ``_COMMITTED`` — the crash was
+      inside the overwrite commit window (torn): the staged pre-state
+      is rewritten back (dynamic overwrite → exactly the staged
+      directories), newest last so the most recent pre-state wins, and
+      the idempotent batch re-runs.
+    * neither — the crash was during backup, the lake itself was never
+      touched; the partial staging is deleted.
+
+    Returns the restored partition values. No-op (returns []) on a
+    clean lake — safe to call unconditionally at job start."""
     sc = spark.sparkContext
     root = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/_pending")
     fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -192,8 +215,9 @@ def lake_recover(spark, path: str, partition_col: str,
                       if st.isDirectory()), key=str)
     for name in entries:
         data = f"{path}/_pending/{name}/data"
-        marker = sc._jvm.org.apache.hadoop.fs.Path(f"{data}/_SUCCESS")
-        if fs.exists(marker):
+        jp = lambda p: sc._jvm.org.apache.hadoop.fs.Path(p)  # noqa: E731
+        committed = fs.exists(jp(f"{path}/_pending/{name}/_COMMITTED"))
+        if not committed and fs.exists(jp(f"{data}/_SUCCESS")):
             pre = spark.read.parquet(data)
             write_partitioned(pre, path, [partition_col],
                               files_per_partition)
@@ -258,6 +282,7 @@ def compact_lake(spark, path: str, partition_col: str,
         pending = _stage_pre_state(spark, path, sub) if backup else None
         write_partitioned(sub, path, [partition_col], files_per_partition)
         if pending is not None:
+            _mark_committed(spark, pending)
             _delete_dir(spark, pending)
     return touched + ([None] if skipped_null else [])
 

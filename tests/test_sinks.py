@@ -507,3 +507,43 @@ def test_zorder_n_skip_bound_matrix(spark, tmp_path, k, num_files):
 
     back = spark.read.parquet(path)
     assert back.count() == n and sorted(back.columns) == cols
+
+
+def test_lake_recover_keeps_committed_but_uncleaned_merge(spark, tmp_path):
+    """The _COMMITTED marker (ADVICE r5): a crash AFTER the dynamic
+    overwrite fully landed but BEFORE staging cleanup must not roll the
+    lake back to the pre-merge state — lake_recover sees the marker,
+    keeps the committed data, and just clears the staging dir."""
+    import os
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        _mark_committed,
+        _stage_pre_state,
+        lake_merge,
+        lake_recover,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0)], "dt string, k int, v double")
+    write_partitioned(base, path, ["dt"])
+    updates = spark.createDataFrame([("d2", 2, 99.0)],
+                                    "dt string, k int, v double")
+
+    # simulate: pre-state staged, merge committed, cleanup lost
+    pre = spark.read.parquet(path).filter(F.col("dt") == "d2")
+    pending = _stage_pre_state(spark, path, pre)
+    lake_merge(spark, path, updates, "k", "dt", ["v"], backup=False)
+    _mark_committed(spark, pending)
+
+    def snap():
+        return sorted((r.dt, r.k, r.v)
+                      for r in spark.read.parquet(path).collect())
+
+    committed = snap()
+    assert ("d2", 2, 99.0) in committed
+
+    assert lake_recover(spark, path, "dt") == []   # nothing rolled back
+    assert snap() == committed
+    assert not os.path.exists(f"{path}/_pending")  # staging cleared
