@@ -841,6 +841,217 @@ GROUP BY 1
 """
 
 
+# --- q120: top-revenue supplier over a quarter (TPC-H Q15's plan shape) ------
+def q120_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: revenue per supplier over one quarter, return the supplier(s)
+    AT the global max — the create-view + scalar-max shape. The max
+    arrives as a 1-row broadcast (no second scan shuffle: the revenue
+    agg is computed once and feeds both the max and the filter; AQE
+    reuses the exchange). Equality is tested on the EXACT decimal
+    revenue, never the rounded double — a max tie must not appear or
+    vanish on a 4-dp rounding edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+                  # explicit: the supplier join infers this on the stream
+                  # side only; stating it on the shared base keeps both
+                  # subtrees canonically EQUAL so the exchange is reused
+                  & F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,6)")).alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.round(F.col("_rev"), 4).cast("double").alias("total_revenue"))
+    )
+
+
+Q120_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(r._rev, 4) AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r._rev = (SELECT max(_rev) FROM rev)
+"""
+
+
+# --- q121: large-volume customers (TPC-H Q18's plan shape) -------------------
+def q121_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds 300, with customer
+    attribution. The HAVING agg reduces the fact to a handful of
+    orderkeys BEFORE any dimension join — written agg-first so AQE
+    broadcasts the tiny qualified side into orders and customer instead
+    of shuffling the big tables toward a predicate that kills 99.9% of
+    rows. Quantity sums as DECIMAL (integral values, exact) so the >300
+    boundary cannot flip on partial-agg order."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
+           .filter(F.col("_q") > 300))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice",
+                F.col("_q").cast("double").alias("sum_qty"))
+    )
+
+
+Q121_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(b._q AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS _q
+      FROM lineitem GROUP BY 1 HAVING _q > 300) b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --- q122: supplier variety per part line (TPC-H Q16's plan shape) -----------
+def q122_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: distinct suppliers per (brand, type), EXCLUDING a blocklist
+    of suppliers (negative balance stands in for the comment-pattern
+    complainers — the fixture has no s_comment). Plan ingredients:
+    fact → distinct pair reduction first (the countDistinct's heavy
+    lifting happens on (partkey, suppkey), far smaller than lineitem),
+    a broadcast ANTI join for the blocklist, and part joined AFTER the
+    reduction — at 100 TB part is lineitem/5 in keys, so joining it
+    against the distinct pairs, not raw lineitem, is the difference
+    between a dim-sized and a fact-sized shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part")
+    return (
+        pairs.join(F.broadcast(bad),
+                   pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q122_SQL = """
+SELECT p.p_brand, p.p_type, count(DISTINCT x.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) x
+JOIN part p ON x.l_partkey = p.p_partkey
+WHERE x.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+# --- q123: important nation/part value shares (TPC-H Q11's plan shape) -------
+def q123_nation_part_value_share(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q11: (nation, part) shipped-value groups worth more than a
+    FRACTION of the global total — the group-vs-global-scalar shape.
+    One agg produces the groups; the global total is their re-sum
+    broadcast back as one row (second pass over the small GROUPED data,
+    never the fact). Values sum as DECIMAL(18,6) products so group and
+    total are exact — both engines then derive the 0.0001·total
+    boundary from identical operands, and a group cannot flip sides on
+    partial-sum order."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
+                   .cast("decimal(18,6)")).alias("_val"))
+    )
+    total = v.agg(F.sum("_val").alias("_tot"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("_val").cast("double")
+                > F.lit(0.0001) * F.col("_tot").cast("double"))
+        .select("n_name", "l_partkey",
+                F.round(F.col("_val"), 4).cast("double").alias("value"))
+    )
+
+
+Q123_SQL = """
+WITH v AS (
+  SELECT n.n_name, l.l_partkey,
+         sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6)))
+           AS _val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, l_partkey, CAST(round(_val, 4) AS DOUBLE) AS value
+FROM v
+WHERE CAST(_val AS DOUBLE) > 0.0001 * (SELECT CAST(sum(_val) AS DOUBLE)
+                                       FROM v)
+"""
+
+
+# --- q124: dominant part suppliers (TPC-H Q20's share shape) -----------------
+def q124_dominant_part_suppliers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q20 re-keyed to the fixture (no partsupp availability → shipped
+    share): suppliers who shipped more than 10% of a part's total
+    quantity. Two aggregations over the same base — per (part, supplier)
+    and per part — joined on the part key; quantities are exact decimals
+    so the 10% boundary derives from identical operands on both engines.
+    The supplier dim broadcasts for names."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q")))
+    pt = (li.groupBy("l_partkey")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_t")))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("_q").cast("double")
+                > F.lit(0.10) * F.col("_t").cast("double"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "l_partkey",
+                F.col("_q").cast("double").alias("part_qty"),
+                F.round(F.col("_q").cast("double")
+                        / F.col("_t").cast("double"), 6).alias("part_share"))
+    )
+
+
+Q124_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS _q
+  FROM lineitem GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, sum(_q) AS _t FROM ps GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, ps.l_partkey,
+       CAST(ps._q AS DOUBLE) AS part_qty,
+       round(CAST(ps._q AS DOUBLE) / CAST(pt._t AS DOUBLE), 6) AS part_share
+FROM ps
+JOIN pt ON ps.l_partkey = pt.l_partkey
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE CAST(ps._q AS DOUBLE) > 0.10 * CAST(pt._t AS DOUBLE)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -867,6 +1078,11 @@ QUERIES = {
     "q102_market_share": q102_market_share,
     "q113_latest_shipper": q113_latest_shipper,
     "q118_idle_rich_customers": q118_idle_rich_customers,
+    "q120_top_revenue_supplier": q120_top_revenue_supplier,
+    "q121_large_volume_customers": q121_large_volume_customers,
+    "q122_part_supplier_variety": q122_part_supplier_variety,
+    "q123_nation_part_value_share": q123_nation_part_value_share,
+    "q124_dominant_part_suppliers": q124_dominant_part_suppliers,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -897,6 +1113,11 @@ ORACLES = {
     "q102_market_share": Q102_SQL,
     "q113_latest_shipper": Q113_SQL,
     "q118_idle_rich_customers": Q118_SQL,
+    "q120_top_revenue_supplier": Q120_SQL,
+    "q121_large_volume_customers": Q121_SQL,
+    "q122_part_supplier_variety": Q122_SQL,
+    "q123_nation_part_value_share": Q123_SQL,
+    "q124_dominant_part_suppliers": Q124_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }

@@ -286,3 +286,19 @@ def test_range_join_bucketed_plan_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def test_q120_revenue_agg_computed_once(spark, sf_dir):
+    """q120's per-supplier revenue feeds both the max scalar and the
+    equality filter; AQE exchange reuse must materialize the agg ONCE
+    (the explicit isnotnull on the shared base keeps both subtrees
+    canonically equal — without it the supplier join infers the filter
+    on one side only and the fact is scanned twice)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.relational import (
+        q120_top_revenue_supplier,
+    )
+
+    df = q120_top_revenue_supplier(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
