@@ -7,8 +7,9 @@ Headline set spans the engine's cost classes: scan+agg, multi-join,
 window, merge dataflow, inverted-index Jaccard (unpruned q26 AND the
 stop-shingle-pruned scale path q63, so the pruning's cost/benefit carries
 a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join,
-the end-to-end corpus build (q58), BM25 ranked retrieval (q97), and
-blocked fuzzy record linkage (q99).
+the end-to-end corpus build (q58), BM25 ranked retrieval (q97),
+blocked fuzzy record linkage (q99), the keyless banded interval join
+(q119), and the agg-first HAVING join-back (q121).
 
 Isolation: every timed run starts from a cold cache — session-level shared
 plans (plans/llmdata.py) are cleared and spark.catalog.clearCache() drops
@@ -46,6 +47,8 @@ HEADLINE = [
     "q99_fuzzy_linkage",
     "q108_semantic_dedup",
     "q113_latest_shipper",
+    "q119_error_burst_windows",
+    "q121_large_volume_customers",
 ]
 
 
