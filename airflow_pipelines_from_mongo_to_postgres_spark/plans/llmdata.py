@@ -1193,6 +1193,92 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# --- q125: best-representative keeper per dedup cluster -----------------------------
+def q125_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup curation beyond min-id: each transitive cluster keeps its
+    HIGHEST-QUALITY member (quality score ties → lowest doc_id) — the
+    "best representative" policy real pipelines prefer over arbitrary-id
+    keepers when duplicates differ in boilerplate or truncation. One
+    argmax hash-agg over the q53 component labels joined with the q31
+    quality scores: ``max(struct(quality, -doc_id))`` recovers the
+    keeper without any per-cluster sort or window. The oracle replays
+    components with the recursive CTE and picks the keeper with a
+    ranked window — two different algorithms, one answer."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = _jaccard_pairs_shared(spark, sf_dir, threshold=0.2, n=3,
+                                  max_df=NEAR_DUP_MAX_DF)
+    comps = graph.connected_components(pairs, "d1", "d2",
+                                       nodes=d.select("doc_id"))
+    scored = d.select("doc_id", T.quality_score("text").alias("_q"))
+    return (
+        comps.select(F.col("node").alias("doc_id"),
+                     F.col("label").alias("cluster_id"))
+        .join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.max(F.struct(F.col("_q").alias("q"),
+                            (-F.col("doc_id")).alias("nid"))).alias("m"))
+        .select("cluster_id",
+                (-F.col("m.nid")).alias("keeper_id"),
+                F.col("m.q").alias("keeper_quality"),
+                "cluster_size")
+    )
+
+
+def _q125_sql() -> str:
+    toks = _TOKENS_SQL.format(col="text")
+    en = ", ".join(f"'{w}'" for w in T.LANG_MARKERS["en"])
+    return f"""
+WITH RECURSIVE {_shingle_table_sql(NEAR_DUP_MAX_DF)},
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT d1, d2
+  FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+  WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= 0.2
+),
+edges AS (SELECT d1 AS s, d2 AS d FROM jp UNION ALL SELECT d2 AS s, d1 AS d FROM jp),
+reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.d AS node, r.label AS label FROM reach r JOIN edges e ON e.s = r.node
+),
+comps AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+feats AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         len(list_intersect(list_distinct({toks}), [{en}])) AS stopword_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(least(n_tokens / 64.0, 1.0) * 0.5
+               + least(stopword_hits / 3.0, 1.0) * 0.3
+               + (1 - least(round(punct * 1.0 / greatest(n_chars, 1), 6) * 10, 1.0)) * 0.2,
+               6) AS quality
+  FROM feats
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, s.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.quality DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM comps c JOIN scored s USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+Q125_SQL = _q125_sql()
+
+
 # --- q73: within-document repetition stats (Gopher-style quality rules) -------------
 def q73_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-n-gram fractions + token diversity per document —
@@ -2600,6 +2686,7 @@ QUERIES = {
     "q51_near_dup_drop": q51_near_dup_drop,
     "q52_ann_lsh": q52_ann_lsh,
     "q53_dedup_clusters": q53_dedup_clusters,
+    "q125_cluster_best_keeper": q125_cluster_best_keeper,
     "q55_ann_ivf_kmeans": q55_ann_ivf_kmeans,
     "q56_embed_near_dup_lsh": q56_embed_near_dup_lsh,
     "q57_dataset_split": q57_dataset_split,
@@ -2656,6 +2743,7 @@ ORACLES = {
     "q51_near_dup_drop": Q51_SQL,
     "q52_ann_lsh": Q52_SQL,
     "q53_dedup_clusters": Q53_SQL,
+    "q125_cluster_best_keeper": Q125_SQL,
     "q55_ann_ivf_kmeans": Q55_SQL,
     "q56_embed_near_dup_lsh": Q56_SQL,
     "q57_dataset_split": Q57_SQL,

@@ -201,8 +201,15 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.groupBy(_ref(gid).alias("_id")).agg(*aggs)
 
 
-def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]]) -> DataFrame:
-    """Run a MongoDB aggregation pipeline against a DataFrame."""
+def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
+                   collections: dict[str, DataFrame] | None = None
+                   ) -> DataFrame:
+    """Run a MongoDB aggregation pipeline against a DataFrame.
+
+    ``collections`` resolves ``$lookup``'s ``from`` names to DataFrames
+    (the equality-match form: localField/foreignField/as; the
+    pipeline+let correlated form raises — it is a general subquery, not
+    a join spec)."""
     for stage in stages:
         (op, spec), = stage.items()
         if op == "$match":
@@ -243,6 +250,33 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]]) -> DataFrame:
             df = df.offset(int(spec))
         elif op == "$count":
             df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$lookup":
+            if "pipeline" in spec or "let" in spec:
+                raise ValueError(
+                    "$lookup with pipeline/let is a correlated subquery, "
+                    "not an equality join; rewrite it as explicit "
+                    "DataFrame ops")
+            if not collections or spec["from"] not in collections:
+                raise ValueError(
+                    f"$lookup needs collections={{{spec.get('from')!r}: "
+                    "DataFrame}} passed to apply_pipeline")
+            foreign = collections[spec["from"]]
+            local, ff, out = (spec["localField"], spec["foreignField"],
+                              spec["as"])
+            # Pack the foreign side to ONE array row per key FIRST, then
+            # a single left equi join — the local side never fans out
+            # and regroups (Mongo's per-doc subarray semantics with one
+            # shuffle on each side; a small foreign side broadcasts).
+            # sort_array pins the array order (Mongo leaves it
+            # unspecified; deterministic beats unspecified for gating).
+            packed = (foreign
+                      .groupBy(F.col(ff).alias("__lk"))
+                      .agg(F.sort_array(F.collect_list(
+                          F.struct(*foreign.columns))).alias(out)))
+            empty = F.array().cast(packed.schema[out].dataType)
+            df = (df.join(packed, F.col(local) == F.col("__lk"), "left")
+                  .drop("__lk")
+                  .withColumn(out, F.coalesce(F.col(out), empty)))
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return df

@@ -209,3 +209,47 @@ def test_project_include_through_array_raises(spark):
         {"$project": {"products.price": 1}},
     ])
     assert [r.products.price for r in out.collect()] == [1.0, 2.0]
+
+
+def test_lookup_equality_join_semantics(spark):
+    """$lookup: every local doc gains the 'as' array of matching foreign
+    docs — [] on no match (never null), multi-match keeps all rows, and
+    the unwind-after-lookup idiom flattens like Mongo does."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, "apple"), (2, "pear"), (3, "nothing")],
+        ["_id", "item"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B"), ("pear", 7, "A")],
+        ["sku", "qty", "wh"])
+
+    out = apply_pipeline(
+        orders,
+        [{"$lookup": {"from": "inventory", "localField": "item",
+                      "foreignField": "sku", "as": "stock"}}],
+        collections={"inventory": inventory})
+    rows = {r._id: r.stock for r in out.collect()}
+    assert [(s.sku, s.qty) for s in rows[1]] == [("apple", 5), ("apple", 10)]
+    assert [(s.sku, s.qty) for s in rows[2]] == [("pear", 7)]
+    assert rows[3] == []                    # no match -> empty array, not null
+
+    # lookup -> unwind flattens to one row per match (the join idiom)
+    flat = apply_pipeline(
+        orders,
+        [{"$lookup": {"from": "inventory", "localField": "item",
+                      "foreignField": "sku", "as": "stock"}},
+         {"$unwind": "$stock"}],
+        collections={"inventory": inventory})
+    assert flat.count() == 3                # order 3 drops (strict unwind)
+
+    with pytest.raises(ValueError, match="collections"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "localField": "item",
+            "foreignField": "sku", "as": "stock"}}])
+    with pytest.raises(ValueError, match="correlated"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "let": {"i": "$item"}, "pipeline": [],
+            "as": "stock"}}], collections={"inventory": inventory})
