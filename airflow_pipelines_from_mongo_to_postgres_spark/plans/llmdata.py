@@ -1887,6 +1887,77 @@ WHERE CAST(concat('0x', substr(md5(concat('strat:', CAST(d.doc_id AS VARCHAR))),
 """
 
 
+# --- q126: cluster-balanced corpus sampling (semantic-diversity quota) --------------
+def q126_cluster_balanced_sample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Semantic diversity by construction: every frozen-IVF cell is
+    hash-sampled toward the same quota (3/5 of the SMALLEST cell's
+    count), so over-represented embedding clusters are cut hardest —
+    q94's source-balancing rule lifted from metadata strata to
+    LEARNED semantic strata (the data-mixing step that follows
+    SemDeDup-style curation). Assignment is the broadcast-argmin
+    hash-agg shared with q108/q55; membership is the pure integer
+    comparison hash28(vid)·n_c·DEN < min_n·NUM·2^28 — append-stable,
+    no float rate, bit-identical across engines. Cell counts are a
+    broadcast scalar table; the sample itself is a map-side filter over
+    the assignment."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    e = load_table(spark, "embeddings", sf_dir)
+    assigned = similarity._assign_cells(e, "vec_id", "embedding",
+                                        IVF_CENTROIDS).select("vid", "cell")
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
+    target = counts.agg(F.min("n_c").alias("min_n"))
+    h = T.hash28(F.concat(F.lit("cbal:"), F.col("vid").cast("string")))
+    return (
+        assigned.join(F.broadcast(counts), "cell")
+        .crossJoin(F.broadcast(target))
+        .filter(h * F.col("n_c") * F.lit(_Q94_DEN)
+                < F.col("min_n") * F.lit(_Q94_NUM * (1 << 28)))
+        .select(F.col("vid").alias("vec_id"), "cell")
+    )
+
+
+def _q126_sql() -> str:
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_darray(c)}, {float(sum(x * x for x in c))!r})"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH cent(cell, cvec, c2) AS (
+  VALUES
+    {cent_rows}
+),
+u AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+            x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY u.vec_id
+                              ORDER BY cent.c2 - 2 * list_dot_product(u.v, cent.cvec) ASC,
+                                       cent.cell ASC) AS rn
+    FROM u CROSS JOIN cent) WHERE rn = 1
+),
+counts AS (SELECT cell, count(*) AS n_c FROM assigned GROUP BY 1),
+t AS (SELECT min(n_c) AS min_n FROM counts)
+SELECT a.vec_id, a.cell
+FROM assigned a JOIN counts USING (cell), t
+WHERE CAST(concat('0x', substr(md5(concat('cbal:', CAST(a.vec_id AS VARCHAR))), 1, 7))
+           AS BIGINT) * n_c * {_Q94_DEN} < min_n * {_Q94_NUM * (1 << 28)}
+"""
+
+
+Q126_SQL = _q126_sql()
+
+
 # --- q95: cross-source near-duplication matrix --------------------------------------
 def q95_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where is the duplication coming FROM: near-dup pair counts and
@@ -2076,6 +2147,77 @@ SELECT doc_id, CAST(dl AS BIGINT) AS doc_tokens,
        round(CAST(sum(c) AS DOUBLE), 6) AS bm25
 FROM contrib GROUP BY doc_id, dl
 ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+
+# --- q127: hybrid retrieval — BM25 ⊕ embedding cosine via RRF -----------------------
+_RRF_K = 60
+_HYB_TOPK = 10
+
+
+def q127_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic arm — the
+    standard hybrid-search combiner (RRF: score = Σ 1/(60+rank), robust
+    to incomparable raw scores). Lexical arm = q97's BM25 top-20;
+    semantic arm = cosine top-20 around probe vec 0 (rank comes from
+    cosine_topk's per-query window). The lexical ranks are derived with
+    a bounded better-than SELF-JOIN COUNT over the 20-row top-k (20×20
+    nested loop on a broadcast list) instead of a global window — rank
+    needs a total order, and this keeps the no-global-window rule intact
+    without an allowlist entry. Fusion is a full outer join of two
+    ≤20-row lists; 1/(60+rank) terms are identical integer-denominator
+    doubles on both engines."""
+    lex = q97_bm25_search(spark, sf_dir).select("doc_id", "bm25")
+    a, b = lex.alias("a"), lex.alias("b")
+    better = (F.col("b.bm25") > F.col("a.bm25")) \
+        | ((F.col("b.bm25") == F.col("a.bm25"))
+           & (F.col("b.doc_id") < F.col("a.doc_id")))
+    lexr = (a.join(F.broadcast(b), better, "left")
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg((F.count(F.col("b.doc_id")) + 1).alias("lex_rank")))
+    e = load_table(spark, "embeddings", sf_dir)
+    probe = e.filter(F.col("vec_id") == 0)
+    sem = similarity.cosine_topk(probe, e, "vec_id", "embedding",
+                                 k=_BM25_TOPK) \
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("sem_rank"))
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")),
+                     F.lit(0.0)), 6)
+    return (
+        lexr.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(_HYB_TOPK)
+    )
+
+
+Q127_SQL = f"""
+WITH {_UNIT_CTE},
+lex AS ({Q97_SQL}),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex
+),
+sem AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_dot_product(a.uv, b.uv), 6) AS cosine
+  FROM uembed a JOIN uembed b ON a.vec_id = 0 AND b.vec_id <> 0
+),
+semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+  FROM sem
+  ORDER BY cosine DESC, doc_id ASC LIMIT {_BM25_TOPK}
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       round(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+             + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0), 6) AS rrf
+FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {_HYB_TOPK}
 """
 
 
@@ -2710,9 +2852,11 @@ QUERIES = {
     "q92_embedding_quantization": q92_embedding_quantization,
     "q93_bloom_decontamination": q93_bloom_decontamination,
     "q94_stratified_sample": q94_stratified_sample,
+    "q126_cluster_balanced_sample": q126_cluster_balanced_sample,
     "q95_cross_source_dups": q95_cross_source_dups,
     "q96_source_kl_divergence": q96_source_kl_divergence,
     "q97_bm25_search": q97_bm25_search,
+    "q127_hybrid_retrieval": q127_hybrid_retrieval,
     "q100_weighted_sample": q100_weighted_sample,
     "q101_graph_clustering": q101_graph_clustering,
     "q104_bpe_pair_stats": q104_bpe_pair_stats,
@@ -2767,9 +2911,11 @@ ORACLES = {
     "q92_embedding_quantization": Q92_SQL,
     "q93_bloom_decontamination": Q93_SQL,
     "q94_stratified_sample": Q94_SQL,
+    "q126_cluster_balanced_sample": Q126_SQL,
     "q95_cross_source_dups": Q95_SQL,
     "q96_source_kl_divergence": Q96_SQL,
     "q97_bm25_search": Q97_SQL,
+    "q127_hybrid_retrieval": Q127_SQL,
     "q100_weighted_sample": Q100_SQL,
     "q101_graph_clustering": Q101_SQL,
     "q104_bpe_pair_stats": Q104_SQL,
