@@ -662,3 +662,58 @@ def cosine_topk_pq(probe: DataFrame, corpus: DataFrame, id_col: str,
         .select("query_id", "neighbor_id", "cosine",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def embedding_dim_stats(df: DataFrame, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """Per-dimension corpus statistics ``(dim, n, mean, std, mn, mx)``
+    for feature scaling: one posexplode + one hash-agg keyed on the
+    dimension index (cardinality = vector width, so the shuffle carries
+    dim-count rows regardless of corpus size). Moments accumulate
+    EXACTLY — components rounded to 6 dp into DECIMAL, Σx and Σx² as
+    decimal sums — then the closed-form mean/sample-std runs in double
+    on identical scalar operands on any engine (the q98 discipline;
+    built-in stddev is partial-sum-order-dependent)."""
+    ex = df.select(F.col(id_col),
+                   F.posexplode(V.as_double(vec_col)).alias("dim", "x"))
+    r = F.round(F.col("x"), 6).cast("decimal(18,6)")
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r).alias("sv"),
+        F.sum((r * r).cast("decimal(38,12)")).alias("svv"),
+        F.min(r).alias("mn"),
+        F.max(r).alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    sv_d = F.col("sv").cast("double")
+    svv_d = F.col("svv").cast("double")
+    var_num = F.greatest(n_d * svv_d - sv_d * sv_d, F.lit(0.0))
+    return agg.select(
+        "dim", "n",
+        F.round(sv_d / n_d, 6).alias("mean"),
+        F.round(F.sqrt(var_num / (n_d * (n_d - 1))), 6).alias("std"),
+        F.col("mn").cast("double").alias("mn"),
+        F.col("mx").cast("double").alias("mx"),
+    )
+
+
+def standardize_embeddings(df: DataFrame, id_col: str, vec_col: str,
+                           out_col: str = "zvec") -> DataFrame:
+    """Z-score every embedding dimension against the corpus:
+    ``z[i] = (x[i] - mean[i]) / std[i]`` (constant dimensions pass
+    through as 0). The per-dim stats collapse to ONE broadcast row of
+    two arrays, so the transform is a map-side ``zip_with`` over the
+    scan — no second shuffle, no join fan-out; the stats job itself is
+    the dim-keyed hash-agg from ``embedding_dim_stats``."""
+    stats = embedding_dim_stats(df, id_col, vec_col)
+    packed = (stats.orderBy("dim")
+              .agg(F.collect_list("mean").alias("__means"),
+                   F.collect_list("std").alias("__stds")))
+    z = F.zip_with(
+        F.zip_with(V.as_double(vec_col), F.col("__means"),
+                   lambda x, m: x - m),
+        F.col("__stds"),
+        lambda d, s: F.when(s > 0, F.round(d / s, 6)).otherwise(F.lit(0.0)))
+    return (df.join(F.broadcast(packed))
+            .withColumn(out_col, z)
+            .drop("__means", "__stds"))

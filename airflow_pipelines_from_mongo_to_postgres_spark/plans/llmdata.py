@@ -2150,6 +2150,82 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
 """
 
 
+# --- q129: per-dimension embedding feature-scaling statistics -----------------------
+def q129_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    statistics pass behind feature standardization (the z-scored vectors
+    themselves are the map-side ``standardize_embeddings`` operator,
+    pytest-gated for mean≈0/std≈1). One posexplode + one dim-keyed
+    hash-agg: the shuffle carries vector-width rows, not corpus rows.
+    Exact-decimal moments (q98 discipline) so the closed-form std runs
+    on identical scalars in both engines."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return similarity.embedding_dim_stats(e, "vec_id", "embedding")
+
+
+Q129_SQL = """
+WITH ex AS (
+  SELECT t.i - 1 AS dim, CAST(round(arr[t.i], 6) AS DECIMAL(18,6)) AS r
+  FROM (SELECT embedding::DOUBLE[] AS arr FROM embeddings) e,
+       LATERAL unnest(generate_series(1, len(e.arr))) t(i)
+),
+agg AS (
+  SELECT dim, count(*) AS n, sum(r) AS sv,
+         sum(CAST(r * r AS DECIMAL(38,12))) AS svv,
+         min(r) AS mn, max(r) AS mx
+  FROM ex GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       round(CAST(sv AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(greatest(n * CAST(svv AS DOUBLE)
+                           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 0)
+                  / (n * (n - 1.0))), 6) AS std,
+       CAST(mn AS DOUBLE) AS mn, CAST(mx AS DOUBLE) AS mx
+FROM agg
+"""
+
+
+# --- q128: cross-document repeated exact spans --------------------------------------
+_SPAN_N = 5
+
+
+def q128_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring duplication audit (the
+    exact-substring dedup signal at token-span granularity): every
+    5-token span occurring in ≥ 2 distinct documents, with its document
+    frequency, total occurrence count, and canonical (min) carrier doc.
+    One explode + one hash-agg — duplicates KEPT in the explode so
+    n_occurrences counts true repetitions, unlike the shingle tables
+    (which are per-doc distinct). At 100 TB the group key would be
+    xxhash64(span) with the text resolved only for survivors; gated here
+    on the text itself so the oracle replays byte-for-byte."""
+    d = load_table(spark, "documents", sf_dir)
+    staged = d.select("doc_id", T.tokens("text").alias("ts"))
+    spans = staged.select(
+        "doc_id",
+        F.explode(T.ngrams_from_tokens("ts", _SPAN_N)).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+Q128_SQL = f"""
+WITH g AS (
+  SELECT doc_id, t.s AS span
+  FROM (SELECT doc_id, {_grams_dup_sql('text', _SPAN_N)} AS gs
+        FROM documents),
+       LATERAL unnest(gs) t(s)
+)
+SELECT span, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences, min(doc_id) AS first_doc
+FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 # --- q127: hybrid retrieval — BM25 ⊕ embedding cosine via RRF -----------------------
 _RRF_K = 60
 _HYB_TOPK = 10
@@ -2857,6 +2933,8 @@ QUERIES = {
     "q96_source_kl_divergence": q96_source_kl_divergence,
     "q97_bm25_search": q97_bm25_search,
     "q127_hybrid_retrieval": q127_hybrid_retrieval,
+    "q128_repeated_spans": q128_repeated_spans,
+    "q129_embedding_dim_stats": q129_embedding_dim_stats,
     "q100_weighted_sample": q100_weighted_sample,
     "q101_graph_clustering": q101_graph_clustering,
     "q104_bpe_pair_stats": q104_bpe_pair_stats,
@@ -2916,6 +2994,8 @@ ORACLES = {
     "q96_source_kl_divergence": Q96_SQL,
     "q97_bm25_search": Q97_SQL,
     "q127_hybrid_retrieval": Q127_SQL,
+    "q128_repeated_spans": Q128_SQL,
+    "q129_embedding_dim_stats": Q129_SQL,
     "q100_weighted_sample": Q100_SQL,
     "q101_graph_clustering": Q101_SQL,
     "q104_bpe_pair_stats": Q104_SQL,

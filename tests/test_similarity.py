@@ -283,3 +283,29 @@ def test_incremental_semantic_dedup_matches_full_recompute(spark, sf_dir):
     with pytest.raises(ValueError, match="monotone-append"):
         incremental_semantic_dedup(updated, batch.limit(1), "vec_id",
                                    "embedding", t, IVF_CENTROIDS)
+
+
+def test_standardize_embeddings_zscores_each_dim(spark, sf_dir):
+    """standardize_embeddings: every dimension of the output has mean ~0
+    and sample std ~1; constant dimensions map to exactly 0 (no div by
+    zero); the transform side is one broadcast join over the scan (no
+    second shuffle of the corpus)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0, float(i % 3) * 2.5]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    out = standardize_embeddings(df, "vec_id", "embedding")
+    rows = [r.zvec for r in out.collect()]
+    assert all(len(z) == 3 for z in rows)
+    import statistics
+    for d in (0, 2):
+        vals = [z[d] for z in rows]
+        assert abs(statistics.mean(vals)) < 1e-5, d
+        assert abs(statistics.stdev(vals) - 1.0) < 1e-4, d
+    assert all(z[1] == 0.0 for z in rows)   # constant dim -> 0, not NaN
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
