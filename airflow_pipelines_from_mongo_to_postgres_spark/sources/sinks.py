@@ -29,6 +29,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: chars Hive escapes in partition directory names — mirrors
+#: ExternalCatalogUtils.charToEscape (controls, %, and filesystem/shell
+#: specials); used to locate a partition's directory from its VALUE.
+_HIVE_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(32)}
+
+
+def _hive_escape(value: str) -> str:
+    """Hive partition-directory escaping (space is NOT escaped; '/',
+    ':', '=', '%' etc. become %XX uppercase) — the inverse of
+    ``_hive_unescape`` for the characters Spark escapes on write."""
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_ESCAPED else c
+                   for c in value)
+
+
 def _hive_unescape(name: str) -> str:
     """Invert Hive's partition-directory escaping (space -> %20, '/' ->
     %2F, ...). Mirrors
@@ -225,6 +239,65 @@ def lake_recover(spark, path: str, partition_col: str,
                          pre.select(partition_col).distinct().collect()]
         _delete_dir(spark, f"{path}/_pending/{name}")
     return restored
+
+
+def lake_apply_cdc(spark, path: str, changes: DataFrame,
+                   key: str | Sequence[str], partition_col: str,
+                   op_col: str = "op", ts_col: str | None = None,
+                   files_per_partition: int = 1,
+                   backup: bool = True) -> list:
+    """Apply a change-data-capture batch (insert / update / DELETE rows)
+    to the partitioned lake — the hard-delete path ``lake_merge`` (an
+    upsert) cannot express. ``changes`` carries ``op_col`` ∈ {'I','U',
+    'D'}: I/U rows replace the target row wholesale (CDC images are
+    full rows, unlike the merge path's partial-column policies), D rows
+    remove the key. ``ts_col`` compacts multi-op batches first — the
+    LATEST op per key wins (op-ledger order, the q54/q76 semantics), so
+    U→D deletes and D→U resurrects, matching a replayed ledger.
+
+    Scale shape: identical to ``lake_merge`` — touched partition values
+    collected (bounded by the batch's spread), static ``isin`` partition
+    pruning on the read, one anti join (deletes ∪ replaced keys) + one
+    union, dynamic overwrite of exactly the touched directories, with
+    the same ``_pending`` staging / ``_COMMITTED`` marker crash
+    protocol. Same contract: ``partition_col`` immutable per key, and a
+    D row must name the partition its key lives in.
+
+    Returns the touched partition values."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if ts_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+        changes = (changes.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+    touched = [r[0] for r in
+               changes.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(path) \
+        .filter(F.col(partition_col).isin(touched))
+    batch_keys = changes.select(*keys).distinct()
+    survivors = current.join(batch_keys, keys, "left_anti")
+    upserts = changes.filter(F.col(op_col) != "D") \
+        .select(*current.columns)
+    result = survivors.unionByName(upserts)
+    pending = _stage_pre_state(spark, path, current) if backup else None
+    # dynamic overwrite only replaces partitions PRESENT in the result: a
+    # partition whose every row was deleted would silently keep its old
+    # files. Find those BEFORE the overwrite (the lazy plan reads the
+    # pre-overwrite files; afterwards they are gone) and drop their
+    # directories explicitly — inside the crash window (before
+    # _COMMITTED), so a torn run still restores cleanly.
+    remaining = {r[0] for r in
+                 result.select(partition_col).distinct().collect()}
+    write_partitioned(result, path, [partition_col], files_per_partition)
+    for v in set(touched) - remaining:
+        name = "__HIVE_DEFAULT_PARTITION__" if v is None \
+            else _hive_escape(str(v))
+        _delete_dir(spark, f"{path}/{partition_col}={name}")
+    if pending is not None:
+        _mark_committed(spark, pending)
+        _delete_dir(spark, pending)
+    return touched
 
 
 def compact_lake(spark, path: str, partition_col: str,

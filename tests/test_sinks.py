@@ -547,3 +547,48 @@ def test_lake_recover_keeps_committed_but_uncleaned_merge(spark, tmp_path):
     assert lake_recover(spark, path, "dt") == []   # nothing rolled back
     assert snap() == committed
     assert not os.path.exists(f"{path}/_pending")  # staging cleared
+
+
+def test_lake_apply_cdc_deletes_replaces_and_drops_emptied_partition(spark, tmp_path):
+    """lake_apply_cdc: hard deletes remove keys, I/U rows replace whole
+    rows, ts compaction makes the LATEST op per key win (U->D deletes,
+    D->U resurrects), untouched partitions keep their files
+    byte-for-byte, and a partition emptied by deletes loses its
+    directory (dynamic overwrite alone would have kept the stale
+    files)."""
+    import glob
+    import os
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        lake_apply_cdc,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0),
+         ("d2", 3, 30.0),
+         ("d3", 4, 40.0)],
+        "dt string, k int, v double")
+    write_partitioned(base, path, ["dt"])
+    d3_files = sorted(os.path.basename(f)
+                      for f in glob.glob(f"{path}/dt=d3/*.parquet"))
+
+    changes = spark.createDataFrame(
+        [("U", "d1", 1, 11.0, 1),    # replace
+         ("U", "d1", 2, 99.0, 1), ("D", "d1", 2, None, 2),   # U then D -> gone
+         ("D", "d2", 3, None, 1),    # empties dt=d2 entirely
+         ("D", "d1", 5, None, 1), ("U", "d1", 5, 55.0, 2),   # D then U -> row
+         ("I", "d1", 6, 60.0, 1)],
+        "op string, dt string, k int, v double, ts int")
+
+    touched = lake_apply_cdc(spark, path, changes, "k", "dt", ts_col="ts")
+    assert sorted(touched) == ["d1", "d2"]
+
+    got = sorted((r.dt, r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [("d1", 1, 11.0), ("d1", 5, 55.0), ("d1", 6, 60.0),
+                   ("d3", 4, 40.0)]
+    assert not os.path.exists(f"{path}/dt=d2")        # emptied dir dropped
+    assert sorted(os.path.basename(f)
+                  for f in glob.glob(f"{path}/dt=d3/*.parquet")) == d3_files
+    assert not os.path.exists(f"{path}/_pending")     # clean run, no residue
