@@ -592,3 +592,47 @@ def test_lake_apply_cdc_deletes_replaces_and_drops_emptied_partition(spark, tmp_
     assert sorted(os.path.basename(f)
                   for f in glob.glob(f"{path}/dt=d3/*.parquet")) == d3_files
     assert not os.path.exists(f"{path}/_pending")     # clean run, no residue
+
+
+def test_snapshot_table_commits_time_travel_and_vacuum(spark, tmp_path):
+    """Manifest-snapshot table: append/overwrite/replace_where commits
+    are atomic manifest swaps; a reader resolved at v1 still sees v1
+    after later commits (snapshot isolation); time travel reads any
+    retained version; vacuum reclaims files beyond the horizon and
+    orphans, while the kept snapshot stays readable."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "snaptab")
+    d1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    d2 = spark.createDataFrame([("c", 3)], "k string, v int")
+
+    assert S.snap_append(spark, t, d1) == 1
+    v1_reader = S.read_snapshot(spark, t)          # pinned file list
+    assert S.snap_append(spark, t, d2) == 2
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("b", 2), ("c", 3)]
+    assert rows(S.read_snapshot(spark, t, version=1)) == [("a", 1), ("b", 2)]
+    assert rows(v1_reader) == [("a", 1), ("b", 2)]  # isolation after commit
+
+    # replace_where: rewrite only the predicate's slice
+    upd = spark.createDataFrame([("b", 99)], "k string, v int")
+    assert S.snap_replace_where(spark, t, upd, "k = 'b'") == 3
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("b", 99), ("c", 3)]
+    assert rows(S.read_snapshot(spark, t, version=2)) == \
+        [("a", 1), ("b", 2), ("c", 3)]              # time travel intact
+
+    assert [v for v, _, _ in S.snap_history(spark, t)] == [3, 2, 1]
+
+    # orphan from a "crashed" commit: data written, manifest never landed
+    S._write_data_files(spark.createDataFrame([("z", 0)], "k string, v int"), t)
+
+    deleted = S.vacuum(spark, t, keep_versions=1)
+    assert deleted                                   # old + orphan files gone
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("b", 99), ("c", 3)]
+    with pytest.raises(Exception):
+        S.read_snapshot(spark, t, version=1).collect()  # beyond the horizon
