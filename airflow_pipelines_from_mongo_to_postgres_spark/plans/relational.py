@@ -841,6 +841,66 @@ GROUP BY 1
 """
 
 
+# --- q130: disjunctive bracket-predicate join (TPC-H Q19's plan shape) -------
+def q130_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue from lineitems matching any of three (brand, size,
+    quantity) BRACKETS — the OR-of-ANDs predicate shape. The join stays
+    a plain equi hash join on the part key; the disjunction is a
+    post-join filter Catalyst can also partially push (the common
+    ``p_size BETWEEN 1 AND 40`` hull and per-side IN lists reach the
+    scans as PushedFilters). Revenue through the q01 decimal-product
+    canon; one row out per bracket so the filter's routing is visible,
+    not just its total."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    brackets = [
+        ("b1", (F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15)),
+        ("b2", (F.col("p_brand") == "Brand#2")
+         & F.col("p_size").between(5, 20)
+         & F.col("l_quantity").between(10, 30)),
+        ("b3", (F.col("p_brand") == "Brand#3")
+         & F.col("p_size").between(15, 40)
+         & F.col("l_quantity").between(25, 50)),
+    ]
+    tag = F.coalesce(*[F.when(c, F.lit(n)) for n, c in brackets])
+    return (
+        j.withColumn("bracket", tag)
+        .filter(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,6)")), 4).cast("double")
+             .alias("revenue"))
+    )
+
+
+Q130_SQL = """
+SELECT CASE
+         WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+              AND l.l_quantity BETWEEN 1 AND 15 THEN 'b1'
+         WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+              AND l.l_quantity BETWEEN 10 AND 30 THEN 'b2'
+         WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 15 AND 40
+              AND l.l_quantity BETWEEN 25 AND 50 THEN 'b3'
+       END AS bracket,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 15 AND 40
+       AND l.l_quantity BETWEEN 25 AND 50)
+GROUP BY 1
+"""
+
+
 # --- q120: top-revenue supplier over a quarter (TPC-H Q15's plan shape) ------
 def q120_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: revenue per supplier over one quarter, return the supplier(s)
@@ -1083,6 +1143,7 @@ QUERIES = {
     "q122_part_supplier_variety": q122_part_supplier_variety,
     "q123_nation_part_value_share": q123_nation_part_value_share,
     "q124_dominant_part_suppliers": q124_dominant_part_suppliers,
+    "q130_bracket_revenue": q130_bracket_revenue,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -1118,6 +1179,7 @@ ORACLES = {
     "q122_part_supplier_variety": Q122_SQL,
     "q123_nation_part_value_share": Q123_SQL,
     "q124_dominant_part_suppliers": Q124_SQL,
+    "q130_bracket_revenue": Q130_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }

@@ -34,7 +34,6 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def _jvm_fs(spark, p: str):
@@ -154,6 +153,45 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     keep = cur.filter(f"NOT ({predicate})")
     new = _write_data_files(keep.unionByName(df), table)
     return _commit(spark, table, new, note)
+
+
+def committed_txns(spark: SparkSession, table: str) -> set:
+    """Transaction ids recorded by ``snap_append_txn`` across the
+    retained history (walk is O(versions), driver-side, manifest-sized).
+    """
+    out = set()
+    v = current_version(spark, table)
+    while v:
+        m = read_manifest(spark, table, v)
+        if m.get("txn") is not None:
+            out.add(m["txn"])
+        v = m["parent"] or 0
+    return out
+
+
+def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
+                    txn: str, note: str = "append") -> int | None:
+    """EXACTLY-ONCE append: the commit records ``txn`` in its manifest,
+    and a txn already present in history makes the call a NO-OP (returns
+    None). This is the ``foreachBatch(epoch_id)`` sink contract —
+    Structured Streaming replays a failed epoch, the replayed commit
+    sees its own txn and skips, so the table reflects each epoch exactly
+    once. (Files written by the failed first attempt become vacuumable
+    orphans; the manifest never saw them.) Retention caveat: vacuum
+    truncates history, so keep ``keep_versions`` above the deepest
+    replay the stream can attempt — in practice one epoch."""
+    if txn in committed_txns(spark, table):
+        return None
+    new = _write_data_files(df, table)
+    prev = read_manifest(spark, table)["files"]
+    parent = current_version(spark, table)
+    v = parent + 1
+    manifest = {"version": v, "files": prev + new,
+                "parent": parent or None, "note": note, "txn": txn}
+    _write_text_atomic(spark, _manifest_path(table, v),
+                       json.dumps(manifest, indent=1))
+    _write_text_atomic(spark, f"{table}/_manifests/HEAD", str(v))
+    return v
 
 
 def read_snapshot(spark: SparkSession, table: str,

@@ -636,3 +636,36 @@ def test_snapshot_table_commits_time_travel_and_vacuum(spark, tmp_path):
     assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("b", 99), ("c", 3)]
     with pytest.raises(Exception):
         S.read_snapshot(spark, t, version=1).collect()  # beyond the horizon
+
+
+def test_snapshot_txn_append_is_exactly_once(spark, tmp_path):
+    """snap_append_txn: replaying an epoch (same txn id) is a no-op —
+    the foreachBatch exactly-once contract — and a real AvailableNow
+    stream draining through it lands each micro-batch exactly once even
+    when one epoch is replayed by hand."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "snapstream")
+    b0 = spark.createDataFrame([(1, "x")], "id long, s string")
+    b1 = spark.createDataFrame([(2, "y")], "id long, s string")
+
+    assert S.snap_append_txn(spark, t, b0, txn="epoch-0") == 1
+    assert S.snap_append_txn(spark, t, b0, txn="epoch-0") is None  # replay
+    assert S.snap_append_txn(spark, t, b1, txn="epoch-1") == 2
+    assert sorted(r.id for r in S.read_snapshot(spark, t).collect()) == [1, 2]
+
+    # real stream: file source -> foreachBatch(snap_append_txn)
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(10, "a"), (11, "b")], "id long, s string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "d1"))
+    stream = (spark.readStream.schema("id long, s string")
+              .parquet(str(src / "d1")))
+    q = (stream.writeStream
+         .foreachBatch(lambda df, eid: S.snap_append_txn(
+             spark, t, df, txn=f"stream-{eid}"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.id for r in S.read_snapshot(spark, t).collect())
+    assert got == [1, 2, 10, 11]
