@@ -140,7 +140,11 @@ def _decode_png(payload: bytes) -> dict:
     n = len(pixels)
     return {"width": width, "height": height, "format": "png",
             "channels": ch,
-            "mean_pixel": round(sum(pixels) / n, 4) if n else None}
+            "mean_pixel": round(sum(pixels) / n, 4) if n else None,
+            # packed h×w×ch, row-major top-down, PNG-native channel
+            # order (gray / RGB / RGBA) — the raw buffer the resize
+            # stage resamples
+            "pixels": bytes(pixels)}
 
 
 def _decode_bmp(payload: bytes) -> dict:
@@ -149,23 +153,35 @@ def _decode_bmp(payload: bytes) -> dict:
     if len(payload) < 54 or payload[:2] != b"BM":
         raise NotImplementedError("not a bmp")
     data_off, = struct.unpack("<I", payload[10:14])
-    width, height = struct.unpack("<ii", payload[18:26])
+    width, raw_height = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     compression, = struct.unpack("<I", payload[30:34])
     if compression != 0 or bpp not in (24, 32) or planes != 1:
         raise NotImplementedError(f"bmp bpp={bpp} compression={compression}")
-    height = abs(height)            # negative = top-down; magnitude only
+    height = abs(raw_height)        # negative = top-down
     ch = bpp // 8
     stride = (width * ch + 3) & ~3  # rows pad to 4 bytes
     total = n = 0
+    rows = []
     for y in range(height):
         row = payload[data_off + y * stride:
                       data_off + y * stride + width * ch]
         total += sum(row)
         n += len(row)
+        rows.append(row)
+    # normalize the raw buffer to the shared convention: top-down
+    # (positive-height BMPs store rows bottom-up) and RGB(A) order
+    # (BMP stores BGR(A))
+    if raw_height > 0:
+        rows.reverse()
+    px = bytearray()
+    for row in rows:
+        for x in range(0, len(row) - ch + 1, ch):
+            px += row[x:x + 3][::-1] + row[x + 3:x + ch]
     return {"width": width, "height": height, "format": "bmp",
             "channels": ch,
-            "mean_pixel": round(total / n, 4) if n else None}
+            "mean_pixel": round(total / n, 4) if n else None,
+            "pixels": bytes(px)}
 
 
 # --- baseline JPEG pixel decode (stdlib + numpy — no image library) ---------
@@ -426,9 +442,13 @@ def _decode_jpeg_inner(payload: bytes, np, struct) -> dict:
         channels = 3
     else:
         raise NotImplementedError(f"jpeg: {len(up)} components")
+    arr = np.round(rgb).astype("uint8")
+    if channels == 3:
+        arr = arr.transpose(1, 2, 0)    # (3,h,w) -> (h,w,3)
     return {"width": width, "height": height, "format": "jpeg",
             "channels": channels,
-            "mean_pixel": round(float(np.round(rgb).mean()), 4)}
+            "mean_pixel": round(float(np.round(rgb).mean()), 4),
+            "pixels": arr.tobytes()}
 
 
 def decode_image(payload: bytes) -> dict:
@@ -454,7 +474,8 @@ def decode_image(payload: bytes) -> dict:
         return {"width": img.width, "height": img.height,
                 "format": (img.format or "unknown").lower(),
                 "channels": len(img.getbands()),
-                "mean_pixel": round(float(arr.mean()), 4)}
+                "mean_pixel": round(float(arr.mean()), 4),
+                "pixels": np.asarray(img, dtype="uint8").tobytes()}
     except ImportError:
         pass
     if payload[:8] == _PNG_MAGIC:
@@ -676,14 +697,43 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def resize_pixels(p: bytes, w: int, h: int) -> bytes:
+    """REAL resize for decodable payloads (PNG/BMP/JPEG via the
+    package's own decoders): nearest-neighbor resample of the decoded
+    pixel buffer, returned as PACKED RAW bytes (h×w×ch, top-down,
+    RGB-family order — ``len(out) == w*h*ch`` recovers the channel
+    count). Raw-out avoids any encoder dependency; plug a codec into
+    ``resize_media``'s ``resizer`` hook to re-encode. Raises
+    NotImplementedError for undecodable payloads (callers fall back)."""
+    import numpy as np
+
+    d = decode_image(p)
+    if "pixels" not in d:
+        raise NotImplementedError("decoder returned no pixel buffer")
+    sh, sw, ch = d["height"], d["width"], d["channels"]
+    arr = np.frombuffer(d["pixels"], dtype="uint8").reshape(sh, sw, ch)
+    ys = (np.arange(h) * sh) // h
+    xs = (np.arange(w) * sw) // w
+    return arr[ys][:, xs].tobytes()
+
+
 def resize_media(df: DataFrame, id_col: str, payload_col: str,
                  width: int, height: int,
                  resizer: Callable[[bytes, int, int], bytes] | None = None,
                  ) -> DataFrame:
-    """1→1 mapInPandas resize stage. ``resizer`` is the real codec hook
-    (e.g. PIL thumbnail); the default stub is a deterministic fake that
-    keeps the plumbing testable without image libraries."""
-    rz = resizer or (lambda p, w, h: p[: max(1, (len(p) * w * h) // (w * h + len(p)))])
+    """1→1 mapInPandas resize stage. The default resizer REALLY
+    resamples any payload the package can decode (PNG/BMP/baseline
+    JPEG → nearest-neighbor raw RGB out, ``resize_pixels``); payloads
+    in no decodable format keep the deterministic byte-slice stand-in
+    so the stage stays total. ``resizer`` plugs in a codec (e.g. PIL
+    thumbnail + re-encode) when re-encoded output is required."""
+    def _default(p: bytes, w: int, h: int) -> bytes:
+        try:
+            return resize_pixels(p, w, h)
+        except Exception:
+            return p[: max(1, (len(p) * w * h) // (w * h + len(p)))]
+
+    rz = resizer or _default
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

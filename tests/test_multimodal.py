@@ -208,8 +208,11 @@ def test_decode_png_all_filter_types():
               for _ in range(5)]
     payload = _make_png(pixels, ctype=2, filters=[0, 1, 2, 3, 4])
     got = decode_image(payload)
+    px = got.pop("pixels")
     assert got == {"width": 9, "height": 5, "format": "png", "channels": 3,
                    "mean_pixel": _expected_mean(pixels)}
+    # raw buffer is the exact unfiltered scanline content, top-down RGB
+    assert px == bytes(b for row in pixels for p_ in row for b in p_)
 
 
 def test_decode_png_gray_and_rgba():
@@ -232,8 +235,13 @@ def test_decode_bmp_bottom_up_and_top_down():
     pixels = [[[10 * y + x, 0, 255] for x in range(3)] for y in range(4)]
     for td in (False, True):
         got = decode_image(_make_bmp(pixels, top_down=td))
+        px = got.pop("pixels")
         assert got == {"width": 3, "height": 4, "format": "bmp",
                        "channels": 3, "mean_pixel": _expected_mean(pixels)}
+        # normalized buffer: top-down rows, BGR file order -> RGB, for
+        # BOTH storage orientations
+        assert px == bytes(b for row in pixels for p_ in row
+                           for b in p_[::-1])
 
 
 def test_decoded_media_features_spark_path(spark):
@@ -1026,3 +1034,50 @@ def test_avi_walk_guards_malformed_sizes():
     assert avi_movi_frames(good[:20]) == []
     assert extract_video_frames(b"RIFF\x00\x00\x00\x00AVI ", 4) == []
     assert extract_video_frames(b"", 4) == []
+
+
+def test_resize_pixels_real_resample_png_bmp_jpeg(spark):
+    """The resize seam is real: decoded pixels are nearest-neighbor
+    resampled for all three decodable formats — exact pixel values for
+    the lossless formats, within JPEG tolerance for flat color — and
+    the Spark resize stage emits raw buffers of exactly w*h*ch bytes."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        resize_media,
+        resize_pixels,
+    )
+
+    # PNG 4x4 gray gradient -> 2x2 picks rows/cols 0 and 2 (floor map)
+    gray = [[[(4 * y + x) * 10] for x in range(4)] for y in range(4)]
+    png = _make_png(gray, ctype=0)
+    out = np.frombuffer(resize_pixels(png, 2, 2),
+                        dtype=np.uint8).reshape(2, 2)
+    assert out.tolist() == [[0, 20], [80, 100]]
+
+    # BMP bottom-up BGR normalizes to top-down RGB before resampling
+    # (pixels given in file channel order B,G,R)
+    bgr = [[[0, 0, 0] for _ in range(2)] for _ in range(2)]
+    bgr[0][0] = [0, 0, 255]       # top-left red (as BGR)
+    bgr[1][1] = [255, 0, 0]       # bottom-right blue (as BGR)
+    bmp = _make_bmp(bgr)
+    up = np.frombuffer(resize_pixels(bmp, 4, 4),
+                       dtype=np.uint8).reshape(4, 4, 3)
+    assert up[0, 0].tolist() == [255, 0, 0]      # red stays top-left (RGB)
+    assert up[3, 3].tolist() == [0, 0, 255]      # blue stays bottom-right
+
+    # JPEG flat color survives decode+resample within codec tolerance
+    img = np.full((16, 16, 3), [200, 100, 50], dtype=np.uint8)
+    jp = np.frombuffer(resize_pixels(_jpeg_encode(img, qy=1, qc=1), 8, 8),
+                       dtype=np.uint8).reshape(8, 8, 3)
+    assert np.abs(jp.astype(int) - [200, 100, 50]).max() <= 2
+
+    # Spark stage: decodable payload -> raw w*h*ch buffer; garbage falls
+    # back to the bounded byte-slice stand-in
+    df = spark.createDataFrame(
+        [("p", bytearray(png)), ("junk", bytearray(b"not an image"))],
+        "mid string, payload binary")
+    rows = {r.media_id: r for r in
+            resize_media(df, "mid", "payload", 2, 2).collect()}
+    assert len(rows["p"].payload) == 2 * 2 * 1
+    assert rows["junk"].payload is not None

@@ -669,3 +669,27 @@ def test_snapshot_txn_append_is_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in S.read_snapshot(spark, t).collect())
     assert got == [1, 2, 10, 11]
+
+
+def test_lake_apply_cdc_replay_is_idempotent(spark, tmp_path):
+    """Re-applying the SAME CDC batch converges (deletes of absent keys
+    no-op, upserts replace with identical rows) — the property that
+    makes a foreachBatch replay after failure safe without a txn log."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        lake_apply_cdc,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    write_partitioned(spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0)], "dt string, k int, v double"),
+        path, ["dt"])
+    changes = spark.createDataFrame(
+        [("U", "d1", 1, 11.0), ("D", "d1", 2, None), ("I", "d1", 3, 30.0)],
+        "op string, dt string, k int, v double")
+
+    lake_apply_cdc(spark, path, changes, "k", "dt")
+    once = sorted((r.dt, r.k, r.v) for r in spark.read.parquet(path).collect())
+    lake_apply_cdc(spark, path, changes, "k", "dt")
+    twice = sorted((r.dt, r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert once == twice == [("d1", 1, 11.0), ("d1", 3, 30.0)]
