@@ -152,3 +152,49 @@ def test_split_assignment_is_append_stable(spark, ids):
     small = {r.doc_id: r.split for r in train_val_test_split(subset, "doc_id").collect()}
     big = {r.doc_id: r.split for r in train_val_test_split(superset, "doc_id").collect()}
     assert all(big[k] == v for k, v in small.items())
+
+
+@given(n=st.integers(min_value=1, max_value=64))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_partition_tokens_are_exact_preimages(spark, n):
+    """_identity_partition_tokens(n): for every i, Spark's own
+    pmod(hash(token_i), n) == i — the property the Z-order writer's
+    deterministic exchange rests on (a single wrong token silently
+    merges two files' key ranges)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        _identity_partition_tokens,
+    )
+
+    tokens = _identity_partition_tokens(spark, n)
+    assert len(tokens) == n
+    got = spark.createDataFrame([(int(t),) for t in tokens], "t long") \
+        .select(F.pmod(F.hash(F.col("t").cast("long")), F.lit(n))
+                .alias("p")).collect()
+    assert [r.p for r in got] == list(range(n))
+
+
+@given(sizes=st.lists(st.sampled_from([8, 16, 24]), min_size=1, max_size=4),
+       tail=st.sampled_from([b"", b"\xff\xd8\xff\xe0junk", b"garbage"]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_mjpeg_span_walk_recovers_every_frame(sizes, tail):
+    """mjpeg_frame_spans over arbitrary concatenations of real JPEGs
+    (+ corrupt tails): spans == the exact encoder output boundaries —
+    entropy bytes that LOOK like markers never split a frame, corrupt
+    tails never produce a bogus span."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        mjpeg_frame_spans,
+    )
+    from tests.test_multimodal import _jpeg_encode
+
+    rng = np.random.RandomState(sum(sizes))
+    jpegs = [_jpeg_encode(rng.randint(0, 255, (s, s, 3)).astype("uint8"))
+             for s in sizes]
+    stream = b"".join(jpegs) + tail
+    spans = mjpeg_frame_spans(stream)
+    assert [e - s for s, e in spans] == [len(j) for j in jpegs]
