@@ -79,8 +79,17 @@ def _manifest_path(table: str, version: int) -> str:
 
 
 def current_version(spark: SparkSession, table: str) -> int:
+    """HEAD, self-healing forward: a writer that crashed between its
+    manifest create and the HEAD update leaves HEAD one behind — probe
+    for newer manifests so the next reader/writer adopts (and re-pins)
+    the true head instead of conflicting forever."""
     head = _read_text(spark, f"{table}/_manifests/HEAD")
-    return int(head.strip()) if head else 0
+    v = int(head.strip()) if head else 0
+    fs, jvm = _jvm_fs(spark, table)
+    while fs.exists(jvm.org.apache.hadoop.fs.Path(
+            _manifest_path(table, v + 1))):
+        v += 1
+    return v
 
 
 def read_manifest(spark: SparkSession, table: str,
@@ -111,14 +120,43 @@ def _write_data_files(df: DataFrame, table: str) -> list:
     return sorted(names)
 
 
+class CommitConflict(Exception):
+    """Another writer committed between this writer's snapshot read and
+    its commit attempt. Retry: re-read, re-derive, re-commit."""
+
+
 def _commit(spark: SparkSession, table: str, files: list,
-            note: str) -> int:
+            note: str, expected_parent: int | None = None,
+            txn: str | None = None) -> int:
+    """Optimistic concurrency: the manifest file for version v is
+    created with create(overwrite=False) — on a store with atomic
+    create-if-absent, two writers racing to the same parent see exactly
+    one winner; the loser gets CommitConflict and retries against the
+    new head. ``expected_parent`` additionally pins the snapshot the
+    writer DERIVED its files from (a lost-update guard for
+    read-modify-write commits like replace_where; append-only commits
+    can leave it None)."""
     parent = current_version(spark, table)
+    if expected_parent is not None and parent != expected_parent:
+        raise CommitConflict(
+            f"{table}: head moved to v{parent} (derived from "
+            f"v{expected_parent}) — re-read and retry")
     v = parent + 1
     manifest = {"version": v, "files": files,
                 "parent": parent or None, "note": note}
-    _write_text_atomic(spark, _manifest_path(table, v),
-                       json.dumps(manifest, indent=1))
+    if txn is not None:
+        manifest["txn"] = txn
+    fs, jvm = _jvm_fs(spark, table)
+    mp = jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
+    try:
+        out = fs.create(mp, False)          # fail-if-exists: the OCC gate
+    except Exception as exc:
+        raise CommitConflict(
+            f"{table}: v{v} already committed by another writer") from exc
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    finally:
+        out.close()
     _write_text_atomic(spark, f"{table}/_manifests/HEAD", str(v))
     return v
 
@@ -149,10 +187,13 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     the files that CONTAIN matching rows — kept whole-file here for
     brevity; the keep-untouched-files refinement is ``files`` pruning
     on min/max stats, same read path."""
-    cur = read_snapshot(spark, table)
+    base = current_version(spark, table)
+    cur = read_snapshot(spark, table, version=base)
     keep = cur.filter(f"NOT ({predicate})")
     new = _write_data_files(keep.unionByName(df), table)
-    return _commit(spark, table, new, note)
+    # read-modify-write: pin the snapshot the rewrite derived from, so
+    # a concurrent commit surfaces as CommitConflict, not a lost update
+    return _commit(spark, table, new, note, expected_parent=base)
 
 
 def committed_txns(spark: SparkSession, table: str) -> set:
@@ -184,14 +225,7 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
         return None
     new = _write_data_files(df, table)
     prev = read_manifest(spark, table)["files"]
-    parent = current_version(spark, table)
-    v = parent + 1
-    manifest = {"version": v, "files": prev + new,
-                "parent": parent or None, "note": note, "txn": txn}
-    _write_text_atomic(spark, _manifest_path(table, v),
-                       json.dumps(manifest, indent=1))
-    _write_text_atomic(spark, f"{table}/_manifests/HEAD", str(v))
-    return v
+    return _commit(spark, table, prev + new, note, txn=txn)
 
 
 def read_snapshot(spark: SparkSession, table: str,

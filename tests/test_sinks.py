@@ -693,3 +693,52 @@ def test_lake_apply_cdc_replay_is_idempotent(spark, tmp_path):
     lake_apply_cdc(spark, path, changes, "k", "dt")
     twice = sorted((r.dt, r.k, r.v) for r in spark.read.parquet(path).collect())
     assert once == twice == [("d1", 1, 11.0), ("d1", 3, 30.0)]
+
+
+def test_snapshot_commit_conflicts_and_self_healing_head(
+        spark, tmp_path, monkeypatch):
+    """OCC: a replace_where derived from a stale snapshot raises
+    CommitConflict instead of losing the concurrent append; two writers
+    racing to the SAME version (simulated with a stale head read) see
+    one winner and one CommitConflict; and a HEAD left one behind by a
+    'crashed' writer self-heals forward."""
+    import json as _j
+
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "occ")
+    S.snap_append(spark, t, spark.createDataFrame([("a", 1)],
+                                                  "k string, v int"))
+    base = S.current_version(spark, t)
+
+    # writer A derives a rewrite from v1 ... meanwhile writer B commits
+    S.snap_append(spark, t, spark.createDataFrame([("b", 2)],
+                                                  "k string, v int"))
+    upd = spark.createDataFrame([("a", 99)], "k string, v int")
+    files = S._write_data_files(upd, t)
+    with pytest.raises(S.CommitConflict, match="head moved"):
+        S._commit(spark, t, files, "stale-rewrite", expected_parent=base)
+    # the concurrent append survived (no lost update)
+    assert sorted((r.k, r.v) for r in S.read_snapshot(spark, t).collect()) \
+        == [("a", 1), ("b", 2)]
+
+    # same-version race: freeze this writer's view of the head at its
+    # pre-race value; the other writer's manifest already occupies v+1,
+    # so create(overwrite=False) must lose loudly
+    head = S.current_version(spark, t)
+    S._commit(spark, t, files, "winner")            # the racing winner
+    monkeypatch.setattr(S, "current_version", lambda *_: head)
+    with pytest.raises(S.CommitConflict, match="already committed"):
+        S._commit(spark, t, files, "loser")
+    monkeypatch.undo()
+
+    # 'crashed' writer: manifest for head+1 exists, HEAD not advanced
+    v = S.current_version(spark, t)
+    m = S.read_manifest(spark, t, v)
+    S._write_text_atomic(spark, S._manifest_path(t, v + 1),
+                         _j.dumps({"version": v + 1, "files": m["files"],
+                                   "parent": v, "note": "crashed"}))
+    assert S.current_version(spark, t) == v + 1     # healed forward
+    assert S.snap_append(spark, t, upd) == v + 2    # next commit adopts it
