@@ -55,3 +55,34 @@ def test_nondense_path_unique_and_above_max(spark):
     out = assign_surrogate_keys(_existing(spark), incoming, dense=False).collect()
     ids = [r.id for r in out]
     assert len(set(ids)) == 20 and min(ids) > 7  # parallel path: unique, > max
+
+
+def test_parallel_dense_ids_equal_serial_window(spark):
+    """The scale path must produce EXACTLY the serial window's ids
+    (same values, same key order), with no single-partition window in
+    its plan — dense ordered assignment without the global sort."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.keygen import (
+        assign_surrogate_keys,
+        dense_ranks_parallel,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "c")], "id long, _id string")
+    incoming = spark.createDataFrame(
+        [(f"k{i:03d}",) for i in range(500)] + [("a",), ("c",)],
+        "_id string").repartition(8)
+
+    serial = {r._id: r.id for r in
+              assign_surrogate_keys(existing, incoming).collect()}
+    par = {r._id: r.id for r in
+           assign_surrogate_keys(existing, incoming,
+                                 parallel=True).collect()}
+    assert par == serial
+    assert par["a"] == 1 and par["c"] == 2           # hits keep their ids
+    assert sorted(v for k, v in par.items() if k.startswith("k")) == \
+        list(range(3, 503))                          # dense from max+1
+
+    ranked = dense_ranks_parallel(
+        spark.range(1000).withColumnRenamed("id", "k").repartition(16), "k")
+    got = {r.k: r["__rank"] for r in ranked.collect()}
+    assert got == {k: k + 1 for k in range(1000)}
