@@ -841,6 +841,100 @@ GROUP BY 1
 """
 
 
+# --- q131: promo revenue share (TPC-H Q14's conditional-ratio shape) ---------
+def q131_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: one scan, two conditional aggregates, one ratio — promo
+    revenue as a percentage of total revenue per ship-month. The CASE
+    never forks the plan (both sums share the scan and the hash-agg);
+    the ratio divides two exact decimal sums cast to double, so both
+    engines divide identical operands."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                   .otherwise(F.lit(0).cast("decimal(18,6)")))
+             .alias("_promo"),
+             F.sum(rev).alias("_total"))
+        .select("month",
+                F.round(F.lit(100.0) * F.col("_promo").cast("double")
+                        / F.col("_total").cast("double"), 6)
+                .alias("promo_pct"),
+                F.round(F.col("_total"), 4).cast("double").alias("revenue"))
+    )
+
+
+Q131_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+       round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_pct,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# --- q132: bilateral shipping volume (TPC-H Q7's OR-pair join shape) ---------
+def q132_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: supplier nation × customer nation trade volume for one
+    nation PAIR in both directions — two independent dim chains hang
+    off the fact (supplier side and order→customer side), the tiny
+    nation dim broadcasts TWICE under different aliases, and the
+    disjunctive pair predicate filters after both chains resolve.
+    Yearly grain; decimal revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) \
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("volume"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q132_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS volume,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
 # --- q130: disjunctive bracket-predicate join (TPC-H Q19's plan shape) -------
 def q130_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: revenue from lineitems matching any of three (brand, size,
@@ -1144,6 +1238,8 @@ QUERIES = {
     "q123_nation_part_value_share": q123_nation_part_value_share,
     "q124_dominant_part_suppliers": q124_dominant_part_suppliers,
     "q130_bracket_revenue": q130_bracket_revenue,
+    "q131_promo_revenue_share": q131_promo_revenue_share,
+    "q132_nation_volume": q132_nation_volume,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -1180,6 +1276,8 @@ ORACLES = {
     "q123_nation_part_value_share": Q123_SQL,
     "q124_dominant_part_suppliers": Q124_SQL,
     "q130_bracket_revenue": Q130_SQL,
+    "q131_promo_revenue_share": Q131_SQL,
+    "q132_nation_volume": Q132_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }
