@@ -23,6 +23,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -590,6 +591,9 @@ def decode_audio(payload: bytes) -> dict:
         if len(samples) else None,
         "peak": round(float(np.abs(samples).max()), 6)
         if len(samples) else None,
+        # normalized interleaved float64 samples — the buffer the
+        # spectral stage analyzes (stats consumers ignore the key)
+        "samples": samples,
     }
 
 
@@ -640,6 +644,79 @@ def decoded_audio_features(df: DataFrame, id_col: str, payload_col: str,
 
     return df.select(id_col, payload_col).mapInPandas(
         run, DECODED_AUDIO_SCHEMA)
+
+
+SPECTRAL_SCHEMA = StructType([
+    StructField("media_id", StringType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("band_energy", ArrayType(DoubleType()), True),
+    StructField("centroid_hz", DoubleType(), True),
+    StructField("flatness", DoubleType(), True),
+])
+
+
+def spectral_features(payload: bytes, bands: int = 8,
+                      frame: int = 1024) -> dict:
+    """Frequency-domain audio features from the REAL sample decode:
+    mono mix → Hann-windowed non-overlapping ``frame``-sample rFFT →
+    mean power spectrum → ``bands`` equal linear bands to Nyquist
+    (fraction of total energy each), spectral centroid in Hz, and
+    spectral flatness (geomean/mean of power — ~1 noise, ~0 tone). The
+    content-level audio fingerprint a curation pipeline filters on
+    (tone/noise/speech-band balance); numpy-vectorized per payload,
+    deterministic."""
+    import numpy as np
+
+    d = decode_audio(payload)
+    s, rate, ch = d["samples"], d["sample_rate"], max(d["channels"], 1)
+    mono = s[: len(s) - len(s) % ch].reshape(-1, ch).mean(axis=1)
+    n = (len(mono) // frame) * frame
+    if n == 0 or rate <= 0:
+        raise NotImplementedError("audio shorter than one analysis frame")
+    frames = mono[:n].reshape(-1, frame) * np.hanning(frame)
+    power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    total = float(power.sum())
+    edges = np.linspace(0, rate / 2, bands + 1)
+    band = [round(float(power[(freqs >= lo) & (freqs < hi)].sum())
+                  / total, 6) if total else 0.0
+            for lo, hi in zip(edges, edges[1:])]
+    centroid = round(float((freqs * power).sum() / total), 2) \
+        if total else None
+    pos = power[power > 0]
+    flat = round(float(np.exp(np.log(pos).mean()) / pos.mean()), 6) \
+        if len(pos) else None
+    return {"sample_rate": rate, "band_energy": band,
+            "centroid_hz": centroid, "flatness": flat}
+
+
+def audio_spectral_features(df: DataFrame, id_col: str, payload_col: str,
+                            bands: int = 8, frame: int = 1024) -> DataFrame:
+    """``spectral_features`` behind the Arrow mapInPandas seam — same
+    degrade-to-null contract as the other decode stages."""
+    def safe(p: bytes) -> dict:
+        import struct
+        try:
+            return spectral_features(p, bands=bands, frame=frame)
+        except (NotImplementedError, ValueError, OSError,
+                IndexError, struct.error):
+            return {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b"")
+            feats = payloads.map(safe)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype(str),
+                **{f: feats.map(lambda d, f=f: d.get(f))
+                   for f in ("sample_rate", "band_energy", "centroid_hz",
+                             "flatness")},
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, SPECTRAL_SCHEMA)
 
 
 def decoded_media_features(df: DataFrame, id_col: str, payload_col: str,

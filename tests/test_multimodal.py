@@ -1081,3 +1081,60 @@ def test_resize_pixels_real_resample_png_bmp_jpeg(spark):
             resize_media(df, "mid", "payload", 2, 2).collect()}
     assert len(rows["p"].payload) == 2 * 2 * 1
     assert rows["junk"].payload is not None
+
+
+def _sine_wav(freq, rate=8000, n=8192, bits=16):
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    s = (np.sin(2 * np.pi * freq * t) * 0.5 * (1 << (bits - 1) - 1)
+         ).astype("<i2").tobytes()
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, bits))
+    payload = fmt + b"data" + struct.pack("<I", len(s)) + s
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
+def test_spectral_features_sine_vs_noise(spark):
+    """Frequency-domain features from REAL decoded samples: a 1250 Hz
+    sine at 8 kHz concentrates its energy in band 2 of 8 (each band =
+    500 Hz) with centroid ≈ 1250 Hz and near-zero flatness; noise spreads
+    energy (high flatness, no dominant band); junk degrades to nulls."""
+    import struct
+
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        audio_spectral_features,
+        spectral_features,
+    )
+
+    # 1250 Hz = bin 160 at frame 1024 / 8 kHz (bin-aligned, dead center
+    # of band 2 = [1000, 1500)): the Hann mainlobe stays inside the band
+    sine = _sine_wav(1250)
+    d = spectral_features(sine)
+    assert d["band_energy"][2] > 0.95
+    assert abs(d["centroid_hz"] - 1250) < 25
+    assert d["flatness"] < 0.05
+
+    rng = np.random.RandomState(3)
+    noise = (rng.uniform(-0.5, 0.5, 8192) * 32767).astype("<i2").tobytes()
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    pl = fmt + b"data" + struct.pack("<I", len(noise)) + noise
+    nz = b"RIFF" + struct.pack("<I", 4 + len(pl)) + b"WAVE" + pl
+    dn = spectral_features(nz)
+    assert dn["flatness"] > 0.5
+    assert max(dn["band_energy"]) < 0.5        # no dominant band
+
+    df = spark.createDataFrame(
+        [("sine", bytearray(sine)), ("noise", bytearray(nz)),
+         ("junk", bytearray(b"not audio"))],
+        "mid string, payload binary")
+    got = {r.media_id: r for r in
+           audio_spectral_features(df, "mid", "payload").collect()}
+    assert abs(got["sine"].centroid_hz - 1250) < 25
+    assert got["noise"].flatness > 0.5
+    assert got["junk"].centroid_hz is None and got["junk"].band_energy is None
