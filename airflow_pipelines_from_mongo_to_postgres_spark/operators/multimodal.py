@@ -452,6 +452,156 @@ def _decode_jpeg_inner(payload: bytes, np, struct) -> dict:
             "pixels": arr.tobytes()}
 
 
+def _lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
+    """GIF-variant LZW: variable code width starting at ``min_code``+1,
+    CLEAR resets the dictionary, widths grow at dictionary fill up to
+    12 bits. Stops after ``expected`` output symbols or END; malformed
+    streams raise NotImplementedError (hostile-payload rule)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    width = min_code + 1
+    next_code = end + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code, prev = fresh(), min_code + 1, \
+                    end + 1, None
+                continue
+            if code == end:
+                return out
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError("gif: corrupt LZW stream")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= expected:
+                return out
+    return out
+
+
+def gif_frames(payload: bytes) -> list:
+    """REAL GIF pixel decode (stdlib only): logical-screen + color
+    tables parsed, every image block LZW-decompressed and mapped
+    through its palette. Returns one dict per stored frame —
+    ``{left, top, width, height, delay_ms, pixels}`` with ``pixels``
+    packed RGB (the shared raw-buffer convention). Frames are returned
+    AS STORED (no disposal compositing — full-frame GIFs, the common
+    case, need none; partial-frame animations keep their offsets for
+    the caller). Interlaced frames are de-interlaced. Malformed or
+    non-8-bit streams raise NotImplementedError."""
+    import struct
+
+    if len(payload) < 13 or payload[:4] != b"GIF8":
+        raise NotImplementedError("not a gif")
+    width, height, packed, _bg, _ar = struct.unpack(
+        "<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    delay_ms = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                      # trailer
+            break
+        if b == 0x21:                      # extension
+            if pos + 2 > len(payload):
+                raise NotImplementedError("gif: truncated extension")
+            label = payload[pos + 1]
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                size = payload[pos]
+                if label == 0xF9 and size >= 4:
+                    delay_ms = struct.unpack(
+                        "<H", payload[pos + 2:pos + 4])[0] * 10
+                pos += 1 + size
+            pos += 1                       # block terminator
+        elif b == 0x2C:                    # image descriptor
+            if pos + 10 > len(payload):
+                raise NotImplementedError("gif: truncated descriptor")
+            left, top, w, h, ipack = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10])
+            pos += 10
+            table = gct
+            if ipack & 0x80:
+                n = 2 << (ipack & 7)
+                table = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise NotImplementedError("gif: no color table")
+            if pos >= len(payload):
+                raise NotImplementedError("gif: truncated image")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise NotImplementedError(f"gif: lzw min {min_code}")
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                size = payload[pos]
+                data += payload[pos + 1:pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise NotImplementedError("gif: short pixel data")
+            if ipack & 0x40:               # interlaced: 4-pass row order
+                rows = [None] * h
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, h, step):
+                        rows[y] = idx[src * w:(src + 1) * w]
+                        src += 1
+                idx = bytearray(b for r in rows for b in r)
+            px = bytearray()
+            for i in idx[:w * h]:
+                off = 3 * i
+                if off + 3 > len(table):
+                    raise NotImplementedError("gif: palette index range")
+                px += table[off:off + 3]
+            frames.append({"left": left, "top": top, "width": w,
+                           "height": h, "delay_ms": delay_ms,
+                           "pixels": bytes(px)})
+            delay_ms = None
+        else:
+            raise NotImplementedError(f"gif: unknown block {b:#x}")
+    if not frames:
+        raise NotImplementedError("gif: no image data")
+    return frames
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """First-frame stats + pixels through the shared decode contract."""
+    f = gif_frames(payload)[0]
+    px = f["pixels"]
+    return {"width": f["width"], "height": f["height"], "format": "gif",
+            "channels": 3,
+            "mean_pixel": round(sum(px) / len(px), 4) if px else None,
+            "pixels": px}
+
+
 def decode_image(payload: bytes) -> dict:
     """REAL image decoder for the ``decoder=`` seam: Pillow when
     available, else the stdlib PNG (zlib inflate + unfilter) and
@@ -485,6 +635,8 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     raise NotImplementedError("unsupported image format")
 
 

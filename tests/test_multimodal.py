@@ -1138,3 +1138,117 @@ def test_spectral_features_sine_vs_noise(spark):
     assert abs(got["sine"].centroid_hz - 1250) < 25
     assert got["noise"].flatness > 0.5
     assert got["junk"].centroid_hz is None and got["junk"].band_energy is None
+
+
+def _lzw_encode(indices, min_code):
+    """Independent GIF-LZW encoder (standard dictionary-building
+    algorithm, variable width, leading CLEAR, trailing END)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    s = b""
+    for i in indices:
+        nxt = s + bytes([i])
+        if nxt in table:
+            s = nxt
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # the decoder's table lags the encoder's by one addition, so
+            # its width bump (at table size 2^w) corresponds to
+            # encoder next_code == 2^w + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = bytes([i])
+    if s:
+        emit(table[s])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(frames, palette, size, min_code=2, interlace_first=False,
+              delay_cs=7):
+    """Hand-packed GIF89a: global palette, graphics-control extension,
+    one image block per frame (optionally interlaced)."""
+    import struct
+
+    w, h = size
+    n = max(len(palette), 4)
+    bits = max((n - 1).bit_length(), 1)
+    gct = b"".join(bytes(c) for c in palette).ljust(3 * (1 << bits), b"\x00")
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h,
+                                            0x80 | (bits - 1), 0, 0) + gct)
+    for fi, idx in enumerate(frames):
+        out += (b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs)
+                + b"\x00\x00")
+        ipack = 0x40 if (interlace_first and fi == 0) else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipack)
+        if interlace_first and fi == 0:
+            order = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for y in range(s, h, st)]
+            idx = [v for y in order for v in idx[y * w:(y + 1) * w]]
+        data = _lzw_encode(idx, min_code)
+        out.append(min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_frames_decode_to_exact_pixels():
+    """Real GIF decode: LZW (dictionary growth, width bumps, 255-byte
+    sub-block splits), palette mapping, interlace reordering and
+    per-frame delays all reproduce the exact source pixels — against an
+    independently written encoder."""
+    import random
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_image,
+        gif_frames,
+    )
+
+    rng = random.Random(11)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    w, h = 13, 9                       # odd dims: interlace passes uneven
+    f0 = [rng.randrange(4) for _ in range(w * h)]
+    f1 = [(i * 7) % 4 for i in range(w * h)]
+    gif = _make_gif([f0, f1], palette, (w, h), interlace_first=True)
+
+    frames = gif_frames(gif)
+    assert len(frames) == 2
+    for fr, src in zip(frames, (f0, f1)):
+        assert (fr["width"], fr["height"], fr["delay_ms"]) == (w, h, 70)
+        want = b"".join(bytes(palette[i]) for i in src)
+        assert fr["pixels"] == want
+
+    d = decode_image(gif)              # first frame through the contract
+    assert (d["format"], d["width"], d["height"], d["channels"]) \
+        == ("gif", w, h, 3)
+
+    # hostile: truncated image data and palette-range indices must raise
+    import pytest
+    with pytest.raises(NotImplementedError):
+        gif_frames(gif[:40])
+    bad = bytearray(gif)
+    with pytest.raises(NotImplementedError):
+        gif_frames(bytes(bad[:6]) + b"\x00" * 7)
