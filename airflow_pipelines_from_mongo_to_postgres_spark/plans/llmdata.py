@@ -2150,6 +2150,100 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
 """
 
 
+# --- q133: tf-idf cosine document pairs (sparse inverted-index dot) -----------------
+_TFIDF_MAX_DF = 30
+_TFIDF_TOPK = 50
+
+
+def q133_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document pairs by SPARSE tf-idf cosine — the lexical twin of
+    the embedding pair scans: the dot product runs through the term
+    inverted index (equi-join on token), so pair work is Σ df² over the
+    kept terms, never n²/2 dense dots. Terms with df=1 (no pair) or
+    df > max_df (stop terms — the q26/q59 posting-list skew rule)
+    drop first. Float discipline: per-term contributions and per-doc
+    squared weights round to 9 dp and sum as DECIMAL (order-
+    independent); the cosine divides the resulting doubles — identical
+    operands on both engines. Top-50 via TakeOrdered."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= _TFIDF_MAX_DF)))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(F.broadcast(dfreq), "token")
+         .crossJoin(F.broadcast(n))
+         .select("doc_id", "token",
+                 (F.col("tf") * F.log((1.0 + F.col("n_docs"))
+                                      / (1.0 + F.col("df")))).alias("w")))
+    norms = (w.select("doc_id",
+                      F.round(F.col("w") * F.col("w"), 9)
+                      .cast("decimal(18,9)").alias("w2"))
+             .groupBy("doc_id")
+             .agg(F.sqrt(F.sum("w2").cast("double")).alias("norm")))
+    a = w.select(F.col("doc_id").alias("d1"), "token",
+                 F.col("w").alias("w1"))
+    b = w.select(F.col("doc_id").alias("d2"), "token",
+                 F.col("w").alias("w2"))
+    dots = (a.join(b, "token")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2",
+                    F.round(F.col("w1") * F.col("w2"), 9)
+                    .cast("decimal(18,9)").alias("c"))
+            .groupBy("d1", "d2")
+            .agg(F.sum("c").cast("double").alias("_dot"),
+                 F.count(F.lit(1)).alias("shared_terms")))
+    n1 = norms.select(F.col("doc_id").alias("d1"), F.col("norm").alias("_n1"))
+    n2 = norms.select(F.col("doc_id").alias("d2"), F.col("norm").alias("_n2"))
+    return (
+        dots.join(n1, "d1").join(n2, "d2")
+        .select("d1", "d2", "shared_terms",
+                F.round(F.col("_dot") / (F.col("_n1") * F.col("_n2")), 6)
+                .alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("d1").asc(),
+                 F.col("d2").asc())
+        .limit(_TFIDF_TOPK)
+    )
+
+
+Q133_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents, LATERAL unnest({{toks}}) t(tok)
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= {_TFIDF_MAX_DF}
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((1.0 + n_docs) / (1.0 + df)) AS w
+  FROM tf JOIN dfreq USING (token), n
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(18,9))) AS DOUBLE))
+           AS norm
+  FROM w GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(18,9))) AS DOUBLE)
+           AS _dot,
+         count(*) AS shared_terms
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.d1, d.d2, d.shared_terms,
+       round(d._dot / (x.norm * y.norm), 6) AS cosine
+FROM dots d JOIN norms x ON d.d1 = x.doc_id JOIN norms y ON d.d2 = y.doc_id
+ORDER BY cosine DESC, d1 ASC, d2 ASC LIMIT {_TFIDF_TOPK}
+"""
+Q133_SQL = Q133_SQL.replace("{toks}", _TOKENS_SQL.format(col="text"))
+
+
 # --- q129: per-dimension embedding feature-scaling statistics -----------------------
 def q129_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension mean/std/min/max over the embedding corpus — the
@@ -2935,6 +3029,7 @@ QUERIES = {
     "q127_hybrid_retrieval": q127_hybrid_retrieval,
     "q128_repeated_spans": q128_repeated_spans,
     "q129_embedding_dim_stats": q129_embedding_dim_stats,
+    "q133_tfidf_similarity": q133_tfidf_similarity,
     "q100_weighted_sample": q100_weighted_sample,
     "q101_graph_clustering": q101_graph_clustering,
     "q104_bpe_pair_stats": q104_bpe_pair_stats,
@@ -2996,6 +3091,7 @@ ORACLES = {
     "q127_hybrid_retrieval": Q127_SQL,
     "q128_repeated_spans": Q128_SQL,
     "q129_embedding_dim_stats": Q129_SQL,
+    "q133_tfidf_similarity": Q133_SQL,
     "q100_weighted_sample": Q100_SQL,
     "q101_graph_clustering": Q101_SQL,
     "q104_bpe_pair_stats": Q104_SQL,

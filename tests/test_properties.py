@@ -198,3 +198,34 @@ def test_mjpeg_span_walk_recovers_every_frame(sizes, tail):
     stream = b"".join(jpegs) + tail
     spans = mjpeg_frame_spans(stream)
     assert [e - s for s, e in spans] == [len(j) for j in jpegs]
+
+
+@given(data=st.binary(min_size=0, max_size=400),
+       stamp=st.sampled_from([b"", b"\x89PNG\r\n\x1a\n", b"BM", b"\xff\xd8",
+                              b"GIF89a", b"RIFF", b"RIFFxxxxWAVE",
+                              b"RIFFxxxxAVI "]))
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_binary_parsers_never_crash_outside_contract(data, stamp):
+    """Hostile-payload fuzz: every binary parser either returns a result
+    or raises an exception its Spark-stage wrapper catches
+    (NotImplementedError / ValueError / OSError / zlib / struct /
+    IndexError / KeyError-free) — random bytes, with and without
+    magic-number prefixes, must never kill an executor task."""
+    import struct
+    import zlib
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators import multimodal as M
+
+    payload = stamp + data
+    allowed = (NotImplementedError, ValueError, OSError, zlib.error,
+               IndexError, struct.error)
+    for fn in (M.decode_image, M.decode_audio,
+               lambda p: M.gif_frames(p) if p[:4] == b"GIF8" else None,
+               M.avi_movi_frames, M.mjpeg_frame_spans,
+               lambda p: M.extract_video_frames(p, 3),
+               lambda p: M.resize_pixels(p, 4, 4)):
+        try:
+            fn(payload)
+        except allowed:
+            pass
