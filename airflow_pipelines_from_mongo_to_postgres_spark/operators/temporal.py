@@ -125,7 +125,8 @@ def _interval_micros(bucket: str):
 def range_join_bucketed(left: DataFrame, right: DataFrame,
                         left_start: str, left_end: str, right_ts: str,
                         bucket: str = "5 minutes",
-                        keys: list[str] | None = None) -> DataFrame:
+                        keys: list[str] | None = None,
+                        salt: int = 1) -> DataFrame:
     """KEYLESS (or weak-keyed) interval join without the nested loop.
 
     ``range_join`` relies on its equi keys to get a hash join; with no
@@ -146,7 +147,15 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
     The cell width comes from the interval literal anchored at an
     explicitly-UTC epoch (``TIMESTAMP '...Z'``), so an off-UTC session
     timezone cannot silently inflate the bucket size (and with it the
-    explode fan-out)."""
+    explode fan-out).
+
+    ``salt > 1`` spreads each HOT CELL across ``salt`` tasks: the right
+    side hash-salts into sub-cells, the left explodes over all of them
+    (×salt left fan-out — left is the small interval side). Pair WORK
+    is unchanged (every qualifying pair still meets once, in exactly
+    one sub-cell); what changes is that one wall-clock-dominating cell
+    becomes ``salt`` parallel partitions — the keyless-join analogue of
+    operators/skew.salted_join."""
     keys = keys or []
     w = _interval_micros(bucket)
     r = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
@@ -157,11 +166,18 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
     hi = F.floor(F.unix_micros(F.col(left_end).cast("timestamp")) / w)
     l_ = left.withColumn("__cell", F.explode(F.sequence(lo, hi)))
     cond = F.col("__cell") == F.col("__rcell")
+    if salt > 1:
+        r = r.withColumn("__rsalt",
+                         F.pmod(F.hash(F.col(f"r_{right_ts}")), F.lit(salt)))
+        l_ = l_.withColumn("__salt",
+                           F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        cond = cond & (F.col("__salt") == F.col("__rsalt"))
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"r_{k}"))
     return (
         l_.join(r, cond, "inner")
         .filter((F.col(f"r_{right_ts}") > F.col(left_start))
                 & (F.col(f"r_{right_ts}") <= F.col(left_end)))
-        .drop("__cell", "__rcell")
+        .drop("__cell", "__rcell",
+              *(["__salt", "__rsalt"] if salt > 1 else []))
     )

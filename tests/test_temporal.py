@@ -260,3 +260,28 @@ def test_range_join_bucketed_width_is_timezone_independent(spark):
         assert {r.r_rid for r in out.collect()} == {1}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_range_join_bucketed_salted_parity(spark):
+    """salt > 1 spreads hot cells across tasks without changing the
+    result: salted output == unsalted output == plain band join."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i, _ts(f"2024-01-01 10:{i:02d}:30"),
+          _ts(f"2024-01-01 10:{i + 6:02d}:30")) for i in range(0, 30, 2)],
+        ["lid", "start_ts", "end_ts"])
+    right = spark.createDataFrame(
+        [(j, _ts(f"2024-01-01 10:{j % 40:02d}:{(j * 13) % 60:02d}"),
+          float(j)) for j in range(120)],
+        ["rid", "ts", "v"])
+
+    plain = {(r.lid, r.r_rid) for r in
+             range_join(left, right, [], "start_ts", "end_ts", "ts").collect()}
+    for s in (1, 4):
+        got = {(r.lid, r.r_rid) for r in
+               range_join_bucketed(left, right, "start_ts", "end_ts", "ts",
+                                   bucket="4 minutes", salt=s).collect()}
+        assert got == plain and plain
