@@ -2762,6 +2762,110 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 Q108_SQL = _q108_sql()
 
 
+# --- q134: SEMANTIC corpus build (gates → exact dedup → SemDeDup → balance) ---------
+def q134_corpus_build_semantic(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The embedding-era twin of q58's lexical corpus build, composed
+    END-TO-END as one lazy plan: language+quality gates (scan-side
+    filters) → exact dedup to min-id keepers (one fingerprint hash-agg)
+    → SemDeDup over the keepers' embeddings (frozen-IVF cells, min-id
+    keeper within cell, Σ|cell|² pair work) → cluster-balanced quota
+    sample over the SURVIVORS (each cell cut to 3/5 of the smallest
+    surviving cell, integer hash rule). Every stage's literals are
+    DuckDB-replayable, so the full four-stage pipeline hash-gates —
+    the strongest end-to-end claim the registry makes about the
+    semantic curation path."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    gated = d.select("doc_id", "text",
+                     T.lang_id("text").alias("plang"),
+                     T.quality_score("text").alias("quality")) \
+        .filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+    keepers = (gated.select("doc_id", T.fingerprint("text").alias("fp"))
+               .groupBy("fp")
+               .agg(F.min("doc_id").alias("vec_id")))
+    vecs = e.join(keepers.select("vec_id"), "vec_id")
+    state = similarity.semantic_dedup_state(
+        vecs, "vec_id", "embedding", _SEMANTIC_DEDUP_T, IVF_CENTROIDS)
+    surv = state.filter(F.col("is_kept")).select("vid", "cell")
+    counts = surv.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
+    target = counts.agg(F.min("n_c").alias("min_n"))
+    h = T.hash28(F.concat(F.lit("cbal:"), F.col("vid").cast("string")))
+    return (
+        surv.join(F.broadcast(counts), "cell")
+        .crossJoin(F.broadcast(target))
+        .filter(h * F.col("n_c") * F.lit(_Q94_DEN)
+                < F.col("min_n") * F.lit(_Q94_NUM * (1 << 28)))
+        .select(F.col("vid").alias("doc_id"), "cell")
+    )
+
+
+def _q134_sql() -> str:
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    cent_rows = ",\n    ".join(
+        f"({i}, {_sql_darray(c)}, {float(sum(x * x for x in c))!r})"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH lang_t AS ({_lang_id_sql()}), qual_t AS ({_quality_sql()}),
+gated AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN lang_t ON d.doc_id = lang_t.doc_id
+  JOIN qual_t ON d.doc_id = qual_t.doc_id
+  WHERE lang_t.predicted_lang = 'en'
+),
+keepers AS (
+  SELECT min(doc_id) AS vec_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM gated)
+  GROUP BY fp
+),
+cent(cell, cvec, c2) AS (
+  VALUES
+    {cent_rows}
+),
+u AS (
+  SELECT e.vec_id, {_unit_sql('embedding')} AS v
+  FROM embeddings e JOIN keepers k ON e.vec_id = k.vec_id
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY c2 - 2 * list_dot_product(v, cvec) ASC, cell ASC) AS rn
+    FROM u CROSS JOIN cent) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v), 6) >= {_SEMANTIC_DEDUP_T}
+),
+surv AS (
+  SELECT a.vec_id, a.cell
+  FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+  WHERE dr.vec_id IS NULL
+),
+counts AS (SELECT cell, count(*) AS n_c FROM surv GROUP BY 1),
+t AS (SELECT min(n_c) AS min_n FROM counts)
+SELECT s.vec_id AS doc_id, s.cell
+FROM surv s JOIN counts USING (cell), t
+WHERE CAST(concat('0x', substr(md5(concat('cbal:', CAST(s.vec_id AS VARCHAR))), 1, 7))
+           AS BIGINT) * n_c * {_Q94_DEN} < min_n * {_Q94_NUM * (1 << 28)}
+"""
+
+
+Q134_SQL = _q134_sql()
+
+
 # --- q109: intra-document repetition ratio (Gopher-style dup-n-gram filter) ---------
 _REP_N = 2
 _REP_FLAG_T = 0.05
@@ -3036,6 +3140,7 @@ QUERIES = {
     "q106_ann_pq": q106_ann_pq,
     "q107_count_min": q107_count_min,
     "q108_semantic_dedup": q108_semantic_dedup,
+    "q134_corpus_build_semantic": q134_corpus_build_semantic,
     "q109_repetition_ratio": q109_repetition_ratio,
     "q110_pii_redaction": q110_pii_redaction,
     "q111_cross_source_novelty": q111_cross_source_novelty,
@@ -3098,6 +3203,7 @@ ORACLES = {
     "q106_ann_pq": _q106_sql(),
     "q107_count_min": Q107_SQL,
     "q108_semantic_dedup": Q108_SQL,
+    "q134_corpus_build_semantic": Q134_SQL,
     "q109_repetition_ratio": Q109_SQL,
     "q110_pii_redaction": Q110_SQL,
     "q111_cross_source_novelty": Q111_SQL,
