@@ -9,7 +9,8 @@ stop-shingle-pruned scale path q63, so the pruning's cost/benefit carries
 a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join,
 the end-to-end corpus build (q58), BM25 ranked retrieval (q97),
 blocked fuzzy record linkage (q99), the keyless banded interval join
-(q119), and the agg-first HAVING join-back (q121).
+(q119), the agg-first HAVING join-back (q121), and the composed
+semantic corpus build (q134).
 
 Isolation: every timed run starts from a cold cache — session-level shared
 plans (plans/llmdata.py) are cleared and spark.catalog.clearCache() drops
@@ -49,6 +50,7 @@ HEADLINE = [
     "q113_latest_shipper",
     "q119_error_burst_windows",
     "q121_large_volume_customers",
+    "q134_corpus_build_semantic",
 ]
 
 
