@@ -119,3 +119,56 @@ def run_incremental_curation(spark: SparkSession, drop_dir: str,
         .start()
     )
     query.awaitTermination()
+
+
+#: Schema of embedding drop files (matches the embeddings fixture).
+EMB_SCHEMA = "vec_id long, embedding array<double>, label int"
+
+
+def run_incremental_semantic_dedup(spark: SparkSession, drop_dir: str,
+                                   checkpoint_dir: str, state_dir: str,
+                                   threshold: float, centroids: list,
+                                   schema: StructType | str = EMB_SCHEMA,
+                                   max_files_per_trigger: int | None = None
+                                   ) -> None:
+    """Streaming SemDeDup maintenance — the embedding twin of
+    ``run_incremental_curation``: each appended micro-batch of vectors
+    folds into the standing ``(vid, v, cell, is_kept)`` state through
+    ``operators.similarity.incremental_semantic_dedup`` (batch-
+    proportional pair work, same frozen quantizer), using the same
+    generation-addressed state protocol (``gen=epoch`` + _SUCCESS
+    commit marker; a retried batch reads the state BEFORE its own
+    crashed attempt). Stream == batch parity is the test: any file→
+    batch partitioning converges to ``semantic_dedup_state`` over the
+    union, because the min-id keeper under the monotone-append contract
+    is associative across batches. Out-of-order ids raise through the
+    operator's guard and fail the batch loudly — replaying into the
+    prior generation, never corrupting standing verdicts."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_dedup_state,
+    )
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        prior = read_curated_state(spark, state_dir, before_epoch=epoch)
+        if prior is None:
+            updated = semantic_dedup_state(batch, "vec_id", "embedding",
+                                           threshold, centroids)
+        else:
+            _, updated = incremental_semantic_dedup(
+                prior, batch, "vec_id", "embedding", threshold, centroids)
+        updated.write.mode("overwrite").parquet(f"{state_dir}/gen={epoch}")
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    query = (
+        reader.load(drop_dir)
+        .writeStream
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

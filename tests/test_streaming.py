@@ -389,3 +389,57 @@ def test_read_curated_state_ignores_uncommitted_generation(spark, tmp_path, sf_d
     import shutil
     shutil.rmtree(state / "gen=1")
     assert read_curated_state(spark, str(state)) is None
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """Two embedding drops streamed one file per micro-batch through
+    run_incremental_semantic_dedup == one-shot semantic_dedup_state over
+    the union (cells AND keeper verdicts), with multi-generation state
+    actually exercised."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        semantic_dedup_state,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans._ivf_centroids import (
+        IVF_CENTROIDS,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.curation import (
+        run_incremental_semantic_dedup,
+    )
+
+    t = 0.42
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01") \
+        .select("vec_id", F.col("embedding").cast("array<double>"), "label")
+    drop = tmp_path / "drop"
+    e.filter(F.col("vec_id") < 400).coalesce(1) \
+        .write.parquet(str(drop / "d1"))
+    e.filter(F.col("vec_id") >= 400).coalesce(1) \
+        .write.parquet(str(drop / "d2"))
+    # flatten: the file source watches one directory of files
+    files = sorted(glob.glob(str(drop / "d*" / "*.parquet")))
+    import shutil
+    for i, f in enumerate(files):
+        shutil.move(f, str(drop / f"batch{i}.parquet"))
+        shutil.rmtree(str(drop / f"d{i + 1}"))
+
+    state = str(tmp_path / "state")
+    run_incremental_semantic_dedup(
+        spark, str(drop), str(tmp_path / "ckpt"), state,
+        threshold=t, centroids=IVF_CENTROIDS, max_files_per_trigger=1)
+
+    gens = glob.glob(f"{state}/gen=*")
+    assert len(gens) >= 2                      # multi-generation path ran
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.curation import (
+        read_curated_state,
+    )
+    got = {r.vid: (r.cell, r.is_kept)
+           for r in read_curated_state(spark, state).collect()}
+    want = {r.vid: (r.cell, r.is_kept)
+            for r in semantic_dedup_state(e, "vec_id", "embedding", t,
+                                          IVF_CENTROIDS).collect()}
+    assert got == want and len(got) == 500
