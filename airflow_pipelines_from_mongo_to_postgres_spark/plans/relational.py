@@ -935,6 +935,43 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- q135: customer order-count distribution (TPC-H Q13's plan shape) --------
+def q135_order_count_distribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Q13: how many customers placed exactly k orders — INCLUDING
+    k = 0, which is the whole point of the shape: the LEFT outer join
+    keeps order-less customers, count(o_orderkey) (not count(*)) turns
+    their null matches into 0, and a second aggregation folds customers
+    into the distribution. Two shuffles (custkey, then the tiny count
+    key); the excluded-comment predicate becomes a priority filter on
+    the order side (the fixtures carry no o_comment)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") != "5-LOW") \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+Q135_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '5-LOW') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
 # --- q130: disjunctive bracket-predicate join (TPC-H Q19's plan shape) -------
 def q130_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: revenue from lineitems matching any of three (brand, size,
@@ -1240,6 +1277,7 @@ QUERIES = {
     "q130_bracket_revenue": q130_bracket_revenue,
     "q131_promo_revenue_share": q131_promo_revenue_share,
     "q132_nation_volume": q132_nation_volume,
+    "q135_order_count_distribution": q135_order_count_distribution,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -1278,6 +1316,7 @@ ORACLES = {
     "q130_bracket_revenue": Q130_SQL,
     "q131_promo_revenue_share": Q131_SQL,
     "q132_nation_volume": Q132_SQL,
+    "q135_order_count_distribution": Q135_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }
