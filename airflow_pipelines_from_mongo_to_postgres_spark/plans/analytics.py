@@ -811,7 +811,53 @@ Q103_SQL = "\nUNION ALL\n".join(
     for c in _PROFILE_COLS)
 
 
+# --- q136: event-type transition matrix (action-sequence statistics) ---------
+def q136_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each
+    user's event sequence — the sequence statistic behind action-model
+    training data audits (which transitions dominate, which are
+    never seen). One window (user, ts, event_id — the repo's unique
+    tiebreak rule) produces lagged pairs; per-prev totals come from a
+    second tiny agg joined back broadcast. Probability = exact integer
+    count ÷ count, rounded — no float accumulation anywhere."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (e.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select("prev_type", "next_type", "n",
+                F.round(F.col("n").cast("double")
+                        / F.col("tot").cast("double"), 6).alias("prob"))
+    )
+
+
+Q136_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type, p.n,
+       round(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS prob
+FROM pairs p JOIN totals t USING (prev_type)
+"""
+
+
 QUERIES = {
+    "q136_event_transitions": q136_event_transitions,
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
     "q66_word_frequency": q66_word_frequency,
     "q67_sessionize": q67_sessionize,
@@ -832,6 +878,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q136_event_transitions": Q136_SQL,
     "q65_tfidf_top_terms": Q65_SQL,
     "q66_word_frequency": Q66_SQL,
     "q67_sessionize": Q67_SQL,
