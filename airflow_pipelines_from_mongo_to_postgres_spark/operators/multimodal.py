@@ -1241,6 +1241,59 @@ def _jpeg_dims(b) -> F.Column:
                     state.getField("h").alias("h"))
 
 
+_TIFF_ENTRIES = 32
+
+
+def _tiff_dims(b, little: bool) -> F.Column:
+    """``struct(w, h)`` from a TIFF header: read the first IFD's entry
+    table and pick tags 256/257 (ImageWidth/ImageLength), honoring the
+    file's endianness and the SHORT-vs-LONG value encoding (values are
+    left-justified in the 4-byte field in both byte orders). The entry
+    scan is ONE ``aggregate`` over ``_TIFF_ENTRIES`` iterations — a
+    runtime loop, constant-size expression tree, same construction as
+    ``_jpeg_dims``. Out-of-range reads yield null bytes → null dims."""
+
+    def byte_at(pos0):
+        # single byte at a DYNAMIC 0-based offset (1-indexed substring)
+        p = F.least(pos0 + 1, F.lit((1 << 31) - 1).cast("long")).cast("int")
+        return F.conv(F.hex(F.substring(b, p, 1)), 16, 10).cast("long")
+
+    def u(pos0, n):
+        out = F.lit(0).cast("long")
+        for i in range(n):
+            if little:
+                out = out + byte_at(pos0 + i) \
+                    * F.lit(1 << (8 * i)).cast("long")
+            else:
+                out = out * 256 + byte_at(pos0 + i)
+        return out
+
+    ifd = u(F.lit(4).cast("long"), 4)
+    cnt = u(ifd, 2)
+
+    def step(acc, i):
+        base = ifd + 2 + 12 * i
+        tag = u(base, 2)
+        typ = u(base + 2, 2)
+        val = F.when(typ == 3, u(base + 8, 2)) \
+            .when(typ == 4, u(base + 8, 4))
+        valid = i < cnt
+        w = acc.getField("w")
+        h = acc.getField("h")
+        return F.struct(
+            F.when(valid & (tag == 256) & w.isNull(), val)
+            .otherwise(w).alias("w"),
+            F.when(valid & (tag == 257) & h.isNull(), val)
+            .otherwise(h).alias("h"))
+
+    init = F.struct(F.lit(None).cast("long").alias("w"),
+                    F.lit(None).cast("long").alias("h"))
+    st = F.aggregate(F.sequence(F.lit(0).cast("long"),
+                                F.lit(_TIFF_ENTRIES - 1).cast("long")),
+                     init, step)
+    return F.struct(st.getField("w").alias("w"), st.getField("h").alias("h"))
+
+
 def image_dimensions(payload_col) -> F.Column:
     """``struct(format, width, height)`` parsed from the payload's header
     bytes — PNG (IHDR, big-endian at offset 16), GIF (LE uint16 at 6),
@@ -1299,6 +1352,16 @@ def image_dimensions(payload_col) -> F.Column:
             F.lit("webp").alias("format"),
             _clamp_int(webp_w).alias("width"),
             _clamp_int(webp_h).alias("height")))
+        .when((F.hex(F.substring(b, 1, 4)) == "49492A00")
+              & (long_enough >= 8), F.struct(
+            F.lit("tiff").alias("format"),
+            _clamp_int(_tiff_dims(b, True).getField("w")).alias("width"),
+            _clamp_int(_tiff_dims(b, True).getField("h")).alias("height")))
+        .when((F.hex(F.substring(b, 1, 4)) == "4D4D002A")
+              & (long_enough >= 8), F.struct(
+            F.lit("tiff").alias("format"),
+            _clamp_int(_tiff_dims(b, False).getField("w")).alias("width"),
+            _clamp_int(_tiff_dims(b, False).getField("h")).alias("height")))
         .otherwise(F.struct(
             F.lit(None).cast("string").alias("format"),
             F.lit(None).cast("int").alias("width"),

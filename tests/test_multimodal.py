@@ -1252,3 +1252,43 @@ def test_gif_lzw_frames_decode_to_exact_pixels():
     bad = bytearray(gif)
     with pytest.raises(NotImplementedError):
         gif_frames(bytes(bad[:6]) + b"\x00" * 7)
+
+
+def test_header_dimensions_tiff_both_endians(spark):
+    """TIFF dims from the first IFD, both byte orders, SHORT and LONG
+    value types, extra entries before/after the dim tags — JVM-side
+    (no Python stage in the plan); truncated TIFFs degrade to nulls."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        header_media_features,
+    )
+
+    def tiff(le, w, h, wtype=3, htype=4):
+        e, tagfmt = ("<", "II*\0") if le else (">", "MM\0*")
+        def entry(tag, typ, val):
+            if typ == 3:
+                vf = struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                vf = struct.pack(e + "I", val)
+            return struct.pack(e + "HHI", tag, typ, 1) + vf
+        entries = (entry(254, 4, 0)            # decoy before
+                   + entry(256, wtype, w)
+                   + entry(257, htype, h)
+                   + entry(258, 3, 8))         # decoy after
+        ifd = struct.pack(e + "H", 4) + entries + struct.pack(e + "I", 0)
+        return tagfmt.encode("latin1") + struct.pack(e + "I", 8) + ifd
+
+    df = spark.createDataFrame(
+        [(1, bytearray(tiff(True, 1920, 1080))),
+         (2, bytearray(tiff(False, 640, 65536, wtype=4))),
+         (3, bytearray(tiff(True, 10, 10)[:12]))],
+        "media_id long, payload binary")
+    out = header_media_features(df, "media_id", "payload")
+    got = {r.media_id: (r.format, r.width, r.height) for r in out.collect()}
+    assert got["1"] == ("tiff", 1920, 1080)
+    assert got["2"] == ("tiff", 640, 65536)    # LONG value > uint16
+    assert got["3"] == ("tiff", None, None)    # truncated IFD -> nulls
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
