@@ -1083,17 +1083,47 @@ def avi_movi_frames(p: bytes) -> list:
     return out
 
 
+def _bmp_encode(rgb: bytes, w: int, h: int) -> bytes:
+    """Pack top-down RGB pixels as a minimal uncompressed BMP — the
+    cheapest SELF-CONTAINED frame container (every emitted frame stays
+    decodable by ``decode_image``, matching the MJPEG convention where
+    frames are whole JPEGs). Negative height = top-down, rows BGR,
+    4-byte padded."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            off = 3 * (y * w + x)
+            row += rgb[off:off + 3][::-1]
+        body += row.ljust(stride, b"\x00")
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<iiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0)
+            + bytes(body))
+
+
 def extract_video_frames(p: bytes, n: int) -> list:
-    """Up to ``n`` evenly-spaced REAL frames from an MJPEG-family
-    payload: RIFF/AVI containers via the movi-chunk walk, bare
-    concatenated-JPEG streams via the marker walk — both decodable by
-    the package's own baseline-JPEG decoder, no codec dependency.
-    Returns [] for payloads that are neither (callers distinguish
-    "no frames" from the byte-slicing stub explicitly)."""
+    """Up to ``n`` evenly-spaced REAL frames from an animation payload:
+    RIFF/AVI containers via the movi-chunk walk and bare
+    concatenated-JPEG streams via the marker walk (frames = whole
+    JPEGs), plus animated GIFs via the LZW decode (frames re-wrapped as
+    minimal BMPs so they stay self-contained) — every emitted frame is
+    decodable by the package's own decoders, no codec dependency.
+    Returns [] for payloads in none of these formats (callers
+    distinguish "no frames" from the byte-slicing stub explicitly)."""
     if len(p) >= 12 and p[0:4] == b"RIFF" and p[8:12] == b"AVI ":
         frames = avi_movi_frames(p)
     elif len(p) >= 2 and p[0] == 0xFF and p[1] == 0xD8:
         frames = [p[s:e] for s, e in mjpeg_frame_spans(p)]
+    elif len(p) >= 6 and p[0:4] == b"GIF8":
+        try:
+            frames = [_bmp_encode(f["pixels"], f["width"], f["height"])
+                      for f in gif_frames(p)]
+        except NotImplementedError:
+            return []
     else:
         return []
     if len(frames) <= n:

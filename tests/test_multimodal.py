@@ -1292,3 +1292,30 @@ def test_header_dimensions_tiff_both_endians(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_sample_frames_animated_gif(spark):
+    """Animated GIFs flow through sample_frames as self-contained BMP
+    frames decodable by decode_image — even spacing over the stored
+    frame list, exact pixels preserved through the LZW→BMP round
+    trip."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_image,
+        sample_frames,
+    )
+
+    palette = [(0, 0, 0), (250, 10, 10), (10, 250, 10), (10, 10, 250)]
+    w, h = 6, 4
+    frames = [[c] * (w * h) for c in (1, 2, 3, 1, 2, 3)]   # 6 flat frames
+    gif = _make_gif(frames, palette, (w, h))
+
+    df = spark.createDataFrame([("g", bytearray(gif))],
+                               "mid string, payload binary")
+    rows = sorted(sample_frames(df, "mid", "payload", num_frames=3).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    # 6 frames sampled to 3 -> stored frames 0, 2, 4 -> colors 1, 3, 2
+    for row, color in zip(rows, (1, 3, 2)):
+        d = decode_image(bytes(row.frame))
+        assert (d["format"], d["width"], d["height"]) == ("bmp", w, h)
+        assert d["pixels"][:3] == bytes(palette[color])
