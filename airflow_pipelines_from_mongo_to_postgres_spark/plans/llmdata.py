@@ -3084,6 +3084,92 @@ FROM t GROUP BY 1
 """
 
 
+# --- q137: per-source corpus quality report -----------------------------------------
+def q137_source_quality_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The corpus-owner dashboard in one pass: per source, document
+    count, mean quality score, mean token count, fraction flagged by
+    the Gopher repetition rule, and fraction carrying any PII — every
+    per-document metric is a map-side Column expression (the q31/q109/
+    q74 family), so the whole report is one scan + one groupBy(source).
+    Means divide exact integer/decimal sums; fractions are integer
+    flag-count ÷ count — nothing order-dependent anywhere."""
+    d = load_table(spark, "documents", sf_dir)
+    staged = d.select(
+        "source",
+        T.quality_score("text").alias("q"),
+        T.tokens("text").alias("ts"),
+        *[v.alias(f"_p_{k}") for k, v in T.pii_counts("text").items()],
+    )
+    gram = F.when(
+        F.size("ts") >= _REP_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - (_REP_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ts", i + j) for j in range(_REP_N)]),
+        )).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("gs", gram)
+    total = F.size("gs").cast("long")
+    dist = F.size(F.array_distinct("gs")).cast("long")
+    dup = F.when(total > 0,
+                 F.round(F.lit(1.0) - dist.cast("double") / total, 6)) \
+        .otherwise(F.lit(0.0))
+    has_pii = sum(F.col(f"_p_{k}") for k in T.PII_PATTERNS) > 0
+    per_doc = staged.select(
+        "source", "q",
+        F.size("ts").cast("long").alias("n_toks"),
+        (dup > F.lit(_REP_FLAG_T)).cast("int").alias("rep_flag"),
+        has_pii.cast("int").alias("pii_flag"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / n, 6).alias("mean_quality"),
+        F.round(F.sum("n_toks").cast("double") / n, 6).alias("mean_tokens"),
+        F.round(F.sum("rep_flag").cast("double") / n, 6)
+        .alias("pct_repetitive"),
+        F.round(F.sum("pii_flag").cast("double") / n, 6).alias("pct_pii"),
+    )
+
+
+def _q137_sql() -> str:
+    pii_any = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{pat.replace(chr(39), chr(39) * 2)}'))"
+        for pat in T.PII_PATTERNS.values())
+    return f"""
+WITH qual AS ({_quality_sql(None)}),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(gs) > 0
+              THEN round(1.0 - len(list_distinct(gs))::DOUBLE / len(gs), 6)
+              ELSE 0.0 END AS dup_frac
+  FROM (SELECT doc_id, {_rep_grams_sql()} AS gs FROM documents)
+),
+pii AS (
+  SELECT doc_id, ({pii_any}) > 0 AS has_pii FROM documents
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_quality,
+       round(CAST(sum(q.n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
+       round(CAST(sum(CASE WHEN r.dup_frac > {_REP_FLAG_T} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS pct_repetitive,
+       round(CAST(sum(CASE WHEN p.has_pii THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pct_pii
+FROM documents d
+JOIN qual q ON d.doc_id = q.doc_id
+JOIN rep r ON d.doc_id = r.doc_id
+JOIN pii p ON d.doc_id = p.doc_id
+GROUP BY 1
+"""
+
+
+Q137_SQL = _q137_sql()
+
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -3141,6 +3227,7 @@ QUERIES = {
     "q107_count_min": q107_count_min,
     "q108_semantic_dedup": q108_semantic_dedup,
     "q134_corpus_build_semantic": q134_corpus_build_semantic,
+    "q137_source_quality_report": q137_source_quality_report,
     "q109_repetition_ratio": q109_repetition_ratio,
     "q110_pii_redaction": q110_pii_redaction,
     "q111_cross_source_novelty": q111_cross_source_novelty,
@@ -3204,6 +3291,7 @@ ORACLES = {
     "q107_count_min": Q107_SQL,
     "q108_semantic_dedup": Q108_SQL,
     "q134_corpus_build_semantic": Q134_SQL,
+    "q137_source_quality_report": Q137_SQL,
     "q109_repetition_ratio": Q109_SQL,
     "q110_pii_redaction": Q110_SQL,
     "q111_cross_source_novelty": Q111_SQL,
