@@ -3170,6 +3170,45 @@ Q137_SQL = _q137_sql()
 
 
 
+# --- q138: exact-k per-source sample (min-k-hash reservoir) -------------------------
+_FIXK = 50
+
+
+def q138_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per source — the fixed-budget complement of
+    q94's fractional stratified sample: rank by a deterministic
+    md5-derived hash within each source and keep the k smallest (the
+    distributed min-k-hash reservoir; a uniform draw because the hash
+    is uniform, reproducible because it is deterministic). Appending
+    documents evicts at most the boundary members — a new doc enters
+    only by hashing below the group's current k-th smallest. One
+    source-partitioned window; never a global sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    h = T.hash28(F.concat(F.lit("fixk:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (d.select("doc_id", "source")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= _FIXK)
+            .select("doc_id", "source"))
+
+
+Q138_SQL = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(concat('fixk:',
+                      CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= {_FIXK}
+"""
+
+
 QUERIES = {
     "q25_dedup_exact": q25_dedup_exact,
     "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
@@ -3228,6 +3267,7 @@ QUERIES = {
     "q108_semantic_dedup": q108_semantic_dedup,
     "q134_corpus_build_semantic": q134_corpus_build_semantic,
     "q137_source_quality_report": q137_source_quality_report,
+    "q138_fixed_k_sample": q138_fixed_k_sample,
     "q109_repetition_ratio": q109_repetition_ratio,
     "q110_pii_redaction": q110_pii_redaction,
     "q111_cross_source_novelty": q111_cross_source_novelty,
@@ -3292,6 +3332,7 @@ ORACLES = {
     "q108_semantic_dedup": Q108_SQL,
     "q134_corpus_build_semantic": Q134_SQL,
     "q137_source_quality_report": Q137_SQL,
+    "q138_fixed_k_sample": Q138_SQL,
     "q109_repetition_ratio": Q109_SQL,
     "q110_pii_redaction": Q110_SQL,
     "q111_cross_source_novelty": Q111_SQL,
