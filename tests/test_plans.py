@@ -216,17 +216,21 @@ def test_pin_list_is_derived_not_hand_maintained():
 
 
 def test_semantic_dedup_assignment_computed_once(spark, sf_dir):
-    """q108's assignment subplan feeds three consumers; AQE exchange
-    reuse must materialize it once (ReusedExchange in the post-execution
-    adaptive plan), so the corpus is scanned/assigned a single time."""
+    """The assignment subplan feeds three consumers; AQE exchange reuse
+    must materialize it once (ReusedExchange in the post-execution
+    adaptive plan), so the corpus is scanned/assigned a single time —
+    both in bare q108 and inside the composed q134 pipeline (a
+    composition must not silently break the reuse)."""
     from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
         q108_semantic_dedup,
+        q134_corpus_build_semantic,
     )
 
-    df = q108_semantic_dedup(spark, sf_dir)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 2, plan
+    for q in (q108_semantic_dedup, q134_corpus_build_semantic):
+        df = q(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ReusedExchange") >= 2, (q.__name__, plan)
 
 
 def test_new_text_audits_are_shuffle_free(spark, sf_dir):
