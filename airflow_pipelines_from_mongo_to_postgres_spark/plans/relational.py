@@ -935,6 +935,78 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- q139: whole-schema referential-integrity report -------------------------
+def q139_referential_integrity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Orphan counts for every FK edge of the star schema in ONE query —
+    the integrity report an ingest pipeline runs after each load (q23
+    checks one edge; this audits them all). Each edge is a left_anti
+    join counted; dimension sides broadcast; the fact sides never
+    shuffle. One row per edge, including clean ones (count 0) so a
+    silently-skipped edge is indistinguishable from a broken one —
+    never vacuous."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey",
+         False),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey", True),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey",
+         True),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", True),
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey",
+         True),
+        ("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey",
+         True),
+        ("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey",
+         True),
+    ]
+    parts = []
+    for name, child, fk, parent, pk, bcast in edges:
+        par = parent.select(pk)
+        if bcast:
+            par = F.broadcast(par)
+        parts.append(
+            child.join(par, child[fk] == par[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(name).alias("fk_edge"), "orphans"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+Q139_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge, count(*) AS orphans
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part', count(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', count(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation', count(*) FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', count(*) FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'nation.n_regionkey->region', count(*) FROM nation n
+WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+"""
+
+
 # --- q135: customer order-count distribution (TPC-H Q13's plan shape) --------
 def q135_order_count_distribution(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
@@ -1278,6 +1350,7 @@ QUERIES = {
     "q131_promo_revenue_share": q131_promo_revenue_share,
     "q132_nation_volume": q132_nation_volume,
     "q135_order_count_distribution": q135_order_count_distribution,
+    "q139_referential_integrity": q139_referential_integrity,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -1317,6 +1390,7 @@ ORACLES = {
     "q131_promo_revenue_share": Q131_SQL,
     "q132_nation_volume": Q132_SQL,
     "q135_order_count_distribution": Q135_SQL,
+    "q139_referential_integrity": Q139_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }
