@@ -229,3 +229,47 @@ def test_binary_parsers_never_crash_outside_contract(data, stamp):
             fn(payload)
         except allowed:
             pass
+
+
+_MQL_FIELDS = ["a", "b", "arr", "nest.x"]
+_mql_stage = st.one_of(
+    st.builds(lambda f, v: {"$match": {f.split(".")[0]: v}},
+              st.sampled_from(["a", "b"]), st.integers(-5, 5)),
+    st.builds(lambda f: {"$project": {f: 1}}, st.sampled_from(_MQL_FIELDS)),
+    st.builds(lambda f: {"$unwind": f"${f}"}, st.sampled_from(["arr"])),
+    st.builds(lambda n: {"$limit": n}, st.integers(1, 10)),
+    st.builds(lambda n: {"$skip": n}, st.integers(0, 5)),
+    st.builds(lambda f, d: {"$sort": {f: d}},
+              st.sampled_from(["a", "b"]), st.sampled_from([1, -1])),
+    st.builds(lambda f: {"$count": f}, st.sampled_from(["n", "total"])),
+    st.builds(lambda f, v: {"$addFields": {f: v}},
+              st.sampled_from(["c", "d"]), st.integers(-3, 3)),
+    st.builds(lambda k, op: {"$group": {"_id": f"${k}", "out": {op: "$a"}}},
+              st.sampled_from(["b"]),
+              st.sampled_from(["$sum", "$min", "$max", "$avg"])),
+)
+
+
+@given(stages=st.lists(_mql_stage, min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_mongoql_random_pipelines_never_crash_outside_contract(spark, stages):
+    """Fuzz the aggregation-pipeline translator: any composition of
+    supported stages either evaluates (collect succeeds) or fails with
+    the translator's declared error classes (ValueError for unsupported
+    specs, Spark AnalysisException for schema mismatches like
+    projecting a column a $group already consumed) — never an untyped
+    crash. Stage semantics are covered by the directed tests; this
+    guards the COMPOSITION space."""
+    from pyspark.sql.utils import AnalysisException
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "x", [1, 2], (7,)), (2, "y", [], (8,)), (-3, "x", None, (9,))],
+        "a int, b string, arr array<int>, nest struct<x:int>")
+    try:
+        apply_pipeline(df, stages).collect()
+    except (ValueError, AnalysisException):
+        pass
