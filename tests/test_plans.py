@@ -306,3 +306,13 @@ def test_q120_revenue_agg_computed_once(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_registry_queries_and_oracles_stay_paired():
+    """Every queries() entry must carry an oracle_sql() twin (and vice
+    versa): a one-sided registration silently downgrades a query to the
+    weaker rows-only driver check — drift this guard makes loud."""
+    import __spark_entry__ as entrymod
+
+    q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert q == o, (q - o, o - q)
