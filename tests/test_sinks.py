@@ -742,3 +742,20 @@ def test_snapshot_commit_conflicts_and_self_healing_head(
                                    "parent": v, "note": "crashed"}))
     assert S.current_version(spark, t) == v + 1     # healed forward
     assert S.snap_append(spark, t, upd) == v + 2    # next commit adopts it
+
+
+def test_snapshot_full_overwrite_keeps_history(spark, tmp_path):
+    """snap_overwrite: the new manifest lists only the new files, the
+    old snapshot stays time-travelable until vacuum."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "ow")
+    S.snap_append(spark, t, spark.createDataFrame([("a", 1)],
+                                                  "k string, v int"))
+    v2 = S.snap_overwrite(spark, t, spark.createDataFrame(
+        [("z", 9)], "k string, v int"))
+    assert v2 == 2
+    assert [(r.k, r.v) for r in S.read_snapshot(spark, t).collect()] \
+        == [("z", 9)]
+    assert [(r.k, r.v) for r in
+            S.read_snapshot(spark, t, version=1).collect()] == [("a", 1)]
