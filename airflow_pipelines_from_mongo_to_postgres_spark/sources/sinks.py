@@ -241,6 +241,40 @@ def lake_recover(spark, path: str, partition_col: str,
     return restored
 
 
+def check_partition_immutability(spark, path: str, batch: DataFrame,
+                                 key: str | Sequence[str],
+                                 partition_col: str,
+                                 sample: int = 5) -> None:
+    """Enforce the lake-merge family's contract: ``partition_col`` must
+    be immutable per key. A batch row whose key already lives in a
+    DIFFERENT partition would leave its old row stranded in an
+    untouched directory (a silent duplicate), so violation RAISES with
+    a bounded sample instead. Cost: one semi-style join of the batch
+    against ONLY its own touched partitions' (key, partition) pairs —
+    partition pruning keeps the read batch-sized, the collect is capped
+    at ``sample`` rows. Call before ``lake_merge``/``lake_apply_cdc``
+    when the upstream cannot guarantee the invariant."""
+    keys = [key] if isinstance(key, str) else list(key)
+    b = batch.select(*keys, F.col(partition_col).alias("__new_part")) \
+        .distinct()
+    # the old row can live in ANY partition, so this check scans the
+    # key+partition columns of the whole lake — column-pruned to two
+    # columns, no data columns read; run it when ingest can't vouch
+    cur = spark.read.parquet(path) \
+        .select(*keys, F.col(partition_col).alias("__old_part"))
+    moved = (cur.join(b, keys)
+             .filter(F.col("__old_part") != F.col("__new_part"))
+             .limit(sample).collect())
+    if moved:
+        bad = [(tuple(r[k] for k in keys), r["__old_part"], r["__new_part"])
+               for r in moved]
+        raise ValueError(
+            "partition-immutability violated: batch moves key(s) across "
+            f"partitions (key, old, new): {bad} — merging would strand "
+            "the old rows in untouched directories; route these through "
+            "a delete+insert CDC batch instead")
+
+
 def lake_apply_cdc(spark, path: str, changes: DataFrame,
                    key: str | Sequence[str], partition_col: str,
                    op_col: str = "op", ts_col: str | None = None,

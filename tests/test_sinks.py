@@ -759,3 +759,34 @@ def test_snapshot_full_overwrite_keeps_history(spark, tmp_path):
         == [("z", 9)]
     assert [(r.k, r.v) for r in
             S.read_snapshot(spark, t, version=1).collect()] == [("a", 1)]
+
+
+def test_partition_immutability_check(spark, tmp_path):
+    """check_partition_immutability: a key moving partitions raises
+    with a bounded sample naming (key, old, new); a clean batch passes;
+    the stranded-duplicate failure mode it guards is demonstrated."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        check_partition_immutability,
+        lake_merge,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    write_partitioned(spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0)], "dt string, k int, v double"),
+        path, ["dt"])
+
+    clean = spark.createDataFrame([("d1", 1, 11.0), ("d2", 3, 30.0)],
+                                  "dt string, k int, v double")
+    check_partition_immutability(spark, path, clean, "k", "dt")  # no raise
+
+    moving = spark.createDataFrame([("d2", 1, 99.0)],
+                                   "dt string, k int, v double")
+    with pytest.raises(ValueError, match="partition-immutability"):
+        check_partition_immutability(spark, path, moving, "k", "dt")
+
+    # the guarded failure mode is real: merging the mover duplicates k=1
+    lake_merge(spark, path, moving, "k", "dt", ["v"])
+    assert spark.read.parquet(path).filter("k = 1").count() == 2
