@@ -443,3 +443,55 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
             for r in semantic_dedup_state(e, "vec_id", "embedding", t,
                                           IVF_CENTROIDS).collect()}
     assert got == want and len(got) == 500
+
+
+def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
+    """Two CDC drops streamed one file per micro-batch through
+    run_incremental_cdc == applying the combined ledger in one batch
+    (deletes, replaces, resurrections across batches)."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        lake_apply_cdc,
+        write_partitioned,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
+        run_incremental_cdc,
+    )
+
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+        "dt string, k int, v double")
+    schema = "op string, dt string, k int, v double, ts int"
+    b1 = spark.createDataFrame(
+        [("U", "d1", 1, 11.0, 1), ("D", "d1", 2, None, 1)], schema)
+    b2 = spark.createDataFrame(
+        [("U", "d1", 2, 22.0, 2),          # resurrect across batches
+         ("D", "d2", 3, None, 2),
+         ("I", "d2", 4, 40.0, 2)], schema)
+
+    stream_lake = str(tmp_path / "stream_lake")
+    write_partitioned(base, stream_lake, ["dt"])
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    b1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    import glob
+    import shutil
+    for i, d in enumerate(("w1", "w2")):
+        src = glob.glob(str(tmp_path / d / "*.parquet"))[0]
+        shutil.move(src, str(drop / f"batch{i}.parquet"))
+
+    run_incremental_cdc(spark, str(drop), schema, stream_lake, "k", "dt",
+                        str(tmp_path / "ckpt"), ts_col="ts",
+                        max_files_per_trigger=1)
+
+    batch_lake = str(tmp_path / "batch_lake")
+    write_partitioned(base, batch_lake, ["dt"])
+    lake_apply_cdc(spark, batch_lake, b1.unionByName(b2), "k", "dt",
+                   ts_col="ts")
+
+    snap = lambda p: sorted(  # noqa: E731
+        (r.dt, r.k, r.v) for r in spark.read.parquet(p).collect())
+    assert snap(stream_lake) == snap(batch_lake) == \
+        [("d1", 1, 11.0), ("d1", 2, 22.0), ("d2", 4, 40.0)]
