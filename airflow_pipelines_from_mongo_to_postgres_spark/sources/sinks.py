@@ -287,7 +287,12 @@ def lake_apply_cdc(spark, path: str, changes: DataFrame,
     full rows, unlike the merge path's partial-column policies), D rows
     remove the key. ``ts_col`` compacts multi-op batches first — the
     LATEST op per key wins (op-ledger order, the q54/q76 semantics), so
-    U→D deletes and D→U resurrects, matching a replayed ledger.
+    U→D deletes and D→U resurrects, matching a replayed ledger
+    (property-tested against a dict replay in tests/test_properties.py).
+    Contract: ``ts_col`` must totally order each key's ops — a tie
+    within a key makes "latest" undefined and the compaction pick
+    nondeterministic (CDC sources emit per-key-monotone LSNs; pass that
+    column).
 
     Scale shape: identical to ``lake_merge`` — touched partition values
     collected (bounded by the batch's spread), static ``isin`` partition
