@@ -188,6 +188,11 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     brevity; the keep-untouched-files refinement is ``files`` pruning
     on min/max stats, same read path."""
     base = current_version(spark, table)
+    if base == 0:
+        # empty table: nothing to carry — the commit is just the new
+        # slice (Delta's replaceWhere bootstraps the same way)
+        new = _write_data_files(df, table)
+        return _commit(spark, table, new, note, expected_parent=0)
     cur = read_snapshot(spark, table, version=base)
     keep = cur.filter(f"NOT ({predicate})")
     new = _write_data_files(keep.unionByName(df), table)

@@ -324,3 +324,51 @@ def test_lake_apply_cdc_matches_dict_replay(spark, tmp_path_factory, ledger):
     got = sorted((r.dt, r.k, r.v) for r in spark.read.parquet(path).collect())
     want = sorted((dt, k, v) for k, (dt, v) in state.items())
     assert got == want
+
+
+_snap_cmd = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 99)),
+    st.tuples(st.just("overwrite"), st.integers(0, 99)),
+    st.tuples(st.just("replace_even"), st.integers(0, 99)),
+)
+
+
+@given(cmds=st.lists(_snap_cmd, min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_snapshot_table_matches_list_model(spark, tmp_path_factory, cmds):
+    """Model-based check of the snapshot table: random
+    append/overwrite/replace_where sequences tracked against a plain
+    Python list model — EVERY retained version must read back exactly
+    its model state (time travel included), and history depth equals
+    the number of commits."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    tmp = tmp_path_factory.mktemp("snapprop")
+    t = str(tmp / "tab")
+    model_versions = []          # version -> sorted list of (k, v)
+    state = []
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k int, v int")
+
+    for i, (cmd, val) in enumerate(cmds):
+        rows = [(i * 10 + j, val) for j in range(2)]     # unique keys per cmd
+        if cmd == "append":
+            S.snap_append(spark, t, df_of(rows))
+            state = state + rows
+        elif cmd == "overwrite":
+            S.snap_overwrite(spark, t, df_of(rows))
+            state = list(rows)
+        else:                    # replace rows with even k
+            S.snap_replace_where(spark, t, df_of(rows), "k % 2 = 0")
+            state = [r for r in state if r[0] % 2 != 0] + rows
+        model_versions.append(sorted(state))
+
+    assert S.current_version(spark, t) == len(cmds)
+    assert len(S.snap_history(spark, t)) == len(cmds)
+    for v, want in enumerate(model_versions, start=1):
+        got = sorted((r.k, r.v) for r in
+                     S.read_snapshot(spark, t, version=v).collect())
+        assert got == want, (v, cmds)
