@@ -84,12 +84,15 @@ def pagerank(edges: DataFrame, src: str, dst: str, iterations: int = 5,
     starting from r=1.
 
     Cross-engine exactness (the q81 oracle replays this in unrolled SQL
-    CTEs): each per-edge contribution r(u)/deg(u) is one double division
-    of identical operands (bit-identical across engines), rounded to 12
-    dp and summed as DECIMAL(22,12) — order-independent — then the rank
-    update is again single-op double arithmetic. Nothing depends on
-    aggregation order, so a fixed iteration count gives a hash-stable
-    result.
+    CTEs): each per-edge contribution is QUANTIZED to an integer —
+    ``floor(r(u)/deg(u) · 1e9 + 0.5)`` — where every operation is a
+    single IEEE double op on identical operands, so both engines
+    produce the identical long (no decimal ``round()`` anywhere:
+    round-to-N-digits of a double lands on decimal-expansion ties that
+    Spark and DuckDB break differently — observed as a 1e-12 flip at
+    sf0.1, r6). Integer sums are order-independent; the rank update is
+    again pure double ops on identical operands, so the final doubles
+    are bit-identical with no output rounding at all.
 
     Scale: one groupBy shuffle per iteration over the edge list; degree
     is precomputed once and the edge table is cached across iterations.
@@ -107,16 +110,17 @@ def pagerank(edges: DataFrame, src: str, dst: str, iterations: int = 5,
         contrib = (
             adj.join(ranks, adj.s == ranks.node)
             .select(F.col("d").alias("node"),
-                    F.round(F.col("rank") / F.col("deg"), 12)
-                    .cast("decimal(22,12)").alias("c"))
+                    F.floor(F.col("rank") / F.col("deg")
+                            * F.lit(1000000000.0) + F.lit(0.5))
+                    .cast("long").alias("c"))
         )
         ranks = (
             contrib.groupBy("node")
             .agg(F.sum("c").alias("csum"))
             .select("node",
-                    F.round(F.lit(1.0 - damping)
-                            + F.lit(damping) * F.col("csum").cast("double"), 12)
-                    .alias("rank"))
+                    (F.lit(1.0 - damping) + F.lit(damping)
+                     * (F.col("csum").cast("double")
+                        / F.lit(1000000000.0))).alias("rank"))
         )
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
 

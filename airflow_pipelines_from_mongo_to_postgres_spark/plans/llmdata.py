@@ -1498,9 +1498,9 @@ def _pagerank_sql() -> str:
         its.append(f"""
 r{i} AS (
   SELECT sym.d AS node,
-         round({base!r} + {_PR_DAMP!r} * CAST(sum(
-             CAST(round(r.rank / deg.deg, 12) AS DECIMAL(22,12))
-         ) AS DOUBLE), 12) AS rank
+         {base!r} + {_PR_DAMP!r} * (CAST(sum(
+             CAST(floor(r.rank / deg.deg * 1000000000.0 + 0.5) AS BIGINT)
+         ) AS BIGINT)::DOUBLE / 1000000000.0) AS rank
   FROM sym JOIN deg ON deg.s = sym.s JOIN {prev} r ON r.node = sym.s
   GROUP BY sym.d
 )""")
