@@ -3170,6 +3170,74 @@ Q137_SQL = _q137_sql()
 
 
 
+# --- q140: MinHash estimator calibration audit --------------------------------------
+def q140_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-truth audit for the MinHash estimator (the q107
+    count-min audit pattern applied to Jaccard): for every true pair at
+    jaccard ≥ 0.2, the signature-agreement fraction (the estimator LSH
+    banding acts on) sits next to the exact Jaccard and their absolute
+    error — the calibration table that justifies the q28 banding
+    thresholds. Both quantities derive from the SAME unpruned shingle
+    table, so the estimator is audited against its true target. Cost:
+    the q26 pair scan + one P-column signature join per side."""
+    d = load_table(spark, "documents", sf_dir)
+    shared = _shingles_shared(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.2, n=3,
+                                shingle_table=shared)
+    sig = dedup.minhash_signatures(d, "doc_id", "text",
+                                   num_perm=_N_PERM_SIG, n=3,
+                                   shingle_table=shared)
+    s1 = sig.select(F.col("doc").alias("d1"),
+                    *[F.col(f"mh_{i}").alias(f"a_{i}")
+                      for i in range(_N_PERM_SIG)])
+    s2 = sig.select(F.col("doc").alias("d2"),
+                    *[F.col(f"mh_{i}").alias(f"b_{i}")
+                      for i in range(_N_PERM_SIG)])
+    agree = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+                for i in range(_N_PERM_SIG))
+    est = F.round(agree.cast("double") / F.lit(float(_N_PERM_SIG)), 6)
+    return (
+        pairs.join(s1, "d1").join(s2, "d2")
+        .select("d1", "d2", F.col("jaccard").alias("true_jaccard"),
+                est.alias("estimated"),
+                F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"))
+    )
+
+
+def _q140_sql() -> str:
+    perms = dedup.minhash_perms(_N_PERM_SIG)
+    h = "CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT)"
+    mins = ",\n       ".join(
+        f"min(({a} * {h} + {b}) % {dedup.MINHASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(perms))
+    agree = " + ".join(
+        f"CASE WHEN s1.mh_{i} = s2.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(_N_PERM_SIG))
+    return f"""
+WITH {_SHINGLE_TABLE_SQL},
+pairs AS (
+  SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT d1, d2,
+         round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+  FROM pairs JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+  WHERE round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) >= 0.2
+),
+sig AS (SELECT doc, {mins} FROM sh GROUP BY doc)
+SELECT jp.d1, jp.d2, jp.jaccard AS true_jaccard,
+       round(({agree}) * 1.0 / {_N_PERM_SIG}, 6) AS estimated,
+       round(abs(round(({agree}) * 1.0 / {_N_PERM_SIG}, 6) - jp.jaccard), 6)
+         AS abs_err
+FROM jp JOIN sig s1 ON jp.d1 = s1.doc JOIN sig s2 ON jp.d2 = s2.doc
+"""
+
+
+Q140_SQL = _q140_sql()
+
+
 # --- q138: exact-k per-source sample (min-k-hash reservoir) -------------------------
 _FIXK = 50
 
@@ -3268,6 +3336,7 @@ QUERIES = {
     "q134_corpus_build_semantic": q134_corpus_build_semantic,
     "q137_source_quality_report": q137_source_quality_report,
     "q138_fixed_k_sample": q138_fixed_k_sample,
+    "q140_minhash_calibration": q140_minhash_calibration,
     "q109_repetition_ratio": q109_repetition_ratio,
     "q110_pii_redaction": q110_pii_redaction,
     "q111_cross_source_novelty": q111_cross_source_novelty,
@@ -3333,6 +3402,7 @@ ORACLES = {
     "q134_corpus_build_semantic": Q134_SQL,
     "q137_source_quality_report": Q137_SQL,
     "q138_fixed_k_sample": Q138_SQL,
+    "q140_minhash_calibration": Q140_SQL,
     "q109_repetition_ratio": Q109_SQL,
     "q110_pii_redaction": Q110_SQL,
     "q111_cross_source_novelty": Q111_SQL,
