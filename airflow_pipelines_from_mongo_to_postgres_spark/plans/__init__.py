@@ -186,11 +186,15 @@ def _ordered(full: dict) -> dict:
     names = list(full)
     changed = set(changed_since_stamped())
     pinned = [n for n in names if n in changed]
-    # Within the pinned block, red-in-latest-evidence entries lead
-    # (registry order is the tiebreak) — once a pinned query goes
-    # driver-green its slot yields to the ones still red, with no list
-    # to hand-edit.
+    # Within the pinned block: red-in-latest-evidence entries lead, then
+    # NEVER-driver-checked queries (evidence round 0 — brand-new
+    # registrations that have no driver row at all), then the
+    # least-recently-checked re-pins; registry order breaks ties. A
+    # 50-query driver budget against a larger pin pool then spends
+    # itself on first-ever rows before re-confirming queries whose older
+    # evidence still exists.
     pinned.sort(key=lambda n: (evidence.get(n, (0, False))[1],
+                               evidence.get(n, (0, False))[0],
                                names.index(n)))
     rest = [n for n in names if n not in pinned]
     # never-checked → round 0; red sorts before green within a round
