@@ -86,3 +86,24 @@ def test_parallel_dense_ids_equal_serial_window(spark):
         spark.range(1000).withColumnRenamed("id", "k").repartition(16), "k")
     got = {r.k: r["__rank"] for r in ranked.collect()}
     assert got == {k: k + 1 for k in range(1000)}
+
+
+def test_parallel_dense_ids_edge_shapes(spark):
+    """dense_ranks_parallel degenerate shapes: tiny inputs (rows <
+    shuffle partitions), a single row, and an empty frame all produce
+    exactly the dense 1..n ranks (or nothing) — no off-by-one from
+    empty range partitions."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.keygen import (
+        dense_ranks_parallel,
+    )
+
+    tiny = spark.createDataFrame([(5,), (1,), (9,)], "k int")
+    got = {r.k: r["__rank"] for r in
+           dense_ranks_parallel(tiny, "k").collect()}
+    assert got == {1: 1, 5: 2, 9: 3}
+
+    one = spark.createDataFrame([(42,)], "k int")
+    assert dense_ranks_parallel(one, "k").first()["__rank"] == 1
+
+    empty = spark.createDataFrame([], "k int")
+    assert dense_ranks_parallel(empty, "k").count() == 0
