@@ -50,19 +50,67 @@ def _ref(v: Any) -> Column:
     return F.lit(v)
 
 
-def _match_cond(cond: dict[str, Any]) -> Column:
+def _type_family(dt) -> str | None:
+    from pyspark.sql import types as ST
+
+    if isinstance(dt, ST.BooleanType):
+        return "bool"
+    if isinstance(dt, ST.NumericType):
+        return "num"
+    if isinstance(dt, ST.StringType):
+        return "str"
+    return None
+
+
+def _lit_family(v: Any) -> str | None:
+    if isinstance(v, bool):          # before int: bool subclasses int
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    return None
+
+
+def _field_type(schema, path: str):
+    from pyspark.sql import types as ST
+
+    node = schema
+    for part in path.split("."):
+        if not isinstance(node, ST.StructType) or part not in node.names:
+            return None
+        node = node[part].dataType
+    return node
+
+
+def _compatible(schema, path: str, v: Any) -> bool | None:
+    """Mongo type bracketing: a query literal only matches values of its
+    own BSON type family. True/False when both families resolve; None
+    (unknown — keep the plain comparison) otherwise."""
+    if schema is None or v is None:
+        return None
+    cf = _type_family(_field_type(schema, path))
+    lf = _lit_family(v)
+    return (cf == lf) if cf is not None and lf is not None else None
+
+
+def _match_cond(cond: dict[str, Any], schema=None) -> Column:
+    """``schema`` (the input DataFrame's) enables Mongo's type-bracketed
+    matching: an int query against a string field matches NOTHING (and
+    $ne matches everything) instead of crashing on ANSI's runtime
+    string→number cast — found by the pipeline fuzz test."""
     if not cond:
         return F.lit(True)  # Mongo: {$match: {}} is match-all
     parts: list[Column] = []
     for field, spec in cond.items():
         if field == "$and":
-            sub = [_match_cond(c) for c in spec] or [F.lit(True)]
+            sub = [_match_cond(c, schema) for c in spec] or [F.lit(True)]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc & c
             parts.append(acc)
         elif field == "$or":
-            sub = [_match_cond(c) for c in spec] or [F.lit(True)]
+            sub = [_match_cond(c, schema) for c in spec] or [F.lit(True)]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc | c
@@ -71,17 +119,26 @@ def _match_cond(cond: dict[str, Any]) -> Column:
             col = F.col(field)
             for op, val in spec.items():
                 if op in _CMP:
-                    parts.append(getattr(col, _CMP[op])(F.lit(val)))
-                elif op == "$in":
-                    parts.append(col.isin(*val))
-                elif op == "$nin":
-                    parts.append(~col.isin(*val))
+                    if _compatible(schema, field, val) is False:
+                        # type-bracketed: cross-type eq/range never
+                        # match; $ne matches every (typed) value
+                        parts.append(F.lit(op == "$ne"))
+                    else:
+                        parts.append(getattr(col, _CMP[op])(F.lit(val)))
+                elif op in ("$in", "$nin"):
+                    ok = [x for x in val
+                          if _compatible(schema, field, x) is not False]
+                    inset = col.isin(*ok) if ok else F.lit(False)
+                    parts.append(~inset if op == "$nin" else inset)
                 elif op == "$exists":
                     parts.append(col.isNotNull() if val else col.isNull())
                 else:
                     raise ValueError(f"unsupported $match operator: {op}")
         else:
-            parts.append(F.col(field) == F.lit(spec))
+            if _compatible(schema, field, spec) is False:
+                parts.append(F.lit(False))
+            else:
+                parts.append(F.col(field) == F.lit(spec))
     acc = parts[0]
     for c in parts[1:]:
         acc = acc & c
@@ -213,7 +270,7 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
     for stage in stages:
         (op, spec), = stage.items()
         if op == "$match":
-            df = df.filter(_match_cond(spec))
+            df = df.filter(_match_cond(spec, df.schema))
         elif op == "$project":
             df = _project(df, spec)
         elif op == "$unwind":

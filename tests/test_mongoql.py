@@ -253,3 +253,28 @@ def test_lookup_equality_join_semantics(spark):
         apply_pipeline(orders, [{"$lookup": {
             "from": "inventory", "let": {"i": "$item"}, "pipeline": [],
             "as": "stock"}}], collections={"inventory": inventory})
+
+
+def test_match_is_type_bracketed_like_mongo(spark):
+    """Cross-type $match follows Mongo's type bracketing: an int query
+    on a string field matches nothing (never a runtime cast crash under
+    ANSI mode — the fuzz-found bug), $ne across types matches all typed
+    values, $in drops mismatched members, and same-type matching is
+    unchanged."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", 7.0), (3, "3", 1.0)],
+        "a int, b string, c double")
+
+    assert apply_pipeline(df, [{"$match": {"b": 3}}]).count() == 0
+    assert apply_pipeline(df, [{"$match": {"b": "3"}}]).count() == 1
+    assert apply_pipeline(df, [{"$match": {"b": {"$ne": 3}}}]).count() == 3
+    assert apply_pipeline(df, [{"$match": {"b": {"$gt": 1}}}]).count() == 0
+    assert apply_pipeline(
+        df, [{"$match": {"b": {"$in": [3, "y"]}}}]).count() == 1
+    assert apply_pipeline(
+        df, [{"$match": {"b": {"$nin": [3, "y"]}}}]).count() == 2
+    # numeric family unifies int and double literals (Mongo numerics do)
+    assert apply_pipeline(df, [{"$match": {"c": 7}}]).count() == 1
+    assert apply_pipeline(df, [{"$match": {"a": {"$gte": 2}}}]).count() == 2
