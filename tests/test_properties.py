@@ -235,6 +235,16 @@ _MQL_FIELDS = ["a", "b", "arr", "nest.x"]
 _mql_stage = st.one_of(
     st.builds(lambda f, v: {"$match": {f.split(".")[0]: v}},
               st.sampled_from(["a", "b"]), st.integers(-5, 5)),
+    st.builds(lambda v: {"$match": {"nest.x": v}},
+              st.one_of(st.integers(-5, 9), st.text(max_size=2))),
+    st.builds(lambda f, e: {"$match": {f: {"$exists": e}}},
+              st.sampled_from(["a", "b", "nest.x"]), st.booleans()),
+    st.builds(lambda v, w: {"$match": {"$or": [{"a": v}, {"b": w}]}},
+              st.integers(-5, 5),
+              st.one_of(st.text(max_size=2), st.integers(0, 3))),
+    st.builds(lambda v: {"$match": {"$and": [{"a": {"$gte": v}},
+                                             {"nest.x": {"$lt": 9}}]}},
+              st.integers(-5, 5)),
     st.builds(lambda f: {"$project": {f: 1}}, st.sampled_from(_MQL_FIELDS)),
     st.builds(lambda f: {"$unwind": f"${f}"}, st.sampled_from(["arr"])),
     st.builds(lambda n: {"$limit": n}, st.integers(1, 10)),
