@@ -935,6 +935,35 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- q141: priority counts over EXISTS orders (TPC-H Q4's plan shape) --------
+def q141_priority_order_check(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Q4: count orders per priority where ANY lineitem satisfies a
+    predicate (bulk line, quantity > 45 — the fixtures carry no
+    commit/receipt dates). The EXISTS becomes a left_semi join against
+    the PRE-FILTERED fact projection: the predicate prunes lineitem
+    before the join, the semi join never duplicates orders (no distinct
+    needed), and the count groups the tiny priority key. One fact
+    shuffle on l_orderkey; AQE co-locates."""
+    o = _t(spark, sf_dir, "orders")
+    bulk = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(bulk, o.o_orderkey == bulk.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q141_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY 1
+"""
+
+
 # --- q139: whole-schema referential-integrity report -------------------------
 def q139_referential_integrity(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1351,6 +1380,7 @@ QUERIES = {
     "q132_nation_volume": q132_nation_volume,
     "q135_order_count_distribution": q135_order_count_distribution,
     "q139_referential_integrity": q139_referential_integrity,
+    "q141_priority_order_check": q141_priority_order_check,
     "q87_window_breadth": q87_window_breadth,
     "q88_array_functions": q88_array_functions,
 }
@@ -1391,6 +1421,7 @@ ORACLES = {
     "q132_nation_volume": Q132_SQL,
     "q135_order_count_distribution": Q135_SQL,
     "q139_referential_integrity": Q139_SQL,
+    "q141_priority_order_check": Q141_SQL,
     "q87_window_breadth": Q87_SQL,
     "q88_array_functions": Q88_SQL,
 }
