@@ -11,11 +11,13 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
     llmdata,
     mergeops,
     relational,
+    sketchmaint,
     streamsql,
     temporal,
 )
 
-ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, analytics, llmdata]
+ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, analytics,
+                    llmdata, sketchmaint]
 
 # The driver's per-round correctness sweep runs queries in registry order
 # under a wall-clock budget, so truncation eats the TAIL. The order is
