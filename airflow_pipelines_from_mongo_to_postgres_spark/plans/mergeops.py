@@ -275,6 +275,85 @@ WHERE CASE WHEN old_price IS NULL THEN 'insert'
 """
 
 
+# --- q144: declarative expectations audit in one scan -----------------------
+def q144_expectations_audit(spark, sf_dir: str):
+    """Post-load quality gate over ``lineitem`` as declarative checks
+    (functions/expectations.py): every row-level + uniqueness check
+    compiles into ONE aggregate scan, the FK edge into one broadcast
+    anti-join. The discount range is set TIGHTER than the data
+    (0–0.05 vs TPC-H's 0–0.1) so the report provably counts real
+    violations — never vacuously green."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import (
+        expectations as X,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return X.run_expectations(li, [
+        X.not_null("l_orderkey"),
+        X.not_null("l_shipdate"),
+        X.in_range("l_discount", 0.0, 0.05),
+        X.in_range("l_quantity", 1.0, 50.0),
+        X.in_set("l_returnflag", ["A", "N", "R"]),
+        X.matches("l_linestatus", "^[FO]$"),
+        X.unique(["l_orderkey", "l_linenumber"]),
+        X.fk(["l_orderkey"], orders, ["o_orderkey"],
+             name="fk(l_orderkey->orders)"),
+    ])
+
+
+Q144_SQL = """
+WITH base AS (SELECT count(*) AS n FROM lineitem),
+rep AS (
+  SELECT 'fk(l_orderkey->orders)' AS chk,
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           AS violations,
+         (SELECT n FROM base) AS rows_checked
+  UNION ALL
+  SELECT 'in_range(l_discount,0.0,0.05)',
+         (SELECT count(*) FROM lineitem
+           WHERE l_discount < 0.0 OR l_discount > 0.05),
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'in_range(l_quantity,1.0,50.0)',
+         (SELECT count(*) FROM lineitem
+           WHERE l_quantity < 1.0 OR l_quantity > 50.0),
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'in_set(l_returnflag)',
+         (SELECT count(*) FROM lineitem
+           WHERE l_returnflag IS NOT NULL
+             AND l_returnflag NOT IN ('A','N','R')),
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'matches(l_linestatus)',
+         (SELECT count(*) FROM lineitem
+           WHERE l_linestatus IS NOT NULL
+             AND NOT regexp_matches(l_linestatus, '^[FO]$')),
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'not_null(l_orderkey)',
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'not_null(l_shipdate)',
+         (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL),
+         (SELECT n FROM base)
+  UNION ALL
+  SELECT 'unique(l_orderkey,l_linenumber)',
+         (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+            FROM lineitem)
+           ,
+         (SELECT n FROM base)
+)
+SELECT chk AS "check", CAST(violations AS BIGINT) AS violations,
+       CAST(rows_checked AS BIGINT) AS rows_checked,
+       violations = 0 AS passed
+FROM rep ORDER BY 1
+"""
+
+
 QUERIES = {
     "q20_merge_upsert": q20_merge_upsert,
     "q21_insert_if_absent": q21_insert_if_absent,
@@ -282,9 +361,11 @@ QUERIES = {
     "q23_fk_orphans": q23_fk_orphans,
     "q24_merge_idempotent": q24_merge_idempotent,
     "q76_snapshot_diff": q76_snapshot_diff,
+    "q144_expectations_audit": q144_expectations_audit,
 }
 
 ORACLES = {
+    "q144_expectations_audit": Q144_SQL,
     "q20_merge_upsert": Q20_SQL,
     "q21_insert_if_absent": Q21_SQL,
     "q22_surrogate_keygen": Q22_SQL,
