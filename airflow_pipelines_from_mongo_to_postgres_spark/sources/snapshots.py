@@ -103,12 +103,16 @@ def read_manifest(spark: SparkSession, table: str,
     return json.loads(text)
 
 
-def _write_data_files(df: DataFrame, table: str) -> list:
+def _write_data_files(df: DataFrame, table: str,
+                      stat_cols: tuple = ()) -> tuple:
     """Materialize ``df`` as new immutable files under ``data/`` and
-    return their table-relative names. Each commit writes to its own
-    unique subdirectory (Spark's writer owns naming inside it), so
-    concurrent/crashed writers can never collide; files are referenced
-    individually by manifests, the directory is just a namespace."""
+    return ``(table-relative names, per-file column stats)``. Each
+    commit writes to its own unique subdirectory (Spark's writer owns
+    naming inside it), so concurrent/crashed writers can never collide;
+    files are referenced individually by manifests, the directory is
+    just a namespace. With ``stat_cols``, one extra Spark job over the
+    JUST-WRITTEN files (batch-sized, never the table) collects per-file
+    min/max/null-count — the manifest-level pruning index."""
     sub = f"data/c-{uuid.uuid4().hex}"
     df.write.mode("error").parquet(f"{table}/{sub}")
     fs, jvm = _jvm_fs(df.sparkSession, f"{table}/{sub}")
@@ -117,7 +121,134 @@ def _write_data_files(df: DataFrame, table: str) -> list:
         n = st.getPath().getName()
         if n.endswith(".parquet"):
             names.append(f"{sub}/{n}")
-    return sorted(names)
+    names = sorted(names)
+    stats = (_collect_file_stats(df.sparkSession, table, names, stat_cols)
+             if stat_cols and names else {})
+    return names, stats
+
+
+def _stat_json(v):
+    """JSON-encodable stat value. ISO-8601 keeps timestamps/dates
+    ordered lexicographically, so pruning compares strings directly."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _collect_file_stats(spark: SparkSession, table: str, names: list,
+                        stat_cols: tuple) -> dict:
+    """name -> {"rows": n, "cols": {col: {"min","max","nulls"}}} via one
+    groupBy(input_file_name()) aggregate over the new files only."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[f"{table}/{n}" for n in names])
+    present = [c for c in stat_cols if c in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in present:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")]
+    rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    # input_file_name is an absolute URI; manifests key by the unique
+    # table-relative tail (data/c-<hex>/<part>.parquet)
+    by_tail = {}
+    for r in rows:
+        tail = "/".join(r["__f"].split("/")[-3:])
+        by_tail[tail] = r
+    out = {}
+    for n in names:
+        r = by_tail.get(n)
+        if r is None:
+            continue
+        out[n] = {"rows": r["__rows"], "cols": {
+            c: {"min": _stat_json(r[f"__mn_{c}"]),
+                "max": _stat_json(r[f"__mx_{c}"]),
+                "nulls": r[f"__nl_{c}"]} for c in present}}
+    return out
+
+
+_PRUNE_OPS = ("<", "<=", ">", ">=", "=", "is_null", "is_not_null")
+
+
+def _prune_value(v):
+    return _stat_json(v)
+
+
+def prune_files(manifest: dict, predicates: list) -> list:
+    """Manifest-level file pruning: return the subset of the snapshot's
+    files whose [min, max]/null-count window can still satisfy EVERY
+    predicate (conjunction). Conservative by construction — a file with
+    no stats, or no stats for the predicate's column, is always kept;
+    only a window that PROVABLY excludes all rows drops. Predicates:
+    ``(col, op, value)`` with op in <, <=, >, >=, = and
+    ``(col, "is_null"/"is_not_null")``. Runs on the driver over the
+    manifest dict — zero I/O, O(files × predicates)."""
+    stats = manifest.get("stats", {})
+    kept = []
+    for name in manifest["files"]:
+        st = stats.get(name)
+        keep = True
+        for p in (predicates or []):
+            col, op = p[0], p[1]
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported prune op: {op!r}")
+            if st is None or col not in st.get("cols", {}):
+                continue                      # no stats → can't exclude
+            cs = st["cols"][col]
+            mn, mx, nulls, rows = cs["min"], cs["max"], cs["nulls"], st["rows"]
+            if op == "is_null":
+                keep = nulls > 0
+            elif op == "is_not_null":
+                keep = rows > nulls
+            else:
+                if mn is None or mx is None:  # all-NULL file: no value
+                    keep = False              # can match a comparison
+                else:
+                    v = _prune_value(p[2])
+                    keep = {"<": mn < v, "<=": mn <= v,
+                            ">": mx > v, ">=": mx >= v,
+                            "=": mn <= v <= mx}[op]
+            if not keep:
+                break
+        if keep:
+            kept.append(name)
+    return kept
+
+
+def snap_scan(spark: SparkSession, table: str, predicates: list = (),
+              version: int | None = None,
+              merge_schema: bool = False) -> DataFrame:
+    """Read one snapshot with manifest-level file skipping: files whose
+    stats windows exclude the predicates never reach the Spark plan (at
+    100 TB this is the difference between planning 40 files and 40,000
+    — parquet footer skipping still applies WITHIN the survivors). The
+    same predicates are re-applied as a residual filter, so the result
+    is exact regardless of how coarse the stats are."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(spark, table, version)
+    files = prune_files(m, list(predicates))
+    if not files:
+        base = read_snapshot(spark, table, version,
+                             merge_schema=merge_schema)  # schema-only path
+        df = base.limit(0)
+    else:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[f"{table}/{f}" for f in files])
+    for p in (predicates or []):
+        col, op = p[0], p[1]
+        if op == "is_null":
+            df = df.filter(F.col(col).isNull())
+        elif op == "is_not_null":
+            df = df.filter(F.col(col).isNotNull())
+        else:
+            c, v = F.col(col), F.lit(p[2])
+            df = df.filter({"<": c < v, "<=": c <= v, ">": c > v,
+                            ">=": c >= v, "=": c == v}[op])
+    return df
 
 
 class CommitConflict(Exception):
@@ -127,7 +258,7 @@ class CommitConflict(Exception):
 
 def _commit(spark: SparkSession, table: str, files: list,
             note: str, expected_parent: int | None = None,
-            txn: str | None = None) -> int:
+            txn: str | None = None, stats: dict | None = None) -> int:
     """Optimistic concurrency: the manifest file for version v is
     created with create(overwrite=False) — on a store with atomic
     create-if-absent, two writers racing to the same parent see exactly
@@ -144,6 +275,10 @@ def _commit(spark: SparkSession, table: str, files: list,
     v = parent + 1
     manifest = {"version": v, "files": files,
                 "parent": parent or None, "note": note}
+    if stats:
+        # only stats for files this manifest actually lists (carried
+        # forward from the parent for retained files, fresh for new)
+        manifest["stats"] = {k: v2 for k, v2 in stats.items() if k in set(files)}
     if txn is not None:
         manifest["txn"] = txn
     fs, jvm = _jvm_fs(spark, table)
@@ -162,24 +297,29 @@ def _commit(spark: SparkSession, table: str, files: list,
 
 
 def snap_append(spark: SparkSession, table: str, df: DataFrame,
-                note: str = "append") -> int:
-    """Append commit: new files + every file of the parent snapshot."""
-    new = _write_data_files(df, table)
-    prev = read_manifest(spark, table)["files"]
-    return _commit(spark, table, prev + new, note)
+                note: str = "append", stat_cols: tuple = ()) -> int:
+    """Append commit: new files + every file of the parent snapshot.
+    ``stat_cols`` enables manifest-level pruning stats for the new
+    files; the parent's stats carry forward untouched (files are
+    immutable, so their stats are too)."""
+    new, stats = _write_data_files(df, table, stat_cols)
+    prev_m = read_manifest(spark, table)
+    merged = {**prev_m.get("stats", {}), **stats}
+    return _commit(spark, table, prev_m["files"] + new, note, stats=merged)
 
 
 def snap_overwrite(spark: SparkSession, table: str, df: DataFrame,
-                   note: str = "overwrite") -> int:
+                   note: str = "overwrite", stat_cols: tuple = ()) -> int:
     """Full-table overwrite commit: the manifest simply stops listing
     the old files — they stay on disk for time travel until vacuum."""
-    new = _write_data_files(df, table)
-    return _commit(spark, table, new, note)
+    new, stats = _write_data_files(df, table, stat_cols)
+    return _commit(spark, table, new, note, stats=stats)
 
 
 def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
                        predicate: str,
-                       note: str = "replace_where") -> int:
+                       note: str = "replace_where",
+                       stat_cols: tuple = ()) -> int:
     """Partition-overwrite equivalent without directories: rows of the
     current snapshot NOT matching ``predicate`` are carried into new
     files alongside ``df`` (which must match it); old files drop out of
@@ -191,14 +331,16 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     if base == 0:
         # empty table: nothing to carry — the commit is just the new
         # slice (Delta's replaceWhere bootstraps the same way)
-        new = _write_data_files(df, table)
-        return _commit(spark, table, new, note, expected_parent=0)
+        new, stats = _write_data_files(df, table, stat_cols)
+        return _commit(spark, table, new, note, expected_parent=0,
+                       stats=stats)
     cur = read_snapshot(spark, table, version=base)
     keep = cur.filter(f"NOT ({predicate})")
-    new = _write_data_files(keep.unionByName(df), table)
+    new, stats = _write_data_files(keep.unionByName(df), table, stat_cols)
     # read-modify-write: pin the snapshot the rewrite derived from, so
     # a concurrent commit surfaces as CommitConflict, not a lost update
-    return _commit(spark, table, new, note, expected_parent=base)
+    return _commit(spark, table, new, note, expected_parent=base,
+                   stats=stats)
 
 
 def committed_txns(spark: SparkSession, table: str) -> set:
@@ -216,7 +358,8 @@ def committed_txns(spark: SparkSession, table: str) -> set:
 
 
 def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
-                    txn: str, note: str = "append") -> int | None:
+                    txn: str, note: str = "append",
+                    stat_cols: tuple = ()) -> int | None:
     """EXACTLY-ONCE append: the commit records ``txn`` in its manifest,
     and a txn already present in history makes the call a NO-OP (returns
     None). This is the ``foreachBatch(epoch_id)`` sink contract —
@@ -228,21 +371,82 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
     replay the stream can attempt — in practice one epoch."""
     if txn in committed_txns(spark, table):
         return None
-    new = _write_data_files(df, table)
-    prev = read_manifest(spark, table)["files"]
-    return _commit(spark, table, prev + new, note, txn=txn)
+    new, stats = _write_data_files(df, table, stat_cols)
+    prev_m = read_manifest(spark, table)
+    merged = {**prev_m.get("stats", {}), **stats}
+    return _commit(spark, table, prev_m["files"] + new, note, txn=txn,
+                   stats=merged)
 
 
 def read_snapshot(spark: SparkSession, table: str,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """DataFrame over one snapshot's EXPLICIT file list — no directory
     listing, no visibility of in-flight commits; pass ``version`` for
     time travel. An empty table yields an empty error upstream — commit
-    first."""
+    first. ``merge_schema=True`` unions the schemas of every listed
+    file (columns added by later commits come back NULL-filled for old
+    files) — schema evolution on read, at the cost of a footer read per
+    file, so leave it off for fixed-schema tables."""
     m = read_manifest(spark, table, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
-    return spark.read.parquet(*[f"{table}/{f}" for f in m["files"]])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{table}/{f}" for f in m["files"]])
+
+
+def snap_compact(spark: SparkSession, table: str,
+                 target_files: int = 1,
+                 stat_cols: tuple = ()) -> int:
+    """Bin-pack the current snapshot into ``target_files`` files —
+    identical rows, new layout — as ONE OCC-pinned commit: the compactor
+    derives from the head it read, so a concurrent append surfaces as
+    ``CommitConflict`` (retry against the new head) instead of silently
+    dropping the racer's rows. Old files stay for time travel until
+    vacuum. This is the table-format answer to the small-files problem
+    streaming appends create: run it on a schedule, readers never
+    notice (snapshot isolation), and per-file stats are rebuilt so
+    pruning IMPROVES as data coalesces."""
+    base = current_version(spark, table)
+    if base == 0:
+        raise FileNotFoundError(f"nothing to compact at {table}")
+    cur = read_snapshot(spark, table, version=base)
+    packed = cur.repartition(target_files)
+    new, stats = _write_data_files(packed, table, stat_cols)
+    return _commit(spark, table, new, f"compact({target_files})",
+                   expected_parent=base, stats=stats)
+
+
+def snap_changes(spark: SparkSession, table: str,
+                 from_version: int, to_version: int | None = None) -> DataFrame:
+    """Change feed for append-style tables: rows in files ADDED by
+    commits in (from_version, to_version] — the incremental-consumer
+    contract (\"give me what landed since v\"). Cost is a read of only
+    the added files, never the table. Raises if any commit in the range
+    REMOVED files (overwrite/replace_where/compact rewrite history, so
+    added-files no longer mean added-rows; consumers must re-read the
+    snapshot instead — same rule as Delta's CDF for non-append commits).
+    """
+    to_v = current_version(spark, table) if to_version is None else to_version
+    if to_v < from_version:
+        raise ValueError(f"to_version {to_v} < from_version {from_version}")
+    base = set(read_manifest(spark, table, from_version)["files"]) \
+        if from_version else set()
+    prev = base
+    added: list = []
+    for v in range(from_version + 1, to_v + 1):
+        cur = set(read_manifest(spark, table, v)["files"])
+        if prev - cur:
+            raise ValueError(
+                f"{table} v{v} removed files (non-append commit) — "
+                "change feed undefined; re-read the snapshot")
+        added += sorted(cur - prev)
+        prev = cur
+    if not added:
+        return read_snapshot(spark, table, version=to_v).limit(0)
+    return spark.read.parquet(*[f"{table}/{f}" for f in added])
 
 
 def snap_history(spark: SparkSession, table: str) -> list:

@@ -790,3 +790,158 @@ def test_partition_immutability_check(spark, tmp_path):
     # the guarded failure mode is real: merging the mover duplicates k=1
     lake_merge(spark, path, moving, "k", "dt", ["v"])
     assert spark.read.parquet(path).filter("k = 1").count() == 2
+
+
+def test_snapshot_manifest_stats_prune_files(spark, tmp_path):
+    """Manifest-level file skipping: per-commit min/max/null stats let
+    snap_scan drop whole files at PLANNING time (driver dict walk, no
+    I/O), while the residual filter keeps results exact. Files from
+    commits without stats are conservatively kept."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "stattab")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"),
+        F.concat(F.lit("u"), F.col("id")).alias("s"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 7)
+        .alias("maybe")).repartition(1)
+
+    S.snap_append(spark, t, mk(0, 100), stat_cols=("id", "maybe"))
+    S.snap_append(spark, t, mk(100, 200), stat_cols=("id", "maybe"))
+    S.snap_append(spark, t, mk(200, 300), stat_cols=("id", "maybe"))
+    m = S.read_manifest(spark, t)
+    assert len(m["files"]) == 3 and set(m["stats"]) == set(m["files"])
+
+    # range predicate: only the first file's window can satisfy id < 50
+    assert len(S.prune_files(m, [("id", "<", 50)])) == 1
+    assert len(S.prune_files(m, [("id", ">=", 150)])) == 2
+    assert len(S.prune_files(m, [("id", "=", 250)])) == 1
+    got = sorted(r["id"] for r in S.snap_scan(
+        spark, t, [("id", "<", 50)]).collect())
+    assert got == list(range(50))
+
+    # every file has some NULLs in maybe -> is_null keeps all; a column
+    # with zero nulls prunes everything for is_null
+    assert len(S.prune_files(m, [("maybe", "is_null")])) == 3
+    assert len(S.prune_files(m, [("id", "is_null")])) == 0
+    assert S.snap_scan(spark, t, [("id", "is_null")]).count() == 0
+
+    # empty-result predicate: no file survives, scan returns 0 rows
+    assert S.snap_scan(spark, t, [("id", ">=", 1000)]).count() == 0
+
+    # a statless commit is conservatively kept by every predicate
+    S.snap_append(spark, t, mk(300, 400))          # no stat_cols
+    m2 = S.read_manifest(spark, t)
+    assert len(S.prune_files(m2, [("id", "<", 50)])) == 2
+    got2 = sorted(r["id"] for r in S.snap_scan(
+        spark, t, [("id", "<", 50)]).collect())
+    assert got2 == list(range(50))                  # still exact
+
+
+def test_snapshot_stats_survive_overwrite_and_replace_where(spark, tmp_path):
+    """Overwrite/replace_where commits rebuild stats for their new
+    files; replace_where keeps pruning correct after the rewrite."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "stattab2")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")) \
+        .repartitionByRange(4, "id")
+    S.snap_overwrite(spark, t, base, stat_cols=("id",))
+    m = S.read_manifest(spark, t)
+    assert len(m["files"]) == 4
+    assert len(S.prune_files(m, [("id", "<", 10)])) < 4
+
+    upd = spark.range(0, 5).select(
+        F.col("id"), F.lit(99).alias("bucket")).repartition(1)
+    S.snap_replace_where(spark, t, upd, "id < 5", stat_cols=("id",))
+    m2 = S.read_manifest(spark, t)
+    assert set(m2["stats"]) == set(m2["files"])     # fresh stats, no strays
+    got = sorted((r["id"], r["bucket"]) for r in S.snap_scan(
+        spark, t, [("id", "<", 5)]).collect())
+    assert got == [(i, 99) for i in range(5)]
+
+
+def test_snapshot_compact_occ_and_time_travel(spark, tmp_path):
+    """snap_compact bin-packs the head into N files as an OCC-pinned
+    commit: identical rows, fewer files, old versions still readable;
+    a head moved between read and commit raises CommitConflict instead
+    of dropping the racer's rows."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "compacttab")
+    for i in range(4):
+        S.snap_append(spark, t,
+                      spark.range(i * 10, (i + 1) * 10).repartition(1),
+                      stat_cols=("id",))
+    assert len(S.read_manifest(spark, t)["files"]) == 4
+
+    v = S.snap_compact(spark, t, target_files=1, stat_cols=("id",))
+    m = S.read_manifest(spark, t)
+    assert v == 5 and len(m["files"]) == 1
+    assert set(m["stats"]) == set(m["files"])        # stats rebuilt
+    assert sorted(r.id for r in S.read_snapshot(spark, t).collect()) == \
+        list(range(40))
+    assert len(S.read_manifest(spark, t, version=4)["files"]) == 4  # travel
+
+    # OCC: a commit that lands after the compactor derived its input
+    # must surface as a conflict (simulated by pinning a stale parent)
+    new, stats = S._write_data_files(spark.range(100, 101), t)
+    with pytest.raises(S.CommitConflict):
+        S._commit(spark, t, new, "stale-compact", expected_parent=4)
+
+
+def test_snapshot_changes_feed_appends_only(spark, tmp_path):
+    """snap_changes returns exactly the rows landed in (from, to]; a
+    rewriting commit in the range makes the feed refuse (undefined)."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "cdftab")
+    S.snap_append(spark, t, spark.range(0, 10).repartition(1))      # v1
+    S.snap_append(spark, t, spark.range(10, 25).repartition(1))     # v2
+    S.snap_append(spark, t, spark.range(25, 30).repartition(1))     # v3
+
+    assert sorted(r.id for r in S.snap_changes(spark, t, 1).collect()) == \
+        list(range(10, 30))
+    assert sorted(r.id for r in
+                  S.snap_changes(spark, t, 1, 2).collect()) == \
+        list(range(10, 25))
+    assert S.snap_changes(spark, t, 3).count() == 0                 # caught up
+
+    S.snap_compact(spark, t, target_files=1)                        # v4 rewrites
+    with pytest.raises(ValueError, match="non-append"):
+        S.snap_changes(spark, t, 3)
+    # a feed window that STARTS after the rewrite is well-defined again
+    S.snap_append(spark, t, spark.range(30, 33).repartition(1))     # v5
+    assert sorted(r.id for r in S.snap_changes(spark, t, 4).collect()) == \
+        [30, 31, 32]
+
+
+def test_snapshot_schema_evolution_on_read(spark, tmp_path):
+    """A later commit may add columns; merge_schema=True unions file
+    schemas and NULL-fills the old files — reads without it keep the
+    cheap single-footer path."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "evolvetab")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [(1, "a")], "id long, s string").repartition(1))
+    S.snap_append(spark, t, spark.createDataFrame(
+        [(2, "b", 7.5)], "id long, s string, score double").repartition(1))
+
+    ev = S.read_snapshot(spark, t, merge_schema=True)
+    assert set(ev.columns) == {"id", "s", "score"}
+    got = {r.id: r.score for r in ev.collect()}
+    assert got[1] is None and got[2] == 7.5
+
+    # pruned scan honors merge_schema too
+    sc = S.snap_scan(spark, t, [("id", ">=", 2)], merge_schema=True)
+    assert set(sc.columns) == {"id", "s", "score"}
