@@ -158,3 +158,50 @@ def run_incremental_cdc(
         .start()
     )
     query.awaitTermination()
+
+
+def run_incremental_ndv_sketches(
+    spark: SparkSession,
+    drop_dir: str,
+    schema: StructType | str,
+    table: str,
+    keys: list,
+    col: str,
+    checkpoint_dir: str,
+    lgk: int = 12,
+    fmt: str = "parquet",
+) -> None:
+    """Maintain a standing HLL-partial ledger from a drop folder: each
+    micro-batch aggregates to per-``keys`` sketches (batch-sized work)
+    and appends them to a manifest-snapshot table EXACTLY-ONCE
+    (``snap_append_txn`` keyed by the epoch id — a replayed epoch
+    no-ops). Any NDV rollup is then ``operators.sketches.hll_rollup``
+    over the ledger: sketch-union cost, never a rescan of history.
+    This is the streaming twin of the q142 batch pattern; parity with a
+    full batch recompute is gated in tests/test_sketches.py."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.sketches import (
+        hll_partials,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+        snap_append_txn,
+    )
+
+    def apply(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        snap_append_txn(spark, table,
+                        hll_partials(batch, keys, col, lgk=lgk),
+                        txn=f"ndv-epoch-{epoch}")
+
+    reader = spark.readStream.schema(schema).format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    query = (
+        reader.load(drop_dir)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

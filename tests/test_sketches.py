@@ -111,3 +111,41 @@ def test_sketch_plan_is_python_free(spark, events):
         ["event_type"])._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_streaming_ndv_sketch_ledger_matches_batch(spark, tmp_path):
+    """Two drop-folder files drained via AvailableNow build an HLL
+    partial ledger in a snapshot table; the rollup over the ledger
+    equals a one-shot batch recompute over all the data — the streaming
+    twin of the q142 maintenance pattern."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
+        run_incremental_ndv_sketches,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    d1 = spark.range(0, 500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 117).alias("u"))
+    d2 = spark.range(500, 1200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 411).alias("u"))
+    d1.write.parquet(str(drop / "f1"))
+    d2.write.parquet(str(drop / "f2"))
+
+    table = str(tmp_path / "ndv_ledger")
+    run_incremental_ndv_sketches(
+        spark, f"{drop}/*", "g string, u long", table, ["g"], "u",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+
+    rolled = sk.hll_rollup(S.read_snapshot(spark, table), ["g"],
+                           out_col="ndv")
+    full = sk.hll_rollup(
+        sk.hll_partials(d1.unionByName(d2), ["g"], "u"), ["g"],
+        out_col="ndv")
+    got = {r["g"]: r["ndv"] for r in rolled.collect()}
+    want = {r["g"]: r["ndv"] for r in full.collect()}
+    assert got == want and len(got) == 3
