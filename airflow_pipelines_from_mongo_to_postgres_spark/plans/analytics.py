@@ -856,6 +856,149 @@ FROM pairs p JOIN totals t USING (prev_type)
 """
 
 
+# --- q145: per-group OLS regression via exact decimal moments ---------------
+def q145_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of l_extendedprice on l_quantity per return
+    flag — the grouped-regression operator (trend per segment) built the
+    same way as q98's corr: every moment (Σx, Σy, Σxx, Σyy, Σxy)
+    accumulates as DECIMAL so partial-agg order cannot perturb the
+    value, then slope/intercept/r² run as closed-form double math on
+    identical scalar operands on both engines. ONE shuffle (the
+    groupBy); at 100 TB this is a map-side partial agg into 3 rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    per = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    agg = per.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,8)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,8)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    vy = F.greatest(n * syy - sy * sy, F.lit(0.0))
+    cv = n * sxy - sx * sy
+    slope = cv / vx
+    return agg.select(
+        "l_returnflag",
+        F.col("n"),
+        F.when(vx > 0, F.round(slope, 6)).alias("slope"),
+        F.when(vx > 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+        F.when(vx * vy > 0, F.round(cv * cv / (vx * vy), 6)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+Q145_SQL = """
+WITH per AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(18,4)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,4)) AS y
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(x) AS sx,
+         sum(y) AS sy,
+         -- operands re-cast to DECIMAL(24,4): forces DuckDB's int128
+         -- multiply path (18-digit operands stay int64 and overflow on
+         -- the square of a ~1e9-unscaled price); values exact either way
+         sum(CAST(CAST(x AS DECIMAL(24,4)) * CAST(x AS DECIMAL(24,4))
+                  AS DECIMAL(28,8))) AS sxx,
+         sum(CAST(CAST(y AS DECIMAL(24,4)) * CAST(y AS DECIMAL(24,4))
+                  AS DECIMAL(38,8))) AS syy,
+         sum(CAST(CAST(x AS DECIMAL(24,4)) * CAST(y AS DECIMAL(24,4))
+                  AS DECIMAL(28,8))) AS sxy
+  FROM per GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd,
+         greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS vx,
+         greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+  FROM agg
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN vx > 0 THEN round(cv / vx, 6) END AS slope,
+       CASE WHEN vx > 0 THEN round((syd - (cv / vx) * sxd) / nd, 6) END
+         AS intercept,
+       CASE WHEN vx * vy > 0 THEN round(cv * cv / (vx * vy), 6) END AS r2
+FROM m ORDER BY 1
+"""
+
+
+# --- q146: chi-square contingency audit (event_type x day-of-week) ----------
+def q146_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence audit of event_type vs day-of-week: per-cell
+    observed count, expected count under independence, and the cell's
+    chi² term — the drift detector for "did the traffic mix change by
+    weekday". All inputs to the float math are exact INTEGER counts
+    (obs, row/col totals, n), so the per-cell doubles are identical on
+    both engines; no float SUM ever happens (the hash-stability rule).
+    Day-of-week is epoch-day arithmetic — no session-timezone or
+    locale term. Plan: one groupBy for the cells, two broadcast-sized
+    re-aggregations for the margins, broadcast joins back."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) % 7).cast("long")
+        .alias("dow"))
+    cells = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("obs"))
+    rowt = cells.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    colt = cells.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    j = cells.join(F.broadcast(rowt), "event_type")              .join(F.broadcast(colt), "dow")              .crossJoin(F.broadcast(tot))
+    exp = (F.col("rt").cast("double") * F.col("ct").cast("double")
+           / F.col("n").cast("double"))
+    obs_d = F.col("obs").cast("double")
+    return j.select(
+        "event_type", "dow", "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((obs_d - exp) * (obs_d - exp) / exp, 6).alias("chi2_term"),
+    ).orderBy("event_type", "dow")
+
+
+Q146_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS BIGINT) AS dow
+  FROM events
+),
+cells AS (
+  SELECT event_type, dow, count(*) AS obs FROM e GROUP BY 1, 2
+),
+rowt AS (SELECT event_type, sum(obs) AS rt FROM cells GROUP BY 1),
+colt AS (SELECT dow, sum(obs) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT sum(obs) AS n FROM cells)
+SELECT c.event_type, c.dow, CAST(c.obs AS BIGINT) AS obs,
+       round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS expected,
+       round((CAST(obs AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+             6) AS chi2_term
+FROM cells c JOIN rowt USING (event_type) JOIN colt USING (dow)
+CROSS JOIN tot
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q136_event_transitions": q136_event_transitions,
     "q65_tfidf_top_terms": q65_tfidf_top_terms,
@@ -875,6 +1018,8 @@ QUERIES = {
     "q98_stats_profile": q98_stats_profile,
     "q99_fuzzy_linkage": q99_fuzzy_linkage,
     "q103_column_profile": q103_column_profile,
+    "q145_regression_by_group": q145_regression_by_group,
+    "q146_chi_square_contingency": q146_chi_square_contingency,
 }
 
 ORACLES = {
@@ -895,5 +1040,6 @@ ORACLES = {
     "q89_date_dimension": Q89_SQL,
     "q98_stats_profile": Q98_SQL,
     "q99_fuzzy_linkage": Q99_SQL,
-    "q103_column_profile": Q103_SQL,
+    "q103_column_profile": Q103_SQL,    "q145_regression_by_group": Q145_SQL,
+    "q146_chi_square_contingency": Q146_SQL,
 }
