@@ -82,6 +82,29 @@ def theta_rollup(partials: DataFrame, keys: Sequence[str],
               .drop("__u")
 
 
+def theta_set_estimates(left: DataFrame, right: DataFrame,
+                        keys: Sequence[str],
+                        sketch_col: str = "theta_sketch") -> DataFrame:
+    """Per-key set algebra over two theta-sketch tables: estimates for
+    |A∩B| and |A∖B| from the SKETCHES alone — the audience-overlap /
+    churn query answered from precomputed per-segment sketches with no
+    rescan of either side's raw data. Below the sketch's sampling
+    threshold (2^12 retained hashes by default) theta is EXACT, so
+    small-segment overlaps come back error-free; above it the estimate
+    carries the documented bounded error. Input columns are suffixed
+    ``_a``/``_b`` internally; output: keys + inter_est + a_not_b_est."""
+    a = left.select(*keys, F.col(sketch_col).alias("__a"))
+    b = right.select(*keys, F.col(sketch_col).alias("__b"))
+    j = a.join(b, list(keys))
+    return j.select(
+        *keys,
+        F.theta_sketch_estimate(
+            F.expr("theta_intersection(__a, __b)")).alias("inter_est"),
+        F.theta_sketch_estimate(
+            F.expr("theta_difference(__a, __b)")).alias("a_not_b_est"),
+    )
+
+
 # --- KLL: quantiles ---------------------------------------------------------
 
 def kll_partials(df: DataFrame, keys: Sequence[str], col: str,

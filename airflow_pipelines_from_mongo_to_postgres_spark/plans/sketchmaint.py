@@ -125,12 +125,80 @@ ORDER BY 1
 """
 
 
+# --- q147: audience overlap via theta set algebra ---------------------------
+def q147_distinct_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period distinct-user overlap per event_type: how many users
+    were active in BOTH halves of the month, and how many only in the
+    second — answered from per-period theta sketches via
+    theta_intersection / theta_difference (operators/sketches.py). At
+    100 TB the sketches are the precomputed per-segment artifact; any
+    pairwise overlap is sketch algebra, never a rescan. Gated like q45:
+    exact counts (one distinct + joins) plus deterministic booleans
+    asserting the sketch estimates agree within 5% (our segment NDVs sit
+    below theta's 2^12 sampling threshold, where theta is exact — the
+    claim still holds headroom for bigger fixtures)."""
+    e = load_table(spark, "events", sf_dir) \
+        .select("event_type", F.dayofmonth("ts").alias("dom"), "user_id")
+    h1 = e.filter(F.col("dom") <= 15)
+    h2 = e.filter(F.col("dom") > 15)
+
+    t1 = sk.theta_partials(h1, ["event_type"], "user_id")
+    t2 = sk.theta_partials(h2, ["event_type"], "user_id")
+    est = sk.theta_set_estimates(t1, t2, ["event_type"])
+
+    d1 = h1.select("event_type", "user_id").distinct()
+    d2 = h2.select("event_type", "user_id").distinct()
+    # LEFT join from d1 marks membership in h2; a group where every h1
+    # user re-appears in h2 still yields a row with only_h1_exact = 0
+    # (an inner join of separate both/only aggregates would DROP it —
+    # the sf0.001 shape, where the month's halves share all users)
+    exact = d1.join(d2.withColumn("__in2", F.lit(1)),
+                    ["event_type", "user_id"], "left") \
+        .groupBy("event_type").agg(
+            F.sum(F.coalesce(F.col("__in2"), F.lit(0))).alias("both_exact"),
+            F.sum(F.when(F.col("__in2").isNull(), 1).otherwise(0))
+            .alias("only_h1_exact"))
+
+    out = exact.join(est, "event_type")
+    return out.select(
+        "event_type", "both_exact", "only_h1_exact",
+        (F.abs(F.col("inter_est") - F.col("both_exact"))
+         <= F.greatest(F.col("both_exact") * F.lit(0.05), F.lit(1.0)))
+        .alias("inter_within_5pct"),
+        (F.abs(F.col("a_not_b_est") - F.col("only_h1_exact"))
+         <= F.greatest(F.col("only_h1_exact") * F.lit(0.05), F.lit(1.0)))
+        .alias("diff_within_5pct"),
+    ).orderBy("event_type")
+
+
+Q147_SQL = """
+WITH h1 AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE CAST(extract(day FROM ts) AS BIGINT) <= 15
+),
+h2 AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE CAST(extract(day FROM ts) AS BIGINT) > 15
+)
+SELECT h1.event_type,
+       CAST(count(h2.user_id) AS BIGINT) AS both_exact,
+       CAST(count(*) - count(h2.user_id) AS BIGINT) AS only_h1_exact,
+       TRUE AS inter_within_5pct,
+       TRUE AS diff_within_5pct
+FROM h1 LEFT JOIN h2
+  ON h1.event_type = h2.event_type AND h1.user_id = h2.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q142_sketch_ndv_rollup": q142_sketch_ndv_rollup,
     "q143_sketch_quantile_rollup": q143_sketch_quantile_rollup,
+    "q147_distinct_overlap_theta": q147_distinct_overlap_theta,
 }
 
 ORACLES = {
     "q142_sketch_ndv_rollup": Q142_SQL,
     "q143_sketch_quantile_rollup": Q143_SQL,
+    "q147_distinct_overlap_theta": Q147_SQL,
 }

@@ -51,6 +51,8 @@ HEADLINE = [
     "q119_error_burst_windows",
     "q121_large_volume_customers",
     "q134_corpus_build_semantic",
+    "q142_sketch_ndv_rollup",        # sketch partial+union cost class
+    "q144_expectations_audit",       # one-scan quality battery cost class
 ]
 
 

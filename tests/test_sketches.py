@@ -149,3 +149,23 @@ def test_streaming_ndv_sketch_ledger_matches_batch(spark, tmp_path):
     got = {r["g"]: r["ndv"] for r in rolled.collect()}
     want = {r["g"]: r["ndv"] for r in full.collect()}
     assert got == want and len(got) == 3
+
+
+def test_theta_set_estimates_exact_below_threshold(spark):
+    """Below theta's sampling threshold the sketches are exact, so
+    intersection/difference estimates equal the true counts — including
+    the fully-disjoint and fully-contained edges."""
+    a = spark.range(0, 300).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    b = spark.range(200, 500).select(F.lit("g").alias("k"), F.col("id").alias("v"))
+    ta = sk.theta_partials(a, ["k"], "v")
+    tb = sk.theta_partials(b, ["k"], "v")
+    r = sk.theta_set_estimates(ta, tb, ["k"]).collect()[0]
+    assert round(r["inter_est"]) == 100       # [200,300)
+    assert round(r["a_not_b_est"]) == 200     # [0,200)
+
+    disj = sk.theta_partials(
+        spark.range(1000, 1100).select(F.lit("g").alias("k"),
+                                       F.col("id").alias("v")), ["k"], "v")
+    r2 = sk.theta_set_estimates(ta, disj, ["k"]).collect()[0]
+    assert round(r2["inter_est"]) == 0
+    assert round(r2["a_not_b_est"]) == 300
