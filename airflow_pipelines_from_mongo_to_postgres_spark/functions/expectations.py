@@ -4,8 +4,10 @@ The reference validates loads implicitly (a bad row raises mid-loop and
 poisons the whole pipeline run); here the checks are DATA: a list of
 declarative expectations compiles into a single aggregate pass over the
 table — at 100 TB the audit costs one map-side scan regardless of how
-many checks it carries, plus one broadcast anti-join per FK edge (the
-only check that genuinely needs a second input).
+many checks it carries, plus one anti-join per FK edge (the only check
+that genuinely needs a second input) — broadcast when the dimension's
+planning-time size estimate fits ``broadcast_threshold``, shuffled
+otherwise (a 10^9-key dimension must not be forced through the driver).
 
 Check kinds:
 - ``not_null(col)`` — violation when the column IS NULL.
@@ -79,12 +81,30 @@ def fk(cols: Sequence[str], dim: DataFrame, dim_cols: Sequence[str],
                  dim_cols=tuple(dim_cols))
 
 
-def run_expectations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+def _hint_small_dim(dim: DataFrame, threshold: int) -> DataFrame:
+    """Broadcast-hint the FK dimension only when Catalyst's planning-time
+    size estimate fits under ``threshold`` bytes. An unconditional
+    ``F.broadcast`` OOMs the driver on a large dimension (10^9 user keys);
+    above the gate we leave the join unhinted so Catalyst picks a shuffled
+    anti-join (SMJ) — and AQE may still upgrade it to broadcast at runtime
+    from OBSERVED sizes, which is exactly the safe version of the hint."""
+    try:
+        size = int(str(dim._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:       # stats unavailable -> assume large, stay safe
+        return dim
+    return F.broadcast(dim) if 0 <= size <= threshold else dim
+
+
+def run_expectations(df: DataFrame, checks: Sequence[Check],
+                     broadcast_threshold: int = 32 << 20) -> DataFrame:
     """Compile the battery: every rowlevel + unique check folds into ONE
     ``df.agg(...)`` (a single map-side scan, one 1-row result), then
-    unpivots to the long report; each fk check adds one broadcast
-    anti-join over just its key column. Output ordered by check name so
-    the report is deterministic."""
+    unpivots to the long report; each fk check adds one anti-join over
+    just its key column — broadcast when the dimension's planning-time
+    size estimate is at most ``broadcast_threshold`` bytes (default
+    32 MB), shuffled otherwise. Output ordered by check name so the
+    report is deterministic."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     names: list[str] = []
     for i, ch in enumerate(checks):
@@ -118,7 +138,8 @@ def run_expectations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         for a, b in zip(ch.cols, ch.dim_cols):
             c = fact[a].eqNullSafe(dim[b])
             cond = c if cond is None else cond & c
-        orphans = fact.join(F.broadcast(dim), cond, "left_anti")
+        orphans = fact.join(_hint_small_dim(dim, broadcast_threshold),
+                            cond, "left_anti")
         row = fact.agg(F.count(F.lit(1)).alias("rows_checked")) \
             .crossJoin(F.broadcast(
                 orphans.agg(F.count(F.lit(1)).alias("violations")))) \

@@ -1304,15 +1304,24 @@ def q124_dominant_part_suppliers(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Q20 re-keyed to the fixture (no partsupp availability → shipped
     share): suppliers who shipped more than 10% of a part's total
-    quantity. Two aggregations over the same base — per (part, supplier)
-    and per part — joined on the part key; quantities are exact decimals
-    so the 10% boundary derives from identical operands on both engines.
-    The supplier dim broadcasts for names."""
+    quantity. ONE scan of the fact: the per-part total re-sums the
+    already-reduced per-(part, supplier) table (|parts x suppliers| rows)
+    instead of re-aggregating raw lineitem — exactly how the oracle
+    derives pt FROM ps. Decimal sums are associative, so the two-level
+    rollup is value-identical and the 10% boundary derives from
+    identical operands on both engines. The supplier dim broadcasts
+    for names."""
     li = _t(spark, sf_dir, "lineitem")
+    # Explicit isnotnull on the shared base keeps both subtrees (ps and
+    # the pt rollup over it) canonically equal so AQE materializes the
+    # per-(part,supplier) aggregation ONCE (ReusedExchange) — without it
+    # the downstream joins infer different null filters per branch and
+    # the fact is scanned twice (the q120 lesson).
+    li = li.filter(F.col("l_partkey").isNotNull()
+                   & F.col("l_suppkey").isNotNull())
     ps = (li.groupBy("l_partkey", "l_suppkey")
           .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q")))
-    pt = (li.groupBy("l_partkey")
-          .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_t")))
+    pt = ps.groupBy("l_partkey").agg(F.sum("_q").alias("_t"))
     s = _t(spark, sf_dir, "supplier")
     return (
         ps.join(pt, "l_partkey")

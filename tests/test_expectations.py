@@ -74,3 +74,34 @@ def test_battery_compiles_to_one_scan(spark):
     assert plan.count("Range (0, 100") == 1
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_fk_broadcast_is_size_gated(spark):
+    """An FK dimension over the broadcast threshold must NOT be force-
+    broadcast (a 10^9-key dimension would OOM the driver): the planned
+    anti-join degrades to a shuffled join. Under the threshold the hint
+    stays. AQE may still upgrade the big case at RUNTIME from observed
+    sizes — so we assert on the pre-execution (spark) plan."""
+    fact = spark.createDataFrame([(1,), (2,), (999_999,)], "k long")
+    dim = spark.range(0, 50_000).select(F.col("id").alias("dk"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = X.run_expectations(fact, [X.fk(["k"], dim, ["dk"])],
+                                 broadcast_threshold=1)
+        big_plan = big._jdf.queryExecution().sparkPlan().toString()
+        small = X.run_expectations(fact, [X.fk(["k"], dim, ["dk"])],
+                                   broadcast_threshold=1 << 30)
+        small_plan = small._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    anti_bcast = [ln for ln in big_plan.splitlines()
+                  if "LeftAnti" in ln and "Broadcast" in ln]
+    assert not anti_bcast, big_plan
+    assert any("LeftAnti" in ln and "Broadcast" in ln
+               for ln in small_plan.splitlines()), small_plan
+    # correctness identical on both paths
+    rows = {r["check"]: r["violations"] for r in big.collect()}
+    assert rows["fk(k)"] == 1

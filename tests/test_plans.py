@@ -316,3 +316,21 @@ def test_registry_queries_and_oracles_stay_paired():
 
     q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
     assert q == o, (q - o, o - q)
+
+
+def test_q124_scans_lineitem_once(spark, sf_dir):
+    """q124's per-part total must derive from the already-reduced
+    per-(part,supplier) table, not re-aggregate raw lineitem — at 100 TB
+    the latter is a second full fact scan for an aggregate obtainable
+    from |parts x suppliers| rows. With the shared base's explicit
+    isnotnull, AQE must materialize the per-(part,supplier) exchange
+    ONCE (ReusedExchange on (l_partkey, l_suppkey) hash partitioning)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.relational import (
+        q124_dominant_part_suppliers,
+    )
+
+    df = q124_dominant_part_suppliers(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    reused = [ln for ln in plan.splitlines() if "ReusedExchange" in ln]
+    assert any("l_suppkey" in ln for ln in reused), plan
