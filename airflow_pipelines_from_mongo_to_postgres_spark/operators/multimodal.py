@@ -830,9 +830,15 @@ def spectral_features(payload: bytes, bands: int = 8,
     freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
     total = float(power.sum())
     edges = np.linspace(0, rate / 2, bands + 1)
-    band = [round(float(power[(freqs >= lo) & (freqs < hi)].sum())
+    # half-open [lo, hi) bands, except the LAST band is closed at
+    # Nyquist: rfftfreq's top bin sits exactly at rate/2, and excluding
+    # it would make band fractions sum below 1 while the bin still
+    # counts in `total`
+    band = [round(float(power[(freqs >= lo)
+                              & ((freqs < hi) if i < bands - 1
+                                 else (freqs <= hi))].sum())
                   / total, 6) if total else 0.0
-            for lo, hi in zip(edges, edges[1:])]
+            for i, (lo, hi) in enumerate(zip(edges, edges[1:]))]
     centroid = round(float((freqs * power).sum() / total), 2) \
         if total else None
     pos = power[power > 0]

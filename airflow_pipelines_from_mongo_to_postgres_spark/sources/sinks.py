@@ -328,11 +328,36 @@ def lake_apply_cdc(spark, path: str, changes: DataFrame,
     # _COMMITTED), so a torn run still restores cleanly.
     remaining = {r[0] for r in
                  result.select(partition_col).distinct().collect()}
+    # Resolve the emptied partitions' directories from the files Spark
+    # ACTUALLY read for them (input_file_name), not by re-rendering the
+    # value with Python str() — timestamp/float/Decimal renderings can
+    # differ from Spark's partition-directory encoding, which would
+    # leave the old files in place (silent stale rows). Collected
+    # BEFORE the overwrite: the lazy plan points at pre-overwrite files.
+    dead = set(touched) - remaining
+    dead_dirs = []
+    if dead:
+        dead_vals = [v for v in dead if v is not None]
+        pred = F.col(partition_col).isin(dead_vals) if dead_vals \
+            else F.lit(False)
+        if None in dead:
+            pred = pred | F.col(partition_col).isNull()
+        dead_files = [r[0] for r in current.filter(pred)
+                      .select(F.input_file_name()).distinct().collect()]
+        dead_dirs = sorted({f.rsplit("/", 1)[0] for f in dead_files})
+        if None in dead:
+            # NULL renders to a FIXED directory name (no value-encoding
+            # ambiguity), and isin() can't see null rows to resolve it
+            dead_dirs.append(
+                f"{path}/{partition_col}=__HIVE_DEFAULT_PARTITION__")
     write_partitioned(result, path, [partition_col], files_per_partition)
-    for v in set(touched) - remaining:
-        name = "__HIVE_DEFAULT_PARTITION__" if v is None \
-            else _hive_escape(str(v))
-        _delete_dir(spark, f"{path}/{partition_col}={name}")
+    sc = spark.sparkContext
+    for d in dead_dirs:
+        # input_file_name() yields URI-ENCODED paths (space -> %20,
+        # the hive escape's own % -> %25); go through java.net.URI so
+        # the JVM decodes them into the on-disk directory name
+        jp = sc._jvm.org.apache.hadoop.fs.Path(sc._jvm.java.net.URI(d))
+        jp.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jp, True)
     if pending is not None:
         _mark_committed(spark, pending)
         _delete_dir(spark, pending)

@@ -296,16 +296,32 @@ def _commit(spark: SparkSession, table: str, files: list,
     return v
 
 
+_APPEND_RETRIES = 5
+
+
 def snap_append(spark: SparkSession, table: str, df: DataFrame,
                 note: str = "append", stat_cols: tuple = ()) -> int:
     """Append commit: new files + every file of the parent snapshot.
     ``stat_cols`` enables manifest-level pruning stats for the new
     files; the parent's stats carry forward untouched (files are
-    immutable, so their stats are too)."""
+    immutable, so their stats are too).
+
+    The commit pins ``expected_parent`` to the manifest it merged its
+    file list from: a commit landing between the manifest read and the
+    OCC create would otherwise be silently dropped from the new file
+    list (lost update). On conflict the already-written data files are
+    reused — only the manifest read + commit retries."""
     new, stats = _write_data_files(df, table, stat_cols)
-    prev_m = read_manifest(spark, table)
-    merged = {**prev_m.get("stats", {}), **stats}
-    return _commit(spark, table, prev_m["files"] + new, note, stats=merged)
+    for _ in range(_APPEND_RETRIES):
+        prev_m = read_manifest(spark, table)
+        merged = {**prev_m.get("stats", {}), **stats}
+        try:
+            return _commit(spark, table, prev_m["files"] + new, note,
+                           expected_parent=prev_m["version"], stats=merged)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"{table}: append lost the commit race {_APPEND_RETRIES} times")
 
 
 def snap_overwrite(spark: SparkSession, table: str, df: DataFrame,
@@ -372,10 +388,21 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
     if txn in committed_txns(spark, table):
         return None
     new, stats = _write_data_files(df, table, stat_cols)
-    prev_m = read_manifest(spark, table)
-    merged = {**prev_m.get("stats", {}), **stats}
-    return _commit(spark, table, prev_m["files"] + new, note, txn=txn,
-                   stats=merged)
+    for _ in range(_APPEND_RETRIES):
+        # re-check the txn inside the retry loop: the racer we lost to
+        # may have BEEN this txn (two replaying workers of one epoch)
+        if txn in committed_txns(spark, table):
+            return None
+        prev_m = read_manifest(spark, table)
+        merged = {**prev_m.get("stats", {}), **stats}
+        try:
+            return _commit(spark, table, prev_m["files"] + new, note,
+                           txn=txn, expected_parent=prev_m["version"],
+                           stats=merged)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"{table}: txn append lost the commit race {_APPEND_RETRIES} times")
 
 
 def read_snapshot(spark: SparkSession, table: str,
@@ -461,12 +488,20 @@ def snap_history(spark: SparkSession, table: str) -> list:
 
 
 def vacuum(spark: SparkSession, table: str,
-           keep_versions: int = 1) -> list:
+           keep_versions: int = 1,
+           retention_ms: int = 3_600_000) -> list:
     """Delete data files referenced ONLY by snapshots older than the
     newest ``keep_versions`` (plus orphans from crashed commits — files
     no manifest references at all). Time travel works up to the vacuum
     horizon, exactly the Delta/Iceberg contract. Returns deleted names.
-    """
+
+    ``retention_ms`` (default 1 h) skips files younger than the window
+    regardless of references: a concurrent appender writes its data
+    files BEFORE its commit, so a zero-window vacuum racing it would
+    delete the not-yet-referenced files and let the append commit a
+    manifest pointing at nothing — the Delta/Iceberg retention
+    convention closes that race. Tests pass ``retention_ms=0`` for
+    deterministic single-writer cleanup."""
     head = current_version(spark, table)
     keep = set()
     v = head
@@ -481,10 +516,12 @@ def vacuum(spark: SparkSession, table: str,
     deleted = []
     if not fs.exists(root):
         return deleted
+    now_ms = jvm.java.lang.System.currentTimeMillis()
     for sub in fs.listStatus(root):
         for st in fs.listStatus(sub.getPath()):
             rel = f"data/{sub.getPath().getName()}/{st.getPath().getName()}"
-            if rel not in keep:
+            young = now_ms - st.getModificationTime() < retention_ms
+            if rel not in keep and not young:
                 fs.delete(st.getPath(), False)
                 deleted.append(rel)
         if len(fs.listStatus(sub.getPath())) == 0:

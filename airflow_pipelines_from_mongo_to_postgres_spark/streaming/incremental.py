@@ -17,6 +17,7 @@ download → read → per-row upsert → archive the file. Spark-first:
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from datetime import datetime
 
@@ -170,12 +171,18 @@ def run_incremental_ndv_sketches(
     checkpoint_dir: str,
     lgk: int = 12,
     fmt: str = "parquet",
+    stream_id: str | None = None,
 ) -> None:
     """Maintain a standing HLL-partial ledger from a drop folder: each
     micro-batch aggregates to per-``keys`` sketches (batch-sized work)
     and appends them to a manifest-snapshot table EXACTLY-ONCE
-    (``snap_append_txn`` keyed by the epoch id — a replayed epoch
-    no-ops). Any NDV rollup is then ``operators.sketches.hll_rollup``
+    (``snap_append_txn`` keyed by ``stream_id`` + epoch — epoch ids are
+    only unique PER CHECKPOINT, so a bare epoch key would make a rebuilt
+    checkpoint dir, or a second stream feeding the same ledger, restart
+    at epoch 0 and silently no-op against history; ``stream_id``
+    defaults to a hash of ``checkpoint_dir`` so distinct checkpoints
+    never collide, and a caller-supplied id survives checkpoint
+    relocation). Any NDV rollup is then ``operators.sketches.hll_rollup``
     over the ledger: sketch-union cost, never a rescan of history.
     This is the streaming twin of the q142 batch pattern; parity with a
     full batch recompute is gated in tests/test_sketches.py."""
@@ -186,12 +193,15 @@ def run_incremental_ndv_sketches(
         snap_append_txn,
     )
 
+    sid = stream_id or hashlib.sha256(
+        checkpoint_dir.encode("utf-8")).hexdigest()[:16]
+
     def apply(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         snap_append_txn(spark, table,
                         hll_partials(batch, keys, col, lgk=lgk),
-                        txn=f"ndv-epoch-{epoch}")
+                        txn=f"ndv-{sid}-epoch-{epoch}")
 
     reader = spark.readStream.schema(schema).format(fmt)
     if fmt == "csv":

@@ -1128,6 +1128,10 @@ def test_spectral_features_sine_vs_noise(spark):
     dn = spectral_features(nz)
     assert dn["flatness"] > 0.5
     assert max(dn["band_energy"]) < 0.5        # no dominant band
+    # Nyquist bin included: the last band is CLOSED at rate/2, so the
+    # fractions account for every rfft bin and sum to 1 (rounding aside)
+    assert abs(sum(dn["band_energy"]) - 1.0) < 1e-4
+    assert abs(sum(d["band_energy"]) - 1.0) < 1e-4
 
     df = spark.createDataFrame(
         [("sine", bytearray(sine)), ("noise", bytearray(nz)),

@@ -631,7 +631,12 @@ def test_snapshot_table_commits_time_travel_and_vacuum(spark, tmp_path):
     # orphan from a "crashed" commit: data written, manifest never landed
     S._write_data_files(spark.createDataFrame([("z", 0)], "k string, v int"), t)
 
-    deleted = S.vacuum(spark, t, keep_versions=1)
+    # default retention window: every file here is seconds old, so a
+    # default-window vacuum must delete NOTHING — that window is what
+    # protects a concurrent appender whose files land before its commit
+    assert S.vacuum(spark, t, keep_versions=1) == []
+    # retention_ms=0: single-writer test wants deterministic cleanup
+    deleted = S.vacuum(spark, t, keep_versions=1, retention_ms=0)
     assert deleted                                   # old + orphan files gone
     assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("b", 99), ("c", 3)]
     with pytest.raises(Exception):
@@ -945,3 +950,71 @@ def test_snapshot_schema_evolution_on_read(spark, tmp_path):
     # pruned scan honors merge_schema too
     sc = S.snap_scan(spark, t, [("id", ">=", 2)], merge_schema=True)
     assert set(sc.columns) == {"id", "s", "score"}
+
+
+def test_snap_append_survives_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between snap_append's manifest read and its OCC
+    create must surface as CommitConflict and retry — not be silently
+    dropped from the new file list (lost update). Interleave by
+    committing a racer inside the victim's manifest read; the final
+    table must contain BOTH writers' rows."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "racetab")
+    S.snap_append(spark, t,
+                  spark.createDataFrame([("a", 1)], "k string, v int"))
+
+    real = S.read_manifest
+    state = {"raced": False}
+
+    def racing_read(spark_, table, version=None):
+        m = real(spark_, table, version)
+        if not state["raced"] and version is None:
+            state["raced"] = True
+            S.snap_append(spark_, table, spark_.createDataFrame(
+                [("r", 9)], "k string, v int"), note="racer")
+        return m                       # stale: read BEFORE the racer won
+
+    monkeypatch.setattr(S, "read_manifest", racing_read)
+    S.snap_append(spark, t,
+                  spark.createDataFrame([("b", 2)], "k string, v int"))
+    monkeypatch.setattr(S, "read_manifest", real)
+
+    got = sorted((r.k, r.v) for r in S.read_snapshot(spark, t).collect())
+    assert got == [("a", 1), ("b", 2), ("r", 9)]
+    assert S.current_version(spark, t) == 3
+
+
+def test_lake_apply_cdc_drops_emptied_timestamp_partition(spark, tmp_path):
+    """Partition values whose Python str() differs from Spark's
+    directory rendering (timestamps with fractional seconds) must still
+    lose their directory when emptied: the dir is resolved from
+    input_file_name(), never re-rendered driver-side."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+        lake_apply_cdc,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "tslake")
+    t1 = datetime(2023, 1, 1, 0, 0, 0, 500000)   # str() -> ...00.500000
+    t2 = datetime(2023, 1, 2, 12, 30, 0)
+    base = spark.createDataFrame(
+        [(t1, 1, 10.0), (t2, 2, 20.0)], "dt timestamp, k int, v double")
+    write_partitioned(base, path, ["dt"])
+    dirs = glob.glob(f"{path}/dt=*")
+    assert len(dirs) == 2
+
+    changes = spark.createDataFrame(
+        [("D", t1, 1, None)], "op string, dt timestamp, k int, v double")
+    lake_apply_cdc(spark, path, changes, "k", "dt", backup=False)
+
+    left = glob.glob(f"{path}/dt=*")
+    assert len(left) == 1, left                    # emptied t1 dir GONE
+    got = [(r.k, r.v) for r in spark.read.parquet(path).collect()]
+    assert got == [(2, 20.0)]

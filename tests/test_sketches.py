@@ -150,6 +150,29 @@ def test_streaming_ndv_sketch_ledger_matches_batch(spark, tmp_path):
     want = {r["g"]: r["ndv"] for r in full.collect()}
     assert got == want and len(got) == 3
 
+    # a SECOND stream (fresh checkpoint -> restarts at epoch 0) feeding
+    # the SAME ledger must not collide with the first stream's epoch-0
+    # txn: the txn id is namespaced by stream/checkpoint, so its batches
+    # land instead of silently no-opping
+    drop2 = tmp_path / "drop2"
+    drop2.mkdir()
+    d3 = spark.range(5000, 5100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("u"))
+    d3.write.parquet(str(drop2 / "f3"))
+    run_incremental_ndv_sketches(
+        spark, f"{drop2}/*", "g string, u long", table, ["g"], "u",
+        checkpoint_dir=str(tmp_path / "ckpt2"))
+    rolled2 = sk.hll_rollup(S.read_snapshot(spark, table), ["g"],
+                            out_col="ndv")
+    full2 = sk.hll_rollup(
+        sk.hll_partials(d1.unionByName(d2).unionByName(d3), ["g"], "u"),
+        ["g"], out_col="ndv")
+    got2 = {r["g"]: r["ndv"] for r in rolled2.collect()}
+    want2 = {r["g"]: r["ndv"] for r in full2.collect()}
+    assert got2 == want2
+    assert any(got2[k] != got[k] for k in got2)   # second stream landed
+
 
 def test_theta_set_estimates_exact_below_threshold(spark):
     """Below theta's sampling threshold the sketches are exact, so
