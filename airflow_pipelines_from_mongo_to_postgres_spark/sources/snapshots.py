@@ -17,13 +17,23 @@ ever observe half-done.
 Layout::
 
     <table>/data/part-...parquet       immutable, uniquely named
-    <table>/_manifests/v00000001.json  {"version", "files", "parent", "note"}
+    <table>/_manifests/seg-<hex>.json  {"files": [...], "stats": {...}}
+                                       one commit's DELTA (immutable)
+    <table>/_manifests/v00000001.json  {"version", "segments": [names],
+                                        "parent", "note"}  (appends)
+                                       or inline {"files", "stats"}
+                                       (overwrite/replace/compact)
     <table>/_manifests/HEAD            text: current version number
 
-At 100 TB the manifest lists file names, not data — commits are O(files
-changed) driver work; reads plan from the manifest's explicit file list
-so NO directory listing of the data tree ever happens (the classic
-object-store listing bottleneck). The reference has no table layer at
+At 100 TB the manifest layer lists file names, not data — and the
+manifest-LIST indirection (Iceberg's shape) keeps each append commit
+O(files added): the version file holds segment names only, the new
+segment holds just this commit's files + stats, and parent segments are
+referenced untouched. Every _MAX_SEGMENTS appends the list coalesces
+into one segment (amortized O(table/_MAX_SEGMENTS) maintenance). Reads
+plan from the resolved explicit file list so NO directory listing of
+the data tree ever happens (the classic object-store listing
+bottleneck). The reference has no table layer at
 all (it truncates/reloads Postgres tables, ref ``utils.py``/DDL in
 ``dags/includes``); this is the engine-side replacement.
 """
@@ -92,8 +102,10 @@ def current_version(spark: SparkSession, table: str) -> int:
     return v
 
 
-def read_manifest(spark: SparkSession, table: str,
-                  version: int | None = None) -> dict:
+def _read_raw_manifest(spark: SparkSession, table: str,
+                       version: int | None = None) -> dict:
+    """The version file EXACTLY as committed — segment refs unresolved.
+    Writers use this to reuse the parent's segment list at O(refs) cost."""
     v = current_version(spark, table) if version is None else version
     if v == 0:
         return {"version": 0, "files": [], "parent": None, "note": "empty"}
@@ -101,6 +113,54 @@ def read_manifest(spark: SparkSession, table: str,
     if text is None:
         raise FileNotFoundError(f"no snapshot v{v} at {table}")
     return json.loads(text)
+
+
+def _segment_path(table: str, name: str) -> str:
+    return f"{table}/_manifests/{name}"
+
+
+def _write_segment(spark: SparkSession, table: str, files: list,
+                   stats: dict) -> str:
+    """One immutable segment manifest: the (files, per-file stats) of a
+    single commit's delta. Uniquely named, so no OCC needed — only the
+    version file that REFERENCES it is contended."""
+    name = f"seg-{uuid.uuid4().hex}.json"
+    body = {"files": list(files),
+            "stats": {k: v for k, v in (stats or {}).items()
+                      if k in set(files)}}
+    _write_text_atomic(spark, _segment_path(table, name),
+                       json.dumps(body, indent=1))
+    return name
+
+
+def _read_segment(spark: SparkSession, table: str, name: str) -> dict:
+    text = _read_text(spark, _segment_path(table, name))
+    if text is None:
+        raise FileNotFoundError(f"missing segment {name} at {table}")
+    return json.loads(text)
+
+
+def read_manifest(spark: SparkSession, table: str,
+                  version: int | None = None) -> dict:
+    """Resolved manifest: always carries the FULL ``files`` list and
+    merged ``stats``, whether the version file inlines them (legacy /
+    bootstrap) or references segment manifests (the append path — each
+    commit writes only its O(delta) segment; the version file lists
+    segment names, Iceberg's manifest-list shape)."""
+    m = _read_raw_manifest(spark, table, version)
+    if "segments" not in m:
+        return m
+    files: list = []
+    stats: dict = {}
+    for name in m["segments"]:
+        seg = _read_segment(spark, table, name)
+        files += seg["files"]
+        stats.update(seg.get("stats", {}))
+    out = dict(m)
+    out["files"] = files
+    if stats:
+        out["stats"] = stats
+    return out
 
 
 def _write_data_files(df: DataFrame, table: str,
@@ -256,9 +316,10 @@ class CommitConflict(Exception):
     its commit attempt. Retry: re-read, re-derive, re-commit."""
 
 
-def _commit(spark: SparkSession, table: str, files: list,
+def _commit(spark: SparkSession, table: str, files: list | None,
             note: str, expected_parent: int | None = None,
-            txn: str | None = None, stats: dict | None = None) -> int:
+            txn: str | None = None, stats: dict | None = None,
+            segments: list | None = None) -> int:
     """Optimistic concurrency: the manifest file for version v is
     created with create(overwrite=False) — on a store with atomic
     create-if-absent, two writers racing to the same parent see exactly
@@ -273,12 +334,18 @@ def _commit(spark: SparkSession, table: str, files: list,
             f"{table}: head moved to v{parent} (derived from "
             f"v{expected_parent}) — re-read and retry")
     v = parent + 1
-    manifest = {"version": v, "files": files,
-                "parent": parent or None, "note": note}
-    if stats:
-        # only stats for files this manifest actually lists (carried
-        # forward from the parent for retained files, fresh for new)
-        manifest["stats"] = {k: v2 for k, v2 in stats.items() if k in set(files)}
+    manifest = {"version": v, "parent": parent or None, "note": note}
+    if segments is not None:
+        # manifest-list shape: the version file carries only segment
+        # NAMES — O(segments) bytes regardless of live file count
+        manifest["segments"] = list(segments)
+    else:
+        manifest["files"] = files
+        if stats:
+            # only stats for files this manifest actually lists (carried
+            # forward from the parent for retained files, fresh for new)
+            manifest["stats"] = {k: v2 for k, v2 in stats.items()
+                                 if k in set(files)}
     if txn is not None:
         manifest["txn"] = txn
     fs, jvm = _jvm_fs(spark, table)
@@ -297,27 +364,62 @@ def _commit(spark: SparkSession, table: str, files: list,
 
 
 _APPEND_RETRIES = 5
+_MAX_SEGMENTS = 64
+
+
+def _parent_segments(spark: SparkSession, table: str, raw: dict) -> list:
+    """Segment refs for the parent snapshot. A legacy inline manifest
+    (or the replace/compact paths, which commit inline) is lifted into
+    one segment so the child append stays O(delta) forever after."""
+    if raw["version"] == 0 or not (raw.get("files") or raw.get("segments")):
+        return []
+    if "segments" in raw:
+        return list(raw["segments"])
+    return [_write_segment(spark, table, raw["files"],
+                           raw.get("stats", {}))]
+
+
+def _coalesce_segments(spark: SparkSession, table: str,
+                       segs: list) -> str:
+    """Merge many segment manifests into one — amortized maintenance
+    (every _MAX_SEGMENTS appends) that keeps read-side resolution
+    O(_MAX_SEGMENTS) small reads instead of O(commits)."""
+    files: list = []
+    stats: dict = {}
+    for name in segs:
+        seg = _read_segment(spark, table, name)
+        files += seg["files"]
+        stats.update(seg.get("stats", {}))
+    return _write_segment(spark, table, files, stats)
 
 
 def snap_append(spark: SparkSession, table: str, df: DataFrame,
                 note: str = "append", stat_cols: tuple = ()) -> int:
-    """Append commit: new files + every file of the parent snapshot.
+    """Append commit: ONE new segment manifest listing just this
+    commit's files (+ stats), referenced by a version file that carries
+    the parent's segment names plus the new one — commit payload is
+    O(files added), never O(table), so a 10^6-file table appends at the
+    same driver cost as a 10-file one. Every _MAX_SEGMENTS appends the
+    segment list coalesces into one (amortized O(table/_MAX_SEGMENTS)).
     ``stat_cols`` enables manifest-level pruning stats for the new
-    files; the parent's stats carry forward untouched (files are
+    files; parent segments carry forward untouched (files are
     immutable, so their stats are too).
 
-    The commit pins ``expected_parent`` to the manifest it merged its
-    file list from: a commit landing between the manifest read and the
-    OCC create would otherwise be silently dropped from the new file
-    list (lost update). On conflict the already-written data files are
-    reused — only the manifest read + commit retries."""
+    The commit pins ``expected_parent`` to the manifest it derived its
+    segment list from: a commit landing between the manifest read and
+    the OCC create would otherwise be silently dropped from the new
+    list (lost update). On conflict the already-written data files and
+    segment are reused — only the version-file read + commit retries."""
     new, stats = _write_data_files(df, table, stat_cols)
+    new_seg = _write_segment(spark, table, new, stats)
     for _ in range(_APPEND_RETRIES):
-        prev_m = read_manifest(spark, table)
-        merged = {**prev_m.get("stats", {}), **stats}
+        raw = _read_raw_manifest(spark, table)
+        segs = _parent_segments(spark, table, raw) + [new_seg]
+        if len(segs) > _MAX_SEGMENTS:
+            segs = [_coalesce_segments(spark, table, segs)]
         try:
-            return _commit(spark, table, prev_m["files"] + new, note,
-                           expected_parent=prev_m["version"], stats=merged)
+            return _commit(spark, table, None, note,
+                           expected_parent=raw["version"], segments=segs)
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -366,8 +468,8 @@ def committed_txns(spark: SparkSession, table: str) -> set:
     out = set()
     v = current_version(spark, table)
     while v:
-        m = read_manifest(spark, table, v)
-        if m.get("txn") is not None:
+        m = _read_raw_manifest(spark, table, v)   # txn/parent only —
+        if m.get("txn") is not None:              # no segment resolution
             out.add(m["txn"])
         v = m["parent"] or 0
     return out
@@ -388,17 +490,19 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
     if txn in committed_txns(spark, table):
         return None
     new, stats = _write_data_files(df, table, stat_cols)
+    new_seg = _write_segment(spark, table, new, stats)
     for _ in range(_APPEND_RETRIES):
         # re-check the txn inside the retry loop: the racer we lost to
         # may have BEEN this txn (two replaying workers of one epoch)
         if txn in committed_txns(spark, table):
             return None
-        prev_m = read_manifest(spark, table)
-        merged = {**prev_m.get("stats", {}), **stats}
+        raw = _read_raw_manifest(spark, table)
+        segs = _parent_segments(spark, table, raw) + [new_seg]
+        if len(segs) > _MAX_SEGMENTS:
+            segs = [_coalesce_segments(spark, table, segs)]
         try:
-            return _commit(spark, table, prev_m["files"] + new, note,
-                           txn=txn, expected_parent=prev_m["version"],
-                           stats=merged)
+            return _commit(spark, table, None, note, txn=txn,
+                           expected_parent=raw["version"], segments=segs)
         except CommitConflict:
             continue
     raise CommitConflict(

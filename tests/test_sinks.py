@@ -966,7 +966,7 @@ def test_snap_append_survives_concurrent_commit(spark, tmp_path, monkeypatch):
     S.snap_append(spark, t,
                   spark.createDataFrame([("a", 1)], "k string, v int"))
 
-    real = S.read_manifest
+    real = S._read_raw_manifest
     state = {"raced": False}
 
     def racing_read(spark_, table, version=None):
@@ -977,10 +977,10 @@ def test_snap_append_survives_concurrent_commit(spark, tmp_path, monkeypatch):
                 [("r", 9)], "k string, v int"), note="racer")
         return m                       # stale: read BEFORE the racer won
 
-    monkeypatch.setattr(S, "read_manifest", racing_read)
+    monkeypatch.setattr(S, "_read_raw_manifest", racing_read)
     S.snap_append(spark, t,
                   spark.createDataFrame([("b", 2)], "k string, v int"))
-    monkeypatch.setattr(S, "read_manifest", real)
+    monkeypatch.setattr(S, "_read_raw_manifest", real)
 
     got = sorted((r.k, r.v) for r in S.read_snapshot(spark, t).collect())
     assert got == [("a", 1), ("b", 2), ("r", 9)]
@@ -1018,3 +1018,67 @@ def test_lake_apply_cdc_drops_emptied_timestamp_partition(spark, tmp_path):
     assert len(left) == 1, left                    # emptied t1 dir GONE
     got = [(r.k, r.v) for r in spark.read.parquet(path).collect()]
     assert got == [(2, 20.0)]
+
+
+def test_snap_append_commit_payload_is_o_delta(spark, tmp_path):
+    """Manifest-list indirection: after many appends the newest VERSION
+    file must stay O(segments) bytes — naming segment manifests, never
+    the full file list — and the newest SEGMENT must list only the last
+    commit's files. All reads (head, time travel, pruning, change feed)
+    still resolve the full set."""
+    import json as _json
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "bigtab")
+    n_commits = 12
+    for i in range(n_commits):
+        d = spark.createDataFrame([(i, i * 10)], "k int, v int") \
+            .coalesce(1)                          # exactly 1 file/commit
+        S.snap_append(spark, t, d, stat_cols=("k",))
+
+    head = S.current_version(spark, t)
+    assert head == n_commits
+    raw = S._read_raw_manifest(spark, t, head)
+    assert "files" not in raw                     # no inline file list
+    assert len(raw["segments"]) == n_commits
+    last_seg = S._read_segment(spark, t, raw["segments"][-1])
+    assert len(last_seg["files"]) == 1            # O(delta), not O(table)
+    # version-file byte size must not scale with table size: it names
+    # segments, each a fixed-width token
+    vtext = open(f"{t}/_manifests/v{head:08d}.json").read()
+    assert len(vtext) < 200 + 60 * n_commits
+
+    resolved = S.read_manifest(spark, t)
+    assert len(resolved["files"]) == n_commits
+    assert len(resolved["stats"]) == n_commits
+    assert S.read_snapshot(spark, t).count() == n_commits
+    assert S.read_snapshot(spark, t, version=3).count() == 3
+    # stats-based pruning still works through segments
+    pruned = S.prune_files(resolved, [("k", "=", 5)])
+    assert len(pruned) == 1
+    # change feed over the last two commits reads only their files
+    feed = S.snap_changes(spark, t, from_version=head - 2)
+    assert sorted(r.k for r in feed.collect()) == [n_commits - 2,
+                                                   n_commits - 1]
+    _json.loads(vtext)                            # well-formed commit
+
+
+def test_snap_segment_list_coalesces_at_cap(spark, tmp_path, monkeypatch):
+    """Past _MAX_SEGMENTS the append path merges parent segments into
+    one — resolution cost stays bounded by the cap, not commit count."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    monkeypatch.setattr(S, "_MAX_SEGMENTS", 4)
+    t = str(tmp_path / "captab")
+    for i in range(7):
+        S.snap_append(spark, t,
+                      spark.createDataFrame([(i,)], "k int"))
+    raw = S._read_raw_manifest(spark, t)
+    assert len(raw["segments"]) <= 4
+    assert sorted(r.k for r in S.read_snapshot(spark, t).collect()) == \
+        list(range(7))
