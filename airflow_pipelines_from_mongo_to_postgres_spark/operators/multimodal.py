@@ -1089,6 +1089,136 @@ def avi_movi_frames(p: bytes) -> list:
     return out
 
 
+def _bmff_boxes(p: bytes, lo: int, hi: int):
+    """(type4, body_start, box_end) for each ISO-BMFF box in [lo, hi):
+    32-bit big-endian sizes, size==1 → 64-bit largesize follows the
+    type, size==0 → box runs to the end of the enclosing scope. A
+    malformed size ends the walk instead of raising (hostile-payload
+    rule, same as the RIFF walker)."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(p[i:i + 4], "big")
+        four = p[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            size = int.from_bytes(p[i + 8:i + 16], "big")
+            if size < 16:
+                return
+            body = i + 16
+            end = i + size
+        elif size == 0:
+            end = hi
+        else:
+            if size < 8:
+                return
+            end = i + size
+        if end > hi or end <= i:
+            return
+        yield four, body, end
+        i = end
+
+
+def _bmff_find(p: bytes, lo: int, hi: int, type4: bytes):
+    for four, body, end in _bmff_boxes(p, lo, hi):
+        if four == type4:
+            return body, end
+    return None
+
+
+def mp4_sample_spans(p: bytes) -> list:
+    """(offset, size) file spans of every video-track sample in an
+    ISO-BMFF (MP4/MOV) payload, derived from the sample tables the spec
+    mandates: ``stsz`` (per-sample sizes), ``stsc`` (sample→chunk runs)
+    and ``stco``/``co64`` (chunk file offsets) under each 'vide'-handler
+    trak's ``stbl`` — samples lie back-to-back inside a chunk, so a
+    cumulative walk yields exact spans with zero decoding. Codec-
+    agnostic: callers decide what the bytes are
+    (``extract_video_frames`` keeps JPEG samples — the MJPEG-in-MP4
+    layout — which the shipped JPEG decoder reconstructs). Table counts
+    are clamped to what the box/payload can physically hold, so a
+    hostile header can neither over-allocate nor index past the buffer.
+    Box layout per ISO/IEC 14496-12 (public spec); the reference repo
+    has no media layer at all."""
+    out: list = []
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return out
+    moov = _bmff_find(p, 0, len(p), b"moov")
+    if moov is None:
+        return out
+
+    def u32(at: int) -> int:
+        return int.from_bytes(p[at:at + 4], "big")
+
+    for four, t_lo, t_hi in _bmff_boxes(p, moov[0], moov[1]):
+        if four != b"trak":
+            continue
+        mdia = _bmff_find(p, t_lo, t_hi, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _bmff_find(p, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or hdlr[1] - hdlr[0] < 12 \
+                or p[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = _bmff_find(p, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _bmff_find(p, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stsz = _bmff_find(p, stbl[0], stbl[1], b"stsz")
+        stsc = _bmff_find(p, stbl[0], stbl[1], b"stsc")
+        stco = _bmff_find(p, stbl[0], stbl[1], b"stco")
+        co64 = _bmff_find(p, stbl[0], stbl[1], b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            continue
+        # stsz: version/flags, fixed_size, count[, size table]
+        b0 = stsz[0]
+        if stsz[1] - b0 < 12:
+            continue
+        fixed, count = u32(b0 + 4), u32(b0 + 8)
+        count = min(count, len(p))          # a sample is ≥ 1 byte
+        if fixed == 0:
+            count = min(count, (stsz[1] - b0 - 12) // 4)
+            sizes = [u32(b0 + 12 + 4 * i) for i in range(count)]
+        else:
+            sizes = [fixed] * count
+        # chunk offsets
+        if stco is not None:
+            c0 = stco[0]
+            nch = min(u32(c0 + 4), (stco[1] - c0 - 8) // 4) \
+                if stco[1] - c0 >= 8 else 0
+            offs = [u32(c0 + 8 + 4 * i) for i in range(nch)]
+        else:
+            c0 = co64[0]
+            nch = min(u32(c0 + 4), (co64[1] - c0 - 8) // 8) \
+                if co64[1] - c0 >= 8 else 0
+            offs = [int.from_bytes(p[c0 + 8 + 8 * i:c0 + 16 + 8 * i],
+                                   "big") for i in range(nch)]
+        # stsc runs: (first_chunk, samples_per_chunk, sdesc-index)
+        s0 = stsc[0]
+        nrun = min(u32(s0 + 4), (stsc[1] - s0 - 8) // 12) \
+            if stsc[1] - s0 >= 8 else 0
+        runs = [(u32(s0 + 8 + 12 * i), u32(s0 + 12 + 12 * i))
+                for i in range(nrun)]
+        si = 0
+        for ci, off in enumerate(offs):
+            spc = 0
+            for fc, n_ in runs:
+                if fc <= ci + 1:
+                    spc = n_
+                else:
+                    break
+            for _ in range(min(spc, len(sizes) - si)):
+                sz = sizes[si]
+                si += 1
+                if sz > 0 and off + sz <= len(p):
+                    out.append((off, sz))
+                off += sz
+    return out
+
+
 def _bmp_encode(rgb: bytes, w: int, h: int) -> bytes:
     """Pack top-down RGB pixels as a minimal uncompressed BMP — the
     cheapest SELF-CONTAINED frame container (every emitted frame stays
@@ -1113,15 +1243,24 @@ def _bmp_encode(rgb: bytes, w: int, h: int) -> bytes:
 
 def extract_video_frames(p: bytes, n: int) -> list:
     """Up to ``n`` evenly-spaced REAL frames from an animation payload:
-    RIFF/AVI containers via the movi-chunk walk and bare
-    concatenated-JPEG streams via the marker walk (frames = whole
+    RIFF/AVI containers via the movi-chunk walk, ISO-BMFF (MP4/MOV)
+    via the stbl sample-table walk (JPEG samples — MJPEG-in-MP4), and
+    bare concatenated-JPEG streams via the marker walk (frames = whole
     JPEGs), plus animated GIFs via the LZW decode (frames re-wrapped as
     minimal BMPs so they stay self-contained) — every emitted frame is
     decodable by the package's own decoders, no codec dependency.
-    Returns [] for payloads in none of these formats (callers
-    distinguish "no frames" from the byte-slicing stub explicitly)."""
+    Returns [] for payloads in none of these formats, including MP4s
+    whose samples are a predictive codec this container has no decoder
+    for (callers distinguish "no frames" from the byte-slicing stub
+    explicitly)."""
     if len(p) >= 12 and p[0:4] == b"RIFF" and p[8:12] == b"AVI ":
         frames = avi_movi_frames(p)
+    elif len(p) >= 12 and p[4:8] == b"ftyp":
+        # ISO-BMFF: keep the JPEG samples (MJPEG-in-MP4); a predictive
+        # codec (avc1 etc.) yields no JPEG starts → [] → callers fall
+        # back explicitly, same contract as before
+        frames = [p[o:o + s] for o, s in mp4_sample_spans(p)
+                  if s >= 2 and p[o] == 0xFF and p[o + 1] == 0xD8]
     elif len(p) >= 2 and p[0] == 0xFF and p[1] == 0xD8:
         frames = [p[s:e] for s, e in mjpeg_frame_spans(p)]
     elif len(p) >= 6 and p[0:4] == b"GIF8":
@@ -1148,12 +1287,13 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str,
     this shape, which is why the whole multimodal family uses it.
 
     The default sampler extracts REAL frames from MJPEG-family payloads
-    (RIFF/AVI 'movi' chunks, bare concatenated-JPEG streams) via
-    ``extract_video_frames`` — each emitted frame is a complete JPEG the
-    package's own decoder handles. Payloads in neither format fall back
-    to deterministic even byte slices (the documented stand-in for
-    codecs this container has no decoder for — predictive-coded MP4
-    etc.); pass ``sampler`` to plug a real codec."""
+    (RIFF/AVI 'movi' chunks, ISO-BMFF stbl sample tables, bare
+    concatenated-JPEG streams) via ``extract_video_frames`` — each
+    emitted frame is a complete JPEG the package's own decoder handles.
+    Other payloads fall back to deterministic even byte slices (the
+    documented stand-in for predictive codecs — H.264 etc. — this
+    container has no decoder for); pass ``sampler`` to plug a real
+    codec."""
     def _default(p: bytes, n: int) -> list[bytes]:
         if not p:
             return []

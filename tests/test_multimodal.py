@@ -1323,3 +1323,115 @@ def test_sample_frames_animated_gif(spark):
         d = decode_image(bytes(row.frame))
         assert (d["format"], d["width"], d["height"]) == ("bmp", w, h)
         assert d["pixels"][:3] == bytes(palette[color])
+
+
+def _pack_mjpeg_mp4(frames, *, co64=False, chunking=((1, 3), (2, 2))):
+    """Hand-pack an MJPEG-in-MP4: ftyp + mdat holding the JPEG samples
+    back-to-back, then moov/trak/mdia[hdlr 'vide']/minf/stbl with REAL
+    stsz/stsc/stco(co64) tables pointing into mdat. Chunk layout from
+    ``chunking``: (first_chunk, samples_per_chunk) stsc runs."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_body = b"".join(frames)
+    mdat_off = len(ftyp) + 8                 # first sample's file offset
+
+    # chunk offsets: walk frames in stsc order
+    spc_of = lambda ci: max((n for fc, n in chunking if fc <= ci + 1),
+                            default=0)
+    offs, si, off = [], 0, mdat_off
+    ci = 0
+    while si < len(frames):
+        offs.append(off)
+        for _ in range(min(spc_of(ci), len(frames) - si)):
+            off += len(frames[si])
+            si += 1
+        ci += 1
+
+    stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, len(frames))
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">I", len(chunking))
+                + b"".join(struct.pack(">III", fc, n, 1)
+                           for fc, n in chunking))
+    if co64:
+        stco = _box(b"co64", b"\x00" * 4 + struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _box(b"stco", b"\x00" * 4 + struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = _box(b"stbl", stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    mv = b"\x00" * 4 + __import__("struct").pack(">IIII", 1, 2, 600, 1200) \
+        + b"\x00" * 80
+    moov = _box(b"moov", _box(b"mvhd", mv) + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def test_sample_frames_real_mp4_mjpeg(spark):
+    """MP4 frame extraction is REAL: the stbl walk (stsz sizes + stsc
+    runs + stco offsets) recovers complete JPEG samples from a
+    hand-packed MJPEG-in-MP4 that decode to exact per-frame colors —
+    multi-chunk layout and the 64-bit co64 variant both."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        _decode_jpeg,
+        extract_video_frames,
+        mp4_sample_spans,
+        sample_frames,
+    )
+
+    shades = [20, 60, 100, 140, 180]
+    jpegs = [_jpeg_encode(np.full((16, 16, 3), s, dtype=np.uint8),
+                          qy=1, qc=1) for s in shades]
+    mp4 = _pack_mjpeg_mp4(jpegs)
+    spans = mp4_sample_spans(mp4)
+    assert [sz for _, sz in spans] == [len(j) for j in jpegs]
+    assert [mp4[o:o + sz] for o, sz in spans] == jpegs
+
+    for variant in (mp4, _pack_mjpeg_mp4(jpegs, co64=True)):
+        got = extract_video_frames(variant, 5)
+        assert got == jpegs
+        for f, want in zip(got, shades):
+            dec = _decode_jpeg(f)
+            assert (dec["width"], dec["height"]) == (16, 16)
+            assert abs(dec["mean_pixel"] - want) < 1.0
+
+    df = spark.createDataFrame([("v1", bytearray(mp4))],
+                               "mid string, payload binary")
+    rows = sorted(sample_frames(df, "mid", "payload", num_frames=2).collect(),
+                  key=lambda r: r.frame_idx)
+    # 5 frames sampled to 2 -> indices 0, 2
+    for row, want in zip(rows, [shades[0], shades[2]]):
+        assert abs(_decode_jpeg(bytes(row.frame))["mean_pixel"] - want) < 1.0
+
+
+def test_mp4_walk_guards_hostile_and_non_jpeg_payloads():
+    """Hostile/foreign ISO-BMFF payloads: truncated tables, lying
+    counts, and non-JPEG (predictive-codec) samples must yield [] from
+    extract_video_frames — never raise, never over-allocate."""
+    import struct
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        extract_video_frames,
+        mp4_sample_spans,
+    )
+
+    h264ish = [b"\x00\x00\x00\x01\x67" + b"\x42" * 40,
+               b"\x00\x00\x00\x01\x65" + b"\x88" * 64]
+    mp4 = _pack_mjpeg_mp4(h264ish)
+    assert len(mp4_sample_spans(mp4)) == 2       # spans resolve fine
+    assert extract_video_frames(mp4, 4) == []    # but no JPEG frames
+
+    good = _pack_mjpeg_mp4([b"\xff\xd8\xff\xd9"])
+    # lying stsz count (2^31 samples): clamped, no MemoryError
+    evil = good.replace(struct.pack(">II", 0, 1),
+                        struct.pack(">II", 0, 0x7FFFFFFF), 1)
+    assert mp4_sample_spans(evil) == [] or len(mp4_sample_spans(evil)) <= 1
+    for cut in (10, 40, len(good) - 5):
+        mp4_sample_spans(good[:cut])             # truncation never raises
+    junk = b"\x00\x00\x00\x0cftypJUNKJUNK" + b"\xff" * 30
+    assert mp4_sample_spans(junk) == []
