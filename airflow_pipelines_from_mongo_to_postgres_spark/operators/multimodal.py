@@ -1587,9 +1587,11 @@ def audio_media_features(df: DataFrame, id_col: str,
                          payload_col: str) -> DataFrame:
     """Audio twin of ``header_media_features``: ``(media_id,
     payload_bytes, format, codec, channels, sample_rate,
-    bits_per_sample, n_frames, duration_ms)`` parsed from WAV/RIFF
-    payloads — entirely JVM-side Column expressions (substring/hex/conv),
-    zero Python workers, so at 100 TB it is a projection fused into the
+    bits_per_sample, n_frames, duration_ms)`` parsed from WAV/RIFF,
+    FLAC (STREAMINFO), MP3 (frame header, ID3v2-skipping, CBR duration
+    estimate) and OGG (Vorbis/Opus identification header) payloads —
+    entirely JVM-side Column expressions (substring/hex/conv), zero
+    Python workers, so at 100 TB it is a projection fused into the
     scan, exactly like ``image_dimensions``.
 
     The RIFF chunk list is walked for ``_RIFF_HOPS`` hops to find
@@ -1663,17 +1665,116 @@ def audio_media_features(df: DataFrame, id_col: str,
                            F.col("_data_sz") / block_align)
                     .otherwise(F.lit(None)).cast("long"))
     )
+    # ---- FLAC / MP3 / OGG headers, same JVM-only discipline ----------
+    # One 40-byte hex grab covers every fixed-offset field below.
+    w = w.withColumn("_h40", F.hex(F.substring(F.col("_p"), 1, 40)))
+    h40 = F.col("_h40")
+
+    # FLAC: "fLaC" + STREAMINFO (spec-mandated FIRST metadata block) —
+    # the packed 8-byte field at file offset 18 is split into two
+    # 32-bit halves so conv() never has to round-trip a full unsigned
+    # 64-bit value through cast("long") (ANSI overflow on hostile data).
+    fl_hi = _be_from_hex(h40, 18, 4)
+    fl_lo = _be_from_hex(h40, 22, 4)
+    flac_rate = F.shiftrightunsigned(fl_hi, 12)                  # 20 bits
+    flac_ch = F.shiftrightunsigned(fl_hi, 9).bitwiseAND(F.lit(7)) + 1
+    flac_bits = F.shiftrightunsigned(fl_hi, 4).bitwiseAND(F.lit(31)) + 1
+    flac_total = fl_hi.bitwiseAND(F.lit(15)) * F.lit(1 << 32) + fl_lo
+    w = w.withColumn(
+        "_flac_ok",
+        (F.substring(h40, 1, 8) == b"fLaC".hex().upper())
+        & (F.octet_length(F.col("_p")) >= 26)
+        # first block must be STREAMINFO (type bits 0, any last-flag)
+        & (_be_from_hex(h40, 4, 1).bitwiseAND(F.lit(0x7F)) == 0)
+        & (flac_rate > 0))
+
+    # MP3: optional ID3v2 tag (syncsafe 28-bit size) then a Layer III
+    # frame header; duration is the CBR estimate bytes*8/kbps.
+    id3_sz = (_be_from_hex(h40, 6, 1).bitwiseAND(F.lit(0x7F)) * F.lit(1 << 21)
+              + _be_from_hex(h40, 7, 1).bitwiseAND(F.lit(0x7F)) * F.lit(1 << 14)
+              + _be_from_hex(h40, 8, 1).bitwiseAND(F.lit(0x7F)) * F.lit(1 << 7)
+              + _be_from_hex(h40, 9, 1).bitwiseAND(F.lit(0x7F)))
+    w = (w.withColumn("_mp3_off",
+                      F.when(F.substring(h40, 1, 6) == b"ID3".hex().upper(),
+                             id3_sz + 10).otherwise(F.lit(0).cast("long")))
+          .withColumn("_mh", F.hex(F.substring(
+              F.col("_p"), _pos(F.col("_mp3_off") + 1), 4))))
+    mh = _be_from_hex(F.col("_mh"), 0, 4)
+    mp3_ver = F.shiftrightunsigned(mh, 19).bitwiseAND(F.lit(3))
+    mp3_layer = F.shiftrightunsigned(mh, 17).bitwiseAND(F.lit(3))
+    mp3_bi = F.shiftrightunsigned(mh, 12).bitwiseAND(F.lit(15))
+    mp3_sri = F.shiftrightunsigned(mh, 10).bitwiseAND(F.lit(3))
+    mp3_mode = F.shiftrightunsigned(mh, 6).bitwiseAND(F.lit(3))
+    _arr = lambda xs: F.array(*[F.lit(x) for x in xs])
+    kbps_v1 = F.element_at(_arr([0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                                 160, 192, 224, 256, 320, 0]),
+                           (mp3_bi + 1).cast("int"))
+    kbps_v2 = F.element_at(_arr([0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                                 96, 112, 128, 144, 160, 0]),
+                           (mp3_bi + 1).cast("int"))
+    mp3_kbps = F.when(mp3_ver == 3, kbps_v1).otherwise(kbps_v2)
+    base_sr = F.element_at(_arr([44100, 48000, 32000, 0]),
+                           (mp3_sri + 1).cast("int"))
+    mp3_rate = F.when(mp3_ver == 3, base_sr) \
+        .when(mp3_ver == 2, base_sr / 2) \
+        .when(mp3_ver == 0, base_sr / 4).cast("long")
+    w = w.withColumn(
+        "_mp3_ok",
+        (F.shiftrightunsigned(mh, 21).bitwiseAND(F.lit(0x7FF)) == 0x7FF)
+        & (mp3_layer == 1) & (mp3_ver != 1)          # Layer III, real ver
+        & (mp3_sri <= 2) & mp3_bi.between(1, 14))
+    mp3_ch = F.when(mp3_mode == 3, F.lit(1)).otherwise(F.lit(2))
+    mp3_dur = ((F.octet_length(F.col("_p")) - F.col("_mp3_off"))
+               * F.lit(8) / mp3_kbps).cast("long")
+
+    # OGG: first page's body is the codec identification header —
+    # Vorbis ("\\x01vorbis") or Opus ("OpusHead"); body starts after the
+    # 27-byte page header + segment table (count at byte 26).
+    w = (w.withColumn("_ogg_body",
+                      F.lit(27).cast("long") + _be_from_hex(h40, 26, 1))
+          .withColumn("_oh", F.hex(F.substring(
+              F.col("_p"), _pos(F.col("_ogg_body") + 1), 16))))
+    oh = F.col("_oh")
+    is_vorbis = F.substring(oh, 1, 14) == (b"\x01vorbis").hex().upper()
+    is_opus = F.substring(oh, 1, 16) == b"OpusHead".hex().upper()
+    w = w.withColumn(
+        "_ogg_ok",
+        (F.substring(h40, 1, 8) == b"OggS".hex().upper())
+        & (_be_from_hex(h40, 4, 1) == 0) & (is_vorbis | is_opus))
+    ogg_ch = F.when(is_vorbis, _le_from_hex(oh, 11, 1)) \
+        .otherwise(_le_from_hex(oh, 9, 1))
+    ogg_rate = F.when(is_vorbis, _le_from_hex(oh, 12, 4)) \
+        .otherwise(_le_from_hex(oh, 12, 4))
+
+    def pick(wav_col, flac_col, ogg_col, mp3_col):
+        return (F.when(F.col("_valid"), wav_col)
+                .when(F.col("_flac_ok"), flac_col)
+                .when(F.col("_ogg_ok"), ogg_col)
+                .when(F.col("_mp3_ok"), mp3_col))
+
+    null_l = F.lit(None).cast("long")
     return w.select(
         F.col("media_id"),
         F.octet_length(F.col("_p")).alias("payload_bytes"),
-        F.when(F.col("_valid"), F.lit("wav")).alias("format"),
-        F.when(F.col("_valid"), F.col("_codec")).alias("codec"),
-        F.when(F.col("_valid"), _clamp_int(channels)).alias("channels"),
-        F.when(F.col("_valid"), _clamp_int(F.col("_rate"))).alias("sample_rate"),
-        F.when(F.col("_valid"), _clamp_int(bits)).alias("bits_per_sample"),
-        F.when(F.col("_valid"), F.col("_n_frames")).alias("n_frames"),
-        F.when(F.col("_valid") & (F.col("_rate") > 0),
-               F.col("_n_frames") * F.lit(1000) / F.col("_rate"))
+        pick(F.lit("wav"), F.lit("flac"), F.lit("ogg"),
+             F.lit("mp3")).alias("format"),
+        pick(F.col("_codec"), F.lit("flac"),
+             F.when(is_vorbis, F.lit("vorbis")).otherwise(F.lit("opus")),
+             F.lit("mp3")).alias("codec"),
+        pick(_clamp_int(channels), _clamp_int(flac_ch), _clamp_int(ogg_ch),
+             mp3_ch.cast("int")).alias("channels"),
+        pick(_clamp_int(F.col("_rate")), _clamp_int(flac_rate),
+             _clamp_int(ogg_rate), _clamp_int(mp3_rate))
+        .alias("sample_rate"),
+        pick(_clamp_int(bits), _clamp_int(flac_bits), F.lit(None),
+             F.lit(None)).cast("int").alias("bits_per_sample"),
+        pick(F.col("_n_frames"), flac_total, null_l,
+             null_l).alias("n_frames"),
+        pick(F.when(F.col("_rate") > 0,
+                    F.col("_n_frames") * F.lit(1000) / F.col("_rate")),
+             F.when(flac_rate > 0, flac_total * F.lit(1000) / flac_rate),
+             F.lit(None),
+             F.when(mp3_kbps > 0, mp3_dur))
         .cast("long").alias("duration_ms"),
     )
 

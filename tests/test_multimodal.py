@@ -1435,3 +1435,108 @@ def test_mp4_walk_guards_hostile_and_non_jpeg_payloads():
         mp4_sample_spans(good[:cut])             # truncation never raises
     junk = b"\x00\x00\x00\x0cftypJUNKJUNK" + b"\xff" * 30
     assert mp4_sample_spans(junk) == []
+
+
+def _flac_bytes(rate=44100, channels=2, bits=16, total=88200):
+    """Hand-packed FLAC STREAMINFO header (first metadata block)."""
+    import struct
+
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) \
+        | total
+    info = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+            + struct.pack(">Q", packed) + b"\x00" * 16)
+    return b"fLaC" + b"\x80" + len(info).to_bytes(3, "big") + info
+
+
+def _mp3_bytes(*, ver=3, kbps_idx=9, sr_idx=0, mono=False, n_pad=4000,
+               id3=0):
+    """One Layer-III frame header + filler; optional ID3v2 tag with a
+    syncsafe size in front."""
+    b2 = 0xE0 | (ver << 3) | (1 << 1)              # sync tail|ver|layer III
+    b3 = (kbps_idx << 4) | (sr_idx << 2)
+    b4 = (3 << 6) if mono else 0
+    frame = bytes([0xFF, b2, b3, b4]) + b"\x55" * n_pad
+    if id3:
+        ss = bytes([(id3 >> 21) & 0x7F, (id3 >> 14) & 0x7F,
+                    (id3 >> 7) & 0x7F, id3 & 0x7F])
+        return b"ID3\x04\x00\x00" + ss + b"\x00" * id3 + frame
+    return frame
+
+
+def _ogg_bytes(codec="vorbis", rate=48000, channels=2):
+    """First OGG page wrapping a Vorbis or Opus identification header."""
+    import struct
+
+    if codec == "vorbis":
+        body = (b"\x01vorbis" + struct.pack("<I", 0)
+                + bytes([channels]) + struct.pack("<I", rate)
+                + b"\x00" * 12 + b"\x01")
+    else:
+        body = (b"OpusHead" + bytes([1, channels])
+                + struct.pack("<H", 312) + struct.pack("<I", rate)
+                + b"\x00" * 3)
+    head = (b"OggS" + b"\x00" + b"\x02" + b"\x00" * 8 + b"\x00" * 4
+            + b"\x00" * 4 + b"\x00" * 4 + bytes([1, len(body)]))
+    return head + body
+
+
+def test_audio_header_flac_mp3_ogg(spark):
+    """Header breadth beyond WAV: FLAC STREAMINFO bit-unpacking, MP3
+    frame headers (MPEG1/2, ID3v2 skip, mono/stereo, CBR duration
+    estimate), OGG Vorbis and Opus identification headers — all in the
+    same JVM-only plan (no Python worker stage)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        audio_media_features,
+    )
+
+    rows = [
+        (1, _flac_bytes(rate=96000, channels=1, bits=24, total=960000)),
+        (2, _mp3_bytes(ver=3, kbps_idx=9, sr_idx=0)),          # 128k 44.1
+        (3, _mp3_bytes(ver=2, kbps_idx=8, sr_idx=1, mono=True,
+                       id3=256)),                              # 64k 24k
+        (4, _ogg_bytes("vorbis", rate=44100, channels=2)),
+        (5, _ogg_bytes("opus", rate=48000, channels=1)),
+        (6, _wav_bytes(channels=2, rate=44100, bits=16, n_frames=441)),
+        (7, b"\xffnot really audio at all" + b"\x00" * 40),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "media_id long, payload binary")
+    out = audio_media_features(df, "media_id", "payload")
+    got = {r.media_id: r for r in out.collect()}
+
+    r = got["1"]
+    assert (r.format, r.codec, r.channels, r.sample_rate,
+            r.bits_per_sample, r.n_frames) == \
+        ("flac", "flac", 1, 96000, 24, 960000)
+    assert r.duration_ms == 10000
+
+    r = got["2"]
+    assert (r.format, r.codec, r.channels, r.sample_rate) == \
+        ("mp3", "mp3", 2, 44100)
+    # 4004 bytes at 128 kbps -> ~250 ms CBR estimate
+    assert abs(r.duration_ms - 250) <= 1
+
+    r = got["3"]  # ID3-prefixed MPEG2: tag skipped, half-rate table
+    assert (r.channels, r.sample_rate) == (1, 24000)
+    assert abs(r.duration_ms - 4004 * 8 // 64) <= 1
+
+    assert (got["4"].format, got["4"].codec, got["4"].channels,
+            got["4"].sample_rate) == ("ogg", "vorbis", 2, 44100)
+    assert (got["5"].format, got["5"].codec, got["5"].channels,
+            got["5"].sample_rate) == ("ogg", "opus", 1, 48000)
+    assert got["6"].format == "wav"                # wav path untouched
+    assert got["7"].format is None
+
+    # hostile variants: truncations and lying sizes degrade to nulls,
+    # never an ANSI crash
+    evil = [(10, _flac_bytes()[:10]), (11, _mp3_bytes()[:2]),
+            (12, _ogg_bytes()[:20]),
+            (13, b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"\xff" * 8),
+            (14, b"fLaC" + b"\xff" * 60)]
+    edf = spark.createDataFrame([(i, bytearray(p)) for i, p in evil],
+                                "media_id long, payload binary")
+    for r in audio_media_features(edf, "media_id", "payload").collect():
+        assert r.format in (None, "flac", "mp3")   # parse or clean null
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
