@@ -63,37 +63,84 @@ def word_vocabulary(df: DataFrame, text_col: str) -> DataFrame:
             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
 
 
+def _select_disjoint(cands: list, m: int, min_freq: int) -> list:
+    """Greedy top-``m`` PAIRWISE-DISJOINT merge selection from one
+    round's (a, b, cnt) argmax table (already count-desc, tie-broken).
+    Two candidate merges are independent — their counts and
+    applicability cannot interact within the round — iff neither shares
+    a token with the other's pair NOR with any already-selected merged
+    output, and its own output token collides with none of them. A
+    conflicting candidate is DEFERRED to a later round (where it is
+    re-counted against the post-merge segmentations), never dropped."""
+    chosen: list = []
+    used: set = set()
+    for r in cands:
+        if len(chosen) >= m:
+            break
+        if r.cnt < min_freq:
+            break
+        toks = {r.a, r.b, r.a + r.b}
+        if used & toks:
+            continue
+        chosen.append((r.a, r.b))
+        used |= toks
+    return chosen
+
+
 def train_bpe_merges(df: DataFrame, text_col: str, num_merges: int,
                      min_pair_freq: int = 2,
-                     checkpoint_every: int = 16) -> list:
+                     checkpoint_every: int = 16,
+                     merges_per_round: int = 1) -> list:
     """Learn up to ``num_merges`` BPE merge rules from the corpus.
     Deterministic: the per-round argmax breaks count ties on (first,
     second) token order, so the same corpus always yields the same
     rules — a requirement for the frozen-artifact serving pattern
-    (_pq_codebooks / _ivf_centroids use the same discipline)."""
+    (_pq_codebooks / _ivf_centroids use the same discipline).
+
+    ``merges_per_round=m`` batches the inherently sequential loop: each
+    Spark job selects the top-m pairwise-DISJOINT pairs from one
+    aggregation (greedy on the argmax table, ``_select_disjoint``), so
+    a 50k-merge production run costs ~50k/m jobs instead of 50k.
+    Divergence contract: within a round every selected pair's count
+    comes from the PRE-round segmentations; merges that share no tokens
+    cannot interact, so on such fixtures the batched rule list equals
+    the sequential one exactly. Interacting candidates are deferred to
+    the next round, which can reorder (never corrupt) the rule list
+    relative to m=1 — rule-priority application stays consistent with
+    whatever list was learned. Counts that straddle a same-round merge
+    boundary may be stale by that round's merges (standard batched-BPE
+    approximation, cf. SentencePiece's chunked trainer)."""
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     words = word_vocabulary(df, text_col) \
         .withColumn("seq", _chars("w"))
     merges: list = []
-    for i in range(num_merges):
+    applied = 0
+    while len(merges) < num_merges:
+        m = min(merges_per_round, num_merges - len(merges))
         pairs = words.select(
             "freq",
             F.explode(F.arrays_zip(
                 F.slice("seq", 1, F.size("seq") - 1).alias("a"),
                 F.slice("seq", 2, F.size("seq") - 1).alias("b"),
             )).alias("p"))
-        best = (pairs.groupBy(F.col("p.a").alias("a"),
-                              F.col("p.b").alias("b"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), F.col("a").asc(),
-                         F.col("b").asc())
-                .limit(1).collect())
-        if not best or best[0].cnt < min_pair_freq:
+        # 4m + 8 candidates: enough slack for the disjointness filter to
+        # fill m slots in the common case without a second job
+        cands = (pairs.groupBy(F.col("p.a").alias("a"),
+                               F.col("p.b").alias("b"))
+                 .agg(F.sum("freq").alias("cnt"))
+                 .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                          F.col("b").asc())
+                 .limit(4 * m + 8).collect())
+        chosen = _select_disjoint(cands, m, min_pair_freq)
+        if not chosen:
             break
-        a, b = best[0].a, best[0].b
-        merges.append((a, b))
-        words = words.withColumn("seq", merge_pair("seq", a, b))
-        if (i + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
+        for a, b in chosen:
+            merges.append((a, b))
+            words = words.withColumn("seq", merge_pair("seq", a, b))
+            applied += 1
+            if applied % checkpoint_every == 0:
+                words = words.localCheckpoint(eager=True)
     return merges
 
 

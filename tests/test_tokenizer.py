@@ -131,3 +131,59 @@ def test_encode_chunks_deep_rule_lists_automatically(spark):
     for w, pieces in got.items():
         assert "".join(pieces) == w
         assert pieces == py_apply(w), w
+
+
+def test_batched_training_parity_on_disjoint_corpus(spark):
+    """merges_per_round > 1: on a corpus whose top pairs are pairwise
+    token-disjoint the batched trainer must learn the EXACT sequential
+    rule list (selections cannot interact), in a fraction of the jobs."""
+    # words with disjoint alphabets; frequencies order the merges
+    corpus = " ".join(["xy"] * 10 + ["pq"] * 9 + ["rs"] * 8 + ["mn"] * 7)
+    df = spark.createDataFrame([(corpus,)], ["text"])
+    seq = train_bpe_merges(df, "text", 4, merges_per_round=1)
+    batched = train_bpe_merges(df, "text", 4, merges_per_round=4)
+    assert batched == seq == [("x", "y"), ("p", "q"),
+                              ("r", "s"), ("m", "n")]
+
+
+def test_batched_selection_defers_interacting_pairs():
+    """The greedy selector never co-selects merges that share a token
+    (or whose output collides): the conflicting candidate is deferred,
+    not dropped."""
+    from collections import namedtuple
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.tokenizer import (
+        _select_disjoint,
+    )
+
+    C = namedtuple("C", "a b cnt")
+    cands = [C("a", "b", 10), C("b", "c", 9),   # shares 'b' -> deferred
+             C("d", "e", 8), C("a", "x", 7),    # shares 'a' -> deferred
+             C("f", "g", 6)]
+    assert _select_disjoint(cands, 3, 2) == [("a", "b"), ("d", "e"),
+                                             ("f", "g")]
+    # output-token collision: ("a","b") produces "ab"; a candidate
+    # consuming token "ab" must not co-select
+    cands2 = [C("a", "b", 10), C("ab", "z", 9), C("u", "v", 8)]
+    assert _select_disjoint(cands2, 2, 2) == [("a", "b"), ("u", "v")]
+    # min_pair_freq cuts the tail even when slots remain
+    assert _select_disjoint([C("a", "b", 10), C("c", "d", 1)], 2, 2) == \
+        [("a", "b")]
+
+
+def test_batched_training_converges_on_real_corpus(spark):
+    """On the canonical corpus (interacting pairs: es->est chains) the
+    batched trainer still assembles the same VOCABULARY of merged
+    tokens; order may differ across round boundaries per the documented
+    divergence contract."""
+    corpus = ("low low low low low lower lower "
+              "newest newest newest newest newest newest "
+              "widest widest widest")
+    df = spark.createDataFrame([(corpus,)], ["text"])
+    batched = train_bpe_merges(df, "text", 6, merges_per_round=3)
+    assert len(batched) == 6
+    assert {a + b for a, b in batched} >= {"es", "est"}
+    # every batched rule is a plausible merge: its parts were tokens
+    for a, b in batched:
+        for t in (a, b):
+            assert len(t) == 1 or t in {x + y for x, y in batched}
