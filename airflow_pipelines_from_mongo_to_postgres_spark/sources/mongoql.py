@@ -18,7 +18,13 @@ Supported stages — the reference's three, plus the common tail:
 ``$and/$or``), ``$project`` (include / exclude / "$path" aliases),
 ``$unwind`` (str or ``{path, preserveNullAndEmptyArrays}``),
 ``$addFields``/``$set``, ``$group`` (``$sum/$avg/$min/$max/$count`` and
-``$sum: 1``), ``$sort``, ``$limit``, ``$skip``, ``$count``.
+``$sum: 1``), ``$sort``, ``$limit``, ``$skip``, ``$count`` — plus the
+aggregation EXPRESSION language in computed values (``$project``
+computed fields, ``$addFields``, ``$group`` accumulator arguments):
+``$cond``, ``$ifNull``, ``$concat``, ``$add/$subtract/$multiply/
+$divide/$mod/$abs``, ``$toUpper/$toLower``, expression-form
+``$eq/$ne/$gt/$gte/$lt/$lte`` and ``$and/$or/$not``, nested
+arbitrarily.
 
 Mongo-fidelity notes:
 * dotted ``$project`` includes PRESERVE the nested document shape, as
@@ -48,6 +54,94 @@ def _ref(v: Any) -> Column:
     if isinstance(v, str) and v.startswith("$"):
         return F.col(v[1:])
     return F.lit(v)
+
+
+def _expr(v: Any) -> Column:
+    """Aggregation EXPRESSION evaluator — the value language of
+    ``$project`` computed fields, ``$addFields``/``$set`` and ``$group``
+    accumulator arguments: field refs ('$a.b'), literals, and operator
+    documents ({$cond}, {$ifNull}, {$concat}, arithmetic, expression
+    comparisons, boolean combinators), recursively. Everything lowers
+    to Column expressions (when/coalesce/concat/+-*/%), so computed
+    pipelines stay inside whole-stage codegen like the rest of the
+    translator. An unknown $-operator raises ValueError (the
+    translator's declared error class); a multi-key document is
+    rejected rather than guessed at (Mongo operator docs have exactly
+    one key)."""
+    if isinstance(v, dict):
+        if len(v) == 1 and next(iter(v)).startswith("$"):
+            (op, arg), = v.items()
+            return _expr_op(op, arg)
+        raise ValueError(
+            f"unsupported expression document: {v!r} (operator documents "
+            "have exactly one $-key; literal sub-documents are not "
+            "expressions)")
+    return _ref(v)
+
+
+def _expr_op(op: str, arg: Any) -> Column:
+    def args(n: int | None = None) -> list[Column]:
+        if not isinstance(arg, list) or (n is not None and len(arg) != n):
+            raise ValueError(
+                f"{op} expects an array of {n if n else '>=1'} operands")
+        if not arg:
+            raise ValueError(f"{op} expects a non-empty operand array")
+        return [_expr(x) for x in arg]
+
+    def fold(cols, f):
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = f(acc, c)
+        return acc
+
+    if op == "$literal":
+        return F.lit(arg)
+    if op == "$cond":
+        if isinstance(arg, dict):
+            i, t, e = arg["if"], arg["then"], arg["else"]
+        elif isinstance(arg, list) and len(arg) == 3:
+            i, t, e = arg
+        else:
+            raise ValueError("$cond expects [if, then, else] or "
+                             "{if, then, else}")
+        return F.when(_expr(i), _expr(t)).otherwise(_expr(e))
+    if op == "$ifNull":
+        cols = args()
+        if len(cols) < 2:
+            raise ValueError("$ifNull expects at least 2 operands")
+        return F.coalesce(*cols)
+    if op == "$concat":
+        return F.concat(*args())       # null-if-any-null, Mongo's rule
+    if op == "$add":
+        return fold(args(), lambda a, b: a + b)
+    if op == "$multiply":
+        return fold(args(), lambda a, b: a * b)
+    if op == "$subtract":
+        a, b = args(2)
+        return a - b
+    if op == "$divide":
+        a, b = args(2)
+        return a / b
+    if op == "$mod":
+        a, b = args(2)
+        return a % b                   # dividend sign, Mongo/C semantics
+    if op == "$abs":
+        return F.abs(_expr(arg))
+    if op == "$toUpper":
+        return F.upper(_expr(arg))
+    if op == "$toLower":
+        return F.lower(_expr(arg))
+    if op in _CMP:                     # expression-form comparison
+        a, b = args(2)
+        return getattr(a, _CMP[op])(b)
+    if op == "$and":
+        return fold(args(), lambda a, b: a & b)
+    if op == "$or":
+        return fold(args(), lambda a, b: a | b)
+    if op == "$not":
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return ~_expr(inner)
+    raise ValueError(f"unsupported expression operator: {op}")
 
 
 def _type_family(dt) -> str | None:
@@ -167,7 +261,7 @@ def _include_tree(includes: dict[str, Any]) -> dict:
 def _tree_col(node, parent_path: str = "") -> Column:
     if isinstance(node, tuple):
         path, v = node
-        return F.col(path) if v in (1, True) else _ref(v)
+        return F.col(path) if v in (1, True) else _expr(v)
     struct = F.struct(*[
         _tree_col(child,
                   f"{parent_path}.{k}" if parent_path else k).alias(k)
@@ -242,20 +336,20 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if op == "$sum" and arg == 1:
             aggs.append(F.count(F.lit(1)).alias(name))
         elif op == "$sum":
-            aggs.append(F.sum(_ref(arg)).alias(name))
+            aggs.append(F.sum(_expr(arg)).alias(name))
         elif op == "$avg":
-            aggs.append(F.avg(_ref(arg)).alias(name))
+            aggs.append(F.avg(_expr(arg)).alias(name))
         elif op == "$min":
-            aggs.append(F.min(_ref(arg)).alias(name))
+            aggs.append(F.min(_expr(arg)).alias(name))
         elif op == "$max":
-            aggs.append(F.max(_ref(arg)).alias(name))
+            aggs.append(F.max(_expr(arg)).alias(name))
         elif op == "$count":
             aggs.append(F.count(F.lit(1)).alias(name))
         else:
             raise ValueError(f"unsupported $group accumulator: {op}")
     if gid is None:
         return df.agg(*aggs).select(F.lit(None).alias("_id"), "*")
-    return df.groupBy(_ref(gid).alias("_id")).agg(*aggs)
+    return df.groupBy(_expr(gid).alias("_id")).agg(*aggs)
 
 
 def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
@@ -295,7 +389,7 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                 df = df.withColumn(path, fn(F.col(path)))
         elif op in ("$addFields", "$set"):
             for name, v in spec.items():
-                df = df.withColumn(name, _ref(v))
+                df = df.withColumn(name, _expr(v))
         elif op == "$group":
             df = _group(df, spec)
         elif op == "$sort":

@@ -278,3 +278,71 @@ def test_match_is_type_bracketed_like_mongo(spark):
     # numeric family unifies int and double literals (Mongo numerics do)
     assert apply_pipeline(df, [{"$match": {"c": 7}}]).count() == 1
     assert apply_pipeline(df, [{"$match": {"a": {"$gte": 2}}}]).count() == 2
+
+
+def test_expression_operators_cond_ifnull_concat_arith(apps):
+    """Aggregation expressions in computed values: $cond (both forms),
+    $ifNull, $concat (null-if-any-null), n-ary $add/$multiply, binary
+    $subtract/$divide/$mod, $abs, case ops, expression comparisons and
+    $and/$or/$not — in $addFields, computed $project fields, and
+    $group accumulator arguments, nested."""
+    out = apply_pipeline(apps, [
+        {"$addFields": {
+            "tier": {"$cond": [{"$gte": ["$amount", 30]}, "big", "small"]},
+            "tier2": {"$cond": {"if": {"$and": [{"$gt": ["$amount", 5]},
+                                                {"$not": [{"$eq": ["$status",
+                                                                   "closed"]}]}]},
+                      "then": "keep", "else": "drop"}},
+            "label": {"$concat": ["$status", "-", "$_id"]},
+            "net": {"$subtract": [{"$multiply": ["$amount", 2]}, 5]},
+            "third": {"$divide": ["$amount", 4]},
+            "parity": {"$mod": [{"$add": ["$amount", 1]}, 2]},
+            "mag": {"$abs": {"$subtract": [0, "$amount"]}},
+            "fallback": {"$ifNull": [{"$literal": None}, "$status", "zz"]},
+        }},
+    ])
+    got = {r._id: r for r in out.collect()}
+    assert got["a1"].tier == "small" and got["a5"].tier == "big"
+    assert got["a1"].tier2 == "drop"       # closed
+    assert got["a2"].tier2 == "keep"       # open, amount > 5
+    assert got["a3"].label == "closed-a3"
+    assert got["a2"].net == 35.0           # 20*2-5
+    assert got["a4"].third == 10.0
+    assert got["a1"].parity == 1.0 and got["a2"].parity == 1.0
+    assert got["a5"].mag == 50.0
+
+    # computed $project field + $group accumulator expression
+    out2 = apply_pipeline(apps, [
+        {"$project": {"status": 1,
+                      "double_amt": {"$multiply": ["$amount", 2]}}},
+        {"$group": {"_id": "$status",
+                    "tot": {"$sum": {"$add": ["$double_amt", 1]}}}},
+    ])
+    g = {r._id: r.tot for r in out2.collect()}
+    # closed: a1(10)+a3(30)+a5(50) doubled +1 each = 20+60+100+3 = 183
+    assert g["closed"] == 183.0
+    assert g["open"] == 2 * (20 + 40) + 2
+
+    # $concat with a null operand is null (Mongo's rule)
+    out3 = apply_pipeline(apps, [
+        {"$addFields": {"x": {"$concat": ["$status",
+                                          {"$literal": None}]}}},
+    ])
+    assert all(r.x is None for r in out3.collect())
+
+
+def test_expression_operator_errors_are_typed(apps):
+    """Unknown operators, wrong arities, and multi-key operator docs
+    raise the translator's declared ValueError."""
+    import pytest
+
+    for bad in (
+        {"$addFields": {"x": {"$frobnicate": ["$amount"]}}},
+        {"$addFields": {"x": {"$subtract": ["$amount"]}}},
+        {"$addFields": {"x": {"$ifNull": ["$amount"]}}},
+        {"$addFields": {"x": {"$cond": ["$deleted", 1]}}},
+        {"$addFields": {"x": {"$add": ["$a"], "$mul": ["$b"]}}},
+        {"$addFields": {"x": {"nested": "doc"}}},
+    ):
+        with pytest.raises(ValueError):
+            apply_pipeline(apps, [bad])

@@ -254,6 +254,22 @@ _mql_stage = st.one_of(
     st.builds(lambda f: {"$count": f}, st.sampled_from(["n", "total"])),
     st.builds(lambda f, v: {"$addFields": {f: v}},
               st.sampled_from(["c", "d"]), st.integers(-3, 3)),
+    # expression language: $cond/$ifNull/$concat/arith, nested one deep
+    st.builds(lambda f, v, w: {"$addFields": {f: {"$cond": [
+                  {"$gte": ["$a", v]}, {"$add": ["$a", w]},
+                  {"$literal": -1}]}}},
+              st.sampled_from(["c", "d"]), st.integers(-5, 5),
+              st.integers(-3, 3)),
+    st.builds(lambda f: {"$addFields": {f: {"$ifNull": ["$b", "zz"]}}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda f, s: {"$addFields": {f: {"$concat": ["$b", s]}}},
+              st.sampled_from(["c", "d"]), st.text(max_size=2)),
+    st.builds(lambda f, op, v: {"$addFields": {f: {op: ["$a", v]}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["$add", "$subtract", "$multiply"]),
+              st.integers(-3, 3)),
+    st.builds(lambda f: {"$project": {f: {"$toUpper": "$b"}, "a": 1}},
+              st.sampled_from(["u", "v"])),
     st.builds(lambda k, op: {"$group": {"_id": f"${k}", "out": {op: "$a"}}},
               st.sampled_from(["b"]),
               st.sampled_from(["$sum", "$min", "$max", "$avg"])),
