@@ -80,7 +80,12 @@ def main() -> None:
     from airflow_pipelines_from_mongo_to_postgres_spark.plans import all_queries
     from airflow_pipelines_from_mongo_to_postgres_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # the default 100-entry codegen class cache evicts early queries'
+    # compiled classes across a 21-query warm-up, so a late query's first
+    # timed run pays full Janino recompilation — size the cache to the
+    # suite (cluster-relevant too: long-lived sessions serve many plans)
+    spark = get_spark("bench", extra_conf={
+        "spark.sql.codegen.cache.maxEntries": "2000"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
