@@ -20,9 +20,12 @@ Layout::
     <table>/_manifests/seg-<hex>.json  {"files": [...], "stats": {...}}
                                        one commit's DELTA (immutable)
     <table>/_manifests/v00000001.json  {"version", "segments": [names],
-                                        "parent", "note"}  (appends)
+                                        "parent", "note",
+                                        "deletes": [{file, cols}]}
+                                       (appends / merge-on-read deletes)
                                        or inline {"files", "stats"}
-                                       (overwrite/replace/compact)
+                                       (overwrite/replace/compact —
+                                       these MATERIALIZE any deletes)
     <table>/_manifests/HEAD            text: current version number
 
 At 100 TB the manifest layer lists file names, not data — and the
@@ -308,7 +311,7 @@ def snap_scan(spark: SparkSession, table: str, predicates: list = (),
             c, v = F.col(col), F.lit(p[2])
             df = df.filter({"<": c < v, "<=": c <= v, ">": c > v,
                             ">=": c >= v, "=": c == v}[op])
-    return df
+    return _apply_deletes(spark, table, df, m)
 
 
 class CommitConflict(Exception):
@@ -319,7 +322,8 @@ class CommitConflict(Exception):
 def _commit(spark: SparkSession, table: str, files: list | None,
             note: str, expected_parent: int | None = None,
             txn: str | None = None, stats: dict | None = None,
-            segments: list | None = None) -> int:
+            segments: list | None = None,
+            deletes: list | None = None) -> int:
     """Optimistic concurrency: the manifest file for version v is
     created with create(overwrite=False) — on a store with atomic
     create-if-absent, two writers racing to the same parent see exactly
@@ -339,6 +343,11 @@ def _commit(spark: SparkSession, table: str, files: list | None,
         # manifest-list shape: the version file carries only segment
         # NAMES — O(segments) bytes regardless of live file count
         manifest["segments"] = list(segments)
+    if deletes:
+        # merge-on-read equality deletes: {"file": <key parquet>,
+        # "cols": [...]} entries readers anti-join; compaction/overwrite
+        # materializes them (their commits simply omit the key)
+        manifest["deletes"] = list(deletes)
     else:
         manifest["files"] = files
         if stats:
@@ -419,7 +428,8 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
             segs = [_coalesce_segments(spark, table, segs)]
         try:
             return _commit(spark, table, None, note,
-                           expected_parent=raw["version"], segments=segs)
+                           expected_parent=raw["version"], segments=segs,
+                           deletes=raw.get("deletes"))
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -459,6 +469,56 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     # a concurrent commit surfaces as CommitConflict, not a lost update
     return _commit(spark, table, new, note, expected_parent=base,
                    stats=stats)
+
+
+def snap_delete_keys(spark: SparkSession, table: str, keys: DataFrame,
+                     key_cols: list, note: str = "delete") -> int:
+    """MERGE-ON-READ row deletion (Iceberg equality-delete shape): the
+    commit writes only the DELETE-KEY parquet (distinct ``key_cols``
+    rows of ``keys``) and records it in the manifest's ``deletes`` list
+    — no data file is rewritten, so deleting 1k rows from a 10^6-file
+    table costs O(keys), not O(table). Readers anti-join the
+    accumulated delete keys (``read_snapshot``/``snap_scan``); the next
+    ``snap_compact``/``snap_overwrite``/``snap_replace_where``
+    MATERIALIZES them (rewritten files exclude the rows, the new commit
+    carries no delete list). Same OCC/retry discipline as append. The
+    reference deletes row-by-row over JDBC (ref
+    ``dags/includes/utils.py``); this is the table-format answer."""
+    if current_version(spark, table) == 0:
+        raise FileNotFoundError(f"nothing to delete at {table}")
+    new, _ = _write_data_files(keys.select(*key_cols).distinct(), table)
+    entries = [{"file": n, "cols": list(key_cols)} for n in new]
+    for _ in range(_APPEND_RETRIES):
+        raw = _read_raw_manifest(spark, table)
+        segs = _parent_segments(spark, table, raw)
+        dels = list(raw.get("deletes", [])) + entries
+        try:
+            return _commit(spark, table, None, note,
+                           expected_parent=raw["version"], segments=segs,
+                           deletes=dels)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"{table}: delete lost the commit race {_APPEND_RETRIES} times")
+
+
+def _apply_deletes(spark: SparkSession, table: str, df: DataFrame,
+                   manifest: dict) -> DataFrame:
+    """Anti-join the snapshot's accumulated equality-delete keys, one
+    join per distinct key-column set (delete files sharing a key set
+    read as ONE parquet scan). Unhinted: AQE broadcasts small key sets
+    from observed sizes; a huge delete backlog degrades to SMJ instead
+    of OOMing the driver — and is the signal to run snap_compact."""
+    dels = manifest.get("deletes") or []
+    if not dels:
+        return df
+    groups: dict = {}
+    for d in dels:
+        groups.setdefault(tuple(d["cols"]), []).append(d["file"])
+    for cols, files in groups.items():
+        keys = spark.read.parquet(*[f"{table}/{f}" for f in files])             .select(*cols).dropDuplicates(list(cols))
+        df = df.join(keys, list(cols), "left_anti")
+    return df
 
 
 def committed_txns(spark: SparkSession, table: str) -> set:
@@ -502,7 +562,8 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
             segs = [_coalesce_segments(spark, table, segs)]
         try:
             return _commit(spark, table, None, note, txn=txn,
-                           expected_parent=raw["version"], segments=segs)
+                           expected_parent=raw["version"], segments=segs,
+                           deletes=raw.get("deletes"))
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -525,7 +586,8 @@ def read_snapshot(spark: SparkSession, table: str,
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[f"{table}/{f}" for f in m["files"]])
+    df = reader.parquet(*[f"{table}/{f}" for f in m["files"]])
+    return _apply_deletes(spark, table, df, m)
 
 
 def snap_compact(spark: SparkSession, table: str,
@@ -563,18 +625,26 @@ def snap_changes(spark: SparkSession, table: str,
     to_v = current_version(spark, table) if to_version is None else to_version
     if to_v < from_version:
         raise ValueError(f"to_version {to_v} < from_version {from_version}")
-    base = set(read_manifest(spark, table, from_version)["files"]) \
-        if from_version else set()
-    prev = base
+    base_m = read_manifest(spark, table, from_version) \
+        if from_version else {"files": []}
+    prev = set(base_m["files"])
+    prev_dels = [d["file"] for d in base_m.get("deletes", [])]
     added: list = []
     for v in range(from_version + 1, to_v + 1):
-        cur = set(read_manifest(spark, table, v)["files"])
+        m = read_manifest(spark, table, v)
+        cur = set(m["files"])
+        cur_dels = [d["file"] for d in m.get("deletes", [])]
         if prev - cur:
             raise ValueError(
                 f"{table} v{v} removed files (non-append commit) — "
                 "change feed undefined; re-read the snapshot")
+        if cur_dels != prev_dels:
+            raise ValueError(
+                f"{table} v{v} changed the delete list (merge-on-read "
+                "delete or compaction) — added-files no longer mean "
+                "added-rows; re-read the snapshot")
         added += sorted(cur - prev)
-        prev = cur
+        prev, prev_dels = cur, cur_dels
     if not added:
         return read_snapshot(spark, table, version=to_v).limit(0)
     return spark.read.parquet(*[f"{table}/{f}" for f in added])
@@ -614,6 +684,7 @@ def vacuum(spark: SparkSession, table: str,
             break
         m = read_manifest(spark, table, v)
         keep.update(m["files"])
+        keep.update(d["file"] for d in m.get("deletes", []))
         v = m["parent"] or 0
     fs, jvm = _jvm_fs(spark, f"{table}/data")
     root = jvm.org.apache.hadoop.fs.Path(f"{table}/data")

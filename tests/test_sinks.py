@@ -1082,3 +1082,66 @@ def test_snap_segment_list_coalesces_at_cap(spark, tmp_path, monkeypatch):
     assert len(raw["segments"]) <= 4
     assert sorted(r.k for r in S.read_snapshot(spark, t).collect()) == \
         list(range(7))
+
+
+def test_snap_merge_on_read_deletes(spark, tmp_path):
+    """Equality-delete commits (snap_delete_keys): rows disappear from
+    head reads WITHOUT rewriting data files (O(keys) commit payload),
+    time travel still shows them, appends carry the delete list
+    forward, snap_scan applies them after pruning, compaction
+    MATERIALIZES them (delete list cleared, rows physically gone), and
+    the change feed refuses a range containing a delete commit."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "mordtab")
+    d1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0)],
+        "k string, i int, v double")
+    S.snap_append(spark, t, d1, stat_cols=("i",))            # v1
+    files_v1 = set(S.read_manifest(spark, t)["files"])
+
+    dels = spark.createDataFrame([("b", 99)], "k string, junk int")
+    assert S.snap_delete_keys(spark, t, dels, ["k"]) == 2    # v2
+
+    def rows(df):
+        return sorted((r.k, r.i) for r in df.collect())
+
+    # head hides 'b'; the v1 data files are untouched on disk
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("c", 3)]
+    assert files_v1 <= set(S.read_manifest(spark, t)["files"]) \
+        or files_v1 == set(S.read_manifest(spark, t)["files"])
+    assert rows(S.read_snapshot(spark, t, version=1)) == \
+        [("a", 1), ("b", 2), ("c", 3)]                       # time travel
+
+    # append carries the delete list forward
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("d", 4, 40.0)], "k string, i int, v double"), stat_cols=("i",))
+    assert rows(S.read_snapshot(spark, t)) == \
+        [("a", 1), ("c", 3), ("d", 4)]
+
+    # snap_scan: pruning + residual + deletes compose
+    got = S.snap_scan(spark, t, [("i", ">=", 2)])
+    assert rows(got) == [("c", 3), ("d", 4)]
+
+    # a second delete with a DIFFERENT key set stacks
+    S.snap_delete_keys(spark, t, spark.createDataFrame(
+        [(4,)], "i int"), ["i"])
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("c", 3)]
+
+    # change feed across the delete commit refuses
+    with pytest.raises(ValueError, match="delete"):
+        S.snap_changes(spark, t, from_version=1)
+
+    # compaction materializes: rows gone, delete list cleared
+    S.snap_compact(spark, t, target_files=1, stat_cols=("i",))
+    m = S.read_manifest(spark, t)
+    assert not m.get("deletes")
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("c", 3)]
+
+    # vacuum at horizon 1 keeps the compacted snapshot readable
+    S.vacuum(spark, t, keep_versions=1, retention_ms=0)
+    assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("c", 3)]
