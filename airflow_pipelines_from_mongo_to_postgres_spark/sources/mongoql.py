@@ -21,8 +21,12 @@ Supported stages — the reference's three, plus the common tail:
 ``$sum: 1``), ``$sort``, ``$limit``, ``$skip``, ``$count`` — plus the
 aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
-``$cond``, ``$ifNull``, ``$concat``, ``$add/$subtract/$multiply/
-$divide/$mod/$abs``, ``$toUpper/$toLower``, expression-form
+``$cond``/``$switch``, ``$ifNull``, ``$concat``,
+``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
+$sqrt/$pow/$ln/$log10/$exp``, ``$toUpper/$toLower/$substrCP/$strLenCP/
+$split/$trim/$ltrim/$rtrim``, ``$size/$arrayElemAt/$in``,
+``$year/$month/$dayOfMonth/$hour/$minute/$second/$dateToString``,
+``$toInt/$toLong/$toDouble/$toString/$toBool``, expression-form
 ``$eq/$ne/$gt/$gte/$lt/$lte`` and ``$and/$or/$not``, nested
 arbitrarily.
 
@@ -141,7 +145,121 @@ def _expr_op(op: str, arg: Any) -> Column:
     if op == "$not":
         inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
         return ~_expr(inner)
+    if op == "$switch":
+        if not isinstance(arg, dict) or "branches" not in arg:
+            raise ValueError("$switch expects {branches: [...], default}")
+        col = None
+        for br in arg["branches"]:
+            w = F.when(_expr(br["case"]), _expr(br["then"]))
+            col = w if col is None else col.when(_expr(br["case"]),
+                                                 _expr(br["then"]))
+        if col is None:
+            raise ValueError("$switch needs at least one branch")
+        return col.otherwise(_expr(arg["default"])) if "default" in arg \
+            else col
+    # strings (codepoint semantics match Spark's character functions)
+    if op == "$substrCP":
+        s, start, length = args(3)
+        return F.substring(s, start + F.lit(1), length)  # 0- -> 1-indexed
+    if op == "$strLenCP":
+        return F.length(_expr(arg))
+    if op == "$split":
+        s, delim = args(2)
+        # Mongo splits on a LITERAL delimiter; split() takes a regex —
+        # a field-ref delimiter ('$col') can't be regex-escaped per row
+        if not (isinstance(arg, list) and isinstance(arg[1], str)
+                and not arg[1].startswith("$")):
+            raise ValueError("$split delimiter must be a string literal")
+        import re as _re
+        return F.split(s, _re.escape(arg[1]))
+    if op == "$trim":
+        return F.trim(_expr(arg["input"] if isinstance(arg, dict) else arg))
+    if op == "$ltrim":
+        return F.ltrim(_expr(arg["input"] if isinstance(arg, dict) else arg))
+    if op == "$rtrim":
+        return F.rtrim(_expr(arg["input"] if isinstance(arg, dict) else arg))
+    # arrays
+    if op == "$size":
+        return F.size(_expr(arg))
+    if op == "$arrayElemAt":
+        a, idx = args(2)
+        # Mongo: 0-indexed, negative from the end, out-of-range -> missing.
+        # element_at is 1-indexed and ANSI-errors out of range; get() is
+        # 0-indexed and null-safe but positive-only — branch on sign.
+        n = F.size(a)
+        return F.when(idx >= 0, F.get(a, idx)).otherwise(F.get(a, n + idx))
+    if op == "$in":
+        v, array = args(2)
+        return F.array_contains(array, v)
+    # dates
+    if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
+              "$second"):
+        fn = {"$year": F.year, "$month": F.month,
+              "$dayOfMonth": F.dayofmonth, "$hour": F.hour,
+              "$minute": F.minute, "$second": F.second}[op]
+        return fn(_expr(arg))
+    if op == "$dateToString":
+        if not isinstance(arg, dict) or "date" not in arg:
+            raise ValueError("$dateToString expects {date, format}")
+        fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+        spark_fmt = _mongo_date_format(fmt)
+        return F.date_format(_expr(arg["date"]), spark_fmt)
+    # numeric
+    if op == "$floor":
+        return F.floor(_expr(arg))
+    if op == "$ceil":
+        return F.ceil(_expr(arg))
+    if op == "$round":
+        if isinstance(arg, list) and len(arg) == 2 \
+                and isinstance(arg[1], int):
+            return F.round(_expr(arg[0]), arg[1])
+        return F.round(_expr(arg[0] if isinstance(arg, list) else arg), 0)
+    if op == "$sqrt":
+        return F.sqrt(_expr(arg))
+    if op == "$pow":
+        a, b = args(2)
+        return F.pow(a, b)
+    if op == "$ln":
+        return F.log(_expr(arg))
+    if op == "$log10":
+        return F.log10(_expr(arg))
+    if op == "$exp":
+        return F.exp(_expr(arg))
+    # type conversion (Mongo $convert's common shorthands)
+    if op in ("$toInt", "$toLong", "$toDouble", "$toString", "$toBool"):
+        t = {"$toInt": "int", "$toLong": "long", "$toDouble": "double",
+             "$toString": "string", "$toBool": "boolean"}[op]
+        return _expr(arg).cast(t)
     raise ValueError(f"unsupported expression operator: {op}")
+
+
+#: Mongo $dateToString format specifiers -> Spark date_format patterns.
+_DATE_SPECIFIERS = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+                    "%M": "mm", "%S": "ss", "%L": "SSS", "%j": "DDD",
+                    "%%": "%"}
+
+
+def _mongo_date_format(fmt: str) -> str:
+    """Translate a Mongo strftime-style format into Spark's
+    SimpleDateFormat-style pattern, rejecting specifiers outside the
+    supported table (silently mistranslating a date format corrupts
+    every downstream partition key). Literal text is quoted where it
+    could collide with pattern letters."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i:i + 2]
+            if spec not in _DATE_SPECIFIERS:
+                raise ValueError(
+                    f"unsupported $dateToString specifier: {spec!r}")
+            out.append(_DATE_SPECIFIERS[spec])
+            i += 2
+        else:
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
 
 
 def _type_family(dt) -> str | None:

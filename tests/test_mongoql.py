@@ -346,3 +346,58 @@ def test_expression_operator_errors_are_typed(apps):
     ):
         with pytest.raises(ValueError):
             apply_pipeline(apps, [bad])
+
+
+def test_expression_operators_batch2(apps, spark):
+    """Second expression batch: $switch, string ops ($substrCP 0-indexed,
+    $split literal delimiter, $strLenCP, trims), array ops ($size,
+    $arrayElemAt with negative index, $in), date parts + $dateToString
+    (strftime -> Spark pattern translation), numeric ($floor/$round/
+    $pow), and $to* conversions."""
+    out = apply_pipeline(apps, [
+        {"$addFields": {
+            "sw": {"$switch": {"branches": [
+                {"case": {"$lt": ["$amount", 15]}, "then": "low"},
+                {"case": {"$lt": ["$amount", 35]}, "then": "mid"},
+            ], "default": "high"}},
+            "prefix": {"$substrCP": ["$_id", 0, 1]},
+            "idlen": {"$strLenCP": "$_id"},
+            "mailbox": {"$arrayElemAt": [
+                {"$split": ["$personalDetails.email", "@"]}, 0]},
+            "domain": {"$arrayElemAt": [
+                {"$split": ["$personalDetails.email", "@"]}, -1]},
+            "nprod": {"$size": {"$ifNull": ["$products",
+                                            {"$literal": []}]}},
+            "has_p1": {"$in": ["p1", {"$ifNull": ["$products",
+                                                  {"$literal": []}]}]},
+            "yr": {"$year": "$dateCreated"},
+            "day": {"$dateToString": {"date": "$dateCreated",
+                                      "format": "%Y-%m-%d"}},
+            "amt_i": {"$toInt": "$amount"},
+            "rounded": {"$round": [{"$divide": ["$amount", 3]}, 1]},
+            "cube": {"$pow": [{"$toInt": 2}, 3]},
+        }},
+    ])
+    got = {r._id: r for r in out.collect()}
+    assert got["a1"].sw == "low" and got["a3"].sw == "mid" \
+        and got["a5"].sw == "high"
+    assert got["a2"].prefix == "a" and got["a2"].idlen == 2
+    assert got["a4"].mailbox == "u4" and got["a4"].domain == "x.io"
+    assert got["a1"].nprod == 2 and got["a3"].nprod == 0 \
+        and got["a4"].nprod == 0
+    assert got["a1"].has_p1 is True and got["a2"].has_p1 is False
+    assert got["a2"].yr == 2023
+    assert got["a2"].day == "2023-01-01"
+    assert got["a4"].amt_i == 40
+    assert got["a4"].rounded == 13.3
+    assert got["a1"].cube == 8.0
+
+    # unsupported date specifier fails loudly, never mistranslates
+    import pytest
+    with pytest.raises(ValueError, match="specifier"):
+        apply_pipeline(apps, [{"$addFields": {"x": {"$dateToString": {
+            "date": "$dateCreated", "format": "%Q"}}}}])
+    # $split on a non-literal delimiter is rejected (regex surprise)
+    with pytest.raises(ValueError, match="literal"):
+        apply_pipeline(apps, [{"$addFields": {"x": {
+            "$split": ["$_id", "$status"]}}}])
