@@ -1,7 +1,9 @@
 """Round-7 registry growth: the mongoql expression language gated
-end-to-end through the driver's oracle harness, plus three analytics
-shapes (two-sample KS drift, Gini concentration, entropy of source
-mix) that round out the statistics family.
+end-to-end through the driver's oracle harness, plus analytics and
+curation shapes that round out the statistics family — two-sample KS
+drift, Gini concentration, entropy of source mix, Gopher/C4-style
+document-rule audit, and quality-ordered source-balanced curriculum
+sharding.
 
 Each query follows the registry disciplines: exact-arithmetic
 aggregation (DECIMAL moments / integer counts) with closed-form double
@@ -222,11 +224,117 @@ FROM p GROUP BY 1
 """
 
 
+# --- q152: Gopher/C4-style document-quality rule audit ----------------------
+def q152_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-based document filter family (Gopher's word-count /
+    mean-word-length / repetition gates; C4's rule-audit reporting):
+    ONE explode + two aggregations compute per-document word counts,
+    mean word length and top-word fraction, then the pass/fail tally
+    per rule — every number an exact integer (ratios compared as
+    identical int-ratio doubles on both engines). At 100 TB this is a
+    shuffle on (doc_id, word) then (doc_id): the standard corpus-audit
+    cost; the final tally is 3 rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("w")) \
+        .filter(F.col("w") != "")
+    pw = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = pw.groupBy("doc_id").agg(
+        F.sum("c").alias("nw"),
+        F.max("c").alias("top"),
+        F.sum(F.col("c") * F.length("w")).alias("chars"))
+    mwl = F.col("chars").cast("double") / F.col("nw")
+    topf = F.col("top").cast("double") / F.col("nw")
+    fl = pd_.select(
+        F.col("nw").between(40, 1000).cast("long").alias("ok_words"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).cast("long").alias("ok_mwl"),
+        (topf <= F.lit(0.12)).cast("long").alias("ok_rep"))
+    agg = fl.agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum("ok_words").alias("_w"),
+                 F.sum("ok_mwl").alias("_m"),
+                 F.sum("ok_rep").alias("_r"))
+    rules = F.array(
+        F.struct(F.lit("words_in_range").alias("rule"),
+                 F.col("_w").alias("pass_n"),
+                 (F.col("_n") - F.col("_w")).alias("fail_n")),
+        F.struct(F.lit("mean_word_len").alias("rule"),
+                 F.col("_m").alias("pass_n"),
+                 (F.col("_n") - F.col("_m")).alias("fail_n")),
+        F.struct(F.lit("top_word_frac").alias("rule"),
+                 F.col("_r").alias("pass_n"),
+                 (F.col("_n") - F.col("_r")).alias("fail_n")))
+    return agg.select(F.explode(rules).alias("r")).select("r.*")
+
+
+Q152_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents
+), pw AS (
+  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, sum(c) AS nw, max(c) AS top,
+         sum(c * length(w)) AS chars
+  FROM pw GROUP BY 1
+), fl AS (
+  SELECT
+    CASE WHEN nw BETWEEN 40 AND 1000 THEN 1 ELSE 0 END AS ok_words,
+    CASE WHEN CAST(chars AS DOUBLE) / nw >= 3.0
+          AND CAST(chars AS DOUBLE) / nw <= 10.0 THEN 1 ELSE 0
+         END AS ok_mwl,
+    CASE WHEN CAST(top AS DOUBLE) / nw <= 0.12 THEN 1 ELSE 0
+         END AS ok_rep
+  FROM pd
+)
+SELECT 'words_in_range' AS rule, CAST(sum(ok_words) AS BIGINT) AS pass_n,
+       CAST(count(*) - sum(ok_words) AS BIGINT) AS fail_n FROM fl
+UNION ALL
+SELECT 'mean_word_len', CAST(sum(ok_mwl) AS BIGINT),
+       CAST(count(*) - sum(ok_mwl) AS BIGINT) FROM fl
+UNION ALL
+SELECT 'top_word_frac', CAST(sum(ok_rep) AS BIGINT),
+       CAST(count(*) - sum(ok_rep) AS BIGINT) FROM fl
+"""
+
+
+# --- q153: curriculum shards (quality-ordered, source-balanced) -------------
+def q153_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding for training: ntile(4) over length within
+    each source assigns every document to a quality-ordered shard while
+    keeping each shard's SOURCE MIX balanced by construction (each
+    source contributes ~1/4 of its docs to every shard). Deterministic:
+    the window orders by (n_chars, doc_id) — the unique tiebreak the
+    registry's window rule requires. Output is the per-(shard, source)
+    manifest a trainer consumes; all integers."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (docs.withColumn("shard", F.ntile(4).over(w))
+            .groupBy("shard", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+Q153_SQL = """
+WITH t AS (
+  SELECT source, n_chars,
+         ntile(4) OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS shard
+  FROM documents
+)
+SELECT shard, source, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM t GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
     "q150_gini_concentration": q150_gini_concentration,
     "q151_entropy_mix": q151_entropy_mix,
+    "q152_gopher_rules": q152_gopher_rules,
+    "q153_curriculum_shards": q153_curriculum_shards,
 }
 
 ORACLES = {
@@ -234,4 +342,6 @@ ORACLES = {
     "q149_ks_drift": Q149_SQL,
     "q150_gini_concentration": Q150_SQL,
     "q151_entropy_mix": Q151_SQL,
+    "q152_gopher_rules": Q152_SQL,
+    "q153_curriculum_shards": Q153_SQL,
 }
