@@ -343,11 +343,6 @@ def _commit(spark: SparkSession, table: str, files: list | None,
         # manifest-list shape: the version file carries only segment
         # NAMES — O(segments) bytes regardless of live file count
         manifest["segments"] = list(segments)
-    if deletes:
-        # merge-on-read equality deletes: {"file": <key parquet>,
-        # "cols": [...]} entries readers anti-join; compaction/overwrite
-        # materializes them (their commits simply omit the key)
-        manifest["deletes"] = list(deletes)
     else:
         manifest["files"] = files
         if stats:
@@ -355,6 +350,11 @@ def _commit(spark: SparkSession, table: str, files: list | None,
             # forward from the parent for retained files, fresh for new)
             manifest["stats"] = {k: v2 for k, v2 in stats.items()
                                  if k in set(files)}
+    if deletes:
+        # merge-on-read equality deletes: {"file": <key parquet>,
+        # "cols": [...]} entries readers anti-join; compaction/overwrite
+        # materializes them (their commits simply omit the key)
+        manifest["deletes"] = list(deletes)
     if txn is not None:
         manifest["txn"] = txn
     fs, jvm = _jvm_fs(spark, table)
