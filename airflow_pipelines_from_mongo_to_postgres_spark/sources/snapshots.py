@@ -447,14 +447,25 @@ def snap_overwrite(spark: SparkSession, table: str, df: DataFrame,
 def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
                        predicate: str,
                        note: str = "replace_where",
-                       stat_cols: tuple = ()) -> int:
+                       stat_cols: tuple = (),
+                       prune_predicates: list | None = None) -> int:
     """Partition-overwrite equivalent without directories: rows of the
-    current snapshot NOT matching ``predicate`` are carried into new
-    files alongside ``df`` (which must match it); old files drop out of
-    the manifest. Rewrite cost is the non-matching remainder of only
-    the files that CONTAIN matching rows — kept whole-file here for
-    brevity; the keep-untouched-files refinement is ``files`` pruning
-    on min/max stats, same read path."""
+    current snapshot NOT matching ``predicate`` are carried alongside
+    ``df`` (which must match it); replaced files drop out of the
+    manifest.
+
+    ``prune_predicates`` (the ``snap_scan`` tuple form — it must be a
+    conservative SUPERSET of ``predicate``, e.g. the partition-key
+    range the predicate touches) turns the rewrite from O(table) into
+    O(files that can contain matching rows): files whose stats windows
+    provably exclude every prune predicate are CARRIED UNTOUCHED —
+    name + stats re-listed, bytes never read — and only the candidate
+    files are filtered and rewritten. At 100 TB that is the difference
+    between rewriting one day's files and the whole table. Without it
+    the whole snapshot rewrites (the always-correct fallback, also
+    used when merge-on-read deletes are pending — carrying untouched
+    files while dropping the delete list would resurrect their deleted
+    rows)."""
     base = current_version(spark, table)
     if base == 0:
         # empty table: nothing to carry — the commit is just the new
@@ -462,13 +473,29 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
         new, stats = _write_data_files(df, table, stat_cols)
         return _commit(spark, table, new, note, expected_parent=0,
                        stats=stats)
-    cur = read_snapshot(spark, table, version=base)
-    keep = cur.filter(f"NOT ({predicate})")
-    new, stats = _write_data_files(keep.unionByName(df), table, stat_cols)
+    m = read_manifest(spark, table, base)
+    untouched: list = []
+    if prune_predicates and not m.get("deletes"):
+        candidates = set(prune_files(m, list(prune_predicates)))
+        untouched = [f for f in m["files"] if f not in candidates]
+    else:
+        candidates = set(m["files"])
+    if candidates:
+        cur = _apply_deletes(
+            spark, table,
+            spark.read.parquet(*[f"{table}/{f}" for f in sorted(candidates)]),
+            m)
+        keep = cur.filter(f"NOT ({predicate})")
+        new, stats = _write_data_files(keep.unionByName(df), table,
+                                       stat_cols)
+    else:
+        new, stats = _write_data_files(df, table, stat_cols)
+    carried = {k: v for k, v in m.get("stats", {}).items() if k in
+               set(untouched)}
     # read-modify-write: pin the snapshot the rewrite derived from, so
     # a concurrent commit surfaces as CommitConflict, not a lost update
-    return _commit(spark, table, new, note, expected_parent=base,
-                   stats=stats)
+    return _commit(spark, table, untouched + new, note,
+                   expected_parent=base, stats={**carried, **stats})
 
 
 def snap_delete_keys(spark: SparkSession, table: str, keys: DataFrame,

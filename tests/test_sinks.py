@@ -1145,3 +1145,51 @@ def test_snap_merge_on_read_deletes(spark, tmp_path):
     # vacuum at horizon 1 keeps the compacted snapshot readable
     S.vacuum(spark, t, keep_versions=1, retention_ms=0)
     assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("c", 3)]
+
+
+def test_snap_replace_where_prunes_untouched_files(spark, tmp_path):
+    """With prune_predicates, replace_where rewrites ONLY files whose
+    stats windows can contain matching rows: untouched files keep their
+    exact names (bytes never read), their stats carry forward, and the
+    result equals a full rewrite."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "rwtab")
+    # three commits = three files with disjoint k ranges and stats
+    for lo in (0, 100, 200):
+        d = spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(5)],
+            "k int, s string").coalesce(1)
+        S.snap_append(spark, t, d, stat_cols=("k",))
+    m0 = S.read_manifest(spark, t)
+    assert len(m0["files"]) == 3
+
+    upd = spark.createDataFrame([(102, "NEW")], "k int, s string")
+    S.snap_replace_where(spark, t, upd, "k >= 100 AND k < 200",
+                         stat_cols=("k",),
+                         prune_predicates=[("k", ">=", 100),
+                                           ("k", "<", 200)])
+    m1 = S.read_manifest(spark, t)
+    survivors = set(m0["files"]) & set(m1["files"])
+    assert len(survivors) == 2          # the 0- and 200-range files
+    for f in survivors:
+        assert m1["stats"][f] == m0["stats"][f]   # stats carried
+
+    rows = sorted((r.k, r.s) for r in S.read_snapshot(spark, t).collect())
+    assert (102, "NEW") in rows
+    assert len(rows) == 11              # 5 + 1 + 5
+    assert all(not (100 <= k < 200) or (k, s) == (102, "NEW")
+               for k, s in rows)
+
+    # pending merge-on-read deletes force the full-rewrite fallback
+    S.snap_delete_keys(spark, t, spark.createDataFrame([(0,)], "k int"),
+                       ["k"])
+    S.snap_replace_where(spark, t, spark.createDataFrame(
+        [(300, "X")], "k int, s string"), "k >= 300",
+        stat_cols=("k",), prune_predicates=[("k", ">=", 300)])
+    m2 = S.read_manifest(spark, t)
+    assert not m2.get("deletes")        # materialized by the rewrite
+    rows2 = sorted(r.k for r in S.read_snapshot(spark, t).collect())
+    assert 0 not in rows2 and 300 in rows2 and len(rows2) == 11
