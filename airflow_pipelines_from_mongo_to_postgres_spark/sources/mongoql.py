@@ -17,8 +17,10 @@ Supported stages — the reference's three, plus the common tail:
 ``$match`` (equality, ``$eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$exists``,
 ``$and/$or``), ``$project`` (include / exclude / "$path" aliases),
 ``$unwind`` (str or ``{path, preserveNullAndEmptyArrays}``),
-``$addFields``/``$set``, ``$group`` (``$sum/$avg/$min/$max/$count`` and
-``$sum: 1``), ``$sort``, ``$limit``, ``$skip``, ``$count`` — plus the
+``$addFields``/``$set``, ``$group`` (``$sum/$avg/$min/$max/$count``,
+``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
+``$first``/``$last`` (upstream order via min_by/max_by),
+``$stdDevPop/$stdDevSamp``), ``$sort``, ``$limit``, ``$skip``, ``$count`` — plus the
 aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$cond``/``$switch``, ``$ifNull``, ``$concat``,
@@ -446,6 +448,14 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     gid = spec["_id"]
+    ops = {next(iter(a)) for k, a in spec.items() if k != "_id"}
+    if ops & {"$first", "$last"}:
+        # position must be MATERIALIZED before the aggregation (Spark
+        # rejects non-deterministic expressions inside agg functions);
+        # on a just-sorted df the id is globally monotone, so
+        # min_by/max_by over it reproduce Mongo's "first/last after
+        # $sort" semantics
+        df = df.withColumn("__pos", F.monotonically_increasing_id())
     aggs = []
     for name, agg in spec.items():
         if name == "_id":
@@ -463,6 +473,23 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             aggs.append(F.max(_expr(arg)).alias(name))
         elif op == "$count":
             aggs.append(F.count(F.lit(1)).alias(name))
+        elif op == "$push":
+            # Mongo preserves document order; a distributed groupBy has
+            # none, so pin it (sorted) — deterministic beats unspecified,
+            # the $lookup convention
+            aggs.append(F.sort_array(F.collect_list(_expr(arg)))
+                        .alias(name))
+        elif op == "$addToSet":
+            aggs.append(F.sort_array(F.collect_set(_expr(arg)))
+                        .alias(name))
+        elif op in ("$first", "$last"):
+            # meaningful only after $sort, same caveat as Mongo's docs
+            fn = F.min_by if op == "$first" else F.max_by
+            aggs.append(fn(_expr(arg), F.col("__pos")).alias(name))
+        elif op == "$stdDevPop":
+            aggs.append(F.stddev_pop(_expr(arg)).alias(name))
+        elif op == "$stdDevSamp":
+            aggs.append(F.stddev_samp(_expr(arg)).alias(name))
         else:
             raise ValueError(f"unsupported $group accumulator: {op}")
     if gid is None:

@@ -401,3 +401,26 @@ def test_expression_operators_batch2(apps, spark):
     with pytest.raises(ValueError, match="literal"):
         apply_pipeline(apps, [{"$addFields": {"x": {
             "$split": ["$_id", "$status"]}}}])
+
+
+def test_group_accumulators_batch2(apps):
+    """$push/$addToSet (sorted — deterministic where Mongo is
+    unspecified), $first/$last after $sort, $stdDevPop."""
+    out = apply_pipeline(apps, [
+        {"$sort": {"amount": 1}},
+        {"$group": {"_id": "$status",
+                    "ids": {"$push": "$_id"},
+                    "statuses": {"$addToSet": "$status"},
+                    "cheapest": {"$first": "$_id"},
+                    "dearest": {"$last": "$_id"},
+                    "sd": {"$stdDevPop": "$amount"}}},
+    ])
+    got = {r._id: r for r in out.collect()}
+    assert got["closed"].ids == ["a1", "a3", "a5"]
+    assert got["open"].statuses == ["open"]
+    # closed amounts: 10, 30, 50 ascending
+    assert got["closed"].cheapest == "a1"
+    assert got["closed"].dearest == "a5"
+    import math
+    assert math.isclose(got["closed"].sd,
+                        (((10 - 30) ** 2 + 0 + (50 - 30) ** 2) / 3) ** 0.5)
