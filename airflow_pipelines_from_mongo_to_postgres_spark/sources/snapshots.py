@@ -167,7 +167,8 @@ def read_manifest(spark: SparkSession, table: str,
 
 
 def _write_data_files(df: DataFrame, table: str,
-                      stat_cols: tuple = ()) -> tuple:
+                      stat_cols: tuple = (),
+                      value_cols: tuple = ()) -> tuple:
     """Materialize ``df`` as new immutable files under ``data/`` and
     return ``(table-relative names, per-file column stats)``. Each
     commit writes to its own unique subdirectory (Spark's writer owns
@@ -185,8 +186,9 @@ def _write_data_files(df: DataFrame, table: str,
         if n.endswith(".parquet"):
             names.append(f"{sub}/{n}")
     names = sorted(names)
-    stats = (_collect_file_stats(df.sparkSession, table, names, stat_cols)
-             if stat_cols and names else {})
+    stats = (_collect_file_stats(df.sparkSession, table, names, stat_cols,
+                                 value_cols)
+             if (stat_cols or value_cols) and names else {})
     return names, stats
 
 
@@ -200,18 +202,36 @@ def _stat_json(v):
     return str(v)
 
 
+#: distinct-value sets above this size are dropped from the manifest —
+#: a "values" list is a pruning index for LOW-cardinality (categorical)
+#: columns, not a copy of the data.
+_VALUE_SET_CAP = 32
+
+
 def _collect_file_stats(spark: SparkSession, table: str, names: list,
-                        stat_cols: tuple) -> dict:
-    """name -> {"rows": n, "cols": {col: {"min","max","nulls"}}} via one
-    groupBy(input_file_name()) aggregate over the new files only."""
+                        stat_cols: tuple,
+                        value_cols: tuple = ()) -> dict:
+    """name -> {"rows": n, "cols": {col: {"min","max","nulls"[,"values"]}}}
+    via one groupBy(input_file_name()) aggregate over the new files only.
+    ``value_cols`` (opt-in, declare only LOW-cardinality columns like
+    event_type/source) additionally records each file's distinct value
+    set when it fits _VALUE_SET_CAP — min/max windows are useless for
+    equality pruning on categoricals (every file spans 'a'..'z'), a
+    value set prunes exactly."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(*[f"{table}/{n}" for n in names])
     present = [c for c in stat_cols if c in df.columns]
+    vcols = [c for c in value_cols if c in df.columns]
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in present:
+    for c in set(present) | set(vcols):
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"),
                  F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")]
+    for c in vcols:
+        # capped BEFORE collect: slice keeps cap+1 so an over-cap set is
+        # detectable (and dropped) without shipping the full set
+        aggs.append(F.slice(F.sort_array(F.collect_set(c)), 1,
+                            _VALUE_SET_CAP + 1).alias(f"__vs_{c}"))
     rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     # input_file_name is an absolute URI; manifests key by the unique
     # table-relative tail (data/c-<hex>/<part>.parquet)
@@ -224,10 +244,16 @@ def _collect_file_stats(spark: SparkSession, table: str, names: list,
         r = by_tail.get(n)
         if r is None:
             continue
-        out[n] = {"rows": r["__rows"], "cols": {
-            c: {"min": _stat_json(r[f"__mn_{c}"]),
-                "max": _stat_json(r[f"__mx_{c}"]),
-                "nulls": r[f"__nl_{c}"]} for c in present}}
+        cols = {}
+        for c in set(present) | set(vcols):
+            cols[c] = {"min": _stat_json(r[f"__mn_{c}"]),
+                       "max": _stat_json(r[f"__mx_{c}"]),
+                       "nulls": r[f"__nl_{c}"]}
+        for c in vcols:
+            vs = r[f"__vs_{c}"]
+            if vs is not None and len(vs) <= _VALUE_SET_CAP:
+                cols[c]["values"] = sorted(_stat_json(v) for v in vs)
+        out[n] = {"rows": r["__rows"], "cols": cols}
     return out
 
 
@@ -272,6 +298,10 @@ def prune_files(manifest: dict, predicates: list) -> list:
                     keep = {"<": mn < v, "<=": mn <= v,
                             ">": mx > v, ">=": mx >= v,
                             "=": mn <= v <= mx}[op]
+                    if op == "=" and keep and "values" in cs:
+                        # categorical value set: exact membership beats
+                        # the [min, max] window
+                        keep = v in cs["values"]
             if not keep:
                 break
         if keep:
@@ -403,7 +433,8 @@ def _coalesce_segments(spark: SparkSession, table: str,
 
 
 def snap_append(spark: SparkSession, table: str, df: DataFrame,
-                note: str = "append", stat_cols: tuple = ()) -> int:
+                note: str = "append", stat_cols: tuple = (),
+                value_cols: tuple = ()) -> int:
     """Append commit: ONE new segment manifest listing just this
     commit's files (+ stats), referenced by a version file that carries
     the parent's segment names plus the new one — commit payload is
@@ -418,8 +449,10 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
     segment list from: a commit landing between the manifest read and
     the OCC create would otherwise be silently dropped from the new
     list (lost update). On conflict the already-written data files and
-    segment are reused — only the version-file read + commit retries."""
-    new, stats = _write_data_files(df, table, stat_cols)
+    segment are reused — only the version-file read + commit retries.
+    ``value_cols`` opt-in per-file distinct-value sets for categorical
+    equality pruning (see _collect_file_stats)."""
+    new, stats = _write_data_files(df, table, stat_cols, value_cols)
     new_seg = _write_segment(spark, table, new, stats)
     for _ in range(_APPEND_RETRIES):
         raw = _read_raw_manifest(spark, table)
@@ -437,10 +470,11 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
 
 
 def snap_overwrite(spark: SparkSession, table: str, df: DataFrame,
-                   note: str = "overwrite", stat_cols: tuple = ()) -> int:
+                   note: str = "overwrite", stat_cols: tuple = (),
+                   value_cols: tuple = ()) -> int:
     """Full-table overwrite commit: the manifest simply stops listing
     the old files — they stay on disk for time travel until vacuum."""
-    new, stats = _write_data_files(df, table, stat_cols)
+    new, stats = _write_data_files(df, table, stat_cols, value_cols)
     return _commit(spark, table, new, note, stats=stats)
 
 

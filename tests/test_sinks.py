@@ -1193,3 +1193,41 @@ def test_snap_replace_where_prunes_untouched_files(spark, tmp_path):
     assert not m2.get("deletes")        # materialized by the rewrite
     rows2 = sorted(r.k for r in S.read_snapshot(spark, t).collect())
     assert 0 not in rows2 and 300 in rows2 and len(rows2) == 11
+
+
+def test_snap_value_set_stats_prune_categoricals(spark, tmp_path):
+    """Opt-in value_cols record each file's distinct categorical set
+    (capped) so an equality predicate prunes files whose [min,max]
+    window would keep them: files spanning {'a','z'} but not containing
+    'm' drop. Over-cap columns record no set (min/max only)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "vstab")
+    # file 1 holds types {a, z}; file 2 holds {m}; both windows span 'm'
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("z", 2)], "ty string, v int").coalesce(1),
+        stat_cols=("ty",), value_cols=("ty",))
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("m", 3)], "ty string, v int").coalesce(1),
+        stat_cols=("ty",), value_cols=("ty",))
+
+    m = S.read_manifest(spark, t)
+    pruned = S.prune_files(m, [("ty", "=", "m")])
+    assert len(pruned) == 1                    # min/max alone keeps both
+    assert [r.v for r in S.snap_scan(spark, t, [("ty", "=", "m")])
+            .collect()] == [3]
+
+    # range predicates still use the window (values don't regress them)
+    assert len(S.prune_files(m, [("ty", ">=", "n")])) == 1
+
+    # over-cap column: no value set recorded, still min/max-prunable
+    wide = spark.createDataFrame(
+        [(f"k{i:03d}", i) for i in range(200)],
+        "ty string, v int").coalesce(1)
+    t2 = str(tmp_path / "widetab")
+    S.snap_append(spark, t2, wide, stat_cols=("ty",), value_cols=("ty",))
+    st = next(iter(S.read_manifest(spark, t2)["stats"].values()))
+    assert "values" not in st["cols"]["ty"]
+    assert st["cols"]["ty"]["min"] == "k000"
