@@ -436,3 +436,62 @@ def incremental_jaccard_pairs(old_shingles: DataFrame, new_docs: DataFrame,
         .select("d1", "d2", "jaccard")
     )
     return delta, old_shingles.unionByName(new_sh)
+
+
+def scrub_repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                         span_n: int = 5, min_docs: int = 2,
+                         out_col: str = "scrubbed") -> DataFrame:
+    """Exact-substring dedup at SPAN granularity (the Lee et al. 2021
+    "Deduplicating Training Data" removal semantics, token-window
+    variant): every ``span_n``-token window occurring in >= ``min_docs``
+    distinct documents marks its token positions covered; covered
+    tokens are REMOVED and the document rebuilt from the survivors —
+    so boilerplate shared across documents disappears while each
+    document's unique prose stays. Returns (id, original text, out_col,
+    n_tokens, covered_tokens).
+
+    Scale shape: one explode to the positioned span table, one
+    hash-agg for cross-doc frequencies (at 100 TB: key on
+    xxhash64(span)), one self-join back on span, an interval explode
+    (span_n rows per duplicated span) for coverage, and an order-free
+    rebuild — sort_array over (pos, token) structs inside groupBy, no
+    window, no driver state. The reference has no dedup at all."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__text"),
+                     T.tokens(text_col).alias("__ts"))
+    pos_spans = toks.select(
+        "__id",
+        F.posexplode(T.ngrams_from_tokens("__ts", span_n))
+        .alias("__pos", "__span"))
+    dup = (pos_spans.groupBy("__span")
+           .agg(F.countDistinct("__id").alias("__nd"))
+           .filter(F.col("__nd") >= min_docs)
+           .select("__span"))
+    covered = (pos_spans.join(dup, "__span")
+               .select("__id", F.explode(F.sequence(
+                   F.col("__pos"), F.col("__pos") + span_n - 1))
+                   .alias("__cov"))
+               .distinct())
+    toks_pos = toks.select(
+        "__id", "__text",
+        F.posexplode("__ts").alias("__p", "__tok"))
+    kept = toks_pos.join(
+        covered,
+        (toks_pos["__id"] == covered["__id"])
+        & (toks_pos["__p"] == covered["__cov"]), "left_anti")
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.first("__text").alias("__text"),
+                    F.count(F.lit(1)).alias("__kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("__p", "__tok"))),
+                        lambda s: s["__tok"])).alias(out_col)))
+    base = toks.select("__id", "__text", F.size("__ts").alias("n_tokens"))
+    return (base.join(rebuilt.drop("__text"), "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__text").alias(text_col),
+                    F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                    "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("__kept"), F.lit(0)))
+                    .alias("covered_tokens")))

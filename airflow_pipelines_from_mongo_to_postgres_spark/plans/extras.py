@@ -328,6 +328,85 @@ FROM t GROUP BY 1, 2
 """
 
 
+# --- q154: exact-substring scrub audit (Lee et al. removal stats) -----------
+def q154_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage audit for exact-substring dedup (the stats side of
+    operators/dedup.py::scrub_repeated_spans): per source, how many
+    token positions are covered by 5-token windows that repeat across
+    >= 2 documents — the volume span-scrubbing would remove. Positioned
+    spans join back to the cross-doc duplicate set, coverage intervals
+    explode (5 rows per hit) and dedupe per (doc, position); all counts
+    exact integers. One explode + two hash-aggs + one equi join."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source",
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda t: t != "").alias("ts"))
+    n = 5
+    grams = F.when(
+        F.size("ts") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("ts"), i + j)
+                               for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toks.select("doc_id", "source",
+                        F.posexplode(grams).alias("pos", "span"))
+    dup = (spans.groupBy("span")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("span"))
+    covered = (spans.join(dup, "span")
+               .select("doc_id", "source",
+                       F.explode(F.sequence(F.col("pos"),
+                                            F.col("pos") + n - 1))
+                       .alias("cp"))
+               .distinct())
+    per_doc_cov = covered.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cov"))
+    base = toks.select("doc_id", "source", F.size("ts").alias("nt"))
+    per_doc = base.join(per_doc_cov.drop("source"), "doc_id", "left") \
+        .select("source", "nt",
+                F.coalesce(F.col("cov"), F.lit(0)).alias("cov"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").alias("total_tokens"),
+                 F.sum("cov").alias("covered_tokens"),
+                 F.sum((F.col("cov") > 0).cast("long"))
+                 .alias("docs_touched")))
+
+
+_T154 = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_GP154 = ("list_transform(range(1, greatest(len(ts) - 4, 0) + 1), "
+          "i -> {'pos': i, 's': ts[i] || ' ' || ts[i+1] || ' ' || "
+          "ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]})")
+
+Q154_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_T154} AS ts FROM documents
+), spans AS (
+  SELECT doc_id, source, u.pos AS pos, u.s AS span
+  FROM (SELECT doc_id, source, unnest({_GP154}) AS u FROM toks)
+), dup AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING count(DISTINCT doc_id) >= 2
+), covered AS (
+  SELECT DISTINCT s.doc_id, s.source, s.pos + o.off AS cp
+  FROM spans s JOIN dup USING (span), unnest(range(5)) AS o(off)
+), per_cov AS (
+  SELECT doc_id, source, count(*) AS cov FROM covered GROUP BY 1, 2
+), per_doc AS (
+  SELECT t.source, len(t.ts) AS nt, coalesce(p.cov, 0) AS cov
+  FROM toks t LEFT JOIN per_cov p ON t.doc_id = p.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(cov) AS BIGINT) AS covered_tokens,
+       CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_touched
+FROM per_doc GROUP BY 1
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -335,6 +414,7 @@ QUERIES = {
     "q151_entropy_mix": q151_entropy_mix,
     "q152_gopher_rules": q152_gopher_rules,
     "q153_curriculum_shards": q153_curriculum_shards,
+    "q154_span_scrub_stats": q154_span_scrub_stats,
 }
 
 ORACLES = {
@@ -344,4 +424,5 @@ ORACLES = {
     "q151_entropy_mix": Q151_SQL,
     "q152_gopher_rules": Q152_SQL,
     "q153_curriculum_shards": Q153_SQL,
+    "q154_span_scrub_stats": Q154_SQL,
 }

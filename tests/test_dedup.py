@@ -186,3 +186,56 @@ def test_incremental_jaccard_rejects_reingested_ids(spark):
     delta, updated = dedup.incremental_jaccard_pairs(
         sh, fresh, "doc_id", "text", threshold=0.2)
     assert updated.select("doc").distinct().count() == 3
+
+
+def test_scrub_repeated_spans_matches_python_reference(spark):
+    """Span-scrub == an independent Python replay of the Lee-style
+    removal: positions covered by any cross-doc duplicated span_n-token
+    window are removed, unique prose survives, fully-boilerplate docs
+    scrub to empty (not dropped)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.dedup import (
+        scrub_repeated_spans,
+    )
+
+    boiler = "all rights reserved contact us today"
+    docs = [
+        ("d1", f"alpha beta gamma {boiler} delta epsilon"),
+        ("d2", f"{boiler} zeta eta theta iota kappa"),
+        ("d3", "totally unique text with no shared windows here"),
+        ("d4", boiler),                       # nothing but boilerplate
+        ("d5", "short doc"),                  # shorter than span_n
+    ]
+    n = 5
+
+    def ref_scrub(all_docs):
+        spans = {}
+        tok = {i: t.split() for i, t in all_docs}
+        for i, ts in tok.items():
+            for p in range(len(ts) - n + 1):
+                spans.setdefault(" ".join(ts[p:p + n]), set()).add(i)
+        dup = {s for s, ids in spans.items() if len(ids) >= 2}
+        out = {}
+        for i, ts in tok.items():
+            cov = set()
+            for p in range(len(ts) - n + 1):
+                if " ".join(ts[p:p + n]) in dup:
+                    cov.update(range(p, p + n))
+            out[i] = " ".join(t for q, t in enumerate(ts) if q not in cov)
+        return out
+
+    want = ref_scrub(docs)
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r.doc_id: r for r in
+           scrub_repeated_spans(df, "doc_id", "text", span_n=n).collect()}
+    assert len(got) == 5
+    for i, _ in docs:
+        assert got[i].scrubbed == want[i], i
+    assert got["d4"].scrubbed == "" and got["d4"].covered_tokens == 6
+    assert got["d3"].covered_tokens == 0
+    assert got["d5"].scrubbed == "short doc"
+
+    plan = scrub_repeated_spans(df, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct"):
+        assert bad not in plan
