@@ -215,3 +215,64 @@ def run_incremental_ndv_sketches(
         .start()
     )
     query.awaitTermination()
+
+
+def run_incremental_expectations(
+    spark: SparkSession,
+    drop_dir: str,
+    schema: StructType | str,
+    table: str,
+    checks_factory: Callable,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    stream_id: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous data-quality monitoring: each micro-batch runs the
+    declarative expectations battery (functions/expectations.py — one
+    scan per batch regardless of check count) and appends the per-batch
+    report, stamped with the epoch, EXACTLY-ONCE to a manifest-snapshot
+    ledger (``snap_append_txn`` keyed by stream id + epoch, the
+    ``run_incremental_ndv_sketches`` discipline). ``checks_factory``
+    takes the batch DataFrame and returns the check list — built per
+    batch so FK dimensions resolve in the foreachBatch driver context.
+    The ledger is a per-BATCH audit trail (query it for trends/alerts);
+    batch reports do not sum into a whole-table report for non-additive
+    checks like ``unique`` — run the batch battery on the full table
+    for that. The reference's only quality gate is a mid-loop raise
+    that poisons the run (ref ``dags/includes/user_table.py:105-121``);
+    this is the monitored-pipeline answer."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.expectations import (
+        run_expectations,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+        snap_append_txn,
+    )
+    from pyspark.sql import functions as F
+
+    sid = stream_id or hashlib.sha256(
+        checkpoint_dir.encode("utf-8")).hexdigest()[:16]
+
+    def apply(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        report = run_expectations(batch, checks_factory(batch)) \
+            .withColumn("epoch", F.lit(epoch).cast("long"))
+        snap_append_txn(spark, table, report,
+                        txn=f"dq-{sid}-epoch-{epoch}")
+
+    reader = spark.readStream.schema(schema).format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    query = (
+        reader.load(drop_dir)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

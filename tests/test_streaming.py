@@ -495,3 +495,66 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
         (r.dt, r.k, r.v) for r in spark.read.parquet(p).collect())
     assert snap(stream_lake) == snap(batch_lake) == \
         [("d1", 1, 11.0), ("d1", 2, 22.0), ("d2", 4, 40.0)]
+
+
+def test_streaming_expectations_ledger_matches_batch(spark, tmp_path):
+    """Continuous DQ monitoring: each drained micro-batch's expectations
+    report lands exactly-once in the snapshot ledger and equals the
+    batch battery run on that file by hand; a second stream over a
+    fresh checkpoint appends (txn namespacing), never no-ops."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import (
+        expectations as X,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
+        run_incremental_expectations,
+    )
+
+    drop = tmp_path / "dqdrop"
+    drop.mkdir()
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    bad = spark.createDataFrame([(3, None), (3, 99.0)], "id long, v double")
+    good.coalesce(1).write.parquet(str(drop / "f1"))
+    bad.coalesce(1).write.parquet(str(drop / "f2"))
+
+    def checks(batch):
+        return [X.not_null("v"), X.in_range("v", 0.0, 50.0),
+                X.unique(["id"])]
+
+    table = str(tmp_path / "dq_ledger")
+    run_incremental_expectations(
+        spark, f"{drop}/*", "id long, v double", table, checks,
+        checkpoint_dir=str(tmp_path / "ck1"), max_files_per_trigger=1)
+
+    ledger = S.read_snapshot(spark, table)
+    got = {(r.epoch, r.check): (r.violations, r.rows_checked, r.passed)
+           for r in ledger.collect()}
+    assert len(got) == 6                       # 2 batches x 3 checks
+    by_batch = {}
+    for (ep, chk), v in got.items():
+        by_batch.setdefault(ep, {})[chk] = v
+    # match each ledger batch to its hand-run battery by content
+    want_good = {r["check"]: (r["violations"], r["rows_checked"], r["passed"])
+                 for r in X.run_expectations(good, checks(good)).collect()}
+    want_bad = {r["check"]: (r["violations"], r["rows_checked"], r["passed"])
+                for r in X.run_expectations(bad, checks(bad)).collect()}
+    assert sorted(by_batch.values(), key=str) == \
+        sorted([want_good, want_bad], key=str)
+
+    # second stream, fresh checkpoint (epoch restarts at 0): must land
+    d2 = tmp_path / "dqdrop2"
+    d2.mkdir()
+    spark.createDataFrame([(9, -1.0)], "id long, v double") \
+        .coalesce(1).write.parquet(str(d2 / "f3"))
+    run_incremental_expectations(
+        spark, f"{d2}/*", "id long, v double", table, checks,
+        checkpoint_dir=str(tmp_path / "ck2"))
+    assert S.read_snapshot(spark, table).count() == 9
+    rng = S.read_snapshot(spark, table) \
+        .filter((F.col("check") == "in_range(v,0.0,50.0)")
+                & (F.col("rows_checked") == 1)).collect()
+    assert len(rng) == 1 and rng[0].violations == 1
