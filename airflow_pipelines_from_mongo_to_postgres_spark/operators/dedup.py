@@ -495,3 +495,94 @@ def scrub_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                     (F.col("n_tokens")
                      - F.coalesce(F.col("__kept"), F.lit(0)))
                     .alias("covered_tokens")))
+
+
+def positioned_spans(df: DataFrame, id_col: str, text_col: str,
+                     span_n: int = 5) -> DataFrame:
+    """(doc, pos, span) — the positioned-window table span-scrub state
+    is built from (duplicates kept; 0-indexed positions)."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      T.tokens(text_col).alias("__ts"))
+            .select("doc", F.posexplode(
+                T.ngrams_from_tokens("__ts", span_n))
+                .alias("pos", "span")))
+
+
+def incremental_scrub_repeated_spans(
+        standing_docs: DataFrame, standing_spans: DataFrame,
+        new_docs: DataFrame, id_col: str, text_col: str,
+        span_n: int = 5, min_docs: int = 2,
+        out_col: str = "scrubbed") -> tuple:
+    """Span-scrub maintenance for an APPENDED batch: returns
+    ``(rescrubbed, updated_docs, updated_spans)`` where ``rescrubbed``
+    holds fresh scrub output ONLY for the docs whose result can have
+    changed — the batch itself plus standing docs carrying a span the
+    batch just pushed over ``min_docs`` (a new duplicate anywhere
+    re-covers every older carrier). Docs outside that set keep their
+    previous output untouched, so the per-batch cost is
+    O(batch + affected), never O(corpus): the standing span table is
+    probed with the BATCH's spans (posting-list shape, same as
+    incremental_jaccard_pairs), and only affected docs re-tokenize.
+    Full-recompute parity (rescrubbed rows == the same docs' rows from
+    scrub_repeated_spans over the union) is the property test. Same
+    append-only contract as the other incremental indexes: re-ingested
+    ids belong to the merge path."""
+    new_spans = positioned_spans(new_docs, id_col, text_col, span_n)
+    union_docs = standing_docs.select(
+        F.col(id_col), F.col(text_col)).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col)))
+    union_spans = standing_spans.unionByName(new_spans)
+
+    # spans whose duplicate status can have CHANGED: only spans present
+    # in the batch (counts elsewhere are untouched)
+    batch_span_docs = new_spans.select("doc", "span").distinct()
+    now_dup = (union_spans.join(
+        F.broadcast(batch_span_docs.select("span").distinct()), "span")
+        .groupBy("span")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span"))
+    affected = (union_spans.join(now_dup, "span")
+                .select("doc").distinct())
+    affected_docs = union_docs.join(
+        affected.withColumnRenamed("doc", id_col), id_col, "left_semi") \
+        .unionByName(new_docs.select(F.col(id_col), F.col(text_col))) \
+        .dropDuplicates([id_col])
+
+    # scrub the affected docs against the UNION's duplicate set: their
+    # spans join the union-wide counts, so coverage matches a full
+    # recompute exactly
+    aff_spans = positioned_spans(affected_docs, id_col, text_col, span_n)
+    union_dup = (union_spans.groupBy("span")
+                 .agg(F.countDistinct("doc").alias("nd"))
+                 .filter(F.col("nd") >= min_docs).select("span"))
+    covered = (aff_spans.join(union_dup, "span")
+               .select("doc", F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + span_n - 1))
+                   .alias("cov"))
+               .distinct())
+    toks_pos = affected_docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text"),
+        F.posexplode(T.tokens(text_col)).alias("p", "tok"))
+    kept = toks_pos.join(
+        covered, (toks_pos["doc"] == covered["doc"])
+        & (toks_pos["p"] == covered["cov"]), "left_anti")
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.first("__text").alias("__text"),
+                    F.count(F.lit(1)).alias("__kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                        lambda s: s["tok"])).alias(out_col)))
+    base = affected_docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__t0"),
+        F.size(T.tokens(text_col)).alias("n_tokens"))
+    rescrubbed = (base.join(rebuilt.drop("__text"), "doc", "left")
+                  .select(F.col("doc").alias(id_col),
+                          F.col("__t0").alias(text_col),
+                          F.coalesce(F.col(out_col), F.lit(""))
+                          .alias(out_col),
+                          "n_tokens",
+                          (F.col("n_tokens")
+                           - F.coalesce(F.col("__kept"), F.lit(0)))
+                          .alias("covered_tokens")))
+    return rescrubbed, union_docs, union_spans

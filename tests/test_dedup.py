@@ -239,3 +239,62 @@ def test_scrub_repeated_spans_matches_python_reference(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "CartesianProduct"):
         assert bad not in plan
+
+
+def test_incremental_scrub_matches_full_recompute(spark):
+    """Appending a batch rescrubs EXACTLY the affected docs (batch +
+    standing carriers of newly-duplicated spans), and their outputs
+    equal a full scrub over the union; untouched docs are absent from
+    the rescrub set."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.dedup import (
+        incremental_scrub_repeated_spans,
+        positioned_spans,
+        scrub_repeated_spans,
+    )
+
+    base_docs = [
+        ("d1", "alpha beta gamma delta epsilon zeta unique one"),
+        ("d2", "all rights reserved contact us today plus own words"),
+        ("d3", "completely different content nothing shared here at all"),
+    ]
+    batch = [
+        # duplicates d2's boilerplate -> d2 becomes affected
+        ("d4", "all rights reserved contact us today brand new tail"),
+        ("d5", "fresh text with no overlap whatsoever in any window"),
+    ]
+    sdf = spark.createDataFrame(base_docs, "doc_id string, text string")
+    bdf = spark.createDataFrame(batch, "doc_id string, text string")
+    sspans = positioned_spans(sdf, "doc_id", "text")
+
+    rescrub, udocs, uspans = incremental_scrub_repeated_spans(
+        sdf, sspans, bdf, "doc_id", "text")
+    got = {r.doc_id: r for r in rescrub.collect()}
+    # affected = batch (d4, d5) + the standing carrier d2; never d1/d3
+    assert set(got) == {"d2", "d4", "d5"}
+
+    full = {r.doc_id: r for r in scrub_repeated_spans(
+        spark.createDataFrame(base_docs + batch,
+                              "doc_id string, text string"),
+        "doc_id", "text").collect()}
+    for d in got:
+        assert got[d].scrubbed == full[d].scrubbed, d
+        assert got[d].covered_tokens == full[d].covered_tokens, d
+    assert full["d2"].covered_tokens > 0        # the boilerplate went
+
+    # second append over the returned state keeps the invariant
+    b2 = spark.createDataFrame(
+        [("d6", "alpha beta gamma delta epsilon zeta stolen opening")],
+        "doc_id string, text string")
+    rescrub2, _, _ = incremental_scrub_repeated_spans(
+        udocs, uspans, b2, "doc_id", "text")
+    got2 = {r.doc_id: r for r in rescrub2.collect()}
+    assert "d1" in got2 and "d6" in got2        # d1's opening now dup
+    full2 = {r.doc_id: r for r in scrub_repeated_spans(
+        spark.createDataFrame(
+            base_docs + batch + [("d6",
+                                  "alpha beta gamma delta epsilon zeta "
+                                  "stolen opening")],
+            "doc_id string, text string"),
+        "doc_id", "text").collect()}
+    for d in got2:
+        assert got2[d].scrubbed == full2[d].scrubbed, d
