@@ -407,6 +407,150 @@ FROM per_doc GROUP BY 1
 """
 
 
+# --- q155: TPC-H Q5 shape — local supplier volume ---------------------------
+def q155_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 re-keyed to the fixture: revenue per nation where the CUSTOMER
+    and the SUPPLIER share the nation (c_nationkey = s_nationkey) — the
+    five-table chain whose scale story is co-location: the two big
+    sides shuffle on their join keys once each, the nation dim
+    broadcasts, and the nation-equality predicate applies as a cheap
+    post-join filter, never a join explosion. Revenue sums as
+    DECIMAL(18,6) from per-row DECIMAL products (the registry's
+    float-sum rule)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)"))) \
+        .cast("decimal(18,6)")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(nat),
+               F.col("c_nationkey") == nat.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select("n_name", F.round("revenue", 4).alias("revenue"),
+                    "n_items"))
+
+
+Q155_SQL = """
+SELECT n.n_name,
+       round(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l.l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1
+"""
+
+
+# --- q156: TPC-H Q9 shape — brand profit by nation and year -----------------
+def q156_brand_profit_by_nation_year(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Q9 re-keyed (no partsupp in the fixture): discounted revenue of
+    one brand's parts, by supplier nation x order year. The part filter
+    pushes into the part scan BEFORE its join (semi-reduction of the
+    fact), supplier/nation broadcast, and the year derives from
+    o_orderdate post-join. DECIMAL accumulation throughout."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)"))) \
+        .cast("decimal(18,6)")
+    p = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    j = (li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey))
+    return (j.groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(rev).cast("double").alias("profit"))
+            .select("n_name", "o_year",
+                    F.round("profit", 4).alias("profit")))
+
+
+Q156_SQL = """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l.l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --- q157: TPC-H Q10 shape — returned-item top customers --------------------
+def q157_returned_top_customers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q10 re-keyed: the 20 customers losing the most revenue to
+    returns (l_returnflag = 'R'). Global top-k AFTER the aggregation —
+    the reduced per-customer table is top-k'd (TakeOrdered on ~|custs|
+    rows), never the fact; deterministic under ties via the custkey
+    tiebreak. Revenue exact-DECIMAL; the double cast happens after the
+    ordering so the rank is decided on exact values."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)"))) \
+        .cast("decimal(18,6)")
+    per = (li.filter(F.col("l_returnflag") == "R")
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.sum(rev).alias("_rev"),
+                F.count(F.lit(1)).alias("n_returned")))
+    return (per.orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name", "n_returned",
+                    F.round(F.col("_rev").cast("double"), 4)
+                    .alias("lost_revenue")))
+
+
+Q157_SQL = """
+WITH per AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l.l_discount AS DECIMAL(18,4)))
+             AS DECIMAL(18,6))) AS _rev,
+         count(*) AS n_returned
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, n_returned,
+       round(CAST(_rev AS DOUBLE), 4) AS lost_revenue
+FROM per ORDER BY _rev DESC, c_custkey LIMIT 20
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -415,6 +559,9 @@ QUERIES = {
     "q152_gopher_rules": q152_gopher_rules,
     "q153_curriculum_shards": q153_curriculum_shards,
     "q154_span_scrub_stats": q154_span_scrub_stats,
+    "q155_local_supplier_volume": q155_local_supplier_volume,
+    "q156_brand_profit_by_nation_year": q156_brand_profit_by_nation_year,
+    "q157_returned_top_customers": q157_returned_top_customers,
 }
 
 ORACLES = {
@@ -425,4 +572,7 @@ ORACLES = {
     "q152_gopher_rules": Q152_SQL,
     "q153_curriculum_shards": Q153_SQL,
     "q154_span_scrub_stats": Q154_SQL,
+    "q155_local_supplier_volume": Q155_SQL,
+    "q156_brand_profit_by_nation_year": Q156_SQL,
+    "q157_returned_top_customers": Q157_SQL,
 }
