@@ -9,8 +9,9 @@ stop-shingle-pruned scale path q63, so the pruning's cost/benefit carries
 a perf gate), MinHash-LSH, ANN top-k, event-time windows, as-of join,
 the end-to-end corpus build (q58), BM25 ranked retrieval (q97),
 blocked fuzzy record linkage (q99), the keyless banded interval join
-(q119), the agg-first HAVING join-back (q121), and the composed
-semantic corpus build (q134).
+(q119), the agg-first HAVING join-back (q121), the composed
+semantic corpus build (q134), the positioned-span duplication audit
+(q154), and the Q5-shape five-table chain (q155).
 
 Isolation: every timed run starts from a cold cache — session-level shared
 plans (plans/llmdata.py) are cleared and spark.catalog.clearCache() drops
@@ -53,6 +54,8 @@ HEADLINE = [
     "q134_corpus_build_semantic",
     "q142_sketch_ndv_rollup",        # sketch partial+union cost class
     "q144_expectations_audit",       # one-scan quality battery cost class
+    "q154_span_scrub_stats",         # positioned-span explode cost class
+    "q155_local_supplier_volume",    # five-table chain cost class
 ]
 
 
