@@ -717,3 +717,80 @@ def standardize_embeddings(df: DataFrame, id_col: str, vec_col: str,
     return (df.join(F.broadcast(packed))
             .withColumn(out_col, z)
             .drop("__means", "__stds"))
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Distributed PCA fit in ONE pass: each Arrow batch contributes
+    (count, sum-vector, Gram matrix) — numpy gemm per batch, the
+    map-side-combinable moments of covariance — and the driver reduces
+    a handful of dim²-float partials (KB-sized for dim ≤ 1k), then
+    eigendecomposes the sample covariance. Returns ``{"mean",
+    "components" (k × dim, rows orthonormal), "explained_variance",
+    "explained_variance_ratio"}`` as plain lists (a frozen broadcastable
+    artifact, the _ivf_centroids discipline). Deterministic: float64
+    accumulation, eigh (symmetric), and each component's
+    largest-|coordinate| flipped positive so BLAS build differences
+    can't flip signs. Cost at 100 TB: one scan, shuffle-free — the
+    partials collapse to #batches rows."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(V.as_double(vec_col).alias("v"))
+    dim = len(src.first()["v"])
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [m.shape[0]],
+                "s": [m.sum(axis=0).tolist()],
+                "g": [(m.T @ m).ravel().tolist()],
+            })
+
+    rows = src.mapInPandas(
+        partials, f"n long, s array<double>, g array<double>").collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit: needs at least 2 vectors")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # k × dim
+    for i in range(comps.shape[0]):             # deterministic signs
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = np.maximum(evals[order], 0.0)
+    total = float(np.maximum(evals, 0.0).sum()) or 1.0
+    return {"mean": mean.tolist(),
+            "components": comps.tolist(),
+            "explained_variance": ev.tolist(),
+            "explained_variance_ratio": (ev / total).tolist()}
+
+
+def pca_transform(df: DataFrame, vec_col: str, model: dict,
+                  out_col: str = "proj") -> DataFrame:
+    """Project onto a fitted PCA basis ENTIRELY JVM-side: the mean and
+    each component ride as array literals, centering is one zip_with,
+    each coordinate one zip_with+aggregate dot — whole-stage codegen,
+    no Python workers on the (100 TB) transform path; only the fit's
+    moment pass uses Arrow batches."""
+    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    centered = F.zip_with(V.as_double(vec_col), mean_lit,
+                          lambda a, b: a - b)
+    coords = [
+        F.aggregate(
+            F.zip_with(centered,
+                       F.array(*[F.lit(float(x)) for x in comp]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for comp in model["components"]
+    ]
+    return df.withColumn(out_col, F.array(*coords))

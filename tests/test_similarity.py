@@ -309,3 +309,53 @@ def test_standardize_embeddings_zscores_each_dim(spark, sf_dir):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed one-pass PCA == numpy's full covariance eig on the
+    same data (components up to the pinned sign convention, variances,
+    projections), and the TRANSFORM path stays JVM-side."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(300, 3)) @ rng.normal(size=(3, 8)) \
+        + rng.normal(scale=0.05, size=(300, 8)) + [5.0] * 8
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>").repartition(4)
+
+    model = pca_fit(df, "embedding", k=3)
+
+    mean = base.mean(axis=0)
+    cov = np.cov(base, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    want_comps = evecs[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(want_comps[i])))
+        if want_comps[i, j] < 0:
+            want_comps[i] = -want_comps[i]
+
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["components"], want_comps, atol=1e-7)
+    assert np.allclose(model["explained_variance"],
+                       np.maximum(evals[order], 0), atol=1e-7)
+    r = model["explained_variance_ratio"]
+    assert r[0] > r[1] > r[2] and sum(r) <= 1.0 + 1e-9
+    # 3 latent dims -> the top-3 basis explains nearly everything
+    assert sum(r) > 0.99
+
+    out = pca_transform(df, "embedding", model)
+    got = {r2.vec_id: np.array(r2.proj) for r2 in out.collect()}
+    want = (base - mean) @ np.array(model["components"]).T
+    for i in range(300):
+        assert np.allclose(got[i], want[i], atol=1e-7)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
