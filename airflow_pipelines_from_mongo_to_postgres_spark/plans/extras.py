@@ -551,6 +551,86 @@ FROM per ORDER BY _rev DESC, c_custkey LIMIT 20
 """
 
 
+# --- q158: quantity-weighted median price per return flag -------------------
+def q158_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (not a sketch): per return flag, the
+    smallest extended price whose cumulative quantity weight reaches
+    half the total. Prices pre-aggregate per (flag, price) so the
+    cumulative window's ORDER BY key is unique; weights are exact
+    decimals; the half-total threshold compares identical decimal
+    operands on both engines. One shuffle + one partitioned window —
+    the lower-percentile generalization a trainer's loss-weighting
+    audit needs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per = (li.groupBy("l_returnflag",
+                      F.col("l_extendedprice").alias("price"))
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .alias("w")))
+    wc = Window.partitionBy("l_returnflag").orderBy("price")
+    tot = per.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    cum = (per.withColumn("cw", F.sum("w").over(wc))
+           .join(F.broadcast(tot), "l_returnflag")
+           .filter(F.col("cw") * 2 >= F.col("tw")))
+    return (cum.groupBy("l_returnflag")
+            .agg(F.min("price").alias("weighted_median_price"),
+                 F.max(F.col("tw").cast("double")).alias("total_weight")))
+
+
+Q158_SQL = """
+WITH per AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, price, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM per
+)
+SELECT l_returnflag,
+       min(price) AS weighted_median_price,
+       max(CAST(tw AS DOUBLE)) AS total_weight
+FROM cum WHERE cw * 2 >= tw GROUP BY 1
+"""
+
+
+# --- q159: modal order priority per status (deterministic ties) -------------
+def q159_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a pinned tiebreak: the most frequent
+    o_orderpriority within each order status; equal counts resolve to
+    the lexicographically smallest value (max_by over a (count, 
+    reversed-tiebreak) struct would be opaque — a ranked window over
+    the pre-aggregated (status, priority, n) table is 25 rows and
+    reads as the spec). Two tiny aggregations; the window runs over
+    the REDUCED table."""
+    orders = load_table(spark, "orders", sf_dir)
+    per = (orders.groupBy("o_orderstatus", "o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("o_orderstatus") \
+        .orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    return (per.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("n").alias("n_orders")))
+
+
+Q159_SQL = """
+WITH per AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), rk AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS r
+  FROM per
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       n AS n_orders
+FROM rk WHERE r = 1
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -562,6 +642,8 @@ QUERIES = {
     "q155_local_supplier_volume": q155_local_supplier_volume,
     "q156_brand_profit_by_nation_year": q156_brand_profit_by_nation_year,
     "q157_returned_top_customers": q157_returned_top_customers,
+    "q158_weighted_median": q158_weighted_median,
+    "q159_mode_priority": q159_mode_priority,
 }
 
 ORACLES = {
@@ -575,4 +657,6 @@ ORACLES = {
     "q155_local_supplier_volume": Q155_SQL,
     "q156_brand_profit_by_nation_year": Q156_SQL,
     "q157_returned_top_customers": Q157_SQL,
+    "q158_weighted_median": Q158_SQL,
+    "q159_mode_priority": Q159_SQL,
 }
