@@ -763,3 +763,37 @@ def vacuum(spark: SparkSession, table: str,
         if len(fs.listStatus(sub.getPath())) == 0:
             fs.delete(sub.getPath(), False)
     return sorted(deleted)
+
+
+def snap_clone(spark: SparkSession, src_table: str, dst_table: str,
+               version: int | None = None,
+               note: str | None = None) -> int:
+    """Byte-level snapshot clone: copy EXACTLY the files the chosen
+    snapshot references (data files + merge-on-read delete keys, same
+    relative names so stats keys carry unchanged) into a fresh table
+    directory and commit them as its v1 — the backup / environment-
+    promotion primitive (prod table → staging clone, divergent
+    histories from then on; a later vacuum of the source cannot touch
+    the clone). The copy loop is driver-side over the manifest's file
+    LIST (names, not data — the bytes move FS-to-FS via FileUtil.copy);
+    for a 10^6-file table distribute the copy with a files-list job and
+    commit the same manifest afterwards, same contract."""
+    m = read_manifest(spark, src_table, version)
+    if current_version(spark, dst_table) != 0:
+        raise ValueError(f"snap_clone: {dst_table} is not empty")
+    fs, jvm = _jvm_fs(spark, src_table)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    Path = jvm.org.apache.hadoop.fs.Path
+    dfs = Path(dst_table).getFileSystem(conf)
+    to_copy = list(m["files"]) + [d["file"] for d in m.get("deletes", [])]
+    for rel in to_copy:
+        src_p, dst_p = Path(f"{src_table}/{rel}"), Path(f"{dst_table}/{rel}")
+        dfs.mkdirs(dst_p.getParent())
+        if not FileUtil.copy(fs, src_p, dfs, dst_p, False, True, conf):
+            raise IOError(f"snap_clone: copy failed for {rel}")
+    return _commit(
+        spark, dst_table, list(m["files"]),
+        note or f"clone of {src_table}@v{m['version']}",
+        expected_parent=0, stats=m.get("stats"),
+        deletes=m.get("deletes"))

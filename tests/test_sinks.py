@@ -1231,3 +1231,45 @@ def test_snap_value_set_stats_prune_categoricals(spark, tmp_path):
     st = next(iter(S.read_manifest(spark, t2)["stats"].values()))
     assert "values" not in st["cols"]["ty"]
     assert st["cols"]["ty"]["min"] == "k000"
+
+
+def test_snap_clone_is_independent_byte_copy(spark, tmp_path):
+    """snap_clone: the clone reads identically to the source snapshot
+    (including pending merge-on-read deletes), histories diverge from
+    then on, and vacuuming the source cannot break the clone."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    src = str(tmp_path / "srctab")
+    S.snap_append(spark, src, spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int").coalesce(1),
+        stat_cols=("v",))
+    S.snap_delete_keys(spark, src, spark.createDataFrame(
+        [("b",)], "k string"), ["k"])
+
+    dst = str(tmp_path / "clonetab")
+    assert S.snap_clone(spark, src, dst) == 1
+
+    def rows(t, **kw):
+        return sorted((r.k, r.v) for r in
+                      S.read_snapshot(spark, t, **kw).collect())
+
+    assert rows(dst) == [("a", 1), ("c", 3)]          # deletes carried
+    # stats carried -> pruning works on the clone
+    assert S.prune_files(S.read_manifest(spark, dst), [("v", ">", 99)]) == []
+
+    # divergence: append to the clone, source unchanged
+    S.snap_append(spark, dst, spark.createDataFrame(
+        [("d", 4)], "k string, v int"))
+    assert rows(dst) == [("a", 1), ("c", 3), ("d", 4)]
+    assert rows(src) == [("a", 1), ("c", 3)]
+
+    # compact + vacuum the SOURCE to fresh files; clone still reads
+    S.snap_compact(spark, src, target_files=1)
+    S.vacuum(spark, src, keep_versions=1, retention_ms=0)
+    assert rows(dst) == [("a", 1), ("c", 3), ("d", 4)]
+
+    import pytest
+    with pytest.raises(ValueError, match="not empty"):
+        S.snap_clone(spark, src, dst)
