@@ -1219,6 +1219,65 @@ def mp4_sample_spans(p: bytes) -> list:
     return out
 
 
+def mp4_sample_times(p: bytes) -> list:
+    """Per-sample decode timestamps in MILLISECONDS for the first
+    'vide' track of an ISO-BMFF payload — ``stts`` run-length decode
+    deltas scaled by ``mdhd``'s timescale (v0 and v1 layouts), aligned
+    with ``mp4_sample_spans`` order. A video-training pipeline samples
+    frames BY TIME (every N seconds), not by index; this is the timing
+    side of the stbl walk. Hostile counts clamp to what the box holds;
+    missing boxes yield []."""
+    out: list = []
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return out
+    moov = _bmff_find(p, 0, len(p), b"moov")
+    if moov is None:
+        return out
+
+    def u32(at: int) -> int:
+        return int.from_bytes(p[at:at + 4], "big")
+
+    for four, t_lo, t_hi in _bmff_boxes(p, moov[0], moov[1]):
+        if four != b"trak":
+            continue
+        mdia = _bmff_find(p, t_lo, t_hi, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _bmff_find(p, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or hdlr[1] - hdlr[0] < 12 \
+                or p[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _bmff_find(p, mdia[0], mdia[1], b"mdhd")
+        if mdhd is None or mdhd[1] - mdhd[0] < 16:
+            continue
+        ver = p[mdhd[0]]
+        ts_off = mdhd[0] + (20 if ver == 1 else 12)
+        if ts_off + 4 > mdhd[1]:
+            continue
+        timescale = u32(ts_off)
+        if timescale <= 0:
+            continue
+        minf = _bmff_find(p, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _bmff_find(p, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stts = _bmff_find(p, stbl[0], stbl[1], b"stts")
+        if stts is None or stts[1] - stts[0] < 8:
+            continue
+        s0 = stts[0]
+        nrun = min(u32(s0 + 4), (stts[1] - s0 - 8) // 8)
+        t = 0
+        for i in range(nrun):
+            cnt = min(u32(s0 + 8 + 8 * i), len(p))
+            delta = u32(s0 + 12 + 8 * i)
+            for _ in range(cnt):
+                out.append((t * 1000) // timescale)
+                t += delta
+    return out
+
+
 def _bmp_encode(rgb: bytes, w: int, h: int) -> bytes:
     """Pack top-down RGB pixels as a minimal uncompressed BMP — the
     cheapest SELF-CONTAINED frame container (every emitted frame stays

@@ -1359,10 +1359,15 @@ def _pack_mjpeg_mp4(frames, *, co64=False, chunking=((1, 3), (2, 2))):
     else:
         stco = _box(b"stco", b"\x00" * 4 + struct.pack(">I", len(offs))
                     + b"".join(struct.pack(">I", o) for o in offs))
-    stbl = _box(b"stbl", stsz + stsc + stco)
+    # stts: all samples at a fixed 100-tick delta, timescale 1000
+    stts = _box(b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+                + struct.pack(">II", len(frames), 100))
+    stbl = _box(b"stbl", stsz + stsc + stco + stts)
     minf = _box(b"minf", stbl)
     hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
-    mdia = _box(b"mdia", hdlr + minf)
+    mdhd = _box(b"mdhd", b"\x00" * 4 + struct.pack(">IIIIHH", 0, 0,
+                                                    1000, 0, 0, 0))
+    mdia = _box(b"mdia", hdlr + mdhd + minf)
     trak = _box(b"trak", mdia)
     mv = b"\x00" * 4 + __import__("struct").pack(">IIII", 1, 2, 600, 1200) \
         + b"\x00" * 80
@@ -1540,3 +1545,22 @@ def test_audio_header_flac_mp3_ogg(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_mp4_sample_times_from_stts():
+    """stts run-length deltas x mdhd timescale -> per-sample ms,
+    aligned with the span order; truncation yields []."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        mp4_sample_spans,
+        mp4_sample_times,
+    )
+
+    frames = [b"\xff\xd8" + bytes([i]) * 10 + b"\xff\xd9"
+              for i in range(4)]
+    mp4 = _pack_mjpeg_mp4(frames)
+    times = mp4_sample_times(mp4)
+    # timescale 1000, delta 100 ticks -> 100 ms per frame
+    assert times == [0, 100, 200, 300]
+    assert len(times) == len(mp4_sample_spans(mp4))
+    assert mp4_sample_times(mp4[:40]) == []
+    assert mp4_sample_times(b"\x00\x00\x00\x0cftypJUNK") == []
