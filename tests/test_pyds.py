@@ -1,0 +1,133 @@
+"""Spark 4 Python DataSource bindings (sources/pyds.py): batch
+``snaptable`` reads match the native snapshot reader (time travel,
+merge-on-read deletes included), pushed filters prune file partitions
+at planning time while staying residual-exact, and the ``snapfeed``
+stream delivers appended rows exactly once with Spark-checkpointed
+version offsets."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_pipelines_from_mongo_to_postgres_spark.sources import pyds
+from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+
+@pytest.fixture()
+def registered(spark):
+    pyds.register_python_sources(spark)
+    return spark
+
+
+def _rows(df, cols=("k", "v")):
+    return sorted((tuple(r[c] for c in cols)) for r in df.collect())
+
+
+def test_snaptable_reads_match_native_reader(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tab")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("c", 3)], "k string, v int"))
+
+    got = spark.read.format("snaptable").load(t)
+    assert got.schema == S.read_snapshot(spark, t).schema
+    assert _rows(got) == _rows(S.read_snapshot(spark, t))
+    # time travel via option
+    v1 = spark.read.format("snaptable").option("version", 1).load(t)
+    assert _rows(v1) == [("a", 1), ("b", 2)]
+
+
+def test_snaptable_applies_equality_deletes(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tab")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"))
+    S.snap_delete_keys(spark, t,
+                       spark.createDataFrame([("b",)], "k string"), ["k"])
+    got = spark.read.format("snaptable").load(t)
+    assert _rows(got) == [("a", 1), ("c", 3)]
+    assert _rows(got) == _rows(S.read_snapshot(spark, t))
+
+
+def test_snaptable_filter_pushdown_prunes_partitions(registered, tmp_path):
+    """Planning-time proof: with per-file stats in the manifest, the
+    reader's partitions() drops files a pushed range/equality filter
+    excludes — and the query result is still exact because every filter
+    is returned residual."""
+    spark = registered
+    t = str(tmp_path / "tab")
+    for lo in (0, 100, 200):
+        S.snap_append(
+            spark, t,
+            spark.createDataFrame([(lo + i, f"s{lo}") for i in range(10)],
+                                  "v int, src string").coalesce(1),
+            stat_cols=("v",), value_cols=("src",))
+
+    # unit level: reader sees 1 of 3 files for v >= 200
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    r = pyds._SnapTableReader(
+        spark.read.format("snaptable").load(t).schema, {"path": t})
+    assert len(r.partitions()) == 3
+    residual = list(r.pushFilters([GreaterThanOrEqual(("v",), 200)]))
+    assert len(residual) == 1              # everything stays residual
+    assert len(r.partitions()) == 1
+    # categorical value-set pruning through EqualTo on src
+    r2 = pyds._SnapTableReader(
+        spark.read.format("snaptable").load(t).schema, {"path": t})
+    r2.pushFilters([EqualTo(("src",), "s100")])
+    assert len(r2.partitions()) == 1
+
+    # end to end: filtered result exact
+    got = (spark.read.format("snaptable").load(t)
+           .filter("v >= 200 or v < 5"))
+    assert got.count() == 15
+
+
+def test_snapfeed_streams_appends_exactly_once(registered, tmp_path):
+    """The stream's offset is the snapshot version: an availableNow run
+    drains history from startingVersion, a later run from the SAME
+    checkpoint delivers only commits that landed in between, tagged
+    with _commit_version."""
+    spark = registered
+    t = str(tmp_path / "tab")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+
+    def drain():
+        q = (spark.readStream.format("snapfeed")
+             .option("startingVersion", 0).load(t)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain()
+    got1 = _rows(spark.read.parquet(out), ("k", "v", "_commit_version"))
+    assert got1 == [("a", 1, 1), ("b", 2, 1)]
+
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("c", 3)], "k string, v int"))
+    drain()
+    got2 = _rows(spark.read.parquet(out), ("k", "v", "_commit_version"))
+    # exactly-once: no re-delivery of v1's rows
+    assert got2 == [("a", 1, 1), ("b", 2, 1), ("c", 3, 2)]
+
+
+def test_snapfeed_refuses_rewrites(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tab")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1)], "k string, v int"))
+    S.snap_overwrite(spark, t, spark.createDataFrame(
+        [("z", 9)], "k string, v int"))
+    rdr = pyds._SnapFeedStreamReader(
+        spark.read.format("snaptable").load(t).schema,
+        {"path": t, "startingversion": "0"})
+    with pytest.raises(ValueError, match="append-only"):
+        rdr.partitions({"version": 0}, {"version": 2})
