@@ -8,6 +8,7 @@ on both sides (the driver hash-compares by sorted column name).
 
 from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
     analytics,
+    docmodel,
     extras,
     llmdata,
     mergeops,
@@ -18,7 +19,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.plans import (
 )
 
 ALL_PLAN_MODULES = [relational, mergeops, streamsql, temporal, analytics,
-                    llmdata, sketchmaint, extras]
+                    llmdata, sketchmaint, extras, docmodel]
 
 # The driver's per-round correctness sweep runs queries in registry order
 # under a wall-clock budget, so truncation eats the TAIL. The order is
