@@ -48,6 +48,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -59,6 +60,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -236,9 +238,194 @@ class _SnapTableReader(DataSourceReader):
         yield from table.to_batches()
 
 
+# --- write path: task-parallel files, one OCC manifest commit ---------------
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    file: str | None
+    rows: int
+    stats: dict
+
+
+def _py_write_text_atomic(path: str, text: str) -> None:
+    import uuid as _uuid
+
+    p = _local(path)
+    tmp = f"{p}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    os.replace(tmp, p)
+    # the JVM side (snapshots.py) runs on Hadoop's ChecksumFileSystem,
+    # which keeps a .<name>.crc sidecar — overwriting the file from raw
+    # Python leaves a stale checksum that fails the next JVM read
+    crc = os.path.join(os.path.dirname(p),
+                       f".{os.path.basename(p)}.crc")
+    try:
+        os.remove(crc)
+    except FileNotFoundError:
+        pass
+
+
+def _py_write_segment(table: str, files: list, stats: dict) -> str:
+    import uuid as _uuid
+
+    name = f"seg-{_uuid.uuid4().hex}.json"
+    body = {"files": list(files),
+            "stats": {k: v for k, v in (stats or {}).items()
+                      if k in set(files)}}
+    _py_write_text_atomic(f"{table}/_manifests/{name}",
+                          json.dumps(body, indent=1))
+    return name
+
+
+class _SnapTableWriter(DataSourceArrowWriter):
+    """Each task writes ONE immutable parquet file into this commit's
+    unique data/ subdirectory and ships back (name, rows, per-column
+    min/max/null stats computed from the Arrow table — no second pass
+    over the data, unlike the JVM path's stats job). commit() then
+    performs the same manifest protocol as snap_append/snap_overwrite:
+    append commits write one O(delta) segment referenced next to the
+    parent's segments; the version file is created fail-if-exists (the
+    OCC gate) with bounded retries."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        import uuid as _uuid
+
+        self.schema = schema
+        self.table = options["path"].rstrip("/")
+        self.overwrite = overwrite
+        self.sub = f"data/c-{_uuid.uuid4().hex}"
+        sc = options.get("statcols", options.get("statCols", ""))
+        self.stat_cols = tuple(c for c in sc.split(",") if c)
+
+    def _file_stats(self, t) -> dict:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for c in self.stat_cols:
+            if c not in t.column_names:
+                continue
+            arr = t.column(c)
+            nulls = arr.null_count
+            if t.num_rows > nulls:
+                mm = pc.min_max(arr)
+                mn = _stat_py(mm["min"].as_py())
+                mx = _stat_py(mm["max"].as_py())
+            else:
+                mn = mx = None
+            cols[c] = {"min": mn, "max": mx, "nulls": nulls}
+        return {"rows": t.num_rows, "cols": cols}
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WriteMessage(None, 0, {})
+        t = pa.Table.from_batches(batches)
+        name = f"{self.sub}/part-{_uuid.uuid4().hex}.parquet"
+        path = _local(f"{self.table}/{name}")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path)
+        return _WriteMessage(name, t.num_rows,
+                             self._file_stats(t) if self.stat_cols else {})
+
+    def _cleanup(self, messages):
+        for m in messages:
+            if m and m.file:
+                try:
+                    os.remove(_local(f"{self.table}/{m.file}"))
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages):
+        self._cleanup([m for m in messages if m])
+
+    _MAX_SEGMENTS = 64
+
+    def commit(self, messages):
+        files = sorted(m.file for m in messages if m and m.file)
+        stats = {m.file: m.stats for m in messages
+                 if m and m.file and m.stats}
+        if not files and not self.overwrite:
+            return                       # empty append: no-op, no commit
+        os.makedirs(_local(f"{self.table}/_manifests"), exist_ok=True)
+        # the delta segment is immutable and uncontended — write it once;
+        # only the version file retries (mirrors snap_append)
+        new_seg = (None if self.overwrite else
+                   _py_write_segment(self.table, files, stats))
+        last_exc = None
+        for _ in range(5):
+            try:
+                self._commit_once(files, stats, new_seg)
+                return
+            except FileExistsError as exc:   # OCC loser: retry on new head
+                last_exc = exc
+        self._cleanup(messages)
+        raise IOError(
+            f"{self.table}: write lost the commit race 5 times"
+        ) from last_exc
+
+    def _commit_once(self, files: list, stats: dict,
+                     new_seg: str | None) -> None:
+        parent = _py_current_version(self.table)
+        v = parent + 1
+        manifest = {"version": v, "parent": parent or None,
+                    "note": "pyds overwrite" if self.overwrite
+                    else "pyds append"}
+        if self.overwrite:
+            manifest["files"] = files
+            if stats:
+                manifest["stats"] = stats
+        else:
+            raw = ({} if parent == 0 else
+                   json.loads(_py_read_text(
+                       f"{self.table}/_manifests/v{parent:08d}.json") or "{}"))
+            if "segments" in raw:
+                segs = list(raw["segments"])
+            elif raw.get("files"):
+                segs = [_py_write_segment(self.table, raw["files"],
+                                          raw.get("stats", {}))]
+            else:
+                segs = []
+            segs.append(new_seg)
+            if len(segs) > self._MAX_SEGMENTS:
+                merged_files: list = []
+                merged_stats: dict = {}
+                for s in segs:
+                    seg = json.loads(_py_read_text(
+                        f"{self.table}/_manifests/{s}") or "{}")
+                    merged_files += seg.get("files", [])
+                    merged_stats.update(seg.get("stats", {}))
+                segs = [_py_write_segment(self.table, merged_files,
+                                          merged_stats)]
+            manifest["segments"] = segs
+            if raw.get("deletes"):
+                manifest["deletes"] = raw["deletes"]
+        # fail-if-exists create: the OCC gate (mirrors snapshots._commit)
+        mp = _local(f"{self.table}/_manifests/v{v:08d}.json")
+        with open(mp, "x", encoding="utf-8") as fh:
+            fh.write(json.dumps(manifest, indent=1))
+        _py_write_text_atomic(f"{self.table}/_manifests/HEAD", str(v))
+
+
+def _stat_py(v):
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
 class SnapTableDataSource(DataSource):
     """``spark.read.format("snaptable").option("version", n).load(path)``
-    — batch reads of one snapshot, manifest-planned and stats-pruned.
+    — batch reads of one snapshot, manifest-planned and stats-pruned;
+    ``df.write.format("snaptable").mode("append"|"overwrite")
+    .option("statCols", "a,b").save(path)`` — task-parallel immutable
+    files + one OCC manifest commit, interoperable with
+    snap_append/read_snapshot.
 
     Register once per session::
 
@@ -259,6 +446,9 @@ class SnapTableDataSource(DataSource):
 
     def reader(self, schema: StructType):
         return _SnapTableReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SnapTableWriter(schema, self.options, overwrite)
 
 
 # --- streaming change-feed reader -------------------------------------------

@@ -119,6 +119,51 @@ def test_snapfeed_streams_appends_exactly_once(registered, tmp_path):
     assert got2 == [("a", 1, 1), ("b", 2, 1), ("c", 3, 2)]
 
 
+def test_snaptable_writer_interops_with_native_api(registered, tmp_path):
+    """df.write.format('snaptable') commits are real snapshot commits:
+    the native reader sees them, versions stack with JVM-side
+    snap_append commits, and overwrite keeps history (time travel)."""
+    spark = registered
+    t = str(tmp_path / "tab")
+    d = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    d.write.format("snaptable").mode("append").save(t)           # v1
+    assert _rows(S.read_snapshot(spark, t)) == [("a", 1), ("b", 2)]
+    S.snap_append(spark, t, spark.createDataFrame(                # v2 (JVM)
+        [("c", 3)], "k string, v int"))
+    spark.createDataFrame([("d", 4)], "k string, v int") \
+        .write.format("snaptable").mode("append").save(t)         # v3
+    assert _rows(S.read_snapshot(spark, t)) == \
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    assert _rows(spark.read.format("snaptable").load(t)) == \
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+
+    spark.createDataFrame([("z", 9)], "k string, v int") \
+        .write.format("snaptable").mode("overwrite").save(t)      # v4
+    assert _rows(S.read_snapshot(spark, t)) == [("z", 9)]
+    assert _rows(S.read_snapshot(spark, t, version=3)) == \
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+
+
+def test_snaptable_writer_stats_enable_pruning(registered, tmp_path):
+    """statCols stats are computed task-side from the Arrow batches (no
+    extra data pass) and land in the manifest where both the native
+    snap_scan and the DS reader prune on them."""
+    spark = registered
+    t = str(tmp_path / "tab")
+    for lo in (0, 100):
+        (spark.createDataFrame([(lo + i,) for i in range(10)], "v int")
+         .coalesce(1).write.format("snaptable").mode("append")
+         .option("statCols", "v").save(t))
+    m = S.read_manifest(spark, t)
+    assert len(m["files"]) == 2 and len(m["stats"]) == 2
+    assert len(S.prune_files(m, [("v", ">=", 100)])) == 1
+    r = pyds._SnapTableReader(
+        spark.read.format("snaptable").load(t).schema, {"path": t})
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    r.pushFilters([GreaterThanOrEqual(("v",), 100)])
+    assert len(r.partitions()) == 1
+
+
 def test_snapfeed_refuses_rewrites(registered, tmp_path):
     spark = registered
     t = str(tmp_path / "tab")
