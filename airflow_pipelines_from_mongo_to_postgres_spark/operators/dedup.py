@@ -440,7 +440,8 @@ def incremental_jaccard_pairs(old_shingles: DataFrame, new_docs: DataFrame,
 
 def scrub_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                          span_n: int = 5, min_docs: int = 2,
-                         out_col: str = "scrubbed") -> DataFrame:
+                         out_col: str = "scrubbed",
+                         hash_spans: bool = False) -> DataFrame:
     """Exact-substring dedup at SPAN granularity (the Lee et al. 2021
     "Deduplicating Training Data" removal semantics, token-window
     variant): every ``span_n``-token window occurring in >= ``min_docs``
@@ -451,11 +452,20 @@ def scrub_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     n_tokens, covered_tokens).
 
     Scale shape: one explode to the positioned span table, one
-    hash-agg for cross-doc frequencies (at 100 TB: key on
-    xxhash64(span)), one self-join back on span, an interval explode
-    (span_n rows per duplicated span) for coverage, and an order-free
-    rebuild — sort_array over (pos, token) structs inside groupBy, no
-    window, no driver state. The reference has no dedup at all."""
+    hash-agg for cross-doc frequencies, one self-join back on span, an
+    interval explode (span_n rows per duplicated span) for coverage,
+    and an order-free rebuild — sort_array over (pos, token) structs
+    inside groupBy, no window, no driver state. The reference has no
+    dedup at all.
+
+    ``hash_spans=True`` keys the frequency agg and the join-back on
+    ``xxhash64(span)`` instead of the raw span string — the
+    ``jaccard_pairs`` discipline: the shuffle carries 8-byte longs
+    instead of ~span_n·word-length strings and the hash-join compares
+    longs. The trade: a cross-span xxhash64 collision (odds
+    ~|spans|²/2⁶⁵) would wrongly mark a unique span as duplicated and
+    scrub it, so the collision-free exact-string mode stays the
+    default; at 100 TB the hashed mode is the one to run."""
     toks = df.select(F.col(id_col).alias("__id"),
                      F.col(text_col).alias("__text"),
                      T.tokens(text_col).alias("__ts"))
@@ -463,6 +473,10 @@ def scrub_repeated_spans(df: DataFrame, id_col: str, text_col: str,
         "__id",
         F.posexplode(T.ngrams_from_tokens("__ts", span_n))
         .alias("__pos", "__span"))
+    if hash_spans:
+        # every downstream op keys on __span only — hashing here swaps
+        # the shuffle/join payload without touching the plan shape
+        pos_spans = pos_spans.withColumn("__span", F.xxhash64("__span"))
     dup = (pos_spans.groupBy("__span")
            .agg(F.countDistinct("__id").alias("__nd"))
            .filter(F.col("__nd") >= min_docs)

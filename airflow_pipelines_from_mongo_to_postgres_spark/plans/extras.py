@@ -336,7 +336,14 @@ def q154_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 2 documents — the volume span-scrubbing would remove. Positioned
     spans join back to the cross-doc duplicate set, coverage intervals
     explode (5 rows per hit) and dedupe per (doc, position); all counts
-    exact integers. One explode + two hash-aggs + one equi join."""
+    exact integers. One explode + two hash-aggs + one equi join.
+
+    Plan note: this gated query keys the frequency agg and join-back on
+    the raw span STRING so the oracle comparison is collision-free by
+    construction. The production-scale variant is
+    ``operators.dedup.scrub_repeated_spans(hash_spans=True)``, which
+    ships 8-byte ``xxhash64(span)`` keys through the same plan shape
+    (see its docstring for the collision trade)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", "source",

@@ -241,6 +241,38 @@ def test_scrub_repeated_spans_matches_python_reference(spark):
         assert bad not in plan
 
 
+def test_scrub_hash_spans_mode_agrees_with_exact(spark):
+    """hash_spans=True (8-byte xxhash64 shuffle keys, the jaccard_pairs
+    discipline) returns row-identical output to the exact-string default
+    on the fixture, and the hashed plan carries no span strings through
+    the frequency agg (the groupBy key is the long column)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.dedup import (
+        scrub_repeated_spans,
+    )
+
+    boiler = "all rights reserved contact us today"
+    docs = [
+        ("d1", f"alpha beta gamma {boiler} delta epsilon"),
+        ("d2", f"{boiler} zeta eta theta iota kappa"),
+        ("d3", "totally unique text with no shared windows here"),
+        ("d4", boiler),
+        ("d5", "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    exact = {r.doc_id: r.asDict() for r in
+             scrub_repeated_spans(df, "doc_id", "text", span_n=5).collect()}
+    hashed_df = scrub_repeated_spans(df, "doc_id", "text", span_n=5,
+                                     hash_spans=True)
+    hashed = {r.doc_id: r.asDict() for r in hashed_df.collect()}
+    assert hashed == exact
+
+    plan = hashed_df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct"):
+        assert bad not in plan
+
+
 def test_incremental_scrub_matches_full_recompute(spark):
     """Appending a batch rescrubs EXACTLY the affected docs (batch +
     standing carriers of newly-duplicated spans), and their outputs
