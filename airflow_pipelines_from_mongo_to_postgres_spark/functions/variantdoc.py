@@ -134,6 +134,89 @@ def _match_expr(cond: dict) -> Column:
     return out
 
 
+def variant_select(df: DataFrame, doc_col: str, fields: dict,
+                   keep: tuple = ()) -> DataFrame:
+    """Conform a VARIANT document into (possibly NESTED) typed columns
+    in ONE select, rebuilding intermediate structs so downstream dotted
+    references (``F.col("profile.name")``, mongoql's ``$profile.name``)
+    resolve natively.
+
+    ``fields``: ``dotted.path -> spark_type`` (or ``(type, default)``).
+    ``{"a": "bigint", "p.x": "string", "p.y": "double"}`` yields columns
+    ``a: bigint`` and ``p: struct<x:string, y:double>``. Array paths
+    take array types (``"array<struct<q:bigint,r:string>>"``) so an
+    extraction feeds ``explode``/``$unwind`` directly. A path cannot be
+    both a leaf and a parent (``"p"`` + ``"p.x"`` raises). A document
+    MISSING a parent yields a NULL struct, matching a typed schema's
+    reading of a missing subdocument (leaf defaults apply only inside a
+    present parent).
+
+    This differs from ``variant_conform`` (flat out-name -> path spec):
+    here the OUTPUT SHAPE mirrors the document, which is what a Mongo
+    pipeline's field references assume."""
+    tree: dict = {}
+    for path, spec in fields.items():
+        parts = path.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"field path conflict at {p!r} in {path!r}: "
+                    "a leaf cannot also be a parent")
+        if parts[-1] in node:
+            raise ValueError(f"field path conflict: {path!r}")
+        node[parts[-1]] = spec if isinstance(spec, tuple) else (spec,)
+
+    def build(node: dict, prefix: str) -> list[Column]:
+        cols = []
+        for name, sub in node.items():
+            p = f"{prefix}.{name}"
+            if isinstance(sub, dict):
+                # a document without the parent yields a NULL struct
+                # (the typed-schema reading of a missing subdocument),
+                # not a struct of NULLs — struct-translator parity
+                cols.append(F.when(vexists(doc_col, p),
+                                   F.struct(*build(sub, p))).alias(name))
+            else:
+                cols.append(vget(doc_col, p, sub[0],
+                                 sub[1] if len(sub) > 1 else None)
+                            .alias(name))
+        return cols
+
+    return df.select(*[F.col(c) for c in keep], *build(tree, "$"))
+
+
+def variant_pipeline(df: DataFrame, doc_col: str, stages: list,
+                     fields: dict, collections: dict | None = None,
+                     keep_null_docs: bool = False) -> DataFrame:
+    """Run a MongoDB aggregation pipeline ($match/$unwind/$group/
+    computed $project/$addFields/$sort/$limit/$lookup — the full
+    translator surface) against a VARIANT document column with NO
+    declared table schema.
+
+    Two-step plan: (1) ONE select conforms exactly the document paths
+    the pipeline reads — declared in ``fields`` with their types, the
+    same per-access type bracketing every variant read requires — into
+    document-shaped typed columns (``variant_select``); (2) the
+    struct-mode translator (sources/mongoql.py::apply_pipeline) runs
+    unchanged on top, so the whole expression language ($cond/$switch/
+    arithmetic/accumulators) is available over schemaless ingest.
+    Everything stays JVM-side whole-stage codegen: variant byte-walk
+    extraction, then ordinary Column expressions.
+
+    Malformed documents (NULL variants from non-strict ``as_variant``)
+    are quarantine rows, not documents: they are excluded before the
+    pipeline unless ``keep_null_docs=True`` (which surfaces them as
+    all-NULL extractions, Mongo's missing-field behavior)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+    src = df if keep_null_docs else df.filter(F.col(doc_col).isNotNull())
+    return apply_pipeline(variant_select(src, doc_col, fields), stages,
+                          collections)
+
+
 def variant_match(df: DataFrame, doc_col: str, cond: dict) -> DataFrame:
     """Mongo ``$match`` against a VARIANT document column — dotted
     paths, comparison ops, ``$in``/``$exists``/``$and``/``$or``, with

@@ -21,6 +21,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import 
     as_variant,
     variant_conform,
     variant_match,
+    variant_pipeline,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
     load_table,
@@ -148,14 +149,73 @@ GROUP BY 1
 """
 
 
+def q163_variant_unwind_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mongoql pipeline over VARIANT docs with NO declared table
+    schema: orders re-shaped as nested documents with an embedded
+    ``items`` array (the Mongo order-with-lineitems shape), then
+    $match → $unwind → computed $addFields ($multiply) → $group with
+    $sum/$max accumulators, all via
+    ``functions.variantdoc.variant_pipeline``. The plan is one
+    variant-path select (typed per-access, whole-stage codegen) feeding
+    the struct-mode translator — no Python, no second parse.
+
+    The oracle computes the same aggregate straight from the base
+    tables, so equal hashes prove the document round trip (JSON encode
+    → binary variant → array<struct> cast → explode → expression
+    language) is lossless end-to-end."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_list(
+        F.struct(F.col("l_linenumber").alias("ln"),
+                 F.col("l_quantity").cast("bigint").alias("qty"),
+                 F.col("l_returnflag").alias("rf")))).alias("items"))
+    doc = F.to_json(F.struct(F.col("o_orderkey").alias("_id"),
+                             F.col("o_orderstatus").alias("status"),
+                             F.col("items")))
+    docs = (o.join(items.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey", "left")
+            .select(as_variant(doc).alias("doc")))
+    out = variant_pipeline(docs, "doc", [
+        {"$match": {"status": {"$in": ["F", "O"]}}},
+        {"$unwind": "$items"},
+        {"$addFields": {"qty2": {"$multiply": ["$items.qty", 2]}}},
+        {"$group": {"_id": "$items.rf",
+                    "n": {"$sum": 1},
+                    "qty_sum": {"$sum": "$items.qty"},
+                    "qty2_sum": {"$sum": "$qty2"},
+                    "max_order": {"$max": "$_id"}}},
+    ], fields={
+        "_id": "bigint",
+        "status": "string",
+        "items": "array<struct<ln:int,qty:bigint,rf:string>>",
+    })
+    return out.select(F.col("_id").alias("rf"), "n", "qty_sum",
+                      "qty2_sum", "max_order")
+
+
+Q163_SQL = """
+SELECT l_returnflag AS rf,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(sum(CAST(l_quantity AS BIGINT) * 2) AS BIGINT) AS qty2_sum,
+       max(l_orderkey) AS max_order
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q160_variant_docs_conform": q160_variant_docs_conform,
     "q161_variant_match_filter": q161_variant_match_filter,
     "q162_variant_props_metrics": q162_variant_props_metrics,
+    "q163_variant_unwind_group": q163_variant_unwind_group,
 }
 
 ORACLES = {
     "q160_variant_docs_conform": Q160_SQL,
     "q161_variant_match_filter": Q161_SQL,
     "q162_variant_props_metrics": Q162_SQL,
+    "q163_variant_unwind_group": Q163_SQL,
 }

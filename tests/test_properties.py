@@ -7,6 +7,7 @@ Strategy sizes are kept small (Spark job per example is the cost driver);
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -299,6 +300,94 @@ def test_mongoql_random_pipelines_never_crash_outside_contract(spark, stages):
         apply_pipeline(df, stages).collect()
     except (ValueError, AnalysisException):
         pass
+
+
+# variant-mode pipeline parity: stage set restricted to order-insensitive
+# stages (no $sort/$limit/$skip) so multiset comparison is well-defined,
+# and no $exists (struct-mode brackets it against the DECLARED schema,
+# variant-mode per-row presence — both documented, intentionally different
+# on absent-vs-null fields)
+_vp_stage = st.one_of(
+    st.builds(lambda v: {"$match": {"a": {"$gte": v}}}, st.integers(-5, 5)),
+    st.builds(lambda v: {"$match": {"nest.x": {"$lt": v}}},
+              st.integers(-2, 9)),
+    st.builds(lambda v, w: {"$match": {"$or": [{"a": v}, {"b": w}]}},
+              st.integers(-5, 5), st.sampled_from(["x", "y", "z"])),
+    st.just({"$unwind": "$arr"}),
+    st.just({"$unwind": {"path": "$arr",
+                         "preserveNullAndEmptyArrays": True}}),
+    st.builds(lambda f, op, v: {"$addFields": {f: {op: ["$a", v]}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["$add", "$subtract", "$multiply"]),
+              st.integers(-3, 3)),
+    st.builds(lambda f: {"$addFields": {f: {"$ifNull": ["$b", "zz"]}}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda f, s: {"$addFields": {f: {"$concat": ["$b", s]}}},
+              st.sampled_from(["c", "d"]), st.sampled_from(["", "q"])),
+    st.builds(lambda f: {"$project": {f: 1, "a": 1}},
+              st.sampled_from(["b", "nest.x"])),
+    st.builds(lambda k, op: {"$group": {"_id": f"${k}", "out": {op: "$a"},
+                                        "n": {"$sum": 1}}},
+              st.sampled_from(["b", "nest.x"]),
+              st.sampled_from(["$sum", "$min", "$max", "$avg"])),
+)
+
+_vp_row = st.tuples(
+    st.integers(-5, 9),
+    st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+    st.one_of(st.none(), st.lists(st.integers(-3, 3), max_size=3)),
+    st.one_of(st.none(), st.tuples(st.integers(-2, 9))),
+)
+
+
+@given(rows=st.lists(_vp_row, min_size=1, max_size=6),
+       stages=st.lists(_vp_stage, min_size=1, max_size=3))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_variant_pipeline_matches_struct_translator(spark, rows, stages):
+    """variant_pipeline (schemaless: JSON -> binary variant ->
+    variant_select -> translator) returns the same multiset of rows as
+    apply_pipeline over the original TYPED DataFrame, for any
+    composition of supported stages — or both fail with the declared
+    error classes. This is the round-trip property: JSON encode +
+    variant path extraction is lossless for every value the pipeline
+    can observe."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import (
+        variant_pipeline,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        rows, "a bigint, b string, arr array<bigint>, nest struct<x:bigint>")
+    try:
+        want = apply_pipeline(df, stages).collect()
+    except (ValueError, AnalysisException):
+        with pytest.raises((ValueError, AnalysisException)):
+            variant_pipeline(
+                df.select(F.try_parse_json(
+                    F.to_json(F.struct("a", "b", "arr", "nest"))).alias("doc")),
+                "doc", stages,
+                fields={"a": "bigint", "b": "string",
+                        "arr": "array<bigint>", "nest.x": "bigint"}).collect()
+        return
+    docs = df.select(F.try_parse_json(
+        F.to_json(F.struct("a", "b", "arr", "nest"))).alias("doc"))
+    got = variant_pipeline(
+        docs, "doc", stages,
+        fields={"a": "bigint", "b": "string",
+                "arr": "array<bigint>", "nest.x": "bigint"}).collect()
+
+    def canon(batch):
+        return sorted(sorted((k, repr(v)) for k, v in r.asDict(True).items())
+                      for r in batch)
+
+    assert canon(got) == canon(want)
 
 
 _cdc_op = st.tuples(st.sampled_from("IUD"), st.integers(1, 6),

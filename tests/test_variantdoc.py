@@ -91,3 +91,65 @@ def test_variant_plan_is_python_free(docs):
         {"uid": ("$._id", "string")})
     plan = flat._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_variant_select_rebuilds_document_shape(spark):
+    """variant_select turns dotted paths into NESTED typed columns
+    (struct rebuild) so mongoql-style dotted refs resolve, applies
+    defaults, and rejects leaf/parent path conflicts."""
+    docs = spark.createDataFrame(
+        [('{"a": 4, "p": {"x": "hi", "y": 2.5}, "tags": ["t2", "t1"]}',),
+         ('{"a": 9}',)], "j string") \
+        .select(V.as_variant("j").alias("doc"))
+    out = V.variant_select(docs, "doc", {
+        "a": "bigint",
+        "p.x": ("string", "none"),
+        "p.y": "double",
+        "tags": "array<string>",
+    })
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "a:bigint", "p:struct<x:string,y:double>", "tags:array<string>"]
+    r1, r2 = out.orderBy("a").collect()
+    assert r1.a == 4 and r1.p.x == "hi" and r1.p.y == 2.5 \
+        and r1.tags == ["t2", "t1"]
+    # missing PARENT -> NULL struct (typed-schema reading of a missing
+    # subdocument); leaf defaults apply only within a present parent
+    assert r2.a == 9 and r2.p is None and r2.tags is None
+
+    with pytest.raises(ValueError, match="conflict"):
+        V.variant_select(docs, "doc", {"p": "string", "p.x": "string"})
+
+
+def test_variant_pipeline_unwind_group_and_quarantine(spark):
+    """Full mongoql pipeline over variant docs: $match -> $unwind ->
+    computed $addFields -> $group, with a malformed document excluded
+    (quarantine) rather than polluting the aggregate."""
+    raw = [
+        '{"_id": 1, "status": "F", "items": [{"q": 2, "r": "A"}, {"q": 3, "r": "B"}]}',
+        '{"_id": 2, "status": "O", "items": [{"q": 5, "r": "A"}]}',
+        '{"_id": 3, "status": "X", "items": [{"q": 7, "r": "A"}]}',
+        '{"_id": 4, "status": "F"}',
+        'garbage {{{',
+    ]
+    docs = spark.createDataFrame([(d,) for d in raw], "j string") \
+        .select(V.as_variant("j").alias("doc"))
+    out = V.variant_pipeline(docs, "doc", [
+        {"$match": {"status": {"$in": ["F", "O"]}}},
+        {"$unwind": "$items"},
+        {"$addFields": {"q2": {"$multiply": ["$items.q", 10]}}},
+        {"$group": {"_id": "$items.r", "n": {"$sum": 1},
+                    "qs": {"$sum": "$items.q"},
+                    "q2s": {"$sum": "$q2"},
+                    "mx": {"$max": "$_id"}}},
+    ], fields={
+        "_id": "bigint", "status": "string",
+        "items": "array<struct<q:bigint,r:string>>",
+    })
+    rows = {r["_id"]: r for r in out.collect()}
+    assert set(rows) == {"A", "B"}
+    assert rows["A"].n == 2 and rows["A"].qs == 7 \
+        and rows["A"].q2s == 70 and rows["A"].mx == 2
+    assert rows["B"].n == 1 and rows["B"].qs == 3 and rows["B"].mx == 1
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
