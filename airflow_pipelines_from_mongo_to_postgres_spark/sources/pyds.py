@@ -33,11 +33,15 @@ Scale notes (the 100-TB view):
   appended in ``(start, end]`` — immutable by construction), the same
   exactly-once argument as the change feed (``snap_changes``).
 
-Manifest I/O here is plain-``open()`` Python (driver AND executors run
-outside any SparkSession — a DataSource cannot use the JVM FS), so this
-binding supports ``file:`` / local paths, which is also what the test
-lake uses. On an object store, swap ``_py_read_text`` for an fsspec
-open — the format itself (sources/snapshots.py) is scheme-agnostic.
+Manifest and parquet I/O here runs in plain Python processes (driver
+AND executors run outside any SparkSession — a DataSource cannot use
+the JVM FS), routed through a small picklable io object per path
+scheme: local / ``file:`` paths take the plain-``open`` fast path,
+``scheme://`` paths route through fsspec (``_FsspecIO`` — s3/gs/az/...
+with the scheme's backend installed), and ``mock://`` (with a
+``mockroot`` option) is a disk-backed test double that exercises the
+identical non-local code path where fsspec isn't available. The format
+itself (sources/snapshots.py) is scheme-agnostic.
 """
 
 from __future__ import annotations
@@ -69,44 +73,208 @@ from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
 )
 
 
-# --- pure-Python manifest resolution (no SparkSession available) ------------
+# --- pluggable filesystem I/O (no SparkSession / JVM FS available) ----------
+# A DataSource's reader/writer runs in plain Python worker processes, so
+# every byte of manifest + parquet I/O goes through one of these small,
+# PICKLABLE io objects (the instance ships to executors with the
+# reader/writer): local paths take the plain-open fast path, any
+# ``scheme://`` path routes through fsspec, and the ``mock://`` scheme
+# (activated by a ``mockroot`` option) is a disk-backed stand-in that
+# exercises the exact non-local code path in environments without fsspec.
 def _local(p: str) -> str:
     if p.startswith("file://"):
         return p[len("file://"):]
     if p.startswith("file:"):
         return p[len("file:"):]
-    if "://" in p:
-        raise NotImplementedError(
-            f"snaptable python datasource reads file:/local paths; got {p!r}"
-            " (plug an fsspec open into _py_read_text for object stores)")
     return p
 
 
-def _py_read_text(path: str) -> str | None:
-    try:
-        with open(_local(path), encoding="utf-8") as fh:
-            return fh.read()
-    except FileNotFoundError:
-        return None
+class _LocalIO:
+    """Plain-``open`` I/O for local / ``file:`` paths."""
+
+    def resolve(self, p: str) -> str:
+        return _local(p)
+
+    def read_text(self, path: str) -> str | None:
+        try:
+            with open(self.resolve(path), encoding="utf-8") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self.resolve(path))
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        import uuid as _uuid
+
+        p = self.resolve(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        os.replace(tmp, p)
+        # the JVM side (snapshots.py) runs on Hadoop's ChecksumFileSystem,
+        # which keeps a .<name>.crc sidecar — overwriting the file from raw
+        # Python leaves a stale checksum that fails the next JVM read
+        crc = os.path.join(os.path.dirname(p),
+                           f".{os.path.basename(p)}.crc")
+        try:
+            os.remove(crc)
+        except FileNotFoundError:
+            pass
+
+    def create_text_exclusive(self, path: str, text: str) -> None:
+        """Fail-if-exists create — the OCC commit gate."""
+        p = self.resolve(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "x", encoding="utf-8") as fh:
+            fh.write(text)
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(self.resolve(path))
+        except FileNotFoundError:
+            pass
+
+    def parquet_read(self, path: str, columns=None):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(self.resolve(path), columns=columns)
+
+    def parquet_read_schema(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.read_schema(self.resolve(path))
+
+    def parquet_write(self, path: str, table) -> None:
+        import pyarrow.parquet as pq
+
+        p = self.resolve(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(table, p)
 
 
-def _py_current_version(table: str) -> int:
-    head = _py_read_text(f"{table}/_manifests/HEAD")
+class _MockIO(_LocalIO):
+    """``mock://bucket/...`` mapped onto a local root directory: a test
+    double for the non-local-scheme route (scheme parsing, io-object
+    pickling to executors, every read/write through the seam) that runs
+    where fsspec isn't installed. Production object-store schemes take
+    ``_FsspecIO``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def resolve(self, p: str) -> str:
+        rest = p.split("://", 1)[1] if "://" in p else p
+        return os.path.join(self.root, rest)
+
+
+class _FsspecIO:
+    """Object-store I/O via fsspec (``s3://``, ``gs://``, ``az://``,
+    ``memory://``, ...). Only the scheme travels to executors; the
+    filesystem handle is constructed lazily per process. Text writes are
+    single whole-object puts (atomic per object on every object store —
+    the local tmp+rename dance is a POSIX idiom, not needed here).
+    The OCC gate uses mode ``"x"``; a backend without conditional
+    create (plain S3 before If-None-Match puts) degrades to
+    last-writer-wins and should front commits with an external lock."""
+
+    def __init__(self, scheme: str):
+        self.scheme = scheme
+        self._fs = None
+
+    def __getstate__(self):
+        return {"scheme": self.scheme}
+
+    def __setstate__(self, state):
+        self.scheme = state["scheme"]
+        self._fs = None
+
+    @property
+    def fs(self):
+        if self._fs is None:
+            try:
+                import fsspec
+            except ImportError as exc:
+                raise NotImplementedError(
+                    f"snaptable on {self.scheme}:// paths needs fsspec "
+                    "(pip install fsspec + the scheme's backend)") from exc
+            self._fs = fsspec.filesystem(self.scheme)
+        return self._fs
+
+    def read_text(self, path: str) -> str | None:
+        try:
+            with self.fs.open(path, "r", encoding="utf-8") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(path)
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        with self.fs.open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+
+    def create_text_exclusive(self, path: str, text: str) -> None:
+        with self.fs.open(path, "x", encoding="utf-8") as fh:
+            fh.write(text)
+
+    def remove(self, path: str) -> None:
+        try:
+            self.fs.rm_file(path)
+        except FileNotFoundError:
+            pass
+
+    def parquet_read(self, path: str, columns=None):
+        import pyarrow.parquet as pq
+
+        with self.fs.open(path, "rb") as fh:
+            return pq.read_table(fh, columns=columns)
+
+    def parquet_read_schema(self, path: str):
+        import pyarrow.parquet as pq
+
+        with self.fs.open(path, "rb") as fh:
+            return pq.read_schema(fh)
+
+    def parquet_write(self, path: str, table) -> None:
+        import pyarrow.parquet as pq
+
+        with self.fs.open(path, "wb") as fh:
+            pq.write_table(table, fh)
+
+
+def _io_for(path: str, options=None):
+    scheme = path.split("://", 1)[0] if "://" in path else None
+    if scheme in (None, "file"):
+        return _LocalIO()
+    if scheme == "mock":
+        root = (options or {}).get("mockroot", (options or {}).get("mockRoot"))
+        if not root:
+            raise NotImplementedError(
+                "mock:// paths need .option('mockroot', <local dir>)")
+        return _MockIO(root)
+    return _FsspecIO(scheme)
+
+
+def _py_current_version(io, table: str) -> int:
+    head = io.read_text(f"{table}/_manifests/HEAD")
     v = int(head.strip()) if head else 0
     # self-healing forward probe, mirroring snapshots.current_version
-    while os.path.exists(
-            _local(f"{table}/_manifests/v{v + 1:08d}.json")):
+    while io.exists(f"{table}/_manifests/v{v + 1:08d}.json"):
         v += 1
     return v
 
 
-def _py_read_manifest(table: str, version: int | None = None) -> dict:
+def _py_read_manifest(io, table: str, version: int | None = None) -> dict:
     """Resolved manifest (full files list + merged stats), pure Python —
     the same resolution as snapshots.read_manifest."""
-    v = _py_current_version(table) if version is None else int(version)
+    v = _py_current_version(io, table) if version is None else int(version)
     if v == 0:
         return {"version": 0, "files": [], "parent": None}
-    text = _py_read_text(f"{table}/_manifests/v{v:08d}.json")
+    text = io.read_text(f"{table}/_manifests/v{v:08d}.json")
     if text is None:
         raise FileNotFoundError(f"no snapshot v{v} at {table}")
     m = json.loads(text)
@@ -115,7 +283,7 @@ def _py_read_manifest(table: str, version: int | None = None) -> dict:
     files: list = []
     stats: dict = {}
     for name in m["segments"]:
-        seg = json.loads(_py_read_text(f"{table}/_manifests/{name}") or "{}")
+        seg = json.loads(io.read_text(f"{table}/_manifests/{name}") or "{}")
         files += seg.get("files", [])
         stats.update(seg.get("stats", {}))
     out = dict(m)
@@ -125,14 +293,12 @@ def _py_read_manifest(table: str, version: int | None = None) -> dict:
     return out
 
 
-def _arrow_schema_of(table: str, manifest: dict):
-    import pyarrow.parquet as pq
-
+def _arrow_schema_of(io, table: str, manifest: dict):
     if not manifest["files"]:
         raise ValueError(
             f"snaptable: {table} is empty at v{manifest['version']} — "
             "pass an explicit .schema(...)")
-    return pq.read_schema(_local(f"{table}/{manifest['files'][0]}"))
+    return io.parquet_read_schema(f"{table}/{manifest['files'][0]}")
 
 
 @dataclass
@@ -187,8 +353,9 @@ class _SnapTableReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.table = options["path"].rstrip("/")
+        self.io = _io_for(self.table, options)
         v = options.get("version")
-        self.manifest = _py_read_manifest(self.table,
+        self.manifest = _py_read_manifest(self.io, self.table,
                                           None if v is None else int(v))
         self.preds: list = []
         self.ins: list = []
@@ -206,26 +373,23 @@ class _SnapTableReader(DataSourceReader):
     def _delete_keys(self):
         """{(key cols): set of key tuples} from the snapshot's
         merge-on-read delete files — key-sized by contract."""
-        import pyarrow.parquet as pq
-
         groups: dict = {}
         for d in self.manifest.get("deletes") or []:
             cols = tuple(d["cols"])
-            t = pq.read_table(_local(f"{self.table}/{d['file']}"),
-                              columns=list(cols))
+            t = self.io.parquet_read(f"{self.table}/{d['file']}",
+                                     columns=list(cols))
             groups.setdefault(cols, set()).update(
                 zip(*[t.column(c).to_pylist() for c in cols]))
         return groups
 
     def read(self, partition):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema)
         names = [f.name for f in target]
-        table = pq.read_table(
-            _local(f"{self.table}/{partition.file}"), columns=names)
+        table = self.io.parquet_read(f"{self.table}/{partition.file}",
+                                     columns=names)
         dels = self._delete_keys()
         for cols, keys in dels.items():
             if not set(cols) <= set(table.column_names):
@@ -246,34 +410,15 @@ class _WriteMessage(WriterCommitMessage):
     stats: dict
 
 
-def _py_write_text_atomic(path: str, text: str) -> None:
-    import uuid as _uuid
-
-    p = _local(path)
-    tmp = f"{p}.tmp-{_uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(text)
-    os.replace(tmp, p)
-    # the JVM side (snapshots.py) runs on Hadoop's ChecksumFileSystem,
-    # which keeps a .<name>.crc sidecar — overwriting the file from raw
-    # Python leaves a stale checksum that fails the next JVM read
-    crc = os.path.join(os.path.dirname(p),
-                       f".{os.path.basename(p)}.crc")
-    try:
-        os.remove(crc)
-    except FileNotFoundError:
-        pass
-
-
-def _py_write_segment(table: str, files: list, stats: dict) -> str:
+def _py_write_segment(io, table: str, files: list, stats: dict) -> str:
     import uuid as _uuid
 
     name = f"seg-{_uuid.uuid4().hex}.json"
     body = {"files": list(files),
             "stats": {k: v for k, v in (stats or {}).items()
                       if k in set(files)}}
-    _py_write_text_atomic(f"{table}/_manifests/{name}",
-                          json.dumps(body, indent=1))
+    io.write_text_atomic(f"{table}/_manifests/{name}",
+                         json.dumps(body, indent=1))
     return name
 
 
@@ -292,6 +437,7 @@ class _SnapTableWriter(DataSourceArrowWriter):
 
         self.schema = schema
         self.table = options["path"].rstrip("/")
+        self.io = _io_for(self.table, options)
         self.overwrite = overwrite
         self.sub = f"data/c-{_uuid.uuid4().hex}"
         sc = options.get("statcols", options.get("statCols", ""))
@@ -319,26 +465,20 @@ class _SnapTableWriter(DataSourceArrowWriter):
         import uuid as _uuid
 
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         batches = list(iterator)
         if not batches or sum(b.num_rows for b in batches) == 0:
             return _WriteMessage(None, 0, {})
         t = pa.Table.from_batches(batches)
         name = f"{self.sub}/part-{_uuid.uuid4().hex}.parquet"
-        path = _local(f"{self.table}/{name}")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(t, path)
+        self.io.parquet_write(f"{self.table}/{name}", t)
         return _WriteMessage(name, t.num_rows,
                              self._file_stats(t) if self.stat_cols else {})
 
     def _cleanup(self, messages):
         for m in messages:
             if m and m.file:
-                try:
-                    os.remove(_local(f"{self.table}/{m.file}"))
-                except FileNotFoundError:
-                    pass
+                self.io.remove(f"{self.table}/{m.file}")
 
     def abort(self, messages):
         self._cleanup([m for m in messages if m])
@@ -351,11 +491,10 @@ class _SnapTableWriter(DataSourceArrowWriter):
                  if m and m.file and m.stats}
         if not files and not self.overwrite:
             return                       # empty append: no-op, no commit
-        os.makedirs(_local(f"{self.table}/_manifests"), exist_ok=True)
         # the delta segment is immutable and uncontended — write it once;
         # only the version file retries (mirrors snap_append)
         new_seg = (None if self.overwrite else
-                   _py_write_segment(self.table, files, stats))
+                   _py_write_segment(self.io, self.table, files, stats))
         last_exc = None
         for _ in range(5):
             try:
@@ -370,7 +509,7 @@ class _SnapTableWriter(DataSourceArrowWriter):
 
     def _commit_once(self, files: list, stats: dict,
                      new_seg: str | None) -> None:
-        parent = _py_current_version(self.table)
+        parent = _py_current_version(self.io, self.table)
         v = parent + 1
         manifest = {"version": v, "parent": parent or None,
                     "note": "pyds overwrite" if self.overwrite
@@ -381,12 +520,12 @@ class _SnapTableWriter(DataSourceArrowWriter):
                 manifest["stats"] = stats
         else:
             raw = ({} if parent == 0 else
-                   json.loads(_py_read_text(
+                   json.loads(self.io.read_text(
                        f"{self.table}/_manifests/v{parent:08d}.json") or "{}"))
             if "segments" in raw:
                 segs = list(raw["segments"])
             elif raw.get("files"):
-                segs = [_py_write_segment(self.table, raw["files"],
+                segs = [_py_write_segment(self.io, self.table, raw["files"],
                                           raw.get("stats", {}))]
             else:
                 segs = []
@@ -395,20 +534,20 @@ class _SnapTableWriter(DataSourceArrowWriter):
                 merged_files: list = []
                 merged_stats: dict = {}
                 for s in segs:
-                    seg = json.loads(_py_read_text(
+                    seg = json.loads(self.io.read_text(
                         f"{self.table}/_manifests/{s}") or "{}")
                     merged_files += seg.get("files", [])
                     merged_stats.update(seg.get("stats", {}))
-                segs = [_py_write_segment(self.table, merged_files,
+                segs = [_py_write_segment(self.io, self.table, merged_files,
                                           merged_stats)]
             manifest["segments"] = segs
             if raw.get("deletes"):
                 manifest["deletes"] = raw["deletes"]
         # fail-if-exists create: the OCC gate (mirrors snapshots._commit)
-        mp = _local(f"{self.table}/_manifests/v{v:08d}.json")
-        with open(mp, "x", encoding="utf-8") as fh:
-            fh.write(json.dumps(manifest, indent=1))
-        _py_write_text_atomic(f"{self.table}/_manifests/HEAD", str(v))
+        self.io.create_text_exclusive(
+            f"{self.table}/_manifests/v{v:08d}.json",
+            json.dumps(manifest, indent=1))
+        self.io.write_text_atomic(f"{self.table}/_manifests/HEAD", str(v))
 
 
 def _stat_py(v):
@@ -440,9 +579,10 @@ class SnapTableDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table = self.options["path"].rstrip("/")
+        io = _io_for(table, self.options)
         v = self.options.get("version")
-        m = _py_read_manifest(table, None if v is None else int(v))
-        return from_arrow_schema(_arrow_schema_of(table, m))
+        m = _py_read_manifest(io, table, None if v is None else int(v))
+        return from_arrow_schema(_arrow_schema_of(io, table, m))
 
     def reader(self, schema: StructType):
         return _SnapTableReader(schema, self.options)
@@ -469,6 +609,7 @@ class _SnapFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.table = options["path"].rstrip("/")
+        self.io = _io_for(self.table, options)
         self.start_version = int(options.get("startingversion",
                                              options.get("startingVersion",
                                                          0)))
@@ -477,12 +618,12 @@ class _SnapFeedStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self):
-        return {"version": _py_current_version(self.table)}
+        return {"version": _py_current_version(self.io, self.table)}
 
     def _files_of(self, version: int) -> set:
         if version == 0:
             return set()
-        return set(_py_read_manifest(self.table, version)["files"])
+        return set(_py_read_manifest(self.io, self.table, version)["files"])
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
@@ -503,7 +644,6 @@ class _SnapFeedStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema)
@@ -513,8 +653,8 @@ class _SnapFeedStreamReader(DataSourceStreamReader):
             ).to_batches()
             return
         data_names = [f.name for f in target if f.name != "_commit_version"]
-        t = pq.read_table(_local(f"{self.table}/{partition.file}"),
-                          columns=data_names)
+        t = self.io.parquet_read(f"{self.table}/{partition.file}",
+                                 columns=data_names)
         t = t.append_column(
             "_commit_version",
             pa.array([partition.version] * t.num_rows, type=pa.int64()))
@@ -543,8 +683,9 @@ class SnapChangeFeedDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table = self.options["path"].rstrip("/")
-        m = _py_read_manifest(table)
-        base = from_arrow_schema(_arrow_schema_of(table, m))
+        io = _io_for(table, self.options)
+        m = _py_read_manifest(io, table)
+        base = from_arrow_schema(_arrow_schema_of(io, table, m))
         return StructType(base.fields).add("_commit_version", "long")
 
     def streamReader(self, schema: StructType):
