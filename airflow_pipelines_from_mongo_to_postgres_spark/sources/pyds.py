@@ -69,6 +69,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+    partition_values_of,
     prune_files,
 )
 
@@ -293,12 +294,36 @@ def _py_read_manifest(io, table: str, version: int | None = None) -> dict:
     return out
 
 
+def _infer_partition_type(values: list):
+    """Arrow twin of snapshots.partition_spark_type — ONE inference
+    rule shared across the JVM and Python readers."""
+    import pyarrow as pa
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+        partition_spark_type,
+    )
+
+    return {"int": pa.int32(), "bigint": pa.int64(),
+            "double": pa.float64(), "date": pa.date32(),
+            "string": pa.string()}[partition_spark_type(values)]
+
+
 def _arrow_schema_of(io, table: str, manifest: dict):
+    import pyarrow as pa
+
     if not manifest["files"]:
         raise ValueError(
             f"snaptable: {table} is empty at v{manifest['version']} — "
             "pass an explicit .schema(...)")
-    return io.parquet_read_schema(f"{table}/{manifest['files'][0]}")
+    schema = io.parquet_read_schema(f"{table}/{manifest['files'][0]}")
+    # hive-partitioned snapshot: partition columns live in the PATH,
+    # not the footer — append them (partition-cols-last, Spark's order)
+    for c in manifest.get("partition_by") or []:
+        if c in schema.names:
+            continue
+        vals = [partition_values_of(f).get(c) for f in manifest["files"]]
+        schema = schema.append(pa.field(c, _infer_partition_type(vals)))
+    return schema
 
 
 @dataclass
@@ -388,8 +413,20 @@ class _SnapTableReader(DataSourceReader):
 
         target = to_arrow_schema(self.schema)
         names = [f.name for f in target]
-        table = self.io.parquet_read(f"{self.table}/{partition.file}",
-                                     columns=names)
+        pcols = [c for c in (self.manifest.get("partition_by") or [])
+                 if c in names]
+        table = self.io.parquet_read(
+            f"{self.table}/{partition.file}",
+            columns=[n for n in names if n not in pcols])
+        # hive partition columns: one constant per file, parsed from the
+        # path and cast to the resolved schema's type
+        pvals = partition_values_of(partition.file) if pcols else {}
+        for c in pcols:
+            ft = target.field(c).type
+            v = pvals.get(c)
+            col = (pa.nulls(table.num_rows, ft) if v is None else
+                   pa.array([v] * table.num_rows).cast(ft))
+            table = table.append_column(c, col)
         dels = self._delete_keys()
         for cols, keys in dels.items():
             if not set(cols) <= set(table.column_names):
@@ -491,6 +528,18 @@ class _SnapTableWriter(DataSourceArrowWriter):
                  if m and m.file and m.stats}
         if not files and not self.overwrite:
             return                       # empty append: no-op, no commit
+        if not self.overwrite:
+            parent = _py_current_version(self.io, self.table)
+            raw = ({} if parent == 0 else json.loads(self.io.read_text(
+                f"{self.table}/_manifests/v{parent:08d}.json") or "{}"))
+            if raw.get("partition_by"):
+                self._cleanup(messages)
+                raise ValueError(
+                    f"{self.table} is hive-partitioned by "
+                    f"{raw['partition_by']}; the snaptable Python writer "
+                    "appends unpartitioned files — append with "
+                    "snap_append(partition_by=...) or reset the layout "
+                    "with mode('overwrite')")
         # the delta segment is immutable and uncontended — write it once;
         # only the version file retries (mirrors snap_append)
         new_seg = (None if self.overwrite else
@@ -652,9 +701,17 @@ class _SnapFeedStreamReader(DataSourceStreamReader):
                 {f.name: pa.array([], type=f.type) for f in target}
             ).to_batches()
             return
-        data_names = [f.name for f in target if f.name != "_commit_version"]
+        pvals = partition_values_of(partition.file)
+        data_names = [f.name for f in target
+                      if f.name != "_commit_version" and f.name not in pvals]
         t = self.io.parquet_read(f"{self.table}/{partition.file}",
                                  columns=data_names)
+        for c, v in pvals.items():      # hive partition cols from the path
+            if c not in target.names:
+                continue
+            ft = target.field(c).type
+            t = t.append_column(c, pa.nulls(t.num_rows, ft) if v is None
+                                else pa.array([v] * t.num_rows).cast(ft))
         t = t.append_column(
             "_commit_version",
             pa.array([partition.version] * t.num_rows, type=pa.int64()))

@@ -166,9 +166,118 @@ def read_manifest(spark: SparkSession, table: str,
     return out
 
 
+def partition_values_of(name: str) -> dict:
+    """``col=value`` path segments of a table-relative file name →
+    {col: python value or None}, undoing Hive's percent-escaping and
+    ``__HIVE_DEFAULT_PARTITION__`` null sentinel, with Spark's scalar
+    inference (int, then float, else string — dates stay ISO strings,
+    which order lexicographically for pruning)."""
+    from urllib.parse import unquote
+
+    out = {}
+    for seg in name.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+            continue
+        for cast in (int, float):
+            try:
+                out[k] = cast(v)
+                break
+            except ValueError:
+                continue
+        else:
+            out[k] = v
+    return out
+
+
+def _partition_stats(names: list, partition_by: tuple) -> dict:
+    """Per-file stats entries derived from the PATH, no data scan: a
+    hive-partitioned file holds exactly one value per partition column,
+    so min = max = the directory's value — a perfect pruning window for
+    free. The synthetic rows=1/nulls∈{0,1} pair encodes all-null vs
+    no-null exactly (one value per file), which is all is_null /
+    is_not_null pruning reads."""
+    stats = {}
+    for n in names:
+        vals = partition_values_of(n)
+        cols = {}
+        for c in partition_by:
+            if c not in vals:
+                continue
+            v = _stat_json(vals[c])
+            cols[c] = {"min": v, "max": v,
+                       "nulls": 1 if v is None else 0}
+        if cols:
+            stats[n] = {"rows": 1, "cols": cols}
+    return stats
+
+
+def partition_spark_type(values: list) -> str:
+    """Spark SQL type for a hive partition column from its path-parsed
+    values, mirroring Spark's own partition inference order (int →
+    bigint → double → date → string) so every reader agrees."""
+    import re
+
+    vs = [v for v in values if v is not None]
+    if not vs:
+        return "string"
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vs):
+        return ("int" if all(-2**31 <= v < 2**31 for v in vs)
+                else "bigint")
+    if all(isinstance(v, (int, float)) for v in vs):
+        return "double"
+    if all(isinstance(v, str)
+           and re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in vs):
+        return "date"
+    return "string"
+
+
+def _read_files(spark: SparkSession, table: str, files: list,
+                partition_by: list | None,
+                merge_schema: bool = False) -> DataFrame:
+    """DataFrame over an explicit snapshot file list. Unpartitioned
+    tables are ONE parquet relation. Hive-partitioned snapshots read
+    per COMMIT directory (Spark's partition inference requires a
+    uniform directory structure under the base path, and
+    ``data/c-<hex>/col=v`` prefixes differ per commit), partition
+    columns cast to one globally-inferred type, then unionByName — the
+    group count is bounded by live commit dirs (compaction collapses
+    them), and each group is still a plain multi-file parquet scan."""
+    from pyspark.sql import functions as F
+
+    if not partition_by:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[f"{table}/{f}" for f in files])
+    types = {c: partition_spark_type(
+        [partition_values_of(f).get(c) for f in files])
+        for c in partition_by}
+    groups: dict = {}
+    for f in files:
+        groups.setdefault("/".join(f.split("/")[:2]), []).append(f)
+    out = None
+    for _, fs in sorted(groups.items()):
+        reader = spark.read.option("basePath", table)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[f"{table}/{f}" for f in fs])
+        for c, t in types.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(t))
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=merge_schema)
+    return out
+
+
 def _write_data_files(df: DataFrame, table: str,
                       stat_cols: tuple = (),
-                      value_cols: tuple = ()) -> tuple:
+                      value_cols: tuple = (),
+                      partition_by: tuple = ()) -> tuple:
     """Materialize ``df`` as new immutable files under ``data/`` and
     return ``(table-relative names, per-file column stats)``. Each
     commit writes to its own unique subdirectory (Spark's writer owns
@@ -176,19 +285,35 @@ def _write_data_files(df: DataFrame, table: str,
     files are referenced individually by manifests, the directory is
     just a namespace. With ``stat_cols``, one extra Spark job over the
     JUST-WRITTEN files (batch-sized, never the table) collects per-file
-    min/max/null-count — the manifest-level pruning index."""
+    min/max/null-count — the manifest-level pruning index. With
+    ``partition_by``, files land in hive-style ``col=value``
+    subdirectories and each file's partition values become exact
+    min=max stats entries parsed from the PATH (zero extra I/O) — the
+    partition fast path every production table format keeps."""
     sub = f"data/c-{uuid.uuid4().hex}"
-    df.write.mode("error").parquet(f"{table}/{sub}")
+    w = df.write.mode("error")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{table}/{sub}")
     fs, jvm = _jvm_fs(df.sparkSession, f"{table}/{sub}")
     names = []
-    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{table}/{sub}")):
-        n = st.getPath().getName()
-        if n.endswith(".parquet"):
-            names.append(f"{sub}/{n}")
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(f"{table}/{sub}"), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if p.endswith(".parquet"):
+            # table-relative name: sub + the path below the commit dir
+            names.append(f"{sub}/{p.split('/' + sub + '/', 1)[1]}")
     names = sorted(names)
     stats = (_collect_file_stats(df.sparkSession, table, names, stat_cols,
                                  value_cols)
              if (stat_cols or value_cols) and names else {})
+    if partition_by and names:
+        pstats = _partition_stats(names, tuple(partition_by))
+        for n, entry in pstats.items():
+            if n in stats:
+                stats[n]["cols"].update(entry["cols"])
+            else:
+                stats[n] = entry
     return names, stats
 
 
@@ -220,7 +345,8 @@ def _collect_file_stats(spark: SparkSession, table: str, names: list,
     value set prunes exactly."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*[f"{table}/{n}" for n in names])
+    df = spark.read.option("basePath", table) \
+        .parquet(*[f"{table}/{n}" for n in names])
     present = [c for c in stat_cols if c in df.columns]
     vcols = [c for c in value_cols if c in df.columns]
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -234,10 +360,12 @@ def _collect_file_stats(spark: SparkSession, table: str, names: list,
                             _VALUE_SET_CAP + 1).alias(f"__vs_{c}"))
     rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     # input_file_name is an absolute URI; manifests key by the unique
-    # table-relative tail (data/c-<hex>/<part>.parquet)
+    # table-relative tail (data/c-<hex>/[k=v/...]<part>.parquet) — split
+    # on the /data/ namespace so hive partition depth doesn't matter
     by_tail = {}
     for r in rows:
-        tail = "/".join(r["__f"].split("/")[-3:])
+        tail = "data/" + r["__f"].split("/data/", 1)[1] \
+            if "/data/" in r["__f"] else "/".join(r["__f"].split("/")[-3:])
         by_tail[tail] = r
     out = {}
     for n in names:
@@ -327,10 +455,8 @@ def snap_scan(spark: SparkSession, table: str, predicates: list = (),
                              merge_schema=merge_schema)  # schema-only path
         df = base.limit(0)
     else:
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[f"{table}/{f}" for f in files])
+        df = _read_files(spark, table, files, m.get("partition_by"),
+                         merge_schema)
     for p in (predicates or []):
         col, op = p[0], p[1]
         if op == "is_null":
@@ -353,7 +479,8 @@ def _commit(spark: SparkSession, table: str, files: list | None,
             note: str, expected_parent: int | None = None,
             txn: str | None = None, stats: dict | None = None,
             segments: list | None = None,
-            deletes: list | None = None) -> int:
+            deletes: list | None = None,
+            partition_by: list | None = None) -> int:
     """Optimistic concurrency: the manifest file for version v is
     created with create(overwrite=False) — on a store with atomic
     create-if-absent, two writers racing to the same parent see exactly
@@ -387,6 +514,11 @@ def _commit(spark: SparkSession, table: str, files: list | None,
         manifest["deletes"] = list(deletes)
     if txn is not None:
         manifest["txn"] = txn
+    if partition_by:
+        # informational + the pyds reader's cue to rebuild hive
+        # partition columns; pruning needs nothing extra (partition
+        # values are already per-file min=max stats entries)
+        manifest["partition_by"] = list(partition_by)
     fs, jvm = _jvm_fs(spark, table)
     mp = jvm.org.apache.hadoop.fs.Path(_manifest_path(table, v))
     try:
@@ -432,9 +564,30 @@ def _coalesce_segments(spark: SparkSession, table: str,
     return _write_segment(spark, table, files, stats)
 
 
+def _resolve_layout(spark: SparkSession, table: str,
+                    partition_by: tuple) -> tuple:
+    """The ONE hive layout a snapshot's live files may use: mixing
+    partitioned and unpartitioned files (or two different partition
+    specs) in one manifest would fail Spark's partition discovery at
+    read time, so appends inherit the table's recorded layout when none
+    is given and REFUSE a conflicting explicit one (relayout goes
+    through snap_overwrite, which resets it)."""
+    cur = _read_raw_manifest(spark, table)
+    recorded = tuple(cur.get("partition_by") or ())
+    if not partition_by:
+        return recorded
+    if cur["version"] and recorded != tuple(partition_by):
+        raise ValueError(
+            f"{table}: partition_by={tuple(partition_by)} conflicts with "
+            f"the table's layout {recorded or '(unpartitioned)'} — "
+            "change layout with snap_overwrite")
+    return tuple(partition_by)
+
+
 def snap_append(spark: SparkSession, table: str, df: DataFrame,
                 note: str = "append", stat_cols: tuple = (),
-                value_cols: tuple = ()) -> int:
+                value_cols: tuple = (),
+                partition_by: tuple = ()) -> int:
     """Append commit: ONE new segment manifest listing just this
     commit's files (+ stats), referenced by a version file that carries
     the parent's segment names plus the new one — commit payload is
@@ -452,7 +605,9 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
     segment are reused — only the version-file read + commit retries.
     ``value_cols`` opt-in per-file distinct-value sets for categorical
     equality pruning (see _collect_file_stats)."""
-    new, stats = _write_data_files(df, table, stat_cols, value_cols)
+    partition_by = _resolve_layout(spark, table, partition_by)
+    new, stats = _write_data_files(df, table, stat_cols, value_cols,
+                                   partition_by)
     new_seg = _write_segment(spark, table, new, stats)
     for _ in range(_APPEND_RETRIES):
         raw = _read_raw_manifest(spark, table)
@@ -462,7 +617,8 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
         try:
             return _commit(spark, table, None, note,
                            expected_parent=raw["version"], segments=segs,
-                           deletes=raw.get("deletes"))
+                           deletes=raw.get("deletes"),
+                           partition_by=list(partition_by) or None)
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -471,11 +627,16 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
 
 def snap_overwrite(spark: SparkSession, table: str, df: DataFrame,
                    note: str = "overwrite", stat_cols: tuple = (),
-                   value_cols: tuple = ()) -> int:
+                   value_cols: tuple = (),
+                   partition_by: tuple = ()) -> int:
     """Full-table overwrite commit: the manifest simply stops listing
-    the old files — they stay on disk for time travel until vacuum."""
-    new, stats = _write_data_files(df, table, stat_cols, value_cols)
-    return _commit(spark, table, new, note, stats=stats)
+    the old files — they stay on disk for time travel until vacuum.
+    ``partition_by`` lays the new files out hive-style with path-derived
+    per-file pruning stats (see _write_data_files)."""
+    new, stats = _write_data_files(df, table, stat_cols, value_cols,
+                                   partition_by)
+    return _commit(spark, table, new, note, stats=stats,
+                   partition_by=list(partition_by) or None)
 
 
 def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
@@ -508,6 +669,7 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
         return _commit(spark, table, new, note, expected_parent=0,
                        stats=stats)
     m = read_manifest(spark, table, base)
+    layout = tuple(m.get("partition_by") or ())
     untouched: list = []
     if prune_predicates and not m.get("deletes"):
         candidates = set(prune_files(m, list(prune_predicates)))
@@ -517,19 +679,22 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     if candidates:
         cur = _apply_deletes(
             spark, table,
-            spark.read.parquet(*[f"{table}/{f}" for f in sorted(candidates)]),
+            _read_files(spark, table, sorted(candidates),
+                        m.get("partition_by")),
             m)
         keep = cur.filter(f"NOT ({predicate})")
         new, stats = _write_data_files(keep.unionByName(df), table,
-                                       stat_cols)
+                                       stat_cols, partition_by=layout)
     else:
-        new, stats = _write_data_files(df, table, stat_cols)
+        new, stats = _write_data_files(df, table, stat_cols,
+                                       partition_by=layout)
     carried = {k: v for k, v in m.get("stats", {}).items() if k in
                set(untouched)}
     # read-modify-write: pin the snapshot the rewrite derived from, so
     # a concurrent commit surfaces as CommitConflict, not a lost update
     return _commit(spark, table, untouched + new, note,
-                   expected_parent=base, stats={**carried, **stats})
+                   expected_parent=base, stats={**carried, **stats},
+                   partition_by=list(layout) or None)
 
 
 def snap_delete_keys(spark: SparkSession, table: str, keys: DataFrame,
@@ -610,7 +775,9 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
     replay the stream can attempt — in practice one epoch."""
     if txn in committed_txns(spark, table):
         return None
-    new, stats = _write_data_files(df, table, stat_cols)
+    layout = _resolve_layout(spark, table, ())
+    new, stats = _write_data_files(df, table, stat_cols,
+                                   partition_by=layout)
     new_seg = _write_segment(spark, table, new, stats)
     for _ in range(_APPEND_RETRIES):
         # re-check the txn inside the retry loop: the racer we lost to
@@ -624,7 +791,8 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
         try:
             return _commit(spark, table, None, note, txn=txn,
                            expected_parent=raw["version"], segments=segs,
-                           deletes=raw.get("deletes"))
+                           deletes=raw.get("deletes"),
+                           partition_by=list(layout) or None)
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -644,10 +812,8 @@ def read_snapshot(spark: SparkSession, table: str,
     m = read_manifest(spark, table, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[f"{table}/{f}" for f in m["files"]])
+    df = _read_files(spark, table, m["files"], m.get("partition_by"),
+                     merge_schema)
     return _apply_deletes(spark, table, df, m)
 
 
@@ -668,9 +834,12 @@ def snap_compact(spark: SparkSession, table: str,
         raise FileNotFoundError(f"nothing to compact at {table}")
     cur = read_snapshot(spark, table, version=base)
     packed = cur.repartition(target_files)
-    new, stats = _write_data_files(packed, table, stat_cols)
+    layout = _resolve_layout(spark, table, ())
+    new, stats = _write_data_files(packed, table, stat_cols,
+                                   partition_by=layout)
     return _commit(spark, table, new, f"compact({target_files})",
-                   expected_parent=base, stats=stats)
+                   expected_parent=base, stats=stats,
+                   partition_by=list(layout) or None)
 
 
 def snap_changes(spark: SparkSession, table: str,
@@ -708,7 +877,8 @@ def snap_changes(spark: SparkSession, table: str,
         prev, prev_dels = cur, cur_dels
     if not added:
         return read_snapshot(spark, table, version=to_v).limit(0)
-    return spark.read.parquet(*[f"{table}/{f}" for f in added])
+    head = _read_raw_manifest(spark, table, to_v)
+    return _read_files(spark, table, added, head.get("partition_by"))
 
 
 def snap_history(spark: SparkSession, table: str) -> list:

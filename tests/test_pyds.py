@@ -226,3 +226,39 @@ def test_snaptable_nonlocal_scheme_roundtrip(registered, tmp_path):
     # documented error, not a silent local-path fallback
     with pytest.raises(Exception, match="fsspec"):
         spark.read.format("snaptable").load("s3://nope/tab").collect()
+
+
+def test_snaptable_reads_hive_partitioned_snapshots(registered, tmp_path):
+    """A partition_by snapshot reads identically through the Python
+    DataSource: partition columns rebuilt from the path (schema
+    appended partition-cols-last, types matching the JVM reader), a
+    pushed equality filter on the partition column prunes to that
+    partition's files with zero stats job, and the append-writer
+    refuses to break the layout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    spark = registered
+    t = str(tmp_path / "ptab")
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).alias("b"))
+    S.snap_append(spark, t, df.repartition(1), partition_by=("b",))
+
+    native = S.read_snapshot(spark, t)
+    got = spark.read.format("snaptable").load(t)
+    # names + types match (nullability differs: the arrow footer keeps
+    # spark.range's REQUIRED id, the JVM reader relaxes to nullable)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == \
+        [(f.name, f.dataType) for f in native.schema.fields]
+    assert _rows(got, ("id", "b")) == _rows(native, ("id", "b")) == \
+        sorted((i, i % 3) for i in range(30))
+
+    # planning-time pruning on the partition column: 1 of 3 files
+    r = pyds._SnapTableReader(got.schema, {"path": t})
+    r.pushFilters([EqualTo(("b",), 1)])
+    assert len(r.partitions()) == 1
+    assert _rows(got.filter("b = 1"), ("id", "b")) == \
+        sorted((i, 1) for i in range(30) if i % 3 == 1)
+
+    with pytest.raises(Exception, match="partitioned"):
+        df.limit(1).write.format("snaptable").mode("append").save(t)

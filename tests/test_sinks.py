@@ -1273,3 +1273,85 @@ def test_snap_clone_is_independent_byte_copy(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="not empty"):
         S.snap_clone(spark, src, dst)
+
+
+def test_snap_partitioned_commit_prunes_from_path(spark, tmp_path):
+    """partition_by commits: files land in hive col=value directories,
+    each file's partition value becomes an exact min=max stats entry
+    parsed from the PATH (no stats job), equality/range predicates on
+    the partition column prune at planning time, and every read path
+    recovers the partition column (basePath) with exact results. NULL
+    partition values round-trip through __HIVE_DEFAULT_PARTITION__."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "ptab")
+    df = spark.range(0, 90).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("bucket"),
+        F.when(F.col("id") % 30 == 0, None)
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 2)).alias("src"))
+    S.snap_append(spark, t, df.repartition(1), partition_by=("bucket",))
+    m = S.read_manifest(spark, t)
+    assert m.get("partition_by") == ["bucket"]
+    assert len(m["files"]) == 3                     # one per bucket value
+    assert all("bucket=" in f for f in m["files"])
+
+    # path-derived stats prune exactly: one file per equality value
+    assert len(S.prune_files(m, [("bucket", "=", 1)])) == 1
+    assert len(S.prune_files(m, [("bucket", ">=", 1)])) == 2
+    assert len(S.prune_files(m, [("bucket", "is_null")])) == 0
+
+    got = sorted(r["id"] for r in S.snap_scan(
+        spark, t, [("bucket", "=", 2)]).collect())
+    assert got == [i for i in range(90) if i % 3 == 2]
+    # full read recovers the partition column with correct values
+    full = S.read_snapshot(spark, t)
+    assert sorted((r["id"], r["bucket"]) for r in full.collect()) == \
+        [(i, i % 3) for i in range(90)]
+
+    # appends carry the layout forward; a string partition col with
+    # NULLs takes the hive default-partition directory and still reads
+    t2 = str(tmp_path / "ptab2")
+    S.snap_append(spark, t2, df.repartition(1), partition_by=("src",))
+    m2 = S.read_manifest(spark, t2)
+    assert len(S.prune_files(m2, [("src", "is_null")])) == 1
+    assert len(S.prune_files(m2, [("src", "=", "s1")])) == 1
+    rows = S.read_snapshot(spark, t2).collect()
+    assert sorted((r["id"], r["src"]) for r in rows) == sorted(
+        (i, None if i % 30 == 0 else f"s{i % 2}") for i in range(90))
+    nulls = S.snap_scan(spark, t2, [("src", "is_null")]).collect()
+    assert sorted(r["id"] for r in nulls) == [0, 30, 60]
+
+
+def test_snap_partitioned_mixed_with_stats_and_replace_where(spark, tmp_path):
+    """Partition path stats merge with a stat_cols job on the same
+    commit, and replace_where keeps partition pruning usable as its
+    prune_predicates (the one-partition rewrite production pattern)."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "ptab")
+    df = spark.range(0, 60).select(
+        F.col("id"), (F.col("id") % 2).alias("p"))
+    S.snap_append(spark, t, df.repartition(1), partition_by=("p",),
+                  stat_cols=("id",))
+    m = S.read_manifest(spark, t)
+    # both pruning indexes live on the same files
+    assert len(S.prune_files(m, [("p", "=", 0)])) == 1
+    assert len(S.prune_files(m, [("id", "<", 0)])) == 0
+    assert len(S.prune_files(m, [("p", "=", 1), ("id", ">=", 0)])) == 1
+
+    # rewrite ONLY partition p=1, carrying p=0 untouched
+    repl = spark.range(100, 110).select(
+        F.col("id"), F.lit(1).alias("p"))
+    S.snap_replace_where(spark, t, repl, "p = 1",
+                         prune_predicates=[("p", "=", 1)])
+    m2 = S.read_manifest(spark, t)
+    untouched = [f for f in m2["files"] if "p=0" in f]
+    assert untouched and set(untouched) <= set(m["files"])
+    got = sorted(r["id"] for r in S.read_snapshot(spark, t).collect())
+    assert got == [i for i in range(60) if i % 2 == 0] + \
+        list(range(100, 110))
