@@ -219,6 +219,16 @@ class _FsspecIO:
             fh.write(text)
 
     def create_text_exclusive(self, path: str, text: str) -> None:
+        # ADVISORY gate on object stores: fsspec mode="x" is a true
+        # conditional create only where the backend supports it (local,
+        # some stores' If-None-Match); many implement it as a non-atomic
+        # exists-then-write, so two racing committers can both "win".
+        # The explicit exists() pre-check below narrows (not closes)
+        # that window; deployments needing hard OCC on such stores must
+        # front the commit with a backend-native conditional put or an
+        # external lock (DynamoDB-style, as Delta-on-S3 does).
+        if self.fs.exists(path):
+            raise FileExistsError(path)
         with self.fs.open(path, "x", encoding="utf-8") as fh:
             fh.write(text)
 

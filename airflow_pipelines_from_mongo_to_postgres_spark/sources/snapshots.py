@@ -44,6 +44,7 @@ all (it truncates/reloads Postgres tables, ref ``utils.py``/DDL in
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -166,12 +167,25 @@ def read_manifest(spark: SparkSession, table: str,
     return out
 
 
+# Strict numeric forms mirroring the JVM's Integer/Double parse rules
+# (what Spark's own path-partition inference accepts). Python's bare
+# int()/float() take MORE — int("2024_01")=202401, float("inf"),
+# float("1_0.5") — so an unguarded cast here would call a value numeric
+# that Spark's _read_files inference keeps as a string, and the global
+# cast in _read_files would then NULL it out (silent corruption), or
+# prune_files would compare int stat vs string predicate (TypeError).
+_PART_INT_RE = re.compile(r"[+-]?\d+\Z")
+_PART_FLOAT_RE = re.compile(r"[+-]?\d+\.\d+\Z")
+
+
 def partition_values_of(name: str) -> dict:
     """``col=value`` path segments of a table-relative file name →
     {col: python value or None}, undoing Hive's percent-escaping and
     ``__HIVE_DEFAULT_PARTITION__`` null sentinel, with Spark's scalar
     inference (int, then float, else string — dates stay ISO strings,
-    which order lexicographically for pruning)."""
+    which order lexicographically for pruning). Numeric casts are
+    regex-gated so underscore separators, inf/nan, and exponent forms
+    stay strings, exactly as the JVM partition inference treats them."""
     from urllib.parse import unquote
 
     out = {}
@@ -182,13 +196,10 @@ def partition_values_of(name: str) -> dict:
         v = unquote(v)
         if v == "__HIVE_DEFAULT_PARTITION__":
             out[k] = None
-            continue
-        for cast in (int, float):
-            try:
-                out[k] = cast(v)
-                break
-            except ValueError:
-                continue
+        elif _PART_INT_RE.match(v):
+            out[k] = int(v)
+        elif _PART_FLOAT_RE.match(v):
+            out[k] = float(v)
         else:
             out[k] = v
     return out
@@ -361,10 +372,13 @@ def _collect_file_stats(spark: SparkSession, table: str, names: list,
     rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     # input_file_name is an absolute URI; manifests key by the unique
     # table-relative tail (data/c-<hex>/[k=v/...]<part>.parquet) — split
-    # on the /data/ namespace so hive partition depth doesn't matter
+    # on the LAST /data/ occurrence so a table that itself lives under a
+    # path containing /data/ (e.g. /data/lake/tab) still maps; partition
+    # path segments can't contain '/' (hive escapes it), so the table's
+    # own data dir is always the last match
     by_tail = {}
     for r in rows:
-        tail = "data/" + r["__f"].split("/data/", 1)[1] \
+        tail = "data/" + r["__f"].rsplit("/data/", 1)[1] \
             if "/data/" in r["__f"] else "/".join(r["__f"].split("/")[-3:])
         by_tail[tail] = r
     out = {}
@@ -860,6 +874,7 @@ def snap_changes(spark: SparkSession, table: str,
     prev = set(base_m["files"])
     prev_dels = [d["file"] for d in base_m.get("deletes", [])]
     added: list = []
+    layout_of: dict = {}  # file -> partition_by of the commit that ADDED it
     for v in range(from_version + 1, to_v + 1):
         m = read_manifest(spark, table, v)
         cur = set(m["files"])
@@ -873,12 +888,28 @@ def snap_changes(spark: SparkSession, table: str,
                 f"{table} v{v} changed the delete list (merge-on-read "
                 "delete or compaction) — added-files no longer mean "
                 "added-rows; re-read the snapshot")
-        added += sorted(cur - prev)
+        new = sorted(cur - prev)
+        pb = tuple(m.get("partition_by") or ())
+        for f in new:
+            layout_of[f] = pb
+        added += new
         prev, prev_dels = cur, cur_dels
     if not added:
         return read_snapshot(spark, table, version=to_v).limit(0)
-    head = _read_raw_manifest(spark, table, to_v)
-    return _read_files(spark, table, added, head.get("partition_by"))
+    # partition_by is resolved PER SOURCE VERSION, not from HEAD: if the
+    # layout changed mid-range (e.g. relayout of an empty table followed
+    # by partitioned appends), each file group reads under the layout it
+    # was written with; unionByName reconciles column order, and a true
+    # schema divergence surfaces as its clear error rather than NULLed
+    # partition columns.
+    groups: dict = {}
+    for f in added:
+        groups.setdefault(layout_of[f], []).append(f)
+    out = None
+    for pb in sorted(groups):
+        df = _read_files(spark, table, groups[pb], list(pb) or None)
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def snap_history(spark: SparkSession, table: str) -> list:

@@ -1355,3 +1355,113 @@ def test_snap_partitioned_mixed_with_stats_and_replace_where(spark, tmp_path):
     got = sorted(r["id"] for r in S.read_snapshot(spark, t).collect())
     assert got == [i for i in range(60) if i % 2 == 0] + \
         list(range(100, 110))
+
+
+def test_partition_value_inference_is_jvm_strict(spark, tmp_path):
+    """Path-partition value inference must accept EXACTLY what Spark's
+    JVM partition discovery parses as numeric — Python's looser
+    int()/float() (underscores, inf/nan, exponents) would record an int
+    stat for a value Spark keeps as a string, and the global cast in
+    _read_files would NULL the column (silent corruption) while
+    prune_files raised TypeError on int-vs-string comparison."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    pv = S.partition_values_of
+    assert pv("data/c-x/k=5/f.parquet") == {"k": 5}
+    assert pv("data/c-x/k=-12/f.parquet") == {"k": -12}
+    assert pv("data/c-x/k=+5/f.parquet") == {"k": 5}
+    assert pv("data/c-x/k=3.50/f.parquet") == {"k": 3.5}
+    # Python-numeric-but-JVM-string forms stay strings
+    for raw in ("2024_01", "1_0", "inf", "-inf", "nan", "NaN",
+                "Infinity", "1e5", "1.5e3", "5.", ".5", "0x1f"):
+        assert pv(f"data/c-x/k={raw}/f.parquet") == {"k": raw}, raw
+
+    # end-to-end: a string partition value int() would mangle survives
+    # the full commit -> stats -> read -> prune cycle verbatim
+    t = str(tmp_path / "months")
+    df = spark.createDataFrame(
+        [(1, "2024_01"), (2, "2024_01"), (3, "2024_02")], "id int, m string")
+    S.snap_append(spark, t, df.repartition(1), partition_by=("m",))
+    m = S.read_manifest(spark, t)
+    assert len(m["files"]) == 2
+    got = sorted((r["id"], r["m"])
+                 for r in S.read_snapshot(spark, t).collect())
+    assert got == [(1, "2024_01"), (2, "2024_01"), (3, "2024_02")]
+    assert len(S.prune_files(m, [("m", "=", "2024_02")])) == 1
+    rows = S.snap_scan(spark, t, [("m", "=", "2024_01")]).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_snap_stats_survive_table_path_containing_data(spark, tmp_path):
+    """A table rooted under a path that itself contains '/data/' must
+    still map input_file_name URIs back to manifest names (rsplit on
+    the LAST '/data/') — otherwise every stat silently drops and
+    pruning degrades to keep-everything."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "data" / "lake" / "tab")
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).alias("b"))
+    S.snap_append(spark, t, df.repartition(2, "b"), stat_cols=("id", "b"))
+    m = S.read_manifest(spark, t)
+    # stats were collected for every file (the regression dropped all)
+    assert set(m["stats"].keys()) == set(m["files"])
+    assert all("id" in e["cols"] for e in m["stats"].values())
+    assert len(S.prune_files(m, [("id", ">", 1000)])) == 0
+    got = sorted(r["id"] for r in S.snap_scan(
+        spark, t, [("id", "<", 5)]).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_snap_changes_resolves_layout_per_source_version(spark, tmp_path):
+    """Change-feed reads across a mid-range layout change: files added
+    by an unpartitioned-era commit read under THEIR layout (column from
+    data) while files from a partitioned-era commit rebuild the column
+    from the path — resolving only the HEAD manifest's partition_by
+    would misread or NULL the earlier group. History is hand-crafted
+    (manifest JSON is the public format) because the commit API itself
+    refuses to mix layouts among live files of one snapshot."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tab")
+    os.makedirs(f"{t}/_manifests")
+
+    def _files_under(sub):
+        out = []
+        for root, _, names in os.walk(f"{t}/{sub}"):
+            rel = os.path.relpath(root, t)
+            out += [f"{rel}/{n}" for n in names
+                    if n.endswith(".parquet")]
+        return sorted(out)
+
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id int, p string")
+    df1.repartition(1).write.parquet(f"{t}/data/c-era1")
+    f1 = _files_under("data/c-era1")
+    df2 = spark.createDataFrame([(3, "x"), (4, "z")], "id int, p string")
+    df2.repartition(1).write.partitionBy("p").parquet(f"{t}/data/c-era2")
+    f2 = _files_under("data/c-era2")
+    assert f1 and f2 and all("p=" in f for f in f2)
+
+    with open(f"{t}/_manifests/v00000001.json", "w") as fh:
+        _json.dump({"version": 1, "parent": None, "note": "era1",
+                    "files": f1}, fh)
+    with open(f"{t}/_manifests/v00000002.json", "w") as fh:
+        _json.dump({"version": 2, "parent": 1, "note": "era2",
+                    "files": f1 + f2, "partition_by": ["p"]}, fh)
+
+    feed = S.snap_changes(spark, t, from_version=0)
+    assert sorted((r["id"], r["p"]) for r in feed.collect()) == \
+        [(1, "x"), (2, "y"), (3, "x"), (4, "z")]
+    # narrower range: only the partitioned era's files
+    feed2 = S.snap_changes(spark, t, from_version=1)
+    assert sorted((r["id"], r["p"]) for r in feed2.collect()) == \
+        [(3, "x"), (4, "z")]
