@@ -692,21 +692,264 @@ DECODED_FEATURES_SCHEMA = StructType([
 ])
 
 
+class _FlacBits:
+    """Big-endian bit cursor over immutable bytes — the whole FLAC
+    bitstream layer. ``read`` slices only the touched byte span, so a
+    long payload costs O(bits consumed), not O(payload) per call."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        start, end = self.pos >> 3, (self.pos + n + 7) >> 3
+        if end > len(self.data):
+            raise NotImplementedError("flac: truncated bitstream")
+        chunk = int.from_bytes(self.data[start:end], "big")
+        self.pos += n
+        return (chunk >> ((end << 3) - self.pos)) & ((1 << n) - 1)
+
+    def signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        c = 0
+        while self.read(1) == 0:
+            c += 1
+        return c
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def utf8_number(self) -> int:
+        """FLAC's extended-UTF-8 frame/sample number (RFC 9639 §9.1.5;
+        up to 36 bits / 7 bytes)."""
+        b0 = self.read(8)
+        if b0 < 0x80:
+            return b0
+        n = 0
+        while (b0 << n) & 0x80:
+            n += 1
+        if n < 2 or n > 7:
+            raise NotImplementedError("flac: bad utf8-coded number")
+        v = b0 & (0x7F >> n)
+        for _ in range(n - 1):
+            c = self.read(8)
+            if c & 0xC0 != 0x80:
+                raise NotImplementedError("flac: bad utf8 continuation")
+            v = (v << 6) | (c & 0x3F)
+        return v
+
+
+#: FIXED-predictor coefficients by order (RFC 9639 §9.2.2): s[i] is the
+#: dot product with the trailing samples plus the residual.
+_FLAC_FIXED_COEFFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list:
+    """Rice-coded residual section shared by FIXED and LPC subframes:
+    2-bit method (4- or 5-bit parameters), 4-bit partition order,
+    2^order partitions of zigzag-coded residuals; parameter == escape
+    means raw ``n``-bit verbatim residuals for that partition."""
+    method = br.read(2)
+    if method > 1:
+        raise NotImplementedError("flac: reserved residual method")
+    plen = 4 + method
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    if blocksize >> porder << porder != blocksize:
+        raise NotImplementedError("flac: partition order mismatch")
+    out = []
+    for p in range(1 << porder):
+        cnt = (blocksize >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise NotImplementedError("flac: partition shorter than order")
+        param = br.read(plen)
+        if param == escape:
+            raw = br.read(5)
+            out += [br.signed(raw) if raw else 0 for _ in range(cnt)]
+        else:
+            for _ in range(cnt):
+                u = (br.unary() << param) | br.read(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list:
+    """One channel's samples: CONSTANT / VERBATIM / FIXED(0-4) / LPC,
+    with the wasted-bits shift (RFC 9639 §9.2)."""
+    if br.read(1):
+        raise NotImplementedError("flac: bad subframe pad bit")
+    ftype = br.read(6)
+    wasted = (br.unary() + 1) if br.read(1) else 0
+    bps -= wasted
+    if ftype == 0:                                       # CONSTANT
+        out = [br.signed(bps)] * blocksize
+    elif ftype == 1:                                     # VERBATIM
+        out = [br.signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:                               # FIXED order 0-4
+        order = ftype - 8
+        out = [br.signed(bps) for _ in range(order)]
+        coeffs = _FLAC_FIXED_COEFFS[order]
+        for r in _flac_residual(br, blocksize, order):
+            out.append(sum(c * out[-1 - j] for j, c in enumerate(coeffs)) + r)
+    elif ftype >= 32:                                    # LPC order 1-32
+        order = ftype - 31
+        out = [br.signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise NotImplementedError("flac: invalid lpc precision")
+        shift = br.signed(5)
+        if shift < 0:
+            raise NotImplementedError("flac: negative lpc shift")
+        coeffs = [br.signed(precision) for _ in range(order)]
+        for r in _flac_residual(br, blocksize, order):
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coeffs))
+            out.append((pred >> shift) + r)
+    else:
+        raise NotImplementedError(f"flac: reserved subframe type {ftype}")
+    return [v << wasted for v in out] if wasted else out
+
+
+def decode_flac(payload: bytes) -> dict:
+    """REAL FLAC sample decode from the public spec (RFC 9639) — no
+    codec library: STREAMINFO, then every audio frame's header
+    (sync/blocksize/rate/channel-assignment codes, UTF-8 frame number),
+    subframes (CONSTANT / VERBATIM / FIXED / LPC with Rice residuals),
+    and left-side / right-side / mid-side stereo decorrelation. Emits
+    the exact contract ``decode_audio`` emits for WAV — normalized
+    interleaved float64 ``samples`` plus rms/peak — so the spectral
+    stage runs unchanged on FLAC payloads. CRCs are parsed-past, not
+    validated (feature extraction wants samples, not integrity audit).
+    Python-loop bit unpacking is fixture/probe-scale by design; bulk
+    audio decode at 100 TB belongs on a codec-fleet seam, same as the
+    image stubs."""
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError("not a flac stream")
+    br = _FlacBits(payload)
+    br.pos = 32
+    rate = channels = bits = total = None
+    while True:                                # metadata blocks
+        last, btype, blen = br.read(1), br.read(7), br.read(24)
+        if btype == 0:                         # STREAMINFO
+            br.read(16 + 16 + 24 + 24)
+            rate = br.read(20)
+            channels = br.read(3) + 1
+            bits = br.read(5) + 1
+            total = br.read(36) or None        # 0 = unknown length
+            br.read(128)                       # md5
+        else:
+            br.read(blen * 8)
+        if last:
+            break
+    if rate is None or not rate:
+        raise NotImplementedError("flac: missing/invalid STREAMINFO")
+    chans: list = [[] for _ in range(channels)]
+    while total is None or len(chans[0]) < total:
+        if (br.pos >> 3) + 2 > len(payload):
+            break
+        if br.read(14) != 0x3FFE:
+            raise NotImplementedError("flac: lost frame sync")
+        br.read(2)                             # reserved + blocking strategy
+        bs_code, sr_code = br.read(4), br.read(4)
+        ch_asgn, ss_code = br.read(4), br.read(3)
+        br.read(1)                             # reserved
+        br.utf8_number()                       # frame/sample number
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            raise NotImplementedError("flac: reserved blocksize code")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise NotImplementedError("flac: invalid sample-rate code")
+        fbits = _FLAC_BITS.get(ss_code, bits) if ss_code else bits
+        br.read(8)                             # header CRC-8
+        if ch_asgn < 8:
+            if ch_asgn + 1 != channels:
+                raise NotImplementedError("flac: channel count mismatch")
+            sub = [_flac_subframe(br, blocksize, fbits)
+                   for _ in range(channels)]
+        elif ch_asgn in (8, 9, 10):
+            if channels != 2:
+                raise NotImplementedError("flac: stereo assignment w/o 2ch")
+            side_idx = 0 if ch_asgn == 9 else 1  # side subframe position
+            a = _flac_subframe(br, blocksize, fbits + (side_idx == 0))
+            b = _flac_subframe(br, blocksize, fbits + (side_idx == 1))
+            if ch_asgn == 8:                   # a=left, b=side: R = L - S
+                sub = [a, [x - s for x, s in zip(a, b)]]
+            elif ch_asgn == 9:                 # a=side, b=right: L = R + S
+                sub = [[x + s for x, s in zip(b, a)], b]
+            else:                              # mid/side
+                sub = [[], []]
+                for m, s in zip(a, b):
+                    m2 = (m << 1) | (s & 1)
+                    sub[0].append((m2 + s) >> 1)
+                    sub[1].append((m2 - s) >> 1)
+        else:
+            raise NotImplementedError("flac: reserved channel assignment")
+        for c in range(channels):
+            chans[c] += sub[c]
+        br.align()
+        br.read(16)                            # frame CRC-16
+    n_frames = len(chans[0])
+    if total and n_frames > total:             # last block may overrun
+        chans = [c[:total] for c in chans]
+        n_frames = total
+    samples = (np.array(chans, dtype=np.float64).T.reshape(-1)
+               / float(1 << (bits - 1)))
+    return {
+        "format": "flac",
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate),
+        "rms": round(float(np.sqrt((samples ** 2).mean())), 6)
+        if len(samples) else None,
+        "peak": round(float(np.abs(samples).max()), 6)
+        if len(samples) else None,
+        "samples": samples,
+    }
+
+
 def decode_audio(payload: bytes) -> dict:
-    """REAL audio sample decode for uncompressed RIFF/WAVE: walks the
-    chunk list to ``fmt `` + ``data``, then reconstructs the sample
-    stream with numpy (PCM 8/16/32-bit and IEEE-float 32/64). Returns
+    """REAL audio sample decode: uncompressed RIFF/WAVE (walks the
+    chunk list to ``fmt `` + ``data``, reconstructs the sample stream
+    with numpy — PCM 8/16/32-bit and IEEE-float 32/64) and lossless
+    FLAC (full bitstream decode, ``decode_flac``). Returns
     channels/rate/duration plus ``rms`` and ``peak`` over normalized
     [-1, 1] samples — values that only exist if the samples were
-    actually decoded, the audio analogue of ``mean_pixel``. Compressed
+    actually decoded, the audio analogue of ``mean_pixel``. Lossy
     codecs (MP3/AAC/alaw/...) raise NotImplementedError → the null
     fallback."""
     import struct
 
     import numpy as np
 
+    if payload[:4] == b"fLaC":
+        return decode_flac(payload)
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError("not a wav")
+        raise NotImplementedError("not a wav or flac")
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]

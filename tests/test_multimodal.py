@@ -1564,3 +1564,277 @@ def test_mp4_sample_times_from_stts():
     assert len(times) == len(mp4_sample_spans(mp4))
     assert mp4_sample_times(mp4[:40]) == []
     assert mp4_sample_times(b"\x00\x00\x00\x0cftypJUNK") == []
+
+
+# ---------------------------------------------------------------------------
+# FLAC sample decode (RFC 9639): hand-written encoder below exercises every
+# subframe type the decoder supports — CONSTANT / VERBATIM / FIXED / LPC,
+# Rice partitions + escape partitions, wasted bits, and all three stereo
+# decorrelation modes — against exact expected sample arrays.
+# ---------------------------------------------------------------------------
+
+class _BitW:
+    def __init__(self):
+        self.acc, self.n, self.out = 0, 0, bytearray()
+
+    def w(self, v, n):
+        assert 0 <= v < (1 << n), (v, n)
+        self.acc, self.n = (self.acc << n) | v, self.n + n
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def ws(self, v, n):
+        self.w(v & ((1 << n) - 1), n)
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+
+_FIXED_COEFFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
+
+
+def _rice(bw, residuals, blocksize, order, param=3, porder=0,
+          escape_last=False):
+    bw.w(0, 2)                                   # method 0: 4-bit params
+    bw.w(porder, 4)
+    idx, parts, n = 0, 1 << porder, blocksize >> porder
+    for p in range(parts):
+        cnt = n - (order if p == 0 else 0)
+        if escape_last and p == parts - 1:       # raw-bits escape partition
+            raw = 18
+            bw.w(0xF, 4)
+            bw.w(raw, 5)
+            for _ in range(cnt):
+                bw.ws(residuals[idx], raw)
+                idx += 1
+            continue
+        bw.w(param, 4)
+        for _ in range(cnt):
+            v = residuals[idx]
+            idx += 1
+            u = 2 * v if v >= 0 else -2 * v - 1
+            for _ in range(u >> param):
+                bw.w(0, 1)
+            bw.w(1, 1)
+            if param:
+                bw.w(u & ((1 << param) - 1), param)
+
+
+def _sub_constant(value, bps):
+    def wr(bw):
+        bw.w(0, 1); bw.w(0, 6); bw.w(0, 1)
+        bw.ws(value, bps)
+    return wr
+
+
+def _sub_verbatim(samples, bps, wasted=0):
+    def wr(bw):
+        bw.w(0, 1); bw.w(1, 6)
+        if wasted:
+            bw.w(1, 1)                           # flag, then unary wasted-1
+            for _ in range(wasted - 1):
+                bw.w(0, 1)
+            bw.w(1, 1)
+        else:
+            bw.w(0, 1)
+        for s in samples:
+            assert s % (1 << wasted) == 0
+            bw.ws(s >> wasted, bps - wasted)
+    return wr
+
+
+def _sub_fixed(samples, order, bps, param=3, porder=0, escape_last=False):
+    co = _FIXED_COEFFS[order]
+    res = [samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(co))
+           for i in range(order, len(samples))]
+
+    def wr(bw):
+        bw.w(0, 1); bw.w(8 + order, 6); bw.w(0, 1)
+        for s in samples[:order]:
+            bw.ws(s, bps)
+        _rice(bw, res, len(samples), order, param, porder, escape_last)
+    return wr
+
+
+def _sub_lpc(samples, coeffs, shift, precision, bps, param=3):
+    order = len(coeffs)
+    res = [samples[i]
+           - (sum(c * samples[i - 1 - j] for j, c in enumerate(coeffs))
+              >> shift)
+           for i in range(order, len(samples))]
+
+    def wr(bw):
+        bw.w(0, 1); bw.w(31 + order, 6); bw.w(0, 1)
+        for s in samples[:order]:
+            bw.ws(s, bps)
+        bw.w(precision - 1, 4)
+        bw.ws(shift, 5)
+        for c in coeffs:
+            bw.ws(c, precision)
+        _rice(bw, res, len(samples), order, param)
+    return wr
+
+
+def _flac_frame(bw, blocksize, sub_writers, ch_asgn, frame_no=0):
+    bw.w(0x3FFE, 14)
+    bw.w(0, 1); bw.w(0, 1)                       # reserved, fixed blocksize
+    bw.w(7, 4)                                   # 16-bit blocksize follows
+    bw.w(0, 4)                                   # rate from STREAMINFO
+    bw.w(ch_asgn, 4)
+    bw.w(0, 3)                                   # bits from STREAMINFO
+    bw.w(0, 1)
+    assert frame_no < 128
+    bw.w(frame_no, 8)                            # 1-byte utf8 frame number
+    bw.w(blocksize - 1, 16)
+    bw.w(0, 8)                                   # header crc-8 (unchecked)
+    for swr in sub_writers:
+        swr(bw)
+    bw.align()
+    bw.w(0, 16)                                  # frame crc-16 (unchecked)
+
+
+def _flac_stream(frames, rate, bits, channels, total):
+    """frames: [(blocksize, ch_asgn, [subframe writers])]"""
+    bw = _BitW()
+    for i, (bs, asgn, subs) in enumerate(frames):
+        _flac_frame(bw, bs, subs, asgn, frame_no=i)
+    return _flac_bytes(rate=rate, channels=channels, bits=bits,
+                       total=total) + bytes(bw.out)
+
+
+def test_flac_decode_mono_all_subframe_types():
+    """CONSTANT, VERBATIM (incl. wasted bits), FIXED orders 0-4 with
+    Rice partitions and an escape partition, and LPC — every decoded
+    sample exact against the pre-encoding arrays."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import decode_flac
+
+    rng = np.random.default_rng(7)
+    const = [-1234] * 64
+    verb = [int(v) for v in rng.integers(-30000, 30000, 64)]
+    wast = [int(v) * 4 for v in rng.integers(-7000, 7000, 64)]
+    # smooth-ish signal so FIXED residuals stay small
+    fixed = [int(8000 * np.sin(i / 9)) for i in range(64)]
+    lpc = [int(6000 * np.cos(i / 11)) for i in range(64)]
+    frames = [
+        (64, 0, [_sub_constant(-1234, 16)]),
+        (64, 0, [_sub_verbatim(verb, 16)]),
+        (64, 0, [_sub_verbatim(wast, 16, wasted=2)]),
+        (64, 0, [_sub_fixed(fixed, 2, 16, param=5, porder=2)]),
+        (64, 0, [_sub_fixed(verb, 0, 16, param=6, porder=1,
+                            escape_last=True)]),
+        (64, 0, [_sub_lpc(lpc, [3, -2], shift=1, precision=5, bps=16,
+                          param=5)]),
+    ]
+    payload = _flac_stream(frames, rate=8000, bits=16, channels=1,
+                           total=64 * 6)
+    d = decode_flac(payload)
+    assert (d["format"], d["channels"], d["sample_rate"], d["n_frames"]) \
+        == ("flac", 1, 8000, 64 * 6)
+    expect = np.array(const + verb + wast + fixed + verb + lpc,
+                      dtype=np.float64) / 32768.0
+    assert np.array_equal(d["samples"], expect)
+    assert d["rms"] == round(float(np.sqrt((expect ** 2).mean())), 6)
+    assert d["peak"] == round(float(np.abs(expect).max()), 6)
+
+
+def test_flac_decode_stereo_decorrelation_modes():
+    """left/side, side/right, and mid/side frames all reconstruct the
+    same known L/R arrays exactly; independent 2-channel as control."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import decode_flac
+
+    rng = np.random.default_rng(11)
+    L = [int(v) for v in rng.integers(-30000, 30000, 48)]
+    R = [int(v) for v in rng.integers(-30000, 30000, 48)]
+    side = [l - r for l, r in zip(L, R)]
+    mid = [(l + r) >> 1 for l, r in zip(L, R)]
+    frames = [
+        (48, 1, [_sub_verbatim(L, 16), _sub_verbatim(R, 16)]),
+        (48, 8, [_sub_verbatim(L, 16), _sub_verbatim(side, 17)]),
+        (48, 9, [_sub_verbatim(side, 17), _sub_verbatim(R, 16)]),
+        (48, 10, [_sub_verbatim(mid, 16), _sub_verbatim(side, 17)]),
+    ]
+    payload = _flac_stream(frames, rate=44100, bits=16, channels=2,
+                           total=48 * 4)
+    d = decode_flac(payload)
+    assert d["channels"] == 2 and d["n_frames"] == 48 * 4
+    inter = np.array([v for l, r in zip(L, R) for v in (l, r)] * 1,
+                     dtype=np.float64)
+    expect = np.concatenate([inter] * 4) / 32768.0
+    assert np.array_equal(d["samples"], expect)
+
+
+def test_flac_spectral_and_spark_paths(spark):
+    """decode_audio dispatches FLAC; a pure FLAC sine lands its energy
+    in the right spectral band through audio_spectral_features, and
+    decoded_audio_features handles mixed WAV/FLAC/hostile payloads in
+    one Arrow batch."""
+    import numpy as np
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        audio_spectral_features,
+        decode_audio,
+        decoded_audio_features,
+    )
+
+    rate, n = 8000, 8192
+    # amplitude matches _sine_wav (0.5 * (1 << 14)) so the FLAC and WAV
+    # encodings carry the same samples and rms/bands agree
+    sine = [int(8192 * np.sin(2 * np.pi * 1250 * i / rate))
+            for i in range(n)]
+    frames = [(2048, 0, [_sub_verbatim(sine[i:i + 2048], 16)])
+              for i in range(0, n, 2048)]
+    flac_sine = _flac_stream(frames, rate=rate, bits=16, channels=1,
+                             total=n)
+    d = decode_audio(flac_sine)
+    assert d["format"] == "flac" and d["n_frames"] == n
+
+    wav_sine = _sine_wav(1250, rate=rate, n=n)
+    df = spark.createDataFrame(
+        [(1, bytearray(flac_sine)), (2, bytearray(wav_sine)),
+         (3, bytearray(b"fLaC" + b"\xff" * 50)), (4, bytearray(b""))],
+        "media_id long, payload binary")
+    spec = {r.media_id: r
+            for r in audio_spectral_features(df, "media_id", "payload",
+                                             bands=8).collect()}
+    # 1250 Hz at a 4000 Hz Nyquist -> band 2 of 8 dominates, and the
+    # FLAC and WAV encodings of the same sine agree to float tolerance
+    assert spec["1"].band_energy[2] > 0.9
+    assert np.allclose(spec["1"].band_energy, spec["2"].band_energy,
+                       atol=1e-3)
+    assert spec["3"].band_energy is None and spec["4"].band_energy is None
+
+    feats = {r.media_id: r
+             for r in decoded_audio_features(df, "media_id",
+                                             "payload").collect()}
+    assert (feats["1"].format, feats["1"].sample_rate,
+            feats["1"].n_frames) == ("flac", 8000, n)
+    assert feats["2"].format == "wav"
+    assert abs(feats["1"].rms - feats["2"].rms) < 1e-3
+    assert feats["3"].format is None                    # hostile -> nulls
+
+
+def test_flac_decode_hostile_never_misreads():
+    """Corrupt streams raise NotImplementedError (the degrade-to-null
+    signal), never return wrong samples or loop forever."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import decode_flac
+
+    good = _flac_stream([(64, 0, [_sub_constant(100, 16)])],
+                        rate=8000, bits=16, channels=1, total=64)
+    for evil in (
+        good[:20],                               # truncated STREAMINFO
+        good[:len(good) - 6],                    # truncated mid-frame
+        good[:42] + b"\x00\x00" + good[44:],     # sync bytes destroyed
+        b"fLaC",                                 # nothing after magic
+        b"RIFF1234WAVE",                         # not flac at all
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_flac(evil)
