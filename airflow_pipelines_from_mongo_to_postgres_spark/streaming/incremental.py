@@ -276,3 +276,103 @@ def run_incremental_expectations(
         .start()
     )
     query.awaitTermination()
+
+
+def run_incremental_variant_ingest(
+    spark: SparkSession,
+    drop_dir: str,
+    spec: dict,
+    table: str,
+    checkpoint_dir: str,
+    quarantine_table: str | None = None,
+    ledger_table: str | None = None,
+    checks_factory: Callable | None = None,
+    stream_id: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming schemaless ingest: a JSON-lines drop directory streams
+    through ``try_parse_json`` VARIANT parse → typed conform
+    (functions/variantdoc.py ``spec``: out_name -> (path, type[,
+    default])) → EXACTLY-ONCE snapshot appends, closing the loop
+    between the VARIANT document layer and the streaming DQ ledger:
+
+    * parse-able documents conform to typed rows and append to
+      ``table`` (``snap_append_txn`` keyed by stream id + epoch — a
+      replayed epoch sees its txn and skips);
+    * malformed lines (NULL variant) append RAW to
+      ``quarantine_table`` with the epoch, never dropped silently (the
+      M14 quarantine discipline; ref ``user_table.py:116-121`` drops
+      bad rows on the floor);
+    * the expectations battery runs per batch — always including a
+      ``variant_parse`` check whose violation count IS the quarantine
+      count, plus any ``checks_factory(conformed_batch)`` checks — and
+      the report appends to ``ledger_table`` stamped with the epoch.
+
+    One parse per batch: the variant column is computed once and
+    persisted across the three sinks (the standard foreachBatch
+    multi-sink discipline), so at scale each micro-batch costs one
+    text scan + one parse, then three bounded appends. All three
+    tables share the txn id but dedupe independently, so a crash
+    between sinks replays only the missing appends."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.expectations import (
+        custom,
+        run_expectations,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import (
+        as_variant,
+        variant_conform,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+        snap_append_txn,
+    )
+
+    sid = stream_id or hashlib.sha256(
+        checkpoint_dir.encode("utf-8")).hexdigest()[:16]
+
+    def apply(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        docs = batch.select(
+            F.col("value").alias("_raw"),
+            as_variant(F.col("value")).alias("__doc__")).persist()
+        try:
+            txn = f"vi-{sid}-epoch-{epoch}"
+            conformed = variant_conform(
+                docs.where(F.col("__doc__").isNotNull()), "__doc__", spec)
+            snap_append_txn(spark, table, conformed, txn=txn,
+                            note=f"variant ingest epoch {epoch}")
+            if quarantine_table:
+                bad = docs.where(F.col("__doc__").isNull()).select(
+                    "_raw", F.lit(epoch).cast("long").alias("epoch"))
+                snap_append_txn(spark, quarantine_table, bad, txn=txn,
+                                note=f"variant quarantine epoch {epoch}")
+            if ledger_table:
+                checks = [custom("variant_parse",
+                                 F.col("__doc__").isNotNull())]
+                report = run_expectations(docs, checks)
+                if checks_factory:
+                    report = report.unionByName(run_expectations(
+                        conformed, checks_factory(conformed)))
+                snap_append_txn(
+                    spark, ledger_table,
+                    report.withColumn("epoch",
+                                      F.lit(epoch).cast("long")),
+                    txn=txn, note=f"variant dq epoch {epoch}")
+        finally:
+            docs.unpersist()
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    query = (
+        reader.load(drop_dir)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -558,3 +558,93 @@ def test_streaming_expectations_ledger_matches_batch(spark, tmp_path):
         .filter((F.col("check") == "in_range(v,0.0,50.0)")
                 & (F.col("rows_checked") == 1)).collect()
     assert len(rng) == 1 and rng[0].violations == 1
+
+
+def test_streaming_variant_ingest_matches_batch(spark, tmp_path):
+    """Schemaless streaming ingest: JSON-lines files stream through
+    VARIANT parse -> typed conform with the same result as the batch
+    path over all files at once; malformed lines land raw in the
+    quarantine table; the DQ ledger's variant_parse violations count
+    them per epoch; and a re-run over the same checkpoint + tables
+    appends nothing (exactly-once)."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import (
+        expectations as X,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import (
+        as_variant,
+        variant_conform,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
+        run_incremental_variant_ingest,
+    )
+
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    f1 = ['{"user": {"id": 1, "name": "ada"}, "score": 9.5}',
+          '{"user": {"id": 2}, "score": 3, "tags": ["a"]}',
+          'this is not json at all']
+    f2 = ['{"user": {"id": 3, "name": "lin"}, "score": "oops"}',
+          '{broken', '{"user": {"id": 4}}']
+    (drop / "a.jsonl").write_text("\n".join(f1))
+    (drop / "b.jsonl").write_text("\n".join(f2))
+
+    spec = {"uid": ("$.user.id", "bigint"),
+            "name": ("$.user.name", "string", "unknown"),
+            "score": ("$.score", "double")}
+
+    def checks(conformed):
+        return [X.not_null("uid")]
+
+    table = str(tmp_path / "typed")
+    quar = str(tmp_path / "quarantine")
+    ledger = str(tmp_path / "ledger")
+    kwargs = dict(quarantine_table=quar, ledger_table=ledger,
+                  checks_factory=checks, max_files_per_trigger=1,
+                  checkpoint_dir=str(tmp_path / "ck"))
+    run_incremental_variant_ingest(spark, f"{drop}/*", spec, table,
+                                   **kwargs)
+
+    # stream == batch: same spec applied to all lines at once
+    batch = variant_conform(
+        spark.createDataFrame([(s,) for s in f1 + f2], "value string")
+        .select(as_variant("value").alias("__doc__"))
+        .where(F.col("__doc__").isNotNull()), "__doc__", spec)
+    got = sorted((r.uid, r.name, r.score)
+                 for r in S.read_snapshot(spark, table).collect())
+    assert got == sorted((r.uid, r.name, r.score)
+                         for r in batch.collect())
+    assert got == [(1, "ada", 9.5), (2, "unknown", 3.0),
+                   (3, "lin", None), (4, "unknown", None)]
+
+    # malformed lines are quarantined raw, stamped with their epoch
+    q = {r._raw: r.epoch for r in S.read_snapshot(spark, quar).collect()}
+    assert set(q) == {"this is not json at all", "{broken"}
+    assert len(set(q.values())) == 2          # one malformed per file/epoch
+
+    # ledger: variant_parse violations per epoch equal quarantine counts,
+    # and the conformed-batch check ran on parse-survivors only
+    led = S.read_snapshot(spark, ledger).collect()
+    parse = {r.epoch: (r.violations, r.rows_checked)
+             for r in led if r.check == "custom(variant_parse)"}
+    assert sorted(parse.values()) == [(1, 3), (1, 3)]
+    uid = {r.epoch: (r.violations, r.rows_checked)
+           for r in led if r.check == "not_null(uid)"}
+    assert sorted(uid.values()) == [(0, 2), (0, 2)]
+
+    # exactly-once: replaying the whole stream over the same checkpoint
+    # discovers nothing new; and even a forced epoch replay would no-op
+    # on the recorded txns
+    before = (S.read_snapshot(spark, table).count(),
+              S.read_snapshot(spark, quar).count(),
+              S.read_snapshot(spark, ledger).count())
+    run_incremental_variant_ingest(spark, f"{drop}/*", spec, table,
+                                   **kwargs)
+    after = (S.read_snapshot(spark, table).count(),
+             S.read_snapshot(spark, quar).count(),
+             S.read_snapshot(spark, ledger).count())
+    assert before == after == (4, 2, 4)
