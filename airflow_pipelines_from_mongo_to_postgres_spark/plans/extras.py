@@ -638,6 +638,182 @@ FROM rk WHERE r = 1
 """
 
 
+# --- q164: TPC-H Q2 shape — cheapest supplier per part (decorrelated) -------
+def q164_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated ``= (SELECT min(...))`` subquery, decorrelated
+    the way modern planners rewrite it — as a windowed min over the
+    per-(part, supplier) offer table: the fact shuffles ONCE carrying
+    map-side-combined (part, supplier) pairs, the per-part minimum is
+    a window over that reduced table (second exchange moves pairs, not
+    lineitems), and the equality filter keeps the best-price rows — no
+    self-join, no third shuffle. No partsupp in the fixture, so the
+    \"offer\" is the best observed lineitem price per (part,
+    supplier); min of stored doubles is comparison-only (no
+    accumulation), so the equality cannot drift cross-engine. Ties
+    keep ALL best-price suppliers (rows are distinct pairs —
+    deterministic without an arbitrary pick)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    p = part.filter(F.col("p_size") <= 5).select("p_partkey", "p_brand")
+    offers = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("l_extendedprice").alias("offer")))
+    w = Window.partitionBy("l_partkey")
+    j = (offers.withColumn("best_offer", F.min("offer").over(w))
+         .filter(F.col("offer") == F.col("best_offer"))
+         .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey",
+                 "best_offer")
+         .join(F.broadcast(p), "p_partkey")
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")))
+    return j.select("p_partkey", "p_brand", F.col("s_name"),
+                    F.col("n_name"), "best_offer")
+
+
+Q164_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(offer) AS best_offer FROM offers GROUP BY 1
+)
+SELECT o.l_partkey AS p_partkey, p.p_brand, s.s_name, n.n_name,
+       b.best_offer
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.offer = b.best_offer
+JOIN part p ON o.l_partkey = p.p_partkey AND p.p_size <= 5
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+# --- q165: TPC-H Q3 shape — shipping-priority top orders ---------------------
+def q165_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 near-canonical (the fixture has c_mktsegment): revenue of
+    not-yet-shipped lineitems for BUILDING-segment customers' orders
+    placed before the cutoff, top 10. Both date predicates and the
+    segment filter push into their scans BEFORE any join (the scan
+    reads a fraction of each table); customer semi-reduces orders via
+    broadcast; revenue is exact DECIMAL and the top-10 is decided on
+    the exact value with the orderkey tiebreak."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    cutoff = "1998-07-01"
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)"))) \
+        .cast("decimal(18,6)")
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    per = (li.filter(F.col("l_shipdate") > cutoff)
+           .join(orders.filter(F.col("o_orderdate") < cutoff),
+                 li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(c), orders.o_custkey == F.col("c_custkey"))
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum(rev).alias("_rev")))
+    return (per.orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_orderpriority",
+                    F.round(F.col("_rev").cast("double"), 4)
+                    .alias("revenue")))
+
+
+Q165_SQL = """
+WITH per AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4))
+                - CAST(l.l_discount AS DECIMAL(18,4)))
+             AS DECIMAL(18,6))) AS _rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-07-01'
+    AND l.l_shipdate > TIMESTAMP '1998-07-01'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, round(CAST(_rev AS DOUBLE), 4) AS revenue
+FROM per ORDER BY _rev DESC, l_orderkey LIMIT 10
+"""
+
+
+# --- q166: TPC-H Q6 shape — forecast revenue change --------------------------
+def q166_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 verbatim-shape: ONE scan, three pushed predicates, one
+    global aggregate — the query whose entire cost at 100 TB is how
+    little of the fact the scan reads (year + discount-band + quantity
+    filters all reach PushedFilters; no shuffle except the final
+    single-row reduce). Revenue delta sums DECIMAL products exactly."""
+    li = load_table(spark, "lineitem", sf_dir)
+    delta = (F.col("l_extendedprice").cast("decimal(18,4)")
+             * F.col("l_discount").cast("decimal(18,4)")) \
+        .cast("decimal(18,6)")
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(delta).cast("double"), 4)
+                 .alias("revenue_delta"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+Q166_SQL = """
+SELECT round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,6)))
+             AS DOUBLE), 4) AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q167: TPC-H Q12 shape — late shipments by priority class ----------------
+def q167_late_shipment_priority(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Q12's conditional-aggregation-after-join shape, re-keyed (no
+    l_shipmode in the fixture): lineitems shipped more than 90 days
+    after their order date, counted per line status into high-priority
+    (URGENT/HIGH) vs low-priority buckets. The lateness predicate is
+    row-local post-join arithmetic on two timestamp columns; the
+    conditional counts are integer-exact map-side partial aggregates —
+    one fact shuffle total."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .filter(F.col("l_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    return (j.groupBy("l_linestatus")
+            .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                 F.sum((~high).cast("long")).alias("low_line_count"),
+                 F.count(F.lit(1)).alias("n_late")))
+
+
+Q167_SQL = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+       count(*) AS n_late
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -651,6 +827,10 @@ QUERIES = {
     "q157_returned_top_customers": q157_returned_top_customers,
     "q158_weighted_median": q158_weighted_median,
     "q159_mode_priority": q159_mode_priority,
+    "q164_min_cost_supplier": q164_min_cost_supplier,
+    "q165_shipping_priority": q165_shipping_priority,
+    "q166_forecast_revenue": q166_forecast_revenue,
+    "q167_late_shipment_priority": q167_late_shipment_priority,
 }
 
 ORACLES = {
@@ -666,4 +846,8 @@ ORACLES = {
     "q157_returned_top_customers": Q157_SQL,
     "q158_weighted_median": Q158_SQL,
     "q159_mode_priority": Q159_SQL,
+    "q164_min_cost_supplier": Q164_SQL,
+    "q165_shipping_priority": Q165_SQL,
+    "q166_forecast_revenue": Q166_SQL,
+    "q167_late_shipment_priority": Q167_SQL,
 }

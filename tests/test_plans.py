@@ -187,9 +187,17 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
                 continue
             groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]",
                                 m.group(1))
-            if len(groups) < 3:
-                offenders.append(name)
-                break
+            if len(groups) >= 3:
+                continue
+            # two groups can be "Window [aggs], [partition]" (an
+            # unordered whole-partition aggregate window — partitioned,
+            # safe: q164's per-part min) OR "Window [exprs], [order]"
+            # (global sort through one task — flag). The sort spec
+            # always prints ASC/DESC; a partition spec never does.
+            if len(groups) == 2 and not re.search(r"ASC|DESC", groups[1]):
+                continue
+            offenders.append(name)
+            break
     assert not offenders, f"global-window queries: {offenders}"
     assert not cartesian, f"cartesian-product queries: {cartesian}"
 
