@@ -814,6 +814,100 @@ GROUP BY 1
 """
 
 
+# --- q168: $setWindowFields pipeline over events -----------------------------
+def q168_mongo_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 5.0 window functions ($setWindowFields) translated to
+    Spark windows, end-to-end through the pipeline dispatcher: per-user
+    running value (documents frame), sequence number, and previous
+    event type ($shift by -1), keeping each user's first 3 events. The
+    running sum accumulates DECIMAL in the (ts, event_id)-pinned order,
+    so cross-engine addition order is identical; the window partitions
+    by user_id (never global). Decimal -> double happens outside the
+    pipeline, at the output boundary (the no-decimal-output gate)."""
+    ev = load_table(spark, "events", sf_dir) \
+        .withColumn("value_d", F.col("value").cast("decimal(18,4)"))
+    out = apply_pipeline(ev, [
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1, "event_id": 1},
+            "output": {
+                "running_value": {"$sum": "$value_d",
+                                  "window": {"documents": ["unbounded",
+                                                           "current"]}},
+                "seq": {"$documentNumber": {}},
+                "prev_type": {"$shift": {"output": "$event_type",
+                                         "by": -1, "default": "none"}},
+            }}},
+        {"$match": {"seq": {"$lte": 3}}},
+    ])
+    return out.select("event_id", "user_id", "seq", "prev_type",
+                      F.round(F.col("running_value").cast("double"), 4)
+                      .alias("running_value"))
+
+
+Q168_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         sum(CAST(value AS DECIMAL(18,4))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS seq,
+         lag(event_type, 1, 'none') OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT event_id, user_id, seq, prev_type,
+       round(CAST(running_value AS DOUBLE), 4) AS running_value
+FROM w WHERE seq <= 3
+"""
+
+
+# --- q169: $bucket histogram of document lengths ------------------------------
+def q169_mongo_bucket_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket over documents.n_chars: left-closed boundaries, _id =
+    lower bound, string 'xl' default (label coercion to string — the
+    documented deviation), output accumulators compiled by the $group
+    compiler. Integer-exact aggregates only."""
+    docs = load_table(spark, "documents", sf_dir)
+    return apply_pipeline(docs, [
+        {"$bucket": {"groupBy": "$n_chars",
+                     "boundaries": [0, 200, 500, 1000, 5000],
+                     "default": "xl",
+                     "output": {"n_docs": {"$sum": 1},
+                                "total_chars": {"$sum": "$n_chars"}}}},
+    ]).select("_id", "n_docs", F.col("total_chars").cast("long")
+              .alias("total_chars"))
+
+
+Q169_SQL = """
+SELECT CASE WHEN n_chars >= 0 AND n_chars < 200 THEN '0'
+            WHEN n_chars >= 200 AND n_chars < 500 THEN '200'
+            WHEN n_chars >= 500 AND n_chars < 1000 THEN '500'
+            WHEN n_chars >= 1000 AND n_chars < 5000 THEN '1000'
+            ELSE 'xl' END AS _id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+# --- q170: $sortByCount over document languages -------------------------------
+def q170_mongo_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$sortByCount — the $group + $sort(-count) sugar with the pinned
+    _id tiebreak (Mongo leaves count-ties unordered; deterministic
+    beats unspecified, the translator convention)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return apply_pipeline(docs, [{"$sortByCount": "$lang"}])
+
+
+Q170_SQL = """
+SELECT lang AS _id, count(*) AS "count"
+FROM documents GROUP BY 1 ORDER BY count(*) DESC, lang
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -828,6 +922,9 @@ QUERIES = {
     "q158_weighted_median": q158_weighted_median,
     "q159_mode_priority": q159_mode_priority,
     "q164_min_cost_supplier": q164_min_cost_supplier,
+    "q168_mongo_window_fields": q168_mongo_window_fields,
+    "q169_mongo_bucket_lengths": q169_mongo_bucket_lengths,
+    "q170_mongo_sort_by_count": q170_mongo_sort_by_count,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -847,6 +944,9 @@ ORACLES = {
     "q158_weighted_median": Q158_SQL,
     "q159_mode_priority": Q159_SQL,
     "q164_min_cost_supplier": Q164_SQL,
+    "q168_mongo_window_fields": Q168_SQL,
+    "q169_mongo_bucket_lengths": Q169_SQL,
+    "q170_mongo_sort_by_count": Q170_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -497,6 +497,150 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.groupBy(_expr(gid).alias("_id")).agg(*aggs)
 
 
+def _bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$bucket``: left-closed [b_i, b_{i+1}) intervals over a
+    monotone boundary list; ``_id`` is the bucket's LOWER bound (Mongo's
+    contract), ``output`` accumulators reuse the ``$group`` compiler.
+    Out-of-bounds documents take ``default`` when given, else the
+    aggregation errors — Mongo's exact semantics, reproduced
+    distributed via ``raise_error`` in the otherwise-branch (a planning
+    -time check cannot know the data). A string ``default`` against
+    numeric boundaries coerces every label to string (Mongo's _id is
+    schemaless; one Spark column needs one type — documented
+    deviation, value-preserving)."""
+    bounds = spec["boundaries"]
+    if len(bounds) < 2 or sorted(bounds) != list(bounds):
+        raise ValueError("$bucket boundaries must be sorted, length >= 2")
+    gb = _expr(spec["groupBy"])
+    has_default = "default" in spec
+    stringify = has_default and isinstance(spec["default"], str) \
+        and not all(isinstance(b, str) for b in bounds)
+
+    def lab(v):
+        return F.lit(str(v) if stringify else v)
+
+    out = F.when((gb >= F.lit(bounds[0])) & (gb < F.lit(bounds[1])),
+                 lab(bounds[0]))
+    for lo, hi in zip(bounds[1:-1], bounds[2:]):
+        out = out.when((gb >= F.lit(lo)) & (gb < F.lit(hi)), lab(lo))
+    if has_default:
+        out = out.otherwise(lab(spec["default"]))
+    else:
+        out = out.otherwise(F.raise_error(F.lit(
+            "$bucket: value outside boundaries and no default")))
+    tmp = "__bucket"
+    grouped = _group(df.withColumn(tmp, out),
+                     {"_id": f"${tmp}",
+                      **spec.get("output", {"count": {"$sum": 1}})})
+    return grouped
+
+
+_WF_RANK = {"$rank": F.rank, "$denseRank": F.dense_rank,
+            "$documentNumber": F.row_number}
+
+
+def _wf_bound(v, lower: bool):
+    from pyspark.sql import Window
+
+    if v == "unbounded":
+        return Window.unboundedPreceding if lower \
+            else Window.unboundedFollowing
+    if v == "current":
+        return Window.currentRow
+    return int(v)
+
+
+def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$setWindowFields`` (Mongo 5.0 window functions) lowered onto
+    Spark's Window: ``partitionBy`` expression, compound ``sortBy``,
+    and per-output ``window`` frames — ``documents`` → rowsBetween,
+    ``range`` → rangeBetween (single ascending numeric sort key, no
+    time ``unit``). Accumulators without an explicit window default to
+    the WHOLE partition (Mongo's rule — unlike SQL's default frame
+    when ORDER BY is present, so the frame is always set explicitly).
+    Rank-family ops require sortBy and take no frame; ``$shift``
+    lowers to lead/lag with its default. ``$push`` without sortBy has
+    no defined order in Mongo — pinned with sort_array here, the
+    translator's determinism convention."""
+    from pyspark.sql import Window
+
+    part = spec.get("partitionBy")
+    sortby = spec.get("sortBy") or {}
+    base = Window.partitionBy(*([_expr(part)] if part is not None else []))
+    ordered = base.orderBy(
+        *[F.col(k).asc() if d == 1 else F.col(k).desc()
+          for k, d in sortby.items()]) if sortby else base
+    for name, wspec in spec["output"].items():
+        if "." in name:
+            raise ValueError(
+                f"$setWindowFields nested output path unsupported: {name}")
+        wspec = dict(wspec)
+        frame = wspec.pop("window", None)
+        (op, arg), = wspec.items()
+        if op in _WF_RANK:
+            if not sortby:
+                raise ValueError(f"{op} requires sortBy")
+            if frame is not None:
+                raise ValueError(f"{op} does not accept a window")
+            df = df.withColumn(name, _WF_RANK[op]().over(ordered))
+            continue
+        if op == "$shift":
+            if not sortby:
+                raise ValueError("$shift requires sortBy")
+            by = int(arg.get("by", 1))
+            default = arg.get("default")
+            fn = F.lead if by >= 0 else F.lag
+            df = df.withColumn(name, fn(_expr(arg["output"]), abs(by),
+                                        default).over(ordered))
+            continue
+        # accumulator over a frame
+        w = ordered if sortby else base
+        if frame is None:
+            lo, hi = "unbounded", "unbounded"
+            kind = "documents"
+        else:
+            kind, (lo, hi) = next(iter(frame.items()))
+            if kind == "range" and frame.get("unit"):
+                raise ValueError("$setWindowFields range unit unsupported")
+        if kind == "documents":
+            w = w.rowsBetween(_wf_bound(lo, True), _wf_bound(hi, False))
+        elif kind == "range":
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "range window needs a single ascending sortBy")
+            w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
+        else:
+            raise ValueError(f"unsupported window kind: {kind}")
+        if op == "$sum" and arg == 1:
+            c = F.count(F.lit(1))
+        elif op == "$count":
+            c = F.count(F.lit(1))
+        elif op == "$sum":
+            c = F.sum(_expr(arg))
+        elif op == "$avg":
+            c = F.avg(_expr(arg))
+        elif op == "$min":
+            c = F.min(_expr(arg))
+        elif op == "$max":
+            c = F.max(_expr(arg))
+        elif op == "$stdDevPop":
+            c = F.stddev_pop(_expr(arg))
+        elif op == "$stdDevSamp":
+            c = F.stddev_samp(_expr(arg))
+        elif op == "$first":
+            c = F.first(_expr(arg))
+        elif op == "$last":
+            c = F.last(_expr(arg))
+        elif op == "$push":
+            c = F.collect_list(_expr(arg)) if sortby \
+                else F.sort_array(F.collect_list(_expr(arg)))
+        else:
+            raise ValueError(
+                f"unsupported $setWindowFields operator: {op}")
+        df = df.withColumn(name, c.over(w))
+    return df
+
+
 def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                    collections: dict[str, DataFrame] | None = None
                    ) -> DataFrame:
@@ -546,6 +690,33 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = df.offset(int(spec))
         elif op == "$count":
             df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$sortByCount":
+            # sugar for $group{_id, count:$sum 1} + $sort{count:-1};
+            # Mongo leaves count-ties unordered — pinned by _id (the
+            # $lookup/$push determinism convention)
+            df = (df.groupBy(_expr(spec).alias("_id"))
+                  .agg(F.count(F.lit(1)).alias("count"))
+                  .orderBy(F.col("count").desc(), F.col("_id")))
+        elif op in ("$replaceRoot", "$replaceWith"):
+            root = spec["newRoot"] if op == "$replaceRoot" else spec
+            df = df.select(_expr(root).alias("__root")).select("__root.*")
+        elif op == "$unionWith":
+            if isinstance(spec, str):
+                cname, sub = spec, []
+            else:
+                cname, sub = spec["coll"], spec.get("pipeline", [])
+            if not collections or cname not in collections:
+                raise ValueError(
+                    f"$unionWith needs collections={{{cname!r}: "
+                    "DataFrame}} passed to apply_pipeline")
+            other = apply_pipeline(collections[cname], sub, collections)
+            # Mongo unions heterogeneous documents; absent fields are
+            # missing -> NULL on the rectangular side
+            df = df.unionByName(other, allowMissingColumns=True)
+        elif op == "$bucket":
+            df = _bucket(df, spec)
+        elif op == "$setWindowFields":
+            df = _set_window_fields(df, spec)
         elif op == "$lookup":
             if "pipeline" in spec or "let" in spec:
                 raise ValueError(

@@ -424,3 +424,121 @@ def test_group_accumulators_batch2(apps):
     import math
     assert math.isclose(got["closed"].sd,
                         (((10 - 30) ** 2 + 0 + (50 - 30) ** 2) / 3) ** 0.5)
+
+
+def test_sortbycount_replaceroot_unionwith(apps, spark):
+    """$sortByCount orders by count desc with the pinned _id tiebreak;
+    $replaceRoot promotes a nested document to the root; $unionWith
+    runs its sub-pipeline and unions heterogeneous schemas with NULLs
+    for absent fields."""
+    out = apply_pipeline(apps, [{"$sortByCount": "$status"}]).collect()
+    assert [(r._id, r["count"]) for r in out] == \
+        [("closed", 3), ("open", 2)]
+
+    roots = apply_pipeline(apps, [
+        {"$match": {"_id": "a1"}},
+        {"$replaceRoot": {"newRoot": "$personalDetails"}}]).collect()
+    assert roots[0].asDict() == {"email": "u1@x.io",
+                                 "primaryPhoneNumber": "071"}
+
+    extra = spark.createDataFrame(
+        [("z9", "archived"), ("z8", "open")], "_id string, status string")
+    u = apply_pipeline(apps, [
+        {"$project": {"_id": 1, "status": 1, "amount": 1}},
+        {"$unionWith": {"coll": "legacy",
+                        "pipeline": [{"$match": {"status": "archived"}}]}},
+    ], {"legacy": extra})
+    rows = {r._id: (r.status, r.amount) for r in u.collect()}
+    assert len(rows) == 6
+    assert rows["z9"] == ("archived", None)       # missing field -> NULL
+    assert rows["a5"] == ("closed", 50.0)
+
+    with pytest.raises(ValueError, match="unionWith"):
+        apply_pipeline(apps, [{"$unionWith": "nope"}])
+
+
+def test_bucket_semantics(apps, spark):
+    """Left-closed boundaries, _id = lower bound, $group-compiled
+    output accumulators, string-default label coercion, and Mongo's
+    error on out-of-bounds without a default."""
+    out = apply_pipeline(apps, [
+        {"$bucket": {"groupBy": "$amount", "boundaries": [0, 25, 45],
+                     "default": "overflow",
+                     "output": {"n": {"$sum": 1},
+                                "hi": {"$max": "$amount"}}}}])
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("0", 2, 20.0), ("25", 2, 40.0), ("overflow", 1, 50.0)]
+
+    # numeric default keeps the native label type
+    out2 = apply_pipeline(apps, [
+        {"$bucket": {"groupBy": "$amount", "boundaries": [0, 25, 45],
+                     "default": -1}}])
+    assert sorted(tuple(r) for r in out2.collect()) == \
+        [(-1, 1), (0, 2), (25, 2)]
+
+    # no default + out-of-bounds document = Mongo's aggregation error
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        apply_pipeline(apps, [
+            {"$bucket": {"groupBy": "$amount",
+                         "boundaries": [0, 25, 45]}}]).collect()
+    assert "outside boundaries" in str(exc.value)
+
+    with pytest.raises(ValueError, match="sorted"):
+        apply_pipeline(apps, [
+            {"$bucket": {"groupBy": "$amount", "boundaries": [25, 0]}}])
+
+
+def test_set_window_fields(apps):
+    """Running sums over documents frames, whole-partition default
+    frame, rank family, $shift lead/lag, and the range frame — Mongo
+    5.0's window stage on Spark windows."""
+    out = apply_pipeline(apps, [
+        {"$setWindowFields": {
+            "partitionBy": "$status",
+            "sortBy": {"dateCreated": 1},
+            "output": {
+                "running": {"$sum": "$amount",
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "total": {"$sum": "$amount"},
+                "pos": {"$documentNumber": {}},
+                "prev": {"$shift": {"output": "$_id", "by": -1,
+                                    "default": "none"}},
+            }}}])
+    got = {r._id: (r.running, r.total, r.pos, r.prev)
+           for r in out.collect()}
+    # closed partition: a1 (10), a3 (30), a5 (50) by date
+    assert got["a1"] == (10.0, 90.0, 1, "none")
+    assert got["a3"] == (40.0, 90.0, 2, "a1")
+    assert got["a5"] == (90.0, 90.0, 3, "a3")
+    # open partition: a2 (20), a4 (40)
+    assert got["a2"] == (20.0, 60.0, 1, "none")
+    assert got["a4"] == (60.0, 60.0, 2, "a2")
+
+    near = apply_pipeline(apps, [
+        {"$setWindowFields": {
+            "sortBy": {"amount": 1},
+            "output": {"n_near": {"$count": {},
+                                  "window": {"range": [-10, 10]}}}}}])
+    assert {r._id: r.n_near for r in near.collect()} == \
+        {"a1": 2, "a2": 3, "a3": 3, "a4": 3, "a5": 2}
+
+    with pytest.raises(ValueError, match="requires sortBy"):
+        apply_pipeline(apps, [
+            {"$setWindowFields": {"partitionBy": "$status",
+                                  "output": {"r": {"$rank": {}}}}}])
+    with pytest.raises(ValueError, match="does not accept"):
+        apply_pipeline(apps, [
+            {"$setWindowFields": {"partitionBy": "$status",
+                                  "sortBy": {"amount": 1},
+                                  "output": {"r": {"$rank": {},
+                                                   "window": {"documents":
+                                                              [0, 0]}}}}}])
+    with pytest.raises(ValueError, match="ascending"):
+        apply_pipeline(apps, [
+            {"$setWindowFields": {"sortBy": {"amount": -1},
+                                  "output": {"n": {"$count": {},
+                                                   "window": {"range":
+                                                              [-1, 1]}}}}}])
