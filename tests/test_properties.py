@@ -330,6 +330,19 @@ _vp_stage = st.one_of(
                                         "n": {"$sum": 1}}},
               st.sampled_from(["b", "nest.x"]),
               st.sampled_from(["$sum", "$min", "$max", "$avg"])),
+    # round-9 stages: bucket histograms (string default coerces labels),
+    # sortByCount sugar, whole-partition window accumulators (order-free
+    # ops only — ties in the generated data make framed sums ambiguous),
+    # and replaceRoot promotion of the nested doc
+    st.builds(lambda b: {"$bucket": {"groupBy": "$a",
+                                     "boundaries": [-5, 0, b],
+                                     "default": "ovf"}},
+              st.integers(1, 10)),
+    st.just({"$sortByCount": "$b"}),
+    st.builds(lambda op: {"$setWindowFields": {"partitionBy": "$b",
+                                               "output": {"t": {op: "$a"}}}},
+              st.sampled_from(["$sum", "$min", "$max"])),
+    st.just({"$replaceRoot": {"newRoot": "$nest"}}),
 )
 
 _vp_row = st.tuples(
