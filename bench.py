@@ -11,7 +11,8 @@ the end-to-end corpus build (q58), BM25 ranked retrieval (q97),
 blocked fuzzy record linkage (q99), the keyless banded interval join
 (q119), the agg-first HAVING join-back (q121), the composed
 semantic corpus build (q134), the positioned-span duplication audit
-(q154), and the Q5-shape five-table chain (q155).
+(q154), the Q5-shape five-table chain (q155), the windowed Q2
+decorrelation (q164), and the Mongo $setWindowFields pipeline (q168).
 
 Isolation: every timed run starts from a cold cache — session-level shared
 plans (plans/llmdata.py) are cleared and spark.catalog.clearCache() drops
@@ -67,6 +68,8 @@ HEADLINE = [
     "q144_expectations_audit",       # one-scan quality battery cost class
     "q154_span_scrub_stats",         # positioned-span explode cost class
     "q155_local_supplier_volume",    # five-table chain cost class
+    "q164_min_cost_supplier",        # windowed Q2 decorrelation cost class
+    "q168_mongo_window_fields",      # mongo $setWindowFields cost class
 ]
 
 
