@@ -153,15 +153,26 @@ def read_manifest(spark: SparkSession, table: str,
     segment names, Iceberg's manifest-list shape)."""
     m = _read_raw_manifest(spark, table, version)
     if "segments" not in m:
-        return m
+        # inline manifest (overwrite/replace/compact): those commits
+        # MATERIALIZE deletes, so every listed file is at least as new
+        # as any surviving delete — its own version is a safe sequence
+        out = dict(m)
+        out["file_seqs"] = {f: m["version"] for f in m.get("files", [])}
+        return out
     files: list = []
     stats: dict = {}
+    seqs: dict = {}
+    seg_seqs = m.get("segment_seqs") or {}
     for name in m["segments"]:
         seg = _read_segment(spark, table, name)
         files += seg["files"]
         stats.update(seg.get("stats", {}))
+        # legacy segments without a recorded sequence read as 0 (oldest:
+        # every delete applies — the pre-sequence behavior, unchanged)
+        seqs.update({f: seg_seqs.get(name, 0) for f in seg["files"]})
     out = dict(m)
     out["files"] = files
+    out["file_seqs"] = seqs
     if stats:
         out["stats"] = stats
     return out
@@ -494,7 +505,8 @@ def _commit(spark: SparkSession, table: str, files: list | None,
             txn: str | None = None, stats: dict | None = None,
             segments: list | None = None,
             deletes: list | None = None,
-            partition_by: list | None = None) -> int:
+            partition_by: list | None = None,
+            segment_seqs: dict | None = None) -> int:
     """Optimistic concurrency: the manifest file for version v is
     created with create(overwrite=False) — on a store with atomic
     create-if-absent, two writers racing to the same parent see exactly
@@ -514,6 +526,13 @@ def _commit(spark: SparkSession, table: str, files: list | None,
         # manifest-list shape: the version file carries only segment
         # NAMES — O(segments) bytes regardless of live file count
         manifest["segments"] = list(segments)
+        if segment_seqs:
+            # data-sequence numbers (Iceberg v2): which COMMIT's data a
+            # segment carries, so equality deletes apply only to files
+            # SEQUENCED BEFORE them — the invariant that makes a
+            # single-commit MERGE (delete old + add new) readable
+            manifest["segment_seqs"] = {
+                k: v2 for k, v2 in segment_seqs.items() if k in set(segments)}
     else:
         manifest["files"] = files
         if stats:
