@@ -642,11 +642,15 @@ FROM rk WHERE r = 1
 def q164_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2's correlated ``= (SELECT min(...))`` subquery, decorrelated
     the way modern planners rewrite it — as a windowed min over the
-    per-(part, supplier) offer table: the fact shuffles ONCE carrying
-    map-side-combined (part, supplier) pairs, the per-part minimum is
-    a window over that reduced table (second exchange moves pairs, not
-    lineitems), and the equality filter keeps the best-price rows — no
-    self-join, no third shuffle. No partsupp in the fixture, so the
+    per-(part, supplier) offer table: the part filter semi-reduces the
+    FACT first (broadcast left_semi on the filtered ~10% of p_partkey,
+    map-side, BEFORE the groupBy — per-part min is unchanged by
+    dropping other parts, so semantics are identical and the first
+    shuffle carries a tenth of the pairs), the fact then shuffles ONCE
+    with map-side-combined (part, supplier) pairs, the per-part minimum
+    is a window over that reduced table (second exchange moves pairs,
+    not lineitems), and the equality filter keeps the best-price rows —
+    no self-join, no third shuffle. No partsupp in the fixture, so the
     \"offer\" is the best observed lineitem price per (part,
     supplier); min of stored doubles is comparison-only (no
     accumulation), so the equality cannot drift cross-engine. Ties
@@ -657,7 +661,10 @@ def q164_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, "supplier", sf_dir)
     nat = load_table(spark, "nation", sf_dir)
     p = part.filter(F.col("p_size") <= 5).select("p_partkey", "p_brand")
-    offers = (li.groupBy("l_partkey", "l_suppkey")
+    li_r = li.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey", "left_semi")
+    offers = (li_r.groupBy("l_partkey", "l_suppkey")
               .agg(F.min("l_extendedprice").alias("offer")))
     w = Window.partitionBy("l_partkey")
     j = (offers.withColumn("best_offer", F.min("offer").over(w))

@@ -290,15 +290,28 @@ def _py_read_manifest(io, table: str, version: int | None = None) -> dict:
         raise FileNotFoundError(f"no snapshot v{v} at {table}")
     m = json.loads(text)
     if "segments" not in m:
-        return m
+        out = dict(m)
+        if "file_seqs" not in out:
+            out["file_seqs"] = {f: m.get("version", 0)
+                                for f in m.get("files", [])}
+        return out
     files: list = []
     stats: dict = {}
+    seqs: dict = {}
+    seg_seqs = m.get("segment_seqs") or {}
     for name in m["segments"]:
         seg = json.loads(io.read_text(f"{table}/_manifests/{name}") or "{}")
         files += seg.get("files", [])
         stats.update(seg.get("stats", {}))
+        if "file_seqs" in seg:
+            seqs.update({f: seg["file_seqs"].get(f, 0)
+                         for f in seg.get("files", [])})
+        else:
+            seqs.update({f: seg_seqs.get(name, 0)
+                         for f in seg.get("files", [])})
     out = dict(m)
     out["files"] = files
+    out["file_seqs"] = seqs
     if stats:
         out["stats"] = stats
     return out
@@ -405,17 +418,20 @@ class _SnapTableReader(DataSourceReader):
         files = _prune_with_ins(self.manifest, self.preds, self.ins)
         return [_FilePartition(f) for f in files]
 
-    def _delete_keys(self):
-        """{(key cols): set of key tuples} from the snapshot's
-        merge-on-read delete files — key-sized by contract."""
-        groups: dict = {}
+    def _delete_entries(self):
+        """[(cols, seq, key set)] from the snapshot's merge-on-read
+        delete files — key-sized by contract. ``seq`` None = legacy
+        (applies to every file); otherwise the delete applies only to
+        files with data sequence strictly BELOW it (Iceberg-v2 rule,
+        same as snapshots._read_with_deletes)."""
+        entries = []
         for d in self.manifest.get("deletes") or []:
             cols = tuple(d["cols"])
             t = self.io.parquet_read(f"{self.table}/{d['file']}",
                                      columns=list(cols))
-            groups.setdefault(cols, set()).update(
-                zip(*[t.column(c).to_pylist() for c in cols]))
-        return groups
+            entries.append((cols, d.get("seq"), set(
+                zip(*[t.column(c).to_pylist() for c in cols]))))
+        return entries
 
     def read(self, partition):
         import pyarrow as pa
@@ -437,8 +453,13 @@ class _SnapTableReader(DataSourceReader):
             col = (pa.nulls(table.num_rows, ft) if v is None else
                    pa.array([v] * table.num_rows).cast(ft))
             table = table.append_column(c, col)
-        dels = self._delete_keys()
-        for cols, keys in dels.items():
+        fseq = (self.manifest.get("file_seqs") or {}).get(partition.file, 0)
+        merged: dict = {}
+        for cols, seq, keys in self._delete_entries():
+            if seq is not None and seq <= fseq:
+                continue        # this file is as new as the delete
+            merged.setdefault(cols, set()).update(keys)
+        for cols, keys in merged.items():
             if not set(cols) <= set(table.column_names):
                 continue
             mask = [t not in keys for t in
@@ -457,13 +478,17 @@ class _WriteMessage(WriterCommitMessage):
     stats: dict
 
 
-def _py_write_segment(io, table: str, files: list, stats: dict) -> str:
+def _py_write_segment(io, table: str, files: list, stats: dict,
+                      file_seqs: dict | None = None) -> str:
     import uuid as _uuid
 
     name = f"seg-{_uuid.uuid4().hex}.json"
     body = {"files": list(files),
             "stats": {k: v for k, v in (stats or {}).items()
                       if k in set(files)}}
+    if file_seqs:
+        body["file_seqs"] = {k: v for k, v in file_seqs.items()
+                             if k in set(files)}
     io.write_text_atomic(f"{table}/_manifests/{name}",
                          json.dumps(body, indent=1))
     return name
@@ -581,25 +606,45 @@ class _SnapTableWriter(DataSourceArrowWriter):
             raw = ({} if parent == 0 else
                    json.loads(self.io.read_text(
                        f"{self.table}/_manifests/v{parent:08d}.json") or "{}"))
+            seg_seqs = dict(raw.get("segment_seqs") or {})
             if "segments" in raw:
                 segs = list(raw["segments"])
             elif raw.get("files"):
+                # inline lift: bake per-file seqs into the segment body
+                # (inline commits materialize deletes → own version is
+                # each file's safe sequence; clones pin explicit seqs)
+                fseqs = raw.get("file_seqs") or {
+                    f: raw.get("version", 0) for f in raw["files"]}
                 segs = [_py_write_segment(self.io, self.table, raw["files"],
-                                          raw.get("stats", {}))]
+                                          raw.get("stats", {}),
+                                          file_seqs=fseqs)]
             else:
                 segs = []
             segs.append(new_seg)
+            seg_seqs[new_seg] = v
             if len(segs) > self._MAX_SEGMENTS:
                 merged_files: list = []
                 merged_stats: dict = {}
+                merged_seqs: dict = {}
                 for s in segs:
                     seg = json.loads(self.io.read_text(
                         f"{self.table}/_manifests/{s}") or "{}")
                     merged_files += seg.get("files", [])
                     merged_stats.update(seg.get("stats", {}))
+                    if "file_seqs" in seg:
+                        merged_seqs.update({f: seg["file_seqs"].get(f, 0)
+                                            for f in seg.get("files", [])})
+                    else:
+                        merged_seqs.update({f: seg_seqs.get(s, 0)
+                                            for f in seg.get("files", [])})
                 segs = [_py_write_segment(self.io, self.table, merged_files,
-                                          merged_stats)]
+                                          merged_stats,
+                                          file_seqs=merged_seqs)]
+                seg_seqs = {}
             manifest["segments"] = segs
+            seg_seqs = {k: s for k, s in seg_seqs.items() if k in set(segs)}
+            if seg_seqs:
+                manifest["segment_seqs"] = seg_seqs
             if raw.get("deletes"):
                 manifest["deletes"] = raw["deletes"]
         # fail-if-exists create: the OCC gate (mirrors snapshots._commit)

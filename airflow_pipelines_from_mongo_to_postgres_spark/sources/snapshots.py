@@ -124,14 +124,22 @@ def _segment_path(table: str, name: str) -> str:
 
 
 def _write_segment(spark: SparkSession, table: str, files: list,
-                   stats: dict) -> str:
+                   stats: dict, file_seqs: dict | None = None) -> str:
     """One immutable segment manifest: the (files, per-file stats) of a
     single commit's delta. Uniquely named, so no OCC needed — only the
-    version file that REFERENCES it is contended."""
+    version file that REFERENCES it is contended. ``file_seqs`` (only
+    for segments whose files come from SEVERAL commits — inline-manifest
+    lifts and coalesces) bakes per-file data-sequence numbers into the
+    body; ordinary one-commit segments get their sequence from the
+    version file's ``segment_seqs`` at commit time instead (the number
+    isn't known until the OCC race is won)."""
     name = f"seg-{uuid.uuid4().hex}.json"
     body = {"files": list(files),
             "stats": {k: v for k, v in (stats or {}).items()
                       if k in set(files)}}
+    if file_seqs:
+        body["file_seqs"] = {k: v for k, v in file_seqs.items()
+                             if k in set(files)}
     _write_text_atomic(spark, _segment_path(table, name),
                        json.dumps(body, indent=1))
     return name
@@ -155,9 +163,13 @@ def read_manifest(spark: SparkSession, table: str,
     if "segments" not in m:
         # inline manifest (overwrite/replace/compact): those commits
         # MATERIALIZE deletes, so every listed file is at least as new
-        # as any surviving delete — its own version is a safe sequence
+        # as any surviving delete — its own version is a safe sequence.
+        # snap_clone inlines an EXPLICIT file_seqs map instead (it
+        # carries the source's deletes, so relative order must survive).
         out = dict(m)
-        out["file_seqs"] = {f: m["version"] for f in m.get("files", [])}
+        if "file_seqs" not in out:
+            out["file_seqs"] = {f: m["version"]
+                                for f in m.get("files", [])}
         return out
     files: list = []
     stats: dict = {}
@@ -167,9 +179,16 @@ def read_manifest(spark: SparkSession, table: str,
         seg = _read_segment(spark, table, name)
         files += seg["files"]
         stats.update(seg.get("stats", {}))
-        # legacy segments without a recorded sequence read as 0 (oldest:
-        # every delete applies — the pre-sequence behavior, unchanged)
-        seqs.update({f: seg_seqs.get(name, 0) for f in seg["files"]})
+        if "file_seqs" in seg:
+            # multi-commit segment (lift/coalesce): per-file seqs baked
+            # into the body at the time the source seqs were known
+            seqs.update({f: seg["file_seqs"].get(f, 0)
+                         for f in seg["files"]})
+        else:
+            # legacy segments without a recorded sequence read as 0
+            # (oldest: every delete applies — the pre-sequence
+            # behavior, unchanged)
+            seqs.update({f: seg_seqs.get(name, 0) for f in seg["files"]})
     out = dict(m)
     out["files"] = files
     out["file_seqs"] = seqs
@@ -478,10 +497,8 @@ def snap_scan(spark: SparkSession, table: str, predicates: list = (),
     if not files:
         base = read_snapshot(spark, table, version,
                              merge_schema=merge_schema)  # schema-only path
-        df = base.limit(0)
-    else:
-        df = _read_files(spark, table, files, m.get("partition_by"),
-                         merge_schema)
+        return base.limit(0)
+    df = _read_with_deletes(spark, table, files, m, merge_schema)
     for p in (predicates or []):
         col, op = p[0], p[1]
         if op == "is_null":
@@ -492,7 +509,7 @@ def snap_scan(spark: SparkSession, table: str, predicates: list = (),
             c, v = F.col(col), F.lit(p[2])
             df = df.filter({"<": c < v, "<=": c <= v, ">": c > v,
                             ">=": c >= v, "=": c == v}[op])
-    return _apply_deletes(spark, table, df, m)
+    return df
 
 
 class CommitConflict(Exception):
@@ -506,7 +523,8 @@ def _commit(spark: SparkSession, table: str, files: list | None,
             segments: list | None = None,
             deletes: list | None = None,
             partition_by: list | None = None,
-            segment_seqs: dict | None = None) -> int:
+            segment_seqs: dict | None = None,
+            file_seqs: dict | None = None) -> int:
     """Optimistic concurrency: the manifest file for version v is
     created with create(overwrite=False) — on a store with atomic
     create-if-absent, two writers racing to the same parent see exactly
@@ -515,6 +533,18 @@ def _commit(spark: SparkSession, table: str, files: list | None,
     writer DERIVED its files from (a lost-update guard for
     read-modify-write commits like replace_where; append-only commits
     can leave it None)."""
+    # malformed manifests must die at write time, not at a later read:
+    # a files list that isn't flat strings (e.g. the (names, stats)
+    # tuple _write_data_files returns, passed un-unpacked) would
+    # serialize fine and corrupt every downstream resolution
+    for seq_name, seq_val in (("files", files), ("segments", segments)):
+        if seq_val is not None and (not isinstance(seq_val, (list, tuple))
+                                    or any(not isinstance(x, str)
+                                           for x in seq_val)):
+            raise TypeError(
+                f"_commit: {seq_name} must be a list of str names, got "
+                f"{type(seq_val).__name__} of "
+                f"{[type(x).__name__ for x in seq_val][:3]}")
     parent = current_version(spark, table)
     if expected_parent is not None and parent != expected_parent:
         raise CommitConflict(
@@ -540,6 +570,12 @@ def _commit(spark: SparkSession, table: str, files: list | None,
             # forward from the parent for retained files, fresh for new)
             manifest["stats"] = {k: v2 for k, v2 in stats.items()
                                  if k in set(files)}
+        if file_seqs:
+            # explicit per-file sequences for an INLINE commit that
+            # carries deletes forward (snap_clone): relative data/delete
+            # order must survive the copy
+            manifest["file_seqs"] = {k: v2 for k, v2 in file_seqs.items()
+                                     if k in set(files)}
     if deletes:
         # merge-on-read equality deletes: {"file": <key parquet>,
         # "cols": [...]} entries readers anti-join; compaction/overwrite
@@ -571,30 +607,45 @@ _APPEND_RETRIES = 5
 _MAX_SEGMENTS = 64
 
 
-def _parent_segments(spark: SparkSession, table: str, raw: dict) -> list:
-    """Segment refs for the parent snapshot. A legacy inline manifest
-    (or the replace/compact paths, which commit inline) is lifted into
-    one segment so the child append stays O(delta) forever after."""
+def _parent_segments(spark: SparkSession, table: str, raw: dict) -> tuple:
+    """``(segment refs, segment_seqs)`` for the parent snapshot. A
+    legacy inline manifest (or the replace/compact paths, which commit
+    inline) is lifted into one segment so the child append stays
+    O(delta) forever after — the lifted segment bakes per-file
+    sequences into its body (inline commits materialize deletes, so the
+    manifest's own version is each file's safe sequence, unless the
+    inline commit pinned explicit seqs — the clone path)."""
     if raw["version"] == 0 or not (raw.get("files") or raw.get("segments")):
-        return []
+        return [], {}
     if "segments" in raw:
-        return list(raw["segments"])
+        return list(raw["segments"]), dict(raw.get("segment_seqs") or {})
+    fseqs = raw.get("file_seqs") or {f: raw["version"]
+                                     for f in raw["files"]}
     return [_write_segment(spark, table, raw["files"],
-                           raw.get("stats", {}))]
+                           raw.get("stats", {}), file_seqs=fseqs)], {}
 
 
 def _coalesce_segments(spark: SparkSession, table: str,
-                       segs: list) -> str:
+                       segs: list, seg_seqs: dict) -> str:
     """Merge many segment manifests into one — amortized maintenance
     (every _MAX_SEGMENTS appends) that keeps read-side resolution
-    O(_MAX_SEGMENTS) small reads instead of O(commits)."""
+    O(_MAX_SEGMENTS) small reads instead of O(commits). The merged
+    segment spans many commits, so per-file sequences (from each source
+    segment's body or the version file's ``segment_seqs``) are baked
+    into its body."""
     files: list = []
     stats: dict = {}
+    fseqs: dict = {}
     for name in segs:
         seg = _read_segment(spark, table, name)
         files += seg["files"]
         stats.update(seg.get("stats", {}))
-    return _write_segment(spark, table, files, stats)
+        if "file_seqs" in seg:
+            fseqs.update({f: seg["file_seqs"].get(f, 0)
+                          for f in seg["files"]})
+        else:
+            fseqs.update({f: seg_seqs.get(name, 0) for f in seg["files"]})
+    return _write_segment(spark, table, files, stats, file_seqs=fseqs)
 
 
 def _resolve_layout(spark: SparkSession, table: str,
@@ -644,14 +695,20 @@ def snap_append(spark: SparkSession, table: str, df: DataFrame,
     new_seg = _write_segment(spark, table, new, stats)
     for _ in range(_APPEND_RETRIES):
         raw = _read_raw_manifest(spark, table)
-        segs = _parent_segments(spark, table, raw) + [new_seg]
+        psegs, seg_seqs = _parent_segments(spark, table, raw)
+        segs = psegs + [new_seg]
+        # the new segment's data sequence = the version this commit will
+        # take (expected_parent pins it — a racer forces a retry)
+        seg_seqs = {**seg_seqs, new_seg: raw["version"] + 1}
         if len(segs) > _MAX_SEGMENTS:
-            segs = [_coalesce_segments(spark, table, segs)]
+            segs = [_coalesce_segments(spark, table, segs, seg_seqs)]
+            seg_seqs = {}
         try:
             return _commit(spark, table, None, note,
                            expected_parent=raw["version"], segments=segs,
                            deletes=raw.get("deletes"),
-                           partition_by=list(partition_by) or None)
+                           partition_by=list(partition_by) or None,
+                           segment_seqs=seg_seqs or None)
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -710,11 +767,7 @@ def snap_replace_where(spark: SparkSession, table: str, df: DataFrame,
     else:
         candidates = set(m["files"])
     if candidates:
-        cur = _apply_deletes(
-            spark, table,
-            _read_files(spark, table, sorted(candidates),
-                        m.get("partition_by")),
-            m)
+        cur = _read_with_deletes(spark, table, sorted(candidates), m)
         keep = cur.filter(f"NOT ({predicate})")
         new, stats = _write_data_files(keep.unionByName(df), table,
                                        stat_cols, partition_by=layout)
@@ -746,31 +799,80 @@ def snap_delete_keys(spark: SparkSession, table: str, keys: DataFrame,
     if current_version(spark, table) == 0:
         raise FileNotFoundError(f"nothing to delete at {table}")
     new, _ = _write_data_files(keys.select(*key_cols).distinct(), table)
-    entries = [{"file": n, "cols": list(key_cols)} for n in new]
     for _ in range(_APPEND_RETRIES):
         raw = _read_raw_manifest(spark, table)
-        segs = _parent_segments(spark, table, raw)
+        segs, seg_seqs = _parent_segments(spark, table, raw)
+        # the delete's sequence = this commit's version: it applies only
+        # to files sequenced BEFORE it (Iceberg-v2 equality-delete rule),
+        # so a later append of the same key is NOT retro-deleted
+        entries = [{"file": n, "cols": list(key_cols),
+                    "seq": raw["version"] + 1} for n in new]
         dels = list(raw.get("deletes", [])) + entries
         try:
             return _commit(spark, table, None, note,
                            expected_parent=raw["version"], segments=segs,
-                           deletes=dels)
+                           deletes=dels, segment_seqs=seg_seqs or None,
+                           partition_by=raw.get("partition_by"))
         except CommitConflict:
             continue
     raise CommitConflict(
         f"{table}: delete lost the commit race {_APPEND_RETRIES} times")
 
 
-def _apply_deletes(spark: SparkSession, table: str, df: DataFrame,
-                   manifest: dict) -> DataFrame:
-    """Anti-join the snapshot's accumulated equality-delete keys, one
-    join per distinct key-column set (delete files sharing a key set
-    read as ONE parquet scan). Unhinted: AQE broadcasts small key sets
-    from observed sizes; a huge delete backlog degrades to SMJ instead
-    of OOMing the driver — and is the signal to run snap_compact."""
-    dels = manifest.get("deletes") or []
-    if not dels:
-        return df
+def snap_merge_keys(spark: SparkSession, table: str, df: DataFrame,
+                    key_cols: list, note: str = "merge",
+                    stat_cols: tuple = (),
+                    value_cols: tuple = ()) -> int:
+    """Single-commit MERGE (upsert) into a snapshot table: ONE atomic
+    commit that both equality-deletes ``df``'s keys and appends ``df``'s
+    rows — whole-row upsert with merge-on-read cost (O(batch) writes, no
+    data-file rewrite; Iceberg-v2 MERGE shape). Readers stay correct
+    because the delete carries this commit's data-sequence number and
+    the new files are sequenced AT it: the delete applies only to files
+    sequenced strictly before, so the replacement rows it ships with are
+    never self-deleted. Snapshot isolation means a reader sees the old
+    rows or the new rows, never a mix. The next compact/overwrite
+    materializes the deletes as usual. The reference upserts row-by-row
+    over JDBC (ref ``dags/includes/user_table.py:105-121``); this is
+    the table-format answer at lake scale."""
+    if current_version(spark, table) == 0:
+        # bootstrap: a merge into an empty table is just an append
+        return snap_append(spark, table, df, note=note,
+                           stat_cols=stat_cols, value_cols=value_cols)
+    layout = _resolve_layout(spark, table, ())
+    new, stats = _write_data_files(df, table, stat_cols, value_cols,
+                                   partition_by=layout)
+    new_seg = _write_segment(spark, table, new, stats)
+    keyf, _ = _write_data_files(df.select(*key_cols).distinct(), table)
+    for _ in range(_APPEND_RETRIES):
+        raw = _read_raw_manifest(spark, table)
+        psegs, seg_seqs = _parent_segments(spark, table, raw)
+        segs = psegs + [new_seg]
+        v = raw["version"] + 1
+        seg_seqs = {**seg_seqs, new_seg: v}
+        if len(segs) > _MAX_SEGMENTS:
+            segs = [_coalesce_segments(spark, table, segs, seg_seqs)]
+            seg_seqs = {}
+        dels = list(raw.get("deletes", [])) + [
+            {"file": n, "cols": list(key_cols), "seq": v} for n in keyf]
+        try:
+            return _commit(spark, table, None, note,
+                           expected_parent=raw["version"], segments=segs,
+                           deletes=dels, segment_seqs=seg_seqs or None,
+                           partition_by=list(layout) or None)
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"{table}: merge lost the commit race {_APPEND_RETRIES} times")
+
+
+def _apply_delete_entries(spark: SparkSession, table: str, df: DataFrame,
+                          dels: list) -> DataFrame:
+    """Anti-join equality-delete keys onto ``df``, one join per distinct
+    key-column set (delete files sharing a key set read as ONE parquet
+    scan). Unhinted: AQE broadcasts small key sets from observed sizes;
+    a huge delete backlog degrades to SMJ instead of OOMing the driver —
+    and is the signal to run snap_compact."""
     groups: dict = {}
     for d in dels:
         groups.setdefault(tuple(d["cols"]), []).append(d["file"])
@@ -778,6 +880,42 @@ def _apply_deletes(spark: SparkSession, table: str, df: DataFrame,
         keys = spark.read.parquet(*[f"{table}/{f}" for f in files])             .select(*cols).dropDuplicates(list(cols))
         df = df.join(keys, list(cols), "left_anti")
     return df
+
+
+def _read_with_deletes(spark: SparkSession, table: str, files: list,
+                       manifest: dict,
+                       merge_schema: bool = False) -> DataFrame:
+    """Read ``files`` applying the snapshot's merge-on-read equality
+    deletes under the DATA-SEQUENCE rule (Iceberg v2): a delete with
+    sequence s applies only to files sequenced strictly BEFORE s —
+    the invariant that makes a single-commit MERGE (delete old keys +
+    add replacement rows) readable, and that keeps a later re-append of
+    a deleted key alive. Files are grouped by their applicable-delete
+    set (group count ≤ distinct sequences, itself ≤ segments — bounded,
+    and 1 for the common all-legacy case, identical plan to before);
+    each group is one parquet scan + its anti-joins, unioned. Legacy
+    delete entries without ``seq`` apply to everything (pre-sequence
+    behavior, unchanged)."""
+    dels = manifest.get("deletes") or []
+    if not dels:
+        return _read_files(spark, table, files, manifest.get("partition_by"),
+                           merge_schema)
+    fseqs = manifest.get("file_seqs") or {}
+    groups: dict = {}
+    for f in files:
+        s = fseqs.get(f, 0)
+        key = tuple(i for i, d in enumerate(dels)
+                    if d.get("seq") is None or d["seq"] > s)
+        groups.setdefault(key, []).append(f)
+    out = None
+    for key in sorted(groups):
+        df = _read_files(spark, table, groups[key],
+                         manifest.get("partition_by"), merge_schema)
+        df = _apply_delete_entries(spark, table, df,
+                                   [dels[i] for i in key])
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=merge_schema)
+    return out
 
 
 def committed_txns(spark: SparkSession, table: str) -> set:
@@ -818,14 +956,18 @@ def snap_append_txn(spark: SparkSession, table: str, df: DataFrame,
         if txn in committed_txns(spark, table):
             return None
         raw = _read_raw_manifest(spark, table)
-        segs = _parent_segments(spark, table, raw) + [new_seg]
+        psegs, seg_seqs = _parent_segments(spark, table, raw)
+        segs = psegs + [new_seg]
+        seg_seqs = {**seg_seqs, new_seg: raw["version"] + 1}
         if len(segs) > _MAX_SEGMENTS:
-            segs = [_coalesce_segments(spark, table, segs)]
+            segs = [_coalesce_segments(spark, table, segs, seg_seqs)]
+            seg_seqs = {}
         try:
             return _commit(spark, table, None, note, txn=txn,
                            expected_parent=raw["version"], segments=segs,
                            deletes=raw.get("deletes"),
-                           partition_by=list(layout) or None)
+                           partition_by=list(layout) or None,
+                           segment_seqs=seg_seqs or None)
         except CommitConflict:
             continue
     raise CommitConflict(
@@ -845,9 +987,7 @@ def read_snapshot(spark: SparkSession, table: str,
     m = read_manifest(spark, table, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
-    df = _read_files(spark, table, m["files"], m.get("partition_by"),
-                     merge_schema)
-    return _apply_deletes(spark, table, df, m)
+    return _read_with_deletes(spark, table, m["files"], m, merge_schema)
 
 
 def snap_compact(spark: SparkSession, table: str,
@@ -1016,4 +1156,9 @@ def snap_clone(spark: SparkSession, src_table: str, dst_table: str,
         spark, dst_table, list(m["files"]),
         note or f"clone of {src_table}@v{m['version']}",
         expected_parent=0, stats=m.get("stats"),
-        deletes=m.get("deletes"))
+        deletes=m.get("deletes"),
+        # deletes travel with their seq fields, so the clone must pin
+        # the source's file sequences too — an inline default of
+        # "everything is v1" would put every file BELOW carried deletes
+        # and re-delete rows a source-side MERGE had just written
+        file_seqs=m.get("file_seqs") if m.get("deletes") else None)

@@ -51,6 +51,27 @@ def test_snaptable_applies_equality_deletes(registered, tmp_path):
     assert _rows(got) == _rows(S.read_snapshot(spark, t))
 
 
+def test_snaptable_applies_sequenced_merge_deletes(registered, tmp_path):
+    """Python-reader parity for data-sequence numbers: after a
+    single-commit MERGE (delete keys + replacement rows, one version),
+    the snaptable DataSource must apply the delete only to files
+    sequenced BEFORE it — same rows as the native reader, replacement
+    rows intact."""
+    spark = registered
+    t = str(tmp_path / "tab")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("a", 99), ("c", 3)], "k string, v int"), ["k"])
+    # and a post-merge re-append of a merged key: survives the older
+    # delete in BOTH readers
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 7)], "k string, v int"))
+    got = spark.read.format("snaptable").load(t)
+    assert _rows(got) == [("a", 7), ("a", 99), ("b", 2), ("c", 3)]
+    assert _rows(got) == _rows(S.read_snapshot(spark, t))
+
+
 def test_snaptable_filter_pushdown_prunes_partitions(registered, tmp_path):
     """Planning-time proof: with per-file stats in the manifest, the
     reader's partitions() drops files a pushed range/equality filter

@@ -722,7 +722,7 @@ def test_snapshot_commit_conflicts_and_self_healing_head(
     S.snap_append(spark, t, spark.createDataFrame([("b", 2)],
                                                   "k string, v int"))
     upd = spark.createDataFrame([("a", 99)], "k string, v int")
-    files = S._write_data_files(upd, t)
+    files, _ = S._write_data_files(upd, t)
     with pytest.raises(S.CommitConflict, match="head moved"):
         S._commit(spark, t, files, "stale-rewrite", expected_parent=base)
     # the concurrent append survived (no lost update)
@@ -1047,9 +1047,10 @@ def test_snap_append_commit_payload_is_o_delta(spark, tmp_path):
     last_seg = S._read_segment(spark, t, raw["segments"][-1])
     assert len(last_seg["files"]) == 1            # O(delta), not O(table)
     # version-file byte size must not scale with table size: it names
-    # segments, each a fixed-width token
+    # segments (fixed-width tokens) plus one data-sequence entry per
+    # segment — both O(segments), never O(files)
     vtext = open(f"{t}/_manifests/v{head:08d}.json").read()
-    assert len(vtext) < 200 + 60 * n_commits
+    assert len(vtext) < 200 + 130 * n_commits
 
     resolved = S.read_manifest(spark, t)
     assert len(resolved["files"]) == n_commits
@@ -1145,6 +1146,80 @@ def test_snap_merge_on_read_deletes(spark, tmp_path):
     # vacuum at horizon 1 keeps the compacted snapshot readable
     S.vacuum(spark, t, keep_versions=1, retention_ms=0)
     assert rows(S.read_snapshot(spark, t)) == [("a", 1), ("c", 3)]
+
+
+def test_snap_merge_keys_single_commit_sequencing(spark, tmp_path):
+    """snap_merge_keys: ONE atomic commit both equality-deletes the
+    batch's keys and appends its rows, and stays readable because the
+    delete carries a data-sequence number (Iceberg-v2 rule: it applies
+    only to files sequenced strictly BEFORE it, never to the
+    replacement rows committed with it). Also proves: a later append of
+    a merged-away key is NOT retro-deleted; a later merge's delete DOES
+    reach earlier merge output; time travel sees the pre-merge state;
+    snap_scan composes; compaction materializes; a clone of a table
+    with pending sequenced deletes reads identically; and _commit
+    rejects a malformed files payload at write time."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    t = str(tmp_path / "mrg")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"), stat_cols=("v",))
+    v0 = S.current_version(spark, t)
+
+    # upsert: replace 'a', insert 'c' — exactly one new version
+    up = spark.createDataFrame([("a", 99), ("c", 3)], "k string, v int")
+    v1 = S.snap_merge_keys(spark, t, up, ["k"], stat_cols=("v",))
+    assert v1 == v0 + 1
+    assert rows(S.read_snapshot(spark, t)) == \
+        [("a", 99), ("b", 2), ("c", 3)]
+    assert rows(S.read_snapshot(spark, t, version=v0)) == \
+        [("a", 1), ("b", 2)]                             # time travel
+
+    # sequencing forward: re-appending a merged key must survive the
+    # OLDER delete (its seq is below the new file's)
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 7)], "k string, v int"), stat_cols=("v",))
+    assert rows(S.read_snapshot(spark, t)) == \
+        [("a", 7), ("a", 99), ("b", 2), ("c", 3)]
+
+    # sequencing backward: a NEWER merge's delete reaches both earlier
+    # 'a' files (seqs below it) but not its own replacement row
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("a", 111)], "k string, v int"), ["k"], stat_cols=("v",))
+    assert rows(S.read_snapshot(spark, t)) == \
+        [("a", 111), ("b", 2), ("c", 3)]
+
+    # snap_scan: stats pruning + residual + sequenced deletes compose
+    assert rows(S.snap_scan(spark, t, [("v", ">=", 3)])) == \
+        [("a", 111), ("c", 3)]
+
+    # clone carries the pending sequenced deletes AND the file
+    # sequences — identical read, divergent history
+    dst = str(tmp_path / "mrgclone")
+    S.snap_clone(spark, t, dst)
+    assert rows(S.read_snapshot(spark, dst)) == \
+        [("a", 111), ("b", 2), ("c", 3)]
+
+    # compaction materializes: delete list cleared, rows physically gone
+    S.snap_compact(spark, t, target_files=1, stat_cols=("v",))
+    m = S.read_manifest(spark, t)
+    assert not m.get("deletes")
+    assert rows(S.read_snapshot(spark, t)) == \
+        [("a", 111), ("b", 2), ("c", 3)]
+
+    # malformed manifests die at WRITE time: the raw (names, stats)
+    # tuple from _write_data_files is not a list of str names
+    bad = S._write_data_files(spark.createDataFrame(
+        [("x", 1)], "k string, v int"), t)
+    with pytest.raises(TypeError, match="list of str"):
+        S._commit(spark, t, bad, "malformed")
 
 
 def test_snap_replace_where_prunes_untouched_files(spark, tmp_path):
