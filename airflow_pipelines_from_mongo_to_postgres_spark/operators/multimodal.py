@@ -752,10 +752,10 @@ _FLAC_FIXED_COEFFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
 _FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
                     13: 8192, 14: 16384, 15: 32768}
-_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
-               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
-               11: 96000}
-_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# no frame-rate table: sr codes 1-11 carry no extra header bytes and the
+# output rate always comes from STREAMINFO, so only the explicit-read
+# codes (12-14) and the invalid code (15) need handling below
+_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}  # 3 is reserved
 
 
 def _flac_residual(br: _FlacBits, blocksize: int, order: int) -> list:
@@ -883,7 +883,12 @@ def decode_flac(payload: bytes) -> dict:
             br.read(16)
         elif sr_code == 15:
             raise NotImplementedError("flac: invalid sample-rate code")
-        fbits = _FLAC_BITS.get(ss_code, bits) if ss_code else bits
+        if ss_code and ss_code not in _FLAC_BITS:
+            # reserved code 3: falling back to STREAMINFO bits would
+            # decode garbage — surface the documented null fallback
+            raise NotImplementedError(
+                f"flac: reserved bits-per-sample code {ss_code}")
+        fbits = _FLAC_BITS[ss_code] if ss_code else bits
         br.read(8)                             # header CRC-8
         if ch_asgn < 8:
             if ch_asgn + 1 != channels:

@@ -509,8 +509,12 @@ def _bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     schemaless; one Spark column needs one type — documented
     deviation, value-preserving)."""
     bounds = spec["boundaries"]
-    if len(bounds) < 2 or sorted(bounds) != list(bounds):
-        raise ValueError("$bucket boundaries must be sorted, length >= 2")
+    # STRICTLY increasing, Mongo's rule: a duplicated boundary ([0, 10,
+    # 10, 20]) would pass a sorted() check but yield an unreachable
+    # empty bucket whose values silently fall to default/raise_error
+    if len(bounds) < 2 or not all(a < b for a, b in zip(bounds, bounds[1:])):
+        raise ValueError(
+            "$bucket boundaries must be strictly increasing, length >= 2")
     gb = _expr(spec["groupBy"])
     has_default = "default" in spec
     stringify = has_default and isinstance(spec["default"], str) \

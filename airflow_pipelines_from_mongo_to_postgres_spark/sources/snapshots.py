@@ -197,15 +197,25 @@ def read_manifest(spark: SparkSession, table: str,
     return out
 
 
-# Strict numeric forms mirroring the JVM's Integer/Double parse rules
-# (what Spark's own path-partition inference accepts). Python's bare
-# int()/float() take MORE — int("2024_01")=202401, float("inf"),
-# float("1_0.5") — so an unguarded cast here would call a value numeric
-# that Spark's _read_files inference keeps as a string, and the global
-# cast in _read_files would then NULL it out (silent corruption), or
-# prune_files would compare int stat vs string predicate (TypeError).
+# Strict numeric forms mirroring the JVM's parse rules (what Spark's
+# own path-partition inference accepts). Python's bare int()/float()
+# take MORE — int("2024_01")=202401, float("1_0.5"), float("inf"
+# case-insensitively) — so an unguarded cast here would call a value
+# numeric that Spark's _read_files inference keeps as a string, and the
+# global cast in _read_files would then NULL it out (silent corruption),
+# or prune_files would compare int stat vs string predicate (TypeError).
+# The float grammar is JavaBigDecimal's (digits with optional point
+# anywhere, optional exponent) — measured against the JVM: x=1e5 infers
+# decimal(7,0)=100000, x=1. infers decimal(1,0)=1, x=Infinity infers
+# double — so these forms MUST parse numeric here or the manifest stat
+# ("1e5") and the rebuilt column value (100000.0) would disagree and an
+# equality predicate could prune a file that holds matching rows.
 _PART_INT_RE = re.compile(r"[+-]?\d+\Z")
-_PART_FLOAT_RE = re.compile(r"[+-]?\d+\.\d+\Z")
+_PART_FLOAT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\Z")
+#: exact JVM Double.parseDouble special tokens (case-sensitive — the
+#: JVM rejects "inf"/"nan", and so must we)
+_PART_SPECIALS = {"Infinity": float("inf"), "+Infinity": float("inf"),
+                  "-Infinity": float("-inf"), "NaN": float("nan")}
 
 
 def partition_values_of(name: str) -> dict:
@@ -214,8 +224,11 @@ def partition_values_of(name: str) -> dict:
     ``__HIVE_DEFAULT_PARTITION__`` null sentinel, with Spark's scalar
     inference (int, then float, else string — dates stay ISO strings,
     which order lexicographically for pruning). Numeric casts are
-    regex-gated so underscore separators, inf/nan, and exponent forms
-    stay strings, exactly as the JVM partition inference treats them."""
+    regex-gated to the JVM grammar: exponent forms, bare-point decimals
+    and the exact Infinity/NaN tokens parse numeric (the JVM types them
+    numeric too — see _PART_FLOAT_RE's note), while underscore
+    separators, hex, and lowercase inf/nan stay strings, exactly as the
+    JVM partition inference treats them."""
     from urllib.parse import unquote
 
     out = {}
@@ -228,6 +241,8 @@ def partition_values_of(name: str) -> dict:
             out[k] = None
         elif _PART_INT_RE.match(v):
             out[k] = int(v)
+        elif v in _PART_SPECIALS:
+            out[k] = _PART_SPECIALS[v]
         elif _PART_FLOAT_RE.match(v):
             out[k] = float(v)
         else:
@@ -467,6 +482,11 @@ def prune_files(manifest: dict, predicates: list) -> list:
                     keep = False              # can match a comparison
                 else:
                     v = _prune_value(p[2])
+                    if any(isinstance(x, float) and x != x
+                           for x in (mn, mx, v)):
+                        continue  # NaN window or predicate: every
+                        # comparison below would read False and drop a
+                        # file that may hold rows — keep (conservative)
                     keep = {"<": mn < v, "<=": mn <= v,
                             ">": mx > v, ">=": mx >= v,
                             "=": mn <= v <= mx}[op]

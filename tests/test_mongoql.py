@@ -485,9 +485,16 @@ def test_bucket_semantics(apps, spark):
                          "boundaries": [0, 25, 45]}}]).collect()
     assert "outside boundaries" in str(exc.value)
 
-    with pytest.raises(ValueError, match="sorted"):
+    with pytest.raises(ValueError, match="strictly increasing"):
         apply_pipeline(apps, [
             {"$bucket": {"groupBy": "$amount", "boundaries": [25, 0]}}])
+
+    # duplicated boundary: sorted but NOT strictly increasing — Mongo
+    # rejects it; accepting it would create an unreachable empty bucket
+    with pytest.raises(ValueError, match="strictly increasing"):
+        apply_pipeline(apps, [
+            {"$bucket": {"groupBy": "$amount",
+                         "boundaries": [0, 10, 10, 20]}}])
 
 
 def test_set_window_fields(apps):

@@ -1678,13 +1678,14 @@ def _sub_lpc(samples, coeffs, shift, precision, bps, param=3):
     return wr
 
 
-def _flac_frame(bw, blocksize, sub_writers, ch_asgn, frame_no=0):
+def _flac_frame(bw, blocksize, sub_writers, ch_asgn, frame_no=0,
+                ss_code=0):
     bw.w(0x3FFE, 14)
     bw.w(0, 1); bw.w(0, 1)                       # reserved, fixed blocksize
     bw.w(7, 4)                                   # 16-bit blocksize follows
     bw.w(0, 4)                                   # rate from STREAMINFO
     bw.w(ch_asgn, 4)
-    bw.w(0, 3)                                   # bits from STREAMINFO
+    bw.w(ss_code, 3)                             # 0 = bits from STREAMINFO
     bw.w(0, 1)
     assert frame_no < 128
     bw.w(frame_no, 8)                            # 1-byte utf8 frame number
@@ -1740,6 +1741,28 @@ def test_flac_decode_mono_all_subframe_types():
     assert np.array_equal(d["samples"], expect)
     assert d["rms"] == round(float(np.sqrt((expect ** 2).mean())), 6)
     assert d["peak"] == round(float(np.abs(expect).max()), 6)
+
+
+def test_flac_reserved_bits_code_refuses():
+    """A frame whose bits-per-sample code is the RESERVED value 3 must
+    raise (into decode_audio's documented null fallback), never fall
+    back to STREAMINFO bits and decode garbage samples."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import decode_flac
+
+    bw = _BitW()
+    _flac_frame(bw, 64, [_sub_constant(-1234, 16)], 0, ss_code=3)
+    payload = _flac_bytes(rate=8000, channels=1, bits=16,
+                          total=64) + bytes(bw.out)
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        decode_flac(payload)
+    # the non-reserved table codes still decode (control: code 4 = 16 bit)
+    bw2 = _BitW()
+    _flac_frame(bw2, 64, [_sub_constant(-1234, 16)], 0, ss_code=4)
+    d = decode_flac(_flac_bytes(rate=8000, channels=1, bits=16,
+                                total=64) + bytes(bw2.out))
+    assert d["n_frames"] == 64
 
 
 def test_flac_decode_stereo_decorrelation_modes():

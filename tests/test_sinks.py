@@ -1448,9 +1448,23 @@ def test_partition_value_inference_is_jvm_strict(spark, tmp_path):
     assert pv("data/c-x/k=-12/f.parquet") == {"k": -12}
     assert pv("data/c-x/k=+5/f.parquet") == {"k": 5}
     assert pv("data/c-x/k=3.50/f.parquet") == {"k": 3.5}
-    # Python-numeric-but-JVM-string forms stay strings
-    for raw in ("2024_01", "1_0", "inf", "-inf", "nan", "NaN",
-                "Infinity", "1e5", "1.5e3", "5.", ".5", "0x1f"):
+    # JVM-numeric exponent/point forms parse numeric (measured: Spark
+    # infers x=1e5 as decimal(7,0)=100000, x=5. as decimal, x=Infinity
+    # as double) — keeping them strings would put "1e5" in the manifest
+    # stat while the rebuilt column reads 100000.0, so an equality
+    # predicate could prune a file that holds matching rows
+    assert pv("data/c-x/k=1e5/f.parquet") == {"k": 100000.0}
+    assert pv("data/c-x/k=1.5e3/f.parquet") == {"k": 1500.0}
+    assert pv("data/c-x/k=5./f.parquet") == {"k": 5.0}
+    assert pv("data/c-x/k=.5/f.parquet") == {"k": 0.5}
+    assert pv("data/c-x/k=Infinity/f.parquet") == {"k": float("inf")}
+    assert pv("data/c-x/k=-Infinity/f.parquet") == {"k": float("-inf")}
+    got_nan = pv("data/c-x/k=NaN/f.parquet")["k"]
+    assert isinstance(got_nan, float) and got_nan != got_nan
+    # Python-numeric-but-JVM-string forms stay strings (the JVM is
+    # case-sensitive about its special tokens and rejects separators)
+    for raw in ("2024_01", "1_0", "inf", "-inf", "nan", "0x1f", "e5",
+                ".", "1e", "1e5.5"):
         assert pv(f"data/c-x/k={raw}/f.parquet") == {"k": raw}, raw
 
     # end-to-end: a string partition value int() would mangle survives
@@ -1467,6 +1481,40 @@ def test_partition_value_inference_is_jvm_strict(spark, tmp_path):
     assert len(S.prune_files(m, [("m", "=", "2024_02")])) == 1
     rows = S.snap_scan(spark, t, [("m", "=", "2024_01")]).collect()
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_partition_exponent_form_prunes_consistently(spark, tmp_path):
+    """End-to-end pruning over exponent-form partition paths (k=1e5):
+    the path value, the manifest stat, the rebuilt column, and the
+    predicate must all live in ONE numeric space — the pre-fix string
+    stat ('1e5') vs double column (100000.0) mismatch made an equality
+    predicate prune the very file that held the matching rows."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "expo")
+    df = spark.createDataFrame(
+        [(1, "1e5"), (2, "1e5"), (3, "2e6")], "id int, k string")
+    S.snap_append(spark, t, df.repartition(1), partition_by=("k",))
+    m = S.read_manifest(spark, t)
+    assert len(m["files"]) == 2
+    # the rebuilt column is numeric (Spark's own inference for these
+    # paths: decimal -> engine-cast double), never the raw string
+    got = sorted((r["id"], r["k"])
+                 for r in S.read_snapshot(spark, t).collect())
+    assert got == [(1, 100000.0), (2, 100000.0), (3, 2000000.0)]
+    # pruning + residual filter agree with the data under a NUMERIC
+    # predicate — exactly one file survives, rows come back
+    assert len(S.prune_files(m, [("k", "=", 100000.0)])) == 1
+    rows = S.snap_scan(spark, t, [("k", "=", 100000.0)]).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    rows = S.snap_scan(spark, t, [("k", ">", 500000.0)]).collect()
+    assert [r["id"] for r in rows] == [3]
+    # NaN stat windows keep (never drop) their file under any range
+    # predicate — every NaN comparison reads False, which unguarded
+    # would prune a live file
+    mm = {"files": ["f1"], "stats": {"f1": {"rows": 1, "cols": {
+        "k": {"min": float("nan"), "max": float("nan"), "nulls": 0}}}}}
+    assert S.prune_files(mm, [("k", ">", 0.0)]) == ["f1"]
 
 
 def test_snap_stats_survive_table_path_containing_data(spark, tmp_path):
