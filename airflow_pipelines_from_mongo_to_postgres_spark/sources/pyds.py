@@ -289,6 +289,13 @@ def _py_read_manifest(io, table: str, version: int | None = None) -> dict:
     if text is None:
         raise FileNotFoundError(f"no snapshot v{v} at {table}")
     m = json.loads(text)
+    if m.get("format", 1) > 2:
+        # format 2 = sequenced deletes (this reader understands them);
+        # a NEWER format must refuse — applying unknown semantics
+        # loosely would silently corrupt results (snapshots._FORMAT_VERSION)
+        raise ValueError(
+            f"{table}: manifest format {m['format']} is newer than this "
+            "reader (supports <= 2) — upgrade the library")
     if "segments" not in m:
         out = dict(m)
         if "file_seqs" not in out:

@@ -88,6 +88,26 @@ def _write_text_atomic(spark, p: str, text: str) -> None:
         raise IOError(f"atomic rename failed for {p}")
 
 
+#: Highest manifest format this reader understands. Format 2 = data-
+#: sequenced equality deletes (Iceberg-v2 rule: a delete applies only
+#: to files sequenced strictly before it). A manifest that RELIES on
+#: sequence semantics stamps ``"format": 2`` so a pre-sequence reader
+#: (older library build, stale pyds copy) REFUSES it instead of
+#: applying every delete to every file and silently dropping a MERGE's
+#: replacement rows. Manifests without sequenced deletes stay
+#: unstamped (format 1) — readable by every build.
+_FORMAT_VERSION = 2
+
+
+def _check_format(m: dict, table: str) -> dict:
+    if m.get("format", 1) > _FORMAT_VERSION:
+        raise ValueError(
+            f"{table}: manifest format {m['format']} is newer than this "
+            f"reader (supports <= {_FORMAT_VERSION}) — upgrade the "
+            "library; reading anyway could silently corrupt results")
+    return m
+
+
 def _manifest_path(table: str, version: int) -> str:
     return f"{table}/_manifests/v{version:08d}.json"
 
@@ -116,7 +136,7 @@ def _read_raw_manifest(spark: SparkSession, table: str,
     text = _read_text(spark, _manifest_path(table, v))
     if text is None:
         raise FileNotFoundError(f"no snapshot v{v} at {table}")
-    return json.loads(text)
+    return _check_format(json.loads(text), table)
 
 
 def _segment_path(table: str, name: str) -> str:
@@ -601,6 +621,11 @@ def _commit(spark: SparkSession, table: str, files: list | None,
         # "cols": [...]} entries readers anti-join; compaction/overwrite
         # materializes them (their commits simply omit the key)
         manifest["deletes"] = list(deletes)
+        if any(d.get("seq") is not None for d in deletes):
+            # sequence semantics are load-bearing: a pre-sequence reader
+            # would apply these deletes to EVERY file and drop a MERGE's
+            # replacement rows — make it refuse instead (_check_format)
+            manifest["format"] = _FORMAT_VERSION
     if txn is not None:
         manifest["txn"] = txn
     if partition_by:
@@ -842,7 +867,8 @@ def snap_delete_keys(spark: SparkSession, table: str, keys: DataFrame,
 def snap_merge_keys(spark: SparkSession, table: str, df: DataFrame,
                     key_cols: list, note: str = "merge",
                     stat_cols: tuple = (),
-                    value_cols: tuple = ()) -> int:
+                    value_cols: tuple = (),
+                    on_duplicate: str = "error") -> int:
     """Single-commit MERGE (upsert) into a snapshot table: ONE atomic
     commit that both equality-deletes ``df``'s keys and appends ``df``'s
     rows — whole-row upsert with merge-on-read cost (O(batch) writes, no
@@ -854,7 +880,31 @@ def snap_merge_keys(spark: SparkSession, table: str, df: DataFrame,
     rows or the new rows, never a mix. The next compact/overwrite
     materializes the deletes as usual. The reference upserts row-by-row
     over JDBC (ref ``dags/includes/user_table.py:105-121``); this is
-    the table-format answer at lake scale."""
+    the table-format answer at lake scale.
+
+    ``on_duplicate`` guards the upsert contract against a batch holding
+    SEVERAL rows per key: the equality delete applies only to files
+    sequenced before this commit, so all duplicates would land and none
+    delete — a silent multi-row "upsert". ``"error"`` (default, one
+    batch-sized agg; Iceberg's MERGE errors on multiple matches too)
+    raises; ``"keep_all"`` documents that the caller WANTS every row
+    appended under one delete (an intentional replace-group-by-key)."""
+    if on_duplicate not in ("error", "keep_all"):
+        raise ValueError(
+            f"on_duplicate must be 'error' or 'keep_all', got "
+            f"{on_duplicate!r}")
+    if on_duplicate == "error":
+        from pyspark.sql import functions as F
+
+        dup = (df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+               .filter("__n > 1").limit(1).collect())
+        if dup:
+            key_desc = {c: dup[0][c] for c in key_cols}
+            raise ValueError(
+                f"snap_merge_keys: batch has multiple rows for key "
+                f"{key_desc} — an upsert needs at most one row per key "
+                "(dedupe upstream, or pass on_duplicate='keep_all' to "
+                "append all rows for a key as a group replace)")
     if current_version(spark, table) == 0:
         # bootstrap: a merge into an empty table is just an append
         return snap_append(spark, table, df, note=note,
@@ -1172,13 +1222,33 @@ def snap_clone(spark: SparkSession, src_table: str, dst_table: str,
         dfs.mkdirs(dst_p.getParent())
         if not FileUtil.copy(fs, src_p, dfs, dst_p, False, True, conf):
             raise IOError(f"snap_clone: copy failed for {rel}")
+    # Deletes travel with their seq fields, so the clone must pin the
+    # source's file sequences too — an inline default of "everything is
+    # v1" would put every file BELOW carried deletes and re-delete rows
+    # a source-side MERGE had just written. But the source seqs CANNOT
+    # carry verbatim either: the clone commits at v1 and the dst's
+    # version counter restarts, so a post-clone delete at seq 2 would
+    # skip cloned files whose source seq is >= 2, and a post-clone
+    # append at seq 2-3 would be retro-deleted by carried deletes with
+    # higher source seqs. Renormalize ORDER-PRESERVINGLY into (0, 1]:
+    # seqs are only ever compared (delete.seq > file.seq, strict), so
+    # fractional ranks keep every carried relation intact while every
+    # future dst commit (version >= 2) sequences strictly after ALL
+    # carried files and deletes.
+    dels = m.get("deletes") or []
+    fseqs = None
+    if dels:
+        src_fseqs = m.get("file_seqs") or {}
+        all_seqs = sorted({src_fseqs.get(f, 0) for f in m["files"]} |
+                          {d["seq"] for d in dels
+                           if d.get("seq") is not None})
+        rank = {s: (i + 1) / len(all_seqs)
+                for i, s in enumerate(all_seqs)}
+        fseqs = {f: rank[src_fseqs.get(f, 0)] for f in m["files"]}
+        dels = [{**d, "seq": rank[d["seq"]]}
+                if d.get("seq") is not None else dict(d) for d in dels]
     return _commit(
         spark, dst_table, list(m["files"]),
         note or f"clone of {src_table}@v{m['version']}",
         expected_parent=0, stats=m.get("stats"),
-        deletes=m.get("deletes"),
-        # deletes travel with their seq fields, so the clone must pin
-        # the source's file sequences too — an inline default of
-        # "everything is v1" would put every file BELOW carried deletes
-        # and re-delete rows a source-side MERGE had just written
-        file_seqs=m.get("file_seqs") if m.get("deletes") else None)
+        deletes=dels or None, file_seqs=fseqs)

@@ -72,6 +72,36 @@ def test_snaptable_applies_sequenced_merge_deletes(registered, tmp_path):
     assert _rows(got) == _rows(S.read_snapshot(spark, t))
 
 
+def test_snaptable_reads_clone_with_deletes(registered, tmp_path):
+    """Clone-with-pending-deletes roundtrip through the Python
+    DataSource: the renormalized (fractional) carried sequences read
+    identically to the native reader, both right after the clone and
+    after post-clone delete + append commits layer on top."""
+    spark = registered
+    src = str(tmp_path / "src")
+    S.snap_append(spark, src, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+    S.snap_merge_keys(spark, src, spark.createDataFrame(
+        [("a", 99), ("c", 3)], "k string, v int"), ["k"])
+    S.snap_merge_keys(spark, src, spark.createDataFrame(
+        [("b", 22)], "k string, v int"), ["k"])
+
+    dst = str(tmp_path / "dst")
+    S.snap_clone(spark, src, dst)
+    got = spark.read.format("snaptable").load(dst)
+    assert _rows(got) == [("a", 99), ("b", 22), ("c", 3)]
+    assert _rows(got) == _rows(S.read_snapshot(spark, dst))
+
+    # post-clone commits sequence after ALL carried state in BOTH readers
+    S.snap_delete_keys(spark, dst, spark.createDataFrame(
+        [("a",)], "k string"), ["k"])
+    S.snap_append(spark, dst, spark.createDataFrame(
+        [("c", 7)], "k string, v int"))
+    got = spark.read.format("snaptable").load(dst)
+    assert _rows(got) == [("b", 22), ("c", 3), ("c", 7)]
+    assert _rows(got) == _rows(S.read_snapshot(spark, dst))
+
+
 def test_snaptable_filter_pushdown_prunes_partitions(registered, tmp_path):
     """Planning-time proof: with per-file stats in the manifest, the
     reader's partitions() drops files a pushed range/equality filter

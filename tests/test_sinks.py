@@ -1222,6 +1222,173 @@ def test_snap_merge_keys_single_commit_sequencing(spark, tmp_path):
         S._commit(spark, t, bad, "malformed")
 
 
+def _merge_history_table(spark, tmp_path, name="seqsrc"):
+    """Source table whose file/delete sequences reach v4: append, then
+    three merges — head = [(a,99), (b,22), (c,33)] with pending deletes
+    at seqs 2, 3, 4 and live files at seqs 2, 3, 4."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / name)
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("a", 99), ("c", 3)], "k string, v int"), ["k"])
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("b", 22)], "k string, v int"), ["k"])
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("c", 33)], "k string, v int"), ["k"])
+    return t
+
+
+def test_snap_clone_renormalizes_sequences(spark, tmp_path):
+    """A clone's carried sequence space must not collide with the
+    destination's RESTARTED version counter: seqs renormalize
+    order-preservingly into (0, 1] at clone time, so every post-clone
+    commit (version >= 2) sequences strictly after all carried files
+    and deletes. Pre-fix repros (r10 ADVICE): (a) a post-clone delete
+    silently skipped cloned files with source seq >= 2; (b) a
+    post-clone append was retro-deleted by carried deletes with higher
+    source seqs."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    def rows(table):
+        return sorted((r.k, r.v)
+                      for r in S.read_snapshot(spark, table).collect())
+
+    t = _merge_history_table(spark, tmp_path)
+    assert rows(t) == [("a", 99), ("b", 22), ("c", 33)]
+
+    d1 = str(tmp_path / "clone1")
+    S.snap_clone(spark, t, d1)
+    raw = S._read_raw_manifest(spark, d1)
+    assert raw["format"] == 2            # sequenced deletes -> stamped
+    assert raw["file_seqs"] and all(0 < s <= 1
+                                    for s in raw["file_seqs"].values())
+    assert all(0 < d["seq"] <= 1 for d in raw["deletes"]
+               if d.get("seq") is not None)
+    assert rows(d1) == [("a", 99), ("b", 22), ("c", 33)]
+
+    # (a) post-clone deletes reach EVERY cloned file, including the
+    # highest-sequenced one (c came from source seq 4)
+    S.snap_delete_keys(spark, d1, spark.createDataFrame(
+        [("a",)], "k string"), ["k"])
+    assert rows(d1) == [("b", 22), ("c", 33)]
+    S.snap_delete_keys(spark, d1, spark.createDataFrame(
+        [("c",)], "k string"), ["k"])
+    assert rows(d1) == [("b", 22)]
+
+    # (b) post-clone append of a key the carried deletes once covered
+    # is NOT retro-deleted; a post-clone merge then composes on top
+    d2 = str(tmp_path / "clone2")
+    S.snap_clone(spark, t, d2)
+    S.snap_append(spark, d2, spark.createDataFrame(
+        [("c", 7)], "k string, v int"))
+    assert rows(d2) == [("a", 99), ("b", 22), ("c", 7), ("c", 33)]
+    S.snap_merge_keys(spark, d2, spark.createDataFrame(
+        [("c", 5)], "k string, v int"), ["k"])
+    assert rows(d2) == [("a", 99), ("b", 22), ("c", 5)]
+    # the source never moved
+    assert rows(t) == [("a", 99), ("b", 22), ("c", 33)]
+
+
+def test_manifest_format_version_gate(spark, tmp_path):
+    """Manifests that RELY on sequence semantics carry ``format: 2``;
+    both readers refuse a NEWER format instead of misreading it (a
+    pre-sequence reader applying every delete to every file would
+    silently drop a MERGE's replacement rows). Plain appends stay
+    unstamped — readable by every build."""
+    import json
+
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        pyds,
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "fmt")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1)], "k string, v int"))
+    assert "format" not in S._read_raw_manifest(spark, t)
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("a", 2)], "k string, v int"), ["k"])
+    raw = S._read_raw_manifest(spark, t)
+    assert raw["format"] == 2
+
+    # hand-write a FUTURE-format head: both readers must refuse
+    doctored = dict(raw, format=3, version=raw["version"] + 1,
+                    parent=raw["version"])
+    S._write_text_atomic(spark, S._manifest_path(t, raw["version"] + 1),
+                         json.dumps(doctored))
+    with pytest.raises(ValueError, match="format 3"):
+        S.read_manifest(spark, t)
+    with pytest.raises(ValueError, match="format 3"):
+        pyds._py_read_manifest(pyds._io_for(t), t)
+
+
+def test_snap_merge_keys_duplicate_batch_guard(spark, tmp_path):
+    """A batch with several rows per key would append all of them and
+    delete none (the delete only covers files sequenced BEFORE the
+    commit) — a silent multi-row 'upsert'. Default errors like
+    Iceberg's MERGE; on_duplicate='keep_all' is the documented opt-in
+    for replace-group-by-key."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    def rows(table):
+        return sorted((r.k, r.v)
+                      for r in S.read_snapshot(spark, table).collect())
+
+    t = str(tmp_path / "dup")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+    dup = spark.createDataFrame([("a", 2), ("a", 3)], "k string, v int")
+    with pytest.raises(ValueError, match="multiple rows"):
+        S.snap_merge_keys(spark, t, dup, ["k"])
+    assert rows(t) == [("a", 1), ("b", 2)]    # nothing half-committed
+    S.snap_merge_keys(spark, t, dup, ["k"], on_duplicate="keep_all")
+    assert rows(t) == [("a", 2), ("a", 3), ("b", 2)]
+    with pytest.raises(ValueError, match="on_duplicate"):
+        S.snap_merge_keys(spark, t, dup, ["k"], on_duplicate="nope")
+
+
+def test_snap_compact_preserves_sequenced_deletes(spark, tmp_path):
+    """delete -> re-append -> compact: compaction materializes exactly
+    the sequence-correct view (the old delete neither resurrects the
+    deleted row nor kills the re-appended one), clears the delete list,
+    and post-compact deletes work on the rewritten files."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    def rows(table):
+        return sorted((r.k, r.v)
+                      for r in S.read_snapshot(spark, table).collect())
+
+    t = str(tmp_path / "cps")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"))
+    S.snap_delete_keys(spark, t, spark.createDataFrame(
+        [("a",)], "k string"), ["k"])
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 7)], "k string, v int"))
+    assert rows(t) == [("a", 7), ("b", 2)]
+    S.snap_compact(spark, t, target_files=1)
+    m = S.read_manifest(spark, t)
+    assert not m.get("deletes") and len(m["files"]) == 1
+    assert rows(t) == [("a", 7), ("b", 2)]
+    S.snap_delete_keys(spark, t, spark.createDataFrame(
+        [("b",)], "k string"), ["k"])
+    assert rows(t) == [("a", 7)]
+
+
 def test_snap_replace_where_prunes_untouched_files(spark, tmp_path):
     """With prune_predicates, replace_where rewrites ONLY files whose
     stats windows can contain matching rows: untouched files keep their
