@@ -915,6 +915,163 @@ FROM documents GROUP BY 1 ORDER BY count(*) DESC, lang
 """
 
 
+# --- q171: $out + $merge terminal write stages --------------------------------
+def q171_mongo_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship shape end-to-end IN the translator:
+    a pipeline that WRITES (ref dags/mongo_to_postgres_migration.py:109-155
+    reads a Mongo pipeline then row-wise-upserts Postgres). Seed a
+    snapshot table via ``$out`` (per-nation stats of the low-key
+    nations), then ``$merge`` a second aggregation into it with Mongo's
+    defaults (whenMatched=merge / whenNotMatched=insert): batch columns
+    overwrite, the target-only ``n_cust`` column carries over for
+    matched nations and NULLs for inserted ones. Both writes are single
+    atomic snapshot commits (merge-on-read, O(batch)); the returned
+    frame is the target's post-merge snapshot. DECIMAL sums for
+    cross-engine hash stability."""
+    import tempfile
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "bal_d", F.col("c_acctbal").cast("decimal(18,2)"))
+    path = f"{tempfile.mkdtemp(prefix='q171_')}/stats"
+    targets = {"stats": path}
+    apply_pipeline(cust, [
+        {"$match": {"c_nationkey": {"$lt": 13}}},
+        {"$group": {"_id": "$c_nationkey", "n_cust": {"$sum": 1},
+                    "bal_sum": {"$sum": "$bal_d"}}},
+        {"$out": "stats"},
+    ], targets=targets)
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "BUILDING"}},
+        {"$group": {"_id": "$c_nationkey",
+                    "bal_sum": {"$sum": "$bal_d"}}},
+        {"$merge": {"into": "stats", "on": "_id",
+                    "whenMatched": "merge", "whenNotMatched": "insert"}},
+    ], targets=targets)
+    return out.select(
+        "_id", "n_cust",
+        F.round(F.col("bal_sum").cast("double"), 2).alias("bal_sum"))
+
+
+Q171_SQL = """
+WITH seed AS (
+  SELECT c_nationkey AS _id, count(*) AS n_cust,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+  FROM customer WHERE c_nationkey < 13 GROUP BY 1),
+b AS (
+  SELECT c_nationkey AS _id, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1)
+SELECT b._id, s.n_cust, round(CAST(b.bal AS DOUBLE), 2) AS bal_sum
+FROM b JOIN seed s ON b._id = s._id
+UNION ALL
+SELECT b._id, NULL, round(CAST(b.bal AS DOUBLE), 2)
+FROM b WHERE b._id NOT IN (SELECT _id FROM seed)
+UNION ALL
+SELECT s._id, s.n_cust, round(CAST(s.bal AS DOUBLE), 2)
+FROM seed s WHERE s._id NOT IN (SELECT _id FROM b)
+"""
+
+
+# --- q172: $facet multi-aggregation dashboard over documents -------------------
+def q172_mongo_facet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$facet``: three sub-aggregations (language leaderboard, length
+    histogram, global totals) over ONE persisted scan of documents,
+    collapsed to a single dashboard document, then ``$project``
+    expression ops ($size/$arrayElemAt over the facet arrays) reduce it
+    to scalars so the oracle gate is exact. sort_array pins the facet
+    arrays, so element 0 of the language facet is the alphabetically
+    first language."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = apply_pipeline(docs, [
+        {"$facet": {
+            "langs": [{"$sortByCount": "$lang"}],
+            "buckets": [{"$bucket": {
+                "groupBy": "$n_chars",
+                "boundaries": [0, 200, 500, 1000, 5000],
+                "default": "xl",
+                "output": {"n": {"$sum": 1}}}}],
+            "totals": [{"$group": {"_id": {"$literal": 1},
+                                   "docs": {"$sum": 1},
+                                   "chars": {"$sum": "$n_chars"}}}],
+        }},
+        {"$project": {
+            "n_langs": {"$size": "$langs"},
+            "first_lang": {"$arrayElemAt": ["$langs._id", 0]},
+            "first_lang_docs": {"$arrayElemAt": ["$langs.count", 0]},
+            "n_buckets": {"$size": "$buckets"},
+            "total_docs": {"$arrayElemAt": ["$totals.docs", 0]},
+            "total_chars": {"$arrayElemAt": ["$totals.chars", 0]},
+        }},
+    ])
+    return out.select(
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "first_lang", "first_lang_docs",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "total_docs", F.col("total_chars").cast("long").alias("total_chars"))
+
+
+Q172_SQL = """
+WITH l AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM l) AS BIGINT) AS n_langs,
+       (SELECT min(lang) FROM l) AS first_lang,
+       CAST((SELECT c FROM l WHERE lang = (SELECT min(lang) FROM l))
+            AS BIGINT) AS first_lang_docs,
+       CAST((SELECT count(DISTINCT
+              CASE WHEN n_chars >= 0 AND n_chars < 200 THEN '0'
+                   WHEN n_chars >= 200 AND n_chars < 500 THEN '200'
+                   WHEN n_chars >= 500 AND n_chars < 1000 THEN '500'
+                   WHEN n_chars >= 1000 AND n_chars < 5000 THEN '1000'
+                   ELSE 'xl' END) FROM documents) AS BIGINT) AS n_buckets,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS total_docs,
+       CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS total_chars
+"""
+
+
+# --- q173: $setWindowFields range window with a time unit ----------------------
+def q173_mongo_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-time windows — the most common real
+    ``$setWindowFields`` use: per-user trailing-7-day DECIMAL revenue
+    sum and trailing-1-day event count, lowered onto rangeBetween over
+    the sort field's epoch milliseconds (no self-join, no UDF — one
+    native running window per output). Timestamps are ms-truncated in
+    the DATA on both engines so the ms-grain order key is exact;
+    RANGE frames make tied timestamps peers, so no tiebreak column is
+    needed for hash stability (unlike ROWS windows)."""
+    ev = load_table(spark, "events", sf_dir) \
+        .withColumn("ts", F.date_trunc("millisecond", F.col("ts"))) \
+        .withColumn("value_d", F.col("value").cast("decimal(18,4)"))
+    out = apply_pipeline(ev, [
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "week_sum": {"$sum": "$value_d",
+                             "window": {"range": [-7, 0], "unit": "day"}},
+                "day_n": {"$count": {},
+                          "window": {"range": [-1, 0], "unit": "day"}},
+            }}},
+    ])
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("week_sum").cast("double"), 4).alias("week_sum"),
+        F.col("day_n").cast("long").alias("day_n"))
+
+
+Q173_SQL = """
+WITH e AS (SELECT event_id, user_id,
+                  date_trunc('milliseconds', ts) AS ts,
+                  CAST(value AS DECIMAL(18,4)) AS v
+           FROM events)
+SELECT event_id, user_id,
+       round(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 4) AS week_sum,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS day_n
+FROM e
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -932,6 +1089,9 @@ QUERIES = {
     "q168_mongo_window_fields": q168_mongo_window_fields,
     "q169_mongo_bucket_lengths": q169_mongo_bucket_lengths,
     "q170_mongo_sort_by_count": q170_mongo_sort_by_count,
+    "q171_mongo_merge_into": q171_mongo_merge_into,
+    "q172_mongo_facet_summary": q172_mongo_facet_summary,
+    "q173_mongo_trailing_window": q173_mongo_trailing_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -954,6 +1114,9 @@ ORACLES = {
     "q168_mongo_window_fields": Q168_SQL,
     "q169_mongo_bucket_lengths": Q169_SQL,
     "q170_mongo_sort_by_count": Q170_SQL,
+    "q171_mongo_merge_into": Q171_SQL,
+    "q172_mongo_facet_summary": Q172_SQL,
+    "q173_mongo_trailing_window": Q173_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -20,7 +20,10 @@ Supported stages — the reference's three, plus the common tail:
 ``$addFields``/``$set``, ``$group`` (``$sum/$avg/$min/$max/$count``,
 ``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
 ``$first``/``$last`` (upstream order via min_by/max_by),
-``$stdDevPop/$stdDevSamp``), ``$sort``, ``$limit``, ``$skip``, ``$count`` — plus the
+``$stdDevPop/$stdDevSamp``), ``$sort``, ``$limit``, ``$skip``,
+``$count``, ``$facet`` (shared-scan multi-aggregation), and the
+terminal write stages ``$merge``/``$out`` (lowered onto the snapshot
+table-format commits — see ``_write_stage``) — plus the
 aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$cond``/``$switch``, ``$ifNull``, ``$concat``,
@@ -543,7 +546,7 @@ _WF_RANK = {"$rank": F.rank, "$denseRank": F.dense_rank,
             "$documentNumber": F.row_number}
 
 
-def _wf_bound(v, lower: bool):
+def _wf_bound(v, lower: bool, scale_ms: int | None = None):
     from pyspark.sql import Window
 
     if v == "unbounded":
@@ -551,7 +554,20 @@ def _wf_bound(v, lower: bool):
             else Window.unboundedFollowing
     if v == "current":
         return Window.currentRow
+    if scale_ms is not None:
+        # time-unit range bound: N units -> milliseconds on the epoch-ms
+        # order key (fixed-width units only; rounding covers fractional
+        # bound values like 1.5 hours)
+        return int(round(float(v) * scale_ms))
     return int(v)
+
+
+#: Fixed-width $setWindowFields range units -> milliseconds. Calendar
+#: units (year/quarter/month) have no fixed width, so a constant
+#: rangeBetween frame cannot express them — they raise below.
+_WF_UNIT_MS = {"week": 604_800_000, "day": 86_400_000,
+               "hour": 3_600_000, "minute": 60_000,
+               "second": 1_000, "millisecond": 1}
 
 
 def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -599,20 +615,52 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             continue
         # accumulator over a frame
         w = ordered if sortby else base
+        unit = None
         if frame is None:
             lo, hi = "unbounded", "unbounded"
             kind = "documents"
         else:
-            kind, (lo, hi) = next(iter(frame.items()))
-            if kind == "range" and frame.get("unit"):
-                raise ValueError("$setWindowFields range unit unsupported")
+            unit = frame.get("unit")
+            kinds = [k for k in frame if k != "unit"]
+            if len(kinds) != 1:
+                raise ValueError(
+                    f"window needs exactly one frame kind, got: {frame}")
+            kind = kinds[0]
+            lo, hi = frame[kind]
+            if unit is not None and kind != "range":
+                raise ValueError("window 'unit' applies to range frames")
         if kind == "documents":
             w = w.rowsBetween(_wf_bound(lo, True), _wf_bound(hi, False))
         elif kind == "range":
             if len(sortby) != 1 or next(iter(sortby.values())) != 1:
                 raise ValueError(
                     "range window needs a single ascending sortBy")
-            w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
+            if unit is not None:
+                # time-unit range (Mongo 5.0: trailing-N-days windows):
+                # order by the sort field's epoch MILLISECONDS and turn
+                # the [lo, hi] unit offsets into ms — rangeBetween takes
+                # integer deltas, so the frame stays a native Spark
+                # running-window (no self-join, no UDF). Millisecond
+                # resolution: sub-ms timestamp components are truncated
+                # from the ORDER KEY only (output rows keep full
+                # precision); fixed-width units only — year/quarter/
+                # month vary in length and raise.
+                scale = _WF_UNIT_MS.get(unit)
+                if scale is None:
+                    raise ValueError(
+                        f"unsupported $setWindowFields range unit: "
+                        f"{unit!r} (fixed-width units only: "
+                        f"{sorted(_WF_UNIT_MS)})")
+                sort_field = next(iter(sortby))
+                # TIMESTAMP_NTZ cannot cast straight to a number — via
+                # timestamp; double epoch seconds keep ~0.4 us precision
+                # for current epochs, exact at ms grain
+                key = (F.col(sort_field).cast("timestamp")
+                       .cast("double") * 1000).cast("long")
+                w = base.orderBy(key.asc()).rangeBetween(
+                    _wf_bound(lo, True, scale), _wf_bound(hi, False, scale))
+            else:
+                w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
         else:
             raise ValueError(f"unsupported window kind: {kind}")
         if op == "$sum" and arg == 1:
@@ -645,17 +693,219 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df
 
 
+def _facet(df: DataFrame, spec: dict[str, Any],
+           collections: dict[str, DataFrame] | None) -> DataFrame:
+    """``$facet``: N named sub-pipelines over ONE shared input, emitting
+    a single document whose fields are arrays of each sub-pipeline's
+    output docs. The input DataFrame is persisted so every facet reads
+    the SAME materialization (one source scan + N InMemoryTableScans —
+    the plan gate in tests), then each facet collapses to a one-row
+    array aggregate and the single-row frames cross-join back into one
+    document. Array order is pinned with sort_array (Mongo materializes
+    sub-pipeline order; a distributed collect has none — deterministic
+    beats unspecified, the $push/$lookup convention, so a facet ending
+    in $sort is re-ordered by field value in the output array). Scale
+    note: $facet output is ONE document (Mongo caps it at 16 MB) — the
+    stage is for pre-aggregated dashboard shapes, and the persist cost
+    is bounded by whatever $match/$project runs before it, exactly as
+    in Mongo."""
+    if not isinstance(spec, dict) or not spec:
+        raise ValueError("$facet expects a non-empty {name: [stages]}")
+    banned = {"$facet", "$merge", "$out"}
+    for name, sub in spec.items():
+        for st in sub:
+            if set(st) & banned:
+                raise ValueError(
+                    f"$facet sub-pipeline {name!r} may not contain "
+                    f"{sorted(set(st) & banned)} (Mongo's rule)")
+    df = df.persist()
+    acc = None
+    for name, sub in spec.items():
+        sub_df = apply_pipeline(df, sub, collections)
+        one = sub_df.agg(F.sort_array(F.collect_list(F.struct(
+            *[F.col(c) for c in sub_df.columns]))).alias(name))
+        acc = one if acc is None else acc.crossJoin(one)
+    return acc
+
+
+def _write_target(targets, name, op: str) -> str:
+    if not targets or name not in targets:
+        raise ValueError(
+            f"{op} into {name!r} needs targets={{{name!r}: <snap table "
+            "path>}} passed to apply_pipeline")
+    return targets[name]
+
+
+def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
+    """Post-write read-back; an empty table (nothing ever committed, or
+    an $out of zero rows) reads as the batch's empty frame."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+        current_version,
+        read_manifest,
+        read_snapshot,
+    )
+
+    if current_version(spark, path) == 0 or \
+            not read_manifest(spark, path)["files"]:
+        return like.limit(0)
+    return read_snapshot(spark, path)
+
+
+def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
+    """Terminal ``$out`` / ``$merge`` write stages — the reference's
+    whole purpose is pipeline -> warehouse writes (ref
+    dags/mongo_to_postgres_migration.py:109-155: read pipeline, then a
+    per-table row-wise upsert); here they lower onto the snapshot
+    table-format commits, so the write is ONE atomic commit with
+    merge-on-read cost instead of a row loop.
+
+    ``$out`` replaces the whole target (snap_overwrite). ``$merge``
+    lowers the whenMatched x whenNotMatched matrix onto set operations
+    + a single snap commit:
+
+    - whenMatched  replace      -> batch row wins wholesale
+    -              merge        -> batch columns overwrite, target-only
+                                   columns carry over (field-wise merge
+                                   on a rectangular schema)
+    -              keepExisting -> matched batch rows dropped
+    -              fail         -> error if any batch key matches
+    - whenNotMatched insert / discard / fail analogously
+
+    Everything that changes rows funnels into ONE snap_merge_keys /
+    snap_append commit (O(batch) merge-on-read, never a table rewrite),
+    so readers see the old or the new state atomically. Deviations,
+    documented: the batch must have at most one row per ``on`` key (a
+    distributed engine has no doc order to break ties; Mongo errors on
+    multi-matches too), custom whenMatched update PIPELINES are
+    unsupported, and batch columns absent from the target's schema
+    raise (evolve the schema with $out/snap_overwrite first). Returns
+    the target's post-write snapshot so pipelines remain composable
+    for gating."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        snap_append,
+        snap_merge_keys,
+        snap_overwrite,
+    )
+
+    spark = df.sparkSession
+    if op == "$out":
+        name = spec if isinstance(spec, str) else spec["coll"]
+        path = _write_target(targets, name, "$out")
+        snap_overwrite(spark, path, df, note="$out")
+        return _read_or_empty(spark, path, df)
+
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    name = spec["into"]
+    if isinstance(name, dict):
+        name = name["coll"]
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    wm = spec.get("whenMatched", "merge")
+    wnm = spec.get("whenNotMatched", "insert")
+    if not isinstance(wm, str):
+        raise ValueError(
+            "$merge whenMatched update pipelines are unsupported — "
+            "compute the update in the main pipeline instead")
+    if wm not in ("replace", "keepExisting", "merge", "fail"):
+        raise ValueError(f"unsupported whenMatched: {wm!r}")
+    if wnm not in ("insert", "discard", "fail"):
+        raise ValueError(f"unsupported whenNotMatched: {wnm!r}")
+    path = _write_target(targets, name, "$merge")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"$merge 'on' fields {missing} missing from "
+                         "the pipeline output")
+    # at most one batch row per key, every mode: the merge commit's
+    # delete cannot distinguish duplicates, and Mongo's own sequential
+    # semantics depend on doc order a distributed batch doesn't have
+    dup = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+           .filter("__n > 1").limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"$merge: batch has multiple rows for key "
+            f"{ {k: dup[0][k] for k in keys} } — dedupe upstream")
+
+    if current_version(spark, path) == 0:
+        # empty target: every row is not-matched
+        if wnm == "insert":
+            snap_append(spark, path, df, note="$merge bootstrap")
+        elif wnm == "fail" and df.limit(1).count():
+            raise ValueError(
+                "$merge whenNotMatched='fail': target is empty")
+        return _read_or_empty(spark, path, df)
+
+    tgt = read_snapshot(spark, path)
+    extra = [c for c in df.columns if c not in tgt.columns]
+    if extra:
+        raise ValueError(
+            f"$merge: batch columns {extra} absent from target "
+            f"{name!r} — evolve the target schema first ($out)")
+    tkeys = tgt.select(*keys).dropDuplicates(keys)
+    matched = df.join(tkeys, keys, "left_semi")
+    unmatched = df.join(tkeys, keys, "left_anti")
+    if wm == "fail" and matched.limit(1).count():
+        raise ValueError("$merge whenMatched='fail': batch keys match "
+                         "existing target rows")
+    if wnm == "fail" and unmatched.limit(1).count():
+        raise ValueError("$merge whenNotMatched='fail': batch has keys "
+                         "absent from the target")
+    carry = [c for c in tgt.columns if c not in df.columns]
+    parts = []
+    if wm in ("replace", "merge"):
+        up = matched
+        if carry:
+            if wm == "merge":
+                # field-wise merge: batch columns overwrite, target-only
+                # columns ride along from the matched target row
+                up = up.join(tgt.select(*keys, *carry), keys, "left")
+            else:
+                for c in carry:
+                    up = up.withColumn(
+                        c, F.lit(None).cast(tgt.schema[c].dataType))
+        parts.append(up)
+    if wnm == "insert":
+        ins = unmatched
+        for c in carry:
+            ins = ins.withColumn(c,
+                                 F.lit(None).cast(tgt.schema[c].dataType))
+        parts.append(ins)
+    if parts:
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        batch = batch.select(*tgt.columns)
+        if wm in ("replace", "merge"):
+            # uniqueness already enforced above — skip the second check
+            snap_merge_keys(spark, path, batch, keys, note=f"$merge {wm}",
+                            on_duplicate="keep_all")
+        else:
+            # keepExisting: only never-seen keys land — append-only
+            snap_append(spark, path, batch, note="$merge insert-only")
+    return _read_or_empty(spark, path, df)
+
+
 def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
-                   collections: dict[str, DataFrame] | None = None
+                   collections: dict[str, DataFrame] | None = None,
+                   targets: dict[str, str] | None = None
                    ) -> DataFrame:
     """Run a MongoDB aggregation pipeline against a DataFrame.
 
-    ``collections`` resolves ``$lookup``'s ``from`` names to DataFrames
-    (the equality-match form: localField/foreignField/as; the
-    pipeline+let correlated form raises — it is a general subquery, not
-    a join spec)."""
-    for stage in stages:
+    ``collections`` resolves ``$lookup``/``$unionWith`` ``from`` names
+    to DataFrames (the equality-match form: localField/foreignField/as;
+    the pipeline+let correlated form raises — it is a general subquery,
+    not a join spec). ``targets`` resolves terminal ``$merge``/``$out``
+    collection names to snapshot-table paths (sources/snapshots.py) —
+    the write actually COMMITS (the one eager point in the translator),
+    and the call returns the target's post-write snapshot."""
+    for i, stage in enumerate(stages):
         (op, spec), = stage.items()
+        if op in ("$merge", "$out"):
+            if i != len(stages) - 1:
+                raise ValueError(f"{op} must be the final pipeline stage")
+            return _write_stage(df, op, spec, targets)
         if op == "$match":
             df = df.filter(_match_cond(spec, df.schema))
         elif op == "$project":
@@ -719,6 +969,8 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = df.unionByName(other, allowMissingColumns=True)
         elif op == "$bucket":
             df = _bucket(df, spec)
+        elif op == "$facet":
+            df = _facet(df, spec, collections)
         elif op == "$setWindowFields":
             df = _set_window_fields(df, spec)
         elif op == "$lookup":

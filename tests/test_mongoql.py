@@ -549,3 +549,248 @@ def test_set_window_fields(apps):
                                   "output": {"n": {"$count": {},
                                                    "window": {"range":
                                                               [-1, 1]}}}}}])
+
+
+def test_set_window_fields_range_unit(spark):
+    """Time-unit range windows (Mongo 5.0's trailing-N-days shape):
+    bounds scale to epoch milliseconds on the order key, inclusive both
+    ends, per-partition; ties share a window; calendar units and a unit
+    on a documents frame raise."""
+    from datetime import datetime as dt
+
+    ev = spark.createDataFrame(
+        [("u1", dt(2024, 1, 1), 1), ("u1", dt(2024, 1, 2), 2),
+         ("u1", dt(2024, 1, 4), 4), ("u1", dt(2024, 1, 8), 8),
+         ("u2", dt(2024, 1, 2), 100)],
+        "u string, ts timestamp, v int")
+    out = apply_pipeline(ev, [
+        {"$setWindowFields": {
+            "partitionBy": "$u", "sortBy": {"ts": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"range": [-2, 0],
+                                               "unit": "day"}},
+                # unit key FIRST in the frame dict: order must not matter
+                "n": {"$count": {}, "window": {"unit": "day",
+                                               "range": [-1, 1]}},
+            }}}])
+    got = {(r.u, r.v): (r.s, r.n) for r in out.collect()}
+    assert got == {("u1", 1): (1, 2), ("u1", 2): (3, 2),
+                   ("u1", 4): (6, 1), ("u1", 8): (8, 1),
+                   ("u2", 100): (100, 1)}
+
+    # ties on the sort key share one range window (peers, both engines)
+    tie = spark.createDataFrame(
+        [("a", dt(2024, 1, 1, 12), 1), ("b", dt(2024, 1, 1, 12), 2),
+         ("c", dt(2024, 1, 1, 18), 4)], "k string, ts timestamp, v int")
+    out2 = apply_pipeline(tie, [
+        {"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-7, 0],
+                                        "unit": "hour"}}}}}])
+    assert {r.k: r.s for r in out2.collect()} == {"a": 3, "b": 3, "c": 7}
+
+    with pytest.raises(ValueError, match="range unit"):
+        apply_pipeline(ev, [
+            {"$setWindowFields": {"sortBy": {"ts": 1},
+                                  "output": {"s": {"$sum": "$v",
+                                                   "window": {
+                                                       "range": [-1, 0],
+                                                       "unit": "month"}}}}}])
+    with pytest.raises(ValueError, match="applies to range"):
+        apply_pipeline(ev, [
+            {"$setWindowFields": {"sortBy": {"ts": 1},
+                                  "output": {"s": {"$sum": "$v",
+                                                   "window": {
+                                                       "documents": [0, 0],
+                                                       "unit": "day"}}}}}])
+    with pytest.raises(ValueError, match="one frame kind"):
+        apply_pipeline(ev, [
+            {"$setWindowFields": {"sortBy": {"ts": 1},
+                                  "output": {"s": {"$sum": "$v",
+                                                   "window": {
+                                                       "documents": [0, 0],
+                                                       "range": [0, 0]}}}}}])
+
+
+def test_facet_shared_scan(apps):
+    """$facet: N sub-pipelines over one persisted input collapse into a
+    single document of arrays; results equal the sub-pipelines run
+    independently; the plan proves the shared scan (InMemoryTableScan
+    per facet); Mongo's banned-stage rule enforced."""
+    spec = {
+        "by_status": [{"$sortByCount": "$status"}],
+        "big": [{"$match": {"amount": {"$gte": 30.0}}},
+                {"$project": {"amount": 1}}],
+        "total": [{"$group": {"_id": None, "n": {"$sum": 1},
+                              "amt": {"$sum": "$amount"}}}],
+    }
+    out = apply_pipeline(apps, [{"$facet": spec}])
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert sorted((x["_id"], x["count"]) for x in r["by_status"]) == \
+        [("closed", 3), ("open", 2)]
+    assert sorted((x["_id"], x["amount"]) for x in r["big"]) == \
+        [("a3", 30.0), ("a4", 40.0), ("a5", 50.0)]
+    assert [(x["n"], x["amt"]) for x in r["total"]] == [(5, 150.0)]
+    # facet arrays == the sub-pipelines run independently
+    for name, sub in spec.items():
+        indep = apply_pipeline(apps, sub).collect()
+        assert len(r[name]) == len(indep)
+    # shared scan: each facet reads the persisted input, not the source
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+
+    # composes with $project expression ops over the facet arrays
+    sizes = apply_pipeline(apps, [
+        {"$facet": {"st": [{"$sortByCount": "$status"}]}},
+        {"$project": {"n_st": {"$size": "$st"},
+                      "first": {"$arrayElemAt": ["$st._id", 0]}}}])
+    got = sizes.collect()[0]
+    assert (got["n_st"], got["first"]) == (2, "closed")
+
+    with pytest.raises(ValueError, match="may not contain"):
+        apply_pipeline(apps, [{"$facet": {"x": [{"$facet": {"y": []}}]}}])
+    with pytest.raises(ValueError, match="non-empty"):
+        apply_pipeline(apps, [{"$facet": {}}])
+
+
+def test_out_stage_replaces_target(spark, tmp_path):
+    """$out overwrites the whole target snapshot table atomically and
+    returns the post-write state; both the bare-string and {db, coll}
+    forms resolve through targets."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "out_t")
+    targets = {"t": t}
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "_id string, n int")
+    got = apply_pipeline(base, [{"$out": "t"}], targets=targets)
+    assert sorted((r._id, r.n) for r in got.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3)]
+    # second $out REPLACES (not appends); {db, coll} form
+    got = apply_pipeline(base.filter("n >= 3"),
+                         [{"$out": {"db": "d", "coll": "t"}}],
+                         targets=targets)
+    assert [(r._id, r.n) for r in got.collect()] == [("c", 3)]
+    assert [(r._id, r.n) for r in
+            S.read_snapshot(spark, t).collect()] == [("c", 3)]
+
+    with pytest.raises(ValueError, match="final pipeline stage"):
+        apply_pipeline(base, [{"$out": "t"}, {"$limit": 1}],
+                       targets=targets)
+    with pytest.raises(ValueError, match="targets"):
+        apply_pipeline(base, [{"$out": "nope"}], targets=targets)
+
+
+def test_merge_stage_mode_matrix(spark, tmp_path):
+    """$merge whenMatched x whenNotMatched lowered onto single snapshot
+    commits: every supported combination, field-wise 'merge' carry,
+    bootstrap into an empty target, composite keys, and the error
+    contracts (fail modes, duplicate batch keys, schema widening)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    def seed(name):
+        t = str(tmp_path / name)
+        S.snap_append(spark, t, spark.createDataFrame(
+            [("a", 1, 10.0), ("b", 2, 20.0)],
+            "_id string, n int, x double"))
+        return t
+
+    def merged(t):
+        return sorted((r._id, r.n, r.x)
+                      for r in S.read_snapshot(spark, t).collect())
+
+    # batch misses column n (carry candidate), hits a, adds c
+    batch = spark.createDataFrame(
+        [("a", 99.0), ("c", 33.0)], "_id string, x double")
+
+    # defaults = merge + insert: batch cols overwrite, n carried / null
+    t = seed("m_default")
+    out = apply_pipeline(batch, [{"$merge": "tm"}], targets={"tm": t})
+    assert merged(t) == [("a", 1, 99.0), ("b", 2, 20.0), ("c", None, 33.0)]
+    assert sorted((r._id, r.n, r.x) for r in out.collect()) == merged(t)
+
+    # replace + insert: the whole row is the batch's (n nulled)
+    t = seed("m_replace")
+    apply_pipeline(batch, [{"$merge": {
+        "into": "tm", "whenMatched": "replace",
+        "whenNotMatched": "insert"}}], targets={"tm": t})
+    assert merged(t) == [("a", None, 99.0), ("b", 2, 20.0),
+                         ("c", None, 33.0)]
+
+    # keepExisting + insert: matched rows untouched, new keys land
+    t = seed("m_keep")
+    apply_pipeline(batch, [{"$merge": {
+        "into": "tm", "whenMatched": "keepExisting"}}], targets={"tm": t})
+    assert merged(t) == [("a", 1, 10.0), ("b", 2, 20.0), ("c", None, 33.0)]
+
+    # merge + discard: only the matched update lands
+    t = seed("m_discard")
+    apply_pipeline(batch, [{"$merge": {
+        "into": "tm", "whenNotMatched": "discard"}}], targets={"tm": t})
+    assert merged(t) == [("a", 1, 99.0), ("b", 2, 20.0)]
+
+    # keepExisting + discard: a no-op, and no new table version
+    t = seed("m_noop")
+    v0 = S.current_version(spark, t)
+    apply_pipeline(batch, [{"$merge": {
+        "into": "tm", "whenMatched": "keepExisting",
+        "whenNotMatched": "discard"}}], targets={"tm": t})
+    assert S.current_version(spark, t) == v0
+    assert merged(t) == [("a", 1, 10.0), ("b", 2, 20.0)]
+
+    # fail modes
+    t = seed("m_fail")
+    with pytest.raises(ValueError, match="whenMatched='fail'"):
+        apply_pipeline(batch, [{"$merge": {
+            "into": "tm", "whenMatched": "fail"}}], targets={"tm": t})
+    with pytest.raises(ValueError, match="whenNotMatched='fail'"):
+        apply_pipeline(batch, [{"$merge": {
+            "into": "tm", "whenNotMatched": "fail"}}], targets={"tm": t})
+    # and a batch that only matches passes whenNotMatched='fail'
+    apply_pipeline(batch.filter("_id = 'a'"), [{"$merge": {
+        "into": "tm", "whenNotMatched": "fail"}}], targets={"tm": t})
+    assert merged(t) == [("a", 1, 99.0), ("b", 2, 20.0)]
+
+    # bootstrap: $merge into a never-written target inserts everything
+    t = str(tmp_path / "m_boot")
+    apply_pipeline(batch, [{"$merge": "tm"}], targets={"tm": t})
+    assert sorted((r._id, r.x)
+                  for r in S.read_snapshot(spark, t).collect()) == \
+        [("a", 99.0), ("c", 33.0)]
+
+    # composite 'on' keys
+    t = str(tmp_path / "m_comp")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1, 10.0)], "k1 string, k2 int, x double"))
+    apply_pipeline(
+        spark.createDataFrame([("a", 1, 11.0), ("a", 2, 12.0)],
+                              "k1 string, k2 int, x double"),
+        [{"$merge": {"into": "tm", "on": ["k1", "k2"]}}],
+        targets={"tm": t})
+    assert sorted((r.k1, r.k2, r.x)
+                  for r in S.read_snapshot(spark, t).collect()) == \
+        [("a", 1, 11.0), ("a", 2, 12.0)]
+
+    # error contracts
+    t = seed("m_err")
+    dup = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                "_id string, x double")
+    with pytest.raises(ValueError, match="multiple rows"):
+        apply_pipeline(dup, [{"$merge": "tm"}], targets={"tm": t})
+    wide = spark.createDataFrame([("a", 1.0)], "_id string, extra double")
+    with pytest.raises(ValueError, match="absent from target"):
+        apply_pipeline(wide, [{"$merge": "tm"}], targets={"tm": t})
+    with pytest.raises(ValueError, match="missing from"):
+        apply_pipeline(batch.drop("_id"), [{"$merge": "tm"}],
+                       targets={"tm": t})
+    with pytest.raises(ValueError, match="update pipelines"):
+        apply_pipeline(batch, [{"$merge": {
+            "into": "tm", "whenMatched": [{"$set": {"x": 0}}]}}],
+            targets={"tm": t})
