@@ -29,8 +29,12 @@ tax that moves when the suite composition or cache policy changes):
 - "isolated": per-query FRESH-JVM medians (one subprocess per query, own
   warm-up) — the judge's adjudication method, immune to suite
   composition; the column to trust for round-over-round deltas.
-Skip the isolated pass with SPARK_GRAFT_NO_ISOLATED=1 (it adds one JVM
-startup per headline query).
+Since r11 the headline "value" IS isolated_total (labeled by
+"value_is"); in-session lives under "queries"/"in_session_total" as a
+diagnostic, and the five historically jittery queries (_JITTERY) run 5
+fresh-JVM iterations instead of 3. Skip the isolated pass with
+SPARK_GRAFT_NO_ISOLATED=1 (it adds one JVM startup per headline query
+— "value" then falls back to in-session).
 """
 
 from __future__ import annotations
@@ -122,16 +126,28 @@ def _run_one(name: str) -> None:
                       "runs": [round(r, 3) for r in runs]}))
 
 
+#: queries whose isolated medians moved ±20-50% across r9/r10 with NO
+#: code change (sandbox session noise) — 5 fresh-JVM runs instead of 3
+#: so the median is robust enough for round-over-round adjudication
+_JITTERY = {"q113_latest_shipper", "q58_corpus_build",
+            "q134_corpus_build_semantic", "q63_jaccard_pruned",
+            "q144_expectations_audit"}
+
+
 def _isolated_medians() -> dict:
     import subprocess
 
     out = {}
     for name in HEADLINE:
+        env = dict(os.environ)
+        if name in _JITTERY:
+            env["SPARK_GRAFT_ITERS"] = str(max(
+                5, int(env.get("SPARK_GRAFT_ITERS", "3"))))
         try:
             proc = subprocess.run(
                 [sys.executable, str(Path(__file__).resolve()),
                  "--one", name],
-                capture_output=True, text=True, timeout=600)
+                capture_output=True, text=True, timeout=600, env=env)
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("{")][-1]
             rec = json.loads(line)
@@ -196,11 +212,22 @@ def main() -> None:
                 _isolated_medians())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # PRIMARY metric = isolated_total (fresh-JVM per-query medians):
+    # r7-r10 showed in-session totals carry shared-JVM session tax that
+    # moves ±20-50% on untouched queries whenever suite composition or
+    # cache policy changes — isolated medians are the round-over-round
+    # comparable column. In-session stays as a diagnostic.
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": (round(sum(isolated.values()), 3) if isolated
+                  else round(sum(timings.values()), 3)),
+        "value_is": ("isolated_total: fresh-JVM per-query medians "
+                     "(the comparable column); in-session diagnostics "
+                     "under 'queries'/'in_session_total'" if isolated
+                     else "in_session_total (isolated pass skipped)"),
         "unit": "sec",
         "queries": timings,
+        "in_session_total": round(sum(timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if isolated:
