@@ -937,22 +937,116 @@ def decode_flac(payload: bytes) -> dict:
     }
 
 
+def _normalized_audio_result(fmt: str, samples, channels: int,
+                             rate: int) -> dict:
+    """The decode_audio contract from normalized interleaved float64
+    samples — shared by the optional-codec backends so every decoder
+    emits identical fields (the spectral stage runs unchanged)."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.float64)
+    n_frames = len(samples) // max(channels, 1)
+    return {
+        "format": fmt,
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else None,
+        "rms": round(float(np.sqrt((samples ** 2).mean())), 6)
+        if len(samples) else None,
+        "peak": round(float(np.abs(samples).max()), 6)
+        if len(samples) else None,
+        "samples": samples,
+    }
+
+
+def mp3_decoder_available() -> bool:
+    """True when any optional MP3 sample-decode backend imports."""
+    for mod in ("soundfile", "miniaudio", "pydub"):
+        try:
+            __import__(mod)
+            return True
+        except ImportError:
+            continue
+    return False
+
+
+def _decode_mp3_samples(payload: bytes) -> dict:
+    """MP3 sample decode behind the OPTIONAL-dependency seam (the
+    Pillow pattern in ``decode_image``): an entropy-coded psychoacoustic
+    codec is a codec-library job, not a from-spec reimplementation, so
+    this tries the public backends in order — soundfile (libsndfile >=
+    1.2), miniaudio, pydub (ffmpeg) — normalizes each to the exact
+    ``decode_audio`` contract, and raises NotImplementedError into the
+    documented null fallback when none is installed (this container
+    ships none; a codec-fleet executor image ships one). Header
+    metadata still parses library-free in ``audio_header_features``."""
+    import io
+
+    try:
+        import soundfile as sf
+
+        arr, rate = sf.read(io.BytesIO(payload), dtype="float64",
+                            always_2d=True)
+        # (frames, channels) C-order ravel == interleaved
+        return _normalized_audio_result("mp3", arr.ravel(),
+                                        arr.shape[1], int(rate))
+    except ImportError:
+        pass
+    except Exception as exc:      # backend present but payload bad
+        raise NotImplementedError(f"mp3: soundfile failed: {exc}") from exc
+    try:
+        import miniaudio
+        import numpy as np
+
+        d = miniaudio.decode(payload)
+        samples = np.asarray(d.samples, dtype=np.float64) / 32768.0
+        return _normalized_audio_result("mp3", samples, d.nchannels,
+                                        d.sample_rate)
+    except ImportError:
+        pass
+    except Exception as exc:
+        raise NotImplementedError(f"mp3: miniaudio failed: {exc}") from exc
+    try:
+        import numpy as np
+        from pydub import AudioSegment
+
+        seg = AudioSegment.from_file(io.BytesIO(payload), format="mp3")
+        scale = float(1 << (8 * seg.sample_width - 1))
+        samples = np.asarray(seg.get_array_of_samples(),
+                             dtype=np.float64) / scale
+        return _normalized_audio_result("mp3", samples, seg.channels,
+                                        seg.frame_rate)
+    except ImportError:
+        pass
+    except Exception as exc:
+        raise NotImplementedError(f"mp3: pydub failed: {exc}") from exc
+    raise NotImplementedError(
+        "mp3: no sample decoder available (install soundfile, miniaudio "
+        "or pydub on the executor image); headers still parse via "
+        "audio_header_features")
+
+
 def decode_audio(payload: bytes) -> dict:
     """REAL audio sample decode: uncompressed RIFF/WAVE (walks the
     chunk list to ``fmt `` + ``data``, reconstructs the sample stream
     with numpy — PCM 8/16/32-bit and IEEE-float 32/64) and lossless
-    FLAC (full bitstream decode, ``decode_flac``). Returns
-    channels/rate/duration plus ``rms`` and ``peak`` over normalized
-    [-1, 1] samples — values that only exist if the samples were
-    actually decoded, the audio analogue of ``mean_pixel``. Lossy
-    codecs (MP3/AAC/alaw/...) raise NotImplementedError → the null
-    fallback."""
+    FLAC (full bitstream decode, ``decode_flac``). MP3 routes through
+    the optional-codec seam (``_decode_mp3_samples``) where a backend
+    is installed. Returns channels/rate/duration plus ``rms`` and
+    ``peak`` over normalized [-1, 1] samples — values that only exist
+    if the samples were actually decoded, the audio analogue of
+    ``mean_pixel``. Remaining lossy codecs (AAC/alaw/...) raise
+    NotImplementedError → the null fallback."""
     import struct
 
     import numpy as np
 
     if payload[:4] == b"fLaC":
         return decode_flac(payload)
+    if payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF
+                                 and (payload[1] & 0xE0) == 0xE0):
+        return _decode_mp3_samples(payload)
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a wav or flac")
     pos, fmt, data = 12, None, None

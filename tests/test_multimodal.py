@@ -1743,6 +1743,58 @@ def test_flac_decode_mono_all_subframe_types():
     assert d["peak"] == round(float(np.abs(expect).max()), 6)
 
 
+def test_mp3_decode_seam_gated_by_availability():
+    """MP3 sample decode is an optional-dependency seam (the Pillow
+    pattern): with a backend installed the samples decode to the
+    standard contract; without one the payload raises the documented
+    NotImplementedError (-> null fallback in the Spark stage) with an
+    actionable message. Both bare-sync and ID3-tagged payloads route
+    into the seam instead of the 'not a wav' error."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decode_audio,
+        mp3_decoder_available,
+    )
+
+    for payload in (_mp3_bytes(), _mp3_bytes(id3=64)):
+        if mp3_decoder_available():
+            try:
+                d = decode_audio(payload)
+                assert d["format"] == "mp3"
+                assert d["sample_rate"] > 0 and d["channels"] >= 1
+                assert d["rms"] is None or d["rms"] >= 0.0
+            except NotImplementedError as e:
+                # backend present but rejects the synthetic header-only
+                # fixture — still the documented error contract
+                assert "mp3:" in str(e)
+        else:
+            with pytest.raises(NotImplementedError,
+                               match="no sample decoder"):
+                decode_audio(payload)
+
+
+def test_mp3_null_fallback_in_spark_stage(spark):
+    """Without an MP3 backend the Arrow-batched decode stage keeps the
+    row and nulls the sample-derived features — never drops or errors;
+    WAV rows in the same batch still decode fully."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.multimodal import (
+        decoded_audio_features,
+        mp3_decoder_available,
+    )
+
+    if mp3_decoder_available():
+        import pytest
+        pytest.skip("an MP3 backend is installed; null-fallback branch "
+                    "not reachable")
+    rows = [(1, _mp3_bytes()), (2, _wav_bytes())]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    got = {r.media_id: r for r in decoded_audio_features(
+        df, "media_id", "payload").collect()}
+    assert got["1"].rms is None and got["1"].format is None
+    assert got["2"].format == "wav" and got["2"].rms is not None
+
+
 def test_flac_reserved_bits_code_refuses():
     """A frame whose bits-per-sample code is the RESERVED value 3 must
     raise (into decode_audio's documented null fallback), never fall
