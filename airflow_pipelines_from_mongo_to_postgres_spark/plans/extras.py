@@ -1072,6 +1072,185 @@ FROM e
 """
 
 
+# --- q174: array higher-order functions over grouped orders -------------------
+def q174_mongo_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$push builds a per-customer cents array (integer-exact), then
+    the array HOF toolkit reduces it inside codegen: $size, $filter
+    (+$size) for the big-order count, $reduce for the exact total, and
+    $slice[-3]+$reduce for the top-3 sum ($push arrays are pinned
+    ascending, so the last 3 are the largest — tie-immune because a sum
+    of the 3 largest VALUES doesn't depend on which tied order wins).
+    No shuffle beyond the one groupBy; no Python in the loop."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    out = apply_pipeline(orders, [
+        {"$group": {"_id": "$o_custkey", "arr": {"$push": "$cents"}}},
+        {"$addFields": {
+            "n_orders": {"$size": "$arr"},
+            "n_big": {"$size": {"$filter": {
+                "input": "$arr",
+                "cond": {"$gt": ["$$this", 15000000]}}}},
+            "total_cents": {"$reduce": {
+                "input": "$arr", "initialValue": {"$toLong": 0},
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "top3_cents": {"$reduce": {
+                "input": {"$slice": ["$arr", -3]},
+                "initialValue": {"$toLong": 0},
+                "in": {"$add": ["$$value", "$$this"]}}},
+        }},
+        {"$unset": "arr"},
+    ])
+    return out.select(
+        "_id", F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_big").cast("long").alias("n_big"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("top3_cents").cast("long").alias("top3_cents"))
+
+
+Q174_SQL = """
+WITH o AS (SELECT o_custkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT o_custkey, cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC) AS rn
+      FROM o)
+SELECT o_custkey AS _id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN cents > 15000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN rn <= 3 THEN cents ELSE 0 END)
+            AS BIGINT) AS top3_cents
+FROM r GROUP BY 1
+"""
+
+
+# --- q175: $densify + $fill gap-filled daily series ----------------------------
+def q175_mongo_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily purchase series: $dateTrunc day buckets,
+    $group, $densify onto the full day grid (sequence + anti-join —
+    grid size is data-bounded), then $fill: count 0 on generated days,
+    last-observed daily max carried forward (locf). The $fill window is
+    global but runs POST-AGGREGATION over #days rows (bounded — ~366
+    per data year), the same shape as q66's accounted-for global
+    window. max(value) is order-independent, so doubles hash stably."""
+    ev = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(ev, [
+        {"$match": {"event_type": "purchase"}},
+        {"$addFields": {"day": {"$dateTrunc": {"date": "$ts",
+                                               "unit": "day"}}}},
+        {"$group": {"_id": "$day", "n": {"$sum": 1},
+                    "mx": {"$max": "$value"}}},
+        {"$densify": {"field": "_id",
+                      "range": {"step": 1, "unit": "day",
+                                "bounds": "full"}}},
+        {"$fill": {"sortBy": {"_id": 1},
+                   "output": {"n": {"value": 0},
+                              "mx": {"method": "locf"}}}},
+    ])
+    return out.select(F.col("_id").alias("day"),
+                      F.col("n").cast("long").alias("n_day"),
+                      F.round(F.col("mx"), 2).alias("carried_max"))
+
+
+Q175_SQL = """
+WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n,
+                  max(value) AS mx
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+grid AS (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                       (SELECT max(day) FROM d),
+                                       INTERVAL 1 DAY)) AS day),
+j AS (SELECT g.day, d.n, d.mx FROM grid g LEFT JOIN d USING (day))
+SELECT day, CAST(coalesce(n, 0) AS BIGINT) AS n_day,
+       round(last_value(mx IGNORE NULLS) OVER
+             (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW), 2) AS carried_max
+FROM j
+"""
+
+
+# --- q176: $bucketAuto equal-population histogram ------------------------------
+def q176_mongo_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucketAuto over order value cents: boundaries = exact octile
+    percentiles (ONE distributed sort-agg; the driver sees 7 scalars),
+    assignment is a branch-free running comparison — no global
+    row_number window, so the stage scales like a groupBy. Both
+    engines interpolate percentiles identically (R-7) over exact
+    integer cents, so the bucket sets match bit-for-bit."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    out = apply_pipeline(orders, [
+        {"$bucketAuto": {"groupBy": "$cents", "buckets": 8,
+                         "output": {"n": {"$sum": 1},
+                                    "s": {"$sum": "$cents"}}}},
+    ])
+    return out.select(F.col("_id.min").alias("lo"),
+                      F.col("_id.max").alias("hi"),
+                      F.col("n").cast("long").alias("n"),
+                      F.col("s").cast("long").alias("s"))
+
+
+Q176_SQL = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+           FROM orders),
+b AS (SELECT quantile_cont(c, 0.125) AS b1, quantile_cont(c, 0.250) AS b2,
+             quantile_cont(c, 0.375) AS b3, quantile_cont(c, 0.500) AS b4,
+             quantile_cont(c, 0.625) AS b5, quantile_cont(c, 0.750) AS b6,
+             quantile_cont(c, 0.875) AS b7
+      FROM o),
+x AS (SELECT c, ((c >= b1)::INT + (c >= b2)::INT + (c >= b3)::INT +
+                 (c >= b4)::INT + (c >= b5)::INT + (c >= b6)::INT +
+                 (c >= b7)::INT) AS idx
+      FROM o CROSS JOIN b)
+SELECT CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+FROM x GROUP BY idx
+"""
+
+
+# --- q177: $graphLookup bounded ancestor traversal -----------------------------
+def q177_mongo_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup over a derived parent chain (nation k's parent is
+    k-1): BFS to maxDepth 3 — one distributed join per depth level,
+    lineage cut per round — then the HOF toolkit summarizes the
+    ancestor arrays ($size; $map + $reduce for the exact key sum). The
+    oracle is the closed form of the bounded chain, so the gate proves
+    traversal depth, membership, and the depth cap simultaneously."""
+    nation = load_table(spark, "nation", sf_dir)
+    docs = nation.select(
+        F.col("n_nationkey").alias("_id"),
+        F.when(F.col("n_nationkey") > 0,
+               F.col("n_nationkey") - 1).alias("parent"))
+    out = apply_pipeline(docs, [
+        {"$graphLookup": {"from": "nodes", "startWith": "$parent",
+                          "connectFromField": "parent",
+                          "connectToField": "_id",
+                          "as": "anc", "maxDepth": 3}},
+        {"$addFields": {
+            "n_anc": {"$size": "$anc"},
+            "key_sum": {"$reduce": {
+                "input": {"$map": {"input": "$anc",
+                                   "in": "$$this._id"}},
+                "initialValue": {"$literal": 0},
+                "in": {"$add": ["$$value", "$$this"]}}},
+        }},
+    ], collections={"nodes": docs})
+    return out.select("_id", F.col("n_anc").cast("long").alias("n_anc"),
+                      F.col("key_sum").cast("long").alias("key_sum"))
+
+
+Q177_SQL = """
+SELECT n_nationkey AS _id,
+       CAST(LEAST(n_nationkey, 4) AS BIGINT) AS n_anc,
+       CAST(CASE WHEN n_nationkey = 0 THEN 0 ELSE
+            (GREATEST(n_nationkey - 4, 0) + n_nationkey - 1)
+            * (n_nationkey - GREATEST(n_nationkey - 4, 0)) // 2
+            END AS BIGINT) AS key_sum
+FROM nation
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1092,6 +1271,10 @@ QUERIES = {
     "q171_mongo_merge_into": q171_mongo_merge_into,
     "q172_mongo_facet_summary": q172_mongo_facet_summary,
     "q173_mongo_trailing_window": q173_mongo_trailing_window,
+    "q174_mongo_array_hofs": q174_mongo_array_hofs,
+    "q175_mongo_densify_fill": q175_mongo_densify_fill,
+    "q176_mongo_bucket_auto": q176_mongo_bucket_auto,
+    "q177_mongo_graph_lookup": q177_mongo_graph_lookup,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1117,6 +1300,10 @@ ORACLES = {
     "q171_mongo_merge_into": Q171_SQL,
     "q172_mongo_facet_summary": Q172_SQL,
     "q173_mongo_trailing_window": Q173_SQL,
+    "q174_mongo_array_hofs": Q174_SQL,
+    "q175_mongo_densify_fill": Q175_SQL,
+    "q176_mongo_bucket_auto": Q176_SQL,
+    "q177_mongo_graph_lookup": Q177_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -21,16 +21,26 @@ Supported stages — the reference's three, plus the common tail:
 ``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
 ``$first``/``$last`` (upstream order via min_by/max_by),
 ``$stdDevPop/$stdDevSamp``), ``$sort``, ``$limit``, ``$skip``,
-``$count``, ``$facet`` (shared-scan multi-aggregation), and the
-terminal write stages ``$merge``/``$out`` (lowered onto the snapshot
-table-format commits — see ``_write_stage``) — plus the
-aggregation EXPRESSION language in computed values (``$project``
+``$count``, ``$unset``, ``$facet`` (shared-scan multi-aggregation),
+``$bucket``/``$bucketAuto``, ``$setWindowFields`` (documents/range
+frames incl. time units), ``$fill`` (value/locf/linear), ``$densify``
+(numeric + calendar grids), ``$graphLookup`` (per-depth-level BFS
+joins), and the terminal write stages ``$merge``/``$out`` (lowered
+onto the snapshot table-format commits — see ``_write_stage``) — plus
+the aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$cond``/``$switch``, ``$ifNull``, ``$concat``,
 ``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
 $sqrt/$pow/$ln/$log10/$exp``, ``$toUpper/$toLower/$substrCP/$strLenCP/
-$split/$trim/$ltrim/$rtrim``, ``$size/$arrayElemAt/$in``,
+$split/$trim/$ltrim/$rtrim/$regexMatch/$indexOfCP/$replaceOne/
+$replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
+$range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
+$setIntersection/$setDifference/$allElementsTrue/$anyElementTrue``,
+higher-order functions ``$map/$filter/$reduce`` and ``$let`` with
+``$$var`` scoping (Spark lambda functions — codegen, never Python),
 ``$year/$month/$dayOfMonth/$hour/$minute/$second/$dateToString``,
+date math ``$dateAdd/$dateDiff`` (boundary-crossing semantics)
+``/$dateTrunc/$toDate``,
 ``$toInt/$toLong/$toDouble/$toString/$toBool``, expression-form
 ``$eq/$ne/$gt/$gte/$lt/$lte`` and ``$and/$or/$not``, nested
 arbitrarily.
@@ -58,44 +68,58 @@ _CMP = {"$eq": "__eq__", "$ne": "__ne__", "$gt": "__gt__", "$gte": "__ge__",
         "$lt": "__lt__", "$lte": "__le__"}
 
 
-def _ref(v: Any) -> Column:
-    """'$a.b' → column reference; anything else → literal."""
+def _ref(v: Any, env: dict | None = None) -> Column:
+    """'$a.b' → column reference; '$$var[.path]' → a bound HOF/$let
+    variable from ``env`` (with struct-field access on the tail);
+    anything else → literal."""
+    if isinstance(v, str) and v.startswith("$$"):
+        name, _, rest = v[2:].partition(".")
+        if name in ("ROOT", "CURRENT") and not (env and name in env):
+            raise ValueError(f"$${name} is unsupported: reference fields "
+                             "directly ('$field') instead")
+        if not env or name not in env:
+            raise ValueError(f"unknown pipeline variable: $${name}")
+        col = env[name]
+        for part in (rest.split(".") if rest else []):
+            col = col[part]
+        return col
     if isinstance(v, str) and v.startswith("$"):
         return F.col(v[1:])
     return F.lit(v)
 
 
-def _expr(v: Any) -> Column:
+def _expr(v: Any, env: dict | None = None) -> Column:
     """Aggregation EXPRESSION evaluator — the value language of
     ``$project`` computed fields, ``$addFields``/``$set`` and ``$group``
     accumulator arguments: field refs ('$a.b'), literals, and operator
     documents ({$cond}, {$ifNull}, {$concat}, arithmetic, expression
-    comparisons, boolean combinators), recursively. Everything lowers
-    to Column expressions (when/coalesce/concat/+-*/%), so computed
-    pipelines stay inside whole-stage codegen like the rest of the
-    translator. An unknown $-operator raises ValueError (the
-    translator's declared error class); a multi-key document is
-    rejected rather than guessed at (Mongo operator docs have exactly
-    one key)."""
+    comparisons, boolean combinators, array higher-order functions,
+    date math), recursively. ``env`` carries lexically-scoped variable
+    bindings ('$$x') introduced by $map/$filter/$reduce/$let — each
+    binds Spark lambda variables, so HOF pipelines stay inside
+    whole-stage codegen like the rest of the translator. An unknown
+    $-operator raises ValueError (the translator's declared error
+    class); a multi-key document is rejected rather than guessed at
+    (Mongo operator docs have exactly one key)."""
     if isinstance(v, dict):
         if len(v) == 1 and next(iter(v)).startswith("$"):
             (op, arg), = v.items()
-            return _expr_op(op, arg)
+            return _expr_op(op, arg, env)
         raise ValueError(
             f"unsupported expression document: {v!r} (operator documents "
             "have exactly one $-key; literal sub-documents are not "
             "expressions)")
-    return _ref(v)
+    return _ref(v, env)
 
 
-def _expr_op(op: str, arg: Any) -> Column:
+def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
     def args(n: int | None = None) -> list[Column]:
         if not isinstance(arg, list) or (n is not None and len(arg) != n):
             raise ValueError(
                 f"{op} expects an array of {n if n else '>=1'} operands")
         if not arg:
             raise ValueError(f"{op} expects a non-empty operand array")
-        return [_expr(x) for x in arg]
+        return [_expr(x, env) for x in arg]
 
     def fold(cols, f):
         acc = cols[0]
@@ -113,7 +137,7 @@ def _expr_op(op: str, arg: Any) -> Column:
         else:
             raise ValueError("$cond expects [if, then, else] or "
                              "{if, then, else}")
-        return F.when(_expr(i), _expr(t)).otherwise(_expr(e))
+        return F.when(_expr(i, env), _expr(t, env)).otherwise(_expr(e, env))
     if op == "$ifNull":
         cols = args()
         if len(cols) < 2:
@@ -135,11 +159,11 @@ def _expr_op(op: str, arg: Any) -> Column:
         a, b = args(2)
         return a % b                   # dividend sign, Mongo/C semantics
     if op == "$abs":
-        return F.abs(_expr(arg))
+        return F.abs(_expr(arg, env))
     if op == "$toUpper":
-        return F.upper(_expr(arg))
+        return F.upper(_expr(arg, env))
     if op == "$toLower":
-        return F.lower(_expr(arg))
+        return F.lower(_expr(arg, env))
     if op in _CMP:                     # expression-form comparison
         a, b = args(2)
         return getattr(a, _CMP[op])(b)
@@ -149,25 +173,25 @@ def _expr_op(op: str, arg: Any) -> Column:
         return fold(args(), lambda a, b: a | b)
     if op == "$not":
         inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
-        return ~_expr(inner)
+        return ~_expr(inner, env)
     if op == "$switch":
         if not isinstance(arg, dict) or "branches" not in arg:
             raise ValueError("$switch expects {branches: [...], default}")
         col = None
         for br in arg["branches"]:
-            w = F.when(_expr(br["case"]), _expr(br["then"]))
-            col = w if col is None else col.when(_expr(br["case"]),
-                                                 _expr(br["then"]))
+            w = F.when(_expr(br["case"], env), _expr(br["then"], env))
+            col = w if col is None else col.when(_expr(br["case"], env),
+                                                 _expr(br["then"], env))
         if col is None:
             raise ValueError("$switch needs at least one branch")
-        return col.otherwise(_expr(arg["default"])) if "default" in arg \
+        return col.otherwise(_expr(arg["default"], env)) if "default" in arg \
             else col
     # strings (codepoint semantics match Spark's character functions)
     if op == "$substrCP":
         s, start, length = args(3)
         return F.substring(s, start + F.lit(1), length)  # 0- -> 1-indexed
     if op == "$strLenCP":
-        return F.length(_expr(arg))
+        return F.length(_expr(arg, env))
     if op == "$split":
         s, delim = args(2)
         # Mongo splits on a LITERAL delimiter; split() takes a regex —
@@ -178,14 +202,14 @@ def _expr_op(op: str, arg: Any) -> Column:
         import re as _re
         return F.split(s, _re.escape(arg[1]))
     if op == "$trim":
-        return F.trim(_expr(arg["input"] if isinstance(arg, dict) else arg))
+        return F.trim(_expr(arg["input"] if isinstance(arg, dict) else arg, env))
     if op == "$ltrim":
-        return F.ltrim(_expr(arg["input"] if isinstance(arg, dict) else arg))
+        return F.ltrim(_expr(arg["input"] if isinstance(arg, dict) else arg, env))
     if op == "$rtrim":
-        return F.rtrim(_expr(arg["input"] if isinstance(arg, dict) else arg))
+        return F.rtrim(_expr(arg["input"] if isinstance(arg, dict) else arg, env))
     # arrays
     if op == "$size":
-        return F.size(_expr(arg))
+        return F.size(_expr(arg, env))
     if op == "$arrayElemAt":
         a, idx = args(2)
         # Mongo: 0-indexed, negative from the end, out-of-range -> missing.
@@ -202,39 +226,189 @@ def _expr_op(op: str, arg: Any) -> Column:
         fn = {"$year": F.year, "$month": F.month,
               "$dayOfMonth": F.dayofmonth, "$hour": F.hour,
               "$minute": F.minute, "$second": F.second}[op]
-        return fn(_expr(arg))
+        return fn(_expr(arg, env))
     if op == "$dateToString":
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToString expects {date, format}")
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
         spark_fmt = _mongo_date_format(fmt)
-        return F.date_format(_expr(arg["date"]), spark_fmt)
+        return F.date_format(_expr(arg["date"], env), spark_fmt)
     # numeric
     if op == "$floor":
-        return F.floor(_expr(arg))
+        return F.floor(_expr(arg, env))
     if op == "$ceil":
-        return F.ceil(_expr(arg))
+        return F.ceil(_expr(arg, env))
     if op == "$round":
         if isinstance(arg, list) and len(arg) == 2 \
                 and isinstance(arg[1], int):
-            return F.round(_expr(arg[0]), arg[1])
-        return F.round(_expr(arg[0] if isinstance(arg, list) else arg), 0)
+            return F.round(_expr(arg[0], env), arg[1])
+        return F.round(_expr(arg[0] if isinstance(arg, list) else arg, env), 0)
     if op == "$sqrt":
-        return F.sqrt(_expr(arg))
+        return F.sqrt(_expr(arg, env))
     if op == "$pow":
         a, b = args(2)
         return F.pow(a, b)
     if op == "$ln":
-        return F.log(_expr(arg))
+        return F.log(_expr(arg, env))
     if op == "$log10":
-        return F.log10(_expr(arg))
+        return F.log10(_expr(arg, env))
     if op == "$exp":
-        return F.exp(_expr(arg))
+        return F.exp(_expr(arg, env))
     # type conversion (Mongo $convert's common shorthands)
     if op in ("$toInt", "$toLong", "$toDouble", "$toString", "$toBool"):
         t = {"$toInt": "int", "$toLong": "long", "$toDouble": "double",
              "$toString": "string", "$toBool": "boolean"}[op]
-        return _expr(arg).cast(t)
+        return _expr(arg, env).cast(t)
+    if op == "$toDate":
+        return _expr(arg, env).cast("timestamp")
+    # array higher-order functions — Spark lambda functions, so the
+    # per-element logic runs inside codegen, never a Python UDF
+    if op == "$map":
+        var = arg.get("as", "this")
+        return F.transform(
+            _expr(arg["input"], env),
+            lambda x: _expr(arg["in"], {**(env or {}), var: x}))
+    if op == "$filter":
+        var = arg.get("as", "this")
+        out = F.filter(
+            _expr(arg["input"], env),
+            lambda x: _expr(arg["cond"], {**(env or {}), var: x}))
+        if "limit" in arg:
+            out = F.slice(out, 1, _expr(arg["limit"], env))
+        return out
+    if op == "$reduce":
+        return F.aggregate(
+            _expr(arg["input"], env), _expr(arg["initialValue"], env),
+            lambda acc, x: _expr(arg["in"],
+                                 {**(env or {}), "value": acc, "this": x}))
+    if op == "$let":
+        scope = dict(env or {})
+        for name, vexpr in arg["vars"].items():
+            # Mongo $let vars may reference earlier vars in the same doc
+            scope[name] = _expr(vexpr, scope)
+        return _expr(arg["in"], scope)
+    if op == "$range":
+        ops = args()
+        s, e = ops[0], ops[1]
+        st = ops[2] if len(ops) == 3 else F.lit(1)
+        # Mongo: end-EXCLUSIVE, and an unwalkable range (step 0 / wrong
+        # sign / s == e) is EMPTY; Spark sequence is end-inclusive and
+        # ERRORS on those — so substitute safe arguments when invalid
+        # and let the element filter erase everything (single
+        # expression, no typed-empty-array branch to coerce)
+        valid = (st != 0) & (((e > s) & (st > 0)) | ((e < s) & (st < 0)))
+        seq = F.sequence(F.when(valid, s).otherwise(F.lit(0)),
+                         F.when(valid, e).otherwise(F.lit(0)),
+                         F.when(valid, st).otherwise(F.lit(1)))
+        return F.filter(seq, lambda x: valid &
+                        F.when(st > 0, x < e).otherwise(x > e))
+    if op == "$concatArrays":
+        return F.concat(*args())
+    if op == "$reverseArray":
+        return F.reverse(_expr(arg, env))
+    if op == "$indexOfArray":
+        a, v = args(2)       # 0-based; -1 when absent (array_position+1)
+        return (F.array_position(a, v) - 1).cast("int")
+    if op == "$first":
+        return F.get(_expr(arg, env), 0)
+    if op == "$last":
+        a = _expr(arg, env)
+        return F.get(a, F.size(a) - 1)
+    if op == "$slice":
+        ops = args()
+        if len(ops) == 2:
+            a, n = ops
+            # n >= 0: first n; n < 0: last n (Mongo's 2-arg form).
+            # Mongo CLAMPS |n| to the array size; Spark's slice returns
+            # [] when the negative start is out of range — clamp it,
+            # and pin start to -1 for EMPTY arrays (start 0 is a Spark
+            # runtime error; -1 on empty yields [], Mongo's answer)
+            start = F.least(F.lit(-1), F.greatest(-F.size(a), n))
+            return F.when(n >= 0, F.slice(a, 1, n)) \
+                .otherwise(F.slice(a, start, -n))
+        if len(ops) == 3:
+            a, pos, n = ops
+            # 3-arg: position may be negative (from the end), n > 0;
+            # Spark's slice start is 1-based / negative-from-end too
+            return F.slice(a, F.when(pos >= 0, pos + 1).otherwise(pos), n)
+        raise ValueError("$slice expects [array, n] or [array, pos, n]")
+    if op in ("$setUnion", "$setIntersection", "$setDifference"):
+        fn = {"$setUnion": F.array_union,
+              "$setIntersection": F.array_intersect,
+              "$setDifference": F.array_except}[op]
+        # set semantics: deduped, order unspecified in Mongo — pinned
+        # sorted (the translator's determinism convention)
+        return F.sort_array(F.array_distinct(fold(args(), fn)))
+    if op == "$allElementsTrue":
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return F.forall(_expr(inner, env), lambda x: x.cast("boolean"))
+    if op == "$anyElementTrue":
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return F.exists(_expr(inner, env), lambda x: x.cast("boolean"))
+    # strings (regex + search/replace)
+    if op == "$regexMatch":
+        pat = arg["regex"]
+        if not isinstance(pat, str):
+            raise ValueError("$regexMatch regex must be a string literal")
+        opts = arg.get("options", "")
+        if set(opts) - set("imsx"):
+            raise ValueError(f"unsupported $regexMatch options: {opts!r}")
+        if opts:
+            pat = f"(?{opts}){pat}"
+        # Java regex, not PCRE — the common subset is identical; exotic
+        # PCRE constructs (recursion, \K) differ, documented deviation
+        return _expr(arg["input"], env).rlike(pat)
+    if op == "$indexOfCP":
+        ops = args()
+        if len(ops) != 2:
+            raise ValueError("$indexOfCP range form is unsupported")
+        s, sub = ops              # 0-based; -1 when absent (instr's
+        # 1-based 0-when-missing maps exactly under the -1 shift)
+        return (F.call_function("instr", s, sub) - 1).cast("int")
+    if op == "$replaceAll":
+        # LITERAL find/replace, Mongo's contract — F.replace is
+        # literal (regexp_replace would reinterpret the pattern)
+        return F.replace(_expr(arg["input"], env),
+                         _expr(arg["find"], env),
+                         _expr(arg["replacement"], env))
+    if op == "$replaceOne":
+        s = _expr(arg["input"], env)
+        find = _expr(arg["find"], env)
+        repl = _expr(arg["replacement"], env)
+        pos = F.instr(s, find)
+        return F.when(pos == 0, s).otherwise(F.concat(
+            F.substring(s, F.lit(1), pos - 1), repl,
+            F.substring(s, pos + F.length(find),
+                        F.length(s))))
+    # date math
+    if op == "$dateTrunc":
+        if arg.get("binSize", 1) != 1:
+            raise ValueError("$dateTrunc binSize != 1 is unsupported")
+        unit = arg["unit"]
+        if unit not in ("year", "quarter", "month", "week", "day",
+                        "hour", "minute", "second", "millisecond"):
+            raise ValueError(f"unsupported $dateTrunc unit: {unit!r}")
+        # deviation: Spark weeks start Monday; Mongo defaults Sunday
+        return F.date_trunc(unit, _expr(arg["date"], env))
+    if op == "$dateAdd":
+        unit = arg["unit"]
+        if unit not in ("year", "quarter", "month", "week", "day",
+                        "hour", "minute", "second", "millisecond",
+                        "microsecond"):
+            raise ValueError(f"unsupported $dateAdd unit: {unit!r}")
+        return F.timestamp_add(unit, _expr(arg["amount"], env),
+                               _expr(arg["startDate"], env))
+    if op == "$dateDiff":
+        unit = arg["unit"]
+        if unit not in ("year", "quarter", "month", "day", "hour",
+                        "minute", "second"):
+            raise ValueError(f"unsupported $dateDiff unit: {unit!r}")
+        # Mongo counts BOUNDARY CROSSINGS, not complete intervals:
+        # dateDiff(23:00, next day 01:00, 'day') == 1. truncate both
+        # ends to the unit, then count whole units between truncations.
+        s = F.date_trunc(unit, _expr(arg["startDate"], env))
+        e = F.date_trunc(unit, _expr(arg["endDate"], env))
+        return F.timestamp_diff(unit, s, e).cast("long")
     raise ValueError(f"unsupported expression operator: {op}")
 
 
@@ -693,6 +867,224 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df
 
 
+def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$fill`` (Mongo 5.3): constant, last-observation-carried-forward
+    and linear-interpolation null filling. ``value`` fills lower to
+    coalesce; ``locf`` is one running ignore-nulls window; ``linear``
+    brackets each null with the nearest non-null neighbors (two
+    ignore-nulls windows) and interpolates on the sort key — all native
+    window expressions, no self-join, no UDF. Without ``partitionBy``
+    the window is global, same caveat as Mongo (partition for scale)."""
+    from pyspark.sql import Window
+
+    parts: list[Column] = []
+    if spec.get("partitionBy") is not None:
+        parts = [_expr(spec["partitionBy"])]
+    elif spec.get("partitionByFields"):
+        parts = [F.col(c) for c in spec["partitionByFields"]]
+    sortby = spec.get("sortBy") or {}
+    order = [F.col(k).asc() if d == 1 else F.col(k).desc()
+             for k, d in sortby.items()]
+    for name, how in spec["output"].items():
+        if "." in name:
+            raise ValueError(f"$fill nested output path unsupported: {name}")
+        if "value" in how:
+            df = df.withColumn(
+                name, F.coalesce(F.col(name), _expr(how["value"]))
+                if name in df.columns else _expr(how["value"]))
+            continue
+        method = how.get("method")
+        if not sortby:
+            raise ValueError(f"$fill method {method!r} requires sortBy")
+        w = Window.partitionBy(*parts).orderBy(*order)
+        if method == "locf":
+            df = df.withColumn(name, F.last(name, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        elif method == "linear":
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$fill linear needs a single ascending sortBy")
+            key = F.col(next(iter(sortby))).cast("double")
+            before = w.rowsBetween(Window.unboundedPreceding, -1)
+            after = w.rowsBetween(1, Window.unboundedFollowing)
+            pv = F.last(F.col(name), ignorenulls=True).over(before)
+            pk = F.last(F.when(F.col(name).isNotNull(), key),
+                        ignorenulls=True).over(before)
+            nv = F.first(F.col(name), ignorenulls=True).over(after)
+            nk = F.first(F.when(F.col(name).isNotNull(), key),
+                         ignorenulls=True).over(after)
+            interp = pv + (nv - pv) * (key - pk) / (nk - pk)
+            # Mongo: unbracketed nulls (before the first / after the
+            # last observation) stay null
+            df = df.withColumn(name, F.coalesce(
+                F.col(name).cast("double"),
+                F.when(pv.isNotNull() & nv.isNotNull(), interp)))
+        else:
+            raise ValueError(f"unsupported $fill method: {method!r}")
+    return df
+
+
+#: $densify/$dateAdd-style calendar steps -> (make_ym_interval years,
+#: months); fixed-width steps -> make_dt_interval(days, hours, mins, secs)
+_DENSIFY_DT = {"week": (7, 0, 0, 0), "day": (1, 0, 0, 0),
+               "hour": (0, 1, 0, 0), "minute": (0, 0, 1, 0),
+               "second": (0, 0, 0, 1), "millisecond": (0, 0, 0, 0.001)}
+_DENSIFY_YM = {"year": (1, 0), "quarter": (0, 3), "month": (0, 1)}
+
+
+def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$densify`` (Mongo 5.1): add rows on a fixed grid where the
+    field has gaps. The grid derives from one aggregate (global min/max
+    for ``bounds: "full"``, per-partition for ``"partition"``, literals
+    for ``[lo, hi)``), explodes a ``sequence`` per partition, and
+    anti-joins existing field values — grid size is data-bounded,
+    non-field columns come back NULL (Mongo's behavior). Time units use
+    interval steps (calendar units included — sequence handles
+    year-month intervals natively)."""
+    f = spec["field"]
+    if "." in f:
+        raise ValueError("$densify nested field unsupported")
+    rng = spec["range"]
+    step, unit, bounds = rng["step"], rng.get("unit"), rng["bounds"]
+    parts = list(spec.get("partitionByFields") or [])
+    if unit is None:
+        step_col = F.lit(step)
+    elif unit in _DENSIFY_DT:
+        d, h, m, s = (v * step for v in _DENSIFY_DT[unit])
+        step_col = F.make_dt_interval(F.lit(d), F.lit(h), F.lit(m),
+                                      F.lit(s))
+    elif unit in _DENSIFY_YM:
+        y, m = (v * step for v in _DENSIFY_YM[unit])
+        step_col = F.make_ym_interval(F.lit(y), F.lit(m))
+    else:
+        raise ValueError(f"unsupported $densify unit: {unit!r}")
+    explicit = isinstance(bounds, (list, tuple))
+    if explicit:
+        lo = F.lit(bounds[0]).cast(df.schema[f].dataType)
+        hi = F.lit(bounds[1]).cast(df.schema[f].dataType)
+        base = (df.select(*parts).distinct() if parts
+                else df.sparkSession.range(1).select())
+        base = base.select(*parts, lo.alias("__lo"), hi.alias("__hi"))
+    elif bounds == "full":
+        agg = df.agg(F.min(f).alias("__lo"), F.max(f).alias("__hi"))
+        base = (df.select(*parts).distinct().crossJoin(agg) if parts
+                else agg)
+    elif bounds == "partition":
+        if not parts:
+            raise ValueError(
+                "$densify bounds 'partition' needs partitionByFields")
+        base = df.groupBy(*parts).agg(F.min(f).alias("__lo"),
+                                      F.max(f).alias("__hi"))
+    else:
+        raise ValueError(f"unsupported $densify bounds: {bounds!r}")
+    seq = F.sequence(F.col("__lo"), F.col("__hi"), step_col)
+    grid = base.select(*parts, F.explode(seq).alias(f))
+    if explicit:
+        # Mongo's explicit bounds are half-open [lo, hi)
+        grid = grid.filter(F.col(f) < hi)
+    new_rows = grid.join(df.select(*parts, f).dropDuplicates(parts + [f]),
+                         parts + [f], "left_anti")
+    return df.unionByName(new_rows, allowMissingColumns=True)
+
+
+def _bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$bucketAuto``: ~equal-population buckets. Boundaries are exact
+    percentiles of the groupBy expression (ONE distributed sort-based
+    aggregate; the driver sees only the <=N-1 boundary scalars), then
+    assignment is a branch-free running comparison — no global
+    row_number window, so the stage scales like any groupBy.
+    Deviations, documented: boundaries interpolate between data points
+    (Mongo picks data values and supports ``granularity`` rounding —
+    unsupported here), and ``_id`` bounds are each bucket's observed
+    min/max (closed), where Mongo's upper bound is the next bucket's
+    lower. Null groupBy values land in the first bucket, as in Mongo."""
+    if spec.get("granularity"):
+        raise ValueError("$bucketAuto granularity is unsupported")
+    gb = _expr(spec["groupBy"])
+    n = int(spec["buckets"])
+    if n < 1:
+        raise ValueError("$bucketAuto needs buckets >= 1")
+    row = df.select(gb.alias("__g")).agg(
+        F.percentile("__g", F.lit([i / n for i in range(1, n)]))
+        .alias("bs")).collect()[0]
+    bs = sorted({b for b in (row["bs"] or []) if b is not None})
+    idx = F.lit(0)
+    for b in bs:
+        idx = idx + (gb >= F.lit(b)).cast("int")
+    tmp = "__bucket_auto"
+    grouped = _group(df.withColumn(tmp, F.coalesce(idx, F.lit(0))),
+                     {"_id": f"${tmp}",
+                      "__mn": {"$min": spec["groupBy"]},
+                      "__mx": {"$max": spec["groupBy"]},
+                      **spec.get("output", {"count": {"$sum": 1}})})
+    return grouped.select(
+        F.struct(F.col("__mn").alias("min"),
+                 F.col("__mx").alias("max")).alias("_id"),
+        *[c for c in grouped.columns if c not in ("_id", "__mn", "__mx")])
+
+
+def _graph_lookup(df: DataFrame, spec: dict[str, Any],
+                  collections: dict[str, DataFrame] | None) -> DataFrame:
+    """``$graphLookup``: breadth-first traversal of ``from`` starting
+    at ``startWith``, following connectFromField -> connectToField, the
+    matched docs packed (unique by ``_id``, sorted) into ``as``. One
+    distributed join per DEPTH LEVEL (driver rounds = graph depth, the
+    standard Spark shape for bounded recursion — cf. operators/graph.py),
+    lineage truncated per round with localCheckpoint; the accumulated
+    (root, _id) set guards cycles, so the loop terminates on any graph.
+    ``maxDepth``/``depthField`` as in Mongo (depth 0 = the startWith
+    matches). Input docs and ``from`` docs need ``_id``."""
+    if not collections or spec["from"] not in collections:
+        raise ValueError(
+            f"$graphLookup needs collections={{{spec.get('from')!r}: "
+            "DataFrame}} passed to apply_pipeline")
+    frm = collections[spec["from"]]
+    cf, ct, out = (spec["connectFromField"], spec["connectToField"],
+                   spec["as"])
+    if "." in cf or "." in ct:
+        raise ValueError("$graphLookup dotted connect fields unsupported")
+    if "_id" not in df.columns or "_id" not in frm.columns:
+        raise ValueError("$graphLookup needs _id on both sides")
+    max_depth = spec.get("maxDepth")
+    depth_field = spec.get("depthField")
+    frontier = (df.select(F.col("_id").alias("__root"),
+                          _expr(spec["startWith"]).alias("__key"))
+                .filter(F.col("__key").isNotNull()).distinct())
+    matched = None
+    depth = 0
+    while not frontier.isEmpty():
+        if max_depth is not None and depth > max_depth:
+            break
+        hits = (frontier.join(frm, frontier["__key"] == frm[ct], "inner")
+                .drop("__key")
+                .withColumn("__depth", F.lit(depth).cast("long")))
+        if matched is not None:
+            hits = hits.join(matched.select("__root", "_id"),
+                             ["__root", "_id"], "left_anti")
+        hits = hits.localCheckpoint(eager=True)
+        if hits.isEmpty():
+            break
+        matched = hits if matched is None else matched.unionByName(hits)
+        frontier = (hits.select("__root", F.col(cf).alias("__key"))
+                    .filter(F.col("__key").isNotNull()).distinct())
+        depth += 1
+    struct_cols = [F.col(c) for c in frm.columns]
+    if depth_field:
+        struct_cols.append(F.col("__depth").alias(depth_field))
+    if matched is None:
+        # no start key matched anything: every doc gets an empty array
+        matched = (frm.withColumn("__depth", F.lit(0).cast("long"))
+                   .withColumn("__root", F.lit(None).cast(
+                       df.schema["_id"].dataType)).limit(0))
+    packed = (matched.groupBy("__root")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(*struct_cols))).alias(out)))
+    empty = F.array().cast(packed.schema[out].dataType)
+    return (df.join(packed, df["_id"] == packed["__root"], "left")
+            .drop("__root")
+            .withColumn(out, F.coalesce(F.col(out), empty)))
+
+
 def _facet(df: DataFrame, spec: dict[str, Any],
            collections: dict[str, DataFrame] | None) -> DataFrame:
     """``$facet``: N named sub-pipelines over ONE shared input, emitting
@@ -969,8 +1361,25 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = df.unionByName(other, allowMissingColumns=True)
         elif op == "$bucket":
             df = _bucket(df, spec)
+        elif op == "$bucketAuto":
+            df = _bucket_auto(df, spec)
         elif op == "$facet":
             df = _facet(df, spec, collections)
+        elif op == "$unset":
+            names = [spec] if isinstance(spec, str) else list(spec)
+            dotted = [k for k in names if "." in k]
+            if dotted:
+                # DataFrame.drop ignores nested fields — a dotted unset
+                # would silently SURVIVE where Mongo removes it
+                raise ValueError(
+                    f"$unset of nested paths is unsupported: {dotted}")
+            df = df.drop(*[c for c in names if c in df.columns])
+        elif op == "$fill":
+            df = _fill(df, spec)
+        elif op == "$densify":
+            df = _densify(df, spec)
+        elif op == "$graphLookup":
+            df = _graph_lookup(df, spec, collections)
         elif op == "$setWindowFields":
             df = _set_window_fields(df, spec)
         elif op == "$lookup":

@@ -794,3 +794,233 @@ def test_merge_stage_mode_matrix(spark, tmp_path):
         apply_pipeline(batch, [{"$merge": {
             "into": "tm", "whenMatched": [{"$set": {"x": 0}}]}}],
             targets={"tm": t})
+
+
+def test_expression_array_hofs_and_let(spark):
+    """$map/$filter/$reduce/$let with $$var scoping (nested HOFs shadow
+    correctly), plus the array toolkit: $range end-exclusive + empty on
+    unwalkable ranges, $slice 2/3-arg forms, set ops deduped+sorted,
+    $indexOfArray/-CP 0-based with -1 missing, $first/$last null-safe."""
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], "hello world"), (2, [10, -5], "foo bar foo"),
+         (3, [], "x")],
+        "id int, xs array<int>, s string")
+    out = apply_pipeline(df, [{"$addFields": {
+        "dbl": {"$map": {"input": "$xs", "as": "x",
+                         "in": {"$multiply": ["$$x", 2]}}},
+        "pos": {"$filter": {"input": "$xs",
+                            "cond": {"$gt": ["$$this", 0]}}},
+        "pos1": {"$filter": {"input": "$xs", "limit": 1,
+                             "cond": {"$gt": ["$$this", 0]}}},
+        "tot": {"$reduce": {"input": "$xs", "initialValue": 0,
+                            "in": {"$add": ["$$value", "$$this"]}}},
+        # nested HOF: inner $$y shadows nothing, outer $$x visible inside
+        "cross": {"$map": {"input": "$xs", "as": "x",
+                           "in": {"$reduce": {
+                               "input": "$xs", "initialValue": 0,
+                               "in": {"$add": ["$$value", "$$x"]}}}}},
+        "lt": {"$let": {"vars": {"a": {"$size": "$xs"},
+                                 "b": {"$add": ["$$a", 1]}},
+                        "in": {"$multiply": ["$$a", "$$b"]}}},
+        "rng": {"$range": [0, 10, 5]},
+        "rng_empty": {"$range": [5, 5]},
+        "rng_neg": {"$range": [5, 0, -2]},
+        "fst": {"$first": "$xs"}, "lst": {"$last": "$xs"},
+        "sl2": {"$slice": ["$xs", -2]},
+        "sl3": {"$slice": ["$xs", 1, 2]},
+        "su": {"$setUnion": ["$xs", [2, 99]]},
+        "idx": {"$indexOfArray": ["$xs", 2]},
+        "icp": {"$indexOfCP": ["$s", "o"]},
+        "ra": {"$replaceAll": {"input": "$s", "find": "o",
+                               "replacement": "0"}},
+        "r1": {"$replaceOne": {"input": "$s", "find": "o",
+                               "replacement": "0"}},
+        "rm": {"$regexMatch": {"input": "$s", "regex": "^HELLO",
+                               "options": "i"}},
+    }}])
+    r = {x.id: x for x in out.collect()}
+    assert r[1].dbl == [2, 4, 6] and r[2].dbl == [20, -10]
+    assert r[1].pos == [1, 2, 3] and r[2].pos == [10] and r[3].pos == []
+    assert r[1].pos1 == [1]
+    assert (r[1].tot, r[2].tot, r[3].tot) == (6, 5, 0)
+    # cross: for each x, sum over xs of x = x * len(xs)
+    assert r[1].cross == [3, 6, 9]
+    assert (r[1].lt, r[3].lt) == (12, 0)
+    assert r[1].rng == [0, 5] and r[1].rng_empty == [] \
+        and r[1].rng_neg == [5, 3, 1]
+    assert (r[1].fst, r[1].lst, r[3].fst, r[3].lst) == (1, 3, None, None)
+    assert r[1].sl2 == [2, 3] and r[1].sl3 == [2, 3]
+    assert r[2].sl2 == [10, -5] and r[3].sl2 == []   # clamp + empty edge
+    assert r[1].su == [1, 2, 3, 99] and r[3].su == [2, 99]
+    assert (r[1].idx, r[2].idx) == (1, -1)
+    assert (r[1].icp, r[2].icp, r[3].icp) == (4, 1, -1)
+    assert r[2].ra == "f00 bar f00" and r[2].r1 == "f0o bar foo"
+    assert (r[1].rm, r[2].rm) == (True, False)
+
+    with pytest.raises(ValueError, match="unknown pipeline variable"):
+        apply_pipeline(df, [{"$addFields": {"bad": {"$add": ["$$nope", 1]}}}])
+    with pytest.raises(ValueError, match="ROOT"):
+        apply_pipeline(df, [{"$addFields": {"bad": "$$ROOT"}}])
+
+
+def test_expression_date_math(spark):
+    """$dateAdd (calendar-aware), $dateTrunc, and Mongo's
+    boundary-crossing $dateDiff (23:00 -> next-day 01:00 is ONE day,
+    not zero)."""
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 31, 23, 30), dt(2024, 2, 1, 0, 30))],
+        "id int, a timestamp, b timestamp")
+    out = apply_pipeline(df, [{"$addFields": {
+        "plus_month": {"$dateAdd": {"startDate": "$a", "unit": "month",
+                                    "amount": 1}},
+        "trunc_h": {"$dateTrunc": {"date": "$a", "unit": "hour"}},
+        "dd_day": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                 "unit": "day"}},
+        "dd_hour": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                  "unit": "hour"}},
+        "dd_month": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                   "unit": "month"}},
+    }}]).collect()[0]
+    from datetime import datetime as dt2
+    assert out.plus_month == dt2(2024, 2, 29, 23, 30)   # month-end clamp
+    assert out.trunc_h == dt2(2024, 1, 31, 23, 0)
+    # 23:30 -> 00:30 crosses one midnight, one hour boundary, one month
+    assert (out.dd_day, out.dd_hour, out.dd_month) == (1, 1, 1)
+
+    with pytest.raises(ValueError, match="dateDiff unit"):
+        apply_pipeline(df, [{"$addFields": {
+            "x": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                "unit": "fortnight"}}}}])
+
+
+def test_fill_stage(spark):
+    """$fill: value/locf/linear per partition; linear interpolates on
+    the sort key and leaves unbracketed nulls null."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+         ("a", 5, None), ("b", 1, None), ("b", 2, 7.0)],
+        "p string, k int, v double")
+    lin = apply_pipeline(df, [{"$fill": {
+        "partitionByFields": ["p"], "sortBy": {"k": 1},
+        "output": {"v": {"method": "linear"}}}}])
+    assert sorted((r.p, r.k, r.v) for r in lin.collect()) == [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 40.0),
+        ("a", 5, None), ("b", 1, None), ("b", 2, 7.0)]
+    locf = apply_pipeline(df, [{"$fill": {
+        "partitionByFields": ["p"], "sortBy": {"k": 1},
+        "output": {"v": {"method": "locf"}}}}])
+    assert sorted((r.p, r.k, r.v) for r in locf.collect()) == [
+        ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0), ("a", 4, 40.0),
+        ("a", 5, 40.0), ("b", 1, None), ("b", 2, 7.0)]
+    const = apply_pipeline(df, [{"$fill": {
+        "output": {"v": {"value": -1.0}, "w": {"value": 9}}}}])
+    row = sorted((r.p, r.k, r.v, r.w) for r in const.collect())[1]
+    assert row == ("a", 2, -1.0, 9)          # fill + brand-new column
+    with pytest.raises(ValueError, match="requires sortBy"):
+        apply_pipeline(df, [{"$fill": {"output": {"v": {"method": "locf"}}}}])
+
+
+def test_densify_stage(spark):
+    """$densify: per-partition grids, half-open explicit bounds, and
+    calendar-unit timestamp grids; existing points never duplicate and
+    non-field columns come back NULL."""
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame([("x", 0, "k"), ("x", 3, "k"),
+                                ("y", 10, "k"), ("y", 12, "k")],
+                               "p string, n int, other string")
+    out = apply_pipeline(df, [{"$densify": {
+        "field": "n", "partitionByFields": ["p"],
+        "range": {"step": 1, "bounds": "partition"}}}])
+    rows = sorted((r.p, r.n, r.other) for r in out.collect())
+    assert [(p, n) for p, n, _ in rows] == [
+        ("x", 0), ("x", 1), ("x", 2), ("x", 3),
+        ("y", 10), ("y", 11), ("y", 12)]
+    assert [o for _, n, o in rows if n in (1, 2, 11)] == [None] * 3
+
+    expl = apply_pipeline(df, [{"$densify": {
+        "field": "n", "partitionByFields": ["p"],
+        "range": {"step": 5, "bounds": [0, 11]}}}])
+    assert sorted((r.p, r.n) for r in expl.collect()) == [
+        ("x", 0), ("x", 3), ("x", 5), ("x", 10),
+        ("y", 0), ("y", 5), ("y", 10), ("y", 12)]
+
+    ts = spark.createDataFrame([(dt(2024, 1, 31),), (dt(2024, 4, 30),)],
+                               "t timestamp")
+    month = apply_pipeline(ts, [{"$densify": {
+        "field": "t",
+        "range": {"step": 1, "unit": "month", "bounds": "full"}}}])
+    # calendar stepping from Jan 31: Feb 29 (leap clamp), Mar 31 added
+    assert sorted((r.t.month, r.t.day) for r in month.collect()) == [
+        (1, 31), (2, 29), (3, 31), (4, 30)]
+
+
+def test_bucket_auto_stage(spark):
+    """$bucketAuto: ~equal-population buckets via exact percentile
+    boundaries; _id carries each bucket's observed min/max; output
+    accumulators reuse the $group compiler; nulls join the first
+    bucket."""
+    df = spark.createDataFrame([(i,) for i in range(1, 101)] + [(None,)],
+                               "x int")
+    out = apply_pipeline(df, [{"$bucketAuto": {
+        "groupBy": "$x", "buckets": 4,
+        "output": {"n": {"$sum": 1}, "s": {"$sum": "$x"}}}}])
+    got = sorted((r._id.min, r._id.max, r.n, r.s)
+                 for r in out.collect())
+    # the null row counts into the first bucket (n=26) but min/max skip
+    # nulls (Mongo's BSON order would label the bound null — documented
+    # deviation; the bucket membership is identical)
+    assert got == [(1, 25, 26, 325), (26, 50, 25, 950),
+                   (51, 75, 25, 1575), (76, 100, 25, 2200)]
+    with pytest.raises(ValueError, match="granularity"):
+        apply_pipeline(df, [{"$bucketAuto": {"groupBy": "$x",
+                                             "buckets": 2,
+                                             "granularity": "R5"}}])
+
+
+def test_graph_lookup_stage(spark):
+    """$graphLookup: BFS with depthField, maxDepth bound, empty result
+    arrays for dead-end roots, and guaranteed termination on cycles."""
+    emp = spark.createDataFrame([(0, None), (1, 0), (2, 1), (3, 2)],
+                                "_id int, boss int")
+    out = apply_pipeline(emp, [{"$graphLookup": {
+        "from": "emp", "startWith": "$boss", "connectFromField": "boss",
+        "connectToField": "_id", "as": "chain", "depthField": "d"}}],
+        collections={"emp": emp})
+    got = {r._id: sorted((c._id, c.d) for c in r.chain)
+           for r in out.collect()}
+    assert got == {0: [], 1: [(0, 0)], 2: [(0, 1), (1, 0)],
+                   3: [(0, 2), (1, 1), (2, 0)]}
+
+    capped = apply_pipeline(emp, [{"$graphLookup": {
+        "from": "emp", "startWith": "$boss", "connectFromField": "boss",
+        "connectToField": "_id", "as": "chain", "maxDepth": 1}}],
+        collections={"emp": emp})
+    assert {r._id: sorted(c._id for c in r.chain)
+            for r in capped.collect()} == \
+        {0: [], 1: [0], 2: [0, 1], 3: [1, 2]}
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")],
+                                "_id string, nxt string")
+    reach = apply_pipeline(cyc, [{"$graphLookup": {
+        "from": "c", "startWith": "$nxt", "connectFromField": "nxt",
+        "connectToField": "_id", "as": "reach"}}], collections={"c": cyc})
+    assert {r._id: sorted(c._id for c in r.reach)
+            for r in reach.collect()} == \
+        {"a": ["a", "b"], "b": ["a", "b"]}
+
+    with pytest.raises(ValueError, match="collections"):
+        apply_pipeline(emp, [{"$graphLookup": {
+            "from": "zzz", "startWith": "$boss",
+            "connectFromField": "boss", "connectToField": "_id",
+            "as": "x"}}])
+
+
+def test_unset_stage(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    assert apply_pipeline(df, [{"$unset": "b"}]).columns == ["a", "c"]
+    assert apply_pipeline(df, [{"$unset": ["a", "c", "zz"]}]).columns == ["b"]
+    with pytest.raises(ValueError, match="nested"):
+        apply_pipeline(df, [{"$unset": "a.b"}])
