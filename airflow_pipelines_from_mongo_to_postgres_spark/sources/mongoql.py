@@ -494,7 +494,12 @@ def _match_cond(cond: dict[str, Any], schema=None) -> Column:
         return F.lit(True)  # Mongo: {$match: {}} is match-all
     parts: list[Column] = []
     for field, spec in cond.items():
-        if field == "$and":
+        if field == "$expr":
+            # aggregation-expression predicate: the only way Mongo
+            # compares two FIELDS in a $match — full expression
+            # language, boolean result
+            parts.append(_expr(spec).cast("boolean"))
+        elif field == "$and":
             sub = [_match_cond(c, schema) for c in spec] or [F.lit(True)]
             acc = sub[0]
             for c in sub[1:]:
@@ -1383,15 +1388,35 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
         elif op == "$setWindowFields":
             df = _set_window_fields(df, spec)
         elif op == "$lookup":
-            if "pipeline" in spec or "let" in spec:
-                raise ValueError(
-                    "$lookup with pipeline/let is a correlated subquery, "
-                    "not an equality join; rewrite it as explicit "
-                    "DataFrame ops")
             if not collections or spec["from"] not in collections:
                 raise ValueError(
                     f"$lookup needs collections={{{spec.get('from')!r}: "
                     "DataFrame}} passed to apply_pipeline")
+            if "let" in spec:
+                raise ValueError(
+                    "$lookup with let is a correlated subquery; rewrite "
+                    "the correlation as the equality form plus a $filter "
+                    "over the joined array")
+            if "pipeline" in spec:
+                if "localField" in spec or "foreignField" in spec:
+                    raise ValueError(
+                        "$lookup concise correlated form (localField + "
+                        "pipeline) is unsupported: use the equality form "
+                        "then $filter/$map over the joined array")
+                # UNCORRELATED subquery attach (Mongo: no let, pipeline
+                # references no outer fields): run the sub-pipeline
+                # once, pack its rows into ONE sorted array row, and
+                # broadcast-attach it to every document — the Spark
+                # analogue of Mongo caching the uncorrelated result.
+                # Size caveat as in Mongo: the array lands in every
+                # output doc, so the sub-pipeline should aggregate.
+                sub = apply_pipeline(collections[spec["from"]],
+                                     spec["pipeline"], collections)
+                packed = sub.agg(F.sort_array(F.collect_list(
+                    F.struct(*[F.col(c) for c in sub.columns])))
+                    .alias(spec["as"]))
+                df = df.crossJoin(F.broadcast(packed))
+                continue
             foreign = collections[spec["from"]]
             local, ff, out = (spec["localField"], spec["foreignField"],
                               spec["as"])

@@ -1024,3 +1024,42 @@ def test_unset_stage(spark):
     assert apply_pipeline(df, [{"$unset": ["a", "c", "zz"]}]).columns == ["b"]
     with pytest.raises(ValueError, match="nested"):
         apply_pipeline(df, [{"$unset": "a.b"}])
+
+
+def test_match_expr_and_uncorrelated_lookup(apps, spark):
+    """$match {$expr}: the only Mongo way to compare two FIELDS in a
+    match — full expression language, composing with $and. $lookup
+    {from, pipeline, as} (no let): the uncorrelated subquery runs once
+    and broadcast-attaches the same sorted array to every document."""
+    df = spark.createDataFrame(
+        [(1, 5, 3), (2, 2, 9), (3, 7, 7)], "id int, a int, b int")
+    out = apply_pipeline(df, [
+        {"$match": {"$expr": {"$gt": ["$a", "$b"]}}}])
+    assert [r.id for r in out.collect()] == [1]
+    both = apply_pipeline(df, [
+        {"$match": {"$and": [{"$expr": {"$gte": ["$a", "$b"]}},
+                             {"id": {"$gte": 2}}]}}])
+    assert [r.id for r in both.collect()] == [3]
+
+    # uncorrelated pipeline lookup: one aggregated row attached to all
+    out = apply_pipeline(apps, [
+        {"$lookup": {"from": "apps", "as": "stats", "pipeline": [
+            {"$group": {"_id": "$status", "n": {"$sum": 1}}},
+        ]}},
+        {"$addFields": {"n_statuses": {"$size": "$stats"}}},
+    ], collections={"apps": apps})
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r.n_statuses == 2 for r in rows)
+    assert all(sorted((s._id, s.n) for s in r.stats) ==
+               [("closed", 3), ("open", 2)] for r in rows)
+
+    with pytest.raises(ValueError, match="correlated"):
+        apply_pipeline(apps, [{"$lookup": {
+            "from": "apps", "as": "x", "let": {"s": "$status"},
+            "pipeline": []}}], collections={"apps": apps})
+    with pytest.raises(ValueError, match="concise"):
+        apply_pipeline(apps, [{"$lookup": {
+            "from": "apps", "as": "x", "localField": "status",
+            "foreignField": "status", "pipeline": []}}],
+            collections={"apps": apps})

@@ -274,6 +274,47 @@ _mql_stage = st.one_of(
     st.builds(lambda k, op: {"$group": {"_id": f"${k}", "out": {op: "$a"}}},
               st.sampled_from(["b"]),
               st.sampled_from(["$sum", "$min", "$max", "$avg"])),
+    # round-11 surface: $expr match, array HOFs/$slice/$range/set ops,
+    # $regexMatch, $unset, $fill, $densify, $bucketAuto
+    st.builds(lambda v: {"$match": {"$expr": {"$gt": ["$a", v]}}},
+              st.integers(-5, 5)),
+    st.builds(lambda f, w: {"$addFields": {f: {"$map": {
+                  "input": "$arr", "as": "x",
+                  "in": {"$add": ["$$x", w]}}}}},
+              st.sampled_from(["c", "d"]), st.integers(-3, 3)),
+    st.builds(lambda f, v: {"$addFields": {f: {"$filter": {
+                  "input": "$arr", "cond": {"$gte": ["$$this", v]}}}}},
+              st.sampled_from(["c", "d"]), st.integers(-3, 3)),
+    st.builds(lambda f: {"$addFields": {f: {"$reduce": {
+                  "input": "$arr", "initialValue": {"$literal": 0},
+                  "in": {"$add": ["$$value", "$$this"]}}}}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda f, n: {"$addFields": {f: {"$slice": ["$arr", n]}}},
+              st.sampled_from(["c", "d"]), st.integers(-4, 4)),
+    st.builds(lambda f, a, b: {"$addFields": {f: {"$range": [a, b]}}},
+              st.sampled_from(["c", "d"]), st.integers(-3, 3),
+              st.integers(-3, 3)),
+    st.builds(lambda f, op: {"$addFields": {f: {op: ["$arr", [1, 2]]}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["$setUnion", "$setIntersection",
+                               "$setDifference", "$concatArrays"])),
+    st.builds(lambda f, p: {"$addFields": {f: {"$regexMatch": {
+                  "input": "$b", "regex": p}}}},
+              st.sampled_from(["c", "d"]), st.sampled_from(["x", "^y", "."])),
+    st.builds(lambda f: {"$unset": f}, st.sampled_from(["b", "c", "zz"])),
+    st.builds(lambda v: {"$fill": {"sortBy": {"a": 1},
+                                   "output": {"b": {"value": v}}}},
+              st.text(max_size=2)),
+    st.builds(lambda m: {"$fill": {"partitionByFields": ["b"],
+                                   "sortBy": {"a": 1},
+                                   "output": {"a": {"method": m}}}},
+              st.sampled_from(["locf", "linear"])),
+    st.builds(lambda s: {"$densify": {"field": "a",
+                                      "range": {"step": s,
+                                                "bounds": "full"}}},
+              st.integers(1, 3)),
+    st.builds(lambda n: {"$bucketAuto": {"groupBy": "$a", "buckets": n}},
+              st.integers(1, 4)),
 )
 
 
