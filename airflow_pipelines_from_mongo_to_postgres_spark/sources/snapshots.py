@@ -1062,7 +1062,8 @@ def read_snapshot(spark: SparkSession, table: str,
 
 def snap_compact(spark: SparkSession, table: str,
                  target_files: int = 1,
-                 stat_cols: tuple = ()) -> int:
+                 stat_cols: tuple = (),
+                 cluster_by: tuple = ()) -> int:
     """Bin-pack the current snapshot into ``target_files`` files —
     identical rows, new layout — as ONE OCC-pinned commit: the compactor
     derives from the head it read, so a concurrent append surfaces as
@@ -1071,18 +1072,62 @@ def snap_compact(spark: SparkSession, table: str,
     vacuum. This is the table-format answer to the small-files problem
     streaming appends create: run it on a schedule, readers never
     notice (snapshot isolation), and per-file stats are rebuilt so
-    pruning IMPROVES as data coalesces."""
+    pruning IMPROVES as data coalesces.
+
+    ``cluster_by`` additionally RANGE-CLUSTERS the rewrite on those
+    columns (repartitionByRange + sortWithinPartitions — Delta's
+    OPTIMIZE ZORDER intent for the single-key/prefix case): each output
+    file then covers a narrow, non-overlapping slice of the cluster
+    key, so its manifest min/max window is tight and a point/range
+    predicate prunes to O(1) files instead of all of them. At 100 TB
+    this is the difference between scanning one file and scanning the
+    table for a key lookup; pair it with ``stat_cols`` covering the
+    cluster key (they are added automatically)."""
     base = current_version(spark, table)
     if base == 0:
         raise FileNotFoundError(f"nothing to compact at {table}")
     cur = read_snapshot(spark, table, version=base)
-    packed = cur.repartition(target_files)
+    if cluster_by:
+        cols = [c for c in cluster_by]
+        packed = (cur.repartitionByRange(target_files, *cols)
+                  .sortWithinPartitions(*cols))
+        stat_cols = tuple(dict.fromkeys(tuple(stat_cols) + tuple(cols)))
+        note = f"compact({target_files}, cluster_by={cols})"
+    else:
+        packed = cur.repartition(target_files)
+        note = f"compact({target_files})"
     layout = _resolve_layout(spark, table, ())
     new, stats = _write_data_files(packed, table, stat_cols,
                                    partition_by=layout)
-    return _commit(spark, table, new, f"compact({target_files})",
+    return _commit(spark, table, new, note,
                    expected_parent=base, stats=stats,
                    partition_by=list(layout) or None)
+
+
+def snap_restore(spark: SparkSession, table: str, version: int,
+                 note: str | None = None) -> int:
+    """Roll the table back (or forward) to ``version``'s EXACT state as
+    a NEW commit — time travel made durable (Delta's RESTORE / Iceberg's
+    rollback). No data moves: the new manifest re-lists the old
+    snapshot's files, stats, deletes and data sequences verbatim, so
+    the restore is O(manifest) regardless of table size, and the
+    intermediate history stays readable for time travel until vacuum.
+    Sequence safety needs no renormalization (unlike snap_clone): the
+    version counter never restarts, so every future commit's sequence
+    is strictly above everything restored."""
+    head = current_version(spark, table)
+    if version > head or version < 1:
+        raise ValueError(f"{table}: cannot restore v{version} "
+                         f"(head is v{head})")
+    m = read_manifest(spark, table, version)
+    dels = m.get("deletes")
+    return _commit(
+        spark, table, list(m["files"]),
+        note or f"restore(v{version})",
+        expected_parent=head, stats=m.get("stats"),
+        deletes=dels,
+        partition_by=m.get("partition_by"),
+        file_seqs=m.get("file_seqs") if dels else None)
 
 
 def snap_changes(spark: SparkSession, table: str,

@@ -367,3 +367,26 @@ def test_q124_scans_lineitem_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     reused = [ln for ln in plan.splitlines() if "ReusedExchange" in ln]
     assert any("l_suppkey" in ln for ln in reused), plan
+
+
+def test_q173_q174_single_shuffle(spark, sf_dir):
+    """The round-11 mongoql fact queries stay one-shuffle: q173's two
+    time-unit range windows share the user_id hash partitioning (one
+    Exchange, never a self-join), and q174's whole HOF rollup hangs off
+    the single o_custkey groupBy — every array op runs inside codegen
+    on the grouped rows."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.extras import (
+        q173_mongo_trailing_window,
+        q174_mongo_array_hofs,
+    )
+
+    for fn in (q173_mongo_trailing_window, q174_mongo_array_hofs):
+        df = fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE prints the pre-adaptive plan too — gate the FINAL one
+        plan = plan.split("== Initial Plan ==")[0]
+        n_ex = sum(1 for ln in plan.splitlines()
+                   if "Exchange" in ln and "ReusedExchange" not in ln)
+        assert n_ex == 1, (fn.__name__, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -1755,3 +1755,75 @@ def test_snap_changes_resolves_layout_per_source_version(spark, tmp_path):
     feed2 = S.snap_changes(spark, t, from_version=1)
     assert sorted((r["id"], r["p"]) for r in feed2.collect()) == \
         [(3, "x"), (4, "z")]
+
+
+def test_snap_compact_cluster_by_tightens_pruning(spark, tmp_path):
+    """Range-clustered compaction: after compact(cluster_by=...), each
+    file covers a narrow non-overlapping key slice, so a point/range
+    predicate prunes to O(1) files — before it, round-robin layout
+    makes every file span the whole key range and nothing prunes."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    t = str(tmp_path / "clus")
+    # shuffled keys so every pre-compact file spans ~the full range
+    df = (spark.range(0, 4000)
+          .select((F.col("id") * 2654435761 % 4000).alias("k"),
+                  F.col("id").alias("v"))
+          .repartition(8))
+    S.snap_append(spark, t, df, stat_cols=("k",))
+    m0 = S.read_manifest(spark, t)
+    assert len(m0["files"]) == 8
+    # pre-compact: a narrow range keeps (almost) every file
+    kept0 = S.prune_files(m0, [("k", ">=", 100), ("k", "<", 140)])
+    assert len(kept0) >= 7
+
+    S.snap_compact(spark, t, target_files=8, cluster_by=("k",))
+    m1 = S.read_manifest(spark, t)
+    assert len(m1["files"]) == 8
+    # same predicate now prunes to a sliver (1-2 boundary-straddling files)
+    kept1 = S.prune_files(m1, [("k", ">=", 100), ("k", "<", 140)])
+    assert len(kept1) <= 2
+    # rows identical through the rewrite, and the scan stays exact
+    got = sorted(r.k for r in S.snap_scan(
+        spark, t, [("k", ">=", 100), ("k", "<", 140)]).collect())
+    assert got == list(range(100, 140))
+    assert S.read_snapshot(spark, t).count() == 4000
+
+
+def test_snap_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """snap_restore: head returns to an old snapshot's exact state as a
+    NEW commit — no data copied, intermediate history still
+    time-travels, post-restore commits sequence correctly on top (incl.
+    restored merge-on-read deletes)."""
+    import pytest
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+
+    def rows(v=None):
+        return sorted((r.k, r.x)
+                      for r in S.read_snapshot(spark, t, version=v).collect())
+
+    t = str(tmp_path / "rst")
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, x int"))           # v1
+    S.snap_merge_keys(spark, t, spark.createDataFrame(
+        [("a", 99), ("c", 3)], "k string, x int"), ["k"])   # v2 (deletes)
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("d", 4)], "k string, x int"))                     # v3
+    assert rows() == [("a", 99), ("b", 2), ("c", 3), ("d", 4)]
+
+    v4 = S.snap_restore(spark, t, 2)
+    assert v4 == 4
+    assert rows() == [("a", 99), ("b", 2), ("c", 3)]        # v2 state
+    assert rows(3) == [("a", 99), ("b", 2), ("c", 3), ("d", 4)]  # history
+    # restored sequenced deletes still respect later appends
+    S.snap_append(spark, t, spark.createDataFrame(
+        [("a", 7)], "k string, x int"))
+    assert rows() == [("a", 7), ("a", 99), ("b", 2), ("c", 3)]
+    # restore of v1 (pre-merge) then merge again — full cycle
+    S.snap_restore(spark, t, 1)
+    assert rows() == [("a", 1), ("b", 2)]
+    with pytest.raises(ValueError, match="cannot restore"):
+        S.snap_restore(spark, t, 99)

@@ -648,3 +648,44 @@ def test_streaming_variant_ingest_matches_batch(spark, tmp_path):
              S.read_snapshot(spark, quar).count(),
              S.read_snapshot(spark, ledger).count())
     assert before == after == (4, 2, 4)
+
+
+def test_mongoql_stateless_pipeline_runs_on_stream(spark, tmp_path):
+    """One pipeline definition serves batch AND Structured Streaming:
+    the stateless stage family ($match incl. $expr, $addFields with
+    HOFs/date math, $project, $unwind, $unset) applied to a readStream
+    source produces exactly the batch translator's rows — the
+    reference's per-collection pipeline definitions run on the daily
+    S3-drop stream unchanged (ref mongo_to_postgres_updation.py)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, "open", [1, 2, 3]), (2, "closed", [10]), (3, "open", None),
+         (4, "open", [5, -1])],
+        "id bigint, status string, xs array<int>")
+    src = tmp_path / "docs"; src.mkdir()
+    rows.write.parquet(str(src / "p"))
+
+    pipeline = [
+        {"$match": {"status": "open"}},
+        {"$addFields": {"pos": {"$filter": {
+            "input": "$xs", "cond": {"$gt": ["$$this", 0]}}}}},
+        {"$match": {"$expr": {"$gt": [{"$size": {"$ifNull": ["$pos", []]}},
+                                      0]}}},
+        {"$unwind": "$pos"},
+        {"$unset": "xs"},
+    ]
+    stream = spark.readStream.schema(rows.schema).parquet(str(src / "p"))
+    out = apply_pipeline(stream, pipeline)
+    q = (out.writeStream.format("memory").queryName("mql_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_mql"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.id, r.pos) for r in
+                 spark.sql("SELECT * FROM mql_stream").collect())
+    want = sorted((r.id, r.pos)
+                  for r in apply_pipeline(rows, pipeline).collect())
+    assert got == want == [(1, 1), (1, 2), (1, 3), (4, 5)]
