@@ -1125,12 +1125,24 @@ def _facet(df: DataFrame, spec: dict[str, Any],
     return acc
 
 
-def _write_target(targets, name, op: str) -> str:
+def _target_spec(targets, name, op: str) -> dict:
+    """Normalize a target binding. A bare string is a snapshot-table
+    path (the default sink); a dict selects the kind:
+
+    - ``{"kind": "snap", "path": p}`` — snapshot table (full matrix)
+    - ``{"kind": "lake", "path": p, "partition_col": c}`` — hive-
+      partitioned lake via ``lake_merge`` (partition-pruned rewrite)
+    - ``{"kind": "jdbc", "url": u, "table": t[, "properties",
+      "dialect"]}`` — live database via ``jdbc_merge`` (staging + ONE
+      set-based MERGE/ON CONFLICT statement)
+    """
     if not targets or name not in targets:
         raise ValueError(
             f"{op} into {name!r} needs targets={{{name!r}: <snap table "
-            "path>}} passed to apply_pipeline")
-    return targets[name]
+            "path | target spec dict>}} passed to apply_pipeline")
+    raw = targets[name]
+    return {"kind": "snap", "path": raw} if isinstance(raw, str) \
+        else dict(raw)
 
 
 def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
@@ -1189,9 +1201,24 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     spark = df.sparkSession
     if op == "$out":
         name = spec if isinstance(spec, str) else spec["coll"]
-        path = _write_target(targets, name, "$out")
-        snap_overwrite(spark, path, df, note="$out")
-        return _read_or_empty(spark, path, df)
+        t = _target_spec(targets, name, "$out")
+        kind = t.get("kind", "snap")
+        if kind == "snap":
+            snap_overwrite(spark, t["path"], df, note="$out")
+            return _read_or_empty(spark, t["path"], df)
+        if kind == "lake":
+            w = df.write.mode("overwrite")
+            if t.get("partition_col"):
+                w = w.partitionBy(t["partition_col"])
+            w.parquet(t["path"])
+            return spark.read.parquet(t["path"])
+        if kind == "jdbc":
+            props = t.get("properties") or {}
+            df.write.mode("overwrite").jdbc(t["url"], t["table"],
+                                            properties=props)
+            return spark.read.jdbc(t["url"], t["table"],
+                                   properties=props)
+        raise ValueError(f"unknown $out target kind: {kind!r}")
 
     if isinstance(spec, str):
         spec = {"into": spec}
@@ -1210,7 +1237,7 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
         raise ValueError(f"unsupported whenMatched: {wm!r}")
     if wnm not in ("insert", "discard", "fail"):
         raise ValueError(f"unsupported whenNotMatched: {wnm!r}")
-    path = _write_target(targets, name, "$merge")
+    t = _target_spec(targets, name, "$merge")
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(f"$merge 'on' fields {missing} missing from "
@@ -1225,6 +1252,50 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
             f"$merge: batch has multiple rows for key "
             f"{ {k: dup[0][k] for k in keys} } — dedupe upstream")
 
+    kind = t.get("kind", "snap")
+    if kind != "snap":
+        # lake/jdbc sinks implement exactly the UPSERT (the reference's
+        # flagship write, ref user_table.py:105-121 made set-based):
+        # matched rows update, misses insert — Mongo's default
+        # merge+insert (== replace+insert on a rectangular full-column
+        # batch). The full matrix needs the snapshot sink.
+        if wm not in ("merge", "replace") or wnm != "insert":
+            raise ValueError(
+                f"$merge into a {kind!r} target supports whenMatched "
+                "merge/replace + whenNotMatched insert (the sink's "
+                "upsert); use a snap target for the full matrix")
+        mutable = [c for c in df.columns if c not in keys]
+        if kind == "lake":
+            from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+                lake_merge,
+            )
+            from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
+                _jvm_fs,
+            )
+
+            fs, jvm = _jvm_fs(spark, t["path"])
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(t["path"])):
+                # bootstrap: Mongo creates the target collection
+                (df.write.mode("overwrite")
+                 .partitionBy(t["partition_col"]).parquet(t["path"]))
+            else:
+                lake_merge(spark, t["path"], df, keys,
+                           t["partition_col"], mutable)
+            return spark.read.parquet(t["path"])
+        if kind == "jdbc":
+            from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (
+                jdbc_merge,
+            )
+
+            props = t.get("properties") or {}
+            jdbc_merge(df, t["url"], t["table"], keys, mutable,
+                       properties=props,
+                       dialect=t.get("dialect", "postgres"))
+            return spark.read.jdbc(t["url"], t["table"],
+                                   properties=props)
+        raise ValueError(f"unknown $merge target kind: {kind!r}")
+
+    path = t["path"]
     if current_version(spark, path) == 0:
         # empty target: every row is not-matched
         if wnm == "insert":

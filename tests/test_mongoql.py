@@ -1063,3 +1063,55 @@ def test_match_expr_and_uncorrelated_lookup(apps, spark):
             "from": "apps", "as": "x", "localField": "status",
             "foreignField": "status", "pipeline": []}}],
             collections={"apps": apps})
+
+
+def test_merge_out_lake_and_jdbc_targets(spark, tmp_path):
+    """$merge/$out resolve non-snap targets too: a hive-partitioned
+    lake (lake_merge — partition-pruned rewrite) and a live JDBC
+    database (jdbc_merge — staging + ONE set-based MERGE, Derby). Both
+    implement the upsert (whenMatched merge/replace + insert); other
+    matrix combos raise with guidance."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.connectors import (
+        read_jdbc,
+        write_jdbc_append,
+    )
+
+    # --- lake target: $merge bootstraps, then partition-merged upsert
+    lake = {"kind": "lake", "path": str(tmp_path / "lake"),
+            "partition_col": "day"}
+    seed = spark.createDataFrame(
+        [("a", "d1", 1), ("b", "d1", 2), ("c", "d2", 3)],
+        "_id string, day string, v int")
+    out = apply_pipeline(seed, [{"$merge": "t"}], targets={"t": lake})
+    assert sorted((r._id, r.v) for r in out.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3)]
+    batch = spark.createDataFrame(
+        [("a", "d1", 99), ("d", "d2", 4)], "_id string, day string, v int")
+    out = apply_pipeline(batch, [{"$merge": "t"}], targets={"t": lake})
+    assert sorted((r._id, r.v) for r in out.collect()) == \
+        [("a", 99), ("b", 2), ("c", 3), ("d", 4)]
+    # $out replaces the lake wholesale
+    out = apply_pipeline(batch, [{"$out": "t"}], targets={"t": lake})
+    assert sorted((r._id, r.v) for r in out.collect()) == \
+        [("a", 99), ("d", 4)]
+    with pytest.raises(ValueError, match="snap target for the full"):
+        apply_pipeline(batch, [{"$merge": {
+            "into": "t", "whenMatched": "keepExisting"}}],
+            targets={"t": lake})
+
+    # --- jdbc target (Derby live): seeded table, set-based MERGE
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    jdbc = {"kind": "jdbc", "url": url, "table": "apps",
+            "dialect": "ansi"}
+    write_jdbc_append(spark.createDataFrame(
+        [(1, "old", 10.0), (3, "keep", 30.0)],
+        "_id bigint, status string, amount double"), url, "apps")
+    batch = spark.createDataFrame(
+        [(1, "done", 99.0), (2, "new", 2.0)],
+        "_id bigint, status string, amount double")
+    out = apply_pipeline(batch, [{"$merge": {"into": "apps"}}],
+                         targets={"apps": jdbc})
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, "done", 99.0), (2, "new", 2.0), (3, "keep", 30.0)]
+    assert got == sorted(map(tuple,
+                             read_jdbc(spark, url, "apps").collect()))
