@@ -1251,6 +1251,105 @@ FROM nation
 """
 
 
+# --- q178: composite $group keys + date parts ----------------------------------
+def q178_mongo_composite_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's multi-field group key — {_id: {t, d}} becomes a struct,
+    '$_id.t' works downstream — over a $dateTrunc'd day column, with
+    $isoDayOfWeek proving the date-part family end-to-end. One shuffle;
+    DECIMAL revenue for hash stability; the final $project flattens the
+    composite key so the oracle gate stays rectangular."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value_d", F.col("value").cast("decimal(18,4)"))
+    out = apply_pipeline(ev, [
+        {"$addFields": {"day": {"$dateTrunc": {"date": "$ts",
+                                               "unit": "day"}}}},
+        {"$group": {"_id": {"t": "$event_type", "d": "$day"},
+                    "n": {"$sum": 1}, "rev": {"$sum": "$value_d"}}},
+        {"$addFields": {"dow": {"$isoDayOfWeek": "$_id.d"}}},
+        {"$project": {"t": "$_id.t", "d": "$_id.d", "n": 1, "rev": 1,
+                      "dow": 1, "_id": 0}},
+    ])
+    return out.select(
+        "t", "d", F.col("n").cast("long").alias("n"),
+        F.round(F.col("rev").cast("double"), 4).alias("rev"),
+        F.col("dow").cast("int").alias("dow"))
+
+
+Q178_SQL = """
+SELECT event_type AS t, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS rev,
+       CAST(isodow(date_trunc('day', ts)) AS INT) AS dow
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+# --- q179: $linearFill + $derivative over a densified series --------------------
+def q179_mongo_linear_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full gap-filled-series toolkit in one pipeline: daily error
+    maxima -> $densify onto the day grid -> $linearFill interpolates
+    the generated days on the time axis -> $derivative gives the
+    day-over-day rate over a 2-row frame. Interpolation and rate are
+    IEEE double chains replicated operation-for-operation in the
+    oracle (same inputs, same order -> identical bits), rounded at the
+    boundary. Post-aggregation global window over #days rows (bounded,
+    the q66/q175 class)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(ev, [
+        {"$match": {"event_type": "error"}},
+        {"$addFields": {"day": {"$dateTrunc": {"date": "$ts",
+                                               "unit": "day"}}}},
+        {"$group": {"_id": "$day", "mx": {"$max": "$value"}}},
+        {"$densify": {"field": "_id",
+                      "range": {"step": 1, "unit": "day",
+                                "bounds": "full"}}},
+        {"$setWindowFields": {
+            "sortBy": {"_id": 1},
+            "output": {
+                "lin": {"$linearFill": "$mx"},
+                "rate": {"$derivative": {"input": "$mx", "unit": "day"},
+                         "window": {"documents": [-1, 0]}},
+            }}},
+    ])
+    return out.select(
+        F.col("_id").alias("day"),
+        F.round(F.col("lin"), 4).alias("lin"),
+        F.round(F.col("rate"), 4).alias("rate"))
+
+
+Q179_SQL = """
+WITH d AS (SELECT date_trunc('day', ts) AS day, max(value) AS mx
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+grid AS (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                       (SELECT max(day) FROM d),
+                                       INTERVAL 1 DAY)) AS day),
+j AS (SELECT g.day, epoch_ms(g.day) / 1000.0 AS k, d.mx
+      FROM grid g LEFT JOIN d USING (day)),
+w AS (SELECT day, k, mx,
+        last_value(mx IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pv,
+        last_value(CASE WHEN mx IS NOT NULL THEN k END IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS pk,
+        first_value(mx IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS nv,
+        first_value(CASE WHEN mx IS NOT NULL THEN k END IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS nk,
+        lag(mx) OVER (ORDER BY day) AS pmx,
+        lag(k) OVER (ORDER BY day) AS pkk
+      FROM j)
+SELECT day,
+       round(COALESCE(mx, CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (k - pk) / (nk - pk) END), 4) AS lin,
+       round((mx - pmx) / ((k * 1000 - pkk * 1000) / 86400000.0), 4)
+           AS rate
+FROM w
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1275,6 +1374,8 @@ QUERIES = {
     "q175_mongo_densify_fill": q175_mongo_densify_fill,
     "q176_mongo_bucket_auto": q176_mongo_bucket_auto,
     "q177_mongo_graph_lookup": q177_mongo_graph_lookup,
+    "q178_mongo_composite_group": q178_mongo_composite_group,
+    "q179_mongo_linear_fill_rate": q179_mongo_linear_fill_rate,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1304,6 +1405,8 @@ ORACLES = {
     "q175_mongo_densify_fill": Q175_SQL,
     "q176_mongo_bucket_auto": Q176_SQL,
     "q177_mongo_graph_lookup": Q177_SQL,
+    "q178_mongo_composite_group": Q178_SQL,
+    "q179_mongo_linear_fill_rate": Q179_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -227,12 +227,29 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
               "$dayOfMonth": F.dayofmonth, "$hour": F.hour,
               "$minute": F.minute, "$second": F.second}[op]
         return fn(_expr(arg, env))
+    if op == "$dayOfWeek":       # 1 = Sunday .. 7 = Saturday, both engines
+        return F.dayofweek(_expr(arg, env))
+    if op == "$isoDayOfWeek":    # 1 = Monday .. 7 = Sunday
+        return ((F.dayofweek(_expr(arg, env)) + 5) % 7) + 1
+    if op == "$dayOfYear":
+        return F.dayofyear(_expr(arg, env))
+    if op == "$isoWeek":         # Spark's weekofyear IS the ISO week
+        return F.weekofyear(_expr(arg, env))
+    if op == "$millisecond":
+        return F.date_format(_expr(arg, env), "SSS").cast("int")
     if op == "$dateToString":
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToString expects {date, format}")
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
         spark_fmt = _mongo_date_format(fmt)
         return F.date_format(_expr(arg["date"], env), spark_fmt)
+    if op == "$dateFromString":
+        if not isinstance(arg, dict) or "dateString" not in arg:
+            raise ValueError("$dateFromString expects {dateString[, format]}")
+        if "format" in arg:
+            return F.to_timestamp(_expr(arg["dateString"], env),
+                                  _mongo_date_format(arg["format"]))
+        return F.to_timestamp(_expr(arg["dateString"], env))
     # numeric
     if op == "$floor":
         return F.floor(_expr(arg, env))
@@ -628,6 +645,20 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.drop(*[c for c in drop if c in df.columns])
 
 
+def _group_key(gid: Any) -> Column:
+    """``_id`` compiler: an operator doc or field ref evaluates as an
+    expression; a COMPOSITE document ({a: "$x", b: {$op: ...}}, Mongo's
+    multi-field group key — no $-key at the top) becomes a struct whose
+    fields keep the document's names, so ``_id.a`` works downstream
+    exactly as in Mongo."""
+    if isinstance(gid, dict) and not (
+            len(gid) == 1 and next(iter(gid)).startswith("$")):
+        if not gid or any(k.startswith("$") for k in gid):
+            raise ValueError(f"malformed composite _id: {gid!r}")
+        return F.struct(*[_expr(v).alias(k) for k, v in gid.items()])
+    return _expr(gid)
+
+
 def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     gid = spec["_id"]
     ops = {next(iter(a)) for k, a in spec.items() if k != "_id"}
@@ -676,7 +707,7 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             raise ValueError(f"unsupported $group accumulator: {op}")
     if gid is None:
         return df.agg(*aggs).select(F.lit(None).alias("_id"), "*")
-    return df.groupBy(_expr(gid).alias("_id")).agg(*aggs)
+    return df.groupBy(_group_key(gid).alias("_id")).agg(*aggs)
 
 
 def _bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -792,6 +823,38 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             df = df.withColumn(name, fn(_expr(arg["output"]), abs(by),
                                         default).over(ordered))
             continue
+        if op in ("$locf", "$linearFill"):
+            # gap-filling window operators (Mongo 5.2) — no frame spec
+            # in Mongo; $locf is one running ignore-nulls window,
+            # $linearFill brackets each null with its nearest non-null
+            # neighbors on the sort key (same lowering as the $fill
+            # stage, per-output here)
+            if not sortby:
+                raise ValueError(f"{op} requires sortBy")
+            if frame is not None:
+                raise ValueError(f"{op} does not accept a window")
+            y = _expr(arg)
+            if op == "$locf":
+                df = df.withColumn(name, F.last(y, ignorenulls=True).over(
+                    ordered.rowsBetween(Window.unboundedPreceding, 0)))
+                continue
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$linearFill needs a single ascending sortBy")
+            key = _sort_key_double(df, next(iter(sortby)))
+            before = ordered.rowsBetween(Window.unboundedPreceding, -1)
+            after = ordered.rowsBetween(1, Window.unboundedFollowing)
+            pv = F.last(y, ignorenulls=True).over(before)
+            pk = F.last(F.when(y.isNotNull(), key),
+                        ignorenulls=True).over(before)
+            nv = F.first(y, ignorenulls=True).over(after)
+            nk = F.first(F.when(y.isNotNull(), key),
+                         ignorenulls=True).over(after)
+            interp = pv + (nv - pv) * (key - pk) / (nk - pk)
+            df = df.withColumn(name, F.coalesce(
+                y.cast("double"),
+                F.when(pv.isNotNull() & nv.isNotNull(), interp)))
+            continue
         # accumulator over a frame
         w = ordered if sortby else base
         unit = None
@@ -842,6 +905,45 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
         else:
             raise ValueError(f"unsupported window kind: {kind}")
+        if op == "$derivative":
+            # average rate of change over the frame: (Δoutput / Δsort
+            # key), the key delta optionally scaled to a time unit —
+            # first/last over the SAME frame, so it stays one Window op
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$derivative needs a single ascending sortBy")
+            y = _expr(arg["input"])
+            kcol = F.col(next(iter(sortby)))
+            dy = F.last(y).over(w) - F.first(y).over(w)
+            dunit = arg.get("unit")
+            if dunit:
+                if dunit not in _WF_UNIT_MS:
+                    raise ValueError(
+                        f"unsupported $derivative unit: {dunit!r}")
+                kms = (kcol.cast("timestamp").cast("double") * 1000)
+                dx = (F.last(kms).over(w) - F.first(kms).over(w)) \
+                    / F.lit(_WF_UNIT_MS[dunit])
+            else:
+                dx = F.last(kcol).over(w) - F.first(kcol).over(w)
+            # a single-point frame has Δkey = 0: no rate exists — NULL
+            # (try_divide), never an ANSI divide-by-zero abort
+            df = df.withColumn(name, F.try_divide(dy, dx))
+            continue
+        if op in ("$minN", "$maxN", "$firstN", "$lastN"):
+            # slice/sort wrap the window AGGREGATE's result, so .over
+            # binds on the collect, not the wrapper
+            lst = F.collect_list(_expr(arg["input"])).over(w)
+            n = int(arg["n"])
+            if op in ("$minN", "$maxN"):
+                out_col = F.slice(F.sort_array(lst, op == "$minN"), 1, n)
+            elif op == "$firstN":
+                # frame order IS the window order (collect_list over an
+                # ordered frame preserves it); lastN takes the tail
+                out_col = F.slice(lst, 1, n)
+            else:
+                out_col = F.reverse(F.slice(F.reverse(lst), 1, n))
+            df = df.withColumn(name, out_col)
+            continue
         if op == "$sum" and arg == 1:
             c = F.count(F.lit(1))
         elif op == "$count":
@@ -865,11 +967,30 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         elif op == "$push":
             c = F.collect_list(_expr(arg)) if sortby \
                 else F.sort_array(F.collect_list(_expr(arg)))
+        elif op == "$addToSet":
+            c = F.sort_array(F.collect_set(_expr(arg)))
+        elif op in ("$covariancePop", "$covarianceSamp"):
+            a1, a2 = _expr(arg[0]), _expr(arg[1])
+            c = (F.covar_pop if op == "$covariancePop"
+                 else F.covar_samp)(a1, a2)
         else:
             raise ValueError(
                 f"unsupported $setWindowFields operator: {op}")
         df = df.withColumn(name, c.over(w))
     return df
+
+
+def _sort_key_double(df: DataFrame, field: str) -> Column:
+    """Numeric (double) image of a sort field for interpolation math:
+    TIMESTAMP_NTZ cannot cast straight to a number — route via
+    timestamp (epoch seconds); numerics cast directly."""
+    from pyspark.sql import types as ST
+
+    c = F.col(field)
+    dt = _field_type(df.schema, field)
+    if isinstance(dt, (ST.TimestampNTZType, ST.DateType)):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -909,7 +1030,7 @@ def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             if len(sortby) != 1 or next(iter(sortby.values())) != 1:
                 raise ValueError(
                     "$fill linear needs a single ascending sortBy")
-            key = F.col(next(iter(sortby))).cast("double")
+            key = _sort_key_double(df, next(iter(sortby)))
             before = w.rowsBetween(Window.unboundedPreceding, -1)
             after = w.rowsBetween(1, Window.unboundedFollowing)
             pv = F.last(F.col(name), ignorenulls=True).over(before)
@@ -1400,7 +1521,26 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                 df = df.withColumn(path, fn(F.col(path)))
         elif op in ("$addFields", "$set"):
             for name, v in spec.items():
-                df = df.withColumn(name, _expr(v))
+                if "." in name:
+                    # Mongo sets the NESTED field in place. withColumn
+                    # would mint a top-level column literally named
+                    # "a.b" — silent divergence — so graft via
+                    # withField when the parent struct exists and fail
+                    # loudly otherwise (Mongo would create intermediate
+                    # documents; a rectangular engine needs the parent
+                    # declared). Deviation: a NULL parent document stays
+                    # NULL (withField semantics) where Mongo creates it.
+                    top, rest = name.split(".", 1)
+                    from pyspark.sql import types as ST
+                    if top not in df.columns or not isinstance(
+                            df.schema[top].dataType, ST.StructType):
+                        raise ValueError(
+                            f"$addFields nested path {name!r} needs an "
+                            f"existing struct column {top!r}")
+                    df = df.withColumn(top, F.col(top).withField(
+                        rest, _expr(v)))
+                else:
+                    df = df.withColumn(name, _expr(v))
         elif op == "$group":
             df = _group(df, spec)
         elif op == "$sort":

@@ -1115,3 +1115,95 @@ def test_merge_out_lake_and_jdbc_targets(spark, tmp_path):
     assert got == [(1, "done", 99.0), (2, "new", 2.0), (3, "keep", 30.0)]
     assert got == sorted(map(tuple,
                              read_jdbc(spark, url, "apps").collect()))
+
+
+def test_composite_group_id_and_dotted_addfields(spark):
+    """Mongo's multi-field group key ({_id: {a, b}}) becomes a struct
+    whose fields keep their names ('$_id.a' works downstream); dotted
+    $addFields grafts INTO the struct via withField instead of minting
+    a literal 'a.b' top-level column (silent divergence pre-fix)."""
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("a", "y", 4), ("b", "x", 8)],
+        "p string, q string, v int")
+    g = apply_pipeline(df, [
+        {"$group": {"_id": {"pp": "$p", "qq": {"$toUpper": "$q"}},
+                    "s": {"$sum": "$v"}}},
+        {"$addFields": {"label": {"$concat": ["$_id.pp", "-",
+                                              "$_id.qq"]}}},
+    ])
+    assert sorted((r.label, r.s) for r in g.collect()) == \
+        [("a-X", 3), ("a-Y", 4), ("b-X", 8)]
+    with pytest.raises(ValueError, match="composite _id"):
+        apply_pipeline(df, [{"$group": {"_id": {}, "n": {"$sum": 1}}}])
+
+    n = spark.createDataFrame([(1, (2, 3))], "id int, nest struct<a:int,b:int>")
+    out = apply_pipeline(n, [{"$addFields": {
+        "nest.c": {"$add": ["$nest.a", 10]}, "nest.a": 0}}]).collect()[0]
+    assert (out.nest.a, out.nest.b, out.nest.c) == (0, 3, 12)
+    assert "nest.c" not in apply_pipeline(
+        n, [{"$addFields": {"nest.c": 1}}]).columns
+    with pytest.raises(ValueError, match="existing struct"):
+        apply_pipeline(n, [{"$addFields": {"ghost.c": 1}}])
+
+
+def test_expression_date_parts(spark):
+    """$dayOfWeek (1=Sunday), $isoDayOfWeek (1=Monday), $dayOfYear,
+    $isoWeek, $millisecond, $dateFromString with a format."""
+    from datetime import datetime as dt
+
+    d = spark.createDataFrame([(dt(2024, 3, 15, 10, 0, 0, 123000),)],
+                              "t timestamp")
+    out = apply_pipeline(d, [{"$addFields": {
+        "dow": {"$dayOfWeek": "$t"}, "idow": {"$isoDayOfWeek": "$t"},
+        "doy": {"$dayOfYear": "$t"}, "iw": {"$isoWeek": "$t"},
+        "ms": {"$millisecond": "$t"},
+        "parsed": {"$dateFromString": {"dateString": "15/03/2024",
+                                       "format": "%d/%m/%Y"}},
+    }}]).collect()[0]
+    # 2024-03-15 is a Friday
+    assert (out.dow, out.idow, out.doy, out.iw, out.ms) == \
+        (6, 5, 75, 11, 123)
+    assert out.parsed == dt(2024, 3, 15)
+
+
+def test_window_gap_fill_and_rate_operators(spark):
+    """$locf / $linearFill (frameless gap-filling window operators),
+    $derivative (frame rate-of-change, NULL on single-point frames,
+    time-unit scaling), $minN/$maxN/$firstN/$lastN and $covariancePop
+    over explicit frames."""
+    from datetime import datetime as dt
+
+    ev = spark.createDataFrame(
+        [("u", dt(2024, 1, 1), 0.0), ("u", dt(2024, 1, 2), 10.0),
+         ("u", dt(2024, 1, 3), None), ("u", dt(2024, 1, 5), 40.0)],
+        "u string, ts timestamp, v double")
+    out = apply_pipeline(ev, [{"$setWindowFields": {
+        "partitionBy": "$u", "sortBy": {"ts": 1},
+        "output": {
+            "lf": {"$locf": "$v"},
+            "lin": {"$linearFill": "$v"},
+            "der": {"$derivative": {"input": "$v", "unit": "day"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "mx2": {"$maxN": {"input": "$v", "n": 2},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "f2": {"$firstN": {"input": "$v", "n": 2},
+                   "window": {"documents": ["unbounded", "current"]}},
+            "l2": {"$lastN": {"input": "$v", "n": 2},
+                   "window": {"documents": ["unbounded", "current"]}},
+            "cv": {"$covariancePop": ["$v", "$v"],
+                   "window": {"documents": ["unbounded", "current"]}},
+        }}}])
+    r = {x.ts.day: x for x in out.collect()}
+    assert [r[d].lf for d in (1, 2, 3, 5)] == [0.0, 10.0, 10.0, 40.0]
+    assert [r[d].lin for d in (1, 2, 3, 5)] == [0.0, 10.0, 20.0, 40.0]
+    assert r[1].der is None                      # single-point frame
+    assert r[2].der == 10.0 and r[5].der == 10.0
+    assert r[5].mx2 == [40.0, 10.0]
+    assert r[5].f2 == [0.0, 10.0] and r[5].l2 == [10.0, 40.0]
+    assert r[2].cv == 25.0
+
+    with pytest.raises(ValueError, match="does not accept"):
+        apply_pipeline(ev, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"x": {"$locf": "$v",
+                             "window": {"documents": [0, 0]}}}}}])

@@ -196,6 +196,11 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
         # rank over the 50 rows ALREADY reduced by TakeOrdered/limit —
         # bounded by construction (plans/analytics.py q66 docstring)
         "q66_word_frequency",
+        # gap-filled daily series: the $fill/$linearFill window runs
+        # POST-AGGREGATION over #days rows (~366/data-year, bounded —
+        # the q66 class; docstrings in plans/extras.py q175/q179)
+        "q175_mongo_densify_fill",
+        "q179_mongo_linear_fill_rate",
     }
     offenders, cartesian = [], []
     for name, fn in entrymod.queries().items():
