@@ -1350,6 +1350,50 @@ FROM w
 """
 
 
+# --- q180: $group rank accumulators ($top/$topN/$minN) --------------------------
+def q180_mongo_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-k orders with the Mongo 5.2 $group rank family:
+    $top (scalar best, max_by — no array), $topN (sorted-slice array,
+    one agg expression) and $minN — all inside the single o_custkey
+    groupBy, no per-group row_number shuffle. The sort key is made
+    TIE-IMMUNE (cents<<32 | orderkey, exact in long) so the gate is
+    deterministic at every SF; bit-packing covers orderkeys to 2^32."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    out = apply_pipeline(orders, [
+        {"$addFields": {"rk": {"$add": [
+            {"$multiply": ["$cents", 4294967296]}, "$o_orderkey"]}}},
+        {"$group": {"_id": "$o_custkey",
+            "best_order": {"$top": {"output": "$o_orderkey",
+                                    "sortBy": {"rk": -1}}},
+            "top3": {"$topN": {"output": "$o_orderkey",
+                               "sortBy": {"rk": -1}, "n": 3}},
+            "cheapest2": {"$minN": {"input": "$cents", "n": 2}},
+        }},
+    ])
+    return out.select("_id", "best_order", "top3", "cheapest2")
+
+
+Q180_SQL = """
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                    * 4294967296 + o_orderkey AS rk
+           FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY rk DESC) AS rn,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents, o_orderkey) AS rn_min
+      FROM o)
+SELECT o_custkey AS _id,
+       arg_max(o_orderkey, rk) AS best_order,
+       list(o_orderkey ORDER BY rk DESC) FILTER (WHERE rn <= 3) AS top3,
+       list(cents ORDER BY cents, o_orderkey)
+           FILTER (WHERE rn_min <= 2) AS cheapest2
+FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1376,6 +1420,7 @@ QUERIES = {
     "q177_mongo_graph_lookup": q177_mongo_graph_lookup,
     "q178_mongo_composite_group": q178_mongo_composite_group,
     "q179_mongo_linear_fill_rate": q179_mongo_linear_fill_rate,
+    "q180_mongo_group_topn": q180_mongo_group_topn,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1407,6 +1452,7 @@ ORACLES = {
     "q177_mongo_graph_lookup": Q177_SQL,
     "q178_mongo_composite_group": Q178_SQL,
     "q179_mongo_linear_fill_rate": Q179_SQL,
+    "q180_mongo_group_topn": Q180_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -659,10 +659,43 @@ def _group_key(gid: Any) -> Column:
     return _expr(gid)
 
 
+def _topn_agg(op: str, agg: dict) -> Column:
+    """Mongo 5.2 rank-family group accumulators, one aggregate each:
+
+    - ``$top/$bottom {output, sortBy}`` — min_by/max_by on the sort key
+      (no array materialized);
+    - ``$topN/$bottomN {output, sortBy, n}`` — collect (sortKey,
+      output) pairs, sort_array by the key, slice n, project the
+      output — the whole chain is ONE agg expression inside codegen,
+      never a per-group row_number shuffle. Single sort field (struct
+      sort_array orders every field the same way, so a mixed-direction
+      compound key cannot be expressed — raise).
+    """
+    sort_by = agg["sortBy"]
+    if len(sort_by) != 1:
+        raise ValueError(f"{op} supports a single sortBy field")
+    (sf, sdir), = sort_by.items()
+    key, out = F.col(sf), _expr(agg["output"])
+    if op in ("$top", "$bottom"):
+        # $top = FIRST in sortBy order; $bottom = last
+        fn = (F.min_by if (op == "$top") == (sdir == 1) else F.max_by)
+        return fn(out, key)
+    n = int(agg["n"])
+    asc = (sdir == 1) == (op == "$topN")
+    pairs = F.sort_array(F.collect_list(F.struct(key.alias("k"),
+                                                 out.alias("o"))), asc)
+    sliced = F.slice(pairs, 1, n)
+    if op == "$bottomN":
+        # Mongo emits the bottom n IN sortBy order — the slice walked
+        # from the far end, so restore the declared direction
+        sliced = F.reverse(sliced)
+    return F.transform(sliced, lambda x: x["o"])
+
+
 def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     gid = spec["_id"]
     ops = {next(iter(a)) for k, a in spec.items() if k != "_id"}
-    if ops & {"$first", "$last"}:
+    if ops & {"$first", "$last", "$firstN", "$lastN"}:
         # position must be MATERIALIZED before the aggregation (Spark
         # rejects non-deterministic expressions inside agg functions);
         # on a just-sorted df the id is globally monotone, so
@@ -699,6 +732,23 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # meaningful only after $sort, same caveat as Mongo's docs
             fn = F.min_by if op == "$first" else F.max_by
             aggs.append(fn(_expr(arg), F.col("__pos")).alias(name))
+        elif op in ("$top", "$bottom", "$topN", "$bottomN"):
+            aggs.append(_topn_agg(op, arg).alias(name))
+        elif op in ("$minN", "$maxN"):
+            # n smallest ascending / n largest descending (Mongo order)
+            aggs.append(F.slice(
+                F.sort_array(F.collect_list(_expr(arg["input"])),
+                             op == "$minN"),
+                1, int(arg["n"])).alias(name))
+        elif op in ("$firstN", "$lastN"):
+            # document-order head/tail via the materialized __pos key;
+            # lastN keeps the original order (slice from the far end)
+            pairs = F.sort_array(F.collect_list(F.struct(
+                F.col("__pos").alias("k"), _expr(arg["input"]).alias("o"))))
+            n = int(arg["n"])
+            sliced = (F.slice(pairs, 1, n) if op == "$firstN"
+                      else F.reverse(F.slice(F.reverse(pairs), 1, n)))
+            aggs.append(F.transform(sliced, lambda x: x["o"]).alias(name))
         elif op == "$stdDevPop":
             aggs.append(F.stddev_pop(_expr(arg)).alias(name))
         elif op == "$stdDevSamp":

@@ -1207,3 +1207,41 @@ def test_window_gap_fill_and_rate_operators(spark):
             "sortBy": {"ts": 1},
             "output": {"x": {"$locf": "$v",
                              "window": {"documents": [0, 0]}}}}}])
+
+
+def test_group_rank_accumulators(spark):
+    """Mongo 5.2 $group rank family: $top/$bottom scalars via
+    min_by/max_by, $topN/$bottomN arrays (bottomN keeps sortBy order),
+    $minN/$maxN value extremes, $firstN/$lastN document-order head and
+    tail — each ONE aggregate expression, no per-group row_number
+    shuffle."""
+    df = spark.createDataFrame(
+        [("a", "u", 1), ("a", "v", 9), ("a", "w", 5), ("a", "x", 3),
+         ("b", "y", 2)],
+        "g string, tag string, score int")
+    out = apply_pipeline(df, [
+        {"$sort": {"score": 1}},
+        {"$group": {"_id": "$g",
+            "best": {"$top": {"output": "$tag", "sortBy": {"score": -1}}},
+            "worst": {"$bottom": {"output": "$tag",
+                                  "sortBy": {"score": -1}}},
+            "top2": {"$topN": {"output": "$tag", "sortBy": {"score": -1},
+                               "n": 2}},
+            "bot2": {"$bottomN": {"output": "$tag",
+                                  "sortBy": {"score": -1}, "n": 2}},
+            "min2": {"$minN": {"input": "$score", "n": 2}},
+            "max2": {"$maxN": {"input": "$score", "n": 2}},
+            "f2": {"$firstN": {"input": "$score", "n": 2}},
+            "l2": {"$lastN": {"input": "$score", "n": 2}},
+        }}])
+    r = {x._id: x for x in out.collect()}
+    a = r["a"]
+    assert (a.best, a.worst) == ("v", "u")
+    assert a.top2 == ["v", "w"] and a.bot2 == ["x", "u"]
+    assert a.min2 == [1, 3] and a.max2 == [9, 5]
+    assert a.f2 == [1, 3] and a.l2 == [5, 9]
+    b = r["b"]
+    assert b.top2 == ["y"] and b.bot2 == ["y"] and b.l2 == [2]
+    with pytest.raises(ValueError, match="single sortBy"):
+        apply_pipeline(df, [{"$group": {"_id": "$g", "t": {"$top": {
+            "output": "$tag", "sortBy": {"score": -1, "tag": 1}}}}}])
