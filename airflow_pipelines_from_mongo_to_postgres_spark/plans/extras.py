@@ -1357,7 +1357,11 @@ def q180_mongo_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     one agg expression) and $minN — all inside the single o_custkey
     groupBy, no per-group row_number shuffle. The sort key is made
     TIE-IMMUNE (cents<<32 | orderkey, exact in long) so the gate is
-    deterministic at every SF; bit-packing covers orderkeys to 2^32."""
+    deterministic at every SF; bit-packing covers orderkeys to 2^32.
+    The array outputs are JSON-stringified in the FINAL projection
+    (to_json on Spark, to_json::VARCHAR on DuckDB) because the driver's
+    pandas canon cannot hash list cells — same discipline as P6 and the
+    no-DecimalType gate (VERDICT r11 "What's wrong" #1)."""
     orders = load_table(spark, "orders", sf_dir).withColumn(
         "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
     out = apply_pipeline(orders, [
@@ -1371,7 +1375,10 @@ def q180_mongo_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cheapest2": {"$minN": {"input": "$cents", "n": 2}},
         }},
     ])
-    return out.select("_id", "best_order", "top3", "cheapest2")
+    return out.select(
+        "_id", "best_order",
+        F.to_json("top3").alias("top3"),
+        F.to_json("cheapest2").alias("cheapest2"))
 
 
 Q180_SQL = """
@@ -1387,9 +1394,10 @@ r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
       FROM o)
 SELECT o_custkey AS _id,
        arg_max(o_orderkey, rk) AS best_order,
-       list(o_orderkey ORDER BY rk DESC) FILTER (WHERE rn <= 3) AS top3,
-       list(cents ORDER BY cents, o_orderkey)
-           FILTER (WHERE rn_min <= 2) AS cheapest2
+       CAST(to_json(list(o_orderkey ORDER BY rk DESC)
+                    FILTER (WHERE rn <= 3)) AS VARCHAR) AS top3,
+       CAST(to_json(list(cents ORDER BY cents, o_orderkey)
+                    FILTER (WHERE rn_min <= 2)) AS VARCHAR) AS cheapest2
 FROM r GROUP BY 1
 """
 

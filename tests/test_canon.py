@@ -136,3 +136,32 @@ def test_no_oracle_outputs_exotic_duckdb_types(sf_dir):
             if base not in GREEN:
                 offenders.append(f"{name}.{col}: {typ}")
     assert not offenders, f"exotic oracle output types: {offenders}"
+
+
+def test_local_replica_rejects_list_cells():
+    """The local oracle replica (tools/check_oracle.py) must FAIL FAST on
+    list/map cells instead of str()-ing them. Driver-red class, proven in
+    round 11: norm_cell's str() fallback canonicalized q180's array cells
+    happily, so "tri-scale parity" was true locally and false at the
+    driver, whose pandas canon raises "unhashable type: 'list'". The
+    replica exists to PREDICT the driver; it must diverge loudly, never
+    silently."""
+    import importlib.util
+    from pathlib import Path
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # scalars still normalize
+    assert mod.norm_cell(1.5) == "1.5"
+    assert mod.norm_cell(-0.0) == "0"
+    assert mod.norm_cell("x") == "x"
+    # containers fail fast — the driver cannot hash them
+    for bad in ([1, 2], {"a": 1}, (1,), {1}):
+        with pytest.raises(TypeError, match="to_json"):
+            mod.norm_cell(bad)

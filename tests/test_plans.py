@@ -177,6 +177,29 @@ def test_no_query_outputs_decimal_columns(spark, sf_dir):
     assert not offenders, f"decimal-typed output columns: {offenders}"
 
 
+def test_no_query_outputs_array_or_map_columns(spark, sf_dir):
+    """Sweep ALL registered queries: no TOP-LEVEL output column may be
+    ArrayType or MapType. Driver-red class, proven in round 11: q180's
+    ``array<bigint>`` columns crashed the driver's pandas canonicalizer
+    (``TypeError: unhashable type: 'list'`` — CORRECTNESS_r11.json) even
+    though every value was correct. Arrays/maps are fine INTERNALLY; the
+    final projection must ``to_json`` them on both engines, the same
+    discipline as the DecimalType gate above."""
+    from pyspark.sql import types as ST
+
+    import __spark_entry__ as entrymod
+
+    offenders = [
+        f"{name}.{f.name}: {f.dataType.simpleString()}"
+        for name, fn in entrymod.queries().items()
+        for f in fn(spark, sf_dir).schema.fields
+        if isinstance(f.dataType, (ST.ArrayType, ST.MapType))
+    ]
+    assert not offenders, (
+        "array/map-typed output columns (driver canon cannot hash list "
+        f"cells — to_json them in the final projection): {offenders}")
+
+
 def test_no_query_windows_over_single_partition(spark, sf_dir):
     """Sweep ALL registered queries: no Window operator may sit on a
     SinglePartition exchange — that shape pulls every row through one

@@ -32,6 +32,15 @@ def norm_cell(v):
         return f"{v + 0.0:.12g}"
     if isinstance(v, bool):
         return str(v)
+    if isinstance(v, (list, dict, set, tuple)):
+        # The DRIVER's pandas canon dies on list cells ("unhashable type:
+        # 'list'", CORRECTNESS_r11 q180). str()-ing them here made the
+        # local replica pass where the driver failed — fail fast instead
+        # so the divergence is caught before commit. Final projections
+        # must to_json array/map columns on both engines.
+        raise TypeError(
+            f"list/map cell {v!r}: the driver canon cannot hash this — "
+            "to_json the column in the final projection on both engines")
     return str(v)
 
 
