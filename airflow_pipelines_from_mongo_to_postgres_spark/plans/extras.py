@@ -1402,6 +1402,112 @@ FROM r GROUP BY 1
 """
 
 
+# --- q181: correlated $lookup (let + pipeline, equality subset) -----------------
+def q181_mongo_lookup_let(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order lineitem sub-aggregation via correlated ``$lookup``
+    (``let`` + pipeline): the translator decompiles the leading
+    ``$match`` ``$expr`` equality into ONE left equi-join against a
+    per-key pre-aggregated foreign side — the sub-pipeline runs once
+    over lineitem, never per order (Mongo re-executes it per document;
+    the equality correlation makes per-key grouping equivalent).
+    Oracle is a genuine DuckDB CORRELATED SUBQUERY, so the comparison
+    exercises the rewrite, not a shared join plan. l_quantity is
+    whole-valued in the fixture, so the double sum is exact and
+    hash-stable across engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderpriority": "1-URGENT"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$$ok", "$l_orderkey"]},
+                    {"$gt": ["$l_quantity", 25]},
+                ]}}},
+                {"$group": {"_id": None,
+                            "n": {"$sum": 1},
+                            "qty": {"$sum": "$l_quantity"}}},
+            ],
+            "as": "big"}},
+        {"$addFields": {
+            "n_big": {"$ifNull": [{"$arrayElemAt": ["$big.n", 0]}, 0]},
+            "qty_big": {"$ifNull": [{"$arrayElemAt": ["$big.qty", 0]},
+                                    0.0]}}},
+    ], collections={"lineitem": lineitem})
+    return out.select("o_orderkey", "n_big", "qty_big")
+
+
+Q181_SQL = """
+SELECT o_orderkey,
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_quantity > 25)
+            AS BIGINT) AS n_big,
+       CAST(COALESCE((SELECT sum(l_quantity) FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 25),
+                     0.0) AS DOUBLE) AS qty_big
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# --- q182: $merge whenMatched update pipeline (conflict-increment) --------------
+def q182_mongo_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's conflict-increment idiom: ``$merge`` with a
+    ``whenMatched`` UPDATE PIPELINE (``$set`` + ``$$new``) that adds
+    the incoming batch's counters onto the existing target row instead
+    of replacing it. Seed per-customer counters from 'F'-status orders
+    via ``$out``, then merge the 'O'-status aggregation with
+    ``{$set: {n: {$add: ["$n", "$$new.n"]}, ...}}`` — lowered to one
+    inner join + column expressions + ONE snapshot merge commit
+    (sources/mongoql.py::_merge_update_pipeline), never a per-doc
+    update loop. DECIMAL sums for cross-engine hash stability; the
+    oracle reproduces the final state as a FULL OUTER join."""
+    import tempfile
+
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "price_d", F.col("o_totalprice").cast("decimal(18,2)"))
+    path = f"{tempfile.mkdtemp(prefix='q182_')}/cnt"
+    targets = {"cnt": path}
+    apply_pipeline(orders, [
+        {"$match": {"o_orderstatus": "F"}},
+        {"$group": {"_id": "$o_custkey", "n": {"$sum": 1},
+                    "spend": {"$sum": "$price_d"}}},
+        {"$out": "cnt"},
+    ], targets=targets)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$group": {"_id": "$o_custkey", "n": {"$sum": 1},
+                    "spend": {"$sum": "$price_d"}}},
+        {"$merge": {"into": "cnt", "on": "_id",
+                    "whenMatched": [{"$set": {
+                        "n": {"$add": ["$n", "$$new.n"]},
+                        "spend": {"$add": ["$spend", "$$new.spend"]}}}],
+                    "whenNotMatched": "insert"}},
+    ], targets=targets)
+    return out.select(
+        "_id", "n",
+        F.round(F.col("spend").cast("double"), 2).alias("spend"))
+
+
+Q182_SQL = """
+WITH seed AS (
+  SELECT o_custkey AS _id, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+b AS (
+  SELECT o_custkey AS _id, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+SELECT COALESCE(s._id, b._id) AS _id,
+       CAST(COALESCE(s.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n,
+       round(CAST(COALESCE(s.spend, 0) + COALESCE(b.spend, 0)
+                  AS DOUBLE), 2) AS spend
+FROM seed s FULL OUTER JOIN b ON s._id = b._id
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1429,6 +1535,8 @@ QUERIES = {
     "q178_mongo_composite_group": q178_mongo_composite_group,
     "q179_mongo_linear_fill_rate": q179_mongo_linear_fill_rate,
     "q180_mongo_group_topn": q180_mongo_group_topn,
+    "q181_mongo_lookup_let": q181_mongo_lookup_let,
+    "q182_mongo_merge_update": q182_mongo_merge_update,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1461,6 +1569,8 @@ ORACLES = {
     "q178_mongo_composite_group": Q178_SQL,
     "q179_mongo_linear_fill_rate": Q179_SQL,
     "q180_mongo_group_topn": Q180_SQL,
+    "q181_mongo_lookup_let": Q181_SQL,
+    "q182_mongo_merge_update": Q182_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -1199,6 +1199,165 @@ def _bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         *[c for c in grouped.columns if c not in ("_id", "__mn", "__mx")])
 
 
+def _mentions_pipeline_var(v: Any) -> bool:
+    """True if any string in the (nested) expression references a ``$$``
+    pipeline variable — the conservative correlation detector for
+    ``$lookup`` sub-pipelines (a HOF-bound ``$$this`` also trips it;
+    that over-approximation only narrows the supported subset, never
+    silently mis-joins)."""
+    if isinstance(v, str):
+        return v.startswith("$$")
+    if isinstance(v, dict):
+        return any(_mentions_pipeline_var(x) for x in v.values())
+    if isinstance(v, list):
+        return any(_mentions_pipeline_var(x) for x in v)
+    return False
+
+
+def _split_lookup_correlation(expr: Any, let_vars: set[str]):
+    """Decompose a correlated ``$lookup`` leading ``$match`` ``$expr``
+    into (a) equality JOIN PAIRS ``(let_var, foreign_field)`` from
+    ``{$eq: ["$$var", "$field"]}`` conjuncts (either operand order) and
+    (b) residual NON-correlated conjuncts that stay a foreign-side
+    filter. Any other conjunct that still references a ``$$`` variable
+    is genuine non-equi correlation — raise with rewrite guidance
+    rather than guess (VERDICT r11 "Next round" #4 scopes the subset to
+    equality, which covers every FK edge in the reference's own DAGs,
+    mongo_to_postgres_migration.py:61-79)."""
+    conjs = (expr["$and"] if isinstance(expr, dict) and set(expr) == {"$and"}
+             else [expr])
+    pairs, residual = [], []
+    for c in conjs:
+        pair = None
+        if (isinstance(c, dict) and set(c) == {"$eq"}
+                and isinstance(c["$eq"], list) and len(c["$eq"]) == 2):
+            a, b = c["$eq"]
+            for x, y in ((a, b), (b, a)):
+                if (isinstance(x, str) and x.startswith("$$")
+                        and "." not in x[2:] and x[2:] in let_vars
+                        and isinstance(y, str) and y.startswith("$")
+                        and not y.startswith("$$")):
+                    pair = (x[2:], y[1:])
+                    break
+        if pair is not None:
+            pairs.append(pair)
+        elif _mentions_pipeline_var(c):
+            raise ValueError(
+                f"$lookup correlation {c!r} is not a let-var/foreign-field "
+                "equality; only {$eq: ['$$var', '$field']} conjuncts "
+                "decompile to a join — rewrite non-equi correlation as an "
+                "equality prefix plus a $filter over the joined array")
+        else:
+            residual.append(c)
+    if not pairs:
+        raise ValueError(
+            "$lookup with let: the pipeline's first $match $expr has no "
+            "{$eq: ['$$var', '$field']} conjunct to join on")
+    return pairs, residual
+
+
+def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
+                       collections: dict[str, DataFrame]) -> DataFrame:
+    """Correlated ``$lookup`` (``let`` + ``pipeline``, and the concise
+    ``localField``/``foreignField`` + ``pipeline`` form), EQUALITY
+    subset, decompiled to ONE distributed join — never a per-document
+    subquery loop:
+
+    1. the pipeline's leading ``$match`` ``$expr`` is split into
+       equality join pairs and residual foreign-side predicates
+       (:func:`_split_lookup_correlation`);
+    2. the residual sub-pipeline runs ONCE over the (filtered) foreign
+       collection — per-key grouping replaces Mongo's per-document
+       re-execution, valid because equality correlation makes the
+       sub-result a pure function of the key;
+    3. a terminal ``{$group: {_id: null, ...}}`` (the per-document
+       aggregate idiom) is rewritten to group by the FOREIGN KEY
+       columns via the existing :func:`_group` compiler, each key's
+       single result doc packed as a 1-element array (Mongo emits no
+       doc for an empty group — the empty-array coalesce reproduces
+       that);
+    4. otherwise matching docs pack per key (sorted — deterministic
+       beats Mongo's unspecified order, the $lookup convention);
+    5. one left equi-join on the outer ``let`` expressions, null-safe
+       (Mongo's $eq matches null to null).
+
+    Scale: identical shape to the plain equality $lookup — one shuffle
+    per side (or broadcast under AQE for a small packed side); the
+    sub-pipeline is evaluated |foreign| times total, not
+    |outer|×|matched| times. Subset contracts (raise, never silently
+    diverge): the first stage must be a ``$match`` containing ``$expr``;
+    residual stages may not reference ``$$`` let variables and must keep
+    the foreign join fields in scope (don't project them away)."""
+    foreign = collections[spec["from"]]
+    let = dict(spec.get("let", {}))
+    pipeline = list(spec["pipeline"])
+    out = spec["as"]
+    if "localField" in spec or "foreignField" in spec:
+        # concise correlated form = sugar for a let/$expr equality prefix
+        let["__lf"] = "$" + spec["localField"]
+        pipeline.insert(0, {"$match": {"$expr": {
+            "$eq": ["$$__lf", "$" + spec["foreignField"]]}}})
+    if not pipeline or set(pipeline[0]) != {"$match"} \
+            or "$expr" not in pipeline[0]["$match"]:
+        raise ValueError(
+            "$lookup with let: the pipeline must START with a $match "
+            "containing $expr so the correlation can decompile to a join")
+    match_spec = pipeline[0]["$match"]
+    pairs, residual_conjs = _split_lookup_correlation(
+        match_spec["$expr"], set(let))
+    rest = pipeline[1:]
+    if _mentions_pipeline_var(rest):
+        raise ValueError(
+            "$lookup with let: stages after the leading $match may not "
+            "reference $$ let variables (they would make the sub-result "
+            "per-document, not per-key) — move the reference into the "
+            "outer pipeline over the joined array")
+    pre: list[dict[str, Any]] = []
+    if residual_conjs:
+        pre.append({"$match": {"$expr": (
+            {"$and": residual_conjs} if len(residual_conjs) > 1
+            else residual_conjs[0])}})
+    plain = {k: v for k, v in match_spec.items() if k != "$expr"}
+    if plain:
+        pre.append({"$match": plain})
+    term_group = None
+    if rest and set(rest[-1]) == {"$group"} \
+            and rest[-1]["$group"].get("_id", ()) is None:
+        term_group = rest[-1]["$group"]
+        rest = rest[:-1]
+    sub = apply_pipeline(foreign, pre + rest, collections)
+    key_fields = [ff for _, ff in pairs]
+    missing = [f for f in key_fields if f not in sub.columns]
+    if missing:
+        raise ValueError(
+            f"$lookup with let: the sub-pipeline projected away the "
+            f"foreign join field(s) {missing} — keep them in the "
+            "$project and drop them in the outer pipeline instead")
+    lk = [f"__lk{i}" for i in range(len(pairs))]
+    if term_group is not None:
+        gspec = dict(term_group)
+        gspec["_id"] = {k: "$" + ff for k, ff in zip(lk, key_fields)}
+        grouped = _group(sub, gspec)
+        accs = [c for c in grouped.columns if c != "_id"]
+        packed = grouped.select(
+            *[F.col(f"_id.{k}").alias(k) for k in lk],
+            F.array(F.struct(F.lit(None).alias("_id"),
+                             *[F.col(c) for c in accs])).alias(out))
+    else:
+        packed = (sub
+                  .groupBy(*[F.col(ff).alias(k)
+                             for k, ff in zip(lk, key_fields)])
+                  .agg(F.sort_array(F.collect_list(
+                      F.struct(*sub.columns))).alias(out)))
+    cond = None
+    for k, (var, _) in zip(lk, pairs):
+        c = _expr(let[var]).eqNullSafe(F.col(k))
+        cond = c if cond is None else cond & c
+    empty = F.array().cast(packed.schema[out].dataType)
+    return (df.drop(out).join(packed, cond, "left").drop(*lk)
+            .withColumn(out, F.coalesce(F.col(out), empty)))
+
+
 def _graph_lookup(df: DataFrame, spec: dict[str, Any],
                   collections: dict[str, DataFrame] | None) -> DataFrame:
     """``$graphLookup``: breadth-first traversal of ``from`` starting
@@ -1331,6 +1490,57 @@ def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
     return read_snapshot(spark, path)
 
 
+def _merge_update_pipeline(tgt: DataFrame, matched: DataFrame,
+                           keys: list[str], stages: list[dict[str, Any]],
+                           batch_cols: list[str]) -> DataFrame:
+    """``$merge`` ``whenMatched`` UPDATE-PIPELINE subset
+    (``[{$set: {...}}, ...]``): evaluate each ``$set``/``$addFields``
+    stage over the MATCHED target rows, with bare ``$field`` refs
+    resolving to the existing target document and ``$$new`` to the
+    incoming batch document — Mongo's exact variable contract for this
+    form. Lowered as ONE inner join (matched batch rows packed into a
+    single ``__new`` struct, so column names never collide) + pure
+    column expressions; the conflict-increment idiom
+    ``{$set: {qty: {$add: ["$qty", "$$new.qty"]}}}`` stays inside
+    whole-stage codegen. Subset contracts (raise, never guess): stages
+    must be ``$set``/``$addFields``; no dotted paths; assigned fields
+    must already exist in the target schema (evolve with $out first)
+    and must not be ``on`` keys; each stage's expressions see the
+    PRE-stage state (Mongo stage semantics), sequential stages chain."""
+    packed = matched.select(
+        *keys, F.struct(*[F.col(c) for c in batch_cols]).alias("__new"))
+    up = tgt.join(packed, keys, "inner")
+    env = {"new": F.col("__new")}
+    for st in stages:
+        if not isinstance(st, dict) or len(st) != 1:
+            raise ValueError(f"malformed whenMatched pipeline stage: {st!r}")
+        (sop, sspec), = st.items()
+        if sop not in ("$set", "$addFields"):
+            raise ValueError(
+                f"whenMatched pipelines support $set/$addFields only, "
+                f"got {sop!r} — compute richer updates in the main "
+                "pipeline and use whenMatched: 'merge'")
+        assigns = {}
+        for fld, e in sspec.items():
+            if "." in fld:
+                raise ValueError(
+                    f"whenMatched $set of nested path {fld!r} is "
+                    "unsupported")
+            if fld in keys:
+                raise ValueError(
+                    f"whenMatched $set may not modify 'on' field {fld!r}")
+            if fld not in tgt.columns:
+                raise ValueError(
+                    f"whenMatched $set field {fld!r} absent from the "
+                    "target schema — evolve the target first ($out)")
+            assigns[fld] = _expr(e, env).cast(tgt.schema[fld].dataType)
+        # one select per stage: every expression sees the pre-stage state
+        up = up.select(*[
+            (assigns[c].alias(c) if c in assigns else F.col(c))
+            for c in up.columns])
+    return up.select(*tgt.columns)
+
+
 def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     """Terminal ``$out`` / ``$merge`` write stages — the reference's
     whole purpose is pipeline -> warehouse writes (ref
@@ -1347,6 +1557,10 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     -              merge        -> batch columns overwrite, target-only
                                    columns carry over (field-wise merge
                                    on a rectangular schema)
+    -              [pipeline]   -> $set/$addFields update pipeline over
+                                   the matched target rows, $$new bound
+                                   to the batch doc (snap targets only;
+                                   see _merge_update_pipeline)
     -              keepExisting -> matched batch rows dropped
     -              fail         -> error if any batch key matches
     - whenNotMatched insert / discard / fail analogously
@@ -1356,8 +1570,9 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     so readers see the old or the new state atomically. Deviations,
     documented: the batch must have at most one row per ``on`` key (a
     distributed engine has no doc order to break ties; Mongo errors on
-    multi-matches too), custom whenMatched update PIPELINES are
-    unsupported, and batch columns absent from the target's schema
+    multi-matches too), whenMatched update pipelines support the
+    $set/$addFields subset only (snap targets), and batch columns
+    absent from the target's schema
     raise (evolve the schema with $out/snap_overwrite first). Returns
     the target's post-write snapshot so pipelines remain composable
     for gating."""
@@ -1400,11 +1615,12 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     keys = [on] if isinstance(on, str) else list(on)
     wm = spec.get("whenMatched", "merge")
     wnm = spec.get("whenNotMatched", "insert")
-    if not isinstance(wm, str):
-        raise ValueError(
-            "$merge whenMatched update pipelines are unsupported — "
-            "compute the update in the main pipeline instead")
-    if wm not in ("replace", "keepExisting", "merge", "fail"):
+    wm_pipe = None
+    if isinstance(wm, list):
+        # update-pipeline form — validated and lowered per matched key
+        # by _merge_update_pipeline (snap targets only)
+        wm_pipe, wm = wm, "pipeline"
+    if wm not in ("replace", "keepExisting", "merge", "fail", "pipeline"):
         raise ValueError(f"unsupported whenMatched: {wm!r}")
     if wnm not in ("insert", "discard", "fail"):
         raise ValueError(f"unsupported whenNotMatched: {wnm!r}")
@@ -1493,6 +1709,9 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
                          "absent from the target")
     carry = [c for c in tgt.columns if c not in df.columns]
     parts = []
+    if wm == "pipeline":
+        parts.append(_merge_update_pipeline(tgt, matched, keys, wm_pipe,
+                                            df.columns))
     if wm in ("replace", "merge"):
         up = matched
         if carry:
@@ -1516,7 +1735,7 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         batch = batch.select(*tgt.columns)
-        if wm in ("replace", "merge"):
+        if wm in ("replace", "merge", "pipeline"):
             # uniqueness already enforced above — skip the second check
             snap_merge_keys(spark, path, batch, keys, note=f"$merge {wm}",
                             on_duplicate="keep_all")
@@ -1653,17 +1872,11 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                 raise ValueError(
                     f"$lookup needs collections={{{spec.get('from')!r}: "
                     "DataFrame}} passed to apply_pipeline")
-            if "let" in spec:
-                raise ValueError(
-                    "$lookup with let is a correlated subquery; rewrite "
-                    "the correlation as the equality form plus a $filter "
-                    "over the joined array")
+            if "let" in spec or ("pipeline" in spec
+                                 and "localField" in spec):
+                df = _correlated_lookup(df, spec, collections)
+                continue
             if "pipeline" in spec:
-                if "localField" in spec or "foreignField" in spec:
-                    raise ValueError(
-                        "$lookup concise correlated form (localField + "
-                        "pipeline) is unsupported: use the equality form "
-                        "then $filter/$map over the joined array")
                 # UNCORRELATED subquery attach (Mongo: no let, pipeline
                 # references no outer fields): run the sub-pipeline
                 # once, pack its rows into ONE sorted array row, and

@@ -249,10 +249,125 @@ def test_lookup_equality_join_semantics(spark):
         apply_pipeline(orders, [{"$lookup": {
             "from": "inventory", "localField": "item",
             "foreignField": "sku", "as": "stock"}}])
-    with pytest.raises(ValueError, match="correlated"):
+    # let with an EMPTY pipeline has no correlation to decompile
+    with pytest.raises(ValueError, match="START with a .match"):
         apply_pipeline(orders, [{"$lookup": {
             "from": "inventory", "let": {"i": "$item"}, "pipeline": [],
             "as": "stock"}}], collections={"inventory": inventory})
+
+
+def test_correlated_lookup_let_group(spark):
+    """$lookup with let + pipeline, equality subset: the leading $match
+    $expr equality decompiles to a join; a terminal $group {_id: null}
+    becomes a per-key aggregate; empty groups yield [] like Mongo."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, "apple"), (2, "pear"), (3, "nothing")], ["_id", "item"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B"), ("pear", 7, "A"),
+         ("apple", 99, "X")],  # wh X filtered by the residual predicate
+        ["sku", "qty", "wh"])
+
+    out = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory",
+        "let": {"it": "$item"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$$it", "$sku"]},
+                {"$ne": ["$wh", "X"]},      # residual, non-correlated
+            ]}}},
+            {"$group": {"_id": None, "total": {"$sum": "$qty"},
+                        "n": {"$sum": 1}}},
+        ],
+        "as": "stock"}}], collections={"inventory": inventory})
+    rows = {r._id: r.stock for r in out.collect()}
+    assert [(s.total, s.n) for s in rows[1]] == [(15, 2)]
+    assert [(s.total, s.n) for s in rows[2]] == [(7, 1)]
+    assert rows[3] == []            # $group over zero docs emits no doc
+
+    # reversed operand order ({$eq: ['$field', '$$var']}) joins the same
+    out2 = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$sku", "$$it"]}}},
+            {"$group": {"_id": None, "total": {"$sum": "$qty"}}},
+        ],
+        "as": "stock"}}], collections={"inventory": inventory})
+    assert {r._id: [s.total for s in r.stock]
+            for r in out2.collect()} == {1: [114], 2: [7], 3: []}
+
+
+def test_correlated_lookup_rowlocal_and_concise(spark):
+    """Row-local residual stages apply per matched doc; the concise
+    correlated form (localField/foreignField + pipeline) is sugar for
+    the let/$expr equality prefix."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, "apple"), (2, "pear"), (3, "nothing")], ["_id", "item"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B"), ("pear", 7, "A")],
+        ["sku", "qty", "wh"])
+
+    out = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+            {"$addFields": {"qty2": {"$multiply": ["$qty", 2]}}},
+            {"$match": {"qty2": {"$gte": 14}}},
+        ],
+        "as": "stock"}}], collections={"inventory": inventory})
+    rows = {r._id: r.stock for r in out.collect()}
+    assert sorted((s.sku, s.qty2) for s in rows[1]) == [("apple", 20)]
+    assert [(s.sku, s.qty2) for s in rows[2]] == [("pear", 14)]
+    assert rows[3] == []
+
+    concise = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "localField": "item", "foreignField": "sku",
+        "pipeline": [{"$group": {"_id": None, "mx": {"$max": "$qty"}}}],
+        "as": "stock"}}], collections={"inventory": inventory})
+    assert {r._id: [s.mx for s in r.stock]
+            for r in concise.collect()} == {1: [10], 2: [7], 3: []}
+
+
+def test_correlated_lookup_raise_paths(spark):
+    """Subset contracts raise with guidance, never silently diverge:
+    non-equi correlation, $$ refs after the leading $match, and a
+    sub-pipeline that projects away the join field."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame([(1, "apple", 6)],
+                                   ["_id", "item", "minq"])
+    inventory = spark.createDataFrame([("apple", 10)], ["sku", "qty"])
+    coll = {"inventory": inventory}
+
+    with pytest.raises(ValueError, match="not a let-var"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "let": {"q": "$minq"},
+            "pipeline": [{"$match": {"$expr": {"$and": [
+                {"$eq": ["$$q", "$qty"]},
+                {"$gt": ["$qty", "$$q"]}]}}}],
+            "as": "s"}}], collections=coll)
+    with pytest.raises(ValueError, match="stages after the leading"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "let": {"it": "$item"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+                {"$addFields": {"d": {"$concat": ["$$it", "!"]}}}],
+            "as": "s"}}], collections=coll)
+    with pytest.raises(ValueError, match="projected away"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "let": {"it": "$item"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+                {"$project": {"qty": 1, "_id": 0}}],
+            "as": "s"}}], collections=coll)
+    with pytest.raises(ValueError, match="no .*conjunct to join"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "let": {"it": "$item"},
+            "pipeline": [{"$match": {"$expr": {"$gt": [1, 0]}}}],
+            "as": "s"}}], collections=coll)
 
 
 def test_match_is_type_bracketed_like_mongo(spark):
@@ -790,10 +905,81 @@ def test_merge_stage_mode_matrix(spark, tmp_path):
     with pytest.raises(ValueError, match="missing from"):
         apply_pipeline(batch.drop("_id"), [{"$merge": "tm"}],
                        targets={"tm": t})
-    with pytest.raises(ValueError, match="update pipelines"):
+    # the $set update-pipeline form is now a real mode, not a raise —
+    # covered by test_merge_when_matched_update_pipeline below
+
+
+def test_merge_when_matched_update_pipeline(spark, tmp_path):
+    """$merge whenMatched UPDATE-PIPELINE ($set subset): bare $field
+    refs read the existing target row, $$new the incoming batch doc —
+    the conflict-increment idiom; unmatched rows still insert; staged
+    $set chains; subset contracts raise with guidance."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import (
+        snapshots as S,
+    )
+
+    def seed(name):
+        t = str(tmp_path / name)
+        S.snap_append(spark, t, spark.createDataFrame(
+            [("a", 10, 1.0), ("b", 20, 2.0)],
+            "_id string, qty int, score double"))
+        return t
+
+    batch = spark.createDataFrame(
+        [("a", 5, 9.0), ("c", 7, 3.0)], "_id string, qty int, score double")
+
+    # conflict-increment: qty accumulates, score takes the new value
+    t = seed("up_inc")
+    out = apply_pipeline(batch, [{"$merge": {
+        "into": "tm",
+        "whenMatched": [{"$set": {
+            "qty": {"$add": ["$qty", "$$new.qty"]},
+            "score": "$$new.score"}}],
+    }}], targets={"tm": t})
+    want = [("a", 15, 9.0), ("b", 20, 2.0), ("c", 7, 3.0)]
+    assert sorted((r._id, r.qty, r.score)
+                  for r in S.read_snapshot(spark, t).collect()) == want
+    assert sorted((r._id, r.qty, r.score) for r in out.collect()) == want
+
+    # staged $set chains: stage 2 sees stage 1's assignment
+    t = seed("up_chain")
+    apply_pipeline(batch, [{"$merge": {
+        "into": "tm", "whenNotMatched": "discard",
+        "whenMatched": [
+            {"$set": {"qty": {"$add": ["$qty", "$$new.qty"]}}},
+            {"$set": {"score": {"$multiply": ["$qty", 2]}}},
+        ],
+    }}], targets={"tm": t})
+    assert sorted((r._id, r.qty, r.score)
+                  for r in S.read_snapshot(spark, t).collect()) == \
+        [("a", 15, 30.0), ("b", 20, 2.0)]
+
+    # whenNotMatched fail still guards; matched-only batch passes
+    t = seed("up_fail")
+    with pytest.raises(ValueError, match="whenNotMatched='fail'"):
         apply_pipeline(batch, [{"$merge": {
-            "into": "tm", "whenMatched": [{"$set": {"x": 0}}]}}],
-            targets={"tm": t})
+            "into": "tm", "whenNotMatched": "fail",
+            "whenMatched": [{"$set": {"qty": "$$new.qty"}}],
+        }}], targets={"tm": t})
+
+    # subset contracts
+    t = seed("up_err")
+    for bad, msg in [
+        ([{"$unset": "qty"}], "set/.addFields only"),
+        ([{"$set": {"a.b": 1}}], "nested path"),
+        ([{"$set": {"_id": "x"}}], "may not modify"),
+        ([{"$set": {"nope": 1}}], "absent from the target"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            apply_pipeline(batch, [{"$merge": {
+                "into": "tm", "whenMatched": bad}}], targets={"tm": t})
+    # lake/jdbc targets don't support the pipeline form
+    with pytest.raises(ValueError, match="snap target"):
+        apply_pipeline(batch, [{"$merge": {
+            "into": "lk", "whenMatched": [{"$set": {"qty": 1}}]}}],
+            targets={"lk": {"kind": "lake",
+                            "path": str(tmp_path / "lk"),
+                            "partition_col": "_id"}})
 
 
 def test_expression_array_hofs_and_let(spark):
@@ -1054,15 +1240,19 @@ def test_match_expr_and_uncorrelated_lookup(apps, spark):
     assert all(sorted((s._id, s.n) for s in r.stats) ==
                [("closed", 3), ("open", 2)] for r in rows)
 
-    with pytest.raises(ValueError, match="correlated"):
+    # correlated forms with an EMPTY pipeline have nothing to join on
+    with pytest.raises(ValueError, match="START with a .match"):
         apply_pipeline(apps, [{"$lookup": {
             "from": "apps", "as": "x", "let": {"s": "$status"},
             "pipeline": []}}], collections={"apps": apps})
-    with pytest.raises(ValueError, match="concise"):
-        apply_pipeline(apps, [{"$lookup": {
-            "from": "apps", "as": "x", "localField": "status",
-            "foreignField": "status", "pipeline": []}}],
-            collections={"apps": apps})
+    # the concise correlated form now works — sugar for the let prefix
+    concise = apply_pipeline(apps, [{"$lookup": {
+        "from": "apps", "as": "x", "localField": "status",
+        "foreignField": "status",
+        "pipeline": [{"$group": {"_id": None, "n": {"$sum": 1}}}]}}],
+        collections={"apps": apps})
+    assert {(r.status, r.x[0].n) for r in concise.collect()} == {
+        ("open", 2), ("closed", 3)}
 
 
 def test_merge_out_lake_and_jdbc_targets(spark, tmp_path):
