@@ -1508,6 +1508,54 @@ FROM seed s FULL OUTER JOIN b ON s._id = b._id
 """
 
 
+# --- q183: calendar range window (trailing 3 months) ----------------------------
+def q183_mongo_calendar_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-month revenue per order priority — ``$setWindowFields``
+    with a CALENDAR range unit (``{range: [-2, 0], unit: "month"}``):
+    per-month revenue via ``$dateTrunc``+``$group`` (so sort values are
+    month-aligned, the calendar-frame contract), then the window runs on
+    the months-since-epoch integer key — one shuffle for the group, one
+    for the window partition, no self-join. Oracle uses DuckDB's native
+    variable-width frame (RANGE BETWEEN INTERVAL 2 MONTH PRECEDING),
+    i.e. Mongo's exact semantics — the gate proves the months-key
+    lowering matches it on aligned data. DECIMAL sums for hash
+    stability."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "price_d", F.col("o_totalprice").cast("decimal(18,2)"))
+    out = apply_pipeline(orders, [
+        {"$group": {"_id": {"pri": "$o_orderpriority",
+                            "m": {"$dateTrunc": {"date": "$o_orderdate",
+                                                 "unit": "month"}}},
+                    "rev": {"$sum": "$price_d"}}},
+        {"$addFields": {"pri": "$_id.pri", "m": "$_id.m"}},
+        {"$setWindowFields": {
+            "partitionBy": "$pri", "sortBy": {"m": 1},
+            "output": {"rev3": {"$sum": "$rev",
+                                "window": {"range": [-2, 0],
+                                           "unit": "month"}}}}},
+    ])
+    return out.select(
+        "pri", F.col("m").cast("date").alias("m"),
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(F.col("rev3").cast("double"), 2).alias("rev3"))
+
+
+Q183_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS pri,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT pri, m,
+       round(CAST(rev AS DOUBLE), 2) AS rev,
+       round(CAST(sum(rev) OVER (
+           PARTITION BY pri ORDER BY m
+           RANGE BETWEEN INTERVAL 2 MONTH PRECEDING AND CURRENT ROW)
+         AS DOUBLE), 2) AS rev3
+FROM monthly
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1537,6 +1585,7 @@ QUERIES = {
     "q180_mongo_group_topn": q180_mongo_group_topn,
     "q181_mongo_lookup_let": q181_mongo_lookup_let,
     "q182_mongo_merge_update": q182_mongo_merge_update,
+    "q183_mongo_calendar_window": q183_mongo_calendar_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1571,6 +1620,7 @@ ORACLES = {
     "q180_mongo_group_topn": Q180_SQL,
     "q181_mongo_lookup_let": Q181_SQL,
     "q182_mongo_merge_update": Q182_SQL,
+    "q183_mongo_calendar_window": Q183_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -822,12 +822,29 @@ def _wf_bound(v, lower: bool, scale_ms: int | None = None):
     return int(v)
 
 
-#: Fixed-width $setWindowFields range units -> milliseconds. Calendar
-#: units (year/quarter/month) have no fixed width, so a constant
-#: rangeBetween frame cannot express them — they raise below.
+#: Fixed-width $setWindowFields range units -> milliseconds.
 _WF_UNIT_MS = {"week": 604_800_000, "day": 86_400_000,
                "hour": 3_600_000, "minute": 60_000,
                "second": 1_000, "millisecond": 1}
+
+#: Calendar $setWindowFields range units -> months. These have no fixed
+#: millisecond width; they lower onto a months-since-epoch sort key
+#: instead (see the calendar branch in _set_window_fields).
+_WF_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _wf_month_bound(v, lower: bool, scale: int):
+    from pyspark.sql import Window
+
+    if v == "unbounded":
+        return Window.unboundedPreceding if lower \
+            else Window.unboundedFollowing
+    if v == "current":
+        return Window.currentRow
+    if float(v) != int(v):
+        raise ValueError(
+            f"calendar range bound must be an integer, got {v!r}")
+    return int(v) * scale
 
 
 def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -937,20 +954,50 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 # from the ORDER KEY only (output rows keep full
                 # precision); fixed-width units only — year/quarter/
                 # month vary in length and raise.
+                sort_field = next(iter(sortby))
                 scale = _WF_UNIT_MS.get(unit)
-                if scale is None:
+                if scale is not None:
+                    # TIMESTAMP_NTZ cannot cast straight to a number —
+                    # via timestamp; double epoch seconds keep ~0.4 us
+                    # precision for current epochs, exact at ms grain
+                    key = (F.col(sort_field).cast("timestamp")
+                           .cast("double") * 1000).cast("long")
+                    w = base.orderBy(key.asc()).rangeBetween(
+                        _wf_bound(lo, True, scale),
+                        _wf_bound(hi, False, scale))
+                elif unit in _WF_UNIT_MONTHS:
+                    # CALENDAR range (Mongo 5.0: trailing-N-month/
+                    # quarter/year windows): months have no fixed ms
+                    # width, so the frame runs on a MONTHS-SINCE-EPOCH
+                    # integer key. Exact Mongo parity holds only when
+                    # every sort value is month-aligned (Mongo anchors
+                    # the boundary at the current doc's day-of-month;
+                    # a constant-width Spark frame cannot follow that
+                    # for mid-month values) — so alignment is ENFORCED
+                    # per row with raise_error inside the key
+                    # expression (distributed, zero extra pass, the
+                    # $bucket contract pattern). Trailing-N-month
+                    # pipelines are post-aggregation monthly series in
+                    # practice — $dateTrunc the sort field first.
+                    ts = F.col(sort_field).cast("timestamp")
+                    months = ((F.year(ts) - F.lit(1970)) * 12
+                              + F.month(ts) - 1).cast("long")
+                    key = F.when(
+                        ts.eqNullSafe(F.date_trunc("month", ts)), months
+                    ).otherwise(F.raise_error(F.concat(
+                        F.lit(f"calendar range unit {unit!r} needs "
+                              f"month-aligned sort values; $dateTrunc "
+                              f"'{sort_field}' first — got "),
+                        ts.cast("string"))))
+                    mscale = _WF_UNIT_MONTHS[unit]
+                    w = base.orderBy(key.asc()).rangeBetween(
+                        _wf_month_bound(lo, True, mscale),
+                        _wf_month_bound(hi, False, mscale))
+                else:
                     raise ValueError(
                         f"unsupported $setWindowFields range unit: "
-                        f"{unit!r} (fixed-width units only: "
-                        f"{sorted(_WF_UNIT_MS)})")
-                sort_field = next(iter(sortby))
-                # TIMESTAMP_NTZ cannot cast straight to a number — via
-                # timestamp; double epoch seconds keep ~0.4 us precision
-                # for current epochs, exact at ms grain
-                key = (F.col(sort_field).cast("timestamp")
-                       .cast("double") * 1000).cast("long")
-                w = base.orderBy(key.asc()).rangeBetween(
-                    _wf_bound(lo, True, scale), _wf_bound(hi, False, scale))
+                        f"{unit!r} (supported: "
+                        f"{sorted(_WF_UNIT_MS) + sorted(_WF_UNIT_MONTHS)})")
             else:
                 w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
         else:

@@ -711,7 +711,7 @@ def test_set_window_fields_range_unit(spark):
                                   "output": {"s": {"$sum": "$v",
                                                    "window": {
                                                        "range": [-1, 0],
-                                                       "unit": "month"}}}}}])
+                                                       "unit": "fortnight"}}}}}])
     with pytest.raises(ValueError, match="applies to range"):
         apply_pipeline(ev, [
             {"$setWindowFields": {"sortBy": {"ts": 1},
@@ -726,6 +726,60 @@ def test_set_window_fields_range_unit(spark):
                                                    "window": {
                                                        "documents": [0, 0],
                                                        "range": [0, 0]}}}}}])
+
+
+def test_set_window_fields_calendar_range(spark):
+    """Calendar range units (month/quarter/year, Mongo 5.0): trailing-N
+    windows on a MONTHS-SINCE-EPOCH key — gaps in the series honored
+    (unlike a documents frame), quarter/year scale in months, and a
+    non-month-aligned sort value raises AT RUNTIME (exact Mongo parity
+    needs day-anchored arithmetic a constant-width frame can't do)."""
+    from datetime import datetime as dt
+
+    m = spark.createDataFrame(
+        [("a", dt(2023, 11, 1), 1), ("a", dt(2023, 12, 1), 2),
+         ("a", dt(2024, 1, 1), 4),
+         # gap: feb missing — apr's trailing-3mo window excludes jan
+         ("a", dt(2024, 4, 1), 8),
+         ("b", dt(2024, 1, 1), 100)],
+        "k string, m timestamp, v int")
+    out = apply_pipeline(m, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"m": 1},
+            "output": {
+                "s3": {"$sum": "$v", "window": {"range": [-2, 0],
+                                                "unit": "month"}},
+                "sq": {"$sum": "$v", "window": {"range": [-1, 0],
+                                                "unit": "quarter"}},
+                "sy": {"$sum": "$v", "window": {"range": ["unbounded", 0],
+                                                "unit": "year"}},
+            }}}])
+    got = {(r.k, r.v): (r.s3, r.sq, r.sy) for r in out.collect()}
+    assert got == {
+        ("a", 1): (1, 1, 1),       # nov23
+        ("a", 2): (3, 3, 3),       # dec23: nov+dec
+        ("a", 4): (7, 7, 7),       # jan24: nov+dec+jan (3mo & 1q back)
+        ("a", 8): (8, 12, 15),     # apr24: 3mo=apr only; q back=jan+apr
+        ("b", 100): (100, 100, 100),
+    }
+
+    # non-month-aligned sort value -> runtime raise (distributed check)
+    bad = spark.createDataFrame([("a", dt(2024, 1, 15), 1)],
+                                "k string, m timestamp, v int")
+    out_bad = apply_pipeline(bad, [
+        {"$setWindowFields": {
+            "sortBy": {"m": 1},
+            "output": {"s": {"$sum": "$v", "window": {
+                "range": [-1, 0], "unit": "month"}}}}}])
+    with pytest.raises(Exception, match="month-aligned"):
+        out_bad.collect()
+
+    with pytest.raises(ValueError, match="integer"):
+        apply_pipeline(m, [
+            {"$setWindowFields": {
+                "sortBy": {"m": 1},
+                "output": {"s": {"$sum": "$v", "window": {
+                    "range": [-1.5, 0], "unit": "month"}}}}}])
 
 
 def test_facet_shared_scan(apps):
