@@ -299,11 +299,13 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             lambda acc, x: _expr(arg["in"],
                                  {**(env or {}), "value": acc, "this": x}))
     if op == "$let":
-        scope = dict(env or {})
-        for name, vexpr in arg["vars"].items():
-            # Mongo $let vars may reference earlier vars in the same doc
-            scope[name] = _expr(vexpr, scope)
-        return _expr(arg["in"], scope)
+        # Mongo resolves every vars expression against the OUTER scope
+        # (a var shadowing an outer binding must not be visible to its
+        # sibling vars — sequential scoping would silently change
+        # results); only 'in' sees the new bindings
+        bound = {name: _expr(vexpr, env)
+                 for name, vexpr in arg["vars"].items()}
+        return _expr(arg["in"], {**(env or {}), **bound})
     if op == "$range":
         ops = args()
         s, e = ops[0], ops[1]
@@ -346,8 +348,14 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if len(ops) == 3:
             a, pos, n = ops
             # 3-arg: position may be negative (from the end), n > 0;
-            # Spark's slice start is 1-based / negative-from-end too
-            return F.slice(a, F.when(pos >= 0, pos + 1).otherwise(pos), n)
+            # Spark's slice start is 1-based / negative-from-end too.
+            # Mongo CLAMPS a negative position beyond the length to the
+            # array start ({$slice: [[1,2,3], -10, 2]} -> [1,2]) where
+            # Spark returns [] — clamp like the 2-arg branch, with the
+            # same -1 pin so empty arrays never hit Spark's illegal
+            # start-0 (and still yield [], Mongo's answer)
+            neg = F.least(F.lit(-1), F.greatest(-F.size(a), pos))
+            return F.slice(a, F.when(pos >= 0, pos + 1).otherwise(neg), n)
         raise ValueError("$slice expects [array, n] or [array, pos, n]")
     if op in ("$setUnion", "$setIntersection", "$setDifference"):
         fn = {"$setUnion": F.array_union,
@@ -1205,8 +1213,17 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     if explicit:
         # Mongo's explicit bounds are half-open [lo, hi)
         grid = grid.filter(F.col(f) < hi)
-    new_rows = grid.join(df.select(*parts, f).dropDuplicates(parts + [f]),
-                         parts + [f], "left_anti")
+    # NULL-SAFE anti join: a using-columns join is null-unsafe, so rows
+    # whose partitionByFields value is NULL would never match and the
+    # grid would re-insert values that already exist in the null
+    # partition — build the condition with eqNullSafe instead
+    exist = df.select(*parts, f).dropDuplicates(parts + [f]).alias("__dex")
+    galias = grid.alias("__dgr")
+    cond = None
+    for c in parts + [f]:
+        eq = F.col(f"__dgr.{c}").eqNullSafe(F.col(f"__dex.{c}"))
+        cond = eq if cond is None else cond & eq
+    new_rows = galias.join(exist, cond, "left_anti")
     return df.unionByName(new_rows, allowMissingColumns=True)
 
 
@@ -1499,6 +1516,12 @@ def _facet(df: DataFrame, spec: dict[str, Any],
         one = sub_df.agg(F.sort_array(F.collect_list(F.struct(
             *[F.col(c) for c in sub_df.columns]))).alias(name))
         acc = one if acc is None else acc.crossJoin(one)
+    # the facet output is ONE document by design, so materialize it
+    # eagerly (cheap) and release the shared-scan cache — without this
+    # every $facet pins its input in block storage for the session
+    # lifetime
+    acc = acc.localCheckpoint(eager=True)
+    df.unpersist()
     return acc
 
 

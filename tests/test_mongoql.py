@@ -785,8 +785,12 @@ def test_set_window_fields_calendar_range(spark):
 def test_facet_shared_scan(apps):
     """$facet: N sub-pipelines over one persisted input collapse into a
     single document of arrays; results equal the sub-pipelines run
-    independently; the plan proves the shared scan (InMemoryTableScan
-    per facet); Mongo's banned-stage rule enforced."""
+    independently; the shared-scan cache is RELEASED once the facet doc
+    materializes (eager localCheckpoint — a long-lived session must not
+    accumulate pinned blocks per $facet); Mongo's banned-stage rule
+    enforced."""
+    spark = apps.sparkSession
+    spark.catalog.clearCache()
     spec = {
         "by_status": [{"$sortByCount": "$status"}],
         "big": [{"$match": {"amount": {"$gte": 30.0}}},
@@ -807,9 +811,13 @@ def test_facet_shared_scan(apps):
     for name, sub in spec.items():
         indep = apply_pipeline(apps, sub).collect()
         assert len(r[name]) == len(indep)
-    # shared scan: each facet reads the persisted input, not the source
+    # leak gate: the facet document is already materialized (eager) and
+    # the shared-scan cache released — nothing left in the CacheManager
+    # (the sub-pipelines DID read one persisted input during
+    # materialization; post-hoc the plan shows the checkpointed rows)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 3
+    assert "Scan ExistingRDD" in plan
 
     # composes with $project expression ops over the facet arrays
     sizes = apply_pipeline(apps, [
@@ -1059,15 +1067,23 @@ def test_expression_array_hofs_and_let(spark):
                            "in": {"$reduce": {
                                "input": "$xs", "initialValue": 0,
                                "in": {"$add": ["$$value", "$$x"]}}}}},
-        "lt": {"$let": {"vars": {"a": {"$size": "$xs"},
-                                 "b": {"$add": ["$$a", 1]}},
-                        "in": {"$multiply": ["$$a", "$$b"]}}},
+        # nested $let: inner vars evaluate against the OUTER scope —
+        # 'b' sees the outer a, not the sibling rebinding (Mongo's
+        # scoping, verified live; sequential scoping silently diverges)
+        "lt": {"$let": {"vars": {"a": {"$size": "$xs"}},
+                        "in": {"$let": {
+                            "vars": {"a": {"$add": ["$$a", 1]},
+                                     "b": "$$a"},
+                            "in": {"$multiply": ["$$a", "$$b"]}}}}},
         "rng": {"$range": [0, 10, 5]},
         "rng_empty": {"$range": [5, 5]},
         "rng_neg": {"$range": [5, 0, -2]},
         "fst": {"$first": "$xs"}, "lst": {"$last": "$xs"},
         "sl2": {"$slice": ["$xs", -2]},
         "sl3": {"$slice": ["$xs", 1, 2]},
+        # negative position beyond the length clamps to the start
+        # (Mongo: [[1,2,3], -10, 2] -> [1,2]), never []
+        "sl3n": {"$slice": ["$xs", -10, 2]},
         "su": {"$setUnion": ["$xs", [2, 99]]},
         "idx": {"$indexOfArray": ["$xs", 2]},
         "icp": {"$indexOfCP": ["$s", "o"]},
@@ -1085,12 +1101,15 @@ def test_expression_array_hofs_and_let(spark):
     assert (r[1].tot, r[2].tot, r[3].tot) == (6, 5, 0)
     # cross: for each x, sum over xs of x = x * len(xs)
     assert r[1].cross == [3, 6, 9]
+    # a(outer)=3 -> inner a=4, b=outer a=3 -> 12; empty: a=0,b=0? no —
+    # inner a=1, b=0 -> 0
     assert (r[1].lt, r[3].lt) == (12, 0)
     assert r[1].rng == [0, 5] and r[1].rng_empty == [] \
         and r[1].rng_neg == [5, 3, 1]
     assert (r[1].fst, r[1].lst, r[3].fst, r[3].lst) == (1, 3, None, None)
     assert r[1].sl2 == [2, 3] and r[1].sl3 == [2, 3]
     assert r[2].sl2 == [10, -5] and r[3].sl2 == []   # clamp + empty edge
+    assert r[1].sl3n == [1, 2] and r[3].sl3n == []   # 3-arg clamp
     assert r[1].su == [1, 2, 3, 99] and r[3].su == [2, 99]
     assert (r[1].idx, r[2].idx) == (1, -1)
     assert (r[1].icp, r[2].icp, r[3].icp) == (4, 1, -1)
@@ -1099,6 +1118,12 @@ def test_expression_array_hofs_and_let(spark):
 
     with pytest.raises(ValueError, match="unknown pipeline variable"):
         apply_pipeline(df, [{"$addFields": {"bad": {"$add": ["$$nope", 1]}}}])
+    # a vars entry referencing a SIBLING var is undefined in Mongo
+    # (vars resolve against the outer scope) — raise, don't sequence
+    with pytest.raises(ValueError, match="unknown pipeline variable"):
+        apply_pipeline(df, [{"$addFields": {"bad": {"$let": {
+            "vars": {"a": 1, "b": {"$add": ["$$a", 1]}},
+            "in": "$$b"}}}}])
     with pytest.raises(ValueError, match="ROOT"):
         apply_pipeline(df, [{"$addFields": {"bad": "$$ROOT"}}])
 
@@ -1186,6 +1211,17 @@ def test_densify_stage(spark):
     assert sorted((r.p, r.n) for r in expl.collect()) == [
         ("x", 0), ("x", 3), ("x", 5), ("x", 10),
         ("y", 0), ("y", 5), ("y", 10), ("y", 12)]
+
+    # NULL partition keys: the anti-join must be null-safe, or the grid
+    # re-inserts values that already exist in the null partition
+    dfn = spark.createDataFrame([(None, 0), (None, 3), ("x", 0), ("x", 2)],
+                                "p string, n int")
+    outn = apply_pipeline(dfn, [{"$densify": {
+        "field": "n", "partitionByFields": ["p"],
+        "range": {"step": 1, "bounds": "partition"}}}])
+    got = sorted(((r.p or ""), r.n) for r in outn.collect())
+    assert got == [("", 0), ("", 1), ("", 2), ("", 3),
+                   ("x", 0), ("x", 1), ("x", 2)]
 
     ts = spark.createDataFrame([(dt(2024, 1, 31),), (dt(2024, 4, 30),)],
                                "t timestamp")
