@@ -678,6 +678,23 @@ def _topn_agg(op: str, agg: dict) -> Column:
       never a per-group row_number shuffle. Single sort field (struct
       sort_array orders every field the same way, so a mixed-direction
       compound key cannot be expressed — raise).
+
+    MEMORY BOUND, documented: the N-ary forms (and ``$push``/
+    ``$addToSet``) buffer O(group size) rows in the aggregation buffer
+    — collect_list materializes the whole group before the slice, on
+    the map side (partial agg) as well as the reduce side. Mongo's
+    bounded heap is O(n). There is NO partial-agg-safe bounded top-k in
+    Spark's built-ins: a map-side ``slice(sort_array(...))`` pre-cut is
+    not merge-correct (two partial top-n slices can drop globally-top
+    rows only when combined with non-slice accumulators in the same
+    buffer — and Catalyst offers no per-accumulator partial override),
+    so a pathological group (one key with 10^8 rows) can OOM the
+    buffer. For large-group regimes rewrite as the bounded two-shuffle
+    shape the engine already provides: ``$setWindowFields`` ``$rank``
+    over the sort key + ``$match {rank: {$lte: n}}`` + ``$group``
+    ``$push`` of the survivors — the window sort SPILLS to disk, so
+    memory stays bounded at any group size. ``$top``/``$bottom``
+    (scalar min_by/max_by) are O(1) and safe at any skew.
     """
     sort_by = agg["sortBy"]
     if len(sort_by) != 1:
@@ -1227,27 +1244,97 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.unionByName(new_rows, allowMissingColumns=True)
 
 
+#: $bucketAuto granularity preferred-number series (Renard / 1-2-5 /
+#: E-series bases; POWERSOF2 handled analytically in _gran_round).
+_GRAN_SERIES = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8, 3.15,
+            3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+    "R40": [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8,
+            1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
+            3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3,
+            6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5],
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1],
+}
+
+
+def _gran_round(x: float, series: str, up: bool) -> float:
+    """Preferred-number rounding, Mongo's GranularityRounder contract:
+    ``up`` returns the series value STRICTLY greater than x, ``down``
+    the one strictly less (a value already on a series number still
+    moves to its neighbor — Mongo's rounder behaves this way so bucket
+    boundaries always separate); 0 maps to 0, negatives raise (the
+    documented granularity restriction)."""
+    import math
+
+    if x == 0:
+        return 0.0
+    if x < 0:
+        raise ValueError(
+            "$bucketAuto granularity requires non-negative values")
+    tol = 1e-9
+    if series == "POWERSOF2":
+        e = math.log2(x)
+        k = (math.floor(e + tol) + 1) if up else (math.ceil(e - tol) - 1)
+        return float(2.0 ** k)
+    base = _GRAN_SERIES[series]
+    k = int(math.floor(math.log10(x)))
+    cands = sorted(b * (10.0 ** p) for p in (k - 1, k, k + 1)
+                   for b in base)
+    if up:
+        return next(c for c in cands if c > x * (1 + tol))
+    prev = cands[0] / 10.0
+    for c in cands:
+        if c < x * (1 - tol):
+            prev = c
+        else:
+            break
+    return prev
+
+
 def _bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$bucketAuto``: ~equal-population buckets. Boundaries are exact
     percentiles of the groupBy expression (ONE distributed sort-based
-    aggregate; the driver sees only the <=N-1 boundary scalars), then
-    assignment is a branch-free running comparison — no global
-    row_number window, so the stage scales like any groupBy.
-    Deviations, documented: boundaries interpolate between data points
-    (Mongo picks data values and supports ``granularity`` rounding —
-    unsupported here), and ``_id`` bounds are each bucket's observed
-    min/max (closed), where Mongo's upper bound is the next bucket's
-    lower. Null groupBy values land in the first bucket, as in Mongo."""
-    if spec.get("granularity"):
-        raise ValueError("$bucketAuto granularity is unsupported")
+    aggregate; the driver sees only the <=N-1 boundary scalars plus the
+    global min/max), then assignment is a branch-free running
+    comparison — no global row_number window, so the stage scales like
+    any groupBy. With ``granularity``, each percentile boundary rounds
+    UP to the preferred-number series and the first bucket's min rounds
+    DOWN (driver-side math on the scalars; _gran_round), ``_id`` bounds
+    become the rounded series values and buckets absorb Mongo-style
+    (collapsed boundaries just mean fewer buckets). Deviations,
+    documented: without granularity, boundaries interpolate between
+    data points (Mongo picks data values) and ``_id`` bounds are each
+    bucket's observed min/max (closed), where Mongo's upper bound is
+    the next bucket's lower. Null groupBy values land in the first
+    bucket, as in Mongo."""
+    gran = spec.get("granularity")
+    if gran is not None and gran != "POWERSOF2" \
+            and gran not in _GRAN_SERIES:
+        raise ValueError(
+            f"unsupported $bucketAuto granularity {gran!r} (supported: "
+            f"{sorted(_GRAN_SERIES) + ['POWERSOF2']})")
     gb = _expr(spec["groupBy"])
     n = int(spec["buckets"])
     if n < 1:
         raise ValueError("$bucketAuto needs buckets >= 1")
     row = df.select(gb.alias("__g")).agg(
         F.percentile("__g", F.lit([i / n for i in range(1, n)]))
-        .alias("bs")).collect()[0]
+        .alias("bs"),
+        F.min("__g").alias("mn"), F.max("__g").alias("mx")).collect()[0]
     bs = sorted({b for b in (row["bs"] or []) if b is not None})
+    bounds = None
+    if gran is not None and row["mn"] is not None:
+        lo = _gran_round(float(row["mn"]), gran, up=False)
+        hi = _gran_round(float(row["mx"]), gran, up=True)
+        rb = sorted({_gran_round(float(b), gran, up=True) for b in bs})
+        bs = [b for b in rb if lo < b < hi]
+        bounds = [lo] + bs + [hi]
     idx = F.lit(0)
     for b in bs:
         idx = idx + (gb >= F.lit(b)).cast("int")
@@ -1257,6 +1344,14 @@ def _bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                       "__mn": {"$min": spec["groupBy"]},
                       "__mx": {"$max": spec["groupBy"]},
                       **spec.get("output", {"count": {"$sum": 1}})})
+    if bounds is not None:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        i = F.col("_id").cast("int")
+        return grouped.select(
+            F.struct(F.get(arr, i).alias("min"),
+                     F.get(arr, i + 1).alias("max")).alias("_id"),
+            *[c for c in grouped.columns
+              if c not in ("_id", "__mn", "__mx")])
     return grouped.select(
         F.struct(F.col("__mn").alias("min"),
                  F.col("__mx").alias("max")).alias("_id"),

@@ -1253,7 +1253,92 @@ def test_bucket_auto_stage(spark):
     with pytest.raises(ValueError, match="granularity"):
         apply_pipeline(df, [{"$bucketAuto": {"groupBy": "$x",
                                              "buckets": 2,
-                                             "granularity": "R5"}}])
+                                             "granularity": "R999"}}])
+
+
+def test_topn_accumulators_on_skewed_group(spark):
+    """Pin the rank-accumulator behavior on a deliberately SKEWED group
+    (one key holding 50k rows next to singleton keys): results stay
+    exact and the equivalent bounded rewrite ($setWindowFields $rank +
+    $match + $push) agrees — that rewrite is the documented recipe for
+    group sizes where the O(group) collect_list buffer (see
+    _topn_agg's docstring) would not fit."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(50_000).select(
+        F.lit("hot").alias("k"), F.col("id").cast("int").alias("v"))
+    small = spark.createDataFrame([("a", 7), ("b", 3)], "k string, v int")
+    df = big.unionByName(small)
+
+    direct = apply_pipeline(df, [
+        {"$group": {"_id": "$k",
+                    "best": {"$top": {"output": "$v",
+                                      "sortBy": {"v": -1}}},
+                    "top3": {"$topN": {"output": "$v",
+                                       "sortBy": {"v": -1}, "n": 3}}}}])
+    got = {r._id: (r.best, r.top3) for r in direct.collect()}
+    assert got == {"hot": (49_999, [49_999, 49_998, 49_997]),
+                   "a": (7, [7]), "b": (3, [3])}
+
+    # the bounded large-group rewrite: window rank (disk-spilling sort)
+    # + filter + push — identical answer, O(n) memory per task
+    bounded = apply_pipeline(df, [
+        {"$setWindowFields": {"partitionBy": "$k", "sortBy": {"v": -1},
+                              "output": {"r": {"$rank": {}}}}},
+        {"$match": {"r": {"$lte": 3}}},
+        {"$sort": {"v": -1}},
+        {"$group": {"_id": "$k", "top3": {"$push": "$v"}}}])
+    got2 = {r._id: r.top3 for r in bounded.collect()}
+    # $push pins array order ascending (the determinism convention), so
+    # compare as sets of members
+    assert {k: sorted(v[1]) for k, v in got.items()} == got2
+
+
+def test_bucket_auto_granularity(spark):
+    """$bucketAuto granularity: percentile boundaries round UP to the
+    preferred-number series, the first bucket's min rounds DOWN, _id
+    bounds become the series values (Mongo's strictly-greater/-less
+    rounder contract), and negatives raise."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        _gran_round,
+    )
+
+    # the rounder itself: unambiguous preferred-number facts
+    assert _gran_round(150, "R5", up=True) == 160
+    assert _gran_round(160, "R5", up=True) == 250      # strict: moves on
+    assert _gran_round(76.04, "R5", up=False) == 63
+    assert _gran_round(0.7, "R10", up=True) == 0.8
+    assert _gran_round(30, "1-2-5", up=True) == 50
+    assert _gran_round(30, "1-2-5", up=False) == 20
+    assert _gran_round(4, "POWERSOF2", up=True) == 8   # strict
+    assert _gran_round(5, "POWERSOF2", up=True) == 8
+    assert _gran_round(4, "POWERSOF2", up=False) == 2
+    assert _gran_round(0, "R20", up=True) == 0.0
+    with pytest.raises(ValueError, match="non-negative"):
+        _gran_round(-1, "R5", up=True)
+
+    # end-to-end POWERSOF2: 1..100, 4 buckets -> percentile boundaries
+    # 25.75/50.5/75.25 round up to 32/64/128; 128 collapses into the
+    # rounded max, so three buckets remain: [0.5,32) [32,64) [64,128)
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "x int")
+    out = apply_pipeline(df, [{"$bucketAuto": {
+        "groupBy": "$x", "buckets": 4, "granularity": "POWERSOF2"}}])
+    got = sorted((r._id.min, r._id.max, r["count"]) for r in out.collect())
+    assert got == [(0.5, 32.0, 31), (32.0, 64.0, 32), (64.0, 128.0, 37)]
+
+    # R5 with fractional prices: min 76.04 rounds DOWN to 63, the
+    # median boundary 179.495 rounds UP to 250, max 385 up to 400
+    prices = spark.createDataFrame(
+        [(76.04,), (159.0,), (199.99,), (385.0,)], "p double")
+    out2 = apply_pipeline(prices, [{"$bucketAuto": {
+        "groupBy": "$p", "buckets": 2, "granularity": "R5"}}])
+    got2 = sorted((r._id.min, r._id.max, r["count"]) for r in out2.collect())
+    assert got2 == [(63.0, 250.0, 3), (250.0, 400.0, 1)]
+
+    neg = spark.createDataFrame([(-1.0,), (2.0,)], "p double")
+    with pytest.raises(ValueError, match="non-negative"):
+        apply_pipeline(neg, [{"$bucketAuto": {
+            "groupBy": "$p", "buckets": 2, "granularity": "R5"}}])
 
 
 def test_graph_lookup_stage(spark):
