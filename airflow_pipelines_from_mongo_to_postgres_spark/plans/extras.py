@@ -1556,6 +1556,98 @@ FROM monthly
 """
 
 
+# --- q184: correlated $lookup, general path (non-equi conjunct) -----------------
+def q184_mongo_lookup_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``$lookup`` through the GENERAL distinct-let-tuples
+    path: the non-equi conjunct (lineitem price above HALF of this
+    order's own total — a per-document threshold) cannot fold into the
+    equality join, so the translator materializes distinct (orderkey,
+    threshold) tuples, equi-joins them to lineitem, filters post-join,
+    and aggregates per tuple (sources/mongoql.py::_correlated_lookup,
+    the Neumann-Kemper unnesting rewrite). Oracle is a genuine DuckDB
+    correlated subquery. 0.5*price is exact in double, so the strict >
+    compare is engine-stable."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderpriority": "2-HIGH"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey",
+                    "thr": {"$multiply": ["$o_totalprice", 0.5]}},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$$ok", "$l_orderkey"]},
+                    {"$gt": ["$l_extendedprice", "$$thr"]},
+                ]}}},
+                {"$group": {"_id": None, "n": {"$sum": 1}}},
+            ],
+            "as": "big"}},
+        {"$addFields": {
+            "n_big": {"$ifNull": [{"$arrayElemAt": ["$big.n", 0]}, 0]}}},
+    ], collections={"lineitem": lineitem})
+    return out.select("o_orderkey", "n_big")
+
+
+Q184_SQL = """
+SELECT o_orderkey,
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_extendedprice > 0.5 * o_totalprice)
+            AS BIGINT) AS n_big
+FROM orders
+WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+# --- q185: $integral window (trapezoid AUC over hourly series) -------------------
+def q185_mongo_integral_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running area-under-curve of per-hour event value with the
+    ``$integral`` window operator (Mongo 5.0): hourly pre-aggregation
+    (cents — integer-valued doubles, so trapezoids are exact halves and
+    the running sum is bit-stable under ANY summation association),
+    then one lag-pair increment column + one frame sum — two chained
+    Window operators on a single exchange, no self-join. Oracle mirrors
+    the trapezoid algebra with explicit lag/sum windows in DuckDB."""
+    events = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(events, [
+        {"$group": {"_id": {"u": "$user_id",
+                            "h": {"$dateTrunc": {"date": "$ts",
+                                                 "unit": "hour"}}},
+                    "cents": {"$sum": {"$round": [
+                        {"$multiply": ["$value", 100]}, 0]}}}},
+        {"$addFields": {"u": "$_id.u", "h": "$_id.h"}},
+        {"$setWindowFields": {
+            "partitionBy": "$u", "sortBy": {"h": 1},
+            "output": {"auc": {"$integral": {"input": "$cents",
+                                             "unit": "hour"},
+                               "window": {"documents": ["unbounded",
+                                                        "current"]}}}}},
+    ])
+    return out.select("u", "h", F.col("cents").cast("double").alias("cents"),
+                      F.col("auc").cast("double").alias("auc"))
+
+
+Q185_SQL = """
+WITH hourly AS (
+  SELECT user_id AS u, date_trunc('hour', ts) AS h,
+         sum(round(value * 100, 0)) AS cents
+  FROM events GROUP BY 1, 2),
+w AS (SELECT u, h, cents,
+             lag(h) OVER (PARTITION BY u ORDER BY h) AS ph,
+             lag(cents) OVER (PARTITION BY u ORDER BY h) AS pc
+      FROM hourly)
+SELECT u, h, CAST(cents AS DOUBLE) AS cents,
+       CAST(sum(CASE WHEN ph IS NULL THEN 0
+                     ELSE (epoch(h) - epoch(ph)) / 3600.0
+                          * (cents + pc) / 2 END)
+            OVER (PARTITION BY u ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS auc
+FROM w
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1586,6 +1678,8 @@ QUERIES = {
     "q181_mongo_lookup_let": q181_mongo_lookup_let,
     "q182_mongo_merge_update": q182_mongo_merge_update,
     "q183_mongo_calendar_window": q183_mongo_calendar_window,
+    "q184_mongo_lookup_nonequi": q184_mongo_lookup_nonequi,
+    "q185_mongo_integral_auc": q185_mongo_integral_auc,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1621,6 +1715,8 @@ ORACLES = {
     "q181_mongo_lookup_let": Q181_SQL,
     "q182_mongo_merge_update": Q182_SQL,
     "q183_mongo_calendar_window": Q183_SQL,
+    "q184_mongo_lookup_nonequi": Q184_SQL,
+    "q185_mongo_integral_auc": Q185_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -21,9 +21,12 @@ Supported stages — the reference's three, plus the common tail:
 ``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
 ``$first``/``$last`` (upstream order via min_by/max_by),
 ``$stdDevPop/$stdDevSamp``), ``$sort``, ``$limit``, ``$skip``,
-``$count``, ``$unset``, ``$facet`` (shared-scan multi-aggregation),
-``$bucket``/``$bucketAuto``, ``$setWindowFields`` (documents/range
-frames incl. time units), ``$fill`` (value/locf/linear), ``$densify``
+``$count``, ``$unset``, ``$sample``, ``$facet`` (shared-scan
+multi-aggregation), ``$bucket``/``$bucketAuto`` (incl. ``granularity``
+preferred-number rounding), ``$setWindowFields`` (documents/range
+frames incl. time AND calendar units; rank family, ``$shift``,
+``$locf/$linearFill``, ``$derivative``/``$integral``),
+``$fill`` (value/locf/linear), ``$densify``
 (numeric + calendar grids), ``$graphLookup`` (per-depth-level BFS
 joins), and the terminal write stages ``$merge``/``$out`` (lowered
 onto the snapshot table-format commits — see ``_write_stage``) — plus
@@ -38,7 +41,9 @@ $range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
 $setIntersection/$setDifference/$allElementsTrue/$anyElementTrue``,
 higher-order functions ``$map/$filter/$reduce`` and ``$let`` with
 ``$$var`` scoping (Spark lambda functions — codegen, never Python),
-``$year/$month/$dayOfMonth/$hour/$minute/$second/$dateToString``,
+``$year/$month/$dayOfMonth/$hour/$minute/$second/$millisecond/
+$dayOfWeek/$isoDayOfWeek/$dayOfYear/$isoWeek/$isoWeekYear/
+$dateToString/$dateFromString/$dateFromParts/$dateToParts``,
 date math ``$dateAdd/$dateDiff`` (boundary-crossing semantics)
 ``/$dateTrunc/$toDate``,
 ``$toInt/$toLong/$toDouble/$toString/$toBool``, expression-form
@@ -235,8 +240,54 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return F.dayofyear(_expr(arg, env))
     if op == "$isoWeek":         # Spark's weekofyear IS the ISO week
         return F.weekofyear(_expr(arg, env))
+    if op == "$isoWeekYear":
+        # ISO week-numbering year = calendar year of that week's
+        # THURSDAY (the classic trick — no extract(YEAROFWEEK) needed,
+        # stays a plain column expression): shift the date to its ISO
+        # Thursday (iso_dow 4) and take the year
+        d = _expr(arg, env).cast("date")
+        iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+        return F.year(F.date_add(d, (F.lit(4) - iso_dow).cast("int")))
     if op == "$millisecond":
         return F.date_format(_expr(arg, env), "SSS").cast("int")
+    if op == "$dateFromParts":
+        if not isinstance(arg, dict) or "year" not in arg:
+            raise ValueError("$dateFromParts expects {year[, month, day, "
+                             "hour, minute, second, millisecond]}")
+        if "isoWeekYear" in arg or "timezone" in arg:
+            raise ValueError("$dateFromParts ISO-week/timezone forms are "
+                             "unsupported")
+        def part(name, default):
+            return (_expr(arg[name], env) if name in arg
+                    else F.lit(default))
+        sec = part("second", 0).cast("double") \
+            + part("millisecond", 0).cast("double") / 1000.0
+        # deviation, documented: Mongo CARRIES out-of-range parts
+        # (month 13 -> next January); Spark's make_timestamp errors —
+        # the in-range subset behaves identically
+        return F.make_timestamp(
+            part("year", 0).cast("int"), part("month", 1).cast("int"),
+            part("day", 1).cast("int"), part("hour", 0).cast("int"),
+            part("minute", 0).cast("int"), sec)
+    if op == "$dateToParts":
+        if not isinstance(arg, dict) or "date" not in arg:
+            raise ValueError("$dateToParts expects {date}")
+        if arg.get("iso8601"):
+            d = _expr(arg["date"], env)
+            return F.struct(
+                _expr_op("$isoWeekYear", arg["date"], env)
+                .alias("isoWeekYear"),
+                F.weekofyear(d).alias("isoWeek"),
+                (((F.dayofweek(d) + 5) % 7) + 1).alias("isoDayOfWeek"),
+                F.hour(d).alias("hour"), F.minute(d).alias("minute"),
+                F.second(d).alias("second"),
+                F.date_format(d, "SSS").cast("int").alias("millisecond"))
+        d = _expr(arg["date"], env)
+        return F.struct(
+            F.year(d).alias("year"), F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"), F.second(d).alias("second"),
+            F.date_format(d, "SSS").cast("int").alias("millisecond"))
     if op == "$dateToString":
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToString expects {date, format}")
@@ -1027,6 +1078,45 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
         else:
             raise ValueError(f"unsupported window kind: {kind}")
+        if op == "$integral":
+            # trapezoidal integral over the frame (Mongo 5.0): per-row
+            # increment = Δsort-key × mean of the adjacent values, via
+            # lag over the SAME ordered partition (Spark chains the two
+            # Window operators on one exchange — no extra shuffle),
+            # then ONE frame sum minus the frame's first increment
+            # (that increment pairs with a point outside the frame).
+            # A single-point frame integrates to 0.
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$integral needs a single ascending sortBy")
+            y = _expr(arg["input"])
+            kcol = F.col(next(iter(sortby)))
+            iunit = arg.get("unit")
+            if iunit is not None:
+                if iunit not in _WF_UNIT_MS:
+                    raise ValueError(
+                        f"unsupported $integral unit: {iunit!r}")
+                k = (kcol.cast("timestamp").cast("double") * 1000) \
+                    / float(_WF_UNIT_MS[iunit])
+            else:
+                k = kcol.cast("double")
+            incr = F.coalesce(
+                (k - F.lag(k, 1).over(ordered))
+                * (y + F.lag(y, 1).over(ordered)) / 2, F.lit(0.0))
+            tmpc = f"__intg_{name}"
+            df = (df.withColumn(tmpc, incr)
+                  .withColumn(name, F.sum(tmpc).over(w)
+                              - F.first(tmpc).over(w))
+                  .drop(tmpc))
+            continue
+        if op == "$expMovingAvg":
+            raise ValueError(
+                "$expMovingAvg is unsupported: the recurrence is "
+                "inherently sequential (each row depends on the full "
+                "prefix), which has no exact bounded-memory distributed "
+                "lowering — pre-aggregate to a coarse grid and compute "
+                "the EMA on the (small) series driver-side, or use "
+                "$avg over a documents window as a linear-weight proxy")
         if op == "$derivative":
             # average rate of change over the frame: (Δoutput / Δsort
             # key), the key delta optionally scaled to a time unit —
@@ -1373,19 +1463,50 @@ def _mentions_pipeline_var(v: Any) -> bool:
     return False
 
 
+def _mentions_vars(v: Any, names: set[str]) -> bool:
+    """True if any ``$$var`` reference in the (nested) spec names one of
+    ``names`` — the targeted let-var detector (HOF-bound ``$$this``/
+    ``$$value`` don't trip it, unlike :func:`_mentions_pipeline_var`)."""
+    if isinstance(v, str) and v.startswith("$$"):
+        return v[2:].partition(".")[0] in names
+    if isinstance(v, dict):
+        return any(_mentions_vars(x, names) for x in v.values())
+    if isinstance(v, list):
+        return any(_mentions_vars(x, names) for x in v)
+    return False
+
+
+def _subst_let_refs(v: Any, mapping: dict[str, str]) -> Any:
+    """Rewrite ``$$var[.path]`` references to ``$column[.path]`` field
+    references per ``mapping`` — how the general correlated-$lookup
+    path turns let variables into plain joined columns. HOF-bound
+    variables (``$$this`` etc., absent from the mapping) pass through
+    untouched."""
+    if isinstance(v, str) and v.startswith("$$"):
+        name, _, rest = v[2:].partition(".")
+        if name in mapping:
+            return "$" + mapping[name] + (("." + rest) if rest else "")
+        return v
+    if isinstance(v, dict):
+        return {k: _subst_let_refs(x, mapping) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_subst_let_refs(x, mapping) for x in v]
+    return v
+
+
 def _split_lookup_correlation(expr: Any, let_vars: set[str]):
     """Decompose a correlated ``$lookup`` leading ``$match`` ``$expr``
     into (a) equality JOIN PAIRS ``(let_var, foreign_field)`` from
-    ``{$eq: ["$$var", "$field"]}`` conjuncts (either operand order) and
-    (b) residual NON-correlated conjuncts that stay a foreign-side
-    filter. Any other conjunct that still references a ``$$`` variable
-    is genuine non-equi correlation — raise with rewrite guidance
-    rather than guess (VERDICT r11 "Next round" #4 scopes the subset to
-    equality, which covers every FK edge in the reference's own DAGs,
-    mongo_to_postgres_migration.py:61-79)."""
+    ``{$eq: ["$$var", "$field"]}`` conjuncts (either operand order),
+    (b) plain NON-correlated conjuncts (foreign-side filter), and
+    (c) correlated NON-equi conjuncts (e.g. ``{$gt: ["$qty",
+    "$$min"]}``) — those force the general distinct-let-tuples path,
+    where they become ordinary post-join filters. At least one equality
+    pair is required (it bounds the join; without one the correlation
+    is a cross product — raise with guidance)."""
     conjs = (expr["$and"] if isinstance(expr, dict) and set(expr) == {"$and"}
              else [expr])
-    pairs, residual = [], []
+    pairs, plain, corr = [], [], []
     for c in conjs:
         pair = None
         if (isinstance(c, dict) and set(c) == {"$eq"}
@@ -1400,53 +1521,56 @@ def _split_lookup_correlation(expr: Any, let_vars: set[str]):
                     break
         if pair is not None:
             pairs.append(pair)
-        elif _mentions_pipeline_var(c):
-            raise ValueError(
-                f"$lookup correlation {c!r} is not a let-var/foreign-field "
-                "equality; only {$eq: ['$$var', '$field']} conjuncts "
-                "decompile to a join — rewrite non-equi correlation as an "
-                "equality prefix plus a $filter over the joined array")
+        elif _mentions_vars(c, let_vars):
+            corr.append(c)
         else:
-            residual.append(c)
+            plain.append(c)
     if not pairs:
         raise ValueError(
             "$lookup with let: the pipeline's first $match $expr has no "
-            "{$eq: ['$$var', '$field']} conjunct to join on")
-    return pairs, residual
+            "{$eq: ['$$var', '$field']} conjunct to join on — at least "
+            "one equality is needed to bound the correlation (pure "
+            "non-equi correlation is a cross product)")
+    return pairs, plain, corr
 
 
 def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                        collections: dict[str, DataFrame]) -> DataFrame:
     """Correlated ``$lookup`` (``let`` + ``pipeline``, and the concise
-    ``localField``/``foreignField`` + ``pipeline`` form), EQUALITY
-    subset, decompiled to ONE distributed join — never a per-document
-    subquery loop:
+    ``localField``/``foreignField`` + ``pipeline`` form), decompiled to
+    distributed joins — never a per-document subquery loop. The leading
+    ``$match`` ``$expr`` must contribute at least one
+    ``{$eq: ["$$var", "$field"]}`` equality (it bounds the join); the
+    pipeline's first stage must be a ``$match`` containing ``$expr``.
 
-    1. the pipeline's leading ``$match`` ``$expr`` is split into
-       equality join pairs and residual foreign-side predicates
-       (:func:`_split_lookup_correlation`);
-    2. the residual sub-pipeline runs ONCE over the (filtered) foreign
-       collection — per-key grouping replaces Mongo's per-document
-       re-execution, valid because equality correlation makes the
-       sub-result a pure function of the key;
-    3. a terminal ``{$group: {_id: null, ...}}`` (the per-document
-       aggregate idiom) is rewritten to group by the FOREIGN KEY
-       columns via the existing :func:`_group` compiler, each key's
-       single result doc packed as a 1-element array (Mongo emits no
-       doc for an empty group — the empty-array coalesce reproduces
-       that);
-    4. otherwise matching docs pack per key (sorted — deterministic
-       beats Mongo's unspecified order, the $lookup convention);
-    5. one left equi-join on the outer ``let`` expressions, null-safe
-       (Mongo's $eq matches null to null).
+    FAST path (no let-var references beyond the equality prefix): the
+    residual sub-pipeline runs ONCE over the filtered foreign
+    collection grouped by its own join fields — valid because equality
+    correlation makes the sub-result a pure function of the key. One
+    shuffle per side.
 
-    Scale: identical shape to the plain equality $lookup — one shuffle
-    per side (or broadcast under AQE for a small packed side); the
-    sub-pipeline is evaluated |foreign| times total, not
-    |outer|×|matched| times. Subset contracts (raise, never silently
-    diverge): the first stage must be a ``$match`` containing ``$expr``;
-    residual stages may not reference ``$$`` let variables and must keep
-    the foreign join fields in scope (don't project them away)."""
+    GENERAL path (non-equi correlated conjuncts, or ``$$var`` refs in
+    later stages): the classic unnesting rewrite (cf. Neumann & Kemper,
+    "Unnesting Arbitrary Queries", BTW'15 — the magic-set/distinct-
+    correlated-values idea): materialize the DISTINCT outer let-value
+    tuples, equi-join them to the foreign side on the equality pairs,
+    substitute every ``$$var`` with its joined ``__lk`` column
+    (:func:`_subst_let_refs` — non-equi correlation becomes an ordinary
+    post-join filter), run the residual sub-pipeline per let-tuple, and
+    left-join the packed per-tuple arrays back to the outer side. The
+    sub-pipeline is evaluated once per DISTINCT let tuple, not per
+    outer document.
+
+    Shared lowering: a terminal ``{$group: {_id: null, ...}}`` (the
+    per-document aggregate idiom) is rewritten to group by the key
+    columns via the existing :func:`_group` compiler, each key's single
+    result doc packed as a 1-element array (Mongo emits no doc for an
+    empty group — the empty-array coalesce reproduces that); otherwise
+    matching docs pack per key (sorted — deterministic beats Mongo's
+    unspecified order, the $lookup convention). The final outer join is
+    null-safe (Mongo's $eq matches null to null). Contracts (raise,
+    never silently diverge): the sub-pipeline must keep the join/let
+    key columns in scope (don't project them away)."""
     foreign = collections[spec["from"]]
     let = dict(spec.get("let", {}))
     pipeline = list(spec["pipeline"])
@@ -1462,54 +1586,101 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             "$lookup with let: the pipeline must START with a $match "
             "containing $expr so the correlation can decompile to a join")
     match_spec = pipeline[0]["$match"]
-    pairs, residual_conjs = _split_lookup_correlation(
+    pairs, plain_conjs, corr_conjs = _split_lookup_correlation(
         match_spec["$expr"], set(let))
     rest = pipeline[1:]
-    if _mentions_pipeline_var(rest):
-        raise ValueError(
-            "$lookup with let: stages after the leading $match may not "
-            "reference $$ let variables (they would make the sub-result "
-            "per-document, not per-key) — move the reference into the "
-            "outer pipeline over the joined array")
-    pre: list[dict[str, Any]] = []
-    if residual_conjs:
-        pre.append({"$match": {"$expr": (
-            {"$and": residual_conjs} if len(residual_conjs) > 1
-            else residual_conjs[0])}})
-    plain = {k: v for k, v in match_spec.items() if k != "$expr"}
-    if plain:
-        pre.append({"$match": plain})
-    term_group = None
-    if rest and set(rest[-1]) == {"$group"} \
-            and rest[-1]["$group"].get("_id", ()) is None:
-        term_group = rest[-1]["$group"]
-        rest = rest[:-1]
-    sub = apply_pipeline(foreign, pre + rest, collections)
-    key_fields = [ff for _, ff in pairs]
-    missing = [f for f in key_fields if f not in sub.columns]
-    if missing:
-        raise ValueError(
-            f"$lookup with let: the sub-pipeline projected away the "
-            f"foreign join field(s) {missing} — keep them in the "
-            "$project and drop them in the outer pipeline instead")
-    lk = [f"__lk{i}" for i in range(len(pairs))]
-    if term_group is not None:
-        gspec = dict(term_group)
-        gspec["_id"] = {k: "$" + ff for k, ff in zip(lk, key_fields)}
-        grouped = _group(sub, gspec)
-        accs = [c for c in grouped.columns if c != "_id"]
-        packed = grouped.select(
-            *[F.col(f"_id.{k}").alias(k) for k in lk],
-            F.array(F.struct(F.lit(None).alias("_id"),
-                             *[F.col(c) for c in accs])).alias(out))
+    plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
+    general = bool(corr_conjs) or _mentions_vars(rest, set(let))
+
+    def expr_match(conjs):
+        return {"$match": {"$expr": ({"$and": conjs} if len(conjs) > 1
+                                     else conjs[0])}}
+
+    def split_term_group(stages):
+        if stages and set(stages[-1]) == {"$group"} \
+                and stages[-1]["$group"].get("_id", ()) is None:
+            return stages[:-1], stages[-1]["$group"]
+        return stages, None
+
+    def pack(sub, key_cols, term_group):
+        missing = [src for src in key_cols.values()
+                   if src not in sub.columns]
+        if missing:
+            raise ValueError(
+                f"$lookup with let: the sub-pipeline projected away the "
+                f"join/let key column(s) {missing} — keep them in the "
+                "$project and drop them in the outer pipeline instead")
+        if term_group is not None:
+            gspec = dict(term_group)
+            gspec["_id"] = {k: "$" + src for k, src in key_cols.items()}
+            grouped = _group(sub, gspec)
+            accs = [c for c in grouped.columns if c != "_id"]
+            return grouped.select(
+                *[F.col(f"_id.{k}").alias(k) for k in key_cols],
+                F.array(F.struct(F.lit(None).alias("_id"),
+                                 *[F.col(c) for c in accs])).alias(out))
+        payload = [c for c in sub.columns if c not in key_cols]
+        return (sub
+                .groupBy(*[F.col(src).alias(k)
+                           for k, src in key_cols.items()])
+                .agg(F.sort_array(F.collect_list(
+                    F.struct(*(payload or sub.columns)))).alias(out)))
+
+    if not general:
+        pre: list[dict[str, Any]] = []
+        if plain_conjs:
+            pre.append(expr_match(plain_conjs))
+        if plain_match:
+            pre.append({"$match": plain_match})
+        rest, term_group = split_term_group(rest)
+        sub = apply_pipeline(foreign, pre + rest, collections)
+        # key columns ARE the foreign join fields on this path, so they
+        # belong in the packed docs too (Mongo's matched docs carry
+        # them) — pass disjoint alias->source names and keep payload
+        # full via a sentinel-free select below
+        lk = {f"__lk{i}": ff for i, (_, ff) in enumerate(pairs)}
+        missing = [ff for ff in lk.values() if ff not in sub.columns]
+        if missing:
+            raise ValueError(
+                f"$lookup with let: the sub-pipeline projected away the "
+                f"foreign join field(s) {missing} — keep them in the "
+                "$project and drop them in the outer pipeline instead")
+        if term_group is not None:
+            packed = pack(sub, lk, term_group)
+        else:
+            packed = (sub
+                      .groupBy(*[F.col(ff).alias(k)
+                                 for k, ff in lk.items()])
+                      .agg(F.sort_array(F.collect_list(
+                          F.struct(*sub.columns))).alias(out)))
+        join_vars = [var for var, _ in pairs]
     else:
-        packed = (sub
-                  .groupBy(*[F.col(ff).alias(k)
-                             for k, ff in zip(lk, key_fields)])
-                  .agg(F.sort_array(F.collect_list(
-                      F.struct(*sub.columns))).alias(out)))
+        lets = list(let)
+        lk_of = {v: f"__lk{i}" for i, v in enumerate(lets)}
+        keys_df = (df.select(*[_expr(let[v]).alias(lk_of[v])
+                               for v in lets]).distinct())
+        jcond = None
+        for var, ff in pairs:
+            c = F.col(lk_of[var]).eqNullSafe(F.col(ff))
+            jcond = c if jcond is None else jcond & c
+        joined = keys_df.join(foreign, jcond, "inner")
+        sub_stages: list[dict[str, Any]] = []
+        if corr_conjs:
+            sub_stages.append(expr_match(
+                _subst_let_refs(corr_conjs, lk_of)))
+        if plain_conjs:
+            sub_stages.append(expr_match(plain_conjs))
+        if plain_match:
+            sub_stages.append({"$match": plain_match})
+        rest_sub, term_group = split_term_group(
+            _subst_let_refs(rest, lk_of))
+        sub = apply_pipeline(joined, sub_stages + rest_sub, collections)
+        lk = {lk_of[v]: lk_of[v] for v in lets}
+        packed = pack(sub, lk, term_group)
+        join_vars = lets
+
     cond = None
-    for k, (var, _) in zip(lk, pairs):
+    for k, var in zip(lk, join_vars):
         c = _expr(let[var]).eqNullSafe(F.col(k))
         cond = c if cond is None else cond & c
     empty = F.array().cast(packed.schema[out].dataType)
@@ -1917,9 +2088,10 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
     """Run a MongoDB aggregation pipeline against a DataFrame.
 
     ``collections`` resolves ``$lookup``/``$unionWith`` ``from`` names
-    to DataFrames (the equality-match form: localField/foreignField/as;
-    the pipeline+let correlated form raises — it is a general subquery,
-    not a join spec). ``targets`` resolves terminal ``$merge``/``$out``
+    to DataFrames (equality localField/foreignField form, uncorrelated
+    pipelines, and the correlated let+pipeline / concise forms via the
+    equality-decompilation subset — see ``_correlated_lookup``).
+    ``targets`` resolves terminal ``$merge``/``$out``
     collection names to snapshot-table paths (sources/snapshots.py) —
     the write actually COMMITS (the one eager point in the translator),
     and the call returns the target's post-write snapshot."""
@@ -1984,6 +2156,13 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = df.limit(int(spec))
         elif op == "$skip":
             df = df.offset(int(spec))
+        elif op == "$sample":
+            # pseudo-random size docs (Mongo's reservoir sample):
+            # rand-keyed orderBy+limit compiles to TakeOrdered — each
+            # partition keeps its local top-k by the random key, ONE
+            # merge of k-row heads, never a full shuffle/sort. Result
+            # set is random per run, like Mongo's.
+            df = df.orderBy(F.rand()).limit(int(spec["size"]))
         elif op == "$count":
             df = df.agg(F.count(F.lit(1)).alias(str(spec)))
         elif op == "$sortByCount":

@@ -331,10 +331,67 @@ def test_correlated_lookup_rowlocal_and_concise(spark):
             for r in concise.collect()} == {1: [10], 2: [7], 3: []}
 
 
+def test_correlated_lookup_general_path(spark):
+    """The general distinct-let-tuples path: NON-EQUI correlated
+    conjuncts become post-join filters, and $$var refs in stages after
+    the leading $match substitute to joined columns — per-document
+    semantics at per-distinct-tuple cost."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, "apple", 6), (2, "apple", 11), (3, "pear", 1),
+         (4, "none", 0)],
+        ["_id", "item", "minq"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B"), ("pear", 7, "A")],
+        ["sku", "qty", "wh"])
+    coll = {"inventory": inventory}
+
+    # non-equi correlation: only stock rows with qty > this order's minq
+    out = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item", "mn": "$minq"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$$it", "$sku"]},
+                {"$gt": ["$qty", "$$mn"]}]}}},
+            {"$group": {"_id": None, "n": {"$sum": 1},
+                        "q": {"$sum": "$qty"}}}],
+        "as": "s"}}], collections=coll)
+    got = {r._id: [(x.n, x.q) for x in r.s] for r in out.collect()}
+    assert got == {1: [(1, 10)], 2: [], 3: [(1, 7)], 4: []}
+
+    # $$var used in a stage AFTER the leading $match (row-local output)
+    out2 = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item", "mn": "$minq"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+            {"$addFields": {"slack": {"$subtract": ["$qty", "$$mn"]}}},
+            {"$match": {"slack": {"$gte": 0}}}],
+        "as": "s"}}], collections=coll)
+    got2 = {r._id: sorted((x.wh, x.slack) for x in r.s)
+            for r in out2.collect()}
+    assert got2 == {1: [("A", 4)], 2: [], 3: [("A", 6)], 4: []}
+
+    # same let tuple appearing on many outer rows: evaluated once per
+    # DISTINCT tuple, every row still gets its array
+    dup = orders.unionByName(orders)
+    out3 = apply_pipeline(dup, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item", "mn": "$minq"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$$it", "$sku"]},
+                {"$gt": ["$qty", "$$mn"]}]}}},
+            {"$group": {"_id": None, "n": {"$sum": 1}}}],
+        "as": "s"}}], collections=coll)
+    assert out3.count() == 8
+    assert {(r._id, tuple(x.n for x in r.s)) for r in out3.collect()} == \
+        {(1, (1,)), (2, ()), (3, (1,)), (4, ())}
+
+
 def test_correlated_lookup_raise_paths(spark):
-    """Subset contracts raise with guidance, never silently diverge:
-    non-equi correlation, $$ refs after the leading $match, and a
-    sub-pipeline that projects away the join field."""
+    """Remaining contracts raise with guidance, never silently diverge:
+    a sub-pipeline that projects away the join/let key columns, and a
+    correlation with no equality conjunct to bound the join."""
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
 
     orders = spark.createDataFrame([(1, "apple", 6)],
@@ -342,20 +399,6 @@ def test_correlated_lookup_raise_paths(spark):
     inventory = spark.createDataFrame([("apple", 10)], ["sku", "qty"])
     coll = {"inventory": inventory}
 
-    with pytest.raises(ValueError, match="not a let-var"):
-        apply_pipeline(orders, [{"$lookup": {
-            "from": "inventory", "let": {"q": "$minq"},
-            "pipeline": [{"$match": {"$expr": {"$and": [
-                {"$eq": ["$$q", "$qty"]},
-                {"$gt": ["$qty", "$$q"]}]}}}],
-            "as": "s"}}], collections=coll)
-    with pytest.raises(ValueError, match="stages after the leading"):
-        apply_pipeline(orders, [{"$lookup": {
-            "from": "inventory", "let": {"it": "$item"},
-            "pipeline": [
-                {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
-                {"$addFields": {"d": {"$concat": ["$$it", "!"]}}}],
-            "as": "s"}}], collections=coll)
     with pytest.raises(ValueError, match="projected away"):
         apply_pipeline(orders, [{"$lookup": {
             "from": "inventory", "let": {"it": "$item"},
@@ -367,6 +410,12 @@ def test_correlated_lookup_raise_paths(spark):
         apply_pipeline(orders, [{"$lookup": {
             "from": "inventory", "let": {"it": "$item"},
             "pipeline": [{"$match": {"$expr": {"$gt": [1, 0]}}}],
+            "as": "s"}}], collections=coll)
+    # pure non-equi correlation (no equality at all) is a cross product
+    with pytest.raises(ValueError, match="no .*conjunct to join"):
+        apply_pipeline(orders, [{"$lookup": {
+            "from": "inventory", "let": {"q": "$minq"},
+            "pipeline": [{"$match": {"$expr": {"$gt": ["$qty", "$$q"]}}}],
             "as": "s"}}], collections=coll)
 
 
@@ -1254,6 +1303,90 @@ def test_bucket_auto_stage(spark):
         apply_pipeline(df, [{"$bucketAuto": {"groupBy": "$x",
                                              "buckets": 2,
                                              "granularity": "R999"}}])
+
+
+def test_integral_window_and_sample(spark):
+    """$integral (Mongo 5.0): trapezoid over the frame's consecutive
+    points, optional time unit on the sort key, 0 for single-point
+    frames; $expMovingAvg raises with guidance; $sample returns exactly
+    n pseudo-random docs via TakeOrdered (no full shuffle)."""
+    from datetime import datetime as dt
+
+    # numeric sort key: points (0,0) (2,4) (3,6) -> trapezoids 4, 5
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+         ("b", 1.0, 10.0)],
+        "k string, x double, y double")
+    out = apply_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"x": 1},
+        "output": {
+            "run": {"$integral": {"input": "$y"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "last2": {"$integral": {"input": "$y"},
+                      "window": {"documents": [-1, "current"]}},
+        }}}])
+    got = {(r.k, r.x): (r.run, r.last2) for r in out.collect()}
+    assert got == {("a", 0.0): (0.0, 0.0), ("a", 2.0): (4.0, 4.0),
+                   ("a", 3.0): (9.0, 5.0), ("b", 1.0): (0.0, 0.0)}
+
+    # time unit: hourly points scale Δkey to hours
+    ts = spark.createDataFrame(
+        [(dt(2024, 1, 1, 0), 2.0), (dt(2024, 1, 1, 2), 4.0)],
+        "t timestamp, y double")
+    out2 = apply_pipeline(ts, [{"$setWindowFields": {
+        "sortBy": {"t": 1},
+        "output": {"auc": {"$integral": {"input": "$y", "unit": "hour"},
+                           "window": {"documents": ["unbounded",
+                                                    "current"]}}}}}])
+    assert sorted(r.auc for r in out2.collect()) == [0.0, 6.0]
+
+    with pytest.raises(ValueError, match="expMovingAvg"):
+        apply_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"x": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$y", "N": 3}}}}}])
+
+    # $sample: exactly n rows, all from the input, random subset
+    big = spark.range(1000).withColumnRenamed("id", "v")
+    sampled = apply_pipeline(big, [{"$sample": {"size": 7}}])
+    rows = sampled.collect()
+    assert len(rows) == 7
+    assert all(0 <= r.v < 1000 for r in rows)
+
+
+def test_date_parts_expressions(spark):
+    """$isoWeekYear (Thursday trick), $dateFromParts (in-range subset),
+    $dateToParts (standard + iso8601 variants)."""
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        # 2024-12-30 is ISO week 1 of 2025; 2021-01-01 is ISO week 53
+        # of 2020 — the classic year-boundary cases
+        [(1, dt(2024, 12, 30, 5, 6, 7)), (2, dt(2021, 1, 1)),
+         (3, dt(2024, 6, 15, 12, 30, 45))],
+        "id int, d timestamp")
+    out = apply_pipeline(df, [{"$addFields": {
+        "iwy": {"$isoWeekYear": "$d"},
+        "iw": {"$isoWeek": "$d"},
+        "parts": {"$dateToParts": {"date": "$d"}},
+        "iparts": {"$dateToParts": {"date": "$d", "iso8601": True}},
+        "made": {"$dateFromParts": {"year": 2024, "month": 6, "day": 15,
+                                    "hour": 12, "minute": 30,
+                                    "second": 45}},
+    }}])
+    r = {x.id: x for x in out.collect()}
+    assert (r[1].iwy, r[1].iw) == (2025, 1)
+    assert (r[2].iwy, r[2].iw) == (2020, 53)
+    assert (r[3].iwy, r[3].iw) == (2024, 24)
+    assert (r[1].parts.year, r[1].parts.month, r[1].parts.day,
+            r[1].parts.hour, r[1].parts.minute, r[1].parts.second) == \
+        (2024, 12, 30, 5, 6, 7)
+    assert (r[1].iparts.isoWeekYear, r[1].iparts.isoWeek,
+            r[1].iparts.isoDayOfWeek) == (2025, 1, 1)
+    assert r[3].made == dt(2024, 6, 15, 12, 30, 45)
+    with pytest.raises(ValueError, match="ISO-week/timezone"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$dateFromParts": {"year": 2024,
+                                       "timezone": "UTC"}}}}])
 
 
 def test_topn_accumulators_on_skewed_group(spark):
