@@ -38,7 +38,9 @@ $sqrt/$pow/$ln/$log10/$exp``, ``$toUpper/$toLower/$substrCP/$strLenCP/
 $split/$trim/$ltrim/$rtrim/$regexMatch/$indexOfCP/$replaceOne/
 $replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
 $range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
-$setIntersection/$setDifference/$allElementsTrue/$anyElementTrue``,
+$setIntersection/$setDifference/$allElementsTrue/$anyElementTrue/
+$sortArray/$zip``, object ops ``$getField/$setField/$objectToArray/
+$arrayToObject`` (map columns), ``$cmp/$strcasecmp/$rand/$convert``,
 higher-order functions ``$map/$filter/$reduce`` and ``$let`` with
 ``$$var`` scoping (Spark lambda functions — codegen, never Python),
 ``$year/$month/$dayOfMonth/$hour/$minute/$second/$millisecond/
@@ -408,6 +410,91 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             neg = F.least(F.lit(-1), F.greatest(-F.size(a), pos))
             return F.slice(a, F.when(pos >= 0, pos + 1).otherwise(neg), n)
         raise ValueError("$slice expects [array, n] or [array, pos, n]")
+    if op == "$sortArray":
+        # scalar arrays (or whole-struct element order): sort_array
+        # handles both; a sortBy DOCUMENT selecting specific fields /
+        # mixed directions is not expressible in one expression — raise
+        sb = arg["sortBy"]
+        if isinstance(sb, dict):
+            raise ValueError(
+                "$sortArray sortBy documents are unsupported — sort "
+                "scalar arrays (sortBy 1/-1), or $unwind + $sort + "
+                "$group $push for doc arrays")
+        return F.sort_array(_expr(arg["input"], env), int(sb) == 1)
+    if op == "$zip":
+        inputs = arg["inputs"]
+        if arg.get("useLongestLength"):
+            raise ValueError("$zip useLongestLength is unsupported")
+        if len(inputs) != 2:
+            raise ValueError("$zip supports exactly two inputs (Spark "
+                             "zip_with is binary) — nest for more")
+        a, b = _expr(inputs[0], env), _expr(inputs[1], env)
+        # Mongo zips to the SHORTEST input; zip_with pads with null —
+        # slice both to the common length first
+        n = F.least(F.size(a), F.size(b))
+        return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n),
+                          lambda x, y: F.array(x, y))
+    if op == "$cmp":
+        a, b = args(2)
+        return (F.when(a < b, -1).when(a > b, 1)
+                .when(a.eqNullSafe(b), 0))
+    if op == "$strcasecmp":
+        a, b = args(2)
+        a, b = F.upper(a), F.upper(b)
+        return (F.when(a < b, -1).when(a > b, 1)
+                .when(a.eqNullSafe(b), 0))
+    if op == "$rand":
+        return F.rand()
+    if op == "$getField":
+        # static-name subset; bare-string form reads the current doc
+        if isinstance(arg, str):
+            return F.col(arg)
+        fld = arg["field"]
+        if not isinstance(fld, str):
+            raise ValueError("$getField needs a literal field name")
+        return _expr(arg["input"], env)[fld] if "input" in arg \
+            else F.col(fld)
+    if op == "$setField":
+        fld = arg["field"]
+        if not isinstance(fld, str):
+            raise ValueError("$setField needs a literal field name")
+        target = _expr(arg["input"], env)
+        val = _expr(arg["value"], env)
+        return target.withField(fld, val)
+    if op == "$convert":
+        to = arg["to"]
+        types = {"int": "int", "long": "long", "double": "double",
+                 "string": "string", "bool": "boolean",
+                 "date": "timestamp", "decimal": "decimal(38,10)"}
+        if to not in types:
+            raise ValueError(f"unsupported $convert target: {to!r}")
+        inp = _expr(arg["input"], env)
+        cast = inp.try_cast(types[to]) if "onError" in arg \
+            else inp.cast(types[to])
+        out = cast
+        if "onError" in arg:
+            # only a FAILED conversion takes onError — null input does
+            # not count as an error in Mongo
+            out = F.when(inp.isNotNull() & cast.isNull(),
+                         _expr(arg["onError"], env)).otherwise(cast)
+        if "onNull" in arg:
+            out = F.when(inp.isNull(),
+                         _expr(arg["onNull"], env)).otherwise(out)
+        return out
+    if op == "$objectToArray":
+        # MAP columns: entries as {k, v} docs (Mongo's shape). Struct
+        # columns have no runtime field iteration in one expression —
+        # Spark's analyzer raises on the type mismatch with a clear
+        # message, the documented contract.
+        return F.transform(
+            F.map_entries(_expr(arg, env)),
+            lambda e: F.struct(e["key"].alias("k"),
+                               e["value"].alias("v")))
+    if op == "$arrayToObject":
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return F.map_from_entries(F.transform(
+            _expr(inner, env),
+            lambda e: F.struct(e["k"], e["v"])))
     if op in ("$setUnion", "$setIntersection", "$setDifference"):
         fn = {"$setUnion": F.array_union,
               "$setIntersection": F.array_intersect,

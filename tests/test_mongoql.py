@@ -1389,6 +1389,65 @@ def test_date_parts_expressions(spark):
                                        "timezone": "UTC"}}}}])
 
 
+def test_misc_expression_ops(spark):
+    """$sortArray (scalar form), $zip (shortest-input pairing), $cmp /
+    $strcasecmp sign comparisons, $getField/$setField (static names),
+    $convert (onError only fires on FAILED conversion, onNull on null
+    input), $objectToArray/$arrayToObject on map columns, $rand."""
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2], [10, 20], "abc", "5", {"a": 1, "b": 2}),
+         (2, [], [1, 2, 3], "ABD", "x", {}),
+         (3, None, None, None, None, None)],
+        "id int, xs array<int>, ys array<int>, s string, num string, "
+        "m map<string,int>")
+    out = apply_pipeline(df, [{"$addFields": {
+        "sorted_desc": {"$sortArray": {"input": "$xs", "sortBy": -1}},
+        "zipped": {"$zip": {"inputs": ["$xs", "$ys"]}},
+        "c": {"$cmp": [1, 2]},
+        "sc": {"$strcasecmp": ["$s", "aBc"]},
+        "got": {"$getField": {"field": "b", "input": "$m"}},
+        "conv": {"$convert": {"input": "$num", "to": "int",
+                              "onError": -1, "onNull": 0}},
+        "o2a": {"$objectToArray": "$m"},
+    }}])
+    r = {x.id: x for x in out.collect()}
+    assert r[1].sorted_desc == [3, 2, 1]
+    assert r[1].zipped == [[3, 10], [1, 20]]    # shortest input wins
+    assert r[2].zipped == []
+    assert r[1].c == -1
+    assert (r[1].sc, r[2].sc) == (0, 1)         # case-insensitive
+    assert r[1].got == 2
+    assert (r[1].conv, r[2].conv, r[3].conv) == (5, -1, 0)
+    assert sorted((e.k, e.v) for e in r[1].o2a) == [("a", 1), ("b", 2)]
+
+    # $setField builds on struct columns; $arrayToObject round-trips
+    sdf = spark.createDataFrame([(1, (1, 2))], "id int, st struct<a:int,b:int>")
+    out2 = apply_pipeline(sdf, [{"$addFields": {
+        "st2": {"$setField": {"field": "b", "input": "$st", "value": 9}},
+    }}])
+    assert out2.collect()[0].st2.b == 9
+    rt = apply_pipeline(df.filter("id = 1"), [{"$addFields": {
+        "back": {"$arrayToObject": {"$objectToArray": "$m"}}}}])
+    assert rt.collect()[0].back == {"a": 1, "b": 2}
+
+    # $rand: uniform [0,1), varies per row
+    rnd = apply_pipeline(spark.range(100), [{"$addFields": {
+        "r": {"$rand": {}}}}]).collect()
+    vals = {x.r for x in rnd}
+    assert len(vals) > 50 and all(0 <= v < 1 for v in vals)
+
+    with pytest.raises(ValueError, match="sortBy documents"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$sortArray": {"input": "$xs", "sortBy": {"a": 1}}}}}])
+    with pytest.raises(ValueError, match="useLongestLength"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$zip": {"inputs": ["$xs", "$ys"],
+                             "useLongestLength": True}}}}])
+    with pytest.raises(ValueError, match="convert target"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$convert": {"input": "$num", "to": "objectId"}}}}])
+
+
 def test_topn_accumulators_on_skewed_group(spark):
     """Pin the rank-accumulator behavior on a deliberately SKEWED group
     (one key holding 50k rows next to singleton keys): results stay
