@@ -1648,6 +1648,41 @@ FROM w
 """
 
 
+# --- q186: scalar expression family ($convert/$cmp/$strcasecmp/ISO dates) -------
+def q186_mongo_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level scalar expression sweep over orders gating the r12
+    expression additions in one projection — ``$convert`` (try_cast
+    with onError/onNull), ``$cmp`` sign compare, ``$strcasecmp``,
+    ``$isoWeekYear`` (Thursday trick) and ``$isoWeek`` — all pure
+    column expressions inside whole-stage codegen, zero shuffles."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$addFields": {
+            "pr_num": {"$convert": {
+                "input": {"$substrCP": ["$o_orderpriority", 0, 1]},
+                "to": "int", "onError": -1, "onNull": 0}},
+            "sgn": {"$cmp": ["$o_totalprice", 150000.0]},
+            "sc": {"$strcasecmp": ["$o_orderstatus", "f"]},
+            "iwy": {"$isoWeekYear": "$o_orderdate"},
+            "iw": {"$isoWeek": "$o_orderdate"},
+        }},
+    ])
+    return out.select("o_orderkey", "pr_num", "sgn", "sc", "iwy", "iw")
+
+
+Q186_SQL = """
+SELECT o_orderkey,
+       CAST(substr(o_orderpriority, 1, 1) AS INT) AS pr_num,
+       CASE WHEN o_totalprice < 150000.0 THEN -1
+            WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS sgn,
+       CASE WHEN upper(o_orderstatus) < 'F' THEN -1
+            WHEN upper(o_orderstatus) > 'F' THEN 1 ELSE 0 END AS sc,
+       CAST(isoyear(o_orderdate) AS INT) AS iwy,
+       CAST(week(o_orderdate) AS INT) AS iw
+FROM orders
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1680,6 +1715,7 @@ QUERIES = {
     "q183_mongo_calendar_window": q183_mongo_calendar_window,
     "q184_mongo_lookup_nonequi": q184_mongo_lookup_nonequi,
     "q185_mongo_integral_auc": q185_mongo_integral_auc,
+    "q186_mongo_scalar_ops": q186_mongo_scalar_ops,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1717,6 +1753,7 @@ ORACLES = {
     "q183_mongo_calendar_window": Q183_SQL,
     "q184_mongo_lookup_nonequi": Q184_SQL,
     "q185_mongo_integral_auc": Q185_SQL,
+    "q186_mongo_scalar_ops": Q186_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
