@@ -418,3 +418,43 @@ def test_q173_q174_single_shuffle(spark, sf_dir):
                    if "Exchange" in ln and "ReusedExchange" not in ln)
         assert n_ex == 1, (fn.__name__, plan)
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_r12_plan_shapes(spark, sf_dir):
+    """Round-12 additions keep their intended physical shapes:
+
+    - q186 (scalar expression sweep) is SHUFFLE-FREE — one scan, one
+      codegen'd projection, zero Exchanges;
+    - q185 ($integral) runs both Window operators (lag increments +
+      frame sum) on ONE user_id exchange after the hourly groupBy — no
+      self-join, no extra sort-shuffle;
+    - q183 (calendar range window) is the groupBy exchange + the
+      priority-partition window exchange, nothing more;
+    - all three stay fully JVM-side."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.extras import (
+        q183_mongo_calendar_window,
+        q185_mongo_integral_auc,
+        q186_mongo_scalar_ops,
+    )
+
+    def final_plan(fn, collect=True):
+        df = fn(spark, sf_dir)
+        if collect:
+            df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0]
+
+    def n_exchanges(plan):
+        return sum(1 for ln in plan.splitlines()
+                   if "Exchange" in ln and "ReusedExchange" not in ln)
+
+    p186 = final_plan(q186_mongo_scalar_ops)
+    assert n_exchanges(p186) == 0, p186
+    p185 = final_plan(q185_mongo_integral_auc)
+    assert n_exchanges(p185) <= 2, p185    # groupBy + ONE window exchange
+    assert p185.count("Window") >= 2       # chained, not self-joined
+    assert "Join" not in p185, p185
+    p183 = final_plan(q183_mongo_calendar_window)
+    assert n_exchanges(p183) <= 2, p183
+    for p in (p183, p185, p186):
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
