@@ -315,6 +315,33 @@ _mql_stage = st.one_of(
               st.integers(1, 3)),
     st.builds(lambda n: {"$bucketAuto": {"groupBy": "$a", "buckets": n}},
               st.integers(1, 4)),
+    # r12 additions
+    st.builds(lambda n, g: {"$bucketAuto": {"groupBy": "$a", "buckets": n,
+                                            "granularity": g}},
+              st.integers(1, 4),
+              st.sampled_from(["R5", "R20", "1-2-5", "POWERSOF2"])),
+    st.builds(lambda n: {"$sample": {"size": n}}, st.integers(1, 5)),
+    st.builds(lambda f, d: {"$addFields": {f: {"$sortArray": {
+                  "input": "$arr", "sortBy": d}}}},
+              st.sampled_from(["c", "d"]), st.sampled_from([1, -1])),
+    st.builds(lambda f: {"$addFields": {f: {"$zip": {
+                  "inputs": ["$arr", [9, 9, 9]]}}}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda f, to: {"$addFields": {f: {"$convert": {
+                  "input": "$b", "to": to, "onError": -1, "onNull": 0}}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["int", "double", "string"])),
+    st.builds(lambda f, v: {"$addFields": {f: {"$cmp": ["$a", v]}}},
+              st.sampled_from(["c", "d"]), st.integers(-3, 3)),
+    st.builds(lambda f: {"$addFields": {f: {"$setField": {
+                  "field": "x", "input": "$nest", "value": 42}}}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda w: {"$setWindowFields": {
+                  "sortBy": {"a": 1},
+                  "output": {"ig": {"$integral": {"input": "$a"},
+                                    "window": {"documents": [-w,
+                                                             "current"]}}}}},
+              st.integers(0, 3)),
 )
 
 
@@ -541,3 +568,50 @@ def test_snapshot_table_matches_list_model(spark, tmp_path_factory, cmds):
         got = sorted((r.k, r.v) for r in
                      S.read_snapshot(spark, t, version=v).collect())
         assert got == want, (v, cmds)
+
+
+_lk_key = st.one_of(st.none(), st.sampled_from("abcd"))
+_lk_outer = st.lists(
+    st.tuples(_lk_key, st.integers(0, 8)), min_size=1, max_size=6)
+_lk_foreign = st.lists(
+    st.tuples(_lk_key, st.integers(0, 8)), min_size=0, max_size=8)
+
+
+@given(outer=_lk_outer, foreign=_lk_foreign)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_correlated_lookup_matches_per_document_reference(
+        spark, outer, foreign):
+    """The correlated-$lookup unnesting rewrite (general distinct-let-
+    tuples path: equality pair + a NON-EQUI correlated conjunct +
+    terminal {$group: {_id: null}}) must agree with a literal
+    per-document Python evaluation of Mongo's semantics — including
+    null join keys (Mongo's $eq matches null to null) and empty match
+    sets ($group over zero docs emits no doc -> empty array)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    odf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(outer)],
+        "oid int, key string, thr int")
+    fdf = spark.createDataFrame(foreign, "sku string, qty int") \
+        if foreign else spark.createDataFrame([], "sku string, qty int")
+
+    out = apply_pipeline(odf, [{"$lookup": {
+        "from": "inv",
+        "let": {"k": "$key", "t": "$thr"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$$k", "$sku"]},
+                {"$gte": ["$qty", "$$t"]}]}}},
+            {"$group": {"_id": None, "n": {"$sum": 1},
+                        "mx": {"$max": "$qty"}}}],
+        "as": "s"}}], collections={"inv": fdf})
+    got = {r.oid: [(x.n, x.mx) for x in r.s] for r in out.collect()}
+
+    want = {}
+    for i, (k, t) in enumerate(outer):
+        matched = [q for (sk, q) in foreign if sk == k and q >= t]
+        want[i] = [(len(matched), max(matched))] if matched else []
+    assert got == want, (outer, foreign)
