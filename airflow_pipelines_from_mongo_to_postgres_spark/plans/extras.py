@@ -1683,6 +1683,34 @@ FROM orders
 """
 
 
+# --- q187: $match query-operator language ($regex/$not/$nor/$mod) ---------------
+def q187_mongo_match_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate the ``$match`` query-operator language over documents:
+    ``$regex`` with ``$options`` (one JVM RLIKE — inline flags),
+    ``$mod``, and the null-including negations ``$not``/``$nor``
+    (Mongo matches docs where the clause FAILS, nulls included —
+    lowered as coalesce(NOT cond, true) so Spark's null filtering
+    can't silently drop rows). Pure pushable filters, zero shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = apply_pipeline(docs, [
+        {"$match": {"text": {"$regex": "spark.*window", "$options": "i"},
+                    "doc_id": {"$mod": [7, 3]}}},
+        {"$match": {"$nor": [{"lang": "en"},
+                             {"n_chars": {"$lt": 130}}]}},
+    ])
+    return out.select("doc_id", "lang", "n_chars")
+
+
+Q187_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE regexp_matches(text, '(?i)spark.*window')
+  AND doc_id % 7 = 3
+  AND COALESCE(NOT (lang = 'en'), TRUE)
+  AND COALESCE(NOT (n_chars < 130), TRUE)
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1716,6 +1744,7 @@ QUERIES = {
     "q184_mongo_lookup_nonequi": q184_mongo_lookup_nonequi,
     "q185_mongo_integral_auc": q185_mongo_integral_auc,
     "q186_mongo_scalar_ops": q186_mongo_scalar_ops,
+    "q187_mongo_match_operators": q187_mongo_match_operators,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1754,6 +1783,7 @@ ORACLES = {
     "q184_mongo_lookup_nonequi": Q184_SQL,
     "q185_mongo_integral_auc": Q185_SQL,
     "q186_mongo_scalar_ops": Q186_SQL,
+    "q187_mongo_match_operators": Q187_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -648,6 +648,98 @@ def _compatible(schema, path: str, v: Any) -> bool | None:
     return (cf == lf) if cf is not None and lf is not None else None
 
 
+def _regex_cond(col: Column, pattern: Any, options: str | None) -> Column:
+    """``$regex`` (optionally with ``$options``): Mongo's i/m/s/x flags
+    are exactly Java's inline-flag letters, so they prefix the pattern
+    and the whole predicate stays one JVM RLIKE."""
+    if not isinstance(pattern, str):
+        raise ValueError("$regex expects a string pattern")
+    if options:
+        if not set(options) <= set("imsx"):
+            raise ValueError(f"unsupported $regex options: {options!r}")
+        pattern = f"(?{options})" + pattern
+    return col.rlike(pattern)
+
+
+def _match_op(col: Column, op: str, val: Any, spec: dict | None = None,
+              schema=None, field: str | None = None) -> Column:
+    """One ``$match`` query operator applied to ``col`` (a field
+    reference, or an $elemMatch lambda element). ``field``+``schema``
+    enable type bracketing when the target is a named column; ``spec``
+    is the enclosing operator document (for ``$regex``'s ``$options``
+    sibling key)."""
+    def conj(conds):
+        acc = None
+        for c in conds:
+            acc = c if acc is None else acc & c
+        return acc if acc is not None else F.lit(True)
+
+    if op in _CMP:
+        if field is not None and _compatible(schema, field, val) is False:
+            # type-bracketed: cross-type eq/range never match; $ne
+            # matches every (typed) value
+            return F.lit(op == "$ne")
+        return getattr(col, _CMP[op])(F.lit(val))
+    if op in ("$in", "$nin"):
+        ok = [x for x in val
+              if field is None
+              or _compatible(schema, field, x) is not False]
+        inset = col.isin(*ok) if ok else F.lit(False)
+        return ~inset if op == "$nin" else inset
+    if op == "$exists":
+        return col.isNotNull() if val else col.isNull()
+    if op == "$regex":
+        return _regex_cond(col, val, (spec or {}).get("$options"))
+    if op == "$size":
+        return F.size(col) == F.lit(int(val))
+    if op == "$mod":
+        if not isinstance(val, list) or len(val) != 2:
+            raise ValueError("$mod expects [divisor, remainder]")
+        return (col % F.lit(val[0])) == F.lit(val[1])
+    if op == "$all":
+        if not isinstance(val, list):
+            raise ValueError("$all expects an array of values")
+        return conj([F.array_contains(col, F.lit(v)) for v in val])
+    if op == "$elemMatch":
+        if not isinstance(val, dict) or not val:
+            raise ValueError("$elemMatch expects a non-empty document")
+        if any(k.startswith("$") for k in val):
+            # scalar form: operators apply to the element itself
+            return F.exists(col, lambda e: conj(
+                [_match_op(e, k, v, val) for k, v in val.items()
+                 if k != "$options"]))
+        # sub-document form: per-field conditions on the element
+
+        def elem_cond(e):
+            conds = []
+            for fname, fspec in val.items():
+                tgt = e[fname]
+                if isinstance(fspec, dict) \
+                        and any(k.startswith("$") for k in fspec):
+                    conds.extend(_match_op(tgt, k, v, fspec)
+                                 for k, v in fspec.items()
+                                 if k != "$options")
+                else:
+                    conds.append(tgt == F.lit(fspec))
+            return conj(conds)
+
+        return F.exists(col, elem_cond)
+    if op == "$not":
+        # Mongo's $not matches where the condition FAILS, including
+        # null/missing fields — a null predicate must flip to True,
+        # hence the coalesce (plain ~ would drop nulls)
+        if isinstance(val, str):
+            inner = _regex_cond(col, val, None)
+        elif isinstance(val, dict) and val:
+            inner = conj([_match_op(col, k, v, val,
+                                    schema=schema, field=field)
+                          for k, v in val.items() if k != "$options"])
+        else:
+            raise ValueError("$not expects an operator document or regex")
+        return F.coalesce(~inner, F.lit(True))
+    raise ValueError(f"unsupported $match operator: {op}")
+
+
 def _match_cond(cond: dict[str, Any], schema=None) -> Column:
     """``schema`` (the input DataFrame's) enables Mongo's type-bracketed
     matching: an int query against a string field matches NOTHING (and
@@ -662,37 +754,26 @@ def _match_cond(cond: dict[str, Any], schema=None) -> Column:
             # compares two FIELDS in a $match — full expression
             # language, boolean result
             parts.append(_expr(spec).cast("boolean"))
-        elif field == "$and":
+        elif field in ("$and", "$or"):
             sub = [_match_cond(c, schema) for c in spec] or [F.lit(True)]
             acc = sub[0]
             for c in sub[1:]:
-                acc = acc & c
+                acc = (acc & c) if field == "$and" else (acc | c)
             parts.append(acc)
-        elif field == "$or":
-            sub = [_match_cond(c, schema) for c in spec] or [F.lit(True)]
-            acc = sub[0]
-            for c in sub[1:]:
-                acc = acc | c
-            parts.append(acc)
+        elif field == "$nor":
+            # fails-all-clauses, null/missing included (the $not rule)
+            for c in spec:
+                parts.append(F.coalesce(~_match_cond(c, schema),
+                                        F.lit(True)))
         elif isinstance(spec, dict) and any(k.startswith("$") for k in spec):
             col = F.col(field)
             for op, val in spec.items():
-                if op in _CMP:
-                    if _compatible(schema, field, val) is False:
-                        # type-bracketed: cross-type eq/range never
-                        # match; $ne matches every (typed) value
-                        parts.append(F.lit(op == "$ne"))
-                    else:
-                        parts.append(getattr(col, _CMP[op])(F.lit(val)))
-                elif op in ("$in", "$nin"):
-                    ok = [x for x in val
-                          if _compatible(schema, field, x) is not False]
-                    inset = col.isin(*ok) if ok else F.lit(False)
-                    parts.append(~inset if op == "$nin" else inset)
-                elif op == "$exists":
-                    parts.append(col.isNotNull() if val else col.isNull())
-                else:
-                    raise ValueError(f"unsupported $match operator: {op}")
+                if op == "$options":
+                    if "$regex" not in spec:
+                        raise ValueError("$options requires $regex")
+                    continue
+                parts.append(_match_op(col, op, val, spec,
+                                       schema=schema, field=field))
         else:
             if _compatible(schema, field, spec) is False:
                 parts.append(F.lit(False))

@@ -1389,6 +1389,47 @@ def test_date_parts_expressions(spark):
                                        "timezone": "UTC"}}}}])
 
 
+def test_match_query_operators(spark):
+    """The $match query-operator language beyond comparisons: $regex
+    (+$options), $not (matches null/missing too — Mongo's rule), $nor,
+    $size, $all, $mod, and both $elemMatch forms."""
+    df = spark.createDataFrame(
+        [(1, "Hello", [1, 2, 3], [{"p": 5, "q": "a"}], 10),
+         (2, "world", [2], [{"p": 9, "q": "b"}], 7),
+         (3, None, [], [], None),
+         (4, "HELLO world", None, None, 4)],
+        "id int, s string, xs array<int>, "
+        "docs array<struct<p:int,q:string>>, n int")
+
+    def ids(cond):
+        return sorted(r.id for r in
+                      apply_pipeline(df, [{"$match": cond}]).collect())
+
+    assert ids({"s": {"$regex": "^hello", "$options": "i"}}) == [1, 4]
+    assert ids({"s": {"$regex": "^hello"}}) == []
+    # $not matches failures INCLUDING null/missing (unlike plain $lt)
+    assert ids({"n": {"$lt": 8}}) == [2, 4]
+    assert ids({"n": {"$not": {"$gte": 8}}}) == [2, 3, 4]
+    assert ids({"s": {"$not": "^Hello"}}) == [2, 3, 4]   # regex form
+    assert ids({"$nor": [{"n": {"$gte": 8}}, {"s": "world"}]}) == [3, 4]
+    assert ids({"xs": {"$size": 3}}) == [1]
+    assert ids({"xs": {"$size": 0}}) == [3]
+    assert ids({"xs": {"$all": [1, 3]}}) == [1]
+    assert ids({"n": {"$mod": [3, 1]}}) == [1, 2, 4]
+    # $elemMatch scalar form: conditions on the element itself
+    assert ids({"xs": {"$elemMatch": {"$gte": 2, "$lt": 3}}}) == [1, 2]
+    # $elemMatch sub-document form: per-field conditions
+    assert ids({"docs": {"$elemMatch": {"p": {"$gt": 6}, "q": "b"}}}) == [2]
+    assert ids({"docs": {"$elemMatch": {"p": 5}}}) == [1]
+
+    with pytest.raises(ValueError, match="requires .regex"):
+        ids({"s": {"$options": "i"}})
+    with pytest.raises(ValueError, match="regex options"):
+        ids({"s": {"$regex": "a", "$options": "z"}})
+    with pytest.raises(ValueError, match="divisor"):
+        ids({"n": {"$mod": [3]}})
+
+
 def test_misc_expression_ops(spark):
     """$sortArray (scalar form), $zip (shortest-input pairing), $cmp /
     $strcasecmp sign comparisons, $getField/$setField (static names),
