@@ -16,11 +16,14 @@ pushes down through them); nothing collects, nothing loops rows.
 Supported stages — the reference's three, plus the common tail:
 ``$match`` (equality, ``$eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$exists``,
 ``$and/$or``), ``$project`` (include / exclude / "$path" aliases),
-``$unwind`` (str or ``{path, preserveNullAndEmptyArrays}``),
+``$unwind`` (str or ``{path, preserveNullAndEmptyArrays,
+includeArrayIndex}``),
 ``$addFields``/``$set``, ``$group`` (``$sum/$avg/$min/$max/$count``,
 ``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
 ``$first``/``$last`` (upstream order via min_by/max_by),
-``$stdDevPop/$stdDevSamp``), ``$sort``, ``$limit``, ``$skip``,
+``$stdDevPop/$stdDevSamp``, ``$median/$percentile`` (exact),
+the rank family ``$top/$bottom/$topN/$bottomN/$minN/$maxN/$firstN/
+$lastN``), ``$sort``, ``$limit``, ``$skip``,
 ``$count``, ``$unset``, ``$sample``, ``$facet`` (shared-scan
 multi-aggregation), ``$bucket``/``$bucketAuto`` (incl. ``granularity``
 preferred-number rounding), ``$setWindowFields`` (documents/range
@@ -997,6 +1000,17 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             aggs.append(F.stddev_pop(_expr(arg)).alias(name))
         elif op == "$stdDevSamp":
             aggs.append(F.stddev_samp(_expr(arg)).alias(name))
+        elif op in ("$median", "$percentile"):
+            # Mongo 7.0 (t-digest "approximate" method); lowered to
+            # Spark's EXACT distributed percentile — deterministic
+            # (gate-able) and strictly more accurate, the documented
+            # deviation. $percentile returns the array of requested ps.
+            y = _expr(arg["input"])
+            if op == "$median":
+                aggs.append(F.percentile(y, F.lit(0.5)).alias(name))
+            else:
+                ps = [float(p) for p in arg["p"]]
+                aggs.append(F.percentile(y, F.lit(ps)).alias(name))
         else:
             raise ValueError(f"unsupported $group accumulator: {op}")
     if gid is None:
@@ -1353,6 +1367,14 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             a1, a2 = _expr(arg[0]), _expr(arg[1])
             c = (F.covar_pop if op == "$covariancePop"
                  else F.covar_samp)(a1, a2)
+        elif op in ("$median", "$percentile"):
+            # exact distributed percentile over the frame (Mongo 7.0's
+            # t-digest method replaced by the deterministic exact form,
+            # same deviation as the $group accumulator)
+            y = _expr(arg["input"])
+            c = (F.percentile(y, F.lit(0.5)) if op == "$median"
+                 else F.percentile(y, F.lit([float(p)
+                                             for p in arg["p"]])))
         else:
             raise ValueError(
                 f"unsupported $setWindowFields operator: {op}")
@@ -2275,12 +2297,17 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = _project(df, spec)
         elif op == "$unwind":
             if isinstance(spec, str):
-                path, preserve = spec[1:], False
+                path, preserve, idx = spec[1:], False, None
             else:
                 path = spec["path"][1:]
                 preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+                idx = spec.get("includeArrayIndex")
             fn = F.explode_outer if preserve else F.explode
             if "." in path:
+                if idx:
+                    raise ValueError(
+                        "$unwind includeArrayIndex with a nested path "
+                        "is unsupported — $unwind the top-level array")
                 # Mongo replaces the nested field IN PLACE. explode is a
                 # generator (must sit in a top-level projection), so
                 # explode into a temp column first, then graft the element
@@ -2291,6 +2318,16 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                       .withColumn(top,
                                   F.col(top).withField(rest, F.col(tmp)))
                       .drop(tmp))
+            elif idx:
+                # includeArrayIndex: posexplode emits (pos, value);
+                # Mongo's index is a LONG, null on preserved null/empty
+                # rows — posexplode_outer's null pos matches exactly
+                pfn = F.posexplode_outer if preserve else F.posexplode
+                others = [c for c in df.columns if c != path]
+                df = df.select(*others,
+                               pfn(F.col(path)).alias(idx, path))
+                df = df.select(*others, path,
+                               F.col(idx).cast("long").alias(idx))
             else:
                 df = df.withColumn(path, fn(F.col(path)))
         elif op in ("$addFields", "$set"):

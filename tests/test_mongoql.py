@@ -1389,6 +1389,50 @@ def test_date_parts_expressions(spark):
                                        "timezone": "UTC"}}}}])
 
 
+def test_unwind_include_array_index_and_percentiles(spark):
+    """$unwind includeArrayIndex (long, null on preserved empty/null
+    rows); $median/$percentile group + window accumulators (exact
+    distributed percentile — the documented deviation from Mongo's
+    t-digest)."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, xs array<string>")
+    out = apply_pipeline(df, [{"$unwind": {
+        "path": "$xs", "includeArrayIndex": "i",
+        "preserveNullAndEmptyArrays": True}}])
+    got = sorted((r.id, r.xs, r.i) for r in out.collect())
+    assert got == [(1, "a", 0), (1, "b", 1), (2, None, None),
+                   (3, None, None)]
+    strict = apply_pipeline(df, [{"$unwind": {
+        "path": "$xs", "includeArrayIndex": "i"}}])
+    assert sorted((r.id, r.i) for r in strict.collect()) == \
+        [(1, 0), (1, 1)]
+    with pytest.raises(ValueError, match="nested path"):
+        apply_pipeline(
+            spark.createDataFrame([((["x"],),)], "n struct<a:array<string>>"),
+            [{"$unwind": {"path": "$n.a", "includeArrayIndex": "i"}}])
+
+    nums = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)] + [("h", 5.0)],
+        "k string, v double")
+    agg = apply_pipeline(nums, [{"$group": {
+        "_id": "$k",
+        "med": {"$median": {"input": "$v", "method": "approximate"}},
+        "pct": {"$percentile": {"input": "$v", "p": [0.1, 0.9],
+                                "method": "approximate"}}}}])
+    r = {x._id: x for x in agg.collect()}
+    assert r["g"].med == 5.5 and r["h"].med == 5.0
+    assert r["g"].pct == [1.9, 9.1]   # exact linear interpolation
+
+    win = apply_pipeline(nums, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"v": 1},
+        "output": {"rm": {"$median": {"input": "$v",
+                                      "method": "approximate"},
+                          "window": {"documents": ["unbounded",
+                                                   "current"]}}}}}])
+    vals = {(x.k, x.v): x.rm for x in win.collect()}
+    assert vals[("g", 3.0)] == 2.0 and vals[("g", 10.0)] == 5.5
+
+
 def test_match_query_operators(spark):
     """The $match query-operator language beyond comparisons: $regex
     (+$options), $not (matches null/missing too — Mongo's rule), $nor,
