@@ -37,7 +37,8 @@ the aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$cond``/``$switch``, ``$ifNull``, ``$concat``,
 ``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
-$sqrt/$pow/$ln/$log10/$exp``, ``$toUpper/$toLower/$substrCP/$strLenCP/
+$trunc/$sqrt/$pow/$ln/$log/$log10/$exp`` + the trig/angle family
+(``$sin..$atan2``, ``$degreesToRadians/$radiansToDegrees``), ``$toUpper/$toLower/$substrCP/$strLenCP/
 $split/$trim/$ltrim/$rtrim/$regexMatch/$indexOfCP/$replaceOne/
 $replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
 $range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
@@ -325,8 +326,30 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return F.log(_expr(arg, env))
     if op == "$log10":
         return F.log10(_expr(arg, env))
+    if op == "$log":
+        a, b = args(2)        # [number, base]
+        return F.log(a) / F.log(b)
     if op == "$exp":
         return F.exp(_expr(arg, env))
+    if op == "$trunc":
+        if isinstance(arg, list) and len(arg) == 2 \
+                and isinstance(arg[1], int):
+            # truncate toward zero at `place` decimal digits
+            scale = 10 ** arg[1]
+            x = _expr(arg[0], env)
+            return ((x * scale).cast("long") / F.lit(scale))
+        x = _expr(arg[0] if isinstance(arg, list) else arg, env)
+        return x.cast("long")
+    _TRIG = {"$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+             "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+             "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+             "$degreesToRadians": F.radians,
+             "$radiansToDegrees": F.degrees}
+    if op in _TRIG:
+        return _TRIG[op](_expr(arg, env))
+    if op == "$atan2":
+        a, b = args(2)
+        return F.atan2(a, b)
     # type conversion (Mongo $convert's common shorthands)
     if op in ("$toInt", "$toLong", "$toDouble", "$toString", "$toBool"):
         t = {"$toInt": "int", "$toLong": "long", "$toDouble": "double",
@@ -768,6 +791,9 @@ def _match_cond(cond: dict[str, Any], schema=None) -> Column:
             for c in spec:
                 parts.append(F.coalesce(~_match_cond(c, schema),
                                         F.lit(True)))
+        elif field == "$sampleRate":
+            # per-document bernoulli sample, Mongo's nondeterminism
+            parts.append(F.rand() < F.lit(float(spec)))
         elif isinstance(spec, dict) and any(k.startswith("$") for k in spec):
             col = F.col(field)
             for op, val in spec.items():

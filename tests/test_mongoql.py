@@ -1389,6 +1389,32 @@ def test_date_parts_expressions(spark):
                                        "timezone": "UTC"}}}}])
 
 
+def test_math_tail_and_sample_rate(spark):
+    """$log [x, base], $trunc with place, the trig/angle family, and
+    the $sampleRate bernoulli match operator."""
+    import math
+
+    df = spark.createDataFrame([(1, 8.0, 3.14159)], "id int, x double, a double")
+    out = apply_pipeline(df, [{"$addFields": {
+        "lg2": {"$log": ["$x", 2]},
+        "tr": {"$trunc": [{"$multiply": ["$a", 100]}, 0]},
+        "tr1": {"$trunc": [7.777, 2]},
+        "s": {"$sin": "$a"},
+        "at2": {"$atan2": [1, 1]},
+        "deg": {"$radiansToDegrees": {"$degreesToRadians": 180}},
+    }}])
+    r = out.collect()[0]
+    assert abs(r.lg2 - 3.0) < 1e-12
+    assert r.tr == 314.0 and r.tr1 == 7.77
+    assert abs(r.s - math.sin(3.14159)) < 1e-12
+    assert abs(r.at2 - math.pi / 4) < 1e-12
+    assert abs(r.deg - 180.0) < 1e-12
+
+    big = spark.range(2000)
+    n = apply_pipeline(big, [{"$match": {"$sampleRate": 0.25}}]).count()
+    assert 300 < n < 700      # ~500 expected, generous bounds
+
+
 def test_unwind_include_array_index_and_percentiles(spark):
     """$unwind includeArrayIndex (long, null on preserved empty/null
     rows); $median/$percentile group + window accumulators (exact
