@@ -1711,6 +1711,37 @@ WHERE regexp_matches(text, '(?i)spark.*window')
 """
 
 
+# --- q188: array-valued $match operators ($all/$size/$elemMatch) ----------------
+def q188_mongo_array_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate the ARRAY query operators over a words column built with
+    ``$split``: ``$all`` (conjunction of array_contains), ``$size``
+    comparison via ``$expr``, and ``$elemMatch`` with a ``$regex``
+    element predicate (one exists() lambda — no explode, no shuffle).
+    The words array itself never reaches the output (the no-array
+    output gate), only scalar summaries do."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = apply_pipeline(docs, [
+        {"$addFields": {"words": {"$split": ["$text", " "]}}},
+        {"$match": {"words": {"$all": ["spark", "join"]}}},
+        {"$match": {"words": {"$elemMatch": {"$regex": "^wind"}}}},
+        {"$addFields": {"n_words": {"$size": "$words"}}},
+        {"$match": {"n_words": {"$gte": 20}}},
+    ])
+    return out.select("doc_id", "lang", "n_words")
+
+
+Q188_SQL = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+  AND list_contains(string_split(text, ' '), 'join')
+  AND EXISTS (SELECT 1 FROM unnest(string_split(text, ' ')) AS t(w)
+              WHERE regexp_matches(w, '^wind'))
+  AND len(string_split(text, ' ')) >= 20
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1745,6 +1776,7 @@ QUERIES = {
     "q185_mongo_integral_auc": q185_mongo_integral_auc,
     "q186_mongo_scalar_ops": q186_mongo_scalar_ops,
     "q187_mongo_match_operators": q187_mongo_match_operators,
+    "q188_mongo_array_match": q188_mongo_array_match,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1784,6 +1816,7 @@ ORACLES = {
     "q185_mongo_integral_auc": Q185_SQL,
     "q186_mongo_scalar_ops": Q186_SQL,
     "q187_mongo_match_operators": Q187_SQL,
+    "q188_mongo_array_match": Q188_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
