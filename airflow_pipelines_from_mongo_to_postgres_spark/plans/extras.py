@@ -1742,6 +1742,30 @@ WHERE list_contains(string_split(text, ' '), 'spark')
 """
 
 
+# --- q189: $sortArray + $slice array pipeline --------------------------------
+def q189_mongo_sort_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$sortArray`` (Mongo 5.2) + ``$slice`` over the $split words
+    column: the top-3 lexicographically-greatest words per document,
+    JSON-stringified in the final projection on both engines (the
+    no-array-output discipline). Binary UTF8 string ordering matches
+    DuckDB's default varchar collation, so the gate is exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = apply_pipeline(docs, [
+        {"$addFields": {"words": {"$split": ["$text", " "]}}},
+        {"$addFields": {"top3": {"$slice": [
+            {"$sortArray": {"input": "$words", "sortBy": -1}}, 3]}}},
+    ])
+    return out.select("doc_id", F.to_json("top3").alias("top3"))
+
+
+Q189_SQL = """
+SELECT doc_id,
+       CAST(to_json(list_slice(list_sort(string_split(text, ' '), 'DESC'),
+                               1, 3)) AS VARCHAR) AS top3
+FROM documents
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1777,6 +1801,7 @@ QUERIES = {
     "q186_mongo_scalar_ops": q186_mongo_scalar_ops,
     "q187_mongo_match_operators": q187_mongo_match_operators,
     "q188_mongo_array_match": q188_mongo_array_match,
+    "q189_mongo_sort_array": q189_mongo_sort_array,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1817,6 +1842,7 @@ ORACLES = {
     "q186_mongo_scalar_ops": Q186_SQL,
     "q187_mongo_match_operators": Q187_SQL,
     "q188_mongo_array_match": Q188_SQL,
+    "q189_mongo_sort_array": Q189_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
