@@ -24,7 +24,8 @@ includeArrayIndex}``),
 ``$stdDevPop/$stdDevSamp``, ``$median/$percentile`` (exact),
 the rank family ``$top/$bottom/$topN/$bottomN/$minN/$maxN/$firstN/
 $lastN``), ``$sort``, ``$limit``, ``$skip``,
-``$count``, ``$unset``, ``$sample``, ``$facet`` (shared-scan
+``$count``, ``$unset``, ``$sample``, ``$redact`` (schema-recursive
+KEEP/PRUNE/DESCEND), ``$facet`` (shared-scan
 multi-aggregation), ``$bucket``/``$bucketAuto`` (incl. ``granularity``
 preferred-number rounding), ``$setWindowFields`` (documents/range
 frames incl. time AND calendar units; rank family, ``$shift``,
@@ -1664,6 +1665,117 @@ def _bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         *[c for c in grouped.columns if c not in ("_id", "__mn", "__mx")])
 
 
+_REDACT_VARS = {"KEEP": "keep", "PRUNE": "prune", "DESCEND": "descend"}
+
+
+def _rebase_refs(v: Any, schema, var: str) -> Any:
+    """Rewrite bare ``$path`` field references so an expression written
+    against "the current document" evaluates against an arbitrary
+    struct column instead: ``$a.b`` becomes ``$$var.a.b`` when the path
+    resolves in ``schema``, and a ``{$literal: None}`` when it does not
+    (Mongo's missing-field semantics — the expression sees missing, it
+    does not error). ``$$...`` variables pass through untouched."""
+    from pyspark.sql import types as ST
+
+    if isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
+        node = schema
+        for part in v[1:].split("."):
+            if not isinstance(node, ST.StructType) or part not in node.names:
+                return {"$literal": None}
+            node = node[part].dataType
+        return f"$${var}." + v[1:]
+    if isinstance(v, dict):
+        return {k: _rebase_refs(x, schema, var) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_rebase_refs(x, schema, var) for x in v]
+    return v
+
+
+def _redact(df: DataFrame, spec: Any) -> DataFrame:
+    """``$redact``: per-document recursive access control. The
+    expression evaluates at EVERY document level to ``$$KEEP`` (keep
+    this subtree wholesale), ``$$PRUNE`` (drop it), or ``$$DESCEND``
+    (keep this level's scalars, recurse into embedded documents and
+    arrays of documents). Mongo walks runtime documents; a rectangular
+    engine walks the SCHEMA once at plan time instead — the decision
+    tree compiles to nested CASE/transform column expressions (codegen,
+    no Python, no explode), recursion bounded by schema depth:
+
+    - root PRUNE     -> the row filters out;
+    - struct field   -> re-evaluate the expression with refs REBASED to
+      the subdocument (:func:`_rebase_refs`; missing fields read as
+      null, Mongo's rule): PRUNE nulls the field, KEEP passes it
+      through, DESCEND rebuilds it field-by-field recursively;
+    - array<struct>  -> per-element decision inside filter()+transform();
+    - scalars/arrays-of-scalars under DESCEND are kept (Mongo keeps
+      non-document values).
+
+    Deviation, documented: a PRUNEd field/element becomes NULL / is
+    removed from the array — a missing field and a null field are the
+    same thing in a rectangular schema."""
+    from pyspark.sql import types as ST
+
+    env = {k: F.lit(v) for k, v in _REDACT_VARS.items()}
+
+    def decision(base: Column | None, schema) -> Column:
+        if base is None:
+            return _expr(spec, env).cast("string")
+        rebased = _rebase_refs(spec, schema, "__doc")
+        return _expr(rebased, {**env, "__doc": base}).cast("string")
+
+    def rebuild(base: Column, dtype: ST.StructType) -> Column:
+        """The DESCEND body for one document level: keep scalars,
+        decide recursively for embedded docs and doc arrays."""
+        fields = []
+        for f in dtype.fields:
+            col = base[f.name]
+            if isinstance(f.dataType, ST.StructType):
+                d = decision(col, f.dataType)
+                fields.append(
+                    F.when(d == "prune",
+                           F.lit(None).cast(f.dataType))
+                    .when(d == "descend", rebuild(col, f.dataType))
+                    .otherwise(col).alias(f.name))
+            elif isinstance(f.dataType, ST.ArrayType) \
+                    and isinstance(f.dataType.elementType, ST.StructType):
+                et = f.dataType.elementType
+
+                def make_elem(et):
+                    # factory keeps the HOF lambda single-arg —
+                    # F.transform dispatches on arity, so a bound
+                    # default would receive the element INDEX
+                    def elem(e):
+                        d = decision(e, et)
+                        return (F.when(d == "prune",
+                                       F.lit(None).cast(et))
+                                .when(d == "descend", rebuild(e, et))
+                                .otherwise(e))
+                    return elem
+
+                kept = F.filter(F.transform(col, make_elem(et)),
+                                lambda e: e.isNotNull())
+                fields.append(kept.alias(f.name))
+            else:
+                fields.append(col.alias(f.name))
+        return F.struct(*fields)
+
+    root = decision(None, df.schema)
+    df = df.filter(F.coalesce(root != "prune", F.lit(False)))
+    root2 = decision(None, df.schema)  # re-evaluate post-filter
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, ST.StructType) \
+                or (isinstance(f.dataType, ST.ArrayType)
+                    and isinstance(f.dataType.elementType, ST.StructType)):
+            whole = F.struct(*[F.col(c).alias(c) for c in df.columns])
+            built = rebuild(whole, df.schema)[f.name]
+            cols.append(F.when(root2 == "keep", F.col(f.name))
+                        .otherwise(built).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def _mentions_pipeline_var(v: Any) -> bool:
     """True if any string in the (nested) expression references a ``$$``
     pipeline variable — the conservative correlation detector for
@@ -2387,6 +2499,8 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = df.limit(int(spec))
         elif op == "$skip":
             df = df.offset(int(spec))
+        elif op == "$redact":
+            df = _redact(df, spec)
         elif op == "$sample":
             # pseudo-random size docs (Mongo's reservoir sample):
             # rand-keyed orderBy+limit compiles to TakeOrdered — each

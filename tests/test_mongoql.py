@@ -1389,6 +1389,49 @@ def test_date_parts_expressions(spark):
                                        "timezone": "UTC"}}}}])
 
 
+def test_redact_stage(spark):
+    """$redact — the canonical security-tagging shape: the expression
+    re-evaluates at every document level; $$PRUNE drops the row at the
+    root, NULLs a subdocument, and removes array elements; $$DESCEND
+    recurses; $$KEEP short-circuits the whole subtree; a field missing
+    at some level reads as null (Mongo's missing-field rule)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(_id=1, level=5,
+            sub=Row(level=1, secret="s1"),
+            items=[Row(level=5, v="a"), Row(level=1, v="b"),
+                   Row(level=5, v="c")]),
+        Row(_id=2, level=1,                      # root prunes
+            sub=Row(level=5, secret="s2"),
+            items=[Row(level=5, v="d")]),
+        Row(_id=3, level=5,
+            sub=Row(level=5, secret="s3"), items=[]),
+    ])
+    expr = {"$cond": [{"$gte": ["$level", 5]}, "$$DESCEND", "$$PRUNE"]}
+    out = apply_pipeline(df, [{"$redact": expr}])
+    rows = {r._id: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].sub is None                   # level-1 subdoc pruned
+    assert [e.v for e in rows[1].items] == ["a", "c"]
+    assert rows[3].sub.secret == "s3" and rows[3].items == []
+
+    # $$KEEP short-circuits: level-5 root keeps EVERYTHING, even the
+    # level-1 subdoc that $$DESCEND would prune
+    keep = apply_pipeline(df, [{"$redact": {
+        "$cond": [{"$gte": ["$level", 5]}, "$$KEEP", "$$PRUNE"]}}])
+    krows = {r._id: r for r in keep.collect()}
+    assert krows[1].sub.secret == "s1"
+    assert [e.v for e in krows[1].items] == ["a", "b", "c"]
+
+    # a level WITHOUT the tag field: the ref reads null -> cond false
+    # -> that level prunes, others unaffected
+    df2 = spark.createDataFrame(
+        [Row(_id=1, level=5, meta=Row(note="x"))])
+    out2 = apply_pipeline(df2, [{"$redact": expr}])
+    assert out2.collect()[0].meta is None
+
+
 def test_math_tail_and_sample_rate(spark):
     """$log [x, base], $trunc with place, the trig/angle family, and
     the $sampleRate bernoulli match operator."""
