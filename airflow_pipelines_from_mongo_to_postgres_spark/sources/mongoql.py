@@ -111,16 +111,21 @@ def _expr(v: Any, env: dict | None = None) -> Column:
     binds Spark lambda variables, so HOF pipelines stay inside
     whole-stage codegen like the rest of the translator. An unknown
     $-operator raises ValueError (the translator's declared error
-    class); a multi-key document is rejected rather than guessed at
-    (Mongo operator docs have exactly one key)."""
+    class). A document whose keys carry NO $-prefix is Mongo's
+    DOCUMENT LITERAL ({x: "$a", y: 1} in $project/$addFields) —
+    a struct whose field values are themselves expressions; a
+    multi-key document that MIXES $-keys with plain keys is rejected
+    rather than guessed at."""
     if isinstance(v, dict):
         if len(v) == 1 and next(iter(v)).startswith("$"):
             (op, arg), = v.items()
             return _expr_op(op, arg, env)
+        if v and not any(k.startswith("$") for k in v):
+            return F.struct(*[_expr(x, env).alias(k)
+                              for k, x in v.items()])
         raise ValueError(
             f"unsupported expression document: {v!r} (operator documents "
-            "have exactly one $-key; literal sub-documents are not "
-            "expressions)")
+            "have exactly one $-key; document literals have none)")
     return _ref(v, env)
 
 

@@ -506,7 +506,8 @@ def test_expression_operator_errors_are_typed(apps):
         {"$addFields": {"x": {"$ifNull": ["$amount"]}}},
         {"$addFields": {"x": {"$cond": ["$deleted", 1]}}},
         {"$addFields": {"x": {"$add": ["$a"], "$mul": ["$b"]}}},
-        {"$addFields": {"x": {"nested": "doc"}}},
+        # document literals are expressions now; MIXED keys still raise
+        {"$addFields": {"x": {"nested": "doc", "$add": [1, 2]}}},
     ):
         with pytest.raises(ValueError):
             apply_pipeline(apps, [bad])
@@ -1387,6 +1388,22 @@ def test_date_parts_expressions(spark):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$dateFromParts": {"year": 2024,
                                        "timezone": "UTC"}}}}])
+
+
+def test_document_literals_in_expressions(spark):
+    """Mongo document literals in $project/$addFields ({x: "$a", y: 1})
+    build structs whose field values are themselves expressions,
+    nested; mixing $-keys with plain keys still raises."""
+    df = spark.createDataFrame([(1, 2.0, "x")], "a int, b double, s string")
+    out = apply_pipeline(df, [{"$addFields": {
+        "loc": {"x": "$a", "y": {"$multiply": ["$b", 10]},
+                "tag": {"deep": "$s"}},
+    }}])
+    r = out.collect()[0]
+    assert (r.loc.x, r.loc.y, r.loc.tag.deep) == (1, 20.0, "x")
+    with pytest.raises(ValueError, match="expression document"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"x": 1, "$add": [1, 2]}}}])
 
 
 def test_redact_stage(spark):
