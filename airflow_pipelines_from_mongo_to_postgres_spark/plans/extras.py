@@ -1766,6 +1766,41 @@ FROM documents
 """
 
 
+# --- q190: $redact with in-pipeline document literals ----------------------------
+def q190_mongo_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$redact`` end-to-end over orders: tag each order and an
+    embedded detail sub-document (document LITERAL in $addFields) with
+    security levels, then redact with the canonical
+    ``$cond -> $$DESCEND/$$PRUNE`` expression — low-level roots drop
+    (row filter), low-level sub-documents null out, all in plan-time
+    compiled column expressions (sources/mongoql.py::_redact). The
+    surviving detail's price projects through the possibly-null struct,
+    which the oracle reproduces with a plain CASE."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$addFields": {
+            "level": {"$cond": [{"$gte": ["$o_totalprice", 150000.0]},
+                                5, 1]},
+            "detail": {
+                "level": {"$cond": [{"$eq": ["$o_orderstatus", "O"]},
+                                    5, 1]},
+                "price": "$o_totalprice"},
+        }},
+        {"$redact": {"$cond": [{"$gte": ["$level", 5]},
+                               "$$DESCEND", "$$PRUNE"]}},
+    ])
+    return out.select("o_orderkey", "level",
+                      F.col("detail.price").alias("dprice"))
+
+
+Q190_SQL = """
+SELECT o_orderkey, 5 AS level,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS dprice
+FROM orders
+WHERE o_totalprice >= 150000.0
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1802,6 +1837,7 @@ QUERIES = {
     "q187_mongo_match_operators": q187_mongo_match_operators,
     "q188_mongo_array_match": q188_mongo_array_match,
     "q189_mongo_sort_array": q189_mongo_sort_array,
+    "q190_mongo_redact": q190_mongo_redact,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1843,6 +1879,7 @@ ORACLES = {
     "q187_mongo_match_operators": Q187_SQL,
     "q188_mongo_array_match": Q188_SQL,
     "q189_mongo_sort_array": Q189_SQL,
+    "q190_mongo_redact": Q190_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
