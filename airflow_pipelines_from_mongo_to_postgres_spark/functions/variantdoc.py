@@ -91,43 +91,80 @@ def _typed(path: str, value) -> Column:
     return F.try_variant_get("__doc__", f"$.{path}", t)
 
 
+def _variant_op(path: str, op: str, val, spec: dict) -> Column:
+    """One $match operator against a variant path — the schemaless twin
+    of mongoql._match_op (same operator set where types allow)."""
+    if op == "$exists":
+        e = F.try_variant_get("__doc__", f"$.{path}",
+                              "variant").isNotNull()
+        return e if val else ~e
+    if op in ("$in", "$nin"):
+        c = _typed(path, val[0] if val else "")
+        inset = c.isin(list(val)) if val else F.lit(False)
+        if op == "$nin":
+            # Mongo: $nin also matches missing fields (null extraction)
+            return F.coalesce(~inset, F.lit(True))
+        return inset
+    if op == "$regex":
+        pattern = val
+        options = spec.get("$options")
+        if options:
+            if not set(options) <= set("imsx"):
+                raise ValueError(
+                    f"unsupported $regex options: {options!r}")
+            pattern = f"(?{options})" + pattern
+        return _typed(path, "").rlike(pattern)
+    if op == "$mod":
+        if not isinstance(val, list) or len(val) != 2:
+            raise ValueError("$mod expects [divisor, remainder]")
+        return (_typed(path, 0) % F.lit(val[0])) == F.lit(val[1])
+    if op == "$not":
+        # fails-including-nulls, the struct-mode rule (mongoql)
+        if isinstance(val, str):
+            inner = _variant_op(path, "$regex", val, {})
+        elif isinstance(val, dict) and val:
+            inner = None
+            for k, v in val.items():
+                if k == "$options":
+                    continue
+                c = _variant_op(path, k, v, val)
+                inner = c if inner is None else inner & c
+        else:
+            raise ValueError("$not expects an operator document or regex")
+        return F.coalesce(~inner, F.lit(True))
+    if op in _CMP:
+        c = _typed(path, val)
+        return {"$eq": c == F.lit(val),
+                "$ne": c != F.lit(val),
+                "$gt": c > F.lit(val),
+                "$gte": c >= F.lit(val),
+                "$lt": c < F.lit(val),
+                "$lte": c <= F.lit(val)}[op]
+    raise ValueError(f"unsupported $match op on variant: {op!r}")
+
+
 def _match_expr(cond: dict) -> Column:
     exprs = []
     for path, spec in cond.items():
-        if path == "$and":
+        if path in ("$and", "$or"):
             sub = [_match_expr(c) for c in spec]
             e = sub[0]
             for s in sub[1:]:
-                e = e & s
+                e = (e & s) if path == "$and" else (e | s)
             exprs.append(e)
             continue
-        if path == "$or":
-            sub = [_match_expr(c) for c in spec]
-            e = sub[0]
-            for s in sub[1:]:
-                e = e | s
-            exprs.append(e)
+        if path == "$nor":
+            for c in spec:
+                exprs.append(F.coalesce(~_match_expr(c), F.lit(True)))
             continue
         if not isinstance(spec, dict):
             spec = {"$eq": spec}
         for op, val in spec.items():
-            if op == "$exists":
-                e = F.try_variant_get("__doc__", f"$.{path}",
-                                      "variant").isNotNull()
-                exprs.append(e if val else ~e)
-            elif op == "$in":
-                c = _typed(path, val[0] if val else "")
-                exprs.append(c.isin(list(val)))
-            elif op in _CMP:
-                c = _typed(path, val)
-                exprs.append({"$eq": c == F.lit(val),
-                              "$ne": c != F.lit(val),
-                              "$gt": c > F.lit(val),
-                              "$gte": c >= F.lit(val),
-                              "$lt": c < F.lit(val),
-                              "$lte": c <= F.lit(val)}[op])
-            else:
-                raise ValueError(f"unsupported $match op on variant: {op!r}")
+            if op == "$options":
+                if "$regex" not in spec:
+                    raise ValueError("$options requires $regex")
+                continue
+            exprs.append(_variant_op(path, op, val, spec))
     out = exprs[0]
     for e in exprs[1:]:
         out = out & e

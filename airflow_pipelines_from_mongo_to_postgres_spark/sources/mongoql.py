@@ -717,7 +717,11 @@ def _match_op(col: Column, op: str, val: Any, spec: dict | None = None,
               if field is None
               or _compatible(schema, field, x) is not False]
         inset = col.isin(*ok) if ok else F.lit(False)
-        return ~inset if op == "$nin" else inset
+        if op == "$nin":
+            # Mongo: $nin also matches docs where the field is
+            # missing/null — null-inclusive like $not/$nor
+            return F.coalesce(~inset, F.lit(True))
+        return inset
     if op == "$exists":
         return col.isNotNull() if val else col.isNull()
     if op == "$regex":

@@ -56,6 +56,15 @@ def test_variant_match_ops_and_exists(docs):
                         {"personal.first": "Ada"}]}) == ["u1", "u2"]
     assert ids({"personal.first": {"$in": ["Ada", "Bo"]},
                 "deleted": True}) == ["u2"]
+    # r12 parity with the struct-mode operator set
+    assert ids({"personal.first": {"$regex": "^a", "$options": "i"}}) \
+        == ["u1"]
+    assert ids({"personal.first": {"$nin": ["Ada"]}}) == ["u2", "u3"]
+    # $not matches failures INCLUDING missing/type-mismatched fields
+    assert ids({"personal.age": {"$not": {"$gte": 30}}}) == ["u2", "u3"]
+    assert ids({"$nor": [{"deleted": True},
+                         {"personal.age": {"$gte": 30}}]}) == ["u3"]
+    assert ids({"personal.age": {"$mod": [2, 0]}}) == ["u1"]
 
 
 def test_variant_match_agrees_with_struct_translator(spark):
