@@ -458,3 +458,23 @@ def test_r12_plan_shapes(spark, sf_dir):
     assert n_exchanges(p183) <= 2, p183
     for p in (p183, p185, p186):
         assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+
+def test_q184_correlated_lookup_stays_a_join(spark, sf_dir):
+    """q184's general correlated-$lookup path must lower to equi-joins
+    — never a CartesianProduct or nested-loop re-execution per outer
+    row — and stay fully JVM-side. The distinct-let-tuples frame joins
+    lineitem on the equality pair; the non-equi threshold is a plain
+    post-join Filter."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.extras import (
+        q184_mongo_lookup_nonequi,
+    )
+
+    df = q184_mongo_lookup_nonequi(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Join") >= 2      # keys->foreign, packed->outer
