@@ -2001,6 +2001,16 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             c = F.col(lk_of[var]).eqNullSafe(F.col(ff))
             jcond = c if jcond is None else jcond & c
         joined = keys_df.join(foreign, jcond, "inner")
+        for st in rest:
+            if isinstance(st, dict) and "$lookup" in st:
+                shadowed = set(st["$lookup"].get("let", {})) & set(let)
+                if shadowed:
+                    # a nested $lookup's let re-binds our var names —
+                    # blind substitution would corrupt its refs
+                    raise ValueError(
+                        f"nested $lookup let re-binds outer let "
+                        f"variable(s) {sorted(shadowed)} — rename the "
+                        "inner variables")
         sub_stages: list[dict[str, Any]] = []
         if corr_conjs:
             sub_stages.append(expr_match(
