@@ -2518,6 +2518,18 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             df = df.limit(int(spec))
         elif op == "$skip":
             df = df.offset(int(spec))
+        elif op == "$documents":
+            # collectionless literal source (Mongo: first stage of a
+            # db.aggregate([...]) without a collection) — replaces the
+            # incoming frame with inline rows; expression values are
+            # not supported (literals only, the common test-data shape)
+            if i != 0:
+                raise ValueError("$documents must be the first stage")
+            if not isinstance(spec, list) or not spec or \
+                    not all(isinstance(d, dict) for d in spec):
+                raise ValueError(
+                    "$documents expects a non-empty array of documents")
+            df = df.sparkSession.createDataFrame(spec)
         elif op == "$redact":
             df = _redact(df, spec)
         elif op == "$sample":

@@ -1390,6 +1390,23 @@ def test_date_parts_expressions(spark):
                                        "timezone": "UTC"}}}}])
 
 
+def test_documents_stage(spark):
+    """$documents: collectionless literal source replacing the input
+    frame; composes with the rest of the pipeline; non-first raises."""
+    seed = spark.range(1)          # ignored — $documents replaces it
+    out = apply_pipeline(seed, [
+        {"$documents": [{"k": "a", "v": 1}, {"k": "b", "v": 5},
+                        {"k": "a", "v": 2}]},
+        {"$group": {"_id": "$k", "s": {"$sum": "$v"}}},
+    ])
+    assert {(r._id, r.s) for r in out.collect()} == {("a", 3), ("b", 5)}
+    with pytest.raises(ValueError, match="first stage"):
+        apply_pipeline(seed, [{"$limit": 1},
+                              {"$documents": [{"k": 1}]}])
+    with pytest.raises(ValueError, match="non-empty array"):
+        apply_pipeline(seed, [{"$documents": []}])
+
+
 def test_document_literals_in_expressions(spark):
     """Mongo document literals in $project/$addFields ({x: "$a", y: 1})
     build structs whose field values are themselves expressions,
