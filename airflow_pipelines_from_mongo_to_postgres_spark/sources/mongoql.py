@@ -2329,7 +2329,12 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
         # matched rows update, misses insert — Mongo's default
         # merge+insert (== replace+insert on a rectangular full-column
         # batch). The full matrix needs the snapshot sink.
-        if wm not in ("merge", "replace") or wnm != "insert":
+        if wm == "pipeline" and kind != "lake":
+            raise ValueError(
+                "$merge whenMatched update pipelines need a snap or "
+                "lake target (read-modify-write); jdbc supports "
+                "merge/replace + insert only")
+        if wm not in ("merge", "replace", "pipeline") or wnm != "insert":
             raise ValueError(
                 f"$merge into a {kind!r} target supports whenMatched "
                 "merge/replace + whenNotMatched insert (the sink's "
@@ -2349,8 +2354,30 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
                 (df.write.mode("overwrite")
                  .partitionBy(t["partition_col"]).parquet(t["path"]))
             else:
-                lake_merge(spark, t["path"], df, keys,
-                           t["partition_col"], mutable)
+                batch = df
+                if wm == "pipeline":
+                    # read-modify-write: evaluate the $set pipeline over
+                    # the MATCHED target rows (partition pruning happens
+                    # inside lake_merge's touched-partition isin scan;
+                    # here the target read is key-bounded by the semi
+                    # join), then upsert the computed rows — matched
+                    # rows carry pipeline results, misses insert as-is
+                    tgt = spark.read.parquet(t["path"])
+                    if set(df.columns) != set(tgt.columns):
+                        raise ValueError(
+                            "$merge whenMatched pipeline into a lake "
+                            "target needs a rectangular batch (same "
+                            "columns as the target)")
+                    tkeys = tgt.select(*keys).dropDuplicates(keys)
+                    up = _merge_update_pipeline(
+                        tgt, df.join(tkeys, keys, "left_semi"),
+                        keys, wm_pipe, df.columns)
+                    batch = up.unionByName(
+                        df.join(tkeys, keys, "left_anti")
+                        .select(*up.columns))
+                lake_merge(spark, t["path"], batch, keys,
+                           t["partition_col"],
+                           [c for c in batch.columns if c not in keys])
             return spark.read.parquet(t["path"])
         if kind == "jdbc":
             from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import (

@@ -1085,13 +1085,27 @@ def test_merge_when_matched_update_pipeline(spark, tmp_path):
         with pytest.raises(ValueError, match=msg):
             apply_pipeline(batch, [{"$merge": {
                 "into": "tm", "whenMatched": bad}}], targets={"tm": t})
-    # lake/jdbc targets don't support the pipeline form
-    with pytest.raises(ValueError, match="snap target"):
+    # lake targets run the pipeline read-modify-write (partition-pruned)
+    lk = {"kind": "lake", "path": str(tmp_path / "lk"),
+          "partition_col": "_id"}
+    seed_lake = spark.createDataFrame(
+        [("a", 10, 1.0), ("b", 20, 2.0)],
+        "_id string, qty int, score double")
+    apply_pipeline(seed_lake, [{"$out": "lk"}], targets={"lk": lk})
+    out_lk = apply_pipeline(batch, [{"$merge": {
+        "into": "lk",
+        "whenMatched": [{"$set": {
+            "qty": {"$add": ["$qty", "$$new.qty"]},
+            "score": "$$new.score"}}],
+    }}], targets={"lk": lk})
+    assert sorted((r._id, r.qty, r.score) for r in out_lk.collect()) == \
+        [("a", 15, 9.0), ("b", 20, 2.0), ("c", 7, 3.0)]
+    # jdbc targets still don't support the pipeline form
+    with pytest.raises(ValueError, match="snap or.*lake|lake target"):
         apply_pipeline(batch, [{"$merge": {
-            "into": "lk", "whenMatched": [{"$set": {"qty": 1}}]}}],
-            targets={"lk": {"kind": "lake",
-                            "path": str(tmp_path / "lk"),
-                            "partition_col": "_id"}})
+            "into": "db", "whenMatched": [{"$set": {"qty": 1}}]}}],
+            targets={"db": {"kind": "jdbc", "url": "jdbc:x",
+                            "table": "t"}})
 
 
 def test_expression_array_hofs_and_let(spark):

@@ -689,3 +689,25 @@ def test_mongoql_stateless_pipeline_runs_on_stream(spark, tmp_path):
     want = sorted((r.id, r.pos)
                   for r in apply_pipeline(rows, pipeline).collect())
     assert got == want == [(1, 1), (1, 2), (1, 3), (4, 5)]
+
+    # r12 match-operator family is stateless too: $regex/$not/$nor/
+    # $elemMatch/$redact run on the same stream unchanged
+    pipeline2 = [
+        {"$match": {"$nor": [{"status": {"$regex": "^CLO",
+                                         "$options": "i"}}],
+                    "xs": {"$elemMatch": {"$gte": 2}}}},
+        {"$match": {"id": {"$not": {"$gte": 4}}}},
+    ]
+    out2 = apply_pipeline(
+        spark.readStream.schema(rows.schema).parquet(str(src / "p")),
+        pipeline2)
+    q2 = (out2.writeStream.format("memory").queryName("mql_stream2")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck_mql2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    got2 = sorted(r.id for r in
+                  spark.sql("SELECT id FROM mql_stream2").collect())
+    want2 = sorted(r.id for r in
+                   apply_pipeline(rows, pipeline2).collect())
+    assert got2 == want2 == [1]
