@@ -48,6 +48,9 @@ $sortArray/$zip``, object ops ``$getField/$setField/$objectToArray/
 $arrayToObject`` (map columns), ``$cmp/$strcasecmp/$rand/$convert``,
 higher-order functions ``$map/$filter/$reduce`` and ``$let`` with
 ``$$var`` scoping (Spark lambda functions — codegen, never Python),
+``$$ROOT``/``$$CURRENT`` bound per stage (the whole current document
+as a struct — ``$push: "$$ROOT"``, ``$top output $$ROOT``,
+``$replaceWith {wrapped: "$$ROOT"}``),
 ``$year/$month/$dayOfMonth/$hour/$minute/$second/$millisecond/
 $dayOfWeek/$isoDayOfWeek/$dayOfYear/$isoWeek/$isoWeekYear/
 $dateToString/$dateFromString/$dateFromParts/$dateToParts``,
@@ -87,8 +90,11 @@ def _ref(v: Any, env: dict | None = None) -> Column:
     if isinstance(v, str) and v.startswith("$$"):
         name, _, rest = v[2:].partition(".")
         if name in ("ROOT", "CURRENT") and not (env and name in env):
-            raise ValueError(f"$${name} is unsupported: reference fields "
-                             "directly ('$field') instead")
+            raise ValueError(
+                f"$${name} is not bound in this expression context "
+                "(stage-level $group/$project/$addFields/$match-$expr/"
+                "$replaceRoot/$setWindowFields bind it); reference "
+                "fields directly ('$field') here")
         if not env or name not in env:
             raise ValueError(f"unknown pipeline variable: $${name}")
         col = env[name]
@@ -788,8 +794,13 @@ def _match_cond(cond: dict[str, Any], schema=None) -> Column:
         if field == "$expr":
             # aggregation-expression predicate: the only way Mongo
             # compares two FIELDS in a $match — full expression
-            # language, boolean result
-            parts.append(_expr(spec).cast("boolean"))
+            # language, boolean result ($$ROOT bound from the schema)
+            env = None
+            if schema is not None:
+                cols = [n for n in schema.names if not n.startswith("__")]
+                root = F.struct(*[F.col(c).alias(c) for c in cols])
+                env = {"ROOT": root, "CURRENT": root}
+            parts.append(_expr(spec, env).cast("boolean"))
         elif field in ("$and", "$or"):
             sub = [_match_cond(c, schema) for c in spec] or [F.lit(True)]
             acc = sub[0]
@@ -843,13 +854,15 @@ def _include_tree(includes: dict[str, Any]) -> dict:
     return tree
 
 
-def _tree_col(node, parent_path: str = "") -> Column:
+def _tree_col(node, parent_path: str = "", env: dict | None = None
+              ) -> Column:
     if isinstance(node, tuple):
         path, v = node
-        return F.col(path) if v in (1, True) else _expr(v)
+        return F.col(path) if v in (1, True) else _expr(v, env)
     struct = F.struct(*[
         _tree_col(child,
-                  f"{parent_path}.{k}" if parent_path else k).alias(k)
+                  f"{parent_path}.{k}" if parent_path else k,
+                  env).alias(k)
         for k, child in node.items()])
     if parent_path:
         # Mongo: a null/missing parent document stays null in the output,
@@ -895,9 +908,10 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         cols: list[Column] = []
         if keep_id:
             cols.append(F.col("_id"))
+        env = _root_env(df)
         for root, child in _include_tree(includes).items():
             cols.append(_tree_col(child, root if isinstance(child, dict)
-                                  else "").alias(root))
+                                  else "", env).alias(root))
         return df.select(*cols)
     # exclusion projection. DataFrame.drop ignores nested fields, so a
     # dotted exclusion path would silently SURVIVE where Mongo removes
@@ -909,6 +923,16 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             "(use an inclusion projection or flatten first)")
     drop = excludes + ([] if keep_id else ["_id"])
     return df.drop(*[c for c in drop if c in df.columns])
+
+
+def _root_env(df: DataFrame, extra: dict | None = None) -> dict:
+    """Stage-level ``$$ROOT``/``$$CURRENT`` bindings: the whole current
+    document as one struct (translator-internal ``__``-prefixed columns
+    excluded, so ``$push: "$$ROOT"`` never leaks ``__pos``/``__lk``
+    scratch). At stage start CURRENT is ROOT, Mongo's rule."""
+    cols = [c for c in df.columns if not c.startswith("__")]
+    root = F.struct(*[F.col(c).alias(c) for c in cols])
+    return {**(extra or {}), "ROOT": root, "CURRENT": root}
 
 
 def _group_key(gid: Any) -> Column:
@@ -925,7 +949,7 @@ def _group_key(gid: Any) -> Column:
     return _expr(gid)
 
 
-def _topn_agg(op: str, agg: dict) -> Column:
+def _topn_agg(op: str, agg: dict, env: dict | None = None) -> Column:
     """Mongo 5.2 rank-family group accumulators, one aggregate each:
 
     - ``$top/$bottom {output, sortBy}`` — min_by/max_by on the sort key
@@ -958,7 +982,7 @@ def _topn_agg(op: str, agg: dict) -> Column:
     if len(sort_by) != 1:
         raise ValueError(f"{op} supports a single sortBy field")
     (sf, sdir), = sort_by.items()
-    key, out = F.col(sf), _expr(agg["output"])
+    key, out = F.col(sf), _expr(agg["output"], env)
     if op in ("$top", "$bottom"):
         # $top = FIRST in sortBy order; $bottom = last
         fn = (F.min_by if (op == "$top") == (sdir == 1) else F.max_by)
@@ -975,7 +999,9 @@ def _topn_agg(op: str, agg: dict) -> Column:
     return F.transform(sliced, lambda x: x["o"])
 
 
-def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+def _group(df: DataFrame, spec: dict[str, Any],
+           env: dict | None = None) -> DataFrame:
+    env = env if env is not None else _root_env(df)
     gid = spec["_id"]
     ops = {next(iter(a)) for k, a in spec.items() if k != "_id"}
     if ops & {"$first", "$last", "$firstN", "$lastN"}:
@@ -993,55 +1019,55 @@ def _group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if op == "$sum" and arg == 1:
             aggs.append(F.count(F.lit(1)).alias(name))
         elif op == "$sum":
-            aggs.append(F.sum(_expr(arg)).alias(name))
+            aggs.append(F.sum(_expr(arg, env)).alias(name))
         elif op == "$avg":
-            aggs.append(F.avg(_expr(arg)).alias(name))
+            aggs.append(F.avg(_expr(arg, env)).alias(name))
         elif op == "$min":
-            aggs.append(F.min(_expr(arg)).alias(name))
+            aggs.append(F.min(_expr(arg, env)).alias(name))
         elif op == "$max":
-            aggs.append(F.max(_expr(arg)).alias(name))
+            aggs.append(F.max(_expr(arg, env)).alias(name))
         elif op == "$count":
             aggs.append(F.count(F.lit(1)).alias(name))
         elif op == "$push":
             # Mongo preserves document order; a distributed groupBy has
             # none, so pin it (sorted) — deterministic beats unspecified,
             # the $lookup convention
-            aggs.append(F.sort_array(F.collect_list(_expr(arg)))
+            aggs.append(F.sort_array(F.collect_list(_expr(arg, env)))
                         .alias(name))
         elif op == "$addToSet":
-            aggs.append(F.sort_array(F.collect_set(_expr(arg)))
+            aggs.append(F.sort_array(F.collect_set(_expr(arg, env)))
                         .alias(name))
         elif op in ("$first", "$last"):
             # meaningful only after $sort, same caveat as Mongo's docs
             fn = F.min_by if op == "$first" else F.max_by
-            aggs.append(fn(_expr(arg), F.col("__pos")).alias(name))
+            aggs.append(fn(_expr(arg, env), F.col("__pos")).alias(name))
         elif op in ("$top", "$bottom", "$topN", "$bottomN"):
-            aggs.append(_topn_agg(op, arg).alias(name))
+            aggs.append(_topn_agg(op, arg, env).alias(name))
         elif op in ("$minN", "$maxN"):
             # n smallest ascending / n largest descending (Mongo order)
             aggs.append(F.slice(
-                F.sort_array(F.collect_list(_expr(arg["input"])),
+                F.sort_array(F.collect_list(_expr(arg["input"], env)),
                              op == "$minN"),
                 1, int(arg["n"])).alias(name))
         elif op in ("$firstN", "$lastN"):
             # document-order head/tail via the materialized __pos key;
             # lastN keeps the original order (slice from the far end)
             pairs = F.sort_array(F.collect_list(F.struct(
-                F.col("__pos").alias("k"), _expr(arg["input"]).alias("o"))))
+                F.col("__pos").alias("k"), _expr(arg["input"], env).alias("o"))))
             n = int(arg["n"])
             sliced = (F.slice(pairs, 1, n) if op == "$firstN"
                       else F.reverse(F.slice(F.reverse(pairs), 1, n)))
             aggs.append(F.transform(sliced, lambda x: x["o"]).alias(name))
         elif op == "$stdDevPop":
-            aggs.append(F.stddev_pop(_expr(arg)).alias(name))
+            aggs.append(F.stddev_pop(_expr(arg, env)).alias(name))
         elif op == "$stdDevSamp":
-            aggs.append(F.stddev_samp(_expr(arg)).alias(name))
+            aggs.append(F.stddev_samp(_expr(arg, env)).alias(name))
         elif op in ("$median", "$percentile"):
             # Mongo 7.0 (t-digest "approximate" method); lowered to
             # Spark's EXACT distributed percentile — deterministic
             # (gate-able) and strictly more accurate, the documented
             # deviation. $percentile returns the array of requested ps.
-            y = _expr(arg["input"])
+            y = _expr(arg["input"], env)
             if op == "$median":
                 aggs.append(F.percentile(y, F.lit(0.5)).alias(name))
             else:
@@ -1155,9 +1181,10 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     translator's determinism convention."""
     from pyspark.sql import Window
 
+    env = _root_env(df)
     part = spec.get("partitionBy")
     sortby = spec.get("sortBy") or {}
-    base = Window.partitionBy(*([_expr(part)] if part is not None else []))
+    base = Window.partitionBy(*([_expr(part, env)] if part is not None else []))
     ordered = base.orderBy(
         *[F.col(k).asc() if d == 1 else F.col(k).desc()
           for k, d in sortby.items()]) if sortby else base
@@ -1181,7 +1208,7 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             by = int(arg.get("by", 1))
             default = arg.get("default")
             fn = F.lead if by >= 0 else F.lag
-            df = df.withColumn(name, fn(_expr(arg["output"]), abs(by),
+            df = df.withColumn(name, fn(_expr(arg["output"], env), abs(by),
                                         default).over(ordered))
             continue
         if op in ("$locf", "$linearFill"):
@@ -1194,7 +1221,7 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 raise ValueError(f"{op} requires sortBy")
             if frame is not None:
                 raise ValueError(f"{op} does not accept a window")
-            y = _expr(arg)
+            y = _expr(arg, env)
             if op == "$locf":
                 df = df.withColumn(name, F.last(y, ignorenulls=True).over(
                     ordered.rowsBetween(Window.unboundedPreceding, 0)))
@@ -1307,7 +1334,7 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             if len(sortby) != 1 or next(iter(sortby.values())) != 1:
                 raise ValueError(
                     "$integral needs a single ascending sortBy")
-            y = _expr(arg["input"])
+            y = _expr(arg["input"], env)
             kcol = F.col(next(iter(sortby)))
             iunit = arg.get("unit")
             if iunit is not None:
@@ -1342,7 +1369,7 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             if len(sortby) != 1 or next(iter(sortby.values())) != 1:
                 raise ValueError(
                     "$derivative needs a single ascending sortBy")
-            y = _expr(arg["input"])
+            y = _expr(arg["input"], env)
             kcol = F.col(next(iter(sortby)))
             dy = F.last(y).over(w) - F.first(y).over(w)
             dunit = arg.get("unit")
@@ -1362,7 +1389,7 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         if op in ("$minN", "$maxN", "$firstN", "$lastN"):
             # slice/sort wrap the window AGGREGATE's result, so .over
             # binds on the collect, not the wrapper
-            lst = F.collect_list(_expr(arg["input"])).over(w)
+            lst = F.collect_list(_expr(arg["input"], env)).over(w)
             n = int(arg["n"])
             if op in ("$minN", "$maxN"):
                 out_col = F.slice(F.sort_array(lst, op == "$minN"), 1, n)
@@ -1379,26 +1406,26 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         elif op == "$count":
             c = F.count(F.lit(1))
         elif op == "$sum":
-            c = F.sum(_expr(arg))
+            c = F.sum(_expr(arg, env))
         elif op == "$avg":
-            c = F.avg(_expr(arg))
+            c = F.avg(_expr(arg, env))
         elif op == "$min":
-            c = F.min(_expr(arg))
+            c = F.min(_expr(arg, env))
         elif op == "$max":
-            c = F.max(_expr(arg))
+            c = F.max(_expr(arg, env))
         elif op == "$stdDevPop":
-            c = F.stddev_pop(_expr(arg))
+            c = F.stddev_pop(_expr(arg, env))
         elif op == "$stdDevSamp":
-            c = F.stddev_samp(_expr(arg))
+            c = F.stddev_samp(_expr(arg, env))
         elif op == "$first":
-            c = F.first(_expr(arg))
+            c = F.first(_expr(arg, env))
         elif op == "$last":
-            c = F.last(_expr(arg))
+            c = F.last(_expr(arg, env))
         elif op == "$push":
-            c = F.collect_list(_expr(arg)) if sortby \
-                else F.sort_array(F.collect_list(_expr(arg)))
+            c = F.collect_list(_expr(arg, env)) if sortby \
+                else F.sort_array(F.collect_list(_expr(arg, env)))
         elif op == "$addToSet":
-            c = F.sort_array(F.collect_set(_expr(arg)))
+            c = F.sort_array(F.collect_set(_expr(arg, env)))
         elif op in ("$covariancePop", "$covarianceSamp"):
             a1, a2 = _expr(arg[0]), _expr(arg[1])
             c = (F.covar_pop if op == "$covariancePop"
@@ -1407,7 +1434,7 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # exact distributed percentile over the frame (Mongo 7.0's
             # t-digest method replaced by the deterministic exact form,
             # same deviation as the $group accumulator)
-            y = _expr(arg["input"])
+            y = _expr(arg["input"], env)
             c = (F.percentile(y, F.lit(0.5)) if op == "$median"
                  else F.percentile(y, F.lit([float(p)
                                              for p in arg["p"]])))
@@ -2533,9 +2560,9 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                             f"$addFields nested path {name!r} needs an "
                             f"existing struct column {top!r}")
                     df = df.withColumn(top, F.col(top).withField(
-                        rest, _expr(v)))
+                        rest, _expr(v, _root_env(df))))
                 else:
-                    df = df.withColumn(name, _expr(v))
+                    df = df.withColumn(name, _expr(v, _root_env(df)))
         elif op == "$group":
             df = _group(df, spec)
         elif op == "$sort":
@@ -2577,7 +2604,8 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                   .orderBy(F.col("count").desc(), F.col("_id")))
         elif op in ("$replaceRoot", "$replaceWith"):
             root = spec["newRoot"] if op == "$replaceRoot" else spec
-            df = df.select(_expr(root).alias("__root")).select("__root.*")
+            df = (df.select(_expr(root, _root_env(df)).alias("__root"))
+                  .select("__root.*"))
         elif op == "$unionWith":
             if isinstance(spec, str):
                 cname, sub = spec, []

@@ -1188,8 +1188,12 @@ def test_expression_array_hofs_and_let(spark):
         apply_pipeline(df, [{"$addFields": {"bad": {"$let": {
             "vars": {"a": 1, "b": {"$add": ["$$a", 1]}},
             "in": "$$b"}}}}])
-    with pytest.raises(ValueError, match="ROOT"):
-        apply_pipeline(df, [{"$addFields": {"bad": "$$ROOT"}}])
+    # $$ROOT binds the whole current document at every stage
+    rooted = apply_pipeline(df, [
+        {"$addFields": {"self": "$$ROOT"}},
+        {"$addFields": {"self_id": "$self.id"}}])
+    rr = {x.id: x for x in rooted.collect()}
+    assert rr[1].self_id == 1 and rr[1].self.s == "hello world"
 
 
 def test_expression_date_math(spark):
@@ -1402,6 +1406,53 @@ def test_date_parts_expressions(spark):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$dateFromParts": {"year": 2024,
                                        "timezone": "UTC"}}}}])
+
+
+def test_root_variable_in_stages(spark):
+    """$$ROOT/$$CURRENT bind the whole current document at stage level:
+    the classic $group $push $$ROOT and $top output $$ROOT idioms, the
+    $replaceRoot wrap-and-lift shape, $match $expr self-comparison, and
+    translator-internal __ scratch columns never leak into ROOT."""
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("b", 2, "z")],
+        "k string, v int, s string")
+
+    # $group: push whole docs, and $top output $$ROOT (best-doc idiom)
+    g = apply_pipeline(df, [
+        {"$sort": {"v": 1}},
+        {"$group": {"_id": "$k",
+                    "docs": {"$push": "$$ROOT"},
+                    "best": {"$top": {"output": "$$ROOT",
+                                      "sortBy": {"v": -1}}},
+                    "first_doc": {"$first": "$$ROOT"}}},
+    ])
+    r = {x._id: x for x in g.collect()}
+    assert sorted((d.v, d.s) for d in r["a"].docs) == [(1, "x"), (3, "y")]
+    assert (r["a"].best.v, r["a"].best.s) == (3, "y")
+    assert r["a"].first_doc.v == 1          # after the $sort
+    assert "__pos" not in r["a"].docs[0].asDict()   # scratch never leaks
+
+    # $replaceRoot: wrap the doc under a key (the nesting idiom)
+    w = apply_pipeline(df, [
+        {"$replaceWith": {"wrapped": "$$ROOT", "kk": "$k"}},
+    ])
+    rw = w.collect()[0]
+    assert rw.wrapped.v in (1, 2, 3) and rw.kk == rw.wrapped.k
+
+    # $match $expr with $$ROOT (self-referential predicate)
+    m = apply_pipeline(df, [
+        {"$match": {"$expr": {"$eq": [{"$getField": {
+            "field": "v", "input": "$$ROOT"}}, 2]}}}])
+    assert [x.k for x in m.collect()] == ["b"]
+
+    # window $push $$ROOT
+    sw = apply_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"v": 1},
+        "output": {"seen": {"$push": "$$ROOT",
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}}}}}])
+    top = {(x.k, x.v): [d.v for d in x.seen] for x in sw.collect()}
+    assert top[("a", 3)] == [1, 3]
 
 
 def test_documents_stage(spark):
