@@ -448,6 +448,31 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             neg = F.least(F.lit(-1), F.greatest(-F.size(a), pos))
             return F.slice(a, F.when(pos >= 0, pos + 1).otherwise(neg), n)
         raise ValueError("$slice expects [array, n] or [array, pos, n]")
+    if op == "$mergeObjects":
+        # expression form, the [struct, doc-literal...] subset: later
+        # operands must be document literals, each field grafted with
+        # withField (later fields overwrite — Mongo's rule). Covers the
+        # classic $replaceWith {$mergeObjects: ["$$ROOT", {...}]}
+        # idiom. Merging two OPAQUE struct columns needs runtime field
+        # iteration Spark expressions don't have — raise. Deviation,
+        # documented: a NULL base stays NULL (withField semantics);
+        # Mongo ignores null operands.
+        if not isinstance(arg, list) or not arg:
+            raise ValueError("$mergeObjects expects a non-empty array")
+        base = _expr(arg[0], env)
+        for part in arg[1:]:
+            if not isinstance(part, dict) \
+                    or any(k.startswith("$") for k in part):
+                raise ValueError(
+                    "$mergeObjects operands after the first must be "
+                    "document literals ({field: expr}) — merging two "
+                    "opaque documents has no expression lowering")
+            for k2, v2 in part.items():
+                if "." in k2:
+                    raise ValueError(
+                        f"$mergeObjects nested path {k2!r} unsupported")
+                base = base.withField(k2, _expr(v2, env))
+        return base
     if op == "$sortArray":
         # scalar arrays (or whole-struct element order): sort_array
         # handles both; a sortBy DOCUMENT selecting specific fields /

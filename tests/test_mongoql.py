@@ -1445,6 +1445,17 @@ def test_root_variable_in_stages(spark):
             "field": "v", "input": "$$ROOT"}}, 2]}}}])
     assert [x.k for x in m.collect()] == ["b"]
 
+    # $mergeObjects over $$ROOT: annotate-and-lift in one stage
+    mo = apply_pipeline(df, [
+        {"$replaceWith": {"$mergeObjects": [
+            "$$ROOT", {"v2": {"$multiply": ["$v", 2]}, "s": "gone"}]}},
+    ])
+    rmo = {x.k + str(x.v): x for x in mo.collect()}
+    assert rmo["a1"].v2 == 2 and rmo["a1"].s == "gone"   # overwrite wins
+    with pytest.raises(ValueError, match="document literals"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$mergeObjects": ["$$ROOT", "$$ROOT"]}}}])
+
     # window $push $$ROOT
     sw = apply_pipeline(df, [{"$setWindowFields": {
         "partitionBy": "$k", "sortBy": {"v": 1},
