@@ -1801,6 +1801,45 @@ WHERE o_totalprice >= 150000.0
 """
 
 
+# --- q191: $top output $$ROOT (best-document-per-group idiom) -------------------
+def q191_mongo_top_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The best-document-per-group idiom: ``$group`` with
+    ``$top {output: "$$ROOT", sortBy: ...}`` keeps the WHOLE winning
+    document per order priority — one max_by on a tie-immune packed
+    key (cents<<32 | orderkey), no row_number shuffle, the stage-level
+    ``$$ROOT`` binding making the document a struct. Scalars project
+    out of the struct for the gate; oracle is DuckDB arg_max over the
+    same packed key."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    out = apply_pipeline(orders, [
+        {"$addFields": {"rk": {"$add": [
+            {"$multiply": ["$cents", 4294967296]}, "$o_orderkey"]}}},
+        {"$group": {"_id": "$o_orderpriority",
+                    "best": {"$top": {"output": "$$ROOT",
+                                      "sortBy": {"rk": -1}}},
+                    "n": {"$sum": 1}}},
+    ])
+    return out.select(
+        F.col("_id").alias("priority"), "n",
+        F.col("best.o_orderkey").alias("best_order"),
+        F.col("best.cents").cast("double").alias("best_cents"),
+        F.col("best.o_orderstatus").alias("best_status"))
+
+
+Q191_SQL = """
+WITH o AS (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT *, cents * 4294967296 + o_orderkey AS rk FROM o)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       arg_max(o_orderkey, rk) AS best_order,
+       CAST(arg_max(cents, rk) AS DOUBLE) AS best_cents,
+       arg_max(o_orderstatus, rk) AS best_status
+FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1838,6 +1877,7 @@ QUERIES = {
     "q188_mongo_array_match": q188_mongo_array_match,
     "q189_mongo_sort_array": q189_mongo_sort_array,
     "q190_mongo_redact": q190_mongo_redact,
+    "q191_mongo_top_root": q191_mongo_top_root,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1880,6 +1920,7 @@ ORACLES = {
     "q188_mongo_array_match": Q188_SQL,
     "q189_mongo_sort_array": Q189_SQL,
     "q190_mongo_redact": Q190_SQL,
+    "q191_mongo_top_root": Q191_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -342,6 +342,21 @@ _mql_stage = st.one_of(
                                     "window": {"documents": [-w,
                                                              "current"]}}}}},
               st.integers(0, 3)),
+    # late-r12 stages
+    st.builds(lambda v: {"$redact": {"$cond": [
+                  {"$gte": ["$a", v]}, "$$DESCEND", "$$PRUNE"]}},
+              st.integers(-4, 4)),
+    st.builds(lambda f: {"$addFields": {f: "$$ROOT"}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda f, v: {"$addFields": {f: {"$mergeObjects": [
+                  "$nest", {"y": v}]}}},
+              st.sampled_from(["c", "d"]), st.integers(0, 5)),
+    st.builds(lambda f: {"$replaceWith": {"$mergeObjects": [
+                  "$$ROOT", {"tagged": True}]}}, st.just("")),
+    st.builds(lambda n: {"$match": {"a": {"$not": {"$gte": n}}}},
+              st.integers(-3, 3)),
+    st.builds(lambda p: {"$match": {"b": {"$regex": p}}},
+              st.sampled_from(["x", "^y", "."])),
 )
 
 
