@@ -2227,7 +2227,8 @@ def _read_or_empty(spark, path: str, like: DataFrame) -> DataFrame:
 
 def _merge_update_pipeline(tgt: DataFrame, matched: DataFrame,
                            keys: list[str], stages: list[dict[str, Any]],
-                           batch_cols: list[str]) -> DataFrame:
+                           batch_cols: list[str],
+                           let: dict | None = None) -> DataFrame:
     """``$merge`` ``whenMatched`` UPDATE-PIPELINE subset
     (``[{$set: {...}}, ...]``): evaluate each ``$set``/``$addFields``
     stage over the MATCHED target rows, with bare ``$field`` refs
@@ -2245,7 +2246,17 @@ def _merge_update_pipeline(tgt: DataFrame, matched: DataFrame,
     packed = matched.select(
         *keys, F.struct(*[F.col(c) for c in batch_cols]).alias("__new"))
     up = tgt.join(packed, keys, "inner")
-    env = {"new": F.col("__new")}
+    if let:
+        # Mongo's $merge let: variables are expressions over the SOURCE
+        # (batch) document, REPLACING the default {new: $$ROOT} — bare
+        # $refs rebase onto the packed __new struct
+        new_schema = packed.schema["__new"].dataType
+        src_env = {"__mn": F.col("__new"), "ROOT": F.col("__new"),
+                   "CURRENT": F.col("__new")}
+        env = {name: _expr(_rebase_refs(e, new_schema, "__mn"), src_env)
+               for name, e in let.items()}
+    else:
+        env = {"new": F.col("__new")}
     for st in stages:
         if not isinstance(st, dict) or len(st) != 1:
             raise ValueError(f"malformed whenMatched pipeline stage: {st!r}")
@@ -2423,7 +2434,7 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
                     tkeys = tgt.select(*keys).dropDuplicates(keys)
                     up = _merge_update_pipeline(
                         tgt, df.join(tkeys, keys, "left_semi"),
-                        keys, wm_pipe, df.columns)
+                        keys, wm_pipe, df.columns, spec.get("let"))
                     batch = up.unionByName(
                         df.join(tkeys, keys, "left_anti")
                         .select(*up.columns))
@@ -2473,7 +2484,7 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     parts = []
     if wm == "pipeline":
         parts.append(_merge_update_pipeline(tgt, matched, keys, wm_pipe,
-                                            df.columns))
+                                            df.columns, spec.get("let")))
     if wm in ("replace", "merge"):
         up = matched
         if carry:

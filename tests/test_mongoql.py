@@ -1066,6 +1066,20 @@ def test_merge_when_matched_update_pipeline(spark, tmp_path):
                   for r in S.read_snapshot(spark, t).collect()) == \
         [("a", 15, 30.0), ("b", 20, 2.0)]
 
+    # custom $merge let: variables are expressions over the SOURCE doc,
+    # REPLACING the default $$new binding ($$ROOT = the source doc)
+    t = seed("up_let")
+    apply_pipeline(batch, [{"$merge": {
+        "into": "tm", "whenNotMatched": "discard",
+        "let": {"dq": {"$multiply": ["$qty", 10]}, "src": "$$ROOT"},
+        "whenMatched": [{"$set": {
+            "qty": {"$add": ["$qty", "$$dq"]},
+            "score": "$$src.score"}}],
+    }}], targets={"tm": t})
+    assert sorted((r._id, r.qty, r.score)
+                  for r in S.read_snapshot(spark, t).collect()) == \
+        [("a", 60, 9.0), ("b", 20, 2.0)]
+
     # whenNotMatched fail still guards; matched-only batch passes
     t = seed("up_fail")
     with pytest.raises(ValueError, match="whenNotMatched='fail'"):
