@@ -630,3 +630,45 @@ def test_correlated_lookup_matches_per_document_reference(
         matched = [q for (sk, q) in foreign if sk == k and q >= t]
         want[i] = [(len(matched), max(matched))] if matched else []
     assert got == want, (outer, foreign)
+
+
+_mg_batch = st.lists(
+    st.tuples(st.sampled_from("abcde"), st.integers(0, 9)),
+    min_size=1, max_size=5, unique_by=lambda t: t[0])
+
+
+@given(seed=_mg_batch, batches=st.lists(_mg_batch, min_size=1, max_size=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_merge_update_pipeline_matches_dict_model(spark, tmp_path_factory,
+                                                  seed, batches):
+    """Model-based check of $merge whenMatched update pipelines: a
+    sequence of conflict-increment batches applied through the snapshot
+    sink must equal a plain Python dict fold of the same semantics
+    (matched -> qty += new.qty; miss -> insert). Exercises the
+    bootstrap path, repeated merges against evolving state, and the
+    one-commit-per-batch contract."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    t = str(tmp_path_factory.mktemp("mgmodel") / "t")
+    S.snap_append(spark, t, spark.createDataFrame(
+        seed, "_id string, qty int"))
+    model = dict(seed)
+    for batch in batches:
+        apply_pipeline(
+            spark.createDataFrame(batch, "_id string, qty int"),
+            [{"$merge": {"into": "tm", "on": "_id",
+                         "whenMatched": [{"$set": {
+                             "qty": {"$add": ["$qty", "$$new.qty"]}}}],
+                         "whenNotMatched": "insert"}}],
+            targets={"tm": t})
+        for k, v in batch:
+            model[k] = model.get(k, 0) + v if k in model else v
+    got = {r._id: r.qty for r in S.read_snapshot(spark, t).collect()}
+    assert got == model, (seed, batches)
+    # one commit per write: seed + len(batches) versions
+    assert S.current_version(spark, t) == 1 + len(batches)
