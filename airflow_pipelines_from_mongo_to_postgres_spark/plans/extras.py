@@ -1840,6 +1840,46 @@ FROM r GROUP BY 1
 """
 
 
+# --- q192: $documents literal source + $unionWith + $group ----------------------
+def q192_mongo_documents_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$documents`` (collectionless literal source) seeding region
+    aliases, ``$unionWith`` pulling the real region table through a
+    sub-pipeline, and one ``$group`` over the heterogeneous union —
+    absent fields NULL on the rectangular side, Mongo's rule. The
+    oracle builds the same literals with VALUES."""
+    region = load_table(spark, "region", sf_dir)
+    out = apply_pipeline(spark.range(1), [
+        {"$documents": [
+            {"r_name": "AFRICA", "bonus": 10},
+            {"r_name": "EUROPE", "bonus": 20},
+            {"r_name": "ATLANTIS", "bonus": 99},
+        ]},
+        {"$unionWith": {"coll": "region",
+                        "pipeline": [{"$project": {"r_name": 1,
+                                                   "r_regionkey": 1}}]}},
+        {"$group": {"_id": "$r_name",
+                    "n": {"$sum": 1},
+                    "bonus_max": {"$max": "$bonus"},
+                    "key_max": {"$max": "$r_regionkey"}}},
+    ], collections={"region": region})
+    return out.select(F.col("_id").alias("r_name"), "n", "bonus_max",
+                      "key_max")
+
+
+Q192_SQL = """
+WITH lits(r_name, bonus) AS (
+  VALUES ('AFRICA', 10), ('EUROPE', 20), ('ATLANTIS', 99)),
+u AS (
+  SELECT r_name, bonus, NULL::BIGINT AS r_regionkey FROM lits
+  UNION ALL
+  SELECT r_name, NULL, r_regionkey FROM region)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(bonus) AS BIGINT) AS bonus_max,
+       max(r_regionkey) AS key_max
+FROM u GROUP BY 1
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1878,6 +1918,7 @@ QUERIES = {
     "q189_mongo_sort_array": q189_mongo_sort_array,
     "q190_mongo_redact": q190_mongo_redact,
     "q191_mongo_top_root": q191_mongo_top_root,
+    "q192_mongo_documents_union": q192_mongo_documents_union,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1921,6 +1962,7 @@ ORACLES = {
     "q189_mongo_sort_array": Q189_SQL,
     "q190_mongo_redact": Q190_SQL,
     "q191_mongo_top_root": Q191_SQL,
+    "q192_mongo_documents_union": Q192_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
