@@ -346,10 +346,15 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
     if op == "$trunc":
         if isinstance(arg, list) and len(arg) == 2 \
                 and isinstance(arg[1], int):
-            # truncate toward zero at `place` decimal digits
+            # truncate toward zero at `place` decimal digits, in pure
+            # double math: s - s % 1.0 drops the fraction with the
+            # dividend's sign (Java %), so it never overflows the way
+            # a long cast does for |x| > ~9.2e18/10^p — beyond 2^53
+            # s % 1.0 is 0 and the value passes through, exactly
+            # Mongo's double behavior
             scale = 10 ** arg[1]
-            x = _expr(arg[0], env)
-            return ((x * scale).cast("long") / F.lit(scale))
+            s = _expr(arg[0], env) * scale
+            return (s - s % F.lit(1.0)) / F.lit(scale)
         x = _expr(arg[0] if isinstance(arg, list) else arg, env)
         return x.cast("long")
     _TRIG = {"$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
@@ -498,14 +503,23 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n),
                           lambda x, y: F.array(x, y))
     if op == "$cmp":
+        # BSON total order ranks null/missing BELOW numbers/strings,
+        # so $cmp(null, 1) is -1, not null
         a, b = args(2)
-        return (F.when(a < b, -1).when(a > b, 1)
-                .when(a.eqNullSafe(b), 0))
+        return (F.when(a.isNull() & b.isNull(), 0)
+                .when(a.isNull(), -1)
+                .when(b.isNull(), 1)
+                .when(a < b, -1).when(a > b, 1)
+                .when(a == b, 0))
     if op == "$strcasecmp":
+        # same BSON null ordering: null sorts below any string
         a, b = args(2)
         a, b = F.upper(a), F.upper(b)
-        return (F.when(a < b, -1).when(a > b, 1)
-                .when(a.eqNullSafe(b), 0))
+        return (F.when(a.isNull() & b.isNull(), 0)
+                .when(a.isNull(), -1)
+                .when(b.isNull(), 1)
+                .when(a < b, -1).when(a > b, 1)
+                .when(a == b, 0))
     if op == "$rand":
         return F.rand()
     if op == "$getField":
@@ -766,6 +780,10 @@ def _match_op(col: Column, op: str, val: Any, spec: dict | None = None,
     if op == "$all":
         if not isinstance(val, list):
             raise ValueError("$all expects an array of values")
+        if not val:
+            # Mongo: {$all: []} matches NO documents (empty conj would
+            # be vacuously true)
+            return F.lit(False)
         return conj([F.array_contains(col, F.lit(v)) for v in val])
     if op == "$elemMatch":
         if not isinstance(val, dict) or not val:
@@ -1380,13 +1398,65 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                   .drop(tmpc))
             continue
         if op == "$expMovingAvg":
-            raise ValueError(
-                "$expMovingAvg is unsupported: the recurrence is "
-                "inherently sequential (each row depends on the full "
-                "prefix), which has no exact bounded-memory distributed "
-                "lowering — pre-aggregate to a coarse grid and compute "
-                "the EMA on the (small) series driver-side, or use "
-                "$avg over a documents window as a linear-weight proxy")
+            # ema_i = α·x_i + (1-α)·ema_{i-1}, ema_0 = x_0 — an
+            # inherently sequential recurrence, lowered EXACTLY as one
+            # groupBy(partition) + JVM-side higher-order fold: collect
+            # each partition's docs sorted by the sortBy key, fold the
+            # EMA array left-to-right with F.aggregate (the same flop
+            # order as Mongo's cursor walk, so results are bit-identical
+            # to a sequential engine — no prefix-sum reassociation, no
+            # β^-j overflow), then explode back to rows. O(partition)
+            # memory — the same bound Mongo itself puts on
+            # $setWindowFields partitions and this module documents for
+            # the rank accumulators. Deviations, documented: sortBy ties
+            # break by (input, doc) for determinism where Mongo is
+            # unspecified; a null input emits null and does NOT advance
+            # the EMA state.
+            if not sortby or len(sortby) != 1 \
+                    or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$expMovingAvg needs a single ascending sortBy")
+            if frame is not None:
+                raise ValueError("$expMovingAvg does not accept a window")
+            if "N" in arg:
+                alpha = 2.0 / (int(arg["N"]) + 1)
+            elif "alpha" in arg:
+                alpha = float(arg["alpha"])
+            else:
+                raise ValueError("$expMovingAvg needs N or alpha")
+            skey = next(iter(sortby))
+            x = _expr(arg["input"], env).cast("double")
+            doc = F.struct(*[F.col(c) for c in df.columns])
+            pcols = ([_expr(part, env).alias("__p")]
+                     if part is not None else [])
+            arr = F.sort_array(F.collect_list(F.struct(
+                F.col(skey).alias("__k"), x.alias("__x"),
+                doc.alias("__d"))))
+            zero = F.struct(
+                F.lit(None).cast("double").alias("prev"),
+                F.array().cast("array<double>").alias("out"))
+
+            def _ema_step(acc, s):
+                xi = s["__x"]
+                nxt = (F.when(xi.isNull(), acc["prev"])
+                       .when(acc["prev"].isNull(), xi)
+                       .otherwise(F.lit(alpha) * xi
+                                  + F.lit(1.0 - alpha) * acc["prev"]))
+                return F.struct(
+                    nxt.alias("prev"),
+                    F.concat(acc["out"],
+                             F.array(F.when(xi.isNotNull(), nxt))
+                             ).alias("out"))
+
+            g = (df.groupBy(*pcols).agg(arr.alias("__arr"))
+                 .withColumn("__ema", F.aggregate(
+                     "__arr", zero, _ema_step, lambda a: a["out"])))
+            df = (g.select(F.explode(F.arrays_zip("__arr", "__ema"))
+                           .alias("__z"))
+                  .select(F.col("__z.__arr.__d.*"),
+                          F.col("__z.__ema").alias(name)))
+            env = _root_env(df)
+            continue
         if op == "$derivative":
             # average rate of change over the frame: (Δoutput / Δsort
             # key), the key delta optionally scaled to a time unit —
@@ -1978,6 +2048,32 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     pairs, plain_conjs, corr_conjs = _split_lookup_correlation(
         match_spec["$expr"], set(let))
     rest = pipeline[1:]
+    # Per-document scope guard: the residual sub-pipeline runs ONCE
+    # over the (filtered/joined) foreign frame — never once per outer
+    # document — so only stages whose per-key result is invariant to
+    # the other keys' rows are sound. Mongo's common "latest matching
+    # doc" idiom ($sort + $limit: 1) would apply $limit GLOBALLY here,
+    # silently emptying most documents' arrays. Contract: raise, never
+    # silently diverge.
+    _ROW_LOCAL = {"$match", "$project", "$addFields", "$set", "$unset",
+                  "$unwind", "$replaceRoot", "$replaceWith", "$redact",
+                  "$lookup", "$graphLookup"}
+    for i, st in enumerate(rest):
+        ops = set(st) if isinstance(st, dict) else set()
+        if ops and ops <= _ROW_LOCAL:
+            continue
+        if (ops == {"$group"} and i == len(rest) - 1
+                and st["$group"].get("_id", ()) is None):
+            continue  # terminal per-doc aggregate — regrouped per key
+        raise ValueError(
+            f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
+            "scoped PER OUTER DOCUMENT in Mongo but would apply "
+            "globally under the join decompilation "
+            "($sort/$limit/$skip/$sample/$setWindowFields/$bucket*/"
+            "$densify/$fill, or a non-terminal $group). Rewrite over "
+            "the joined array instead — e.g. $sortArray + $slice on "
+            "the $lookup result, or a terminal "
+            "{$group: {_id: null, ...}} aggregate")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
     general = bool(corr_conjs) or _mentions_vars(rest, set(let))
 
@@ -2412,8 +2508,17 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
             )
 
             fs, jvm = _jvm_fs(spark, t["path"])
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(t["path"])):
-                # bootstrap: Mongo creates the target collection
+            hpath = jvm.org.apache.hadoop.fs.Path(t["path"])
+            # existence probe must mean "has data", not "dir exists" —
+            # an empty dir (failed prior write) would make the target
+            # read below die with a raw schema-inference
+            # AnalysisException instead of bootstrapping
+            if not fs.exists(hpath) or not fs.listStatus(hpath):
+                # bootstrap: Mongo creates the target collection. This
+                # covers whenMatched update pipelines too — with no
+                # existing target every batch row is whenNotMatched,
+                # so insert-all IS Mongo's result (the pipeline never
+                # runs against an empty matched set).
                 (df.write.mode("overwrite")
                  .partitionBy(t["partition_col"]).parquet(t["path"]))
             else:
@@ -2578,6 +2683,14 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             else:
                 df = df.withColumn(path, fn(F.col(path)))
         elif op in ("$addFields", "$set"):
+            # Mongo evaluates EVERY expression of one stage against the
+            # stage-INPUT document — a later field's $$ROOT (or bare
+            # ref) must not see earlier assignments in the same stage —
+            # so compute the env once, build all value columns against
+            # the input frame, and apply them in a single select.
+            env0 = _root_env(df)
+            assigns: dict[str, Column] = {}  # top-level name -> value
+            nested: list[tuple[str, str, Column]] = []
             for name, v in spec.items():
                 if "." in name:
                     # Mongo sets the NESTED field in place. withColumn
@@ -2588,17 +2701,25 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                     # documents; a rectangular engine needs the parent
                     # declared). Deviation: a NULL parent document stays
                     # NULL (withField semantics) where Mongo creates it.
-                    top, rest = name.split(".", 1)
+                    top, restpath = name.split(".", 1)
                     from pyspark.sql import types as ST
                     if top not in df.columns or not isinstance(
                             df.schema[top].dataType, ST.StructType):
                         raise ValueError(
                             f"$addFields nested path {name!r} needs an "
                             f"existing struct column {top!r}")
-                    df = df.withColumn(top, F.col(top).withField(
-                        rest, _expr(v, _root_env(df))))
+                    nested.append((top, restpath, _expr(v, env0)))
                 else:
-                    df = df.withColumn(name, _expr(v, _root_env(df)))
+                    assigns[name] = _expr(v, env0)
+            cols = []
+            for c in df.columns:
+                colv = assigns.pop(c, F.col(c))
+                for top, restpath, val in nested:
+                    if top == c:
+                        colv = colv.withField(restpath, val)
+                cols.append(colv.alias(c))
+            cols.extend(v.alias(n) for n, v in assigns.items())
+            df = df.select(*cols)
         elif op == "$group":
             df = _group(df, spec)
         elif op == "$sort":

@@ -2080,3 +2080,142 @@ def test_group_rank_accumulators(spark):
     with pytest.raises(ValueError, match="single sortBy"):
         apply_pipeline(df, [{"$group": {"_id": "$g", "t": {"$top": {
             "output": "$tag", "sortBy": {"score": -1, "tag": 1}}}}}])
+
+
+def test_r13_advice_fixes(spark):
+    """Round-13 advisor items: {$all: []} matches NOTHING (not
+    everything); $cmp/$strcasecmp follow the BSON total order where
+    null ranks below every number/string; $addFields evaluates EVERY
+    expression of one stage against the stage-INPUT document (a later
+    field's $$ROOT must not see earlier assignments); $trunc with a
+    place arg survives magnitudes beyond long range (pure double
+    math, no long cast)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], None, 3.0), (2, [], "x", None)],
+        "id int, xs array<string>, s string, v double")
+
+    # {$all: []} — Mongo matches no documents
+    assert apply_pipeline(df, [{"$match": {"xs": {"$all": []}}}]) \
+        .count() == 0
+    assert apply_pipeline(df, [{"$match": {"xs": {"$all": ["a"]}}}]) \
+        .count() == 1
+
+    # $cmp / $strcasecmp: BSON null ordering, never a NULL result
+    out = apply_pipeline(df, [{"$project": {
+        "id": 1,
+        "c_nn": {"$cmp": [None, None]},
+        "c_nv": {"$cmp": ["$v", 1]},          # null vs 1 on id=2
+        "c_vn": {"$cmp": [1, "$v"]},
+        "sc": {"$strcasecmp": ["$s", "a"]},   # null vs 'a' on id=1
+    }}])
+    r = {x.id: x for x in out.collect()}
+    assert r[1].c_nn == 0 and r[2].c_nn == 0
+    assert r[2].c_nv == -1 and r[2].c_vn == 1
+    assert r[1].c_nv == 1 and r[1].c_vn == -1      # 3.0 vs 1
+    assert r[1].sc == -1 and r[2].sc == 1          # 'x' > 'a'
+
+    # $addFields stage-input semantics: 'wrapped' must capture the
+    # INPUT document's a (1), not the mutated one (2); bare later refs
+    # likewise see the input value
+    df2 = spark.createDataFrame([(1,)], "a int")
+    out2 = apply_pipeline(df2, [{"$addFields": {
+        "a": {"$add": ["$a", 1]},
+        "wrapped": "$$ROOT",
+        "b": {"$add": ["$a", 10]},
+    }}]).collect()[0]
+    assert out2.a == 2
+    assert out2.wrapped.a == 1
+    assert out2.b == 11
+
+    # $trunc place-arg overflow: a value whose scaled magnitude
+    # exceeds long range must keep double math (Mongo behavior), and
+    # negatives truncate toward zero
+    df3 = spark.createDataFrame([(1e19, -7.777)], "x double, y double")
+    out3 = apply_pipeline(df3, [{"$project": {
+        "big": {"$trunc": ["$x", 2]},
+        "neg": {"$trunc": ["$y", 2]},
+        "neg0": {"$trunc": ["$y", 0]},
+    }}]).collect()[0]
+    assert out3.big == 1e19          # beyond 2^53: value passes through
+    assert out3.neg == -7.77 and out3.neg0 == -7.0
+
+
+def test_correlated_lookup_per_doc_scope_guard(spark):
+    """Per-outer-document-scoped stages in a correlated $lookup
+    sub-pipeline ($sort+$limit 'latest match' idiom, $skip, $sample,
+    non-terminal $group) raise with rewrite guidance instead of
+    silently applying GLOBALLY across all outer documents."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame([(1, "apple")], ["_id", "item"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B")], ["sku", "qty", "wh"])
+    coll = {"inventory": inventory}
+
+    def lookup(rest):
+        return [{"$lookup": {
+            "from": "inventory", "let": {"it": "$item"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}}]
+            + rest,
+            "as": "s"}}]
+
+    for rest in (
+        [{"$sort": {"qty": -1}}, {"$limit": 1}],
+        [{"$skip": 1}],
+        [{"$sample": {"size": 1}}],
+        # non-terminal $group (not the last stage / _id not null)
+        [{"$group": {"_id": "$wh", "n": {"$sum": 1}}}],
+        [{"$group": {"_id": None, "n": {"$sum": 1}}},
+         {"$limit": 1}],
+    ):
+        with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
+            apply_pipeline(orders, lookup(rest), collections=coll)
+
+    # row-local stages + terminal _id:null group still compile
+    ok = apply_pipeline(orders, lookup(
+        [{"$addFields": {"q2": {"$multiply": ["$qty", 2]}}},
+         {"$group": {"_id": None, "t": {"$sum": "$q2"}}}]),
+        collections=coll)
+    assert [tuple(x) for x in ok.collect()[0].s] == [(None, 30)]
+
+
+def test_exp_moving_avg_window(spark):
+    """$expMovingAvg (the last $setWindowFields accumulator gap):
+    exact sequential recurrence per partition via the collect+fold
+    lowering — N and alpha forms, null inputs emit null without
+    advancing the state, partitionless form works, contracts raise."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("a", 4, 40.0),
+         ("b", 1, 100.0), ("b", 2, 50.0)], "g string, k int, x double")
+    out = apply_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"k": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$x", "N": 3}}}}}])
+    assert sorted((r.g, r.k, r.ema) for r in out.collect()) == [
+        ("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, None), ("a", 4, 27.5),
+        ("b", 1, 100.0), ("b", 2, 75.0)]
+    # alpha form, no partitionBy (whole-collection series)
+    out2 = apply_pipeline(df.filter("g = 'b'"), [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {"e": {"$expMovingAvg": {"input": "$x",
+                                           "alpha": 0.25}}}}}])
+    assert sorted((r.k, r.e) for r in out2.collect()) == \
+        [(1, 100.0), (2, 87.5)]
+    # all original columns survive the restructure, plus the output
+    assert set(out.columns) == {"g", "k", "x", "ema"}
+    for bad, msg in (
+        ({"sortBy": {"k": -1}}, "ascending"),
+        ({}, "ascending"),
+        ({"sortBy": {"k": 1, "g": 1}}, "ascending"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            apply_pipeline(df, [{"$setWindowFields": {
+                **bad, "output": {"e": {"$expMovingAvg": {
+                    "input": "$x", "N": 3}}}}}])
+    with pytest.raises(ValueError, match="N or alpha"):
+        apply_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$x"}}}}}])
