@@ -1880,6 +1880,130 @@ FROM u GROUP BY 1
 """
 
 
+# --- q193: $merge whenMatched update pipeline on a LIVE JDBC target -------------
+def q193_mongo_merge_jdbc_pipeline(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The reference's actual sink is live Postgres (ref
+    user_table.py:105-121); this gates ``$merge`` with a
+    ``whenMatched`` UPDATE PIPELINE against a LIVE JDBC database
+    (embedded Derby, ansi dialect — the same statement shape ships as
+    Postgres ``ON CONFLICT`` via dialect='postgres'): the ``$set``
+    pipeline compiles into the SET clause of the ONE server-side
+    staging+MERGE statement (sources/mongoql.py::_compile_merge_set_sql)
+    — conflict-increment ($add) and running-max ($cond) run inside the
+    database transaction, no read-modify-write round trip, no per-row
+    loop. All metrics are integer cents, so every engine computes
+    exact BIGINT arithmetic and the oracle (a FULL OUTER join
+    reproducing the final table state) hash-matches bit-for-bit."""
+    import tempfile
+
+    cents_expr = {"$sum": {"$toLong": {"$round": [
+        {"$multiply": ["$o_totalprice", 100]}, 0]}}}
+    orders = load_table(spark, "orders", sf_dir)
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q193_')}/db;create=true"
+    targets = {"cnt": {"kind": "jdbc", "url": url, "table": "q193cnt",
+                       "dialect": "ansi"}}
+    seed = [
+        {"$match": {"o_orderstatus": "F"}},
+        {"$group": {"_id": "$o_custkey", "n": {"$sum": 1},
+                    "cents": cents_expr}},
+        {"$addFields": {"mx": "$cents"}},
+        {"$out": "cnt"},
+    ]
+    apply_pipeline(orders, seed, targets=targets)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$group": {"_id": "$o_custkey", "n": {"$sum": 1},
+                    "cents": cents_expr}},
+        {"$addFields": {"mx": "$cents"}},
+        {"$merge": {"into": "cnt", "on": "_id",
+                    "whenMatched": [{"$set": {
+                        "n": {"$add": ["$n", "$$new.n"]},
+                        "cents": {"$add": ["$cents", "$$new.cents"]},
+                        "mx": {"$cond": [{"$gt": ["$$new.cents", "$mx"]},
+                                         "$$new.cents", "$mx"]}}}],
+                    "whenNotMatched": "insert"}},
+    ], targets=targets)
+    return out.select("_id", "n", "cents", "mx")
+
+
+Q193_SQL = """
+WITH seed AS (
+  SELECT o_custkey AS _id, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+b AS (
+  SELECT o_custkey AS _id, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+SELECT COALESCE(s._id, b._id) AS _id,
+       CAST(COALESCE(s.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(s.cents, 0) + COALESCE(b.cents, 0) AS BIGINT)
+         AS cents,
+       CAST(CASE WHEN s._id IS NULL THEN b.cents
+                 WHEN b._id IS NULL THEN s.cents
+                 WHEN b.cents > s.cents THEN b.cents
+                 ELSE s.cents END AS BIGINT) AS mx
+FROM seed s FULL OUTER JOIN b ON s._id = b._id
+"""
+
+
+# --- q194: $expMovingAvg window (exact sequential fold) --------------------------
+def q194_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$expMovingAvg`` — the last ``$setWindowFields`` accumulator:
+    hourly cents per user (integer-valued doubles, the q185 idiom),
+    then an N=3 (α=1/2 EXACTLY) EMA per (user, day) series. The
+    lowering collects each partition sorted and folds the recurrence
+    ema_i = α·x_i + (1-α)·ema_{i-1} left-to-right JVM-side
+    (sources/mongoql.py::_set_window_fields $expMovingAvg) — the SAME
+    flop order as a sequential cursor walk, so with dyadic α and
+    integer inputs every EMA value is an exact dyadic rational and the
+    DuckDB recursive-CTE oracle (true row-by-row recurrence, ≤24
+    iterations since partitions are day-bounded) matches bit-for-bit.
+    O(partition)=O(24) state per key — Mongo's own partition bound."""
+    events = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(events, [
+        {"$group": {"_id": {"u": "$user_id",
+                            "h": {"$dateTrunc": {"date": "$ts",
+                                                 "unit": "hour"}}},
+                    "cents": {"$sum": {"$round": [
+                        {"$multiply": ["$value", 100]}, 0]}}}},
+        {"$addFields": {"u": "$_id.u", "h": "$_id.h",
+                        "d": {"$dateTrunc": {"date": "$_id.h",
+                                             "unit": "day"}}}},
+        {"$setWindowFields": {
+            "partitionBy": {"pu": "$u", "pd": "$d"},
+            "sortBy": {"h": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$cents",
+                                                 "N": 3}}}}},
+    ])
+    return out.select("u", "h",
+                      F.col("cents").cast("double").alias("cents"),
+                      F.col("ema").cast("double").alias("ema"))
+
+
+Q194_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT user_id AS u, date_trunc('day', ts) AS d,
+         date_trunc('hour', ts) AS h,
+         sum(round(value * 100, 0)) AS cents
+  FROM events GROUP BY 1, 2, 3),
+base AS (
+  SELECT u, d, h, CAST(cents AS DOUBLE) AS cents,
+         row_number() OVER (PARTITION BY u, d ORDER BY h) AS rn
+  FROM hourly),
+r AS (
+  SELECT u, d, h, cents, rn, cents AS ema FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.u, b.d, b.h, b.cents, b.rn,
+         0.5 * b.cents + 0.5 * r.ema AS ema
+  FROM base b JOIN r ON b.u = r.u AND b.d = r.d AND b.rn = r.rn + 1)
+SELECT u, h, cents, ema FROM r
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -1919,6 +2043,8 @@ QUERIES = {
     "q190_mongo_redact": q190_mongo_redact,
     "q191_mongo_top_root": q191_mongo_top_root,
     "q192_mongo_documents_union": q192_mongo_documents_union,
+    "q193_mongo_merge_jdbc_pipeline": q193_mongo_merge_jdbc_pipeline,
+    "q194_mongo_ema": q194_mongo_ema,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -1963,6 +2089,8 @@ ORACLES = {
     "q190_mongo_redact": Q190_SQL,
     "q191_mongo_top_root": Q191_SQL,
     "q192_mongo_documents_union": Q192_SQL,
+    "q193_mongo_merge_jdbc_pipeline": Q193_SQL,
+    "q194_mongo_ema": Q194_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -29,7 +29,8 @@ KEEP/PRUNE/DESCEND), ``$facet`` (shared-scan
 multi-aggregation), ``$bucket``/``$bucketAuto`` (incl. ``granularity``
 preferred-number rounding), ``$setWindowFields`` (documents/range
 frames incl. time AND calendar units; rank family, ``$shift``,
-``$locf/$linearFill``, ``$derivative``/``$integral``),
+``$locf/$linearFill``, ``$derivative``/``$integral``,
+``$expMovingAvg`` (exact per-partition sequential fold)),
 ``$fill`` (value/locf/linear), ``$densify``
 (numeric + calendar grids), ``$graphLookup`` (per-depth-level BFS
 joins), and the terminal write stages ``$merge``/``$out`` (lowered
@@ -70,6 +71,17 @@ Mongo-fidelity notes:
   (preserveNullAndEmptyArrays=True maps to ``explode_outer``);
 * ``$skip`` uses DataFrame.offset — meaningful only after a ``$sort``,
   same as Mongo.
+
+Unsupported stages (REFUSED BY DESIGN, uniform error): Atlas-managed
+and server-introspection stages raise :class:`UnsupportedMongoStage`
+naming the reason and the in-repo alternative — see
+:data:`UNSUPPORTED_STAGES` for the full stage → reason table
+(``$geoNear``, Atlas ``$search``/``$searchMeta``/``$vectorSearch``,
+``$changeStream``, ``$collStats``-family introspection). A
+whole-collection window (``$setWindowFields``/``$fill``/``$densify``
+without ``partitionBy``) is Mongo-correct but plans a one-task stage —
+it warns by default; set session conf
+``spark.mongoql.strictWholeCollectionWindow=true`` to raise instead.
 """
 
 from __future__ import annotations
@@ -78,6 +90,51 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+class UnsupportedMongoStage(ValueError):
+    """Raised for aggregation stages this translator refuses BY DESIGN
+    (see :data:`UNSUPPORTED_STAGES` for the stage → reason table).
+    Subclasses ``ValueError`` so callers' existing error handling
+    keeps working."""
+
+
+#: Stages the translator refuses by design, with the reason and the
+#: in-repo alternative. Everything else in the Mongo 7.0 aggregation
+#: surface is implemented (module docstring above). A stage absent
+#: from BOTH the dispatcher and this table is simply unknown and
+#: raises a plain ValueError.
+UNSUPPORTED_STAGES: dict[str, str] = {
+    "$geoNear": (
+        "geospatial index queries have no Spark-native equivalent; "
+        "compute a haversine distance with $addFields expression math "
+        "and $sort/$match on it"),
+    "$search": (
+        "Atlas Search is a managed Lucene service, not part of the "
+        "core aggregation language; use functions/text.py scoring or "
+        "plans/llmdata.py BM25 retrieval"),
+    "$searchMeta": (
+        "Atlas Search metadata — same as $search; count facets with "
+        "$group/$facet instead"),
+    "$vectorSearch": (
+        "Atlas Vector Search is a managed ANN service; use "
+        "operators/similarity.py (brute/LSH/IVF/PQ top-k)"),
+    "$changeStream": (
+        "change streams are a replication-protocol cursor, not a "
+        "batch stage; the streaming equivalent is "
+        "streaming/incremental.py (snapfeed CDC source)"),
+    "$changeStreamSplitLargeEvent": (
+        "change-stream helper — see $changeStream"),
+    "$collStats": "server introspection has no meaning off-server",
+    "$indexStats": "server introspection has no meaning off-server",
+    "$planCacheStats": "server introspection has no meaning off-server",
+    "$currentOp": "server introspection has no meaning off-server",
+    "$listLocalSessions": "server introspection has no meaning off-server",
+    "$listSessions": "server introspection has no meaning off-server",
+    "$queryStats": "server introspection has no meaning off-server",
+    "$shardedDataDistribution": (
+        "sharding introspection has no meaning off-server"),
+}
 
 _CMP = {"$eq": "__eq__", "$ne": "__ne__", "$gt": "__gt__", "$gte": "__ge__",
         "$lt": "__lt__", "$lte": "__le__"}
@@ -1210,6 +1267,30 @@ def _wf_month_bound(v, lower: bool, scale: int):
     return int(v) * scale
 
 
+def _warn_whole_collection_window(df: DataFrame, stage: str) -> None:
+    """A window/series stage without ``partitionBy`` is Mongo's own
+    whole-collection semantics — correct, but it lowers to a
+    SINGLE-partition plan (Spark logs ``WindowExec: No Partition
+    Defined``): one task holds the entire collection, a silent
+    bottleneck at scale. Warn by default, naming the stage; set the
+    session conf ``spark.mongoql.strictWholeCollectionWindow=true``
+    to raise instead (opt-in for pipelines that must never plan a
+    one-task stage)."""
+    import warnings
+
+    strict = str(df.sparkSession.conf.get(
+        "spark.mongoql.strictWholeCollectionWindow", "false"))
+    msg = (f"{stage} without partitionBy runs as ONE task over the "
+           "whole collection (single-partition window) — fine for "
+           "small frames, a scale bottleneck otherwise; add "
+           "partitionBy, or set "
+           "spark.mongoql.strictWholeCollectionWindow=true to make "
+           "this an error")
+    if strict.lower() == "true":
+        raise ValueError(msg)
+    warnings.warn(msg, stacklevel=3)
+
+
 def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$setWindowFields`` (Mongo 5.0 window functions) lowered onto
     Spark's Window: ``partitionBy`` expression, compound ``sortBy``,
@@ -1226,6 +1307,8 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
     env = _root_env(df)
     part = spec.get("partitionBy")
+    if part is None:
+        _warn_whole_collection_window(df, "$setWindowFields")
     sortby = spec.get("sortBy") or {}
     base = Window.partitionBy(*([_expr(part, env)] if part is not None else []))
     ordered = base.orderBy(
@@ -1568,6 +1651,10 @@ def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         parts = [_expr(spec["partitionBy"])]
     elif spec.get("partitionByFields"):
         parts = [F.col(c) for c in spec["partitionByFields"]]
+    elif any("value" not in how for how in spec["output"].values()):
+        # constant-value fills are pure coalesce (no window) — only
+        # locf/linear methods plan the whole-collection window
+        _warn_whole_collection_window(df, "$fill")
     sortby = spec.get("sortBy") or {}
     order = [F.col(k).asc() if d == 1 else F.col(k).desc()
              for k, d in sortby.items()]
@@ -1633,6 +1720,8 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     rng = spec["range"]
     step, unit, bounds = rng["step"], rng.get("unit"), rng["bounds"]
     parts = list(spec.get("partitionByFields") or [])
+    if not parts:
+        _warn_whole_collection_window(df, "$densify")
     if unit is None:
         step_col = F.lit(step)
     elif unit in _DENSIFY_DT:
@@ -2383,6 +2472,195 @@ def _merge_update_pipeline(tgt: DataFrame, matched: DataFrame,
     return up.select(*tgt.columns)
 
 
+def _sql_literal(v: Any) -> str:
+    """Render a Python literal as portable SQL (Postgres + Derby)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported SQL literal in whenMatched "
+                     f"pipeline: {v!r}")
+
+
+def _compile_merge_set_sql(stages: list[dict[str, Any]], keys: list[str],
+                           cols: list[str], let: dict | None,
+                           quote, tq: str, sq: str) -> dict[str, str]:
+    """Compile a ``$merge`` ``whenMatched`` update pipeline into the SET
+    expressions of ONE server-side set-based statement (Postgres
+    ``INSERT .. ON CONFLICT DO UPDATE SET`` / ANSI ``MERGE .. WHEN
+    MATCHED THEN UPDATE SET``) — the reference's actual sink is live
+    Postgres (ref user_table.py:105-121), so the conflict-increment
+    idiom must run SERVER-side in the same single statement as the
+    upsert, never a read-modify-write round trip.
+
+    ``tq``/``sq`` are the target/source row qualifiers of the chosen
+    dialect (table name + ``EXCLUDED`` for Postgres, ``t``/``s`` for
+    ANSI MERGE); ``quote`` is the dialect's identifier quoter. Bare
+    ``$field`` refs read the EXISTING target row, ``$$new.field`` the
+    incoming batch row, and custom ``let`` variables are expressions
+    over the source document (replacing the default ``new`` binding —
+    Mongo's contract). Sequential stages chain by textual substitution:
+    stage k's refs to a field assigned in stage k-1 inline that stage's
+    compiled expression, reproducing Mongo's stage-by-stage document
+    states inside one statement (SQL UPDATE SET RHS all see the
+    pre-update row, so the substitution is exactly the fixpoint).
+    Supported expression subset (raise, never guess): literals, field
+    refs, $add/$subtract/$multiply/$divide/$mod, $ifNull, $cond,
+    $eq/$ne/$gt/$gte/$lt/$lte/$and/$or/$not, $concat, $abs/$floor/
+    $ceil, $literal — richer updates belong in the main pipeline with
+    whenMatched: 'merge', or on a snap target (full expression
+    language)."""
+    colset = set(cols)
+    if let:
+        letmap = {name: "(" + _sql_src_expr(e, colset, quote, sq) + ")"
+                  for name, e in let.items()}
+    else:
+        letmap = None
+
+    cur: dict[str, str] = {}
+
+    def ref(f: str) -> str:
+        if f in cur:
+            return cur[f]
+        if f not in colset:
+            raise ValueError(
+                f"whenMatched $set references {f!r} which is not a "
+                "batch/target column (jdbc targets need a rectangular "
+                "batch)")
+        return f"{tq}.{quote(f)}"
+
+    def comp(e: Any) -> str:
+        return _sql_merge_expr(e, ref, letmap, colset, quote, sq)
+
+    for st in stages:
+        if not isinstance(st, dict) or len(st) != 1:
+            raise ValueError(f"malformed whenMatched pipeline stage: {st!r}")
+        (sop, sspec), = st.items()
+        if sop not in ("$set", "$addFields"):
+            raise ValueError(
+                f"whenMatched pipelines support $set/$addFields only, "
+                f"got {sop!r} — compute richer updates in the main "
+                "pipeline and use whenMatched: 'merge'")
+        assigns = {}
+        for fld, e in sspec.items():
+            if "." in fld:
+                raise ValueError(
+                    f"whenMatched $set of nested path {fld!r} is "
+                    "unsupported")
+            if fld in keys:
+                raise ValueError(
+                    f"whenMatched $set may not modify 'on' field {fld!r}")
+            if fld not in colset:
+                raise ValueError(
+                    f"whenMatched $set field {fld!r} absent from the "
+                    "batch/target columns")
+            assigns[fld] = "(" + comp(e) + ")"
+        # stage barrier: every expression above saw the PRE-stage state
+        cur.update(assigns)
+    return cur
+
+
+def _sql_src_expr(e: Any, colset: set, quote, sq: str) -> str:
+    """Compile a $merge ``let`` expression — scoped to the SOURCE
+    (batch) document, so bare ``$field`` refs read the staging row."""
+    def ref(f: str) -> str:
+        if f not in colset:
+            raise ValueError(f"$merge let references unknown batch "
+                             f"column {f!r}")
+        return f"{sq}.{quote(f)}"
+    return _sql_merge_expr(e, ref, None, colset, quote, sq,
+                           allow_new=False)
+
+
+def _sql_merge_expr(e: Any, ref, letmap, colset: set, quote, sq: str,
+                    allow_new: bool = True) -> str:
+    """Recursive Mongo-expression → SQL compiler for the whenMatched
+    update-pipeline subset (see :func:`_compile_merge_set_sql`)."""
+    def rec(x):
+        return _sql_merge_expr(x, ref, letmap, colset, quote, sq,
+                               allow_new)
+
+    if isinstance(e, str) and e.startswith("$$"):
+        body = e[2:]
+        var, _, fld = body.partition(".")
+        if letmap is not None:
+            if var not in letmap:
+                raise ValueError(f"unknown $merge let variable $${var}")
+            if fld:
+                raise ValueError(
+                    f"$${var}.{fld}: let variables compile to scalar "
+                    "SQL expressions — bind one variable per field")
+            return letmap[var]
+        if var != "new":
+            raise ValueError(
+                f"unknown variable $${var} in whenMatched pipeline "
+                "(default binding is $$new; add 'let' for others)")
+        if not allow_new or not fld or "." in fld:
+            raise ValueError(
+                "whenMatched pipelines on jdbc targets support "
+                "$$new.<field> refs (one level)")
+        if fld not in colset:
+            raise ValueError(f"$$new.{fld} is not a batch column")
+        return f"{sq}.{quote(fld)}"
+    if isinstance(e, str) and e.startswith("$"):
+        f = e[1:]
+        if "." in f:
+            raise ValueError(
+                f"nested path {e!r} unsupported in a jdbc whenMatched "
+                "pipeline")
+        return ref(f)
+    if isinstance(e, (str, int, float, bool)) or e is None:
+        return _sql_literal(e)
+    if not isinstance(e, dict) or len(e) != 1:
+        raise ValueError(
+            f"unsupported whenMatched expression for a jdbc target: "
+            f"{e!r} — use a snap target for the full expression "
+            "language")
+    (op, arg), = e.items()
+    if op == "$literal":
+        return _sql_literal(arg)
+    _VARIADIC = {"$add": " + ", "$multiply": " * ", "$and": " AND ",
+                 "$or": " OR ", "$concat": " || "}
+    if op in _VARIADIC:
+        parts = [rec(a) for a in arg]
+        if not parts:
+            raise ValueError(f"{op} needs at least one operand")
+        return "(" + _VARIADIC[op].join(parts) + ")"
+    _BINARY = {"$subtract": "-", "$divide": "/", "$eq": "=",
+               "$ne": "<>", "$gt": ">", "$gte": ">=", "$lt": "<",
+               "$lte": "<="}
+    if op in _BINARY:
+        a, b = arg
+        return f"({rec(a)} {_BINARY[op]} {rec(b)})"
+    if op == "$mod":
+        a, b = arg
+        return f"MOD({rec(a)}, {rec(b)})"
+    if op == "$ifNull":
+        if not isinstance(arg, list) or len(arg) < 2:
+            raise ValueError("$ifNull needs [expr, ..., fallback]")
+        return "COALESCE(" + ", ".join(rec(a) for a in arg) + ")"
+    if op == "$cond":
+        if isinstance(arg, dict):
+            c, th, el = arg["if"], arg["then"], arg["else"]
+        else:
+            c, th, el = arg
+        return (f"(CASE WHEN {rec(c)} THEN {rec(th)} "
+                f"ELSE {rec(el)} END)")
+    if op == "$not":
+        a = arg[0] if isinstance(arg, list) else arg
+        return f"(NOT {rec(a)})"
+    _FUNC = {"$abs": "ABS", "$floor": "FLOOR", "$ceil": "CEILING"}
+    if op in _FUNC:
+        return f"{_FUNC[op]}({rec(arg)})"
+    raise ValueError(
+        f"whenMatched pipeline operator {op!r} has no jdbc SQL "
+        "lowering — use a snap target for the full expression language")
+
+
 def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     """Terminal ``$out`` / ``$merge`` write stages — the reference's
     whole purpose is pipeline -> warehouse writes (ref
@@ -2401,8 +2679,12 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
                                    on a rectangular schema)
     -              [pipeline]   -> $set/$addFields update pipeline over
                                    the matched target rows, $$new bound
-                                   to the batch doc (snap targets only;
-                                   see _merge_update_pipeline)
+                                   to the batch doc — snap/lake targets
+                                   via _merge_update_pipeline (column
+                                   expressions), jdbc targets compiled
+                                   into the single server-side
+                                   statement's SET clause
+                                   (_compile_merge_set_sql)
     -              keepExisting -> matched batch rows dropped
     -              fail         -> error if any batch key matches
     - whenNotMatched insert / discard / fail analogously
@@ -2488,11 +2770,6 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
         # matched rows update, misses insert — Mongo's default
         # merge+insert (== replace+insert on a rectangular full-column
         # batch). The full matrix needs the snapshot sink.
-        if wm == "pipeline" and kind != "lake":
-            raise ValueError(
-                "$merge whenMatched update pipelines need a snap or "
-                "lake target (read-modify-write); jdbc supports "
-                "merge/replace + insert only")
         if wm not in ("merge", "replace", "pipeline") or wnm != "insert":
             raise ValueError(
                 f"$merge into a {kind!r} target supports whenMatched "
@@ -2553,9 +2830,22 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
             )
 
             props = t.get("properties") or {}
+            dialect = t.get("dialect", "postgres")
+            set_sql = None
+            if wm == "pipeline":
+                # compile the $set pipeline into the SET clause of the
+                # single server-side statement — the update runs in the
+                # SAME transaction as the insert, no read-modify-write
+                if dialect == "postgres":
+                    quote, tq, sq = (lambda c: c), t["table"], "EXCLUDED"
+                else:
+                    quote, tq, sq = (lambda c: f'"{c}"'), "t", "s"
+                set_sql = _compile_merge_set_sql(
+                    wm_pipe, keys, list(df.columns), spec.get("let"),
+                    quote, tq, sq)
             jdbc_merge(df, t["url"], t["table"], keys, mutable,
-                       properties=props,
-                       dialect=t.get("dialect", "postgres"))
+                       properties=props, dialect=dialect,
+                       set_sql=set_sql)
             return spark.read.jdbc(t["url"], t["table"],
                                    properties=props)
         raise ValueError(f"unknown $merge target kind: {kind!r}")
@@ -2841,5 +3131,11 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                   .drop("__lk")
                   .withColumn(out, F.coalesce(F.col(out), empty)))
         else:
+            if op in UNSUPPORTED_STAGES:
+                raise UnsupportedMongoStage(
+                    f"{op} is unsupported by design: "
+                    f"{UNSUPPORTED_STAGES[op]} (full table: "
+                    "sources/mongoql.py::UNSUPPORTED_STAGES, "
+                    "README 'Unsupported Mongo stages')")
             raise ValueError(f"unsupported pipeline stage: {op}")
     return df

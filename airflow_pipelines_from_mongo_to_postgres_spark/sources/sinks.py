@@ -641,14 +641,22 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def upsert_statement(table: str, columns: Sequence[str], key: str | Sequence[str],
-                     mutable: Sequence[str], staging: str | None = None) -> str:
+                     mutable: Sequence[str], staging: str | None = None,
+                     set_sql: dict[str, str] | None = None) -> str:
     """The single set-based statement replacing the reference's per-row
-    ``INSERT ... ON CONFLICT`` loop (ref user_table.py:106-118)."""
+    ``INSERT ... ON CONFLICT`` loop (ref user_table.py:106-118).
+    ``set_sql`` (column -> SQL expression over ``{table}.col`` /
+    ``EXCLUDED.col``) overrides the default overwrite-from-staging SET
+    list — the $merge whenMatched update-pipeline lowering
+    (sources/mongoql.py::_compile_merge_set_sql)."""
     keys = [key] if isinstance(key, str) else list(key)
     staging = staging or f"{table}_staging"
     collist = ", ".join(columns)
     conflict = ", ".join(keys)
-    if mutable:
+    if set_sql:
+        sets = ", ".join(f"{c} = {e}" for c, e in set_sql.items())
+        action = f"DO UPDATE SET {sets}"
+    elif mutable:
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in mutable)
         action = f"DO UPDATE SET {sets}"
     else:
@@ -661,7 +669,8 @@ def upsert_statement(table: str, columns: Sequence[str], key: str | Sequence[str
 def merge_statement(table: str, columns: Sequence[str],
                     key: str | Sequence[str], mutable: Sequence[str],
                     staging: str | None = None,
-                    dialect: str = "postgres") -> str:
+                    dialect: str = "postgres",
+                    set_sql: dict[str, str] | None = None) -> str:
     """Set-based staging→target merge statement for the given SQL dialect.
 
     * ``postgres`` — ``INSERT ... ON CONFLICT`` (the reference's statement,
@@ -669,9 +678,14 @@ def merge_statement(table: str, columns: Sequence[str],
     * ``ansi`` — standard ``MERGE INTO`` (Derby, DB2, SQL Server,
       Postgres 15+): same semantics — update only the mutable column
       subset on key match, insert the full row otherwise.
-    """
+
+    ``set_sql`` (column -> compiled SQL expression over ``t``/``s``
+    rows, pre-quoted for the dialect) replaces the overwrite-from-
+    staging SET list — $merge whenMatched update pipelines run
+    server-side in this ONE statement."""
     if dialect == "postgres":
-        return upsert_statement(table, columns, key, mutable, staging)
+        return upsert_statement(table, columns, key, mutable, staging,
+                                set_sql=set_sql)
     if dialect != "ansi":
         raise ValueError(f"unknown dialect {dialect!r} (postgres|ansi)")
     # Double-quote COLUMN identifiers: Spark's JDBC writer quotes them
@@ -688,7 +702,10 @@ def merge_statement(table: str, columns: Sequence[str],
     ins_cols = ", ".join(q(c) for c in columns)
     ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
     matched = ""
-    if mutable:
+    if set_sql:
+        sets = ", ".join(f"{q(c)} = {e}" for c, e in set_sql.items())
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+    elif mutable:
         sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in mutable)
         matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
     return (f"MERGE INTO {table} t USING {staging} s ON {cond} "
@@ -755,7 +772,8 @@ def drop_schema_ddl(schema: str = "public") -> tuple[str, str]:
 
 def jdbc_merge(df: DataFrame, url: str, table: str, key: str | Sequence[str],
                mutable: Sequence[str], properties: dict | None = None,
-               batchsize: int = 10_000, dialect: str = "postgres") -> str:
+               batchsize: int = 10_000, dialect: str = "postgres",
+               set_sql: dict[str, str] | None = None) -> str:
     """Stage + merge into a live JDBC database: the batch lands in
     ``{table}_staging`` via the batched ``df.write.jdbc`` path, then ONE
     server-side set-based statement merges staging into the target —
@@ -768,6 +786,7 @@ def jdbc_merge(df: DataFrame, url: str, table: str, key: str | Sequence[str],
     (df.write.mode("overwrite")
        .option("batchsize", str(batchsize))
        .jdbc(url, staging, properties=properties or {}))
-    stmt = merge_statement(table, df.columns, key, mutable, staging, dialect)
+    stmt = merge_statement(table, df.columns, key, mutable, staging,
+                           dialect, set_sql=set_sql)
     jvm_execute(df.sparkSession, url, stmt)
     return stmt

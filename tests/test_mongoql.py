@@ -1114,10 +1114,13 @@ def test_merge_when_matched_update_pipeline(spark, tmp_path):
     }}], targets={"lk": lk})
     assert sorted((r._id, r.qty, r.score) for r in out_lk.collect()) == \
         [("a", 15, 9.0), ("b", 20, 2.0), ("c", 7, 3.0)]
-    # jdbc targets still don't support the pipeline form
-    with pytest.raises(ValueError, match="snap or.*lake|lake target"):
+    # jdbc targets support the pipeline form too (r13) — but only the
+    # SQL-compilable expression subset; richer ops raise with guidance
+    # BEFORE any connection is attempted
+    with pytest.raises(ValueError, match="no jdbc SQL lowering"):
         apply_pipeline(batch, [{"$merge": {
-            "into": "db", "whenMatched": [{"$set": {"qty": 1}}]}}],
+            "into": "db",
+            "whenMatched": [{"$set": {"qty": {"$toUpper": "$qty"}}}]}}],
             targets={"db": {"kind": "jdbc", "url": "jdbc:x",
                             "table": "t"}})
 
@@ -2219,3 +2222,131 @@ def test_exp_moving_avg_window(spark):
         apply_pipeline(df, [{"$setWindowFields": {
             "sortBy": {"k": 1},
             "output": {"e": {"$expMovingAvg": {"input": "$x"}}}}}])
+
+
+def test_merge_update_pipeline_jdbc_target(spark, tmp_path):
+    """$merge whenMatched UPDATE PIPELINE on a live JDBC target — the
+    reference's actual sink is Postgres (ref user_table.py:105-121) —
+    compiles the $set pipeline into the SET clause of the ONE
+    server-side statement (staging + MERGE/ON CONFLICT): the
+    conflict-increment idiom runs inside the database transaction, no
+    read-modify-write round trip. Derby (ansi dialect) executes it
+    live; the Postgres dialect's statement text is asserted separately;
+    unsupported expressions raise with guidance."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.connectors import (
+        read_jdbc,
+        write_jdbc_append,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        _compile_merge_set_sql,
+        apply_pipeline,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/updb;create=true"
+    jdbc = {"kind": "jdbc", "url": url, "table": "counters",
+            "dialect": "ansi"}
+    write_jdbc_append(spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0)], "_id bigint, n bigint, w double"),
+        url, "counters")
+    batch = spark.createDataFrame(
+        [(1, 5, 0.5), (3, 7, 7.0)], "_id bigint, n bigint, w double")
+    out = apply_pipeline(batch, [{"$merge": {
+        "into": "counters",
+        "whenMatched": [{"$set": {
+            "n": {"$add": ["$n", "$$new.n"]},
+            "w": {"$cond": [{"$gt": ["$$new.w", "$w"]},
+                            "$$new.w", "$w"]},
+        }}]}}], targets={"counters": jdbc})
+    got = sorted(map(tuple, out.collect()))
+    # key 1: n=10+5, w=max(1.0, 0.5)=1.0; 2 untouched; 3 inserted
+    assert got == [(1, 15, 1.0), (2, 20, 2.0), (3, 7, 7.0)]
+    assert got == sorted(map(tuple,
+                             read_jdbc(spark, url, "counters").collect()))
+
+    # sequential stages chain (stage 2 sees stage 1's n), custom let
+    batch2 = spark.createDataFrame([(1, 100, 9.0)],
+                                   "_id bigint, n bigint, w double")
+    out2 = apply_pipeline(batch2, [{"$merge": {
+        "into": "counters",
+        "let": {"inc": {"$multiply": ["$n", 2]}},
+        "whenMatched": [{"$set": {"n": {"$add": ["$n", "$$inc"]}}},
+                        {"$set": {"n": {"$add": ["$n", 1]}}}]}}],
+        targets={"counters": jdbc})
+    got2 = {r._id: r.n for r in out2.collect()}
+    assert got2[1] == 15 + 200 + 1
+
+    # postgres dialect: exact statement text (EXCLUDED + table refs)
+    sets = _compile_merge_set_sql(
+        [{"$set": {"n": {"$add": ["$n", "$$new.n"]},
+                   "w": {"$ifNull": ["$w", 0.0]}}}],
+        ["_id"], ["_id", "n", "w"], None,
+        lambda c: c, "counters", "EXCLUDED")
+    assert sets == {"n": "((counters.n + EXCLUDED.n))",
+                    "w": "(COALESCE(counters.w, 0.0))"}
+
+    # contracts raise: unknown operator, key mutation, non-column ref
+    for stages, msg in (
+        ([{"$set": {"n": {"$toUpper": "$n"}}}], "no jdbc SQL lowering"),
+        ([{"$set": {"_id": 1}}], "may not modify"),
+        ([{"$set": {"n": "$zzz"}}], "not a batch/target column"),
+        ([{"$unset": "n"}], "support .set..addFields only"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            apply_pipeline(batch2, [{"$merge": {
+                "into": "counters", "whenMatched": stages}}],
+                targets={"counters": jdbc})
+
+
+def test_unsupported_stage_table_and_window_warning(spark):
+    """Every stage in UNSUPPORTED_STAGES raises the uniform
+    UnsupportedMongoStage error (a ValueError subclass) whose message
+    names the reason; unknown stages still get the plain error. A
+    whole-collection window ($setWindowFields/$fill/$densify without
+    partitionBy) warns by default naming the stage, and raises under
+    spark.mongoql.strictWholeCollectionWindow=true."""
+    import warnings
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        UNSUPPORTED_STAGES,
+        UnsupportedMongoStage,
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, x double")
+    assert len(UNSUPPORTED_STAGES) >= 10
+    for stage, reason in UNSUPPORTED_STAGES.items():
+        with pytest.raises(UnsupportedMongoStage) as ei:
+            apply_pipeline(df, [{stage: {}}])
+        assert stage in str(ei.value) and reason[:20] in str(ei.value)
+        assert isinstance(ei.value, ValueError)
+    with pytest.raises(ValueError, match="unsupported pipeline stage"):
+        apply_pipeline(df, [{"$noSuchStage": {}}])
+
+    stages = {
+        "$setWindowFields": {"sortBy": {"k": 1},
+                             "output": {"s": {"$sum": "$x"}}},
+        "$fill": {"sortBy": {"k": 1}, "output": {"x": {"method": "locf"}}},
+        "$densify": {"field": "k",
+                     "range": {"step": 1, "bounds": "full"}},
+    }
+    for stage, spec in stages.items():
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            apply_pipeline(df, [{stage: spec}]).collect()
+        assert any(stage in str(x.message) and
+                   "ONE task" in str(x.message) for x in w), stage
+    # constant-value $fill plans no window — no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        apply_pipeline(df, [{"$fill": {
+            "output": {"x": {"value": 0.0}}}}]).collect()
+    assert not [x for x in w if "ONE task" in str(x.message)]
+    # strict session conf raises instead
+    spark.conf.set("spark.mongoql.strictWholeCollectionWindow", "true")
+    try:
+        with pytest.raises(ValueError, match="ONE task"):
+            apply_pipeline(df, [{"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"s": {"$sum": "$x"}}}}])
+    finally:
+        spark.conf.unset("spark.mongoql.strictWholeCollectionWindow")
