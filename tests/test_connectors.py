@@ -131,3 +131,46 @@ def test_merge_statement_ansi_do_nothing():
     assert "WHEN MATCHED" not in stmt
     assert stmt.endswith(
         'WHEN NOT MATCHED THEN INSERT ("_id", "v") VALUES (s."_id", s."v")')
+
+
+def test_pipeline_serialization_parity_r12_stages(spark):
+    """The SAME pipeline list must serve both execution paths: it
+    serializes verbatim into the connector's server-side
+    ``aggregation.pipeline`` option AND runs through the local
+    translator (apply_pipeline) — one definition, two engines, same
+    semantics. Parity rows for the r12 additions that have server-side
+    equivalents: query-operator $match ($regex/$mod/$nor/$all/$size),
+    $redact, and $sample (shape-only: its result is random on BOTH
+    engines)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "alpha Spark", ["a", "b"], "en"),
+         (2, "beta", ["a"], "de"),
+         (3, "Spark window", ["a", "b", "c"], "en")],
+        "k int, text string, tags array<string>, lang string")
+
+    # query-operator $match — JSON-serializable AND translator-runnable
+    match_pipe = [{"$match": {
+        "text": {"$regex": "spark", "$options": "i"},
+        "k": {"$mod": [2, 1]},
+        "tags": {"$all": ["a", "b"], "$size": 2},
+    }}, {"$match": {"$nor": [{"lang": "de"}]}}]
+    opts = mongo_read_options("mongodb://h/", "prod", "docs", match_pipe)
+    assert json.loads(opts["aggregation.pipeline"]) == match_pipe
+    assert [r.k for r in apply_pipeline(df, match_pipe).collect()] == [1]
+
+    # $redact — serializes verbatim, translator prunes the same docs
+    redact_pipe = [{"$redact": {
+        "$cond": [{"$eq": ["$lang", "en"]}, "$$KEEP", "$$PRUNE"]}}]
+    opts = mongo_read_options("mongodb://h/", "prod", "docs", redact_pipe)
+    assert json.loads(opts["aggregation.pipeline"]) == redact_pipe
+    assert sorted(r.k for r in apply_pipeline(df, redact_pipe)
+                  .collect()) == [1, 3]
+
+    # $sample — random on both engines; parity is shape + size bound
+    sample_pipe = [{"$sample": {"size": 2}}]
+    opts = mongo_read_options("mongodb://h/", "prod", "docs", sample_pipe)
+    assert json.loads(opts["aggregation.pipeline"]) == sample_pipe
+    out = apply_pipeline(df, sample_pipe)
+    assert out.count() == 2 and out.columns == df.columns
