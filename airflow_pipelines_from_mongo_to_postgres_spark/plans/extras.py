@@ -1950,6 +1950,55 @@ FROM seed s FULL OUTER JOIN b ON s._id = b._id
 """
 
 
+# --- q195: correlated $lookup terminal $sort+$limit (latest match) ---------------
+def q195_mongo_lookup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's single most common correlated-$lookup idiom — 'latest
+    matching doc per outer document' (sub-pipeline ending in ``$sort``
+    + ``$limit: 1``): per urgent order, the lineitem with the max
+    l_shipdate (extendedprice tiebreak). The translator splits the
+    terminal suffix and lowers it to a per-KEY ordered top-1 —
+    ``array_sort`` with a desc/asc comparator + ``slice`` on the packed
+    array (sources/mongoql.py::_split_term_sort_limit) — so the limit
+    is applied per outer document, NEVER globally: one equi-join + one
+    groupBy, no window over the fact table, no per-doc subquery loop.
+    Oracle uses a genuine row_number-over-partition top-1, so the
+    comparison pins the per-key scoping. The tiebreak is the OUTPUT
+    column itself (extendedprice), so even fixture rows duplicated on
+    (orderkey, linenumber, shipdate) — they exist at sf0.1 — yield one
+    deterministic result on both engines; price is a raw parquet
+    double (no arithmetic)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderpriority": "1-URGENT"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$ok", "$l_orderkey"]}}},
+                {"$sort": {"l_shipdate": -1, "l_extendedprice": 1}},
+                {"$limit": 1}],
+            "as": "last"}},
+        {"$addFields": {
+            "ship": {"$arrayElemAt": ["$last.l_shipdate", 0]},
+            "price": {"$arrayElemAt": ["$last.l_extendedprice", 0]}}},
+    ], collections={"lineitem": lineitem})
+    return out.select("o_orderkey", "ship", "price")
+
+
+Q195_SQL = """
+SELECT o.o_orderkey, l.ship, l.price
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey, l_shipdate AS ship, l_extendedprice AS price,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC,
+                                     l_extendedprice ASC) AS rn
+  FROM lineitem) l
+  ON l.l_orderkey = o.o_orderkey AND l.rn = 1
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
 # --- q194: $expMovingAvg window (exact sequential fold) --------------------------
 def q194_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$expMovingAvg`` — the last ``$setWindowFields`` accumulator:
@@ -2045,6 +2094,7 @@ QUERIES = {
     "q192_mongo_documents_union": q192_mongo_documents_union,
     "q193_mongo_merge_jdbc_pipeline": q193_mongo_merge_jdbc_pipeline,
     "q194_mongo_ema": q194_mongo_ema,
+    "q195_mongo_lookup_latest": q195_mongo_lookup_latest,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2091,6 +2141,7 @@ ORACLES = {
     "q192_mongo_documents_union": Q192_SQL,
     "q193_mongo_merge_jdbc_pipeline": Q193_SQL,
     "q194_mongo_ema": Q194_SQL,
+    "q195_mongo_lookup_latest": Q195_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

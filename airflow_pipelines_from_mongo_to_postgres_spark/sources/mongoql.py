@@ -2082,6 +2082,62 @@ def _split_lookup_correlation(expr: Any, let_vars: set[str]):
     return pairs, plain, corr
 
 
+def _split_term_sort_limit(stages: list[dict[str, Any]]):
+    """Split a correlated-$lookup sub-pipeline's TERMINAL ``$sort``
+    [+ ``$limit``] suffix — Mongo's ubiquitous 'latest matching doc per
+    outer document' idiom. Per-document scope makes these a per-KEY
+    ordered top-k, which lowers to one ``array_sort`` (custom
+    comparator, multi-field asc/desc with BSON null-first ordering)
+    + ``slice`` on the packed array — never a global sort/limit. A
+    terminal ``$limit`` WITHOUT ``$sort`` orders by Mongo's natural
+    (undefined) order — refused, the translator's determinism
+    contract."""
+    stages = list(stages)
+    limit = None
+    if stages and isinstance(stages[-1], dict) \
+            and set(stages[-1]) == {"$limit"}:
+        limit = int(stages[-1]["$limit"])
+        stages = stages[:-1]
+    sort = None
+    if stages and isinstance(stages[-1], dict) \
+            and set(stages[-1]) == {"$sort"}:
+        sort = dict(stages[-1]["$sort"])
+        if any("." in f for f in sort):
+            raise ValueError(
+                "$lookup sub-pipeline $sort on a dotted path is "
+                "unsupported — $addFields the value to a top-level "
+                "field first")
+        stages = stages[:-1]
+    if limit is not None and sort is None:
+        raise ValueError(
+            "$lookup sub-pipeline terminal $limit without $sort has "
+            "no defined order (Mongo's natural order is undefined) — "
+            "add a $sort so the per-document top-k is deterministic")
+    return stages, sort, limit
+
+
+def _lookup_sort_cmp(sortspec: dict[str, Any]):
+    """array_sort comparator for a Mongo ``$sort`` spec over an array
+    of doc structs: fields compared in spec order with ±1 directions,
+    nulls ordered FIRST ascending (BSON ranks null below values), and
+    a whole-struct comparison as the final tiebreak so equal sort keys
+    still pack deterministically (Mongo leaves ties unspecified; the
+    translator's determinism convention pins them)."""
+    def cmp(a: Column, b: Column) -> Column:
+        expr = F.when(a < b, -1).when(a > b, 1).otherwise(0)
+        for f, d in reversed(list(sortspec.items())):
+            d = 1 if int(d) == 1 else -1
+            af, bf = a[f], b[f]
+            expr = (F.when(af.isNull() & bf.isNull(), expr)
+                    .when(af.isNull(), F.lit(-d))
+                    .when(bf.isNull(), F.lit(d))
+                    .when(af < bf, F.lit(-d))
+                    .when(af > bf, F.lit(d))
+                    .otherwise(expr))
+        return expr
+    return cmp
+
+
 def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                        collections: dict[str, DataFrame]) -> DataFrame:
     """Correlated ``$lookup`` (``let`` + ``pipeline``, and the concise
@@ -2113,12 +2169,19 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     per-document aggregate idiom) is rewritten to group by the key
     columns via the existing :func:`_group` compiler, each key's single
     result doc packed as a 1-element array (Mongo emits no doc for an
-    empty group — the empty-array coalesce reproduces that); otherwise
+    empty group — the empty-array coalesce reproduces that); a terminal
+    ``$sort`` [+ ``$limit`` k] suffix (Mongo's 'latest matching doc'
+    idiom) becomes a per-KEY ordered top-k — ``array_sort`` with a
+    multi-field asc/desc comparator + ``slice`` on the packed array,
+    zero extra shuffles (:func:`_split_term_sort_limit`); otherwise
     matching docs pack per key (sorted — deterministic beats Mongo's
     unspecified order, the $lookup convention). The final outer join is
     null-safe (Mongo's $eq matches null to null). Contracts (raise,
     never silently diverge): the sub-pipeline must keep the join/let
-    key columns in scope (don't project them away)."""
+    key columns in scope (don't project them away), and
+    per-outer-document stages beyond those terminal forms
+    ($skip/$sample/windows/buckets/mid-pipeline $sort/$limit/
+    non-terminal $group) are refused rather than applied globally."""
     foreign = collections[spec["from"]]
     let = dict(spec.get("let", {}))
     pipeline = list(spec["pipeline"])
@@ -2136,13 +2199,17 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     match_spec = pipeline[0]["$match"]
     pairs, plain_conjs, corr_conjs = _split_lookup_correlation(
         match_spec["$expr"], set(let))
-    rest = pipeline[1:]
+    # Terminal $sort [+ $limit] is the per-document ordered-top-k
+    # idiom ('latest matching doc') — split it off FIRST: it lowers to
+    # array_sort + slice on each key's packed array (one comparator,
+    # zero extra shuffles), never a global sort/limit.
+    rest, term_sort, term_limit = _split_term_sort_limit(pipeline[1:])
     # Per-document scope guard: the residual sub-pipeline runs ONCE
     # over the (filtered/joined) foreign frame — never once per outer
     # document — so only stages whose per-key result is invariant to
-    # the other keys' rows are sound. Mongo's common "latest matching
-    # doc" idiom ($sort + $limit: 1) would apply $limit GLOBALLY here,
-    # silently emptying most documents' arrays. Contract: raise, never
+    # the other keys' rows are sound. A MID-pipeline $limit would be
+    # Mongo's per-document limit applied GLOBALLY here, silently
+    # emptying most documents' arrays. Contract: raise, never
     # silently diverge.
     _ROW_LOCAL = {"$match", "$project", "$addFields", "$set", "$unset",
                   "$unwind", "$replaceRoot", "$replaceWith", "$redact",
@@ -2158,11 +2225,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
             "globally under the join decompilation "
-            "($sort/$limit/$skip/$sample/$setWindowFields/$bucket*/"
-            "$densify/$fill, or a non-terminal $group). Rewrite over "
-            "the joined array instead — e.g. $sortArray + $slice on "
-            "the $lookup result, or a terminal "
-            "{$group: {_id: null, ...}} aggregate")
+            "($skip/$sample/$setWindowFields/$bucket*/$densify/$fill, "
+            "a non-terminal $group, or a mid-pipeline $sort/$limit). "
+            "Supported per-document forms: a TERMINAL $sort [+ $limit] "
+            "suffix (per-key ordered top-k) or a terminal "
+            "{$group: {_id: null, ...}} aggregate; otherwise rewrite "
+            "over the joined array ($sortArray + $slice)")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
     general = bool(corr_conjs) or _mentions_vars(rest, set(let))
 
@@ -2173,8 +2241,28 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     def split_term_group(stages):
         if stages and set(stages[-1]) == {"$group"} \
                 and stages[-1]["$group"].get("_id", ()) is None:
+            if term_sort is not None or term_limit is not None:
+                raise ValueError(
+                    "$lookup sub-pipeline combining $sort/$limit with "
+                    "a terminal $group is unsupported — aggregate the "
+                    "sliced array with $sortArray/$slice + array "
+                    "operators in the outer pipeline instead")
             return stages[:-1], stages[-1]["$group"]
         return stages, None
+
+    def packed_list(fields):
+        if term_sort is not None:
+            bad = [f for f in term_sort if f not in fields]
+            if bad:
+                raise ValueError(
+                    f"$lookup sub-pipeline $sort field(s) {bad} not in "
+                    "the packed documents — keep them in the $project")
+        lst = F.collect_list(F.struct(*fields))
+        arr = (F.array_sort(lst, _lookup_sort_cmp(term_sort))
+               if term_sort is not None else F.sort_array(lst))
+        if term_limit is not None:
+            arr = F.slice(arr, 1, term_limit)
+        return arr
 
     def pack(sub, key_cols, term_group):
         missing = [src for src in key_cols.values()
@@ -2197,8 +2285,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         return (sub
                 .groupBy(*[F.col(src).alias(k)
                            for k, src in key_cols.items()])
-                .agg(F.sort_array(F.collect_list(
-                    F.struct(*(payload or sub.columns)))).alias(out)))
+                .agg(packed_list(payload or sub.columns).alias(out)))
 
     if not general:
         pre: list[dict[str, Any]] = []
@@ -2225,8 +2312,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             packed = (sub
                       .groupBy(*[F.col(ff).alias(k)
                                  for k, ff in lk.items()])
-                      .agg(F.sort_array(F.collect_list(
-                          F.struct(*sub.columns))).alias(out)))
+                      .agg(packed_list(sub.columns).alias(out)))
         join_vars = [var for var, _ in pairs]
     else:
         lets = list(let)

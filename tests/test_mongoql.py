@@ -2165,16 +2165,24 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
             "as": "s"}}]
 
     for rest in (
-        [{"$sort": {"qty": -1}}, {"$limit": 1}],
         [{"$skip": 1}],
         [{"$sample": {"size": 1}}],
+        # mid-pipeline $sort (not a terminal suffix)
+        [{"$sort": {"qty": -1}}, {"$addFields": {"z": 1}}],
         # non-terminal $group (not the last stage / _id not null)
         [{"$group": {"_id": "$wh", "n": {"$sum": 1}}}],
-        [{"$group": {"_id": None, "n": {"$sum": 1}}},
-         {"$limit": 1}],
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
+    # terminal $limit without $sort has no defined order — refused
+    with pytest.raises(ValueError, match="no defined order"):
+        apply_pipeline(orders, lookup([{"$limit": 1}]), collections=coll)
+    # $sort/$limit + terminal $group combination refused
+    with pytest.raises(ValueError, match="terminal .group"):
+        apply_pipeline(orders, lookup(
+            [{"$sort": {"qty": -1}}, {"$limit": 1},
+             {"$group": {"_id": None, "n": {"$sum": 1}}}]),
+            collections=coll)
 
     # row-local stages + terminal _id:null group still compile
     ok = apply_pipeline(orders, lookup(
@@ -2182,6 +2190,61 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
          {"$group": {"_id": None, "t": {"$sum": "$q2"}}}]),
         collections=coll)
     assert [tuple(x) for x in ok.collect()[0].s] == [(None, 30)]
+
+
+def test_correlated_lookup_terminal_sort_limit(spark):
+    """Mongo's 'latest matching doc per outer document' idiom —
+    correlated $lookup sub-pipeline ending in $sort [+ $limit k] —
+    lowers to a per-KEY ordered top-k (array_sort comparator + slice
+    on the packed array), applied per outer document, never globally:
+    every outer doc keeps its own top match. Multi-field asc/desc,
+    null-first ordering, result-array ORDER follows the $sort, and
+    the general (non-equi) path honors it too."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, "apple", 6), (2, "pear", 0), (3, "none", 0)],
+        ["_id", "item", "minq"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B"), ("apple", 10, "C"),
+         ("pear", 7, "A"), ("pear", None, "B")],
+        "sku string, qty int, wh string")
+    coll = {"inventory": inventory}
+
+    # top-1 by qty desc, wh asc tiebreak — per outer document
+    out = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+            {"$sort": {"qty": -1, "wh": 1}},
+            {"$limit": 1}],
+        "as": "best"}}], collections=coll)
+    got = {r._id: [(x.qty, x.wh) for x in r.best] for r in out.collect()}
+    assert got == {1: [(10, "A")], 2: [(7, "A")], 3: []}
+
+    # $sort WITHOUT $limit: the result array is ordered per the spec
+    # (asc: nulls first — BSON ranks null below values)
+    out2 = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+            {"$sort": {"qty": 1}}],
+        "as": "s"}}], collections=coll)
+    got2 = {r._id: [x.qty for x in r.s] for r in out2.collect()}
+    assert got2 == {1: [5, 10, 10], 2: [None, 7], 3: []}
+
+    # general path (non-equi correlated conjunct) + top-2 desc
+    out3 = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item", "mn": "$minq"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$$it", "$sku"]},
+                {"$gt": ["$qty", "$$mn"]}]}}},
+            {"$sort": {"qty": -1}},
+            {"$limit": 2}],
+        "as": "s"}}], collections=coll)
+    got3 = {r._id: [x.qty for x in r.s] for r in out3.collect()}
+    assert got3 == {1: [10, 10], 2: [7], 3: []}
 
 
 def test_exp_moving_avg_window(spark):
