@@ -2413,3 +2413,63 @@ def test_unsupported_stage_table_and_window_warning(spark):
                 "output": {"s": {"$sum": "$x"}}}}])
     finally:
         spark.conf.unset("spark.mongoql.strictWholeCollectionWindow")
+
+
+def test_merge_update_pipeline_snap_jdbc_parity(spark, tmp_path):
+    """The TWO whenMatched update-pipeline lowerings — column
+    expressions over a snapshot target (_merge_update_pipeline) and
+    SQL compiled into the server-side SET clause of a live Derby MERGE
+    (_compile_merge_set_sql) — produce the SAME final state for the
+    same seed/batch/pipeline, including null handling ($ifNull),
+    conditionals, MOD, and string concat. Divergence here would mean a
+    user's pipeline silently changes meaning when they re-point
+    $merge from the lake to Postgres."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.connectors import (
+        read_jdbc,
+        write_jdbc_append,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    seed_rows = [(1, 10, None, "x"), (2, None, 5.0, "y"),
+                 (3, 30, 3.0, None)]
+    batch_rows = [(1, 4, 2.0, "B1"), (2, 7, None, "B2"),
+                  (9, 1, 1.0, "NEW")]
+    schema = "_id bigint, n bigint, w double, tag string"
+    pipeline = [{"$set": {
+        "n": {"$add": [{"$ifNull": ["$n", 0]},
+                       {"$mod": ["$$new.n", 3]}]},
+        "w": {"$cond": [{"$gte": [{"$ifNull": ["$$new.w", -1.0]},
+                                  {"$ifNull": ["$w", -1.0]}]},
+                        "$$new.w", "$w"]},
+        "tag": {"$concat": [{"$ifNull": ["$tag", "-"]}, "+",
+                            {"$ifNull": ["$$new.tag", "-"]}]},
+    }}]
+
+    # snapshot target
+    snap = str(tmp_path / "snap_t")
+    S.snap_overwrite(spark, snap,
+                     spark.createDataFrame(seed_rows, schema), note="seed")
+    out_snap = apply_pipeline(
+        spark.createDataFrame(batch_rows, schema),
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": pipeline}}],
+        targets={"t": snap})
+
+    # live Derby target, same pipeline
+    url = f"jdbc:derby:{tmp_path}/pardb;create=true"
+    write_jdbc_append(spark.createDataFrame(seed_rows, schema),
+                      url, "par")
+    out_jdbc = apply_pipeline(
+        spark.createDataFrame(batch_rows, schema),
+        [{"$merge": {"into": "par", "on": "_id",
+                     "whenMatched": pipeline}}],
+        targets={"par": {"kind": "jdbc", "url": url, "table": "par",
+                         "dialect": "ansi"}})
+
+    key = lambda r: (r["_id"], r["n"], r["w"], r["tag"])  # noqa: E731
+    a = sorted(map(key, out_snap.select("_id", "n", "w", "tag").collect()))
+    b = sorted(map(key, out_jdbc.select("_id", "n", "w", "tag").collect()))
+    assert a == b
+    assert b == sorted(map(key, read_jdbc(spark, url, "par")
+                           .select("_id", "n", "w", "tag").collect()))

@@ -672,3 +672,42 @@ def test_merge_update_pipeline_matches_dict_model(spark, tmp_path_factory,
     assert got == model, (seed, batches)
     # one commit per write: seed + len(batches) versions
     assert S.current_version(spark, t) == 1 + len(batches)
+
+
+@given(series=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.one_of(st.none(),
+                        st.floats(min_value=-1e6, max_value=1e6,
+                                  allow_nan=False, width=32))),
+    min_size=1, max_size=24),
+    n=st.integers(min_value=1, max_value=9))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_exp_moving_avg_matches_sequential_reference(spark, series, n):
+    """$expMovingAvg's distributed fold is BIT-IDENTICAL to the
+    sequential recurrence ema_i = a*x_i + (1-a)*ema_{i-1} walked
+    row-by-row in Python (same flop order — exact ==, no tolerance),
+    including null inputs (emit null, don't advance state) and
+    multi-partition series."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    rows = [(g, i, x) for i, (g, x) in enumerate(series)]
+    df = spark.createDataFrame(rows, "g string, k long, x double")
+    out = apply_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"k": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$x",
+                                             "N": n}}}}}])
+    got = {(r.g, r.k): r.ema for r in out.collect()}
+
+    alpha = 2.0 / (n + 1)
+    want = {}
+    state: dict = {}
+    for g, k, x in sorted(rows):
+        if x is None:
+            want[(g, k)] = None
+            continue
+        prev = state.get(g)
+        ema = x if prev is None else alpha * x + (1.0 - alpha) * prev
+        state[g] = ema
+        want[(g, k)] = ema
+    assert got == want
