@@ -541,19 +541,42 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         # mixed directions is not expressible in one expression — raise
         sb = arg["sortBy"]
         if isinstance(sb, dict):
-            raise ValueError(
-                "$sortArray sortBy documents are unsupported — sort "
-                "scalar arrays (sortBy 1/-1), or $unwind + $sort + "
-                "$group $push for doc arrays")
+            # doc-array sort ({field: ±1, ...}): array_sort with the
+            # per-field asc/desc comparator (BSON null-first ordering,
+            # whole-doc tiebreak) — the same machinery as the $lookup
+            # terminal-$sort lowering, one JVM expression
+            if not sb or any("." in f for f in sb):
+                raise ValueError(
+                    "$sortArray sortBy documents need non-empty "
+                    "top-level field names (no dotted paths)")
+            return F.array_sort(
+                _expr(arg["input"], env),
+                _lookup_sort_cmp({f: int(d) for f, d in sb.items()}))
         return F.sort_array(_expr(arg["input"], env), int(sb) == 1)
     if op == "$zip":
         inputs = arg["inputs"]
-        if arg.get("useLongestLength"):
-            raise ValueError("$zip useLongestLength is unsupported")
         if len(inputs) != 2:
             raise ValueError("$zip supports exactly two inputs (Spark "
                              "zip_with is binary) — nest for more")
         a, b = _expr(inputs[0], env), _expr(inputs[1], env)
+        if arg.get("useLongestLength"):
+            # pad to the LONGEST input with the per-input defaults
+            # (null without `defaults`, Mongo's rule): concat each
+            # input with array_repeat(default, deficit) — genuine null
+            # ELEMENTS inside the shorter array stay null, only
+            # positions beyond its length take the default; no index
+            # arithmetic, no ANSI out-of-bounds edge
+            dflt = arg.get("defaults")
+            if dflt is not None and (not isinstance(dflt, list)
+                                     or len(dflt) != 2):
+                raise ValueError(
+                    "$zip defaults must list one value per input")
+            da = _expr(dflt[0], env) if dflt else F.lit(None)
+            db = _expr(dflt[1], env) if dflt else F.lit(None)
+            n = F.greatest(F.size(a), F.size(b))
+            pa = F.concat(a, F.array_repeat(da, n - F.size(a)))
+            pb = F.concat(b, F.array_repeat(db, n - F.size(b)))
+            return F.zip_with(pa, pb, lambda x, y: F.array(x, y))
         # Mongo zips to the SHORTEST input; zip_with pads with null —
         # slice both to the common length first
         n = F.least(F.size(a), F.size(b))
@@ -1057,9 +1080,11 @@ def _topn_agg(op: str, agg: dict, env: dict | None = None) -> Column:
     - ``$topN/$bottomN {output, sortBy, n}`` — collect (sortKey,
       output) pairs, sort_array by the key, slice n, project the
       output — the whole chain is ONE agg expression inside codegen,
-      never a per-group row_number shuffle. Single sort field (struct
-      sort_array orders every field the same way, so a mixed-direction
-      compound key cannot be expressed — raise).
+      never a per-group row_number shuffle. COMPOUND (multi-field,
+      mixed-direction) sortBy keys go through ``array_sort`` with the
+      per-field asc/desc comparator (:func:`_lookup_sort_cmp`) —
+      same single-aggregate shape, O(group) buffer (the $top/$bottom
+      scalar forms stay O(1) min_by/max_by on a SINGLE sort field).
 
     MEMORY BOUND, documented: the N-ary forms (and ``$push``/
     ``$addToSet``) buffer O(group size) rows in the aggregation buffer
@@ -1079,8 +1104,29 @@ def _topn_agg(op: str, agg: dict, env: dict | None = None) -> Column:
     (scalar min_by/max_by) are O(1) and safe at any skew.
     """
     sort_by = agg["sortBy"]
+    if not sort_by:
+        raise ValueError(f"{op} needs a non-empty sortBy")
     if len(sort_by) != 1:
-        raise ValueError(f"{op} supports a single sortBy field")
+        # compound / mixed-direction key: comparator-sorted array path
+        # (aliases avoid dotted-path struct-field ambiguity)
+        items = list(sort_by.items())
+        out = _expr(agg["output"], env)
+        elem = F.struct(
+            *[F.col(f).alias(f"__s{i}") for i, (f, _) in enumerate(items)],
+            out.alias("__o"))
+        spec = {f"__s{i}": int(d) for i, (_, d) in enumerate(items)}
+        arr = F.array_sort(F.collect_list(elem), _lookup_sort_cmp(spec))
+        if op == "$top":
+            return F.element_at(arr, 1)["__o"]
+        if op == "$bottom":
+            return F.element_at(arr, -1)["__o"]
+        n = int(agg["n"])
+        if op == "$topN":
+            sliced = F.slice(arr, 1, n)
+        else:  # $bottomN: the LAST n, emitted in sortBy order
+            sliced = F.slice(
+                arr, F.greatest(F.lit(1), F.size(arr) - n + 1), F.lit(n))
+        return F.transform(sliced, lambda x: x["__o"])
     (sf, sdir), = sort_by.items()
     key, out = F.col(sf), _expr(agg["output"], env)
     if op in ("$top", "$bottom"):

@@ -1717,13 +1717,37 @@ def test_misc_expression_ops(spark):
     vals = {x.r for x in rnd}
     assert len(vals) > 50 and all(0 <= v < 1 for v in vals)
 
-    with pytest.raises(ValueError, match="sortBy documents"):
-        apply_pipeline(df, [{"$addFields": {
-            "bad": {"$sortArray": {"input": "$xs", "sortBy": {"a": 1}}}}}])
-    with pytest.raises(ValueError, match="useLongestLength"):
+    # $sortArray sortBy DOCUMENTS (r13): per-field asc/desc comparator
+    # over doc arrays, BSON null-first ordering
+    ddf = spark.createDataFrame(
+        [(1, [(2, "b"), (1, "a"), (2, "a"), (None, "z")])],
+        "id int, docs array<struct<p:int, q:string>>")
+    srt = apply_pipeline(ddf, [{"$addFields": {
+        "byp": {"$sortArray": {"input": "$docs",
+                               "sortBy": {"p": -1, "q": 1}}}}}])
+    assert [(x.p, x.q) for x in srt.collect()[0].byp] == \
+        [(2, "a"), (2, "b"), (1, "a"), (None, "z")]
+    with pytest.raises(ValueError, match="dotted"):
+        apply_pipeline(ddf, [{"$addFields": {
+            "bad": {"$sortArray": {"input": "$docs",
+                                   "sortBy": {"p.x": 1}}}}}])
+    # $zip useLongestLength (r13): pad the shorter input with the
+    # per-input default (null when no defaults); genuine elements
+    # inside the shorter array are untouched
+    zl = apply_pipeline(df.filter("id = 1"), [{"$addFields": {
+        "zl": {"$zip": {"inputs": ["$xs", "$ys"],
+                        "useLongestLength": True}},
+        "zd": {"$zip": {"inputs": ["$ys", "$xs"],
+                        "useLongestLength": True,
+                        "defaults": [-1, -2]}}}}]).collect()[0]
+    # xs=[3,1,2] ys=[10,20] → pad ys with null
+    assert [list(p) for p in zl.zl] == [[3, 10], [1, 20], [2, None]]
+    assert [list(p) for p in zl.zd] == [[10, 3], [20, 1], [-1, 2]]
+    with pytest.raises(ValueError, match="one value per input"):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$zip": {"inputs": ["$xs", "$ys"],
-                             "useLongestLength": True}}}}])
+                             "useLongestLength": True,
+                             "defaults": [1]}}}}])
     with pytest.raises(ValueError, match="convert target"):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$convert": {"input": "$num", "to": "objectId"}}}}])
@@ -2080,9 +2104,28 @@ def test_group_rank_accumulators(spark):
     assert a.f2 == [1, 3] and a.l2 == [5, 9]
     b = r["b"]
     assert b.top2 == ["y"] and b.bot2 == ["y"] and b.l2 == [2]
-    with pytest.raises(ValueError, match="single sortBy"):
-        apply_pipeline(df, [{"$group": {"_id": "$g", "t": {"$top": {
-            "output": "$tag", "sortBy": {"score": -1, "tag": 1}}}}}])
+    # compound mixed-direction sortBy (r13): comparator-sorted array
+    # path — ties on the first field break by the second
+    df2 = spark.createDataFrame(
+        [("a", "u", 9), ("a", "v", 9), ("a", "w", 5), ("b", "y", 2)],
+        "g string, tag string, score int")
+    out2 = apply_pipeline(df2, [{"$group": {"_id": "$g",
+        "t": {"$top": {"output": "$tag",
+                       "sortBy": {"score": -1, "tag": 1}}},
+        "bo": {"$bottom": {"output": "$tag",
+                           "sortBy": {"score": -1, "tag": 1}}},
+        "t2": {"$topN": {"output": "$tag",
+                         "sortBy": {"score": -1, "tag": 1}, "n": 2}},
+        "b2": {"$bottomN": {"output": "$tag",
+                            "sortBy": {"score": -1, "tag": 1}, "n": 2}},
+    }}])
+    r2 = {x._id: x for x in out2.collect()}
+    assert (r2["a"].t, r2["a"].bo) == ("u", "w")
+    assert r2["a"].t2 == ["u", "v"] and r2["a"].b2 == ["v", "w"]
+    assert r2["b"].t2 == ["y"] and r2["b"].b2 == ["y"]
+    with pytest.raises(ValueError, match="non-empty sortBy"):
+        apply_pipeline(df2, [{"$group": {"_id": "$g", "t": {"$top": {
+            "output": "$tag", "sortBy": {}}}}}])
 
 
 def test_r13_advice_fixes(spark):
