@@ -1376,10 +1376,15 @@ def test_integral_window_and_sample(spark):
                                                     "current"]}}}}}])
     assert sorted(r.auc for r in out2.collect()) == [0.0, 6.0]
 
-    with pytest.raises(ValueError, match="expMovingAvg"):
+    # $expMovingAvg is supported since r13 (exact per-partition fold)
+    # — full coverage in test_exp_moving_avg_window; only the
+    # window-spec contract is checked here
+    with pytest.raises(ValueError, match="does not accept a window"):
         apply_pipeline(df, [{"$setWindowFields": {
             "sortBy": {"x": 1},
-            "output": {"e": {"$expMovingAvg": {"input": "$y", "N": 3}}}}}])
+            "output": {"e": {"$expMovingAvg": {"input": "$y", "N": 3},
+                             "window": {"documents": ["unbounded",
+                                                      "current"]}}}}}])
 
     # $sample: exactly n rows, all from the input, random subset
     big = spark.range(1000).withColumnRenamed("id", "v")
