@@ -629,14 +629,23 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         cast = inp.try_cast(types[to]) if "onError" in arg \
             else inp.cast(types[to])
         out = cast
+        # Deviation, documented: Mongo returns onError/onNull values
+        # AS-IS (heterogeneous result); a rectangular engine must unify
+        # the branch types, so both fallbacks are try_cast to the
+        # TARGET type — otherwise Spark's CASE-WHEN coercion could pick
+        # the FALLBACK's type and re-cast the converted input under
+        # ANSI (fuzz-found: to:'string' + onError:-1 made the string
+        # branch cast to BIGINT and abort on unparseable input)
         if "onError" in arg:
             # only a FAILED conversion takes onError — null input does
             # not count as an error in Mongo
             out = F.when(inp.isNotNull() & cast.isNull(),
-                         _expr(arg["onError"], env)).otherwise(cast)
+                         _expr(arg["onError"], env).try_cast(types[to])
+                         ).otherwise(cast)
         if "onNull" in arg:
             out = F.when(inp.isNull(),
-                         _expr(arg["onNull"], env)).otherwise(out)
+                         _expr(arg["onNull"], env).try_cast(types[to])
+                         ).otherwise(out)
         return out
     if op == "$objectToArray":
         # MAP columns: entries as {k, v} docs (Mongo's shape). Struct
