@@ -2565,7 +2565,9 @@ def _merge_update_pipeline(tgt: DataFrame, matched: DataFrame,
     column expressions; the conflict-increment idiom
     ``{$set: {qty: {$add: ["$qty", "$$new.qty"]}}}`` stays inside
     whole-stage codegen. Subset contracts (raise, never guess): stages
-    must be ``$set``/``$addFields``; no dotted paths; assigned fields
+    must be ``$set``/``$addFields``/``$unset`` ($unset nulls the
+    column — the rectangular deviation from field removal); no dotted
+    paths; assigned fields
     must already exist in the target schema (evolve with $out first)
     and must not be ``on`` keys; each stage's expressions see the
     PRE-stage state (Mongo stage semantics), sequential stages chain."""
@@ -2587,11 +2589,16 @@ def _merge_update_pipeline(tgt: DataFrame, matched: DataFrame,
         if not isinstance(st, dict) or len(st) != 1:
             raise ValueError(f"malformed whenMatched pipeline stage: {st!r}")
         (sop, sspec), = st.items()
-        if sop not in ("$set", "$addFields"):
+        if sop == "$unset":
+            # rectangular deviation, documented: Mongo removes the
+            # field; a fixed schema keeps the column and nulls it
+            sspec = {f: None for f in
+                     (sspec if isinstance(sspec, list) else [sspec])}
+        elif sop not in ("$set", "$addFields"):
             raise ValueError(
-                f"whenMatched pipelines support $set/$addFields only, "
-                f"got {sop!r} — compute richer updates in the main "
-                "pipeline and use whenMatched: 'merge'")
+                f"whenMatched pipelines support $set/$addFields/$unset "
+                f"only, got {sop!r} — compute richer updates in the "
+                "main pipeline and use whenMatched: 'merge'")
         assigns = {}
         for fld, e in sspec.items():
             if "." in fld:
@@ -2681,11 +2688,16 @@ def _compile_merge_set_sql(stages: list[dict[str, Any]], keys: list[str],
         if not isinstance(st, dict) or len(st) != 1:
             raise ValueError(f"malformed whenMatched pipeline stage: {st!r}")
         (sop, sspec), = st.items()
-        if sop not in ("$set", "$addFields"):
+        if sop == "$unset":
+            # rectangular deviation, documented: Mongo removes the
+            # field; SQL keeps the column and sets it NULL
+            sspec = {f: None for f in
+                     (sspec if isinstance(sspec, list) else [sspec])}
+        elif sop not in ("$set", "$addFields"):
             raise ValueError(
-                f"whenMatched pipelines support $set/$addFields only, "
-                f"got {sop!r} — compute richer updates in the main "
-                "pipeline and use whenMatched: 'merge'")
+                f"whenMatched pipelines support $set/$addFields/$unset "
+                f"only, got {sop!r} — compute richer updates in the "
+                "main pipeline and use whenMatched: 'merge'")
         assigns = {}
         for fld, e in sspec.items():
             if "." in fld:
@@ -2699,7 +2711,10 @@ def _compile_merge_set_sql(stages: list[dict[str, Any]], keys: list[str],
                 raise ValueError(
                     f"whenMatched $set field {fld!r} absent from the "
                     "batch/target columns")
-            assigns[fld] = "(" + comp(e) + ")"
+            v = comp(e)
+            # Derby accepts `SET c = NULL` but not `(NULL)` — keep a
+            # bare NULL unwrapped
+            assigns[fld] = v if v == "NULL" else "(" + v + ")"
         # stage barrier: every expression above saw the PRE-stage state
         cur.update(assigns)
     return cur
@@ -2771,12 +2786,19 @@ def _sql_merge_expr(e: Any, ref, letmap, colset: set, quote, sq: str,
         if not parts:
             raise ValueError(f"{op} needs at least one operand")
         return "(" + _VARIADIC[op].join(parts) + ")"
-    _BINARY = {"$subtract": "-", "$divide": "/", "$eq": "=",
+    _BINARY = {"$subtract": "-", "$eq": "=",
                "$ne": "<>", "$gt": ">", "$gte": ">=", "$lt": "<",
                "$lte": "<="}
     if op in _BINARY:
         a, b = arg
         return f"({rec(a)} {_BINARY[op]} {rec(b)})"
+    if op == "$divide":
+        # Mongo $divide is float division; bare SQL `/` on two
+        # integers is INTEGER division in Postgres/Derby — cast the
+        # dividend so both lowerings (snap column exprs and this SQL
+        # path) agree
+        a, b = arg
+        return f"(CAST({rec(a)} AS DOUBLE PRECISION) / {rec(b)})"
     if op == "$mod":
         a, b = arg
         return f"MOD({rec(a)}, {rec(b)})"
@@ -2836,7 +2858,8 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     documented: the batch must have at most one row per ``on`` key (a
     distributed engine has no doc order to break ties; Mongo errors on
     multi-matches too), whenMatched update pipelines support the
-    $set/$addFields subset only (snap targets), and batch columns
+    $set/$addFields/$unset subset (all three target kinds; jdbc takes
+    the SQL-compilable expression subset), and batch columns
     absent from the target's schema
     raise (evolve the schema with $out/snap_overwrite first). Returns
     the target's post-write snapshot so pipelines remain composable

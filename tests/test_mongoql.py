@@ -1091,7 +1091,8 @@ def test_merge_when_matched_update_pipeline(spark, tmp_path):
     # subset contracts
     t = seed("up_err")
     for bad, msg in [
-        ([{"$unset": "qty"}], "set/.addFields only"),
+        ([{"$replaceRoot": {"newRoot": "$$new"}}],
+         "set/.addFields/.unset only"),
         ([{"$set": {"a.b": 1}}], "nested path"),
         ([{"$set": {"_id": "x"}}], "may not modify"),
         ([{"$set": {"nope": 1}}], "absent from the target"),
@@ -2400,7 +2401,8 @@ def test_merge_update_pipeline_jdbc_target(spark, tmp_path):
         ([{"$set": {"n": {"$toUpper": "$n"}}}], "no jdbc SQL lowering"),
         ([{"$set": {"_id": 1}}], "may not modify"),
         ([{"$set": {"n": "$zzz"}}], "not a batch/target column"),
-        ([{"$unset": "n"}], "support .set..addFields only"),
+        ([{"$replaceRoot": {"newRoot": "$$new"}}],
+         "set/.addFields/.unset only"),
     ):
         with pytest.raises(ValueError, match=msg):
             apply_pipeline(batch2, [{"$merge": {
@@ -2487,9 +2489,12 @@ def test_merge_update_pipeline_snap_jdbc_parity(spark, tmp_path):
     pipeline = [{"$set": {
         "n": {"$add": [{"$ifNull": ["$n", 0]},
                        {"$mod": ["$$new.n", 3]}]},
+        # int/int $divide must be FLOAT division in both lowerings
+        # (bare SQL `/` on BIGINTs would truncate)
         "w": {"$cond": [{"$gte": [{"$ifNull": ["$$new.w", -1.0]},
                                   {"$ifNull": ["$w", -1.0]}]},
-                        "$$new.w", "$w"]},
+                        {"$divide": [{"$ifNull": ["$$new.n", 0]}, 2]},
+                        "$w"]},
         "tag": {"$concat": [{"$ifNull": ["$tag", "-"]}, "+",
                             {"$ifNull": ["$$new.tag", "-"]}]},
     }}]
@@ -2521,3 +2526,45 @@ def test_merge_update_pipeline_snap_jdbc_parity(spark, tmp_path):
     assert a == b
     assert b == sorted(map(key, read_jdbc(spark, url, "par")
                            .select("_id", "n", "w", "tag").collect()))
+
+
+def test_merge_update_pipeline_unset(spark, tmp_path):
+    """$unset in a whenMatched update pipeline nulls the column on
+    BOTH lowerings (snapshot column exprs and the jdbc SET clause) —
+    the documented rectangular deviation from Mongo's field removal."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.connectors import write_jdbc_append
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    seed_rows = [(1, 10, "a"), (2, 20, "b")]
+    batch_rows = [(1, 99, "z")]
+    schema = "_id bigint, n bigint, tag string"
+    stages = [{"$set": {"n": "$$new.n"}}, {"$unset": "tag"}]
+
+    snap = str(tmp_path / "u_snap")
+    S.snap_overwrite(spark, snap,
+                     spark.createDataFrame(seed_rows, schema), note="seed")
+    out_a = apply_pipeline(
+        spark.createDataFrame(batch_rows, schema),
+        [{"$merge": {"into": "t", "on": "_id", "whenMatched": stages}}],
+        targets={"t": snap})
+
+    url = f"jdbc:derby:{tmp_path}/unsetdb;create=true"
+    write_jdbc_append(spark.createDataFrame(seed_rows, schema), url, "u")
+    out_b = apply_pipeline(
+        spark.createDataFrame(batch_rows, schema),
+        [{"$merge": {"into": "u", "on": "_id", "whenMatched": stages}}],
+        targets={"u": {"kind": "jdbc", "url": url, "table": "u",
+                       "dialect": "ansi"}})
+
+    want = [(1, 99, None), (2, 20, "b")]
+    for out in (out_a, out_b):
+        assert sorted((r._id, r.n, r.tag) for r in
+                      out.select("_id", "n", "tag").collect()) == want
+    # $unset may not hit an 'on' key
+    with pytest.raises(ValueError, match="may not modify"):
+        apply_pipeline(
+            spark.createDataFrame(batch_rows, schema),
+            [{"$merge": {"into": "t", "on": "_id",
+                         "whenMatched": [{"$unset": ["_id"]}]}}],
+            targets={"t": snap})
