@@ -55,8 +55,8 @@ as a struct — ``$push: "$$ROOT"``, ``$top output $$ROOT``,
 ``$year/$month/$dayOfMonth/$hour/$minute/$second/$millisecond/
 $dayOfWeek/$isoDayOfWeek/$dayOfYear/$isoWeek/$isoWeekYear/
 $dateToString/$dateFromString/$dateFromParts/$dateToParts``,
-date math ``$dateAdd/$dateDiff`` (boundary-crossing semantics)
-``/$dateTrunc/$toDate``,
+date math ``$dateAdd/$dateSubtract/$dateDiff`` (boundary-crossing
+semantics) ``/$dateTrunc/$toDate``,
 ``$toInt/$toLong/$toDouble/$toString/$toBool``, expression-form
 ``$eq/$ne/$gt/$gte/$lt/$lte`` and ``$and/$or/$not``, nested
 arbitrarily.
@@ -726,6 +726,14 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
                         "microsecond"):
             raise ValueError(f"unsupported $dateAdd unit: {unit!r}")
         return F.timestamp_add(unit, _expr(arg["amount"], env),
+                               _expr(arg["startDate"], env))
+    if op == "$dateSubtract":
+        unit = arg["unit"]
+        if unit not in ("year", "quarter", "month", "week", "day",
+                        "hour", "minute", "second", "millisecond",
+                        "microsecond"):
+            raise ValueError(f"unsupported $dateSubtract unit: {unit!r}")
+        return F.timestamp_add(unit, -_expr(arg["amount"], env),
                                _expr(arg["startDate"], env))
     if op == "$dateDiff":
         unit = arg["unit"]

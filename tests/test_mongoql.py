@@ -2027,11 +2027,14 @@ def test_expression_date_parts(spark):
         "ms": {"$millisecond": "$t"},
         "parsed": {"$dateFromString": {"dateString": "15/03/2024",
                                        "format": "%d/%m/%Y"}},
+        "back": {"$dateSubtract": {"startDate": "$t", "unit": "month",
+                                   "amount": 2}},
     }}]).collect()[0]
     # 2024-03-15 is a Friday
     assert (out.dow, out.idow, out.doy, out.iw, out.ms) == \
         (6, 5, 75, 11, 123)
     assert out.parsed == dt(2024, 3, 15)
+    assert out.back == dt(2024, 1, 15, 10, 0, 0, 123000)
 
 
 def test_window_gap_fill_and_rate_operators(spark):
