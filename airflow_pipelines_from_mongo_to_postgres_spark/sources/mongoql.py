@@ -41,7 +41,8 @@ computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
 $trunc/$sqrt/$pow/$ln/$log/$log10/$exp`` + the trig/angle family
 (``$sin..$atan2``, ``$degreesToRadians/$radiansToDegrees``), ``$toUpper/$toLower/$substrCP/$strLenCP/
-$split/$trim/$ltrim/$rtrim/$regexMatch/$indexOfCP/$replaceOne/
+$split/$trim/$ltrim/$rtrim/$regexMatch/$regexFind/
+$regexFindAll/$indexOfCP/$replaceOne/
 $replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
 $range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
 $setIntersection/$setDifference/$allElementsTrue/$anyElementTrue/
@@ -687,6 +688,46 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         # Java regex, not PCRE — the common subset is identical; exotic
         # PCRE constructs (recursion, \K) differ, documented deviation
         return _expr(arg["input"], env).rlike(pat)
+    if op in ("$regexFind", "$regexFindAll"):
+        import re as _re
+
+        pat = arg["regex"]
+        if not isinstance(pat, str):
+            raise ValueError(f"{op} regex must be a string literal")
+        opts = arg.get("options", "")
+        if set(opts) - set("imsx"):
+            raise ValueError(f"unsupported {op} options: {opts!r}")
+        ngroups = _re.compile(pat).groups
+        if opts:
+            pat = f"(?{opts}){pat}"
+        inp = _expr(arg["input"], env)
+        # Deviations, documented: captures that matched EMPTY map to
+        # null like unmatched ones (regexp_extract returns '' for
+        # both); $regexFindAll emits {match, captures} WITHOUT idx
+        # (Spark has no per-match position builtin) — reading .idx
+        # from its result fails loudly at analysis, never silently.
+        caps = F.array(*[
+            F.nullif(F.regexp_extract(inp, pat, i + 1), F.lit(""))
+            for i in range(ngroups)]).cast("array<string>")
+        if op == "$regexFind":
+            pos = F.regexp_instr(inp, F.lit(pat))
+            return F.when(pos > 0, F.struct(
+                F.regexp_extract(inp, pat, 0).alias("match"),
+                (pos - 1).cast("int").alias("idx"),
+                caps.alias("captures")))
+        # Mongo: a null/missing input finds NOTHING — empty array
+        matches = F.coalesce(F.regexp_extract_all(inp, F.lit(pat), 0),
+                             F.array().cast("array<string>"))
+        if ngroups == 0:
+            return F.transform(matches, lambda m: F.struct(
+                m.alias("match"),
+                F.array().cast("array<string>").alias("captures")))
+        return F.transform(matches, lambda m: F.struct(
+            m.alias("match"),
+            F.array(*[
+                F.nullif(F.regexp_extract(m, pat, i + 1), F.lit(""))
+                for i in range(ngroups)]).cast("array<string>")
+            .alias("captures")))
     if op == "$indexOfCP":
         ops = args()
         if len(ops) != 2:

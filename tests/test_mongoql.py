@@ -2571,3 +2571,37 @@ def test_merge_update_pipeline_unset(spark, tmp_path):
             [{"$merge": {"into": "t", "on": "_id",
                          "whenMatched": [{"$unset": ["_id"]}]}}],
             targets={"t": snap})
+
+
+def test_regex_find_and_find_all(spark):
+    """$regexFind ({match, idx, captures} or null) and $regexFindAll
+    ({match, captures} docs — no per-match idx in Spark builtins, the
+    documented deviation): capture groups null when unmatched/empty,
+    $options inline flags, null input → null / empty array."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "order 12 and 34 end"), (2, "none"), (3, None)],
+        "id int, s string")
+    out = apply_pipeline(df, [{"$addFields": {
+        "f": {"$regexFind": {"input": "$s", "regex": r"(\d)(\d)"}},
+        "fa": {"$regexFindAll": {"input": "$s", "regex": r"(\d)(\d)"}},
+        "ci": {"$regexFind": {"input": "$s", "regex": "ORDER",
+                              "options": "i"}},
+        "opt": {"$regexFind": {"input": "$s",
+                               "regex": r"(\d+)( end)?"}},
+    }}])
+    r = {x.id: x for x in out.collect()}
+    assert (r[1].f.match, r[1].f.idx, list(r[1].f.captures)) == \
+        ("12", 6, ["1", "2"])
+    assert [(x.match, list(x.captures)) for x in r[1].fa] == \
+        [("12", ["1", "2"]), ("34", ["3", "4"])]
+    assert (r[1].ci.match, r[1].ci.idx) == ("order", 0)
+    # optional group unmatched on the first find → null capture
+    assert list(r[1].opt.captures) == ["12", None]
+    assert r[2].f is None and list(r[2].fa) == [] and r[2].ci is None
+    assert r[3].f is None and list(r[3].fa) == []
+    with pytest.raises(ValueError, match="options"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$regexFind": {"input": "$s", "regex": "a",
+                                   "options": "z"}}}}])
