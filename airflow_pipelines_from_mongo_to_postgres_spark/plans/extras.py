@@ -1999,6 +1999,44 @@ WHERE o.o_orderpriority = '1-URGENT'
 """
 
 
+# --- q196: $regexFind / $regexFindAll extraction ---------------------------------
+def q196_mongo_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$regexFind``/``$regexFindAll`` (Mongo's structured regex
+    extraction) over the documents corpus: first '[Ss]park <word>'
+    occurrence (full match + capture group) and the total occurrence
+    count — one projection of JVM regexp_extract/regexp_extract_all
+    expressions inside whole-stage codegen, zero shuffles, filter-free
+    scan. The struct results are unpacked to scalar columns for the
+    driver's hash canon (match/capture null when absent on BOTH
+    engines via NULLIF('') on the oracle side)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = apply_pipeline(docs, [
+        {"$addFields": {
+            "f": {"$regexFind": {"input": "$text",
+                                 "regex": "[Ss]park ([a-z]+)"}},
+            "fa": {"$regexFindAll": {"input": "$text",
+                                     "regex": "[Ss]park ([a-z]+)"}},
+        }},
+        {"$addFields": {
+            "m": "$f.match",
+            "w": {"$arrayElemAt": ["$f.captures", 0]},
+            "cnt": {"$size": "$fa"},
+        }},
+    ])
+    return out.select("doc_id", "m", "w",
+                      F.col("cnt").cast("long").alias("cnt"))
+
+
+Q196_SQL = """
+SELECT doc_id,
+       NULLIF(regexp_extract(text, '[Ss]park ([a-z]+)', 0), '') AS m,
+       NULLIF(regexp_extract(text, '[Ss]park ([a-z]+)', 1), '') AS w,
+       CAST(len(regexp_extract_all(text, '[Ss]park ([a-z]+)', 0))
+            AS BIGINT) AS cnt
+FROM documents
+"""
+
+
 # --- q194: $expMovingAvg window (exact sequential fold) --------------------------
 def q194_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$expMovingAvg`` — the last ``$setWindowFields`` accumulator:
@@ -2095,6 +2133,7 @@ QUERIES = {
     "q193_mongo_merge_jdbc_pipeline": q193_mongo_merge_jdbc_pipeline,
     "q194_mongo_ema": q194_mongo_ema,
     "q195_mongo_lookup_latest": q195_mongo_lookup_latest,
+    "q196_mongo_regex_find": q196_mongo_regex_find,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2142,6 +2181,7 @@ ORACLES = {
     "q193_mongo_merge_jdbc_pipeline": Q193_SQL,
     "q194_mongo_ema": Q194_SQL,
     "q195_mongo_lookup_latest": Q195_SQL,
+    "q196_mongo_regex_find": Q196_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
