@@ -2037,6 +2037,45 @@ FROM documents
 """
 
 
+# --- q197: date-math family ($dateAdd/$dateSubtract/$dateDiff/$dateTrunc) --------
+def q197_mongo_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate the date-math expression family in one projection over
+    orders: ``$dateAdd`` (+3 months), ``$dateSubtract`` (-2 weeks),
+    ``$dateDiff`` with Mongo's BOUNDARY-CROSSING month semantics
+    (23:59 → 00:01 across a month edge counts 1 — DuckDB's date_diff
+    counts partition boundaries, the same rule, so the oracle is
+    native), and ``$dateTrunc`` to quarter. Pure column expressions in
+    whole-stage codegen, zero shuffles, scan-linear."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$addFields": {
+            "due": {"$dateAdd": {"startDate": "$o_orderdate",
+                                 "unit": "month", "amount": 3}},
+            "back": {"$dateSubtract": {"startDate": "$o_orderdate",
+                                       "unit": "week", "amount": 2}},
+            "age_m": {"$dateDiff": {"startDate": "$o_orderdate",
+                                    "endDate": {"$toDate": "1998-12-01"},
+                                    "unit": "month"}},
+            "q": {"$dateTrunc": {"date": "$o_orderdate",
+                                 "unit": "quarter"}},
+        }},
+    ])
+    return out.select("o_orderkey", "due", "back",
+                      F.col("age_m").cast("long").alias("age_m"),
+                      F.col("q").cast("date").alias("q"))
+
+
+Q197_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS due,
+       CAST(o_orderdate AS TIMESTAMP) - INTERVAL 14 DAY AS back,
+       CAST(date_diff('month', o_orderdate, DATE '1998-12-01')
+            AS BIGINT) AS age_m,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+FROM orders
+"""
+
+
 # --- q194: $expMovingAvg window (exact sequential fold) --------------------------
 def q194_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$expMovingAvg`` — the last ``$setWindowFields`` accumulator:
@@ -2134,6 +2173,7 @@ QUERIES = {
     "q194_mongo_ema": q194_mongo_ema,
     "q195_mongo_lookup_latest": q195_mongo_lookup_latest,
     "q196_mongo_regex_find": q196_mongo_regex_find,
+    "q197_mongo_date_math": q197_mongo_date_math,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2182,6 +2222,7 @@ ORACLES = {
     "q194_mongo_ema": Q194_SQL,
     "q195_mongo_lookup_latest": Q195_SQL,
     "q196_mongo_regex_find": Q196_SQL,
+    "q197_mongo_date_math": Q197_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,
