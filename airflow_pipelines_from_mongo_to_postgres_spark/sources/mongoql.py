@@ -40,9 +40,9 @@ computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$cond``/``$switch``, ``$ifNull``, ``$concat``,
 ``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
 $trunc/$sqrt/$pow/$ln/$log/$log10/$exp`` + the trig/angle family
-(``$sin..$atan2``, ``$degreesToRadians/$radiansToDegrees``), ``$toUpper/$toLower/$substrCP/$strLenCP/
+(``$sin..$atan2``, ``$degreesToRadians/$radiansToDegrees``), ``$toUpper/$toLower/$substrCP/$strLenCP/$substrBytes/$strLenBytes/
 $split/$trim/$ltrim/$rtrim/$regexMatch/$regexFind/
-$regexFindAll/$indexOfCP/$replaceOne/
+$regexFindAll/$indexOfCP (incl. range form)/$replaceOne/
 $replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
 $range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
 $setIntersection/$setDifference/$allElementsTrue/$anyElementTrue/
@@ -273,6 +273,17 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return F.substring(s, start + F.lit(1), length)  # 0- -> 1-indexed
     if op == "$strLenCP":
         return F.length(_expr(arg, env))
+    if op == "$strLenBytes":
+        # UTF-8 byte length (octet_length), vs $strLenCP's code points
+        return F.octet_length(_expr(arg, env))
+    if op in ("$substrBytes", "$substr"):
+        # byte-indexed substring ($substr is Mongo's deprecated alias).
+        # Deviation, documented: slicing through the middle of a
+        # multi-byte UTF-8 character yields replacement characters
+        # where Mongo errors — binary substring has no validity check.
+        s, start, length = args(3)
+        return F.substring(s.cast("binary"), start + F.lit(1), length) \
+            .cast("string")
     if op == "$split":
         s, delim = args(2)
         # Mongo splits on a LITERAL delimiter; split() takes a regex —
@@ -730,11 +741,21 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             .alias("captures")))
     if op == "$indexOfCP":
         ops = args()
-        if len(ops) != 2:
-            raise ValueError("$indexOfCP range form is unsupported")
-        s, sub = ops              # 0-based; -1 when absent (instr's
-        # 1-based 0-when-missing maps exactly under the -1 shift)
-        return (F.call_function("instr", s, sub) - 1).cast("int")
+        if len(ops) == 2:
+            s, sub = ops          # 0-based; -1 when absent (instr's
+            # 1-based 0-when-missing maps exactly under the -1 shift)
+            return (F.call_function("instr", s, sub) - 1).cast("int")
+        if len(ops) in (3, 4):
+            # range form: search within [start, end) — locate() from
+            # the 1-based start; an end bound truncates the haystack
+            # so the match must lie FULLY inside the range (the
+            # documented interpretation of Mongo's end index)
+            s, sub = ops[0], ops[1]
+            start = ops[2].cast("int")
+            if len(ops) == 4:
+                s = F.substring(s, 1, ops[3].cast("int"))
+            pos = F.call_function("locate", sub, s, start + F.lit(1))
+            return (pos - 1).cast("int")
     if op == "$replaceAll":
         # LITERAL find/replace, Mongo's contract — F.replace is
         # literal (regexp_replace would reinterpret the pattern)

@@ -2605,3 +2605,26 @@ def test_regex_find_and_find_all(spark):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$regexFind": {"input": "$s", "regex": "a",
                                    "options": "z"}}}}])
+
+
+def test_byte_string_ops_and_index_range(spark):
+    """$strLenBytes/$substrBytes (UTF-8 byte indexed — $substr alias)
+    and the $indexOfCP range form (match must lie fully in
+    [start, end), documented interpretation)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame([("cafeteria", "héllo")],
+                               "s string, u string")
+    out = apply_pipeline(df, [{"$addFields": {
+        "lb": {"$strLenBytes": "$u"},
+        "lc": {"$strLenCP": "$u"},
+        "sb": {"$substrBytes": ["$u", 0, 3]},
+        "sa": {"$substr": ["$s", 4, 5]},
+        "i1": {"$indexOfCP": ["$s", "e", 3]},
+        "i2": {"$indexOfCP": ["$s", "e", 4]},
+        "i3": {"$indexOfCP": ["$s", "e", 4, 5]},
+        "i4": {"$indexOfCP": ["$s", "teria", 0]},
+    }}]).collect()[0]
+    assert (out.lb, out.lc) == (6, 5)        # é is 2 bytes, 1 cp
+    assert out.sb == "hé" and out.sa == "teria"
+    assert (out.i1, out.i2, out.i3, out.i4) == (3, 5, -1, 4)
