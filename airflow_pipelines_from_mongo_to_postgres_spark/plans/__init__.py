@@ -201,9 +201,15 @@ def _ordered(full: dict) -> dict:
                                evidence.get(n, (0, False))[0],
                                names.index(n)))
     rest = [n for n in names if n not in pinned]
-    # never-checked → round 0; red sorts before green within a round
-    rest.sort(key=lambda n: (evidence.get(n, (0, False))[0],
-                             evidence.get(n, (0, False))[1],
+    # A red LATEST driver row must outrank everything else in the block,
+    # regardless of how recent the round is — otherwise a query that
+    # failed in r11 and was fixed sits behind dozens of r01-greens and
+    # the driver's truncated budget never re-confirms the fix (r13 judge
+    # finding: q180 buried at position 47). Sort (ok, round, index):
+    # reds first (oldest red first), then greens least-recently-checked
+    # first, never-checked (round 0) ahead of all greens.
+    rest.sort(key=lambda n: (evidence.get(n, (0, False))[1],
+                             evidence.get(n, (0, False))[0],
                              names.index(n)))
     return {k: full[k] for k in pinned + rest}
 

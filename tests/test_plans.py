@@ -276,6 +276,25 @@ def test_pin_list_is_derived_not_hand_maintained():
     assert isinstance(changed, list)
 
 
+def test_ordered_puts_red_latest_first(monkeypatch):
+    """R13 judge finding: a query whose LATEST driver row is red must
+    outrank every green in the unpinned block, regardless of how old the
+    greens' rounds are — sorting (evidence_round, ok) buried q180's r11
+    red behind 46 r01-greens so the driver's truncated budget never
+    re-confirmed the fix. Contract: (ok, round, index) — never-checked
+    first, then reds oldest-first, then greens least-recently-checked."""
+    from airflow_pipelines_from_mongo_to_postgres_spark import plans
+
+    monkeypatch.setattr(plans, "_evidence_rounds",
+                        lambda: {"q_old_green": (1, True),
+                                 "q_red": (11, False),
+                                 "q_new_green": (13, True)})
+    monkeypatch.setattr(plans, "changed_since_stamped", lambda: [])
+    order = list(plans._ordered({"q_old_green": 1, "q_red": 2,
+                                 "q_new_green": 3, "q_never": 4}))
+    assert order == ["q_never", "q_red", "q_old_green", "q_new_green"]
+
+
 def test_semantic_dedup_assignment_computed_once(spark, sf_dir):
     """The assignment subplan feeds three consumers; AQE exchange reuse
     must materialize it once (ReusedExchange in the post-execution
