@@ -2130,6 +2130,61 @@ SELECT u, h, cents, ema FROM r
 """
 
 
+# --- q198: $geoNear haversine lowering -------------------------------------------
+def q198_mongo_geonear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$geoNear`` — the r13 verdict's one high-frequency refused
+    stage, now lowered to index-free haversine expression math
+    (sources/mongoql.py::_geo_near). Deterministic integer-grid
+    coordinates derived from c_custkey become GeoJSON Point structs;
+    the stage computes spherical METERS from a GeoJSON near point
+    (Mongo's R = 6378.1 km constant), applies the ``query`` match +
+    inclusive ``maxDistance`` on the RAW meters, and scales the output
+    by ``distanceMultiplier`` to km. Distance is rounded to 6 dp (mm)
+    on BOTH engines — JVM and DuckDB libm trig can differ in the last
+    ulp, ~1e-10 m here, seven orders below the rounding grain. Pure
+    per-row codegen math + one filter; scan-linear, shuffle-free until
+    the nearest-first sort (TakeOrdered under the $geoNear+$limit
+    idiom)."""
+    cust = load_table(spark, "customer", sf_dir)
+    pts = cust.withColumn(
+        "loc", F.struct(
+            F.lit("Point").alias("type"),
+            F.array(
+                ((F.col("c_custkey") * 37) % 360 - 180).cast("double"),
+                ((F.col("c_custkey") * 53) % 160 - 80).cast("double"),
+            ).alias("coordinates")))
+    out = apply_pipeline(pts, [
+        {"$geoNear": {
+            "near": {"type": "Point", "coordinates": [12.5, 42.0]},
+            "distanceField": "dist",
+            "key": "loc",
+            "query": {"c_mktsegment": "BUILDING"},
+            "maxDistance": 6_000_000.0,
+            "distanceMultiplier": 0.001,
+        }},
+    ])
+    return out.select("c_custkey", F.round("dist", 6).alias("km"))
+
+
+Q198_SQL = """
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST((c_custkey * 37) % 360 - 180 AS DOUBLE) AS lon,
+         CAST((c_custkey * 53) % 160 - 80 AS DOUBLE) AS lat
+  FROM customer),
+d AS (
+  SELECT c_custkey, c_mktsegment,
+         2 * asin(least(1.0, sqrt(
+             pow(sin((radians(lat) - radians(42.0)) / 2), 2)
+             + cos(radians(42.0)) * cos(radians(lat))
+             * pow(sin((radians(lon) - radians(12.5)) / 2), 2)
+         ))) * 6378100.0 AS m
+  FROM pts)
+SELECT c_custkey, round(m * 0.001, 6) AS km
+FROM d WHERE c_mktsegment = 'BUILDING' AND m <= 6000000.0
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2174,6 +2229,7 @@ QUERIES = {
     "q195_mongo_lookup_latest": q195_mongo_lookup_latest,
     "q196_mongo_regex_find": q196_mongo_regex_find,
     "q197_mongo_date_math": q197_mongo_date_math,
+    "q198_mongo_geonear": q198_mongo_geonear,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2223,6 +2279,7 @@ ORACLES = {
     "q195_mongo_lookup_latest": Q195_SQL,
     "q196_mongo_regex_find": Q196_SQL,
     "q197_mongo_date_math": Q197_SQL,
+    "q198_mongo_geonear": Q198_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

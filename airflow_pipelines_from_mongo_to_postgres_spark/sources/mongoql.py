@@ -33,7 +33,9 @@ frames incl. time AND calendar units; rank family, ``$shift``,
 ``$expMovingAvg`` (exact per-partition sequential fold)),
 ``$fill`` (value/locf/linear), ``$densify``
 (numeric + calendar grids), ``$graphLookup`` (per-depth-level BFS
-joins), and the terminal write stages ``$merge``/``$out`` (lowered
+joins), ``$geoNear`` (haversine lowering, index-free: GeoJSON meters /
+legacy radians / flat — see ``_geo_near``), and the terminal write
+stages ``$merge``/``$out`` (lowered
 onto the snapshot table-format commits — see ``_write_stage``) — plus
 the aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
@@ -77,7 +79,7 @@ Unsupported stages (REFUSED BY DESIGN, uniform error): Atlas-managed
 and server-introspection stages raise :class:`UnsupportedMongoStage`
 naming the reason and the in-repo alternative — see
 :data:`UNSUPPORTED_STAGES` for the full stage → reason table
-(``$geoNear``, Atlas ``$search``/``$searchMeta``/``$vectorSearch``,
+(Atlas ``$search``/``$searchMeta``/``$vectorSearch``,
 ``$changeStream``, ``$collStats``-family introspection). A
 whole-collection window (``$setWindowFields``/``$fill``/``$densify``
 without ``partitionBy``) is Mongo-correct but plans a one-task stage —
@@ -106,10 +108,6 @@ class UnsupportedMongoStage(ValueError):
 #: from BOTH the dispatcher and this table is simply unknown and
 #: raises a plain ValueError.
 UNSUPPORTED_STAGES: dict[str, str] = {
-    "$geoNear": (
-        "geospatial index queries have no Spark-native equivalent; "
-        "compute a haversine distance with $addFields expression math "
-        "and $sort/$match on it"),
     "$search": (
         "Atlas Search is a managed Lucene service, not part of the "
         "core aggregation language; use functions/text.py scoring or "
@@ -3147,6 +3145,145 @@ def _write_stage(df: DataFrame, op: str, spec: Any, targets) -> DataFrame:
     return _read_or_empty(spark, path, df)
 
 
+#: MongoDB's spherical-geometry Earth radius — the docs' "approximate
+#: equatorial radius of 6,378.1 kilometers" used to convert between
+#: radians and meters for 2dsphere distances.
+_EARTH_RADIUS_M = 6378100.0
+
+
+def _geo_near_point(near: Any) -> tuple[float, float, bool]:
+    """``$geoNear.near`` spec → (lon, lat, is_geojson). GeoJSON Point
+    (``{type: 'Point', coordinates: [lon, lat]}``) selects spherical
+    meters; a legacy coordinate pair (``[lon, lat]`` array or two-field
+    document, field order = lon, lat) selects legacy semantics (radians
+    when ``spherical: true``, flat units otherwise) — Mongo's own rule."""
+    if isinstance(near, dict) and near.get("type") == "Point":
+        coords = near.get("coordinates")
+        if not isinstance(coords, (list, tuple)) or len(coords) != 2:
+            raise ValueError(
+                "$geoNear: GeoJSON near needs coordinates: [lon, lat]")
+        return float(coords[0]), float(coords[1]), True
+    if isinstance(near, (list, tuple)) and len(near) == 2:
+        return float(near[0]), float(near[1]), False
+    if isinstance(near, dict) and len(near) == 2 and "type" not in near:
+        lon, lat = near.values()  # legacy embedded doc: field order
+        return float(lon), float(lat), False
+    raise ValueError(
+        "$geoNear: near must be a GeoJSON Point "
+        "({type: 'Point', coordinates: [lon, lat]}) or a legacy "
+        "[lon, lat] coordinate pair")
+
+
+def _geo_key_lonlat(df: DataFrame, key: str) -> tuple[Column, Column]:
+    """Resolve the document location field ``key`` (dotted paths OK) to
+    (lon, lat) Columns. Accepts a GeoJSON Point struct (has
+    ``coordinates``), a legacy ``[lon, lat]`` array, or a two-field
+    legacy point document (field order = lon, lat)."""
+    from pyspark.sql import types as ST
+
+    dt: Any = df.schema
+    for part in key.split("."):
+        if not isinstance(dt, ST.StructType) or part not in dt.fieldNames():
+            raise ValueError(
+                f"$geoNear: key {key!r} not found in the document schema")
+        dt = dt[part].dataType
+    col = F.col(key)
+    if isinstance(dt, ST.StructType) and "coordinates" in dt.fieldNames():
+        return col["coordinates"][0], col["coordinates"][1]
+    if isinstance(dt, ST.ArrayType):
+        return col[0], col[1]
+    if isinstance(dt, ST.StructType) and len(dt.fields) == 2:
+        f0, f1 = dt.fieldNames()
+        return col[f0], col[f1]
+    raise ValueError(
+        f"$geoNear: key {key!r} must be a GeoJSON Point struct (with "
+        "'coordinates'), a legacy [lon, lat] array, or a two-field "
+        f"legacy point document — got {dt.simpleString()}")
+
+
+def _geo_near(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$geoNear`` lowered to expression math — no geospatial index
+    needed. Distance mode follows Mongo: a GeoJSON ``near`` computes the
+    spherical (haversine) distance in METERS (radius 6378.1 km, the
+    documented constant); a legacy ``near`` computes radians when
+    ``spherical: true`` and flat Euclidean coordinate units otherwise.
+    ``minDistance``/``maxDistance`` filter on the RAW distance (Mongo's
+    unit rule), ``distanceMultiplier`` scales only the output field, and
+    ``query`` is an ordinary ``$match`` document. Documents whose
+    location is null/missing are excluded, as an index-backed $geoNear
+    would. The result is globally sorted nearest-first — with a
+    following ``$limit`` Spark plans TakeOrdered (per-partition top-k +
+    one k-row merge), so the usual $geoNear+$limit idiom never performs
+    a full sort at scale. ``key`` is REQUIRED (there is no index to
+    infer the location field from).
+
+    Per-row trig stays inside whole-stage codegen; the haversine operand
+    is clamped to [0, 1] before ``asin`` so antipodal floating-point
+    noise can't produce NaN."""
+    allowed = {"near", "distanceField", "key", "spherical", "maxDistance",
+               "minDistance", "query", "distanceMultiplier", "includeLocs"}
+    unknown = set(spec) - allowed
+    if unknown:
+        raise ValueError(
+            f"$geoNear: unsupported options {sorted(unknown)} "
+            f"(supported: {sorted(allowed)})")
+    if "near" not in spec or "distanceField" not in spec:
+        raise ValueError("$geoNear requires 'near' and 'distanceField'")
+    out_field = spec["distanceField"]
+    if not isinstance(out_field, str) or "." in out_field:
+        raise ValueError(
+            "$geoNear: distanceField must be a top-level field name "
+            "(dotted paths are unsupported — $addFields the struct after)")
+    key = spec.get("key")
+    if not key:
+        raise ValueError(
+            "$geoNear: 'key' is required — there is no geospatial index "
+            "to infer the location field from; name the document field "
+            "holding [lon, lat] or a GeoJSON Point")
+    nlon, nlat, geojson = _geo_near_point(spec["near"])
+    dlon, dlat = _geo_key_lonlat(df, key)
+    spherical = bool(spec.get("spherical", False)) or geojson
+    if spherical:
+        lat1, lon1 = F.radians(F.lit(nlat)), F.radians(F.lit(nlon))
+        lat2 = F.radians(dlat.cast("double"))
+        lon2 = F.radians(dlon.cast("double"))
+        hav = (F.pow(F.sin((lat2 - lat1) / F.lit(2.0)), F.lit(2.0))
+               + F.cos(lat1) * F.cos(lat2)
+               * F.pow(F.sin((lon2 - lon1) / F.lit(2.0)), F.lit(2.0)))
+        # clamp fp noise past 1.0 before asin — but NOT via F.least,
+        # which skips NULLs and would turn a missing location into a
+        # phantom antipodal distance instead of propagating null
+        root = F.sqrt(hav)
+        dist = F.lit(2.0) * F.asin(
+            F.when(root > F.lit(1.0), F.lit(1.0)).otherwise(root))
+        if geojson:
+            dist = dist * F.lit(_EARTH_RADIUS_M)
+    else:
+        dist = F.sqrt(
+            F.pow(dlon.cast("double") - F.lit(nlon), F.lit(2.0))
+            + F.pow(dlat.cast("double") - F.lit(nlat), F.lit(2.0)))
+    tmp = "__geo_dist"
+    df = df.withColumn(tmp, dist.cast("double")).filter(
+        F.col(tmp).isNotNull())
+    if "query" in spec:
+        df = df.filter(_match_cond(spec["query"], df.schema))
+    if "maxDistance" in spec:
+        df = df.filter(F.col(tmp) <= F.lit(float(spec["maxDistance"])))
+    if "minDistance" in spec:
+        df = df.filter(F.col(tmp) >= F.lit(float(spec["minDistance"])))
+    if "includeLocs" in spec:
+        inc = spec["includeLocs"]
+        if not isinstance(inc, str) or "." in inc:
+            raise ValueError(
+                "$geoNear: includeLocs must be a top-level field name")
+        df = df.withColumn(inc, F.col(key))
+    out = F.col(tmp)
+    if "distanceMultiplier" in spec:
+        out = out * F.lit(float(spec["distanceMultiplier"]))
+    return (df.withColumn(out_field, out.cast("double")).drop(tmp)
+            .orderBy(F.col(out_field).asc()))
+
+
 def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                    collections: dict[str, DataFrame] | None = None,
                    targets: dict[str, str] | None = None
@@ -3167,7 +3304,13 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             if i != len(stages) - 1:
                 raise ValueError(f"{op} must be the final pipeline stage")
             return _write_stage(df, op, spec, targets)
-        if op == "$match":
+        if op == "$geoNear":
+            if i != 0:
+                raise ValueError(
+                    "$geoNear must be the first pipeline stage (Mongo's "
+                    "own rule)")
+            df = _geo_near(df, spec)
+        elif op == "$match":
             df = df.filter(_match_cond(spec, df.schema))
         elif op == "$project":
             df = _project(df, spec)

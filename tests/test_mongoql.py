@@ -2628,3 +2628,105 @@ def test_byte_string_ops_and_index_range(spark):
     assert (out.lb, out.lc) == (6, 5)        # é is 2 bytes, 1 cp
     assert out.sb == "hé" and out.sa == "teria"
     assert (out.i1, out.i2, out.i3, out.i4) == (3, 5, -1, 4)
+
+
+def test_geo_near_semantics(spark):
+    """$geoNear haversine lowering (r13 VERDICT #2) — Mongo's unit
+    rules: GeoJSON near → spherical METERS (R = 6378.1 km, the
+    documented constant); legacy near + spherical:true → RADIANS;
+    legacy + spherical:false → flat Euclidean coordinate units.
+    min/maxDistance filter on the RAW distance (inclusive, Mongo's
+    $gte/$lte bracket), distanceMultiplier scales only the output,
+    query is an ordinary match document, includeLocs copies the
+    location used, null locations are excluded (an index-backed
+    $geoNear never returns them), nearest-first order."""
+    import math
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import UNSUPPORTED_STAGES
+
+    assert "$geoNear" not in UNSUPPORTED_STAGES
+    R = 6378100.0
+    df = spark.createDataFrame([
+        Row(_id=1, loc=Row(type="Point", coordinates=[0.0, 0.0]), seg="a"),
+        Row(_id=2, loc=Row(type="Point", coordinates=[90.0, 0.0]), seg="b"),
+        Row(_id=3, loc=Row(type="Point", coordinates=[0.0, 45.0]), seg="a"),
+        Row(_id=4, loc=None, seg="a"),
+    ])
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2)
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * math.asin(math.sqrt(a))
+
+    # 2dsphere: GeoJSON near → meters, nearest first, null loc dropped
+    out = apply_pipeline(df, [{"$geoNear": {
+        "near": {"type": "Point", "coordinates": [0.0, 10.0]},
+        "distanceField": "d", "key": "loc"}}]).collect()
+    assert [r._id for r in out] == [1, 3, 2]
+    exp = {1: hav(0, 10, 0, 0) * R, 3: hav(0, 10, 0, 45) * R,
+           2: hav(0, 10, 90, 0) * R}
+    for r in out:
+        assert r.d == pytest.approx(exp[r._id], rel=1e-12)
+
+    # legacy near + spherical → radians; query + minDistance + includeLocs
+    out = apply_pipeline(df, [{"$geoNear": {
+        "near": [0.0, 10.0], "spherical": True, "distanceField": "rad",
+        "key": "loc", "query": {"seg": "a"}, "minDistance": 0.2,
+        "includeLocs": "where"}}]).collect()
+    # seg 'a' leaves ids 1 and 3; id 1 is 10° = 0.1745 rad < 0.2 → dropped
+    assert [r._id for r in out] == [3]
+    assert out[0].rad == pytest.approx(math.radians(35), rel=1e-12)
+    assert list(out[0].where.coordinates) == [0.0, 45.0]
+
+    # legacy flat: Euclidean units, inclusive maxDistance (3-4-5 edge),
+    # distanceMultiplier scales OUTPUT only (5.0 passes the ≤5 filter)
+    flat = spark.createDataFrame([
+        Row(_id=1, loc=[3.0, 4.0]), Row(_id=2, loc=[6.0, 8.0])])
+    out = apply_pipeline(flat, [{"$geoNear": {
+        "near": [0.0, 0.0], "distanceField": "d", "key": "loc",
+        "maxDistance": 5.0, "distanceMultiplier": 10.0}}]).collect()
+    assert [(r._id, r.d) for r in out] == [(1, pytest.approx(50.0))]
+
+    # two-field legacy point document (field order = lon, lat)
+    docpt = spark.createDataFrame([Row(_id=1, loc=Row(lon=1.0, lat=1.0))])
+    out = apply_pipeline(docpt, [{"$geoNear": {
+        "near": {"x": 1.0, "y": 0.0}, "distanceField": "d",
+        "key": "loc"}}]).collect()
+    assert out[0].d == pytest.approx(1.0)
+
+    # $geoNear + $limit plans TakeOrdered — never a full global sort
+    top = apply_pipeline(df, [
+        {"$geoNear": {"near": {"type": "Point", "coordinates": [0.0, 10.0]},
+                      "distanceField": "d", "key": "loc"}},
+        {"$limit": 2}])
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_geo_near_errors(spark):
+    """$geoNear contract errors: must be the FIRST stage; key and
+    distanceField required (no index to infer from); dotted output
+    fields, unknown options, and malformed near/key shapes raise."""
+    df = spark.createDataFrame([Row(_id=1, loc=[0.0, 0.0], x=1)])
+    geo = {"near": [0.0, 0.0], "distanceField": "d", "key": "loc"}
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        apply_pipeline(df, [{"$limit": 5}, {"$geoNear": dict(geo)}])
+    with pytest.raises(ValueError, match="'key' is required"):
+        apply_pipeline(df, [{"$geoNear": {"near": [0.0, 0.0],
+                                          "distanceField": "d"}}])
+    with pytest.raises(ValueError, match="requires 'near'"):
+        apply_pipeline(df, [{"$geoNear": {"key": "loc",
+                                          "distanceField": "d"}}])
+    with pytest.raises(ValueError, match="top-level field"):
+        apply_pipeline(df, [{"$geoNear": {**geo,
+                                          "distanceField": "a.b"}}])
+    with pytest.raises(ValueError, match="unsupported options"):
+        apply_pipeline(df, [{"$geoNear": {**geo, "num": 5}}])
+    with pytest.raises(ValueError, match="near must be"):
+        apply_pipeline(df, [{"$geoNear": {**geo, "near": [1.0]}}])
+    with pytest.raises(ValueError, match="not found in the document"):
+        apply_pipeline(df, [{"$geoNear": {**geo, "key": "nope"}}])
+    with pytest.raises(ValueError, match="must be a GeoJSON Point"):
+        apply_pipeline(df, [{"$geoNear": {**geo, "key": "x"}}])
