@@ -2130,6 +2130,61 @@ SELECT u, h, cents, ema FROM r
 """
 
 
+# --- q199: correlated $lookup pagination ($sort+$skip+$limit) --------------------
+def q199_mongo_lookup_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's pagination idiom inside a correlated ``$lookup`` —
+    sub-pipeline ending ``$sort + $skip + $limit`` (r14: terminal
+    ``$skip`` joins the r13 top-k splitter): per urgent order, PAGE 2
+    of its lineitems (skip 1, take 2) by shipdate desc. Lowered to a
+    per-KEY ordered slice-after-offset — ``array_sort`` comparator +
+    ``slice(start=skip+1)`` on the packed array
+    (sources/mongoql.py::_split_term_sort_limit) — so the offset
+    applies per outer document, NEVER globally: one equi-join + one
+    groupBy, no window over the fact table. The oracle is a genuine
+    row_number-over-partition rn IN (2,3), pinning the per-key scope.
+    Sort keys (shipdate desc, extendedprice, linenumber) are exactly
+    the output columns, so fixture rows duplicated on a natural key
+    still yield one deterministic multiset on both engines; $unwind's
+    drop-empty default reproduces the inner-join shape for orders with
+    fewer than 2 matching lineitems."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderpriority": "1-URGENT"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$ok", "$l_orderkey"]}}},
+                {"$sort": {"l_shipdate": -1, "l_extendedprice": 1,
+                           "l_linenumber": 1}},
+                {"$skip": 1},
+                {"$limit": 2}],
+            "as": "pg"}},
+        {"$unwind": {"path": "$pg"}},
+        {"$addFields": {"ship": "$pg.l_shipdate",
+                        "price": "$pg.l_extendedprice",
+                        "ln": "$pg.l_linenumber"}},
+    ], collections={"lineitem": lineitem})
+    return out.select("o_orderkey", "ship", "price",
+                      F.col("ln").cast("long").alias("ln"))
+
+
+Q199_SQL = """
+SELECT o.o_orderkey, l.ship, l.price, l.ln
+FROM orders o JOIN (
+  SELECT l_orderkey, l_shipdate AS ship, l_extendedprice AS price,
+         CAST(l_linenumber AS BIGINT) AS ln,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC,
+                                     l_extendedprice ASC,
+                                     l_linenumber ASC) AS rn
+  FROM lineitem) l
+  ON l.l_orderkey = o.o_orderkey AND l.rn IN (2, 3)
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
 # --- q198: $geoNear haversine lowering -------------------------------------------
 def q198_mongo_geonear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$geoNear`` — the r13 verdict's one high-frequency refused
@@ -2230,6 +2285,7 @@ QUERIES = {
     "q196_mongo_regex_find": q196_mongo_regex_find,
     "q197_mongo_date_math": q197_mongo_date_math,
     "q198_mongo_geonear": q198_mongo_geonear,
+    "q199_mongo_lookup_page": q199_mongo_lookup_page,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2280,6 +2336,7 @@ ORACLES = {
     "q196_mongo_regex_find": Q196_SQL,
     "q197_mongo_date_math": Q197_SQL,
     "q198_mongo_geonear": Q198_SQL,
+    "q199_mongo_lookup_page": Q199_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -2207,19 +2207,30 @@ def _split_lookup_correlation(expr: Any, let_vars: set[str]):
 
 def _split_term_sort_limit(stages: list[dict[str, Any]]):
     """Split a correlated-$lookup sub-pipeline's TERMINAL ``$sort``
-    [+ ``$limit``] suffix — Mongo's ubiquitous 'latest matching doc per
-    outer document' idiom. Per-document scope makes these a per-KEY
-    ordered top-k, which lowers to one ``array_sort`` (custom
+    [+ ``$skip``] [+ ``$limit``] suffix — Mongo's 'latest matching doc
+    per outer document' idiom and its ``$sort+$skip+$limit`` pagination
+    cousin. Per-document scope makes these a per-KEY ordered
+    top-k-after-offset, which lowers to one ``array_sort`` (custom
     comparator, multi-field asc/desc with BSON null-first ordering)
-    + ``slice`` on the packed array — never a global sort/limit. A
-    terminal ``$limit`` WITHOUT ``$sort`` orders by Mongo's natural
-    (undefined) order — refused, the translator's determinism
-    contract."""
+    + ``slice`` on the packed array — never a global sort/skip/limit.
+    A terminal ``$skip``/``$limit`` WITHOUT ``$sort`` orders by Mongo's
+    natural (undefined) order — refused, the translator's determinism
+    contract. Only the pipeline order ``$sort, $skip, $limit`` is
+    recognized (``$limit`` before ``$skip`` truncates BEFORE the offset
+    — a different result Mongo users rarely mean; it falls through to
+    the per-document scope guard)."""
     stages = list(stages)
     limit = None
     if stages and isinstance(stages[-1], dict) \
             and set(stages[-1]) == {"$limit"}:
         limit = int(stages[-1]["$limit"])
+        stages = stages[:-1]
+    skip = None
+    if stages and isinstance(stages[-1], dict) \
+            and set(stages[-1]) == {"$skip"}:
+        skip = int(stages[-1]["$skip"])
+        if skip < 0:
+            raise ValueError("$skip must be non-negative")
         stages = stages[:-1]
     sort = None
     if stages and isinstance(stages[-1], dict) \
@@ -2231,12 +2242,13 @@ def _split_term_sort_limit(stages: list[dict[str, Any]]):
                 "unsupported — $addFields the value to a top-level "
                 "field first")
         stages = stages[:-1]
-    if limit is not None and sort is None:
+    if (limit is not None or skip is not None) and sort is None:
         raise ValueError(
-            "$lookup sub-pipeline terminal $limit without $sort has "
-            "no defined order (Mongo's natural order is undefined) — "
-            "add a $sort so the per-document top-k is deterministic")
-    return stages, sort, limit
+            "$lookup sub-pipeline terminal $skip/$limit without $sort "
+            "has no defined order (Mongo's natural order is undefined) "
+            "— add a $sort so the per-document slice is deterministic "
+            "(supported suffix order: $sort, $skip, $limit)")
+    return stages, sort, skip, limit
 
 
 def _lookup_sort_cmp(sortspec: dict[str, Any]):
@@ -2246,10 +2258,17 @@ def _lookup_sort_cmp(sortspec: dict[str, Any]):
     a whole-struct comparison as the final tiebreak so equal sort keys
     still pack deterministically (Mongo leaves ties unspecified; the
     translator's determinism convention pins them)."""
+    bad = {f: d for f, d in sortspec.items() if int(d) not in (1, -1)}
+    if bad:
+        # Mongo rejects 0/garbage directions; silently coercing to -1
+        # would flip a typo'd order instead of raising (r13 ADVICE)
+        raise ValueError(
+            f"$sort direction must be 1 or -1, got {bad}")
+
     def cmp(a: Column, b: Column) -> Column:
         expr = F.when(a < b, -1).when(a > b, 1).otherwise(0)
         for f, d in reversed(list(sortspec.items())):
-            d = 1 if int(d) == 1 else -1
+            d = int(d)
             af, bf = a[f], b[f]
             expr = (F.when(af.isNull() & bf.isNull(), expr)
                     .when(af.isNull(), F.lit(-d))
@@ -2293,9 +2312,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     columns via the existing :func:`_group` compiler, each key's single
     result doc packed as a 1-element array (Mongo emits no doc for an
     empty group — the empty-array coalesce reproduces that); a terminal
-    ``$sort`` [+ ``$limit`` k] suffix (Mongo's 'latest matching doc'
-    idiom) becomes a per-KEY ordered top-k — ``array_sort`` with a
-    multi-field asc/desc comparator + ``slice`` on the packed array,
+    ``$sort`` [+ ``$skip`` n] [+ ``$limit`` k] suffix (Mongo's 'latest
+    matching doc' idiom and its pagination cousin) becomes a per-KEY
+    ordered top-k-after-offset — ``array_sort`` with a multi-field
+    asc/desc comparator + ``slice`` on the packed array,
     zero extra shuffles (:func:`_split_term_sort_limit`); otherwise
     matching docs pack per key (sorted — deterministic beats Mongo's
     unspecified order, the $lookup convention). The final outer join is
@@ -2303,7 +2323,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     never silently diverge): the sub-pipeline must keep the join/let
     key columns in scope (don't project them away), and
     per-outer-document stages beyond those terminal forms
-    ($skip/$sample/windows/buckets/mid-pipeline $sort/$limit/
+    ($sample/windows/buckets/mid-pipeline $sort/$skip/$limit/
     non-terminal $group) are refused rather than applied globally."""
     foreign = collections[spec["from"]]
     let = dict(spec.get("let", {}))
@@ -2326,7 +2346,8 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     # idiom ('latest matching doc') — split it off FIRST: it lowers to
     # array_sort + slice on each key's packed array (one comparator,
     # zero extra shuffles), never a global sort/limit.
-    rest, term_sort, term_limit = _split_term_sort_limit(pipeline[1:])
+    rest, term_sort, term_skip, term_limit = \
+        _split_term_sort_limit(pipeline[1:])
     # Per-document scope guard: the residual sub-pipeline runs ONCE
     # over the (filtered/joined) foreign frame — never once per outer
     # document — so only stages whose per-key result is invariant to
@@ -2348,10 +2369,11 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
             "globally under the join decompilation "
-            "($skip/$sample/$setWindowFields/$bucket*/$densify/$fill, "
-            "a non-terminal $group, or a mid-pipeline $sort/$limit). "
-            "Supported per-document forms: a TERMINAL $sort [+ $limit] "
-            "suffix (per-key ordered top-k) or a terminal "
+            "($sample/$setWindowFields/$bucket*/$densify/$fill, "
+            "a non-terminal $group, or a mid-pipeline $sort/$skip/"
+            "$limit). Supported per-document forms: a TERMINAL $sort "
+            "[+ $skip] [+ $limit] suffix (per-key ordered "
+            "top-k-after-offset) or a terminal "
             "{$group: {_id: null, ...}} aggregate; otherwise rewrite "
             "over the joined array ($sortArray + $slice)")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
@@ -2364,11 +2386,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     def split_term_group(stages):
         if stages and set(stages[-1]) == {"$group"} \
                 and stages[-1]["$group"].get("_id", ()) is None:
-            if term_sort is not None or term_limit is not None:
+            if term_sort is not None or term_skip is not None \
+                    or term_limit is not None:
                 raise ValueError(
-                    "$lookup sub-pipeline combining $sort/$limit with "
-                    "a terminal $group is unsupported — aggregate the "
-                    "sliced array with $sortArray/$slice + array "
+                    "$lookup sub-pipeline combining $sort/$skip/$limit "
+                    "with a terminal $group is unsupported — aggregate "
+                    "the sliced array with $sortArray/$slice + array "
                     "operators in the outer pipeline instead")
             return stages[:-1], stages[-1]["$group"]
         return stages, None
@@ -2383,8 +2406,14 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         lst = F.collect_list(F.struct(*fields))
         arr = (F.array_sort(lst, _lookup_sort_cmp(term_sort))
                if term_sort is not None else F.sort_array(lst))
-        if term_limit is not None:
-            arr = F.slice(arr, 1, term_limit)
+        if term_limit is not None or term_skip is not None:
+            # Mongo's $skip n then $limit k = elements n+1 .. n+k of
+            # the per-key sorted array; a start past the end slices
+            # to [] (Mongo: empty result), matching F.slice
+            start = (term_skip or 0) + 1
+            length = (F.lit(term_limit) if term_limit is not None
+                      else F.size(arr))
+            arr = F.slice(arr, F.lit(start), length)
         return arr
 
     def pack(sub, key_cols, term_group):

@@ -2217,7 +2217,8 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
             "as": "s"}}]
 
     for rest in (
-        [{"$skip": 1}],
+        # mid-pipeline $skip (not part of a terminal $sort suffix)
+        [{"$skip": 1}, {"$addFields": {"z": 1}}],
         [{"$sample": {"size": 1}}],
         # mid-pipeline $sort (not a terminal suffix)
         [{"$sort": {"qty": -1}}, {"$addFields": {"z": 1}}],
@@ -2226,9 +2227,11 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
-    # terminal $limit without $sort has no defined order — refused
+    # terminal $limit/$skip without $sort has no defined order — refused
     with pytest.raises(ValueError, match="no defined order"):
         apply_pipeline(orders, lookup([{"$limit": 1}]), collections=coll)
+    with pytest.raises(ValueError, match="no defined order"):
+        apply_pipeline(orders, lookup([{"$skip": 1}]), collections=coll)
     # $sort/$limit + terminal $group combination refused
     with pytest.raises(ValueError, match="terminal .group"):
         apply_pipeline(orders, lookup(
@@ -2730,3 +2733,72 @@ def test_geo_near_errors(spark):
         apply_pipeline(df, [{"$geoNear": {**geo, "key": "nope"}}])
     with pytest.raises(ValueError, match="must be a GeoJSON Point"):
         apply_pipeline(df, [{"$geoNear": {**geo, "key": "x"}}])
+
+
+def test_correlated_lookup_terminal_skip(spark):
+    """Mongo's pagination idiom inside a correlated $lookup —
+    sub-pipeline ending $sort + $skip [+ $limit] — lowers to a per-KEY
+    slice AFTER the offset on the packed sorted array, per outer
+    document, never globally. $skip without $sort refuses (natural
+    order is undefined); a $limit-before-$skip suffix (different
+    semantics) falls through to the scope guard; sort directions other
+    than ±1 raise instead of silently flipping (r13 ADVICE)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, "apple"), (2, "pear"), (3, "none")], ["_id", "item"])
+    inventory = spark.createDataFrame(
+        [("apple", 10, "A"), ("apple", 5, "B"), ("apple", 10, "C"),
+         ("apple", 7, "D"), ("pear", 7, "A"), ("pear", 3, "B")],
+        "sku string, qty int, wh string")
+    coll = {"inventory": inventory}
+
+    def lookup(tail, let=None):
+        return [{"$lookup": {
+            "from": "inventory", "let": let or {"it": "$item"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$it", "$sku"]}}},
+                *tail],
+            "as": "pg"}}]
+
+    # page 2 of size 2, qty desc with wh tiebreak:
+    # apple sorted = [(10,A),(10,C),(7,D),(5,B)] → skip 2 limit 2 → last 2
+    out = apply_pipeline(orders, lookup([
+        {"$sort": {"qty": -1, "wh": 1}}, {"$skip": 2}, {"$limit": 2}]),
+        collections=coll)
+    got = {r._id: [(x.qty, x.wh) for x in r.pg] for r in out.collect()}
+    assert got == {1: [(7, "D"), (5, "B")], 2: [], 3: []}
+
+    # $skip WITHOUT $limit: remainder after the offset; skip past the
+    # end of a shorter key's array → [] (pear has only 2 docs)
+    out2 = apply_pipeline(orders, lookup([
+        {"$sort": {"qty": -1, "wh": 1}}, {"$skip": 2}]), collections=coll)
+    got2 = {r._id: [(x.qty, x.wh) for x in r.pg] for r in out2.collect()}
+    assert got2 == {1: [(7, "D"), (5, "B")], 2: [], 3: []}
+
+    # general (non-equi) path honors the skip too
+    out3 = apply_pipeline(orders, [{"$lookup": {
+        "from": "inventory", "let": {"it": "$item", "mn": "$_id"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$$it", "$sku"]},
+                {"$gt": ["$qty", "$$mn"]}]}}},
+            {"$sort": {"qty": 1}}, {"$skip": 1}, {"$limit": 2}],
+        "as": "pg"}}], collections=coll)
+    got3 = {r._id: [x.qty for x in r.pg] for r in out3.collect()}
+    assert got3 == {1: [7, 10], 2: [7], 3: []}
+
+    # contracts
+    with pytest.raises(ValueError, match="without .sort"):
+        apply_pipeline(orders, lookup([{"$skip": 1}]), collections=coll)
+    with pytest.raises(ValueError, match="non-negative"):
+        apply_pipeline(orders, lookup(
+            [{"$sort": {"qty": 1}}, {"$skip": -1}]), collections=coll)
+    with pytest.raises(ValueError, match="supported suffix order"):
+        # $limit before $skip truncates before the offset — refused
+        apply_pipeline(orders, lookup(
+            [{"$sort": {"qty": 1}}, {"$limit": 3}, {"$skip": 1}]),
+            collections=coll)
+    with pytest.raises(ValueError, match="direction must be 1 or -1"):
+        apply_pipeline(orders, lookup(
+            [{"$sort": {"qty": 0}}, {"$limit": 1}]), collections=coll)
