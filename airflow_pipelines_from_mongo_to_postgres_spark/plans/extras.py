@@ -2006,7 +2006,13 @@ def q196_mongo_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence (full match + capture group) and the total occurrence
     count — one projection of JVM regexp_extract/regexp_extract_all
     expressions inside whole-stage codegen, zero shuffles, filter-free
-    scan. The struct results are unpacked to scalar columns for the
+    scan. r14 adds the first match's per-match ``idx`` from
+    $regexFindAll (the position walk that closed the deviation) —
+    oracled via DuckDB ``strpos`` of the matched text, sound because
+    for a context-free pattern the earliest literal occurrence of the
+    FIRST match's text IS the match position (identical earlier text
+    would itself have matched).
+    The struct results are unpacked to scalar columns for the
     driver's hash canon (match/capture null when absent on BOTH
     engines via NULLIF('') on the oracle side)."""
     docs = load_table(spark, "documents", sf_dir)
@@ -2021,10 +2027,12 @@ def q196_mongo_regex_find(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m": "$f.match",
             "w": {"$arrayElemAt": ["$f.captures", 0]},
             "cnt": {"$size": "$fa"},
+            "i0": {"$arrayElemAt": ["$fa.idx", 0]},
         }},
     ])
     return out.select("doc_id", "m", "w",
-                      F.col("cnt").cast("long").alias("cnt"))
+                      F.col("cnt").cast("long").alias("cnt"),
+                      F.col("i0").cast("long").alias("i0"))
 
 
 Q196_SQL = """
@@ -2032,7 +2040,11 @@ SELECT doc_id,
        NULLIF(regexp_extract(text, '[Ss]park ([a-z]+)', 0), '') AS m,
        NULLIF(regexp_extract(text, '[Ss]park ([a-z]+)', 1), '') AS w,
        CAST(len(regexp_extract_all(text, '[Ss]park ([a-z]+)', 0))
-            AS BIGINT) AS cnt
+            AS BIGINT) AS cnt,
+       CAST(CASE WHEN regexp_extract(text, '[Ss]park ([a-z]+)', 0) <> ''
+                 THEN strpos(text,
+                             regexp_extract(text, '[Ss]park ([a-z]+)', 0))
+                      - 1 END AS BIGINT) AS i0
 FROM documents
 """
 

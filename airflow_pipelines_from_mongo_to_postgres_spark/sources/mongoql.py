@@ -162,6 +162,28 @@ def _ref(v: Any, env: dict | None = None) -> Column:
     return F.lit(v)
 
 
+def _regex_is_context_free(pat: str) -> bool:
+    """True when every match of ``pat`` is determined by the matched
+    text alone — no lookaround, no anchors, no word boundaries, no
+    backreferences — so a substring re-search finds the same match
+    sequence as the global matcher ($regexFindAll's idx position
+    walk). Conservative by design: tokens inside character classes
+    still disqualify (a false negative only omits idx; a false
+    positive would mis-position it)."""
+    import re as _re
+
+    return not _re.search(
+        r"""\(\?=      # lookahead
+          | \(\?!      # negative lookahead
+          | \(\?<[=!]  # lookbehind (NOT named groups '(?<name>')
+          | (?<!\\)(?:\\\\)*(?<!\[)\^   # unescaped ^ (not class negation)
+          | (?<!\\)(?:\\\\)*\$          # unescaped $
+          | \\[bBAzZG] # word/text boundaries
+          | \\[1-9]    # backreferences
+          | \\k<       # named backreferences
+        """, pat, _re.VERBOSE)
+
+
 def _expr(v: Any, env: dict | None = None) -> Column:
     """Aggregation EXPRESSION evaluator — the value language of
     ``$project`` computed fields, ``$addFields``/``$set`` and ``$group``
@@ -565,10 +587,9 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return F.sort_array(_expr(arg["input"], env), int(sb) == 1)
     if op == "$zip":
         inputs = arg["inputs"]
-        if len(inputs) != 2:
-            raise ValueError("$zip supports exactly two inputs (Spark "
-                             "zip_with is binary) — nest for more")
-        a, b = _expr(inputs[0], env), _expr(inputs[1], env)
+        if not isinstance(inputs, list) or len(inputs) < 2:
+            raise ValueError("$zip needs an inputs list of 2+ arrays")
+        arrs = [_expr(x, env) for x in inputs]
         if arg.get("useLongestLength"):
             # pad to the LONGEST input with the per-input defaults
             # (null without `defaults`, Mongo's rule): concat each
@@ -578,20 +599,28 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             # arithmetic, no ANSI out-of-bounds edge
             dflt = arg.get("defaults")
             if dflt is not None and (not isinstance(dflt, list)
-                                     or len(dflt) != 2):
+                                     or len(dflt) != len(arrs)):
                 raise ValueError(
                     "$zip defaults must list one value per input")
-            da = _expr(dflt[0], env) if dflt else F.lit(None)
-            db = _expr(dflt[1], env) if dflt else F.lit(None)
-            n = F.greatest(F.size(a), F.size(b))
-            pa = F.concat(a, F.array_repeat(da, n - F.size(a)))
-            pb = F.concat(b, F.array_repeat(db, n - F.size(b)))
-            return F.zip_with(pa, pb, lambda x, y: F.array(x, y))
-        # Mongo zips to the SHORTEST input; zip_with pads with null —
-        # slice both to the common length first
-        n = F.least(F.size(a), F.size(b))
-        return F.zip_with(F.slice(a, 1, n), F.slice(b, 1, n),
-                          lambda x, y: F.array(x, y))
+            ds = ([_expr(d, env) for d in dflt] if dflt
+                  else [F.lit(None)] * len(arrs))
+            n = F.greatest(*[F.size(a) for a in arrs])
+            padded = [F.concat(a, F.array_repeat(d, n - F.size(a)))
+                      for a, d in zip(arrs, ds)]
+        else:
+            # Mongo zips to the SHORTEST input; zip_with pads with
+            # null — slice all to the common length first
+            n = F.least(*[F.size(a) for a in arrs])
+            padded = [F.slice(a, 1, n) for a in arrs]
+        # arity 3+ (r14): left-fold binary zip_with, appending each
+        # further input's element to the growing per-position array —
+        # k-1 chained JVM lambda expressions, still one projection
+        out = F.zip_with(padded[0], padded[1],
+                         lambda x, y: F.array(x, y))
+        for nxt in padded[2:]:
+            out = F.zip_with(out, nxt,
+                             lambda xs, y: F.concat(xs, F.array(y)))
+        return out
     if op == "$cmp":
         # BSON total order ranks null/missing BELOW numbers/strings,
         # so $cmp(null, 1) is -1, not null
@@ -710,11 +739,8 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if opts:
             pat = f"(?{opts}){pat}"
         inp = _expr(arg["input"], env)
-        # Deviations, documented: captures that matched EMPTY map to
-        # null like unmatched ones (regexp_extract returns '' for
-        # both); $regexFindAll emits {match, captures} WITHOUT idx
-        # (Spark has no per-match position builtin) — reading .idx
-        # from its result fails loudly at analysis, never silently.
+        # Deviation, documented: captures that matched EMPTY map to
+        # null like unmatched ones (regexp_extract returns '' for both).
         caps = F.array(*[
             F.nullif(F.regexp_extract(inp, pat, i + 1), F.lit(""))
             for i in range(ngroups)]).cast("array<string>")
@@ -727,16 +753,64 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         # Mongo: a null/missing input finds NOTHING — empty array
         matches = F.coalesce(F.regexp_extract_all(inp, F.lit(pat), 0),
                              F.array().cast("array<string>"))
-        if ngroups == 0:
-            return F.transform(matches, lambda m: F.struct(
+        # Per-match captures are extracted POSITIONALLY from the
+        # ORIGINAL input — one aligned array per group,
+        # regexp_extract_all(inp, pat, j+1) runs the same matcher loop
+        # as the match array so lengths align — never by re-matching
+        # the pattern against the isolated match text, which silently
+        # rebinds or fails for context-dependent patterns
+        # (lookaround/anchors/alternation — r13 ADVICE).
+        garrs = [F.regexp_extract_all(inp, F.lit(pat), j + 1)
+                 for j in range(ngroups)]
+
+        def caps_at(i: Column) -> Column:
+            if ngroups == 0:
+                return F.array().cast("array<string>")
+            return F.array(*[
+                F.nullif(F.element_at(g, i + F.lit(1)), F.lit(""))
+                for g in garrs]).cast("array<string>")
+
+        if _regex_is_context_free(pat):
+            # Per-match idx via a sequential position walk: each step
+            # re-searches the REMAINDER of the input (substring from
+            # the previous match's end), so the k-th hit's absolute
+            # position is offset + relative regexp_instr. Sound only
+            # for context-free patterns — the guard below — because a
+            # substring search must find the same match sequence as
+            # the global matcher. Zero-length matches advance by one,
+            # the Java matcher's own rule, keeping the walk aligned
+            # with regexp_extract_all. O(matches × remaining-length)
+            # per row — the document-scan shapes this serves are
+            # bounded by doc length, and the walk stays JVM-side
+            # codegen (the JPEG-SOF aggregate() trick).
+            walk = F.aggregate(
+                matches,
+                F.struct(F.lit(0).alias("off"),
+                         F.array().cast("array<int>").alias("idxs")),
+                lambda acc, m: F.struct(
+                    (acc["off"]
+                     + F.regexp_instr(
+                         F.substring(inp, acc["off"] + 1, F.length(inp)),
+                         F.lit(pat)) - 1
+                     + F.greatest(F.length(m), F.lit(1))
+                     ).cast("int").alias("off"),
+                    F.concat(acc["idxs"], F.array(
+                        (acc["off"] + F.regexp_instr(
+                            F.substring(inp, acc["off"] + 1,
+                                        F.length(inp)),
+                            F.lit(pat)) - 1).cast("int"))).alias("idxs")))
+            idxs = walk["idxs"]
+            return F.transform(matches, lambda m, i: F.struct(
                 m.alias("match"),
-                F.array().cast("array<string>").alias("captures")))
-        return F.transform(matches, lambda m: F.struct(
+                F.element_at(idxs, i + F.lit(1)).alias("idx"),
+                caps_at(i).alias("captures")))
+        # Context-dependent pattern (lookaround/anchor/\b/backref): a
+        # substring walk would mis-position matches whose context the
+        # cut removed, so the struct omits idx — reading .idx fails
+        # loudly at analysis, never silently (documented deviation).
+        return F.transform(matches, lambda m, i: F.struct(
             m.alias("match"),
-            F.array(*[
-                F.nullif(F.regexp_extract(m, pat, i + 1), F.lit(""))
-                for i in range(ngroups)]).cast("array<string>")
-            .alias("captures")))
+            caps_at(i).alias("captures")))
     if op == "$indexOfCP":
         ops = args()
         if len(ops) == 2:

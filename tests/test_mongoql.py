@@ -2578,9 +2578,11 @@ def test_merge_update_pipeline_unset(spark, tmp_path):
 
 def test_regex_find_and_find_all(spark):
     """$regexFind ({match, idx, captures} or null) and $regexFindAll
-    ({match, captures} docs — no per-match idx in Spark builtins, the
-    documented deviation): capture groups null when unmatched/empty,
-    $options inline flags, null input → null / empty array."""
+    ({match, idx, captures} docs — idx via the sequential position
+    walk for context-free patterns; context-dependent patterns omit
+    it, the documented deviation): capture groups null when
+    unmatched/empty, $options inline flags, null input → null /
+    empty array."""
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
 
     df = spark.createDataFrame(
@@ -2597,8 +2599,8 @@ def test_regex_find_and_find_all(spark):
     r = {x.id: x for x in out.collect()}
     assert (r[1].f.match, r[1].f.idx, list(r[1].f.captures)) == \
         ("12", 6, ["1", "2"])
-    assert [(x.match, list(x.captures)) for x in r[1].fa] == \
-        [("12", ["1", "2"]), ("34", ["3", "4"])]
+    assert [(x.match, x.idx, list(x.captures)) for x in r[1].fa] == \
+        [("12", 6, ["1", "2"]), ("34", 13, ["3", "4"])]
     assert (r[1].ci.match, r[1].ci.idx) == ("order", 0)
     # optional group unmatched on the first find → null capture
     assert list(r[1].opt.captures) == ["12", None]
@@ -2608,6 +2610,62 @@ def test_regex_find_and_find_all(spark):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$regexFind": {"input": "$s", "regex": "a",
                                    "options": "z"}}}}])
+
+
+def test_regex_find_all_idx_and_context_captures(spark):
+    """r13 VERDICT #4 + ADVICE: $regexFindAll per-match idx lands via
+    a JVM-side position walk (remainder re-search, zero-width matches
+    advance by one — the Java matcher's rule); captures are extracted
+    POSITIONALLY from the original input, so context-dependent
+    patterns (lookaround) capture correctly instead of re-matching
+    against the bare match text and silently nulling. Context-
+    dependent patterns omit idx (a substring walk would mis-position
+    them) — reading .idx fails at analysis, never silently."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        _regex_is_context_free,
+        apply_pipeline,
+    )
+
+    # guard: conservative syntactic classification
+    for p, exp in [("[a-z]+", True), ("a(?=b)", False), ("(?<=x)a", False),
+                   ("^a", False), ("a$", False), ("[^x]+", True),
+                   (r"\bw", False), (r"(a)\1", False), ("(?<n>a)b", True),
+                   (r"\\^", False), (r"\^lit", True), ("a{2,3}", True)]:
+        assert _regex_is_context_free(p) is exp, p
+
+    df = spark.createDataFrame([(1, "ab12cd34 xy56")], ["i", "s"])
+    out = apply_pipeline(df, [{"$addFields": {
+        "fa": {"$regexFindAll": {"input": "$s",
+                                 "regex": r"([a-z]+)(\d+)"}}}}])
+    assert [(x.match, x.idx, list(x.captures))
+            for x in out.collect()[0].fa] == \
+        [("ab12", 0, ["ab", "12"]), ("cd34", 4, ["cd", "34"]),
+         ("xy56", 9, ["xy", "56"])]
+
+    # the r13 ADVICE failure case: '(\d+)(?= )' matches '34' but
+    # re-extraction on the isolated '34' fails the lookahead — the
+    # positional extraction captures '34' from the original input
+    out2 = apply_pipeline(df, [{"$addFields": {
+        "fa": {"$regexFindAll": {"input": "$s",
+                                 "regex": r"(\d+)(?= )"}}}}])
+    docs = out2.collect()[0].fa
+    assert [(x.match, list(x.captures)) for x in docs] == [("34", ["34"])]
+    assert "idx" not in docs[0].__fields__   # context-dependent: no idx
+    # and reading .idx fails loudly at analysis
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        apply_pipeline(df, [
+            {"$addFields": {"fa": {"$regexFindAll": {
+                "input": "$s", "regex": r"(\d+)(?= )"}}}},
+            {"$addFields": {"bad": {"$arrayElemAt": ["$fa.idx", 0]}}},
+        ]).collect()
+
+    # zero-width matches stay aligned with the match array
+    z = spark.createDataFrame([(1, "ba")], ["i", "s"])
+    outz = apply_pipeline(z, [{"$addFields": {
+        "fa": {"$regexFindAll": {"input": "$s", "regex": "a*"}}}}])
+    assert [(x.match, x.idx) for x in outz.collect()[0].fa] == \
+        [("", 0), ("a", 1), ("", 2)]
 
 
 def test_byte_string_ops_and_index_range(spark):
