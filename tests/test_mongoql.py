@@ -2860,3 +2860,36 @@ def test_correlated_lookup_terminal_skip(spark):
     with pytest.raises(ValueError, match="direction must be 1 or -1"):
         apply_pipeline(orders, lookup(
             [{"$sort": {"qty": 0}}, {"$limit": 1}]), collections=coll)
+
+
+def test_zip_three_plus_inputs(spark):
+    """$zip arity 3+ (r14, the last expression-language deviation):
+    left-folded binary zip_with — shortest-input pairing, and
+    useLongestLength with per-input defaults applied only past each
+    input's own length."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], [10, 20], [100, 200, 300, 400])],
+        "id int, a array<int>, b array<int>, c array<int>")
+    out = apply_pipeline(df, [{"$addFields": {
+        "zs": {"$zip": {"inputs": ["$a", "$b", "$c"]}},
+        "zl": {"$zip": {"inputs": ["$a", "$b", "$c"],
+                        "useLongestLength": True}},
+        "zd": {"$zip": {"inputs": ["$a", "$b", "$c"],
+                        "useLongestLength": True,
+                        "defaults": [-1, -2, -3]}},
+    }}]).collect()[0]
+    assert [list(p) for p in out.zs] == [[1, 10, 100], [2, 20, 200]]
+    assert [list(p) for p in out.zl] == [
+        [1, 10, 100], [2, 20, 200], [3, None, 300], [None, None, 400]]
+    assert [list(p) for p in out.zd] == [
+        [1, 10, 100], [2, 20, 200], [3, -2, 300], [-1, -2, 400]]
+    with pytest.raises(ValueError, match="one value per input"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$zip": {"inputs": ["$a", "$b", "$c"],
+                             "useLongestLength": True,
+                             "defaults": [1, 2]}}}}])
+    with pytest.raises(ValueError, match="2\\+ arrays"):
+        apply_pipeline(df, [{"$addFields": {
+            "bad": {"$zip": {"inputs": ["$a"]}}}}])
