@@ -89,6 +89,7 @@ it warns by default; set session conf
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -2798,6 +2799,13 @@ def _sql_literal(v: Any) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
+        # repr(inf)/repr(nan) are not SQL — the statement would fail
+        # server-side AFTER staging is written, as an opaque database
+        # error; reject at compile time instead (r13 ADVICE)
+        if isinstance(v, float) and not math.isfinite(v):
+            raise ValueError(
+                f"unsupported SQL literal in whenMatched pipeline: "
+                f"non-finite float {v!r}")
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"

@@ -653,9 +653,17 @@ def upsert_statement(table: str, columns: Sequence[str], key: str | Sequence[str
     staging = staging or f"{table}_staging"
     collist = ", ".join(columns)
     conflict = ", ".join(keys)
-    if set_sql:
-        sets = ", ".join(f"{c} = {e}" for c, e in set_sql.items())
-        action = f"DO UPDATE SET {sets}"
+    if set_sql is not None:
+        # an EMPTY compiled pipeline ({} — whenMatched: []) keeps the
+        # matched row unchanged, matching the snap/lake lowering
+        # (_merge_update_pipeline with no stages); falling through to
+        # the overwrite-from-staging SET list would silently flip the
+        # semantics to replace (r13 ADVICE)
+        if set_sql:
+            sets = ", ".join(f"{c} = {e}" for c, e in set_sql.items())
+            action = f"DO UPDATE SET {sets}"
+        else:
+            action = "DO NOTHING"
     elif mutable:
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in mutable)
         action = f"DO UPDATE SET {sets}"
@@ -702,9 +710,12 @@ def merge_statement(table: str, columns: Sequence[str],
     ins_cols = ", ".join(q(c) for c in columns)
     ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
     matched = ""
-    if set_sql:
-        sets = ", ".join(f"{q(c)} = {e}" for c, e in set_sql.items())
-        matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+    if set_sql is not None:
+        # empty compiled pipeline → no WHEN MATCHED clause: matched
+        # rows stay unchanged, same as the snap/lake lowering
+        if set_sql:
+            sets = ", ".join(f"{q(c)} = {e}" for c, e in set_sql.items())
+            matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
     elif mutable:
         sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in mutable)
         matched = f"WHEN MATCHED THEN UPDATE SET {sets} "

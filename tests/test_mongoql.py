@@ -2533,6 +2533,32 @@ def test_merge_update_pipeline_snap_jdbc_parity(spark, tmp_path):
     assert b == sorted(map(key, read_jdbc(spark, url, "par")
                            .select("_id", "n", "w", "tag").collect()))
 
+    # EMPTY whenMatched pipeline ([]) — both lowerings must keep the
+    # matched rows UNCHANGED (insert the new key only); pre-r14 the
+    # jdbc path silently fell back to replace semantics (r13 ADVICE)
+    snap2 = str(tmp_path / "snap_e")
+    S.snap_overwrite(spark, snap2,
+                     spark.createDataFrame(seed_rows, schema), note="seed")
+    out_snap_e = apply_pipeline(
+        spark.createDataFrame(batch_rows, schema),
+        [{"$merge": {"into": "t", "on": "_id", "whenMatched": []}}],
+        targets={"t": snap2})
+    url2 = f"jdbc:derby:{tmp_path}/pardb2;create=true"
+    write_jdbc_append(spark.createDataFrame(seed_rows, schema),
+                      url2, "par")
+    out_jdbc_e = apply_pipeline(
+        spark.createDataFrame(batch_rows, schema),
+        [{"$merge": {"into": "par", "on": "_id", "whenMatched": []}}],
+        targets={"par": {"kind": "jdbc", "url": url2, "table": "par",
+                         "dialect": "ansi"}})
+    ae = sorted(map(key, out_snap_e.select("_id", "n", "w", "tag").collect()))
+    be = sorted(map(key, out_jdbc_e.select("_id", "n", "w", "tag").collect()))
+    assert ae == be
+    # matched keys 1/2 retain their SEED values; key 9 inserted
+    expect = sorted(map(key, spark.createDataFrame(
+        seed_rows + [batch_rows[2]], schema).collect()))
+    assert ae == expect
+
 
 def test_merge_update_pipeline_unset(spark, tmp_path):
     """$unset in a whenMatched update pipeline nulls the column on

@@ -26,6 +26,38 @@ def test_upsert_statement_do_nothing():
     assert s.endswith("ON CONFLICT (_id) DO NOTHING")
 
 
+def test_empty_set_sql_keeps_matched_rows_unchanged():
+    """whenMatched: [] compiles to set_sql={} — both dialects must keep
+    matched rows UNCHANGED (the snap/lake lowering's semantics), not
+    fall back to the overwrite-from-staging SET list (r13 ADVICE)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.sinks import merge_statement
+
+    s = upsert_statement("t", ["_id", "v"], "_id", mutable=["v"],
+                         set_sql={})
+    assert s.endswith("DO NOTHING"), s
+    assert "EXCLUDED.v" not in s
+    a = merge_statement("t", ["_id", "v"], "_id", mutable=["v"],
+                        dialect="ansi", set_sql={})
+    assert "WHEN MATCHED" not in a, a
+    assert "WHEN NOT MATCHED THEN INSERT" in a
+    # non-empty set_sql still compiles to the pipeline SET clause
+    s2 = upsert_statement("t", ["_id", "v"], "_id", mutable=["v"],
+                          set_sql={"v": "(t.v + EXCLUDED.v)"})
+    assert "DO UPDATE SET v = (t.v + EXCLUDED.v)" in s2
+
+
+def test_sql_literal_rejects_non_finite_floats():
+    """repr(inf)/repr(nan) are not SQL — the merge statement must fail
+    at COMPILE time, not server-side after staging is written."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import _sql_literal
+
+    assert _sql_literal(1.5) == "1.5"
+    assert _sql_literal(None) == "NULL"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _sql_literal(bad)
+
+
 def test_create_table_ddl_from_schema(spark):
     df = spark.createDataFrame([(1, "x", True, 1.5)],
                                "id long, _id string, deleted boolean, amount double")
