@@ -2252,6 +2252,56 @@ FROM d WHERE c_mktsegment = 'BUILDING' AND m <= 6000000.0
 """
 
 
+# --- q200: correlated-$lookup terminal $group with a grouping _id ---------------
+def q200_mongo_lookup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal ``$group`` with a GROUPING ``_id`` inside a correlated
+    ``$lookup`` (r14) — 'order count + spend by (status, year) per
+    BUILDING customer', Mongo's per-document sub-aggregation idiom.
+    Lowered to ONE aggregation over (join key, _id expr) + a per-key
+    pack (sources/mongoql.py::_correlated_lookup pack), never a
+    per-document re-run: two shuffles total, no window over orders.
+    The composite ``_id`` {s, yr} round-trips as a struct ('$g._id.s'
+    downstream, exactly Mongo's contract); the $unwind re-flatten
+    keeps the gated output rectangular. DECIMAL spend for value-hash
+    stability; zero-order customers drop via $unwind's default
+    (Mongo's zero-input $group emits no documents)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "price_d", F.col("o_totalprice").cast("decimal(18,4)"))
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "BUILDING"}},
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey",
+                     "pipeline": [{"$group": {
+                         "_id": {"s": "$o_orderstatus",
+                                 "yr": {"$year": "$o_orderdate"}},
+                         "n": {"$sum": 1},
+                         "spend": {"$sum": "$price_d"}}}],
+                     "as": "g"}},
+        {"$unwind": "$g"},
+        {"$addFields": {"status": "$g._id.s", "yr": "$g._id.yr",
+                        "n": "$g.n", "spend": "$g.spend"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey", "status", F.col("yr").cast("long").alias("yr"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("spend").cast("double"), 4).alias("spend"))
+
+
+Q200_SQL = """
+SELECT c.c_custkey, g.status, g.yr, g.n, g.spend
+FROM customer c JOIN (
+  SELECT o_custkey, o_orderstatus AS status,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE), 4) AS spend
+  FROM orders GROUP BY o_custkey, o_orderstatus, year(o_orderdate)) g
+  ON g.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2298,6 +2348,7 @@ QUERIES = {
     "q197_mongo_date_math": q197_mongo_date_math,
     "q198_mongo_geonear": q198_mongo_geonear,
     "q199_mongo_lookup_page": q199_mongo_lookup_page,
+    "q200_mongo_lookup_group": q200_mongo_lookup_group,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2349,6 +2400,7 @@ ORACLES = {
     "q197_mongo_date_math": Q197_SQL,
     "q198_mongo_geonear": Q198_SQL,
     "q199_mongo_lookup_page": Q199_SQL,
+    "q200_mongo_lookup_group": Q200_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -2387,6 +2387,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     columns via the existing :func:`_group` compiler, each key's single
     result doc packed as a 1-element array (Mongo emits no doc for an
     empty group — the empty-array coalesce reproduces that); a terminal
+    ``$group`` with a GROUPING ``_id`` (expression or composite doc,
+    r14) groups ONCE over (key columns, ``_id`` expr) and packs one
+    element per distinct sub-key, the array sorted by ``_id``
+    (distinct within a key, so the order is total); a terminal
     ``$sort`` [+ ``$skip`` n] [+ ``$limit`` k] suffix (Mongo's 'latest
     matching doc' idiom and its pagination cousin) becomes a per-KEY
     ordered top-k-after-offset — ``array_sort`` with a multi-field
@@ -2438,8 +2442,11 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         if ops and ops <= _ROW_LOCAL:
             continue
         if (ops == {"$group"} and i == len(rest) - 1
-                and st["$group"].get("_id", ()) is None):
-            continue  # terminal per-doc aggregate — regrouped per key
+                and "_id" in st["$group"]):
+            # terminal per-doc $group — regrouped per (outer key, _id):
+            # _id null packs ONE aggregate doc per key; a grouping _id
+            # (r14) packs one element per distinct sub-key
+            continue
         raise ValueError(
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
@@ -2448,9 +2455,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             "a non-terminal $group, or a mid-pipeline $sort/$skip/"
             "$limit). Supported per-document forms: a TERMINAL $sort "
             "[+ $skip] [+ $limit] suffix (per-key ordered "
-            "top-k-after-offset) or a terminal "
-            "{$group: {_id: null, ...}} aggregate; otherwise rewrite "
-            "over the joined array ($sortArray + $slice)")
+            "top-k-after-offset) or a terminal $group (aggregate with "
+            "_id: null, or sub-grouped by an _id expression); "
+            "otherwise rewrite over the joined array "
+            "($sortArray + $slice)")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
     general = bool(corr_conjs) or _mentions_vars(rest, set(let))
 
@@ -2460,7 +2468,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
 
     def split_term_group(stages):
         if stages and set(stages[-1]) == {"$group"} \
-                and stages[-1]["$group"].get("_id", ()) is None:
+                and "_id" in stages[-1]["$group"]:
             if term_sort is not None or term_skip is not None \
                     or term_limit is not None:
                 raise ValueError(
@@ -2501,13 +2509,44 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                 "$project and drop them in the outer pipeline instead")
         if term_group is not None:
             gspec = dict(term_group)
-            gspec["_id"] = {k: "$" + src for k, src in key_cols.items()}
+            uid = gspec.pop("_id")
+            idspec: dict[str, Any] = {k: "$" + src
+                                      for k, src in key_cols.items()}
+            if uid is None:
+                gspec["_id"] = idspec
+                grouped = _group(sub, gspec)
+                accs = [c for c in grouped.columns if c != "_id"]
+                return grouped.select(
+                    *[F.col(f"_id.{k}").alias(k) for k in key_cols],
+                    F.array(F.struct(F.lit(None).alias("_id"),
+                                     *[F.col(c) for c in accs]))
+                    .alias(out))
+            # grouping _id (r14): one array element per DISTINCT
+            # sub-key per outer key — ONE aggregation over (join keys,
+            # _id expr), then a per-key pack; never a per-document
+            # re-run. Packed array sorted by _id (distinct within a
+            # key, so the order is total) — the translator's
+            # determinism convention for Mongo's unspecified $group
+            # output order. __gid* names keep the user's _id fields
+            # clear of the __lk join-key slots.
+            composite = isinstance(uid, dict) and not (
+                len(uid) == 1 and next(iter(uid)).startswith("$"))
+            if composite:
+                idspec.update({f"__gid_{f}": e for f, e in uid.items()})
+            else:
+                idspec["__gid"] = uid
+            gspec["_id"] = idspec
             grouped = _group(sub, gspec)
             accs = [c for c in grouped.columns if c != "_id"]
-            return grouped.select(
-                *[F.col(f"_id.{k}").alias(k) for k in key_cols],
-                F.array(F.struct(F.lit(None).alias("_id"),
-                                 *[F.col(c) for c in accs])).alias(out))
+            gid_col = (F.struct(*[F.col(f"_id.__gid_{f}").alias(f)
+                                  for f in uid]) if composite
+                       else F.col("_id.__gid"))
+            elem = F.struct(gid_col.alias("_id"),
+                            *[F.col(c) for c in accs])
+            return (grouped
+                    .groupBy(*[F.col(f"_id.{k}").alias(k)
+                               for k in key_cols])
+                    .agg(F.sort_array(F.collect_list(elem)).alias(out)))
         payload = [c for c in sub.columns if c not in key_cols]
         return (sub
                 .groupBy(*[F.col(src).alias(k)

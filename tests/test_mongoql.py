@@ -2222,8 +2222,9 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
         [{"$sample": {"size": 1}}],
         # mid-pipeline $sort (not a terminal suffix)
         [{"$sort": {"qty": -1}}, {"$addFields": {"z": 1}}],
-        # non-terminal $group (not the last stage / _id not null)
-        [{"$group": {"_id": "$wh", "n": {"$sum": 1}}}],
+        # genuinely non-terminal $group (a stage follows it)
+        [{"$group": {"_id": "$wh", "n": {"$sum": 1}}},
+         {"$addFields": {"z": 1}}],
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
@@ -2245,6 +2246,53 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
          {"$group": {"_id": None, "t": {"$sum": "$q2"}}}]),
         collections=coll)
     assert [tuple(x) for x in ok.collect()[0].s] == [(None, 30)]
+
+
+def test_correlated_lookup_terminal_group_by_id(spark):
+    """Terminal $group with a GROUPING _id inside a correlated $lookup
+    (r14) — 'orders by status per customer': one element per distinct
+    sub-key per outer document, lowered to ONE aggregation over
+    (join key, _id expr) + a per-key pack, never a per-document
+    re-run. Covers the concise path, the general let path with a
+    composite _id, unmatched docs (empty array, Mongo's zero-input
+    $group emits nothing), and the packed-array _id sort order."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "O", 10.0), (1, "O", 5.0), (1, "F", 2.0),
+         (2, "F", 7.0), (2, "F", 1.0)],
+        "o_ck long, st string, price double")
+    coll = {"orders": orders}
+
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$group": {
+                         "_id": "$st", "n": {"$sum": 1},
+                         "tot": {"$sum": "$price"}}}],
+                     "as": "g"}}], collections=coll)
+    got = {r["ck"]: [tuple(e) for e in r["g"]] for r in out.collect()}
+    # array sorted by _id (determinism convention)
+    assert got[1] == [("F", 1, 2.0), ("O", 2, 15.0)]
+    assert got[2] == [("F", 2, 8.0)]
+    assert got[3] == []  # no matches → empty array, not [{_id:.., n:0}]
+
+    # general (let) path, composite _id with an expression sub-key
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "let": {"k": "$ck"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$eq": ["$$k", "$o_ck"]}}},
+                         {"$group": {"_id": {"s": "$st",
+                                             "big": {"$gte": ["$price",
+                                                              5.0]}},
+                                     "mx": {"$max": "$price"}}}],
+                     "as": "g"}}], collections=coll)
+    got2 = {r["ck"]: [((e["_id"]["s"], e["_id"]["big"]), e["mx"])
+                      for e in r["g"]] for r in out2.collect()}
+    assert got2[1] == [(("F", False), 2.0), (("O", True), 10.0)]
+    assert got2[2] == [(("F", False), 1.0), (("F", True), 7.0)]
+    assert got2[3] == []
 
 
 def test_correlated_lookup_terminal_sort_limit(spark):
