@@ -2302,6 +2302,58 @@ WHERE c.c_mktsegment = 'BUILDING'
 """
 
 
+# --- q201: Sunday-week family + $dateFromParts carry -----------------------------
+def q201_mongo_week_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 week-family close: ``$week`` (Mongo's Sunday-based
+    week-of-year, week 0 before the first Sunday — NOT ISO),
+    ``$dateTrunc`` unit=week honoring ``startOfWeek`` (default Sunday;
+    Spark's own date_trunc is pinned Monday — the closed deviation),
+    ``$dateDiff`` unit=week counting Sunday-boundary crossings from a
+    fixed anchor, and ``$dateFromParts`` CARRYING out-of-range parts
+    (month+12, day 0 -> last day of the prior month, Mongo's additive
+    carry rule). All pure day-arithmetic column expressions in
+    whole-stage codegen — zero shuffles, scan-linear; the oracle
+    reproduces each closed form natively (DuckDB dayofweek is
+    0=Sunday)."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$addFields": {
+            "w": {"$week": "$o_orderdate"},
+            "ws": {"$dateTrunc": {"date": "$o_orderdate",
+                                  "unit": "week"}},
+            "wm": {"$dateTrunc": {"date": "$o_orderdate", "unit": "week",
+                                  "startOfWeek": "monday"}},
+            "dw": {"$dateDiff": {"startDate": {"$toDate": "1995-06-04"},
+                                 "endDate": "$o_orderdate",
+                                 "unit": "week"}},
+            "carried": {"$dateFromParts": {
+                "year": {"$year": "$o_orderdate"},
+                "month": {"$add": [{"$month": "$o_orderdate"}, 12]},
+                "day": 0}},
+        }},
+    ])
+    return out.select(
+        "o_orderkey", F.col("w").cast("long").alias("w"),
+        F.col("ws").cast("date").alias("ws"),
+        F.col("wm").cast("date").alias("wm"),
+        F.col("dw").cast("long").alias("dw"), "carried")
+
+
+Q201_SQL = """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+SELECT o_orderkey,
+       CAST(floor((dayofyear(d) + 6 - dayofweek(d)) / 7) AS BIGINT) AS w,
+       d - CAST(dayofweek(d) AS INT) AS ws,
+       d - CAST((dayofweek(d) + 6) % 7 AS INT) AS wm,
+       CAST(((d - CAST(dayofweek(d) AS INT))
+             - DATE '1995-06-04') / 7 AS BIGINT) AS dw,
+       CAST(make_date(CAST(year(d) AS INT), 1, 1) AS TIMESTAMP)
+           + to_months(CAST(month(d) + 11 AS INT)) + to_days(-1)
+           AS carried
+FROM o
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2349,6 +2401,7 @@ QUERIES = {
     "q198_mongo_geonear": q198_mongo_geonear,
     "q199_mongo_lookup_page": q199_mongo_lookup_page,
     "q200_mongo_lookup_group": q200_mongo_lookup_group,
+    "q201_mongo_week_family": q201_mongo_week_family,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2401,6 +2454,7 @@ ORACLES = {
     "q198_mongo_geonear": Q198_SQL,
     "q199_mongo_lookup_page": Q199_SQL,
     "q200_mongo_lookup_group": Q200_SQL,
+    "q201_mongo_week_family": Q201_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -139,6 +139,24 @@ UNSUPPORTED_STAGES: dict[str, str] = {
 _CMP = {"$eq": "__eq__", "$ne": "__ne__", "$gt": "__gt__", "$gte": "__ge__",
         "$lt": "__lt__", "$lte": "__le__"}
 
+#: Mongo startOfWeek day name -> Spark dayofweek index (1=Sun..7=Sat).
+_WEEK_START = {"sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
+               "thursday": 5, "friday": 6, "saturday": 7}
+
+
+def _week_start_idx(name: Any) -> int:
+    """Resolve a Mongo ``startOfWeek`` (full day name or 3-letter
+    abbreviation, case-insensitive — Mongo's accepted forms) to
+    Spark's ``dayofweek`` index. Raises on anything else (a typo'd
+    day silently defaulting would shift every week boundary)."""
+    if isinstance(name, str):
+        low = name.lower()
+        for full, idx in _WEEK_START.items():
+            if low == full or low == full[:3]:
+                return idx
+    raise ValueError(f"invalid startOfWeek: {name!r} (day name or "
+                     "3-letter abbreviation)")
+
 
 def _ref(v: Any, env: dict | None = None) -> Column:
     """'$a.b' → column reference; '$$var[.path]' → a bound HOF/$let
@@ -348,6 +366,14 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return F.dayofyear(_expr(arg, env))
     if op == "$isoWeek":         # Spark's weekofyear IS the ISO week
         return F.weekofyear(_expr(arg, env))
+    if op == "$week":
+        # Mongo's Sunday-based week-of-year: week 1 begins at the
+        # first Sunday; earlier days are week 0. Closed form, no
+        # branch: floor((dayOfYear + 6 - daysSinceSunday) / 7), where
+        # daysSinceSunday = dayofweek - 1 (Spark: 1=Sunday..7=Saturday)
+        d = _expr(arg, env)
+        return F.floor(
+            (F.dayofyear(d) + 6 - (F.dayofweek(d) - 1)) / 7).cast("int")
     if op == "$isoWeekYear":
         # ISO week-numbering year = calendar year of that week's
         # THURSDAY (the classic trick — no extract(YEAROFWEEK) needed,
@@ -368,15 +394,25 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         def part(name, default):
             return (_expr(arg[name], env) if name in arg
                     else F.lit(default))
-        sec = part("second", 0).cast("double") \
-            + part("millisecond", 0).cast("double") / 1000.0
-        # deviation, documented: Mongo CARRIES out-of-range parts
-        # (month 13 -> next January); Spark's make_timestamp errors —
-        # the in-range subset behaves identically
-        return F.make_timestamp(
-            part("year", 0).cast("int"), part("month", 1).cast("int"),
-            part("day", 1).cast("int"), part("hour", 0).cast("int"),
-            part("minute", 0).cast("int"), sec)
+        # Mongo CARRIES out-of-range parts (month 14 -> next February,
+        # day 0 -> last day of the previous month, hour 25 -> next
+        # day): build year-01-01 00:00 and ADD each part as an offset —
+        # the additive chain is exactly Mongo's carry rule (each part
+        # offsets the date the larger parts produced), where
+        # make_timestamp would raise. r14: closes the documented
+        # carry deviation; only year must be in range (Mongo: 1-9999).
+        ts = F.make_timestamp(
+            part("year", 0).cast("int"), F.lit(1), F.lit(1),
+            F.lit(0), F.lit(0), F.lit(0.0))
+        ts = F.timestamp_add("month",
+                             (part("month", 1) - 1).cast("int"), ts)
+        ts = F.timestamp_add("day", (part("day", 1) - 1).cast("int"), ts)
+        ts = F.timestamp_add("hour", part("hour", 0).cast("int"), ts)
+        ts = F.timestamp_add("minute", part("minute", 0).cast("int"), ts)
+        us = (part("second", 0).cast("double") * 1_000_000.0
+              + part("millisecond", 0).cast("double") * 1_000.0)
+        return F.timestamp_add("microsecond",
+                               F.round(us, 0).cast("long"), ts)
     if op == "$dateToParts":
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToParts expects {date}")
@@ -852,7 +888,15 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if unit not in ("year", "quarter", "month", "week", "day",
                         "hour", "minute", "second", "millisecond"):
             raise ValueError(f"unsupported $dateTrunc unit: {unit!r}")
-        # deviation: Spark weeks start Monday; Mongo defaults Sunday
+        if unit == "week":
+            # Mongo weeks default to SUNDAY start (startOfWeek option
+            # for any other day); Spark's date_trunc('week') is pinned
+            # Monday — truncate to day and step back to the week-start
+            # day instead (r14: closes the week-start deviation)
+            idx = _week_start_idx(arg.get("startOfWeek", "sunday"))
+            day = F.to_date(_expr(arg["date"], env))
+            back = (F.dayofweek(day) - F.lit(idx) + 7) % 7
+            return F.date_sub(day, back.cast("int")).cast("timestamp")
         return F.date_trunc(unit, _expr(arg["date"], env))
     if op == "$dateAdd":
         unit = arg["unit"]
@@ -872,12 +916,24 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
                                _expr(arg["startDate"], env))
     if op == "$dateDiff":
         unit = arg["unit"]
-        if unit not in ("year", "quarter", "month", "day", "hour",
-                        "minute", "second"):
+        if unit not in ("year", "quarter", "month", "week", "day",
+                        "hour", "minute", "second"):
             raise ValueError(f"unsupported $dateDiff unit: {unit!r}")
         # Mongo counts BOUNDARY CROSSINGS, not complete intervals:
         # dateDiff(23:00, next day 01:00, 'day') == 1. truncate both
         # ends to the unit, then count whole units between truncations.
+        if unit == "week":
+            # week boundaries follow startOfWeek (default Sunday, as
+            # in $dateTrunc) — truncate both ends to their week start,
+            # then the day gap is an exact multiple of 7 (r14)
+            idx = _week_start_idx(arg.get("startOfWeek", "sunday"))
+
+            def wk(e):
+                day = F.to_date(_expr(arg[e], env))
+                back = (F.dayofweek(day) - F.lit(idx) + 7) % 7
+                return F.date_sub(day, back.cast("int"))
+            return (F.datediff(wk("endDate"), wk("startDate")) / 7) \
+                .cast("long")
         s = F.date_trunc(unit, _expr(arg["startDate"], env))
         e = F.date_trunc(unit, _expr(arg["endDate"], env))
         return F.timestamp_diff(unit, s, e).cast("long")

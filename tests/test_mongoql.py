@@ -2967,3 +2967,76 @@ def test_zip_three_plus_inputs(spark):
     with pytest.raises(ValueError, match="2\\+ arrays"):
         apply_pipeline(df, [{"$addFields": {
             "bad": {"$zip": {"inputs": ["$a"]}}}}])
+
+
+def test_week_family_and_date_from_parts_carry(spark):
+    """r14 week family: ``$week`` (Sunday-based week-of-year, week 0
+    before the first Sunday), ``$dateTrunc`` unit=week honoring
+    ``startOfWeek`` (Mongo default SUNDAY — Spark's date_trunc is
+    pinned Monday, the closed deviation), ``$dateDiff`` unit=week
+    counting week-boundary crossings per startOfWeek, and
+    ``$dateFromParts`` CARRYING out-of-range parts (Mongo's documented
+    examples: month 14 -> 2018-02-01, Feb 31 -> Mar 3)."""
+    import datetime as dt
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2023, 1, 1)),   # Sunday, first of year
+         (2, dt.date(2023, 1, 7)),   # Saturday, same Sunday-week
+         (3, dt.date(2023, 1, 8)),   # next Sunday
+         (4, dt.date(2024, 1, 1)),   # Monday before 2024's 1st Sunday
+         (5, dt.date(2024, 1, 7))],  # first Sunday of 2024
+        "i long, d date")
+    out = apply_pipeline(df, [
+        {"$addFields": {
+            "w": {"$week": "$d"},
+            "ws": {"$dateTrunc": {"date": "$d", "unit": "week"}},
+            "wm": {"$dateTrunc": {"date": "$d", "unit": "week",
+                                  "startOfWeek": "Mon"}},
+            "dw": {"$dateDiff": {"startDate": {"$toDate": "2023-01-01"},
+                                 "endDate": "$d", "unit": "week"}},
+            "dwm": {"$dateDiff": {"startDate": {"$toDate": "2023-01-01"},
+                                  "endDate": "$d", "unit": "week",
+                                  "startOfWeek": "monday"}},
+        }}])
+    rows = {r["i"]: r for r in out.collect()}
+    assert [rows[i]["w"] for i in (1, 2, 3, 4, 5)] == [1, 1, 2, 0, 1]
+    assert rows[1]["ws"].date() == dt.date(2023, 1, 1)
+    assert rows[2]["ws"].date() == dt.date(2023, 1, 1)
+    assert rows[3]["ws"].date() == dt.date(2023, 1, 8)
+    assert rows[4]["ws"].date() == dt.date(2023, 12, 31)
+    # Monday start: Sunday Jan 1 2023 belongs to the week of Dec 26
+    assert rows[1]["wm"].date() == dt.date(2022, 12, 26)
+    assert rows[4]["wm"].date() == dt.date(2024, 1, 1)
+    assert [rows[i]["dw"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 52, 53]
+    assert [rows[i]["dwm"] for i in (1, 2, 3, 4, 5)] == [0, 1, 1, 53, 53]
+
+    carry = apply_pipeline(df.limit(1), [
+        {"$project": {
+            "a": {"$dateFromParts": {"year": 2017, "month": 14}},
+            "b": {"$dateFromParts": {"year": 2017, "month": 2,
+                                     "day": 31}},
+            "c": {"$dateFromParts": {"year": 2017, "month": 1,
+                                     "day": 0}},
+            "d2": {"$dateFromParts": {"year": 2017, "hour": 25,
+                                      "minute": -60}},
+            "e": {"$dateFromParts": {"year": 2017, "second": 61,
+                                     "millisecond": 1500}},
+            "f": {"$dateFromParts": {"year": 2017, "month": 3,
+                                     "day": 14, "hour": 10,
+                                     "minute": 30, "second": 7,
+                                     "millisecond": 250}},
+        }}]).collect()[0]
+    assert carry["a"] == dt.datetime(2018, 2, 1)
+    assert carry["b"] == dt.datetime(2017, 3, 3)
+    assert carry["c"] == dt.datetime(2016, 12, 31)
+    assert carry["d2"] == dt.datetime(2017, 1, 2)
+    assert carry["e"] == dt.datetime(2017, 1, 1, 0, 1, 2, 500000)
+    assert carry["f"] == dt.datetime(2017, 3, 14, 10, 30, 7, 250000)
+
+    # typo'd startOfWeek raises rather than silently shifting weeks
+    with pytest.raises(ValueError, match="startOfWeek"):
+        apply_pipeline(df, [{"$addFields": {
+            "x": {"$dateTrunc": {"date": "$d", "unit": "week",
+                                 "startOfWeek": "mondy"}}}}])
