@@ -2354,6 +2354,47 @@ FROM o
 """
 
 
+# --- q202: bitwise family + type introspection -----------------------------------
+def q202_mongo_bitwise_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 6.3 bitwise expression family ($bitAnd/$bitOr/$bitXor/
+    $bitNot over the key columns — value-varying per row) and the
+    type-introspection trio ($type/$isNumber/$isArray; static per
+    column on a rectangular frame, so Catalyst folds the typeof CASE
+    chain to a constant). Pure codegen expressions, zero shuffles,
+    scan-linear; DuckDB's native &, |, xor(), ~ mirror the semantics
+    on BIGINT exactly."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$addFields": {
+            "band": {"$bitAnd": ["$o_orderkey", 255]},
+            "bor": {"$bitOr": ["$o_orderkey", "$o_custkey"]},
+            "bxor": {"$bitXor": ["$o_orderkey", "$o_custkey", 15]},
+            "bnot": {"$bitNot": "$o_custkey"},
+            "tprice": {"$type": "$o_totalprice"},
+            "tstat": {"$type": "$o_orderstatus"},
+            "isnum": {"$isNumber": "$o_totalprice"},
+        }},
+        {"$match": {"o_orderkey": {"$type": "number"}}},
+    ])
+    return out.select(
+        "o_orderkey", F.col("band").cast("long").alias("band"),
+        F.col("bor").cast("long").alias("bor"),
+        F.col("bxor").cast("long").alias("bxor"),
+        F.col("bnot").cast("long").alias("bnot"),
+        "tprice", "tstat", "isnum")
+
+
+Q202_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS band,
+       CAST(o_orderkey | o_custkey AS BIGINT) AS bor,
+       CAST(xor(xor(o_orderkey, o_custkey), 15) AS BIGINT) AS bxor,
+       CAST(~o_custkey AS BIGINT) AS bnot,
+       'double' AS tprice, 'string' AS tstat, TRUE AS isnum
+FROM orders
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2402,6 +2443,7 @@ QUERIES = {
     "q199_mongo_lookup_page": q199_mongo_lookup_page,
     "q200_mongo_lookup_group": q200_mongo_lookup_group,
     "q201_mongo_week_family": q201_mongo_week_family,
+    "q202_mongo_bitwise_type": q202_mongo_bitwise_type,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2455,6 +2497,7 @@ ORACLES = {
     "q199_mongo_lookup_page": Q199_SQL,
     "q200_mongo_lookup_group": Q200_SQL,
     "q201_mongo_week_family": Q201_SQL,
+    "q202_mongo_bitwise_type": Q202_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -937,7 +937,64 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         s = F.date_trunc(unit, _expr(arg["startDate"], env))
         e = F.date_trunc(unit, _expr(arg["endDate"], env))
         return F.timestamp_diff(unit, s, e).cast("long")
+    if op in ("$bitAnd", "$bitOr", "$bitXor"):
+        # Mongo 6.3 bitwise family over int/long args; the empty-array
+        # forms return the operator's identity (all-ones for AND,
+        # zero for OR/XOR — Mongo's documented values)
+        if not isinstance(arg, list):
+            raise ValueError(f"{op} expects an array of integer "
+                             "expressions")
+        if not arg:
+            return F.lit(-1 if op == "$bitAnd" else 0)
+        meth = {"$bitAnd": "bitwiseAND", "$bitOr": "bitwiseOR",
+                "$bitXor": "bitwiseXOR"}[op]
+        acc = _expr(arg[0], env)
+        for a in arg[1:]:
+            acc = getattr(acc, meth)(_expr(a, env))
+        return acc
+    if op == "$bitNot":
+        return F.bitwise_not(_expr(arg, env))
+    if op == "$type":
+        # BSON type name of the value. Rectangular frames have one
+        # static type per column, so this folds to a constant per
+        # expression — except SQL NULL, which reports 'null' (a
+        # missing field and a null field are the same thing here;
+        # Mongo's 'missing' never occurs)
+        c = _expr(arg, env)
+        return F.when(c.isNull(), F.lit("null")) \
+            .otherwise(_bson_type_col(c))
+    if op == "$isNumber":
+        c = _expr(arg, env)
+        t = F.call_function("typeof", c)
+        return c.isNotNull() & (
+            t.isin("bigint", "int", "smallint", "tinyint",
+                   "double", "float") | t.startswith("decimal"))
+    if op == "$isArray":
+        a = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        c = _expr(a, env)
+        return c.isNotNull() \
+            & F.call_function("typeof", c).startswith("array")
     raise ValueError(f"unsupported expression operator: {op}")
+
+
+def _bson_type_col(c: Column) -> Column:
+    """Map Spark's ``typeof()`` name to the BSON type name Mongo's
+    ``$type`` returns. Evaluated as a column expression so it composes
+    anywhere, but the typeof of a fixed-schema expression is a
+    runtime constant — Catalyst folds the whole CASE chain."""
+    t = F.call_function("typeof", c)
+    return (F.when(t.startswith("array"), F.lit("array"))
+            .when(t.startswith("struct") | t.startswith("map"),
+                  F.lit("object"))
+            .when(t.startswith("decimal"), F.lit("decimal"))
+            .when(t == "bigint", F.lit("long"))
+            .when(t.isin("int", "smallint", "tinyint"), F.lit("int"))
+            .when(t.isin("double", "float"), F.lit("double"))
+            .when(t == "boolean", F.lit("bool"))
+            .when(t.isin("date", "timestamp", "timestamp_ntz"),
+                  F.lit("date"))
+            .when(t == "binary", F.lit("binData"))
+            .otherwise(t))
 
 
 #: Mongo $dateToString format specifiers -> Spark date_format patterns.
@@ -1057,6 +1114,29 @@ def _match_op(col: Column, op: str, val: Any, spec: dict | None = None,
         return inset
     if op == "$exists":
         return col.isNotNull() if val else col.isNull()
+    if op == "$type":
+        # BSON type names / numeric codes / 'number' alias, scalar or
+        # array-of-alternatives; a null value matches only type 'null'
+        # (code 10) — same value-typing as the $type expression
+        wanted: set[str] = set()
+        for v in (val if isinstance(val, list) else [val]):
+            if isinstance(v, bool) or not isinstance(v, (str, int)):
+                raise ValueError(f"$type expects BSON type names or "
+                                 f"codes, got {v!r}")
+            if v == "number":
+                wanted |= {"int", "long", "double", "decimal"}
+                continue
+            code = {1: "double", 2: "string", 3: "object", 4: "array",
+                    5: "binData", 8: "bool", 9: "date", 10: "null",
+                    16: "int", 18: "long", 19: "decimal"}
+            name = code.get(v, v) if isinstance(v, int) else v
+            if not isinstance(name, str):
+                raise ValueError(f"unknown BSON $type code: {v!r}")
+            wanted.add(name)
+        cond = _bson_type_col(col).isin(*sorted(wanted - {"null"}))
+        if "null" in wanted:
+            return F.coalesce(cond, F.lit(False)) | col.isNull()
+        return cond & col.isNotNull()
     if op == "$regex":
         return _regex_cond(col, val, (spec or {}).get("$options"))
     if op == "$size":

@@ -3040,3 +3040,53 @@ def test_week_family_and_date_from_parts_carry(spark):
         apply_pipeline(df, [{"$addFields": {
             "x": {"$dateTrunc": {"date": "$d", "unit": "week",
                                  "startOfWeek": "mondy"}}}}])
+
+
+def test_bitwise_and_type_introspection(spark):
+    """r14: Mongo 6.3 bitwise family ($bitAnd/$bitOr/$bitXor/$bitNot,
+    empty-array identity values) and the type-introspection trio
+    ($type -> BSON type name, $isNumber, $isArray) plus the $match
+    query-operator $type (names, numeric codes, 'number' alias,
+    array-of-alternatives; null matches only type 'null')."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 5, 2.5, "x", [1, 2]), (2, 12, 0.5, "y", []),
+         (3, None, None, None, None)],
+        "i long, a long, c double, s string, arr array<long>")
+    out = apply_pipeline(df, [{"$addFields": {
+        "band": {"$bitAnd": ["$a", 6]},
+        "bor": {"$bitOr": ["$a", 8, 1]},
+        "bxor": {"$bitXor": ["$a", "$a"]},
+        "bnot": {"$bitNot": "$a"},
+        "id_and": {"$bitAnd": []}, "id_or": {"$bitOr": []},
+        "ta": {"$type": "$a"}, "tc": {"$type": "$c"},
+        "ts": {"$type": "$s"}, "tarr": {"$type": "$arr"},
+        "isn": {"$isNumber": "$c"}, "isns": {"$isNumber": "$s"},
+        "isa": {"$isArray": ["$arr"]}, "isas": {"$isArray": "$s"},
+    }}])
+    rows = {r["i"]: r for r in out.collect()}
+    assert (rows[1]["band"], rows[1]["bor"], rows[1]["bxor"],
+            rows[1]["bnot"]) == (4, 13, 0, -6)
+    assert (rows[2]["band"], rows[2]["bor"]) == (4, 13)
+    assert (rows[1]["id_and"], rows[1]["id_or"]) == (-1, 0)
+    assert rows[3]["band"] is None and rows[3]["bnot"] is None
+    assert (rows[1]["ta"], rows[1]["tc"], rows[1]["ts"],
+            rows[1]["tarr"]) == ("long", "double", "string", "array")
+    assert rows[3]["ta"] == "null" and rows[3]["tarr"] == "null"
+    assert rows[1]["isn"] and not rows[1]["isns"]
+    assert rows[1]["isa"] and not rows[1]["isas"]
+    assert not rows[3]["isn"] and not rows[3]["isa"]
+
+    def match(spec):
+        return sorted(r["i"] for r in
+                      apply_pipeline(df, [{"$match": spec}]).collect())
+
+    assert match({"a": {"$type": "number"}}) == [1, 2]
+    assert match({"a": {"$type": "long"}}) == [1, 2]
+    assert match({"a": {"$type": ["null"]}}) == [3]
+    assert match({"s": {"$type": 2}}) == [1, 2]
+    assert match({"arr": {"$type": [4, 10]}}) == [1, 2, 3]
+    assert match({"a": {"$type": "string"}}) == []
+    with pytest.raises(ValueError, match="BSON"):
+        match({"a": {"$type": 2.5}})
