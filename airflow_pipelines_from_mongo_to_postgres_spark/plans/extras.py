@@ -2395,6 +2395,60 @@ FROM orders
 """
 
 
+# --- q203: zoned date family ($dateTrunc/$hour/$dateToString w/ timezone) --------
+def q203_mongo_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 timezone support, gated against DuckDB's ICU zone tables:
+    every events timestamp is read as a UTC instant and presented in
+    America/New_York — part getters in the {date, timezone} long form,
+    zoned $dateTrunc (the zone's wall-clock midnight as a UTC
+    instant), zoned $dateToString, and a zoned $dateDiff day count.
+    The events fixture spans DST transitions, so both engines' IANA
+    rules are exercised on both offsets (EST -5 / EDT -4). Scan-linear
+    expression work; the from/to-UTC shifts are per-row JVM zone-rule
+    lookups, no shuffle."""
+    NY = "America/New_York"
+    events = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(events, [
+        {"$addFields": {
+            "h_ny": {"$hour": {"date": "$ts", "timezone": NY}},
+            "dow_ny": {"$dayOfWeek": {"date": "$ts", "timezone": NY}},
+            "day_ny": {"$dateTrunc": {"date": "$ts", "unit": "day",
+                                      "timezone": NY}},
+            "s_ny": {"$dateToString": {"date": "$ts",
+                                       "format": "%Y-%m-%d %H",
+                                       "timezone": NY}},
+            "dd_ny": {"$dateDiff": {"startDate": {"$toDate": "2024-01-01"},
+                                    "endDate": "$ts", "unit": "day",
+                                    "timezone": NY}},
+        }},
+    ])
+    return out.select(
+        "event_id", F.col("h_ny").cast("long").alias("h_ny"),
+        F.col("dow_ny").cast("long").alias("dow_ny"), "day_ny", "s_ny",
+        F.col("dd_ny").cast("long").alias("dd_ny"))
+
+
+Q203_SQL = """
+WITH w AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS utc,
+         CAST(timezone('America/New_York',
+              CAST(CAST(ts AS TIMESTAMP) AS TIMESTAMPTZ)) AS TIMESTAMP)
+         AS wall
+  FROM events)
+SELECT event_id,
+       CAST(hour(wall) AS BIGINT) AS h_ny,
+       CAST(dayofweek(wall) + 1 AS BIGINT) AS dow_ny,
+       CAST(timezone('America/New_York', date_trunc('day', wall))
+            AS TIMESTAMP) AS day_ny,
+       strftime(wall, '%Y-%m-%d %H') AS s_ny,
+       CAST(date_trunc('day', wall)::DATE
+            - (CAST(timezone('America/New_York',
+                    CAST(TIMESTAMP '2024-01-01 00:00:00' AS TIMESTAMPTZ))
+               AS TIMESTAMP))::DATE AS BIGINT) AS dd_ny
+FROM w
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2444,6 +2498,7 @@ QUERIES = {
     "q200_mongo_lookup_group": q200_mongo_lookup_group,
     "q201_mongo_week_family": q201_mongo_week_family,
     "q202_mongo_bitwise_type": q202_mongo_bitwise_type,
+    "q203_mongo_timezone": q203_mongo_timezone,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2498,6 +2553,7 @@ ORACLES = {
     "q200_mongo_lookup_group": Q200_SQL,
     "q201_mongo_week_family": Q201_SQL,
     "q202_mongo_bitwise_type": Q202_SQL,
+    "q203_mongo_timezone": Q203_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

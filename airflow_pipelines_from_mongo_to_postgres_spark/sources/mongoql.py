@@ -144,6 +144,45 @@ _WEEK_START = {"sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
                "thursday": 5, "friday": 6, "saturday": 7}
 
 
+def _tz_literal(arg: dict) -> str | None:
+    """Extract a Mongo ``timezone`` option — an Olson name or a
+    ``(+|-)HH[:mm]`` offset, required to be a string LITERAL (Mongo
+    allows expressions; a data-driven zone can't be verified at
+    compile time, so the translator refuses it — raise, never
+    guess)."""
+    tz = arg.get("timezone")
+    if tz is None:
+        return None
+    if not isinstance(tz, str) or not tz:
+        raise ValueError(
+            f"timezone must be a non-empty string literal (Olson name "
+            f"or (+|-)HH:mm offset), got {tz!r}")
+    return tz
+
+
+def _tz_in(col: Column, tz: str | None) -> Column:
+    """UTC instant -> wall clock in ``tz`` (no-op without a zone).
+    Mongo dates are UTC instants; every zoned date operation is
+    'shift to the zone's wall clock, operate, shift back'."""
+    return F.from_utc_timestamp(col, tz) if tz else col
+
+
+def _tz_out(col: Column, tz: str | None) -> Column:
+    """Wall clock in ``tz`` -> UTC instant (no-op without a zone)."""
+    return F.to_utc_timestamp(col, tz) if tz else col
+
+
+def _date_operand(arg: Any, env: dict | None) -> Column:
+    """Unwrap a date-part getter's operand: Mongo's long form
+    ``{date: <expr>, timezone: <tz>}`` yields the date SHIFTED into
+    the zone's wall clock (so the plain getter math is zone-correct);
+    anything else evaluates as a bare expression."""
+    if isinstance(arg, dict) and "date" in arg \
+            and set(arg) <= {"date", "timezone"}:
+        return _tz_in(_expr(arg["date"], env), _tz_literal(arg))
+    return _expr(arg, env)
+
+
 def _week_start_idx(name: Any) -> int:
     """Resolve a Mongo ``startOfWeek`` (full day name or 3-letter
     abbreviation, case-insensitive — Mongo's accepted forms) to
@@ -351,27 +390,29 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
     if op == "$in":
         v, array = args(2)
         return F.array_contains(array, v)
-    # dates
+    # dates — every part getter accepts Mongo's long form
+    # {date, timezone} (r14): the operand arrives pre-shifted into the
+    # zone's wall clock, so the part math below is zone-correct as-is
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
               "$second"):
         fn = {"$year": F.year, "$month": F.month,
               "$dayOfMonth": F.dayofmonth, "$hour": F.hour,
               "$minute": F.minute, "$second": F.second}[op]
-        return fn(_expr(arg, env))
+        return fn(_date_operand(arg, env))
     if op == "$dayOfWeek":       # 1 = Sunday .. 7 = Saturday, both engines
-        return F.dayofweek(_expr(arg, env))
+        return F.dayofweek(_date_operand(arg, env))
     if op == "$isoDayOfWeek":    # 1 = Monday .. 7 = Sunday
-        return ((F.dayofweek(_expr(arg, env)) + 5) % 7) + 1
+        return ((F.dayofweek(_date_operand(arg, env)) + 5) % 7) + 1
     if op == "$dayOfYear":
-        return F.dayofyear(_expr(arg, env))
+        return F.dayofyear(_date_operand(arg, env))
     if op == "$isoWeek":         # Spark's weekofyear IS the ISO week
-        return F.weekofyear(_expr(arg, env))
+        return F.weekofyear(_date_operand(arg, env))
     if op == "$week":
         # Mongo's Sunday-based week-of-year: week 1 begins at the
         # first Sunday; earlier days are week 0. Closed form, no
         # branch: floor((dayOfYear + 6 - daysSinceSunday) / 7), where
         # daysSinceSunday = dayofweek - 1 (Spark: 1=Sunday..7=Saturday)
-        d = _expr(arg, env)
+        d = _date_operand(arg, env)
         return F.floor(
             (F.dayofyear(d) + 6 - (F.dayofweek(d) - 1)) / 7).cast("int")
     if op == "$isoWeekYear":
@@ -379,18 +420,18 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         # THURSDAY (the classic trick — no extract(YEAROFWEEK) needed,
         # stays a plain column expression): shift the date to its ISO
         # Thursday (iso_dow 4) and take the year
-        d = _expr(arg, env).cast("date")
+        d = _date_operand(arg, env).cast("date")
         iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
         return F.year(F.date_add(d, (F.lit(4) - iso_dow).cast("int")))
     if op == "$millisecond":
-        return F.date_format(_expr(arg, env), "SSS").cast("int")
+        return F.date_format(_date_operand(arg, env), "SSS").cast("int")
     if op == "$dateFromParts":
+        if isinstance(arg, dict) and "isoWeekYear" in arg:
+            raise ValueError("$dateFromParts ISO-week form is "
+                             "unsupported — use the calendar parts")
         if not isinstance(arg, dict) or "year" not in arg:
             raise ValueError("$dateFromParts expects {year[, month, day, "
                              "hour, minute, second, millisecond]}")
-        if "isoWeekYear" in arg or "timezone" in arg:
-            raise ValueError("$dateFromParts ISO-week/timezone forms are "
-                             "unsupported")
         def part(name, default):
             return (_expr(arg[name], env) if name in arg
                     else F.lit(default))
@@ -411,22 +452,27 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         ts = F.timestamp_add("minute", part("minute", 0).cast("int"), ts)
         us = (part("second", 0).cast("double") * 1_000_000.0
               + part("millisecond", 0).cast("double") * 1_000.0)
-        return F.timestamp_add("microsecond",
-                               F.round(us, 0).cast("long"), ts)
+        ts = F.timestamp_add("microsecond",
+                             F.round(us, 0).cast("long"), ts)
+        # the parts describe a WALL CLOCK in `timezone` (r14) — shift
+        # the built timestamp back to the UTC instant Mongo stores
+        return _tz_out(ts, _tz_literal(arg))
     if op == "$dateToParts":
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToParts expects {date}")
         if arg.get("iso8601"):
-            d = _expr(arg["date"], env)
+            d = _tz_in(_expr(arg["date"], env), _tz_literal(arg))
+            iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+            thu = F.date_add(d.cast("date"),
+                             (F.lit(4) - iso_dow).cast("int"))
             return F.struct(
-                _expr_op("$isoWeekYear", arg["date"], env)
-                .alias("isoWeekYear"),
+                F.year(thu).alias("isoWeekYear"),
                 F.weekofyear(d).alias("isoWeek"),
-                (((F.dayofweek(d) + 5) % 7) + 1).alias("isoDayOfWeek"),
+                iso_dow.alias("isoDayOfWeek"),
                 F.hour(d).alias("hour"), F.minute(d).alias("minute"),
                 F.second(d).alias("second"),
                 F.date_format(d, "SSS").cast("int").alias("millisecond"))
-        d = _expr(arg["date"], env)
+        d = _tz_in(_expr(arg["date"], env), _tz_literal(arg))
         return F.struct(
             F.year(d).alias("year"), F.month(d).alias("month"),
             F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
@@ -437,14 +483,21 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             raise ValueError("$dateToString expects {date, format}")
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
         spark_fmt = _mongo_date_format(fmt)
-        return F.date_format(_expr(arg["date"], env), spark_fmt)
+        return F.date_format(
+            _tz_in(_expr(arg["date"], env), _tz_literal(arg)), spark_fmt)
     if op == "$dateFromString":
         if not isinstance(arg, dict) or "dateString" not in arg:
             raise ValueError("$dateFromString expects {dateString[, format]}")
         if "format" in arg:
-            return F.to_timestamp(_expr(arg["dateString"], env),
-                                  _mongo_date_format(arg["format"]))
-        return F.to_timestamp(_expr(arg["dateString"], env))
+            parsed = F.to_timestamp(_expr(arg["dateString"], env),
+                                    _mongo_date_format(arg["format"]))
+        else:
+            parsed = F.to_timestamp(_expr(arg["dateString"], env))
+        # the string is a WALL CLOCK in `timezone` — shift to the UTC
+        # instant (Mongo ignores the option when the string itself
+        # carries an offset; formats here carry none, %z is not in
+        # the specifier table)
+        return _tz_out(parsed, _tz_literal(arg))
     # numeric
     if op == "$floor":
         return F.floor(_expr(arg, env))
@@ -888,32 +941,39 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if unit not in ("year", "quarter", "month", "week", "day",
                         "hour", "minute", "second", "millisecond"):
             raise ValueError(f"unsupported $dateTrunc unit: {unit!r}")
+        tz = _tz_literal(arg)
         if unit == "week":
             # Mongo weeks default to SUNDAY start (startOfWeek option
             # for any other day); Spark's date_trunc('week') is pinned
             # Monday — truncate to day and step back to the week-start
             # day instead (r14: closes the week-start deviation)
             idx = _week_start_idx(arg.get("startOfWeek", "sunday"))
-            day = F.to_date(_expr(arg["date"], env))
+            day = F.to_date(_tz_in(_expr(arg["date"], env), tz))
             back = (F.dayofweek(day) - F.lit(idx) + 7) % 7
-            return F.date_sub(day, back.cast("int")).cast("timestamp")
-        return F.date_trunc(unit, _expr(arg["date"], env))
-    if op == "$dateAdd":
+            return _tz_out(
+                F.date_sub(day, back.cast("int")).cast("timestamp"), tz)
+        # zoned truncation: boundaries are the ZONE's wall-clock
+        # boundaries; the result is the UTC instant of that boundary
+        return _tz_out(
+            F.date_trunc(unit, _tz_in(_expr(arg["date"], env), tz)), tz)
+    if op in ("$dateAdd", "$dateSubtract"):
         unit = arg["unit"]
         if unit not in ("year", "quarter", "month", "week", "day",
                         "hour", "minute", "second", "millisecond",
                         "microsecond"):
-            raise ValueError(f"unsupported $dateAdd unit: {unit!r}")
-        return F.timestamp_add(unit, _expr(arg["amount"], env),
-                               _expr(arg["startDate"], env))
-    if op == "$dateSubtract":
-        unit = arg["unit"]
-        if unit not in ("year", "quarter", "month", "week", "day",
-                        "hour", "minute", "second", "millisecond",
-                        "microsecond"):
-            raise ValueError(f"unsupported $dateSubtract unit: {unit!r}")
-        return F.timestamp_add(unit, -_expr(arg["amount"], env),
-                               _expr(arg["startDate"], env))
+            raise ValueError(f"unsupported {op} unit: {unit!r}")
+        amt = _expr(arg["amount"], env)
+        if op == "$dateSubtract":
+            amt = -amt
+        start = _expr(arg["startDate"], env)
+        tz = _tz_literal(arg)
+        if tz and unit in ("year", "quarter", "month", "week", "day"):
+            # Mongo: for day-or-larger units the arithmetic is the
+            # ZONE's calendar (a +1 day across a DST change keeps the
+            # wall-clock time); hour and below stay absolute instants
+            return _tz_out(
+                F.timestamp_add(unit, amt, _tz_in(start, tz)), tz)
+        return F.timestamp_add(unit, amt, start)
     if op == "$dateDiff":
         unit = arg["unit"]
         if unit not in ("year", "quarter", "month", "week", "day",
@@ -922,6 +982,7 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         # Mongo counts BOUNDARY CROSSINGS, not complete intervals:
         # dateDiff(23:00, next day 01:00, 'day') == 1. truncate both
         # ends to the unit, then count whole units between truncations.
+        tz = _tz_literal(arg)
         if unit == "week":
             # week boundaries follow startOfWeek (default Sunday, as
             # in $dateTrunc) — truncate both ends to their week start,
@@ -929,13 +990,15 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             idx = _week_start_idx(arg.get("startOfWeek", "sunday"))
 
             def wk(e):
-                day = F.to_date(_expr(arg[e], env))
+                day = F.to_date(_tz_in(_expr(arg[e], env), tz))
                 back = (F.dayofweek(day) - F.lit(idx) + 7) % 7
                 return F.date_sub(day, back.cast("int"))
             return (F.datediff(wk("endDate"), wk("startDate")) / 7) \
                 .cast("long")
-        s = F.date_trunc(unit, _expr(arg["startDate"], env))
-        e = F.date_trunc(unit, _expr(arg["endDate"], env))
+        # boundaries counted in the zone's wall clock; the count
+        # itself is zone-free, so no shift back
+        s = F.date_trunc(unit, _tz_in(_expr(arg["startDate"], env), tz))
+        e = F.date_trunc(unit, _tz_in(_expr(arg["endDate"], env), tz))
         return F.timestamp_diff(unit, s, e).cast("long")
     if op in ("$bitAnd", "$bitOr", "$bitXor"):
         # Mongo 6.3 bitwise family over int/long args; the empty-array

@@ -1425,10 +1425,16 @@ def test_date_parts_expressions(spark):
     assert (r[1].iparts.isoWeekYear, r[1].iparts.isoWeek,
             r[1].iparts.isoDayOfWeek) == (2025, 1, 1)
     assert r[3].made == dt(2024, 6, 15, 12, 30, 45)
-    with pytest.raises(ValueError, match="ISO-week/timezone"):
+    # timezone is SUPPORTED since r14; the ISO-week form still raises
+    with pytest.raises(ValueError, match="ISO-week"):
         apply_pipeline(df, [{"$addFields": {
-            "bad": {"$dateFromParts": {"year": 2024,
-                                       "timezone": "UTC"}}}}])
+            "bad": {"$dateFromParts": {"isoWeekYear": 2024}}}}])
+    # a zoned build shifts the wall clock back to the UTC instant
+    zoned = apply_pipeline(df.limit(1), [{"$project": {
+        "z": {"$dateFromParts": {"year": 1995, "month": 7, "day": 1,
+                                 "hour": 22, "minute": 30,
+                                 "timezone": "America/New_York"}}}}])
+    assert zoned.collect()[0].z == dt(1995, 7, 2, 2, 30)
 
 
 def test_root_variable_in_stages(spark):
@@ -3090,3 +3096,71 @@ def test_bitwise_and_type_introspection(spark):
     assert match({"a": {"$type": "string"}}) == []
     with pytest.raises(ValueError, match="BSON"):
         match({"a": {"$type": 2.5}})
+
+
+def test_date_timezone_support(spark):
+    """r14 timezone support across the date family: part getters in
+    Mongo's {date, timezone} long form, zoned $dateTrunc (zone
+    wall-clock boundary, UTC-instant result), $dateAdd calendar
+    arithmetic for day+ units, zoned $dateToString/$dateToParts, and
+    $dateFromParts/$dateFromString interpreting parts as the zone's
+    wall clock. Summer (EDT, -4) and winter (EST, -5) instants pin the
+    IANA rules; non-string timezones raise."""
+    from datetime import datetime as dt
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, dt(1995, 7, 2, 2, 30)),    # 1995-07-01 22:30 EDT
+         (2, dt(1995, 1, 2, 2, 30))],   # 1995-01-01 21:30 EST
+        "i long, ts timestamp")
+    NY = "America/New_York"
+    out = apply_pipeline(df, [{"$addFields": {
+        "h": {"$hour": {"date": "$ts", "timezone": NY}},
+        "d": {"$dayOfMonth": {"date": "$ts", "timezone": NY}},
+        "dow": {"$dayOfWeek": {"date": "$ts", "timezone": NY}},
+        "day0": {"$dateTrunc": {"date": "$ts", "unit": "day",
+                                "timezone": NY}},
+        "s": {"$dateToString": {"date": "$ts", "format": "%Y-%m-%d %H:%M",
+                                "timezone": NY}},
+        "parts": {"$dateToParts": {"date": "$ts", "timezone": NY}},
+        "p1d": {"$dateAdd": {"startDate": "$ts", "unit": "day",
+                             "amount": 1, "timezone": NY}},
+        "fp": {"$dateFromParts": {"year": 1995, "month": 7, "day": 1,
+                                  "hour": 22, "minute": 30,
+                                  "timezone": NY}},
+        "fs": {"$dateFromString": {"dateString": "1995-07-01 22:30:00",
+                                   "timezone": NY}},
+        "dd": {"$dateDiff": {"startDate": {"$toDate": "1995-07-01"},
+                             "endDate": "$ts", "unit": "day",
+                             "timezone": NY}},
+    }}])
+    rows = {r["i"]: r for r in out.collect()}
+    assert (rows[1]["h"], rows[1]["d"], rows[1]["dow"]) == (22, 1, 7)
+    assert (rows[2]["h"], rows[2]["d"], rows[2]["dow"]) == (21, 1, 1)
+    # NY midnight as a UTC instant: 04:00 UTC summer, 05:00 winter
+    assert rows[1]["day0"] == dt(1995, 7, 1, 4, 0)
+    assert rows[2]["day0"] == dt(1995, 1, 1, 5, 0)
+    assert rows[1]["s"] == "1995-07-01 22:30"
+    assert rows[2]["s"] == "1995-01-01 21:30"
+    assert (rows[1]["parts"]["day"], rows[1]["parts"]["hour"]) == (1, 22)
+    assert rows[1]["p1d"] == dt(1995, 7, 3, 2, 30)
+    assert rows[1]["fp"] == dt(1995, 7, 2, 2, 30)
+    assert rows[1]["fs"] == dt(1995, 7, 2, 2, 30)
+    # 1995-07-01 00:00 UTC is Jun 30 in NY; row 1 is Jul 1 in NY
+    assert rows[1]["dd"] == 1
+    # DST calendar arithmetic: +1 day across the spring-forward keeps
+    # the wall-clock time (absolute add would land an hour later)
+    dst = spark.createDataFrame(
+        [(dt(1995, 4, 1, 17, 0),)], "ts timestamp")  # Apr 1 12:00 EST
+    r = apply_pipeline(dst, [{"$project": {
+        "p": {"$dateAdd": {"startDate": "$ts", "unit": "day",
+                           "amount": 1, "timezone": NY}},
+        "pa": {"$dateAdd": {"startDate": "$ts", "unit": "day",
+                            "amount": 1}}}}]).collect()[0]
+    assert r["p"] == dt(1995, 4, 2, 16, 0)   # Apr 2 12:00 EDT
+    assert r["pa"] == dt(1995, 4, 2, 17, 0)  # absolute +24h
+
+    with pytest.raises(ValueError, match="timezone"):
+        apply_pipeline(df, [{"$addFields": {
+            "x": {"$hour": {"date": "$ts", "timezone": 5}}}}])
