@@ -357,6 +357,42 @@ _mql_stage = st.one_of(
               st.integers(-3, 3)),
     st.builds(lambda p: {"$match": {"b": {"$regex": p}}},
               st.sampled_from(["x", "^y", "."])),
+    # r14 additions: bitwise, type introspection, week family with
+    # startOfWeek/timezone, $dateFromParts carry, arity-3 $zip
+    st.builds(lambda f, op, v: {"$addFields": {f: {op: ["$a", v]}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["$bitAnd", "$bitOr", "$bitXor"]),
+              st.integers(-4, 15)),
+    st.builds(lambda f: {"$addFields": {f: {"$bitNot": "$a"}}},
+              st.sampled_from(["c", "d"])),
+    st.builds(lambda f, src: {"$addFields": {f: {"$type": src}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["$a", "$b", "$arr", "$nest", "$zz"])),
+    st.builds(lambda f, src: {"$addFields": {f: {"$isNumber": src}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["$a", "$b", "$arr"])),
+    st.builds(lambda t: {"$match": {"a": {"$type": t}}},
+              st.sampled_from(["number", "int", "long", "string",
+                               ["null", "double"], 16, 2])),
+    st.builds(lambda f, dy, sow: {"$addFields": {f: {"$dateTrunc": {
+                  "date": {"$dateFromParts": {"year": 2021, "day": dy}},
+                  "unit": "week", "startOfWeek": sow}}}},
+              st.sampled_from(["c", "d"]), st.integers(-40, 400),
+              st.sampled_from(["sunday", "mon", "Friday"])),
+    st.builds(lambda f, dy: {"$addFields": {f: {"$week": {
+                  "$dateFromParts": {"year": 2021, "day": dy}}}}},
+              st.sampled_from(["c", "d"]), st.integers(-40, 400)),
+    st.builds(lambda f, tz: {"$addFields": {f: {"$hour": {
+                  "date": {"$dateFromParts": {"year": 2021,
+                                              "hour": "$a"}},
+                  "timezone": tz}}}},
+              st.sampled_from(["c", "d"]),
+              st.sampled_from(["UTC", "America/New_York",
+                               "Asia/Kolkata"])),
+    st.builds(lambda f: {"$addFields": {f: {"$zip": {
+                  "inputs": ["$arr", [9, 9, 9], [0]],
+                  "useLongestLength": True}}}},
+              st.sampled_from(["c", "d"])),
 )
 
 
@@ -629,6 +665,47 @@ def test_correlated_lookup_matches_per_document_reference(
     for i, (k, t) in enumerate(outer):
         matched = [q for (sk, q) in foreign if sk == k and q >= t]
         want[i] = [(len(matched), max(matched))] if matched else []
+    assert got == want, (outer, foreign)
+
+
+@given(outer=_lk_outer, foreign=_lk_foreign)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_correlated_lookup_terminal_group_matches_reference(
+        spark, outer, foreign):
+    """r14 terminal $group with a GROUPING _id inside a correlated
+    $lookup vs a literal per-document Python evaluation of Mongo's
+    semantics: per outer doc, the matched foreign docs grouped by qty
+    parity — one array element per distinct sub-key, array sorted by
+    _id (the translator's determinism convention), empty array when
+    nothing matches (zero-input $group emits no docs)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    odf = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(outer)], "oid int, key string")
+    fdf = spark.createDataFrame(foreign, "sku string, qty int") \
+        if foreign else spark.createDataFrame([], "sku string, qty int")
+
+    out = apply_pipeline(odf, [{"$lookup": {
+        "from": "inv",
+        "let": {"k": "$key"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}},
+            {"$group": {"_id": {"$mod": ["$qty", 2]},
+                        "n": {"$sum": 1}, "mx": {"$max": "$qty"}}}],
+        "as": "s"}}], collections={"inv": fdf})
+    got = {r.oid: [(x["_id"], x["n"], x["mx"]) for x in r.s]
+           for r in out.collect()}
+
+    want = {}
+    for i, (k, _) in enumerate(outer):
+        groups: dict = {}
+        for sk, q in foreign:
+            if sk == k:          # Mongo $eq: null matches null
+                groups.setdefault(q % 2, []).append(q)
+        want[i] = sorted((g, len(v), max(v)) for g, v in groups.items())
     assert got == want, (outer, foreign)
 
 
