@@ -482,9 +482,37 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToString expects {date, format}")
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
-        spark_fmt = _mongo_date_format(fmt)
-        return F.date_format(
-            _tz_in(_expr(arg["date"], env), _tz_literal(arg)), spark_fmt)
+        d = _tz_in(_expr(arg["date"], env), _tz_literal(arg))
+        if not any(s in fmt for s in _COMPUTED_SPECIFIERS):
+            return F.date_format(d, _mongo_date_format(fmt))
+        # week-family specifiers have no SimpleDateFormat letter with
+        # Mongo's semantics (Spark 3+ removed week patterns; %U is
+        # Sunday-based) — split the format at them and concat plain
+        # date_format segments with the computed parts (r14)
+        pieces: list[Column] = []
+        buf: list[str] = []
+
+        def flush():
+            if buf:
+                pieces.append(
+                    F.date_format(d, _mongo_date_format("".join(buf))))
+                buf.clear()
+
+        i = 0
+        while i < len(fmt):
+            if fmt[i] == "%":
+                spec = fmt[i:i + 2]
+                if spec in _COMPUTED_SPECIFIERS:
+                    flush()
+                    pieces.append(_computed_specifier(spec, d))
+                else:
+                    buf.append(spec)   # validated by _mongo_date_format
+                i += 2
+            else:
+                buf.append(fmt[i])
+                i += 1
+        flush()
+        return F.concat(*pieces)
     if op == "$dateFromString":
         if not isinstance(arg, dict) or "dateString" not in arg:
             raise ValueError("$dateFromString expects {dateString[, format]}")
@@ -1064,6 +1092,33 @@ def _bson_type_col(c: Column) -> Column:
 _DATE_SPECIFIERS = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
                     "%M": "mm", "%S": "ss", "%L": "SSS", "%j": "DDD",
                     "%%": "%"}
+
+#: week-family specifiers with no SimpleDateFormat equivalent under
+#: Mongo's semantics (Spark 3+ removed week pattern letters; %U is
+#: Sunday-based, %w is 1=Sunday): computed as column expressions and
+#: concat-spliced between plain date_format segments (r14).
+_COMPUTED_SPECIFIERS = {"%w", "%u", "%U", "%V", "%G"}
+
+
+def _computed_specifier(spec: str, d: Column) -> Column:
+    """One computed $dateToString specifier over the (zone-shifted)
+    date column: %w day-of-week 1=Sunday, %u ISO day-of-week 1=Monday,
+    %U Sunday-based week (00-53), %V ISO week (01-53), %G ISO
+    week-numbering year — padded exactly as Mongo pads them."""
+    if spec == "%w":
+        return F.dayofweek(d).cast("string")
+    if spec == "%u":
+        return (((F.dayofweek(d) + 5) % 7) + 1).cast("string")
+    if spec == "%U":
+        wk = F.floor((F.dayofyear(d) + 6 - (F.dayofweek(d) - 1)) / 7)
+        return F.lpad(wk.cast("string"), 2, "0")
+    if spec == "%V":
+        return F.lpad(F.weekofyear(d).cast("string"), 2, "0")
+    if spec == "%G":
+        iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+        thu = F.date_add(d.cast("date"), (F.lit(4) - iso_dow).cast("int"))
+        return F.lpad(F.year(thu).cast("string"), 4, "0")
+    raise AssertionError(spec)
 
 
 def _mongo_date_format(fmt: str) -> str:

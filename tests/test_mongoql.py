@@ -3164,3 +3164,32 @@ def test_date_timezone_support(spark):
     with pytest.raises(ValueError, match="timezone"):
         apply_pipeline(df, [{"$addFields": {
             "x": {"$hour": {"date": "$ts", "timezone": 5}}}}])
+
+
+def test_date_to_string_week_specifiers(spark):
+    """r14 $dateToString week-family specifiers — %w (1=Sunday), %u
+    (ISO 1=Monday), %U (Sunday-based week, 2-digit), %V (ISO week),
+    %G (ISO week-numbering year) — computed-segment concat between
+    plain date_format runs, with %% and literals preserved."""
+    from datetime import datetime as dt
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, dt(2023, 1, 1)),     # Sunday; week 1; ISO 2022-W52-7
+         (2, dt(2024, 1, 1)),     # Monday; week 0; ISO 2024-W01-1
+         (3, dt(2024, 12, 30))],  # Monday; ISO 2025-W01-1
+        "i long, ts timestamp")
+    out = apply_pipeline(df, [{"$project": {
+        "i": 1,
+        "s": {"$dateToString": {
+            "date": "$ts", "format": "%Y-%m-%d w%w u%u U%U V%V G%G %%"}},
+    }}])
+    got = {r["i"]: r["s"] for r in out.collect()}
+    assert got[1] == "2023-01-01 w1 u7 U01 V52 G2022 %"
+    assert got[2] == "2024-01-01 w2 u1 U00 V01 G2024 %"
+    assert got[3] == "2024-12-30 w2 u1 U52 V01 G2025 %"
+    # unknown specifiers still refuse loudly
+    with pytest.raises(ValueError, match="specifier"):
+        apply_pipeline(df, [{"$project": {
+            "s": {"$dateToString": {"date": "$ts", "format": "%Q"}}}}])
