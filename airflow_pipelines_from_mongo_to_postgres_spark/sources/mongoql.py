@@ -580,7 +580,7 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
              "$toString": "string", "$toBool": "boolean"}[op]
         return _expr(arg, env).cast(t)
     if op == "$toDate":
-        return _expr(arg, env).cast("timestamp")
+        return _mongo_to_date(_expr(arg, env))
     # array higher-order functions — Spark lambda functions, so the
     # per-element logic runs inside codegen, never a Python UDF
     if op == "$map":
@@ -783,8 +783,14 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if to not in types:
             raise ValueError(f"unsupported $convert target: {to!r}")
         inp = _expr(arg["input"], env)
-        cast = inp.try_cast(types[to]) if "onError" in arg \
-            else inp.cast(types[to])
+        if to == "date":
+            # Mongo's number→date rule is millis-since-epoch, not the
+            # SQL seconds cast (r14) — shared with $toDate
+            cast = _mongo_to_date(inp, use_try="onError" in arg)
+        elif "onError" in arg:
+            cast = inp.try_cast(types[to])
+        else:
+            cast = inp.cast(types[to])
         out = cast
         # Deviation, documented: Mongo returns onError/onNull values
         # AS-IS (heterogeneous result); a rectangular engine must unify
@@ -1066,6 +1072,27 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return c.isNotNull() \
             & F.call_function("typeof", c).startswith("array")
     raise ValueError(f"unsupported expression operator: {op}")
+
+
+def _mongo_to_date(c: Column, use_try: bool = False) -> Column:
+    """Mongo's number→date rule: a numeric value is MILLISECONDS since
+    the epoch (r14 — a bare ``cast(timestamp)`` reads numbers as
+    SECONDS, a silent 1000× divergence). Strings parse, date/timestamp
+    pass through. The numeric branches route through a string cast
+    because not every input type casts straight to long at analysis
+    time (DATE does not) — the string leg is exact for integers, and
+    the typeof guard keeps it from ever evaluating on non-numeric
+    columns."""
+    t = F.call_function("typeof", c)
+    as_str = c.cast("string")
+    int_ms = as_str.try_cast("long") if use_try else as_str.cast("long")
+    dbl = as_str.try_cast("double") if use_try else as_str.cast("double")
+    base = c.try_cast("timestamp") if use_try else c.cast("timestamp")
+    return (F.when(t.isin("bigint", "int", "smallint", "tinyint"),
+                   F.timestamp_millis(int_ms))
+            .when(t.isin("double", "float") | t.startswith("decimal"),
+                  F.timestamp_millis(dbl.cast("long")))
+            .otherwise(base))
 
 
 def _bson_type_col(c: Column) -> Column:

@@ -3193,3 +3193,36 @@ def test_date_to_string_week_specifiers(spark):
     with pytest.raises(ValueError, match="specifier"):
         apply_pipeline(df, [{"$project": {
             "s": {"$dateToString": {"date": "$ts", "format": "%Q"}}}}])
+
+
+def test_to_date_numeric_is_millis(spark):
+    """Mongo's number->date rule: $toDate / $convert-to-date read a
+    NUMERIC input as milliseconds since the epoch (r14 — the SQL cast
+    reads seconds, a silent 1000x divergence). Strings parse,
+    timestamps and dates pass through; onError still catches
+    unparseable strings."""
+    from datetime import date, datetime as dt
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(86400000, 86400500.0, "2020-01-02 03:00:00",
+          dt(2020, 1, 2, 3), date(2020, 1, 2))],
+        "ms long, msd double, s string, ts timestamp, d date")
+    r = apply_pipeline(df, [{"$project": {
+        "a": {"$toDate": "$ms"},
+        "b": {"$toDate": "$msd"},
+        "c": {"$toDate": "$s"},
+        "e": {"$toDate": "$ts"},
+        "f": {"$toDate": "$d"},
+        "g": {"$convert": {"input": "$ms", "to": "date"}},
+        "h": {"$convert": {"input": {"$literal": "junk"}, "to": "date",
+                           "onError": None}},
+    }}]).collect()[0]
+    assert r["a"] == dt(1970, 1, 2)          # millis, NOT seconds
+    assert r["b"] == dt(1970, 1, 2, 0, 0, 0, 500000)  # double millis
+    assert r["c"] == dt(2020, 1, 2, 3)
+    assert r["e"] == dt(2020, 1, 2, 3)
+    assert r["f"] == dt(2020, 1, 2)
+    assert r["g"] == dt(1970, 1, 2)
+    assert r["h"] is None
