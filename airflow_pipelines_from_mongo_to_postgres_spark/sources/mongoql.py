@@ -139,6 +139,14 @@ UNSUPPORTED_STAGES: dict[str, str] = {
 _CMP = {"$eq": "__eq__", "$ne": "__ne__", "$gt": "__gt__", "$gte": "__ge__",
         "$lt": "__lt__", "$lte": "__le__"}
 
+#: Mongo's documented default $trim whitespace set (wider than SQL's
+#: plain space): null, tab, LF, VT, FF, CR, space, and the Unicode
+#: space separators Mongo lists.
+_TRIM_DEFAULT_CHARS = (
+    "\x00\t\n\x0b\x0c\r \u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000")
+
 #: Mongo startOfWeek day name -> Spark dayofweek index (1=Sun..7=Sat).
 _WEEK_START = {"sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
                "thursday": 5, "friday": 6, "saturday": 7}
@@ -371,12 +379,16 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
             raise ValueError("$split delimiter must be a string literal")
         import re as _re
         return F.split(s, _re.escape(arg[1]))
-    if op == "$trim":
-        return F.trim(_expr(arg["input"] if isinstance(arg, dict) else arg, env))
-    if op == "$ltrim":
-        return F.ltrim(_expr(arg["input"] if isinstance(arg, dict) else arg, env))
-    if op == "$rtrim":
-        return F.rtrim(_expr(arg["input"] if isinstance(arg, dict) else arg, env))
+    if op in ("$trim", "$ltrim", "$rtrim"):
+        # chars honored (r14 — previously silently ignored); the
+        # default set is Mongo's documented whitespace list, wider
+        # than Spark's plain-space default
+        fn = {"$trim": F.trim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}[op]
+        inp = _expr(arg["input"] if isinstance(arg, dict) else arg, env)
+        chars = (_expr(arg["chars"], env)
+                 if isinstance(arg, dict) and "chars" in arg
+                 else F.lit(_TRIM_DEFAULT_CHARS))
+        return fn(inp, chars)
     # arrays
     if op == "$size":
         return F.size(_expr(arg, env))
@@ -952,6 +964,24 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
                 s = F.substring(s, 1, ops[3].cast("int"))
             pos = F.call_function("locate", sub, s, start + F.lit(1))
             return (pos - 1).cast("int")
+    if op == "$indexOfBytes":
+        ops = args()
+        if len(ops) != 2:
+            raise ValueError(
+                "$indexOfBytes supports the 2-arg form only — the "
+                "range form's byte offsets need byte-sliced haystacks; "
+                "use $indexOfCP for code-point ranges")
+        # byte index = UTF-8 length of the prefix BEFORE the match
+        # (0-based; -1 when absent) — instr gives the code-point
+        # position, octet_length(left(...)) converts it to bytes
+        s, sub = ops
+        cp = F.call_function("instr", s, sub)   # 1-based, 0 = missing
+        return F.when(cp == 0, F.lit(-1)).otherwise(
+            F.octet_length(F.substring(s, 1, (cp - 1).cast("int")))
+        ).cast("int")
+    if op == "$binarySize":
+        # UTF-8 byte size of a string / length of a binary payload
+        return F.octet_length(_expr(arg, env)).cast("int")
     if op == "$replaceAll":
         # LITERAL find/replace, Mongo's contract — F.replace is
         # literal (regexp_replace would reinterpret the pattern)

@@ -3226,3 +3226,38 @@ def test_to_date_numeric_is_millis(spark):
     assert r["f"] == dt(2020, 1, 2)
     assert r["g"] == dt(1970, 1, 2)
     assert r["h"] is None
+
+
+def test_trim_chars_index_of_bytes_binary_size(spark):
+    """r14 string polish: $trim/$ltrim/$rtrim honor the chars option
+    (previously silently ignored) with Mongo's wide default whitespace
+    set; $indexOfBytes returns UTF-8 BYTE positions (0-based, -1
+    missing); $binarySize counts UTF-8 bytes."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "  ggxxgg  ", "café bar")], "i long, s string, u string")
+    r = apply_pipeline(df, [{"$project": {
+        "t0": {"$trim": {"input": "$s"}},
+        "t1": {"$trim": {"input": {"$trim": {"input": "$s"}},
+                         "chars": "g"}},
+        "lt": {"$ltrim": {"input": {"$trim": {"input": "$s"}},
+                          "chars": "g"}},
+        "rt": {"$rtrim": {"input": {"$trim": {"input": "$s"}},
+                          "chars": "gx"}},
+        "nb": {"$trim": {"input": {"$concat": [{"$literal": " "},
+                                               "x",
+                                               {"$literal": "　"}]}}},
+        "ib": {"$indexOfBytes": ["$u", "bar"]},   # after 4-char 'café'=5B +1
+        "ic": {"$indexOfCP": ["$u", "bar"]},
+        "im": {"$indexOfBytes": ["$u", "zzz"]},
+        "bs": {"$binarySize": "$u"},              # 8 chars, é is 2 bytes
+    }}]).collect()[0]
+    assert r["t0"] == "ggxxgg"
+    assert r["t1"] == "xx"
+    assert r["lt"] == "xxgg"
+    assert r["rt"] == ""    # every char of 'ggxxgg' is in the set
+    assert r["nb"] == "x"       # unicode spaces in the default set
+    assert r["ib"] == 6 and r["ic"] == 5
+    assert r["im"] == -1
+    assert r["bs"] == 9
