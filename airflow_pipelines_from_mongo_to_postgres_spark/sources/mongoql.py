@@ -1101,7 +1101,40 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         c = _expr(a, env)
         return c.isNotNull() \
             & F.call_function("typeof", c).startswith("array")
+    if op in UNSUPPORTED_EXPR_OPS:
+        raise UnsupportedMongoStage(
+            f"{op} is refused by design: {UNSUPPORTED_EXPR_OPS[op]}")
     raise ValueError(f"unsupported expression operator: {op}")
+
+
+#: Expression operators refused BY DESIGN (the expression-language
+#: analogue of :data:`UNSUPPORTED_STAGES`): each entry names the
+#: reason and the in-repo alternative. Anything absent from both the
+#: dispatcher and this table is simply unknown.
+UNSUPPORTED_EXPR_OPS: dict[str, str] = {
+    "$function": (
+        "server-side JavaScript has no sandbox here; write the logic "
+        "as expression operators (the full HOF/$let language is "
+        "supported) or as a DataFrame transformation"),
+    "$accumulator": (
+        "server-side JavaScript accumulator — use the built-in "
+        "accumulators or a two-stage $group + expression rewrite"),
+    "$where": (
+        "server-side JavaScript predicate — use $expr with the "
+        "expression language"),
+    "$toObjectId": (
+        "there is no ObjectId type off-server; keep _id values as "
+        "strings (string equality and sort order are preserved)"),
+    "$tsSecond": (
+        "BSON internal replication Timestamp type does not occur in "
+        "parquet/JDBC data; use date expressions on real timestamps"),
+    "$tsIncrement": (
+        "BSON internal replication Timestamp type does not occur in "
+        "parquet/JDBC data; use date expressions on real timestamps"),
+    "$meta": (
+        "query-execution metadata (textScore/indexKey) needs a server "
+        "query planner; BM25 scoring lives in plans/llmdata.py"),
+}
 
 
 def _mongo_to_date(c: Column, use_try: bool = False) -> Column:

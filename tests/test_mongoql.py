@@ -3261,3 +3261,25 @@ def test_trim_chars_index_of_bytes_binary_size(spark):
     assert r["ib"] == 6 and r["ic"] == 5
     assert r["im"] == -1
     assert r["bs"] == 9
+
+
+def test_unsupported_expression_operators_refuse_with_reason(spark):
+    """The expression-language analogue of UNSUPPORTED_STAGES: JS
+    escapes ($function/$accumulator/$where), BSON-internal types
+    ($toObjectId/$tsSecond/$tsIncrement) and $meta refuse with a
+    reason + alternative, as UnsupportedMongoStage — never a bare
+    'unknown operator'."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        UNSUPPORTED_EXPR_OPS,
+        UnsupportedMongoStage,
+        apply_pipeline,
+    )
+
+    df = spark.createDataFrame([(1,)], "a long")
+    for bad in UNSUPPORTED_EXPR_OPS:
+        with pytest.raises(UnsupportedMongoStage, match="refused by design"):
+            apply_pipeline(df, [{"$addFields": {
+                "x": {bad: {"whatever": 1}}}}])
+    # unknown operators still raise the plain unknown error
+    with pytest.raises(ValueError, match="unsupported expression operator"):
+        apply_pipeline(df, [{"$addFields": {"x": {"$noSuchOp": 1}}}])
