@@ -69,6 +69,70 @@ def variant_conform(df: DataFrame, doc_col: str, spec: dict,
     return df.select(*cols)
 
 
+# --- MongoDB Extended JSON v2 (mongoexport / mongodump) ----------------------
+def ejson_get(doc, path: str, dtype: str, default=None) -> Column:
+    """Typed path extraction over MongoDB Extended JSON v2 — the
+    format ``mongoexport`` / ``mongodump`` emit, i.e. the file a
+    reference user actually has in hand when they leave the live
+    cluster behind. BSON values arrive as wrapper documents
+    (``{"$oid"}``, ``{"$date"}`` ISO or ``{"$date":{"$numberLong"}}``
+    canonical millis, ``{"$numberLong/Int/Double/Decimal"}`` with
+    string payloads, ``{"$binary":{"base64",...}}``); relaxed-mode
+    plain values pass through unchanged. One coalesce chain per
+    target type — variant byte-walking + try_cast, fully codegen,
+    null on mismatch (the M14 quarantine discipline), no UDFs."""
+    d = doc if isinstance(doc, Column) else F.col(doc)
+
+    def wrap(sub: str) -> Column:
+        return F.try_variant_get(d, f"{path}.{sub}", "string")
+
+    plain = F.try_variant_get(d, path, dtype)
+    alts: list[Column] = []
+    if dtype == "string":
+        alts = [wrap("$oid")]
+    elif dtype in ("tinyint", "smallint", "int", "bigint", "long"):
+        t = "bigint" if dtype == "long" else dtype
+        plain = F.try_variant_get(d, path, t)
+        alts = [wrap("$numberLong").try_cast(t),
+                wrap("$numberInt").try_cast(t)]
+    elif dtype in ("float", "double"):
+        # canonical payloads are strings, incl. "Infinity"/"NaN"
+        alts = [wrap("$numberDouble").try_cast(dtype),
+                wrap("$numberDecimal").try_cast(dtype),
+                wrap("$numberLong").try_cast(dtype),
+                wrap("$numberInt").try_cast(dtype)]
+    elif dtype.startswith("decimal"):
+        alts = [wrap("$numberDecimal").try_cast(dtype),
+                wrap("$numberLong").try_cast(dtype),
+                wrap("$numberInt").try_cast(dtype)]
+    elif dtype in ("timestamp", "timestamp_ntz", "date"):
+        ms = F.try_variant_get(d, f"{path}.$date.$numberLong", "string")
+        alts = [wrap("$date").try_cast(dtype),
+                F.timestamp_millis(ms.try_cast("bigint")).try_cast(dtype)]
+    elif dtype == "binary":
+        alts = [F.try_to_binary(wrap("$binary.base64"), F.lit("base64"))]
+    # wrapper legs FIRST: variant_get-to-string SERIALIZES an object
+    # (so a wrapped {"$oid": ...} would leak its JSON text through the
+    # plain leg); a wrapper key never exists on a plain value, so the
+    # order costs nothing there
+    out = F.coalesce(*alts, plain) if alts else plain
+    return out if default is None else F.coalesce(out, F.lit(default))
+
+
+def ejson_conform(df: DataFrame, doc_col: str, spec: dict,
+                  keep: tuple = ()) -> DataFrame:
+    """:func:`variant_conform` over Extended JSON v2 documents —
+    ``spec``: ``out_name -> (path, spark_type[, default])``, wrapper
+    documents unwrapped per :func:`ejson_get`. The drop-in ingest for
+    mongoexport JSON-lines: ``as_variant`` the raw line, conform with
+    this, and the reference's entity specs run unchanged."""
+    cols = [F.col(c) for c in keep]
+    for out, s in spec.items():
+        cols.append(ejson_get(doc_col, s[0], s[1],
+                              s[2] if len(s) > 2 else None).alias(out))
+    return df.select(*cols)
+
+
 # --- mongo $match over variant docs -----------------------------------------
 _CMP = {"$eq": "==", "$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<=",
         "$ne": "!="}

@@ -2449,6 +2449,56 @@ FROM w
 """
 
 
+# --- q204: Extended JSON v2 ingest roundtrip --------------------------------------
+def q204_ejson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB Extended JSON v2 ingest, hash-gated end-to-end: every
+    orders row is rendered as the CANONICAL mongoexport document
+    ({$oid}, {$date:{$numberLong}} millis, {$numberLong},
+    {$numberDecimal}) with format_string, parsed back through
+    try_parse_json -> VARIANT -> ejson_conform
+    (functions/variantdoc.py::ejson_get), and must hash-match the
+    original typed columns read straight off parquet — the oracle IS
+    the identity, so any wrapper mis-unwrap, millis/seconds slip, or
+    decimal drift fails the gate. Scan-linear: one render + one parse
+    per row, variant byte-walking in codegen, zero UDFs, no shuffle."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import (
+        as_variant,
+        ejson_conform,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    line = F.format_string(
+        '{"_id": {"$oid": "%s"}, "n": {"$numberLong": "%s"}, '
+        '"ts": {"$date": {"$numberLong": "%s"}}, '
+        '"amt": {"$numberDecimal": "%s"}, "tag": "%s"}',
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        .cast("string"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderstatus"))
+    docs = orders.select(as_variant(line).alias("doc"))
+    out = ejson_conform(docs, "doc", {
+        "_id": ("$._id", "string"),
+        "n": ("$.n", "long"),
+        "ts": ("$.ts", "timestamp"),
+        "amt": ("$.amt", "decimal(18,2)"),
+        "tag": ("$.tag", "string"),
+    })
+    return out.select("_id", "n", "ts",
+                      F.col("amt").cast("double").alias("amt"), "tag")
+
+
+Q204_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+       CAST(o_custkey AS BIGINT) AS n,
+       CAST(o_orderdate AS TIMESTAMP) AS ts,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amt,
+       o_orderstatus AS tag
+FROM orders
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2499,6 +2549,7 @@ QUERIES = {
     "q201_mongo_week_family": q201_mongo_week_family,
     "q202_mongo_bitwise_type": q202_mongo_bitwise_type,
     "q203_mongo_timezone": q203_mongo_timezone,
+    "q204_ejson_roundtrip": q204_ejson_roundtrip,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2554,6 +2605,7 @@ ORACLES = {
     "q201_mongo_week_family": Q201_SQL,
     "q202_mongo_bitwise_type": Q202_SQL,
     "q203_mongo_timezone": Q203_SQL,
+    "q204_ejson_roundtrip": Q204_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -162,3 +162,49 @@ def test_variant_pipeline_unwind_group_and_quarantine(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_ejson_get_unwraps_extended_json_v2(spark):
+    """r14 Extended JSON v2 ingest (the mongoexport/mongodump format):
+    $oid, $date (ISO and canonical $numberLong millis),
+    $numberLong/Int/Double/Decimal (string payloads incl. Infinity),
+    $binary base64 — unwrapped per target type, relaxed plain values
+    passing through, wrapper legs winning over the object-serializing
+    plain leg, defaults on missing paths."""
+    from datetime import datetime as dt
+
+    lines = [
+        '{"_id": {"$oid": "64ab"}, "n": {"$numberLong": "123"}, '
+        '"x": {"$numberDouble": "2.5"}, '
+        '"ts": {"$date": "2020-01-02T03:04:05Z"}, '
+        '"amt": {"$numberDecimal": "12.34"}, '
+        '"blob": {"$binary": {"base64": "aGk=", "subType": "00"}}, '
+        '"tag": "plain"}',
+        '{"_id": {"$oid": "64ac"}, "n": {"$numberInt": "7"}, '
+        '"x": {"$numberDouble": "Infinity"}, '
+        '"ts": {"$date": {"$numberLong": "86400000"}}}',
+        '{"_id": "relaxed", "n": 9, "x": 1.5, '
+        '"ts": "2021-05-06T07:08:09Z", "amt": 5.5, "tag": "t"}',
+    ]
+    df = (spark.createDataFrame([(l,) for l in lines], "j string")
+          .select(V.as_variant("j").alias("doc")))
+    out = V.ejson_conform(df, "doc", {
+        "_id": ("$._id", "string"),
+        "n": ("$.n", "long"),
+        "x": ("$.x", "double", -1.0),
+        "ts": ("$.ts", "timestamp"),
+        "amt": ("$.amt", "decimal(18,4)"),
+        "blob": ("$.blob", "binary"),
+        "tag": ("$.tag", "string", "?"),
+    })
+    rows = {r["_id"]: r for r in out.collect()}
+    r1, r2, r3 = rows["64ab"], rows["64ac"], rows["relaxed"]
+    assert (r1["n"], r1["x"], r1["tag"]) == (123, 2.5, "plain")
+    assert r1["ts"] == dt(2020, 1, 2, 3, 4, 5)
+    assert float(r1["amt"]) == 12.34
+    assert bytes(r1["blob"]) == b"hi"
+    assert (r2["n"], r2["x"]) == (7, float("inf"))
+    assert r2["ts"] == dt(1970, 1, 2)
+    assert r2["amt"] is None and r2["tag"] == "?"
+    assert (r3["n"], r3["x"], r3["tag"]) == (9, 1.5, "t")
+    assert float(r3["amt"]) == 5.5
