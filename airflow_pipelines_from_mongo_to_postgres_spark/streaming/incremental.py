@@ -289,12 +289,18 @@ def run_incremental_variant_ingest(
     checks_factory: Callable | None = None,
     stream_id: str | None = None,
     max_files_per_trigger: int | None = None,
+    ejson: bool = False,
 ) -> None:
     """Streaming schemaless ingest: a JSON-lines drop directory streams
     through ``try_parse_json`` VARIANT parse → typed conform
     (functions/variantdoc.py ``spec``: out_name -> (path, type[,
     default])) → EXACTLY-ONCE snapshot appends, closing the loop
-    between the VARIANT document layer and the streaming DQ ledger:
+    between the VARIANT document layer and the streaming DQ ledger.
+    ``ejson=True`` conforms through :func:`ejson_conform` instead —
+    MongoDB Extended JSON v2 wrapper documents ($oid/$date/$number*/
+    $binary, the mongoexport format) unwrap per target type, so a
+    drop folder fed by ``mongoexport`` streams straight into typed
+    snapshot tables (r14):
 
     * parse-able documents conform to typed rows and append to
       ``table`` (``snap_append_txn`` keyed by stream id + epoch — a
@@ -322,11 +328,14 @@ def run_incremental_variant_ingest(
     )
     from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import (
         as_variant,
+        ejson_conform,
         variant_conform,
     )
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.snapshots import (
         snap_append_txn,
     )
+
+    conform_fn = ejson_conform if ejson else variant_conform
 
     sid = stream_id or hashlib.sha256(
         checkpoint_dir.encode("utf-8")).hexdigest()[:16]
@@ -339,7 +348,7 @@ def run_incremental_variant_ingest(
             as_variant(F.col("value")).alias("__doc__")).persist()
         try:
             txn = f"vi-{sid}-epoch-{epoch}"
-            conformed = variant_conform(
+            conformed = conform_fn(
                 docs.where(F.col("__doc__").isNotNull()), "__doc__", spec)
             snap_append_txn(spark, table, conformed, txn=txn,
                             note=f"variant ingest epoch {epoch}")

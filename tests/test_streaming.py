@@ -711,3 +711,54 @@ def test_mongoql_stateless_pipeline_runs_on_stream(spark, tmp_path):
     want2 = sorted(r.id for r in
                    apply_pipeline(rows, pipeline2).collect())
     assert got2 == want2 == [1]
+
+
+def test_incremental_ejson_ingest_stream_equals_batch(spark, tmp_path):
+    """r14: ejson=True streams a mongoexport-format drop folder
+    through the Extended-JSON conform — wrapper documents unwrap per
+    target type, relaxed lines pass through, malformed lines
+    quarantine, and the stream equals the one-shot batch conform."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions.variantdoc import (
+        as_variant,
+        ejson_conform,
+    )
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import snapshots as S
+    from airflow_pipelines_from_mongo_to_postgres_spark.streaming.incremental import (
+        run_incremental_variant_ingest,
+    )
+
+    drop = tmp_path / "mx"
+    drop.mkdir()
+    lines = [
+        '{"_id": {"$oid": "a1"}, "n": {"$numberLong": "12"}, '
+        '"ts": {"$date": "2020-01-02T03:00:00Z"}}',
+        '{"_id": {"$oid": "a2"}, "n": {"$numberInt": "3"}, '
+        '"ts": {"$date": {"$numberLong": "86400000"}}}',
+        '{"_id": "plain", "n": 7, "ts": "2021-01-01T00:00:00Z"}',
+        'not json',
+    ]
+    (drop / "dump.jsonl").write_text("\n".join(lines))
+    spec = {"_id": ("$._id", "string"),
+            "n": ("$.n", "long"),
+            "ts": ("$.ts", "timestamp")}
+    table = str(tmp_path / "typed")
+    quar = str(tmp_path / "quar")
+    run_incremental_variant_ingest(
+        spark, f"{drop}/*", spec, table,
+        checkpoint_dir=str(tmp_path / "ck"), quarantine_table=quar,
+        ejson=True)
+
+    got = sorted((r._id, r.n, str(r.ts))
+                 for r in S.read_snapshot(spark, table).collect())
+    batch = ejson_conform(
+        spark.createDataFrame([(s,) for s in lines], "value string")
+        .select(as_variant("value").alias("__doc__"))
+        .where(F.col("__doc__").isNotNull()), "__doc__", spec)
+    assert got == sorted((r._id, r.n, str(r.ts))
+                         for r in batch.collect())
+    assert [g[0] for g in got] == ["a1", "a2", "plain"]
+    assert got[1][1] == 3 and got[1][2] == "1970-01-02 00:00:00"
+    q = [r._raw for r in S.read_snapshot(spark, quar).collect()]
+    assert q == ["not json"]
