@@ -2499,6 +2499,54 @@ FROM orders
 """
 
 
+# --- q205: correlated-$lookup terminal $bucket (per-document histogram) ----------
+def q205_mongo_lookup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal ``$bucket`` inside a correlated ``$lookup`` (r14): a
+    spend histogram of each BUILDING customer's own orders — the
+    bucket label is row-local, so the stage rewrites to
+    $addFields($switch) + terminal grouping-_id $group
+    (sources/mongoql.py::_bucket_as_group_stages) and rides the
+    per-key pack: ONE aggregation over (custkey, bucket), one join,
+    never a per-document re-run. Integer labels (no string default →
+    no stringify), count-only output, $unwind re-flatten."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "BUILDING"}},
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey",
+                     "pipeline": [{"$bucket": {
+                         "groupBy": "$o_totalprice",
+                         "boundaries": [0, 50000, 150000, 300000],
+                         "default": -1,
+                         "output": {"n": {"$sum": 1}}}}],
+                     "as": "h"}},
+        {"$unwind": "$h"},
+        {"$addFields": {"bucket": "$h._id", "n": "$h.n"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey", F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"))
+
+
+Q205_SQL = """
+SELECT c.c_custkey, g.bucket, g.n
+FROM customer c JOIN (
+  SELECT o_custkey,
+         CAST(CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000
+                   THEN 0
+                   WHEN o_totalprice >= 50000 AND o_totalprice < 150000
+                   THEN 50000
+                   WHEN o_totalprice >= 150000 AND o_totalprice < 300000
+                   THEN 150000
+                   ELSE -1 END AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2) g
+  ON g.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2550,6 +2598,7 @@ QUERIES = {
     "q202_mongo_bitwise_type": q202_mongo_bitwise_type,
     "q203_mongo_timezone": q203_mongo_timezone,
     "q204_ejson_roundtrip": q204_ejson_roundtrip,
+    "q205_mongo_lookup_bucket": q205_mongo_lookup_bucket,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2606,6 +2655,7 @@ ORACLES = {
     "q202_mongo_bitwise_type": Q202_SQL,
     "q203_mongo_timezone": Q203_SQL,
     "q204_ejson_roundtrip": Q204_SQL,
+    "q205_mongo_lookup_bucket": Q205_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

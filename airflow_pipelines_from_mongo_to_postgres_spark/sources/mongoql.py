@@ -2670,6 +2670,42 @@ def _split_term_sort_limit(stages: list[dict[str, Any]]):
     return stages, sort, skip, limit
 
 
+def _bucket_as_group_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
+    """Rewrite a ``$bucket`` spec into ``$addFields`` (the bucket label
+    as a ``$switch`` over the boundary intervals) + ``$group`` on that
+    label — semantically the stage IS that pair (cf. :func:`_bucket`),
+    and the pair composes with the correlated-$lookup terminal-group
+    pack where a raw Column cannot. Requires an explicit ``default``:
+    Mongo ERRORS on an out-of-bounds value, and inside a decomposed
+    join there is no per-document error channel — raising at compile
+    time beats a silent null bucket."""
+    bounds = spec["boundaries"]
+    if len(bounds) < 2 or not all(a < b for a, b in zip(bounds, bounds[1:])):
+        raise ValueError(
+            "$bucket boundaries must be strictly increasing, length >= 2")
+    if "default" not in spec:
+        raise ValueError(
+            "terminal $bucket in a $lookup sub-pipeline needs an "
+            "explicit default — Mongo errors per document on "
+            "out-of-bounds values, which a decomposed join cannot "
+            "reproduce row-by-row")
+    gb = spec["groupBy"]
+    stringify = isinstance(spec["default"], str) \
+        and not all(isinstance(b, str) for b in bounds)
+
+    def lab(v):
+        return {"$literal": str(v) if stringify else v}
+
+    branches = [{"case": {"$and": [{"$gte": [gb, lo]},
+                                   {"$lt": [gb, hi]}]},
+                 "then": lab(lo)}
+                for lo, hi in zip(bounds[:-1], bounds[1:])]
+    sw = {"$switch": {"branches": branches, "default": lab(spec["default"])}}
+    return [{"$addFields": {"__bucket": sw}},
+            {"$group": {"_id": "$__bucket",
+                        **spec.get("output", {"count": {"$sum": 1}})}}]
+
+
 def _lookup_sort_cmp(sortspec: dict[str, Any]):
     """array_sort comparator for a Mongo ``$sort`` spec over an array
     of doc structs: fields compared in spec order with ±1 directions,
@@ -2771,6 +2807,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     # zero extra shuffles), never a global sort/limit.
     rest, term_sort, term_skip, term_limit = \
         _split_term_sort_limit(pipeline[1:])
+    if rest and isinstance(rest[-1], dict) and set(rest[-1]) == {"$bucket"}:
+        # terminal $bucket (r14): the bucket label is ROW-LOCAL, so the
+        # stage rewrites to $addFields(label) + terminal grouping-_id
+        # $group and rides the per-key pack — 'histogram of matches per
+        # outer document' without a per-document re-run
+        rest = rest[:-1] + _bucket_as_group_stages(rest[-1]["$bucket"])
     # Per-document scope guard: the residual sub-pipeline runs ONCE
     # over the (filtered/joined) foreign frame — never once per outer
     # document — so only stages whose per-key result is invariant to

@@ -3283,3 +3283,52 @@ def test_unsupported_expression_operators_refuse_with_reason(spark):
     # unknown operators still raise the plain unknown error
     with pytest.raises(ValueError, match="unsupported expression operator"):
         apply_pipeline(df, [{"$addFields": {"x": {"$noSuchOp": 1}}}])
+
+
+def test_correlated_lookup_terminal_bucket(spark):
+    """r14 terminal $bucket inside a correlated $lookup — rewritten to
+    $addFields(label $switch) + terminal grouping-_id $group, riding
+    the per-key pack: per-document histograms without a per-document
+    re-run. String default coerces labels (the documented $bucket
+    stringify deviation); missing default raises (Mongo errors per
+    document out-of-bounds, which the join decomposition can't
+    reproduce)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, 5.0), (1, 15.0), (1, 25.0), (1, 999.0), (2, 7.0)],
+        "o_ck long, price double")
+    coll = {"orders": orders}
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$bucket": {
+                         "groupBy": "$price",
+                         "boundaries": [0, 10, 20, 30],
+                         "default": "other",
+                         "output": {"n": {"$sum": 1},
+                                    "tot": {"$sum": "$price"}}}}],
+                     "as": "h"}}], collections=coll)
+    got = {r["ck"]: [(e["_id"], e["n"], e["tot"]) for e in r["h"]]
+           for r in out.collect()}
+    assert got[1] == [("0", 1, 5.0), ("10", 1, 15.0),
+                      ("20", 1, 25.0), ("other", 1, 999.0)]
+    assert got[2] == [("0", 1, 7.0)]
+    assert got[3] == []
+    with pytest.raises(ValueError, match="explicit default"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "orders", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [{"$bucket": {
+                             "groupBy": "$price",
+                             "boundaries": [0, 10]}}],
+                         "as": "h"}}], collections=coll)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "orders", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [{"$bucket": {
+                             "groupBy": "$price", "default": 0,
+                             "boundaries": [0, 10, 10]}}],
+                         "as": "h"}}], collections=coll)
