@@ -2547,6 +2547,57 @@ WHERE c.c_mktsegment = 'BUILDING'
 """
 
 
+# --- q206: $mergeObjects accumulator (sparse-doc collapse per key) ---------------
+def q206_mongo_merge_objects_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$mergeObjects`` as a $group ACCUMULATOR (r14): collapse a
+    sparse per-order document (status only when urgent / price only
+    when low priority) to the FRESHEST non-null value per field per customer —
+    $sort by (date, key) then merge in document order. Lowered to one
+    max_by(field, non-null position) per field inside ONE aggregation
+    (sources/mongoql.py::_group) — no window, no self-join; the oracle
+    is DuckDB's arg_max over a row_number, which skips null keys the
+    same way. Documented rectangular deviation: SQL NULL counts as a
+    missing field."""
+    orders = load_table(spark, "orders", sf_dir)
+    sparse = orders.withColumn(
+        "doc", F.struct(
+            F.when(F.col("o_orderpriority") == "1-URGENT",
+                   F.col("o_orderstatus")).alias("urgent_status"),
+            F.when(F.col("o_orderpriority") == "5-LOW",
+                   F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("low_price")))
+    out = apply_pipeline(sparse, [
+        {"$sort": {"o_orderdate": 1, "o_orderkey": 1}},
+        {"$group": {"_id": "$o_custkey",
+                    "n": {"$sum": 1},
+                    "m": {"$mergeObjects": "$doc"}}},
+    ])
+    return out.select(
+        F.col("_id").alias("c"), F.col("n").cast("long").alias("n"),
+        F.col("m.urgent_status").alias("urgent_status"),
+        F.col("m.low_price").cast("double").alias("low_price"))
+
+
+Q206_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderstatus END
+           AS urgent_status,
+         CASE WHEN o_orderpriority = '5-LOW'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END AS low_price,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey AS c, CAST(count(*) AS BIGINT) AS n,
+       arg_max(urgent_status,
+               CASE WHEN urgent_status IS NOT NULL THEN rn END)
+         AS urgent_status,
+       CAST(arg_max(low_price,
+                    CASE WHEN low_price IS NOT NULL THEN rn END)
+            AS DOUBLE) AS low_price
+FROM o GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2599,6 +2650,7 @@ QUERIES = {
     "q203_mongo_timezone": q203_mongo_timezone,
     "q204_ejson_roundtrip": q204_ejson_roundtrip,
     "q205_mongo_lookup_bucket": q205_mongo_lookup_bucket,
+    "q206_mongo_merge_objects_acc": q206_mongo_merge_objects_acc,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2656,6 +2708,7 @@ ORACLES = {
     "q203_mongo_timezone": Q203_SQL,
     "q204_ejson_roundtrip": Q204_SQL,
     "q205_mongo_lookup_bucket": Q205_SQL,
+    "q206_mongo_merge_objects_acc": Q206_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

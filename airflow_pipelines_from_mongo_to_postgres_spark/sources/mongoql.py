@@ -1646,7 +1646,7 @@ def _group(df: DataFrame, spec: dict[str, Any],
     env = env if env is not None else _root_env(df)
     gid = spec["_id"]
     ops = {next(iter(a)) for k, a in spec.items() if k != "_id"}
-    if ops & {"$first", "$last", "$firstN", "$lastN"}:
+    if ops & {"$first", "$last", "$firstN", "$lastN", "$mergeObjects"}:
         # position must be MATERIALIZED before the aggregation (Spark
         # rejects non-deterministic expressions inside agg functions);
         # on a just-sorted df the id is globally monotone, so
@@ -1685,6 +1685,28 @@ def _group(df: DataFrame, spec: dict[str, Any],
             aggs.append(fn(_expr(arg, env), F.col("__pos")).alias(name))
         elif op in ("$top", "$bottom", "$topN", "$bottomN"):
             aggs.append(_topn_agg(op, arg, env).alias(name))
+        elif op == "$mergeObjects":
+            # accumulator form (r14): per field, the value of the LAST
+            # document (in document order, i.e. after a $sort) whose
+            # field is non-null — max_by over the materialized __pos,
+            # null keys ignored. Rectangular deviation, documented: a
+            # field that is SQL NULL counts as missing (Mongo would
+            # let an explicit null overwrite; structs cannot tell the
+            # two apart), so sparse per-key docs collapse to the
+            # freshest non-null value per field — the idiom's actual
+            # use.
+            from pyspark.sql import types as ST
+            inner = _expr(arg, env)
+            dt = df.select(inner.alias("__mo")).schema["__mo"].dataType
+            if not isinstance(dt, ST.StructType):
+                raise ValueError(
+                    "$mergeObjects accumulator needs a document "
+                    f"(struct) expression, got {dt.simpleString()}")
+            aggs.append(F.struct(*[
+                F.max_by(inner[f.name],
+                         F.when(inner[f.name].isNotNull(),
+                                F.col("__pos"))).alias(f.name)
+                for f in dt.fields]).alias(name))
         elif op in ("$minN", "$maxN"):
             # n smallest ascending / n largest descending (Mongo order)
             aggs.append(F.slice(

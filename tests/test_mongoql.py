@@ -3332,3 +3332,30 @@ def test_correlated_lookup_terminal_bucket(spark):
                              "groupBy": "$price", "default": 0,
                              "boundaries": [0, 10, 10]}}],
                          "as": "h"}}], collections=coll)
+
+
+def test_merge_objects_accumulator(spark):
+    """r14 $mergeObjects as a $group ACCUMULATOR: per field, the last
+    non-null value in document order (after $sort) — max_by over the
+    materialized position, null keys ignored. Documented rectangular
+    deviation: SQL NULL counts as a missing field."""
+    from pyspark.sql import Row
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 10, Row(a=1, b=None, c="x")),
+         (2, 20, Row(a=None, b=5, c="y")),
+         (3, 10, Row(a=7, b=None, c=None)),
+         (4, 20, Row(a=None, b=None, c="z"))],
+        "i long, k long, doc struct<a:long,b:long,c:string>")
+    out = apply_pipeline(df, [
+        {"$sort": {"i": 1}},
+        {"$group": {"_id": "$k", "m": {"$mergeObjects": "$doc"}}}])
+    got = {r["_id"]: dict(r["m"].asDict())
+           for r in out.collect()}
+    assert got[10] == {"a": 7, "b": None, "c": "x"}
+    assert got[20] == {"a": None, "b": 5, "c": "z"}
+    with pytest.raises(ValueError, match="struct"):
+        apply_pipeline(df, [{"$group": {
+            "_id": "$k", "m": {"$mergeObjects": "$i"}}}])
