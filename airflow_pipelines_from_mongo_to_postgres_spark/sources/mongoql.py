@@ -494,9 +494,18 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         if not isinstance(arg, dict) or "date" not in arg:
             raise ValueError("$dateToString expects {date, format}")
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
-        d = _tz_in(_expr(arg["date"], env), _tz_literal(arg))
+        raw = _expr(arg["date"], env)
+        d = _tz_in(raw, _tz_literal(arg))
+
+        def with_on_null(col: Column) -> Column:
+            if "onNull" in arg:
+                return F.when(raw.isNull(),
+                              _expr(arg["onNull"], env)
+                              .try_cast("string")).otherwise(col)
+            return col
+
         if not any(s in fmt for s in _COMPUTED_SPECIFIERS):
-            return F.date_format(d, _mongo_date_format(fmt))
+            return with_on_null(F.date_format(d, _mongo_date_format(fmt)))
         # week-family specifiers have no SimpleDateFormat letter with
         # Mongo's semantics (Spark 3+ removed week patterns; %U is
         # Sunday-based) — split the format at them and concat plain
@@ -524,20 +533,33 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
                 buf.append(fmt[i])
                 i += 1
         flush()
-        return F.concat(*pieces)
+        return with_on_null(F.concat(*pieces))
     if op == "$dateFromString":
         if not isinstance(arg, dict) or "dateString" not in arg:
             raise ValueError("$dateFromString expects {dateString[, format]}")
-        if "format" in arg:
-            parsed = F.to_timestamp(_expr(arg["dateString"], env),
-                                    _mongo_date_format(arg["format"]))
-        else:
-            parsed = F.to_timestamp(_expr(arg["dateString"], env))
+        inp = _expr(arg["dateString"], env)
+        soft = "onError" in arg      # unparseable -> onError, not abort
+        fmt = (_mongo_date_format(arg["format"]) if "format" in arg
+               else None)
+        pfn = F.try_to_timestamp if soft else F.to_timestamp
+        parsed = pfn(inp, F.lit(fmt)) if fmt else pfn(inp)
         # the string is a WALL CLOCK in `timezone` — shift to the UTC
         # instant (Mongo ignores the option when the string itself
         # carries an offset; formats here carry none, %z is not in
         # the specifier table)
-        return _tz_out(parsed, _tz_literal(arg))
+        out = _tz_out(parsed, _tz_literal(arg))
+        # fallbacks unify to TIMESTAMP (the $convert discipline —
+        # Mongo returns them as-is, but a rectangular column needs
+        # one type; try_cast keeps ANSI from re-aborting)
+        if soft:
+            out = F.when(inp.isNotNull() & out.isNull(),
+                         _expr(arg["onError"], env).try_cast("timestamp")
+                         ).otherwise(out)
+        if "onNull" in arg:
+            out = F.when(inp.isNull(),
+                         _expr(arg["onNull"], env).try_cast("timestamp")
+                         ).otherwise(out)
+        return out
     # numeric
     if op == "$floor":
         return F.floor(_expr(arg, env))

@@ -3359,3 +3359,60 @@ def test_merge_objects_accumulator(spark):
     with pytest.raises(ValueError, match="struct"):
         apply_pipeline(df, [{"$group": {
             "_id": "$k", "m": {"$mergeObjects": "$i"}}}])
+
+
+def test_date_from_string_on_error_on_null(spark):
+    """r14 $dateFromString onError/onNull: unparseable strings take
+    onError (no ANSI abort), null input takes onNull (not onError —
+    Mongo's rule), both unified to TIMESTAMP; without onError a bad
+    string still fails loudly."""
+    from datetime import datetime as dt
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-02 03:04:05"), (2, "garbage"), (3, None)],
+        "i long, s string")
+    out = apply_pipeline(df, [{"$project": {
+        "i": 1,
+        "t": {"$dateFromString": {
+            "dateString": "$s",
+            "onError": {"$toDate": "1900-01-01"},
+            "onNull": None}},
+    }}])
+    got = {r["i"]: r["t"] for r in out.collect()}
+    assert got[1] == dt(2020, 1, 2, 3, 4, 5)
+    assert got[2] == dt(1900, 1, 1)
+    assert got[3] is None
+    # zoned + format + onError compose
+    out2 = apply_pipeline(df, [{"$project": {
+        "i": 1,
+        "t": {"$dateFromString": {
+            "dateString": "$s", "format": "%Y-%m-%d %H:%M:%S",
+            "timezone": "America/New_York", "onError": None}},
+    }}])
+    got2 = {r["i"]: r["t"] for r in out2.collect()}
+    assert got2[1] == dt(2020, 1, 2, 8, 4, 5)   # EST -5 -> UTC
+    assert got2[2] is None
+
+
+def test_date_to_string_on_null(spark):
+    """$dateToString onNull (r14): a null date takes the fallback
+    string on both the plain-pattern and computed-specifier paths."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-02 03:00:00"), (2, None)], "i long, s string")
+    out = apply_pipeline(df, [
+        {"$addFields": {"d": {"$dateFromString": {"dateString": "$s",
+                                                  "onError": None}}}},
+        {"$project": {
+            "i": 1,
+            "a": {"$dateToString": {"date": "$d", "format": "%Y-%m",
+                                    "onNull": "missing"}},
+            "b": {"$dateToString": {"date": "$d", "format": "%Y w%U",
+                                    "onNull": "none"}},
+        }}])
+    got = {r["i"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got[1] == ("2020-01", "2020 w00")
+    assert got[2] == ("missing", "none")
