@@ -23,6 +23,8 @@ All helpers are pure Column builders (zero UDFs).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +133,55 @@ def ejson_conform(df: DataFrame, doc_col: str, spec: dict,
         cols.append(ejson_get(doc_col, s[0], s[1],
                               s[2] if len(s) > 2 else None).alias(out))
     return df.select(*cols)
+
+
+def ejson_render(df: DataFrame, fields: Sequence[str] | None = None) -> Column:
+    """Render typed columns as ONE canonical Extended JSON v2 document
+    string per row — the inverse of :func:`ejson_conform`, so engine
+    output feeds straight into ``mongoimport`` (the return path for a
+    reference user who still has Mongo consumers). Wrapper choice is
+    driven by the COLUMN TYPE: integers → ``{"$numberLong"}``, floats
+    → ``{"$numberDouble"}``, decimals → ``{"$numberDecimal"}``,
+    date/timestamp → canonical ``{"$date": {"$numberLong": millis}}``,
+    binary → ``{"$binary": {"base64", "subType": "00"}}``; strings and
+    booleans stay relaxed. Built as one nested struct + ``to_json`` —
+    pure codegen, no UDFs. A SQL NULL renders as an ABSENT field
+    (``to_json`` drops null struct fields; Mongo treats missing and
+    null alike on read — documented)."""
+    from pyspark.sql import types as ST
+
+    names = list(fields) if fields is not None else list(df.columns)
+    parts: list[Column] = []
+    for n in names:
+        dt = df.schema[n].dataType
+        c = F.col(n)
+        if isinstance(dt, (ST.ByteType, ST.ShortType, ST.IntegerType,
+                           ST.LongType)):
+            w = F.struct(c.cast("string").alias("$numberLong"))
+        elif isinstance(dt, (ST.FloatType, ST.DoubleType)):
+            w = F.struct(c.cast("string").alias("$numberDouble"))
+        elif isinstance(dt, ST.DecimalType):
+            w = F.struct(c.cast("string").alias("$numberDecimal"))
+        elif isinstance(dt, (ST.DateType, ST.TimestampType,
+                             ST.TimestampNTZType)):
+            ms = F.unix_millis(c.cast("timestamp")).cast("string")
+            w = F.struct(F.struct(ms.alias("$numberLong")).alias("$date"))
+        elif isinstance(dt, ST.BinaryType):
+            w = F.struct(F.struct(
+                F.base64(c).alias("base64"),
+                F.lit("00").alias("subType")).alias("$binary"))
+        elif isinstance(dt, (ST.StringType, ST.BooleanType)):
+            w = c
+        else:
+            raise ValueError(
+                f"ejson_render: no Extended JSON wrapper for column "
+                f"{n!r} of type {dt.simpleString()}")
+        if not isinstance(dt, (ST.StringType, ST.BooleanType)):
+            # null value -> null wrapper STRUCT (not {"$...": null}),
+            # so to_json drops the field entirely
+            w = F.when(c.isNull(), F.lit(None)).otherwise(w)
+        parts.append(w.alias(n))
+    return F.to_json(F.struct(*parts))
 
 
 # --- mongo $match over variant docs -----------------------------------------

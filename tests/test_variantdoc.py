@@ -208,3 +208,40 @@ def test_ejson_get_unwraps_extended_json_v2(spark):
     assert r2["amt"] is None and r2["tag"] == "?"
     assert (r3["n"], r3["x"], r3["tag"]) == (9, 1.5, "t")
     assert float(r3["amt"]) == 5.5
+
+
+def test_ejson_render_roundtrips_through_conform(spark):
+    """r14 write side: ejson_render emits canonical Extended JSON v2
+    from typed columns (type-driven wrappers), and parsing it back
+    through ejson_conform is the identity — the mongoimport return
+    path proven lossless."""
+    from datetime import datetime as dt
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, 2.5, Decimal("12.34"), dt(2020, 1, 2, 3), "x", True,
+          bytearray(b"hi")),
+         (2, None, None, None, None, None, None)],
+        "n long, x double, amt decimal(18,2), ts timestamp, "
+        "tag string, ok boolean, blob binary")
+    rendered = df.select(
+        V.ejson_render(df).alias("j"), F.col("n").alias("orig_n"))
+    # canonical wrappers present
+    row1 = {r["orig_n"]: r["j"] for r in rendered.collect()}
+    assert '"$numberLong":"1"' in row1[1].replace(" ", "")
+    assert '"$numberDouble":"2.5"' in row1[1].replace(" ", "")
+    assert '"$numberDecimal":"12.34"' in row1[1].replace(" ", "")
+    assert '"$date"' in row1[1] and '"$binary"' in row1[1]
+    assert '"tag":"x"' in row1[1].replace(" ", "") and "true" in row1[1]
+    # nulls render as absent fields
+    assert row1[2].replace(" ", "") == '{"n":{"$numberLong":"2"}}'
+
+    back = V.ejson_conform(
+        rendered.select(V.as_variant("j").alias("doc")), "doc", {
+            "n": ("$.n", "long"), "x": ("$.x", "double"),
+            "amt": ("$.amt", "decimal(18,2)"), "ts": ("$.ts", "timestamp"),
+            "tag": ("$.tag", "string"), "ok": ("$.ok", "boolean"),
+            "blob": ("$.blob", "binary")})
+    want = sorted(map(tuple, df.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
