@@ -22,6 +22,8 @@ includeArrayIndex}``),
 ``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
 ``$first``/``$last`` (upstream order via min_by/max_by),
 ``$stdDevPop/$stdDevSamp``, ``$median/$percentile`` (exact),
+``$mergeObjects`` (per-field last-non-null in document order; SQL NULL
+counts as missing — rectangular deviation, r14),
 the rank family ``$top/$bottom/$topN/$bottomN/$minN/$maxN/$firstN/
 $lastN``), ``$sort``, ``$limit``, ``$skip``,
 ``$count``, ``$unset``, ``$sample``, ``$redact`` (schema-recursive
@@ -43,23 +45,37 @@ computed fields, ``$addFields``, ``$group`` accumulator arguments):
 ``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
 $trunc/$sqrt/$pow/$ln/$log/$log10/$exp`` + the trig/angle family
 (``$sin..$atan2``, ``$degreesToRadians/$radiansToDegrees``), ``$toUpper/$toLower/$substrCP/$strLenCP/$substrBytes/$strLenBytes/
-$split/$trim/$ltrim/$rtrim/$regexMatch/$regexFind/
-$regexFindAll/$indexOfCP (incl. range form)/$replaceOne/
-$replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
+$split/$trim/$ltrim/$rtrim (chars honored, Mongo's wide default
+whitespace set, r14)/$regexMatch/$regexFind/
+$regexFindAll/$indexOfCP (incl. range form)/$indexOfBytes/$binarySize/
+$replaceOne/$replaceAll``, array ops ``$size/$arrayElemAt/$in/$first/$last/$slice/
 $range/$concatArrays/$reverseArray/$indexOfArray/$setUnion/
 $setIntersection/$setDifference/$allElementsTrue/$anyElementTrue/
 $sortArray/$zip``, object ops ``$getField/$setField/$objectToArray/
 $arrayToObject`` (map columns), ``$cmp/$strcasecmp/$rand/$convert``,
+``$bitAnd/$bitOr/$bitXor/$bitNot`` (Mongo 6.3 bitwise, empty-array
+identities), ``$type/$isNumber/$isArray`` (BSON type introspection;
+also the ``$match`` query operator ``$type`` with names/codes/'number',
+r14),
 higher-order functions ``$map/$filter/$reduce`` and ``$let`` with
 ``$$var`` scoping (Spark lambda functions — codegen, never Python),
 ``$$ROOT``/``$$CURRENT`` bound per stage (the whole current document
 as a struct — ``$push: "$$ROOT"``, ``$top output $$ROOT``,
 ``$replaceWith {wrapped: "$$ROOT"}``),
 ``$year/$month/$dayOfMonth/$hour/$minute/$second/$millisecond/
-$dayOfWeek/$isoDayOfWeek/$dayOfYear/$isoWeek/$isoWeekYear/
-$dateToString/$dateFromString/$dateFromParts/$dateToParts``,
+$dayOfWeek/$isoDayOfWeek/$dayOfYear/$week (Sunday-based)/$isoWeek/
+$isoWeekYear/$dateToString (incl. computed week specifiers
+%w %u %U %V %G; onNull)/$dateFromString (onError/onNull)/
+$dateFromParts (out-of-range parts CARRY, Mongo's additive rule, r14)/
+$dateToParts``,
 date math ``$dateAdd/$dateSubtract/$dateDiff`` (boundary-crossing
-semantics) ``/$dateTrunc/$toDate``,
+semantics; unit=week with startOfWeek, default Sunday)
+``/$dateTrunc (startOfWeek)/$toDate`` — numbers are MILLIS since the
+epoch (Mongo's rule, r14) — and EVERY date operator and part getter
+accepts Mongo's ``timezone`` option (string-literal Olson names or
+fixed offsets; part getters take the ``{date, timezone}`` long form;
+zoned truncation returns the zone-boundary UTC instant; $dateAdd does
+calendar arithmetic in the zone for day-or-larger units, r14),
 ``$toInt/$toLong/$toDouble/$toString/$toBool``, expression-form
 ``$eq/$ne/$gt/$gte/$lt/$lte`` and ``$and/$or/$not``, nested
 arbitrarily.
@@ -80,7 +96,9 @@ and server-introspection stages raise :class:`UnsupportedMongoStage`
 naming the reason and the in-repo alternative — see
 :data:`UNSUPPORTED_STAGES` for the full stage → reason table
 (Atlas ``$search``/``$searchMeta``/``$vectorSearch``,
-``$changeStream``, ``$collStats``-family introspection). A
+``$changeStream``, ``$collStats``-family introspection); refused
+EXPRESSION operators (server-side JavaScript, BSON-internal types)
+raise the same way — see :data:`UNSUPPORTED_EXPR_OPS`. A
 whole-collection window (``$setWindowFields``/``$fill``/``$densify``
 without ``partitionBy``) is Mongo-correct but plans a one-task stage —
 it warns by default; set session conf
