@@ -559,8 +559,15 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         soft = "onError" in arg      # unparseable -> onError, not abort
         fmt = (_mongo_date_format(arg["format"]) if "format" in arg
                else None)
-        pfn = F.try_to_timestamp if soft else F.to_timestamp
-        parsed = pfn(inp, F.lit(fmt)) if fmt else pfn(inp)
+        # API asymmetry: to_timestamp takes the pattern as a str;
+        # try_to_timestamp takes ColumnOrName (a bare str would be
+        # read as a COLUMN NAME) — pass each what it wants
+        if fmt is not None:
+            parsed = (F.try_to_timestamp(inp, F.lit(fmt)) if soft
+                      else F.to_timestamp(inp, fmt))
+        else:
+            parsed = F.try_to_timestamp(inp) if soft \
+                else F.to_timestamp(inp)
         # the string is a WALL CLOCK in `timezone` — shift to the UTC
         # instant (Mongo ignores the option when the string itself
         # carries an offset; formats here carry none, %z is not in
