@@ -2598,6 +2598,47 @@ FROM o GROUP BY o_custkey
 """
 
 
+# --- q207: correlated-$lookup terminal $sortByCount ------------------------------
+def q207_mongo_lookup_sort_by_count(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Terminal ``$sortByCount`` inside a correlated ``$lookup``
+    (r14): each BUILDING customer's order-status frequency table,
+    packed (count desc, _id asc) per key — sugar rewritten onto the
+    grouping-_id $group pack, ONE aggregation over (custkey, status)
+    + one broadcast join. The $unwind's includeArrayIndex exposes the
+    pack ORDER as a rank column, so the oracle's row_number over
+    (count desc, status) verifies the ordering contract, not just the
+    multiset."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "BUILDING"}},
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey",
+                     "pipeline": [{"$sortByCount": "$o_orderstatus"}],
+                     "as": "s"}},
+        {"$unwind": {"path": "$s", "includeArrayIndex": "rk"}},
+        {"$addFields": {"status": "$s._id", "n": "$s.count"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey", "status", F.col("n").cast("long").alias("n"),
+        F.col("rk").cast("long").alias("rk"))
+
+
+Q207_SQL = """
+SELECT c.c_custkey, g.status, g.n, g.rk
+FROM customer c JOIN (
+  SELECT o_custkey, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY count(*) DESC, o_orderstatus)
+              - 1 AS BIGINT) AS rk
+  FROM orders GROUP BY o_custkey, o_orderstatus) g
+  ON g.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2651,6 +2692,7 @@ QUERIES = {
     "q204_ejson_roundtrip": q204_ejson_roundtrip,
     "q205_mongo_lookup_bucket": q205_mongo_lookup_bucket,
     "q206_mongo_merge_objects_acc": q206_mongo_merge_objects_acc,
+    "q207_mongo_lookup_sort_by_count": q207_mongo_lookup_sort_by_count,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2709,6 +2751,7 @@ ORACLES = {
     "q204_ejson_roundtrip": Q204_SQL,
     "q205_mongo_lookup_bucket": Q205_SQL,
     "q206_mongo_merge_objects_acc": Q206_SQL,
+    "q207_mongo_lookup_sort_by_count": Q207_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -2882,6 +2882,16 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         # $group and rides the per-key pack — 'histogram of matches per
         # outer document' without a per-document re-run
         rest = rest[:-1] + _bucket_as_group_stages(rest[-1]["$bucket"])
+    term_elem_order = None
+    if rest and isinstance(rest[-1], dict) \
+            and set(rest[-1]) == {"$sortByCount"}:
+        # terminal $sortByCount (r14): sugar for $group-by-expr +
+        # count-descending order — rides the same per-key pack, with
+        # the packed array ordered (count desc, _id asc), Mongo's
+        # contract plus the translator's deterministic tiebreak
+        rest = rest[:-1] + [{"$group": {"_id": rest[-1]["$sortByCount"],
+                                        "count": {"$sum": 1}}}]
+        term_elem_order = {"count": -1, "_id": 1}
     # Per-document scope guard: the residual sub-pipeline runs ONCE
     # over the (filtered/joined) foreign frame — never once per outer
     # document — so only stages whose per-key result is invariant to
@@ -2998,10 +3008,13 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                        else F.col("_id.__gid"))
             elem = F.struct(gid_col.alias("_id"),
                             *[F.col(c) for c in accs])
+            lst = F.collect_list(elem)
+            arr = (F.array_sort(lst, _lookup_sort_cmp(term_elem_order))
+                   if term_elem_order is not None else F.sort_array(lst))
             return (grouped
                     .groupBy(*[F.col(f"_id.{k}").alias(k)
                                for k in key_cols])
-                    .agg(F.sort_array(F.collect_list(elem)).alias(out)))
+                    .agg(arr.alias(out)))
         payload = [c for c in sub.columns if c not in key_cols]
         return (sub
                 .groupBy(*[F.col(src).alias(k)

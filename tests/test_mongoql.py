@@ -3416,3 +3416,38 @@ def test_date_to_string_on_null(spark):
     got = {r["i"]: (r["a"], r["b"]) for r in out.collect()}
     assert got[1] == ("2020-01", "2020 w00")
     assert got[2] == ("missing", "none")
+
+
+def test_correlated_lookup_terminal_sort_by_count(spark):
+    """r14 terminal $sortByCount inside a correlated $lookup — sugar
+    for group-by-expr + count, packed per key in (count desc, _id asc)
+    order: Mongo's contract with the translator's deterministic
+    tiebreak. Works on the general let path too."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "O"), (1, "O"), (1, "F"), (1, "P"), (1, "P"), (1, "P"),
+         (2, "F")],
+        "o_ck long, st string")
+    coll = {"orders": orders}
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$sortByCount": "$st"}],
+                     "as": "s"}}], collections=coll)
+    got = {r["ck"]: [(e["_id"], e["count"]) for e in r["s"]]
+           for r in out.collect()}
+    assert got[1] == [("P", 3), ("O", 2), ("F", 1)]
+    assert got[2] == [("F", 1)]
+    assert got[3] == []
+
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "let": {"k": "$ck"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$eq": ["$$k", "$o_ck"]}}},
+                         {"$sortByCount": "$st"}],
+                     "as": "s"}}], collections=coll)
+    got2 = {r["ck"]: [(e["_id"], e["count"]) for e in r["s"]]
+            for r in out2.collect()}
+    assert got2 == got
