@@ -2882,6 +2882,18 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         # $group and rides the per-key pack — 'histogram of matches per
         # outer document' without a per-document re-run
         rest = rest[:-1] + _bucket_as_group_stages(rest[-1]["$bucket"])
+    if rest and isinstance(rest[-1], dict) \
+            and set(rest[-1]) == {"$count"}:
+        # terminal $count (r14): 'how many matches' — sugar for the
+        # _id:null aggregate; the packed element carries the _id:null
+        # slot the terminal-$group pack always emits (rectangular
+        # deviation: Mongo's $count doc has no _id field; reading it
+        # yields null here)
+        cname = rest[-1]["$count"]
+        if not isinstance(cname, str) or not cname:
+            raise ValueError("$count expects a non-empty field name")
+        rest = rest[:-1] + [{"$group": {"_id": None,
+                                        cname: {"$sum": 1}}}]
     term_elem_order = None
     if rest and isinstance(rest[-1], dict) \
             and set(rest[-1]) == {"$sortByCount"}:

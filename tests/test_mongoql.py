@@ -3451,3 +3451,29 @@ def test_correlated_lookup_terminal_sort_by_count(spark):
     got2 = {r["ck"]: [(e["_id"], e["count"]) for e in r["s"]]
             for r in out2.collect()}
     assert got2 == got
+
+
+def test_correlated_lookup_terminal_count(spark):
+    """r14 terminal $count inside a correlated $lookup — 'how many
+    matches per document' as the _id:null aggregate rewrite: one
+    element [{_id: null, n}] per matched key, [] when nothing matches
+    (Mongo: $count over zero docs emits nothing)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "O"), (1, "F"), (2, "F")], "o_ck long, st string")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$match": {"st": {"$ne": "X"}}},
+                                  {"$count": "n"}],
+                     "as": "s"}}], collections={"orders": orders})
+    got = {r["ck"]: [e["n"] for e in r["s"]] for r in out.collect()}
+    assert got == {1: [2], 2: [1], 3: []}
+    with pytest.raises(ValueError, match="non-empty field name"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "orders", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [{"$count": ""}],
+                         "as": "s"}}], collections={"orders": orders})
