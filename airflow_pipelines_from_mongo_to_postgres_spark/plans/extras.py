@@ -2639,6 +2639,65 @@ WHERE c.c_mktsegment = 'BUILDING'
 """
 
 
+# --- q208: $setWindowFields inside a correlated $lookup --------------------------
+def q208_mongo_lookup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` INSIDE a correlated ``$lookup`` (r14):
+    each MACHINERY customer's orders ranked by price with a running
+    spend — a per-PARTITION stage made per-DOCUMENT by extending its
+    partition key with the join keys
+    (sources/mongoql.py::_augment_partitions), which is exact: every
+    window partition is one customer's matched set. ONE window over
+    the orders scan + one broadcast join; the oracle is the same
+    window PARTITION BY o_custkey, pinning that nothing leaks across
+    documents. DECIMAL running sum for hash stability; (price,
+    orderkey) sort ties pinned by the key."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "price_d", F.col("o_totalprice").cast("decimal(18,2)"))
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "MACHINERY"}},
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey",
+                     "pipeline": [
+                         {"$setWindowFields": {
+                             "sortBy": {"price_d": -1, "o_orderkey": 1},
+                             "output": {
+                                 "rk": {"$rank": {}},
+                                 "run": {"$sum": "$price_d",
+                                         "window": {"documents":
+                                                    ["unbounded",
+                                                     "current"]}}}}},
+                         {"$project": {"o_orderkey": 1, "o_custkey": 1,
+                                       "rk": 1, "run": 1}},
+                         {"$sort": {"rk": 1}}],
+                     "as": "s"}},
+        {"$unwind": "$s"},
+        {"$addFields": {"ok": "$s.o_orderkey", "rk": "$s.rk",
+                        "run": "$s.run"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey", F.col("ok").cast("long").alias("ok"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("run").cast("double").alias("run"))
+
+
+Q208_SQL = """
+SELECT c.c_custkey, g.ok, g.rk, g.run
+FROM customer c JOIN (
+  SELECT o_custkey, o_orderkey AS ok,
+         CAST(rank() OVER w AS BIGINT) AS rk,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+              (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS run
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                        o_orderkey)) g
+  ON g.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2693,6 +2752,7 @@ QUERIES = {
     "q205_mongo_lookup_bucket": q205_mongo_lookup_bucket,
     "q206_mongo_merge_objects_acc": q206_mongo_merge_objects_acc,
     "q207_mongo_lookup_sort_by_count": q207_mongo_lookup_sort_by_count,
+    "q208_mongo_lookup_window": q208_mongo_lookup_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2752,6 +2812,7 @@ ORACLES = {
     "q205_mongo_lookup_bucket": Q205_SQL,
     "q206_mongo_merge_objects_acc": Q206_SQL,
     "q207_mongo_lookup_sort_by_count": Q207_SQL,
+    "q208_mongo_lookup_window": Q208_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -2775,6 +2775,57 @@ def _bucket_as_group_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
                         **spec.get("output", {"count": {"$sum": 1}})}}]
 
 
+def _augment_partitions(stages: list[dict[str, Any]],
+                        key_fields: list[str]) -> list[dict[str, Any]]:
+    """Make per-partition stages PER-DOCUMENT inside a correlated
+    ``$lookup`` (r14): ``$setWindowFields``/``$fill``/``$densify`` in
+    a sub-pipeline are scoped to one outer document's matched docs in
+    Mongo; under the join decompilation the same semantics are exact
+    once the stage's partition key is EXTENDED by the join/let key
+    columns (every partition then is one key's matched set — windows,
+    gap fills and grids never leak across documents). ``$densify``
+    ``bounds: "full"`` rewrites to ``"partition"``: the per-document
+    pipeline's 'full' range IS the per-key range here."""
+    out = []
+    for st in stages:
+        ops = set(st) if isinstance(st, dict) else set()
+        if ops == {"$setWindowFields"}:
+            spec = dict(st["$setWindowFields"])
+            aug: dict[str, Any] = {f"__pk{i}": f"${f}"
+                                   for i, f in enumerate(key_fields)}
+            if spec.get("partitionBy") is not None:
+                aug["__pborig"] = spec["partitionBy"]
+            spec["partitionBy"] = aug
+            out.append({"$setWindowFields": spec})
+        elif ops == {"$densify"}:
+            spec = dict(st["$densify"])
+            spec["partitionByFields"] = (
+                list(spec.get("partitionByFields") or [])
+                + [f for f in key_fields
+                   if f not in (spec.get("partitionByFields") or [])])
+            rng = dict(spec["range"])
+            if rng.get("bounds") == "full":
+                rng["bounds"] = "partition"
+            spec["range"] = rng
+            out.append({"$densify": spec})
+        elif ops == {"$fill"}:
+            spec = dict(st["$fill"])
+            if spec.get("partitionBy") is not None:
+                aug = {f"__pk{i}": f"${f}"
+                       for i, f in enumerate(key_fields)}
+                aug["__pborig"] = spec["partitionBy"]
+                spec["partitionBy"] = aug
+            else:
+                spec["partitionByFields"] = (
+                    list(spec.get("partitionByFields") or [])
+                    + [f for f in key_fields
+                       if f not in (spec.get("partitionByFields") or [])])
+            out.append({"$fill": spec})
+        else:
+            out.append(st)
+    return out
+
+
 def _lookup_sort_cmp(sortspec: dict[str, Any]):
     """array_sort comparator for a Mongo ``$sort`` spec over an array
     of doc structs: fields compared in spec order with ±1 directions,
@@ -2913,7 +2964,11 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     # silently diverge.
     _ROW_LOCAL = {"$match", "$project", "$addFields", "$set", "$unset",
                   "$unwind", "$replaceRoot", "$replaceWith", "$redact",
-                  "$lookup", "$graphLookup"}
+                  "$lookup", "$graphLookup",
+                  # per-PARTITION stages made per-document by extending
+                  # their partition key with the join/let keys (r14,
+                  # _augment_partitions) — exact, never global
+                  "$setWindowFields", "$densify", "$fill"}
     for i, st in enumerate(rest):
         ops = set(st) if isinstance(st, dict) else set()
         if ops and ops <= _ROW_LOCAL:
@@ -2927,15 +2982,16 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         raise ValueError(
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
-            "globally under the join decompilation "
-            "($sample/$setWindowFields/$bucket*/$densify/$fill, "
-            "a non-terminal $group, or a mid-pipeline $sort/$skip/"
-            "$limit). Supported per-document forms: a TERMINAL $sort "
-            "[+ $skip] [+ $limit] suffix (per-key ordered "
-            "top-k-after-offset) or a terminal $group (aggregate with "
-            "_id: null, or sub-grouped by an _id expression); "
-            "otherwise rewrite over the joined array "
-            "($sortArray + $slice)")
+            "globally under the join decompilation ($sample, "
+            "$bucketAuto, a non-terminal $group, or a mid-pipeline "
+            "$sort/$skip/$limit). Supported per-document forms: a "
+            "TERMINAL $sort [+ $skip] [+ $limit] suffix (per-key "
+            "ordered top-k-after-offset); a terminal $group (_id: "
+            "null aggregate or grouping _id) / $bucket (explicit "
+            "default) / $sortByCount / $count; and "
+            "$setWindowFields/$fill/$densify anywhere (partition key "
+            "extended by the join keys — exact). Otherwise rewrite "
+            "over the joined array ($sortArray + $slice)")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
     general = bool(corr_conjs) or _mentions_vars(rest, set(let))
 
@@ -3040,7 +3096,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         if plain_match:
             pre.append({"$match": plain_match})
         rest, term_group = split_term_group(rest)
-        sub = apply_pipeline(foreign, pre + rest, collections)
+        sub = apply_pipeline(
+            foreign,
+            pre + _augment_partitions(rest, [ff for _, ff in pairs]),
+            collections)
         # key columns ARE the foreign join fields on this path, so they
         # belong in the packed docs too (Mongo's matched docs carry
         # them) — pass disjoint alias->source names and keep payload
@@ -3090,6 +3149,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             sub_stages.append({"$match": plain_match})
         rest_sub, term_group = split_term_group(
             _subst_let_refs(rest, lk_of))
+        rest_sub = _augment_partitions(rest_sub, list(lk_of.values()))
         sub = apply_pipeline(joined, sub_stages + rest_sub, collections)
         lk = {lk_of[v]: lk_of[v] for v in lets}
         packed = pack(sub, lk, term_group)

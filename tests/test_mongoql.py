@@ -3477,3 +3477,73 @@ def test_correlated_lookup_terminal_count(spark):
                          "foreignField": "o_ck",
                          "pipeline": [{"$count": ""}],
                          "as": "s"}}], collections={"orders": orders})
+
+
+def test_correlated_lookup_partition_stages(spark):
+    """r14: $setWindowFields/$fill/$densify inside a correlated
+    $lookup — per-PARTITION stages made per-DOCUMENT by extending
+    their partition key with the join/let keys (exact: every
+    partition is one key's matched set). Windows rank within each
+    document's matches; locf never carries across documents; densify
+    'full' bounds become the per-document range."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0), (2, "d", 5.0)],
+        "o_ck long, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$setWindowFields": {
+                             "sortBy": {"price": -1},
+                             "output": {"rk": {"$rank": {}},
+                                        "run": {"$sum": "$price",
+                                                "window": {"documents":
+                                                           ["unbounded",
+                                                            "current"]}}}}},
+                         {"$project": {"oid": 1, "rk": 1, "run": 1,
+                                       "o_ck": 1}},
+                         {"$sort": {"rk": 1}}],
+                     "as": "s"}}], collections={"orders": orders})
+    got = {r["ck"]: [(e["oid"], e["rk"], e["run"]) for e in r["s"]]
+           for r in out.collect()}
+    assert got[1] == [("b", 1, 30.0), ("c", 2, 50.0), ("a", 3, 60.0)]
+    assert got[2] == [("d", 1, 5.0)]
+    assert got[3] == []
+
+    ev = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 30.0),
+         (2, 1, None), (2, 2, 7.0)],
+        "e_ck long, t long, v double")
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "ev", "let": {"k": "$ck"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$eq": ["$$k", "$e_ck"]}}},
+                         {"$fill": {"sortBy": {"t": 1},
+                                    "output": {"v": {"method": "locf"}}}},
+                         {"$sort": {"t": 1}}],
+                     "as": "s"}}], collections={"ev": ev})
+    got2 = {r["ck"]: [(e["t"], e["v"]) for e in r["s"]]
+            for r in out2.collect()}
+    assert got2[1] == [(1, 10.0), (2, 10.0), (3, 30.0)]
+    assert got2[2] == [(1, None), (2, 7.0)]   # no carry across docs
+
+    ev2 = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 4, 40.0), (2, 7, 7.0), (2, 8, 8.0)],
+        "e_ck long, t long, v double")
+    out3 = apply_pipeline(cust, [
+        {"$lookup": {"from": "ev", "localField": "ck",
+                     "foreignField": "e_ck",
+                     "pipeline": [
+                         {"$densify": {"field": "t",
+                                       "range": {"step": 1,
+                                                 "bounds": "full"}}},
+                         {"$sort": {"t": 1}}],
+                     "as": "s"}}], collections={"ev": ev2})
+    got3 = {r["ck"]: [e["t"] for e in r["s"]] for r in out3.collect()}
+    # 'full' = the per-DOCUMENT range, never the global 1..8 grid
+    assert got3[1] == [1, 2, 3, 4]
+    assert got3[2] == [7, 8]
+    assert got3[3] == []
