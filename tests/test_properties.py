@@ -709,6 +709,54 @@ def test_correlated_lookup_terminal_group_matches_reference(
     assert got == want, (outer, foreign)
 
 
+@given(outer=_lk_outer, foreign=_lk_foreign)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_correlated_lookup_window_matches_reference(spark, outer, foreign):
+    """r14 partition augmentation: $setWindowFields inside a correlated
+    $lookup vs a literal per-document Python evaluation — rank (desc by
+    qty, translator ties by the whole row) and a running count per
+    OUTER document's matched set; a window leaking across documents
+    would corrupt both. Uses a deterministic (qty, sku-duplicate-index)
+    sort so ranks are well-defined."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    odf = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(outer)], "oid int, key string")
+    fdf = spark.createDataFrame(
+        [(sk, q, j) for j, (sk, q) in enumerate(foreign)],
+        "sku string, qty int, fid int") \
+        if foreign else spark.createDataFrame(
+            [], "sku string, qty int, fid int")
+
+    out = apply_pipeline(odf, [{"$lookup": {
+        "from": "inv", "let": {"k": "$key"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}},
+            {"$setWindowFields": {
+                "sortBy": {"qty": -1, "fid": 1},
+                "output": {"rk": {"$rank": {}},
+                           "run": {"$sum": 1,
+                                   "window": {"documents":
+                                              ["unbounded", "current"]}}}}},
+            {"$project": {"fid": 1, "rk": 1, "run": 1, "sku": 1}},
+            {"$sort": {"fid": 1}}],
+        "as": "s"}}], collections={"inv": fdf})
+    got = {r.oid: [(x["fid"], x["rk"], x["run"]) for x in r.s]
+           for r in out.collect()}
+
+    want = {}
+    for i, (k, _) in enumerate(outer):
+        matched = [(j, q) for j, (sk, q) in enumerate(foreign) if sk == k]
+        order = sorted(matched, key=lambda t: (-t[1], t[0]))
+        rk = {j: pos + 1 for pos, (j, _) in enumerate(order)}
+        run = {j: pos + 1 for pos, (j, _) in enumerate(order)}
+        want[i] = sorted((j, rk[j], run[j]) for j, _ in matched)
+    assert got == want, (outer, foreign)
+
+
 _mg_batch = st.lists(
     st.tuples(st.sampled_from("abcde"), st.integers(0, 9)),
     min_size=1, max_size=5, unique_by=lambda t: t[0])
