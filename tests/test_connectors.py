@@ -174,3 +174,57 @@ def test_pipeline_serialization_parity_r12_stages(spark):
     assert json.loads(opts["aggregation.pipeline"]) == sample_pipe
     out = apply_pipeline(df, sample_pipe)
     assert out.count() == 2 and out.columns == df.columns
+
+
+def test_pipeline_serialization_parity_r14_stages(spark):
+    """Parity rows for the r14 additions with server-side equivalents:
+    the SAME pipeline list json.dumps into the connector's
+    ``aggregation.pipeline`` option verbatim AND runs through the
+    local translator — bitwise ops, $type (expr + query operator),
+    the Sunday-week family with startOfWeek/timezone, $dateFromParts
+    carry, and a correlated-$lookup sub-pipeline ending in
+    $sortByCount."""
+    import datetime as dt
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 5, dt.datetime(2023, 1, 1)),    # Sunday
+         (2, 12, dt.datetime(2024, 1, 1)),   # Monday, week 0
+         (3, None, None)],
+        "k int, n long, ts timestamp")
+
+    pipe = [
+        {"$match": {"n": {"$type": "number"}}},
+        {"$addFields": {
+            "band": {"$bitAnd": ["$n", 6]},
+            "tn": {"$type": "$n"},
+            "w": {"$week": "$ts"},
+            "ws": {"$dateTrunc": {"date": "$ts", "unit": "week",
+                                  "startOfWeek": "sunday"}},
+            "h_ny": {"$hour": {"date": "$ts",
+                               "timezone": "America/New_York"}},
+            "carried": {"$dateFromParts": {"year": 2017, "month": 14}},
+        }},
+    ]
+    opts = mongo_read_options("mongodb://h/", "prod", "docs", pipe)
+    assert json.loads(opts["aggregation.pipeline"]) == pipe
+    rows = {r.k: r for r in apply_pipeline(df, pipe).collect()}
+    assert sorted(rows) == [1, 2]            # null n fails $type number
+    assert (rows[1].band, rows[2].band) == (4, 4)
+    assert rows[1].tn == "long" and rows[1].w == 1 and rows[2].w == 0
+    assert rows[1].ws == dt.datetime(2023, 1, 1)
+    assert rows[2].ws == dt.datetime(2023, 12, 31)
+    assert rows[1].h_ny == 19                # 00:00 UTC = 19:00 EST
+    assert rows[1].carried == dt.datetime(2018, 2, 1)
+
+    lk = [{"$lookup": {"from": "docs", "localField": "k",
+                       "foreignField": "k",
+                       "pipeline": [{"$sortByCount": "$n"}],
+                       "as": "s"}}]
+    opts = mongo_read_options("mongodb://h/", "prod", "docs", lk)
+    assert json.loads(opts["aggregation.pipeline"]) == lk
+    out = {r.k: [(e["_id"], e["count"]) for e in r.s]
+           for r in apply_pipeline(df, lk, collections={"docs": df})
+           .collect()}
+    assert out[1] == [(5, 1)] and out[3] == [(None, 1)]
