@@ -2698,6 +2698,70 @@ WHERE c.c_mktsegment = 'MACHINERY'
 """
 
 
+# --- q209: correlated $lookup, $sort + ordered-accumulator $group ---------------
+def q209_mongo_lookup_sort_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's 'latest doc per key' idiom inside a correlated
+    ``$lookup`` (r15): sub-pipeline ``$sort`` (multi-field, desc) then
+    ``$group`` with ORDER-SENSITIVE accumulators — ``$first`` (the
+    latest lineitem's shipdate and linenumber), an ordered ``$push``
+    (quantities in sort order), and ``$sum``. The $sort is ABSORBED
+    into the accumulators (sources/mongoql.py::_group ``sort_spec``:
+    $first compiles to $top, $push packs comparator-sorted), so the
+    plan is ONE aggregation over the filtered foreign side + one
+    equi-join — no global sort, no window over the fact table, no
+    per-document re-run. Fixture rows can be DUPLICATED on the natural
+    key (the q199 lesson, seen at sf0.1), so (shipdate, linenumber)
+    ties are real — the translator's tie contract pins them by the
+    pushed value ascending (whole-element comparator fallthrough), and
+    the oracle appends the same final ORDER BY key. Quantities pushed
+    as $toLong (they are whole-valued) so the JSON rendering is
+    integer on both engines — the q180 to_json discipline."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderpriority": "1-URGENT"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$ok", "$l_orderkey"]}}},
+                {"$sort": {"l_shipdate": -1, "l_linenumber": -1}},
+                {"$group": {"_id": None,
+                            "latest_ship": {"$first": "$l_shipdate"},
+                            "latest_ln": {"$first": "$l_linenumber"},
+                            "qtys": {"$push": {"$toLong": "$l_quantity"}},
+                            "n": {"$sum": 1}}}],
+            "as": "agg"}},
+        {"$unwind": {"path": "$agg"}},
+    ], collections={"lineitem": lineitem})
+    return out.select(
+        "o_orderkey",
+        F.col("agg.latest_ship").alias("latest_ship"),
+        F.col("agg.latest_ln").cast("long").alias("latest_ln"),
+        F.to_json("agg.qtys").alias("qtys"),
+        F.col("agg.n").cast("long").alias("n"))
+
+
+Q209_SQL = """
+SELECT o.o_orderkey, l.latest_ship, l.latest_ln, l.qtys, l.n
+FROM orders o JOIN (
+  SELECT l_orderkey,
+         first(l_shipdate ORDER BY l_shipdate DESC,
+                                   l_linenumber DESC) AS latest_ship,
+         CAST(first(l_linenumber ORDER BY l_shipdate DESC,
+                                          l_linenumber DESC)
+              AS BIGINT) AS latest_ln,
+         CAST(to_json(list(CAST(l_quantity AS BIGINT)
+                           ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                    CAST(l_quantity AS BIGINT) ASC))
+              AS VARCHAR) AS qtys,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey) l
+  ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2753,6 +2817,7 @@ QUERIES = {
     "q206_mongo_merge_objects_acc": q206_mongo_merge_objects_acc,
     "q207_mongo_lookup_sort_by_count": q207_mongo_lookup_sort_by_count,
     "q208_mongo_lookup_window": q208_mongo_lookup_window,
+    "q209_mongo_lookup_sort_group": q209_mongo_lookup_sort_group,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2813,6 +2878,7 @@ ORACLES = {
     "q206_mongo_merge_objects_acc": Q206_SQL,
     "q207_mongo_lookup_sort_by_count": Q207_SQL,
     "q208_mongo_lookup_window": Q208_SQL,
+    "q209_mongo_lookup_sort_group": Q209_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

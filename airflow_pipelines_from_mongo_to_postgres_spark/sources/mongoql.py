@@ -21,11 +21,16 @@ includeArrayIndex}``),
 ``$addFields``/``$set``, ``$group`` (``$sum/$avg/$min/$max/$count``,
 ``$sum: 1``, ``$push``/``$addToSet`` (sorted for determinism),
 ``$first``/``$last`` (upstream order via min_by/max_by),
-``$stdDevPop/$stdDevSamp``, ``$median/$percentile`` (exact),
+``$stdDevPop/$stdDevSamp``, ``$median/$percentile`` (exact — inside
+every t-digest error envelope, the documented contract),
 ``$mergeObjects`` (per-field last-non-null in document order; SQL NULL
 counts as missing — rectangular deviation, r14),
 the rank family ``$top/$bottom/$topN/$bottomN/$minN/$maxN/$firstN/
-$lastN``), ``$sort``, ``$limit``, ``$skip``,
+$lastN`` with a uniform deterministic tie contract (see
+:func:`_topn_agg`); a ``$sort`` immediately before a ``$group`` whose
+accumulators are order-sensitive ABSORBS into them inside correlated
+``$lookup`` sub-pipelines (r15 — see :func:`_group`)),
+``$sort``, ``$limit``, ``$skip``,
 ``$count``, ``$unset``, ``$sample``, ``$redact`` (schema-recursive
 KEEP/PRUNE/DESCEND), ``$facet`` (shared-scan
 multi-aggregation), ``$bucket``/``$bucketAuto`` (incl. ``granularity``
@@ -1197,11 +1202,15 @@ def _mongo_to_date(c: Column, use_try: bool = False) -> Column:
     as_str = c.cast("string")
     int_ms = as_str.try_cast("long") if use_try else as_str.cast("long")
     dbl = as_str.try_cast("double") if use_try else as_str.cast("double")
+    # the double→long step honors the try discipline too: an
+    # out-of-long-range double (1e300) must route to onError under
+    # use_try, not abort the job under ANSI (r14 ADVICE)
+    dbl_ms = dbl.try_cast("long") if use_try else dbl.cast("long")
     base = c.try_cast("timestamp") if use_try else c.cast("timestamp")
     return (F.when(t.isin("bigint", "int", "smallint", "tinyint"),
                    F.timestamp_millis(int_ms))
             .when(t.isin("double", "float") | t.startswith("decimal"),
-                  F.timestamp_millis(dbl.cast("long")))
+                  F.timestamp_millis(dbl_ms))
             .otherwise(base))
 
 
@@ -1338,6 +1347,14 @@ def _regex_cond(col: Column, pattern: Any, options: str | None) -> Column:
     return col.rlike(pattern)
 
 
+#: the BSON type names a ``$match`` ``$type`` predicate can actually
+#: observe here — exactly what :func:`_bson_type_col` can return, plus
+#: 'null' (handled via isNull). Any other name raises (r14 ADVICE).
+_BSON_MATCHABLE_TYPES = frozenset({
+    "double", "string", "object", "array", "binData", "bool", "date",
+    "null", "int", "long", "decimal"})
+
+
 def _match_op(col: Column, op: str, val: Any, spec: dict | None = None,
               schema=None, field: str | None = None) -> Column:
     """One ``$match`` query operator applied to ``col`` (a field
@@ -1387,6 +1404,16 @@ def _match_op(col: Column, op: str, val: Any, spec: dict | None = None,
             name = code.get(v, v) if isinstance(v, int) else v
             if not isinstance(name, str):
                 raise ValueError(f"unknown BSON $type code: {v!r}")
+            if name not in _BSON_MATCHABLE_TYPES:
+                # a valid-but-unrepresentable BSON name ('objectId',
+                # 'timestamp', 'regex', 'minKey'...) or a typo'd one
+                # ('objectid') would compile to an always-false
+                # predicate — raise-don't-guess, mirroring the numeric
+                # branch (r14 ADVICE)
+                raise ValueError(
+                    f"$type name {name!r} is not representable in this "
+                    f"rectangular engine (supported: "
+                    f"{sorted(_BSON_MATCHABLE_TYPES)} + 'number')")
             wanted.add(name)
         cond = _bson_type_col(col).isin(*sorted(wanted - {"null"}))
         if "null" in wanted:
@@ -1629,6 +1656,27 @@ def _topn_agg(op: str, agg: dict, env: dict | None = None) -> Column:
       same single-aggregate shape, O(group) buffer (the $top/$bottom
       scalar forms stay O(1) min_by/max_by on a SINGLE sort field).
 
+    TIE CONTRACT (r15 — a documented guarantee, not a deviation):
+    Mongo leaves the order of elements whose sortBy keys compare equal
+    UNSPECIFIED (their docs: "ties are nondeterministic without a
+    unique sort key"). Here every path pins them deterministically:
+
+    - SINGLE-field sortBy: equal keys order by the OUTPUT value in the
+      walk direction (asc walk → min output wins, desc walk → max) —
+      the (key, output) ordering struct / sort_array over (k, o).
+    - COMPOUND sortBy: after all fields compare equal, the whole
+      element (remaining payload) compares ASCENDING — a mixed-
+      direction key has no single walk direction, so ascending is the
+      one coherent rule (:func:`_lookup_sort_cmp` fallthrough).
+    - Null sort keys rank below every value, BSON's order, on both
+      paths (the bare min_by/max_by ordering column used to SKIP
+      null keys — the struct wrapper restores BSON semantics).
+
+    Any Mongo deployment's answer is one of the permitted answers;
+    this engine always returns the same one, which is what makes the
+    rank family oracle-gateable. Tested with deliberately tied
+    fixtures (tests/test_mongoql.py::test_rank_family_tie_contract).
+
     MEMORY BOUND, documented: the N-ary forms (and ``$push``/
     ``$addToSet``) buffer O(group size) rows in the aggregation buffer
     — collect_list materializes the whole group before the slice, on
@@ -1673,11 +1721,22 @@ def _topn_agg(op: str, agg: dict, env: dict | None = None) -> Column:
     (sf, sdir), = sort_by.items()
     key, out = F.col(sf), _expr(agg["output"], env)
     if op in ("$top", "$bottom"):
-        # $top = FIRST in sortBy order; $bottom = last
+        # $top = FIRST in sortBy order; $bottom = last. TIE CONTRACT
+        # (r15, docstring): elements equal on the single sortBy key
+        # order by their OUTPUT value in the walk direction — the
+        # (key, output) ordering struct pins the pick, and null keys
+        # rank below every value (BSON's rule, which the bare
+        # min_by/max_by ordering column used to SKIP). Mongo leaves
+        # both unspecified; this is the translator's documented
+        # deterministic pick. Requires an orderable output type
+        # (maps are not).
         fn = (F.min_by if (op == "$top") == (sdir == 1) else F.max_by)
-        return fn(out, key)
+        return fn(out, F.struct(key.alias("k"), out.alias("o")))
     n = int(agg["n"])
     asc = (sdir == 1) == (op == "$topN")
+    # sort_array over (k, o) structs: lexicographic, so key ties order
+    # by the output value in the walk direction — the same r15 tie
+    # contract as $top/$bottom above, here for free
     pairs = F.sort_array(F.collect_list(F.struct(key.alias("k"),
                                                  out.alias("o"))), asc)
     sliced = F.slice(pairs, 1, n)
@@ -1689,17 +1748,53 @@ def _topn_agg(op: str, agg: dict, env: dict | None = None) -> Column:
 
 
 def _group(df: DataFrame, spec: dict[str, Any],
-           env: dict | None = None) -> DataFrame:
+           env: dict | None = None,
+           sort_spec: dict[str, Any] | None = None) -> DataFrame:
+    """``$group`` compiler. ``sort_spec`` (r15) is an ABSORBED ``$sort``
+    spec ({field: ±1}): when a ``$sort`` immediately precedes the
+    ``$group`` (the 'latest doc per key' idiom), the caller passes its
+    spec here instead of sorting the frame, and every order-sensitive
+    accumulator (``$first/$last/$firstN/$lastN/$push/$mergeObjects``)
+    compiles AGAINST that key — ``$first`` becomes ``$top``,
+    ``$firstN`` becomes ``$topN``, ``$push`` packs comparator-sorted.
+    Order-insensitive accumulators ignore it (the $sort is a no-op for
+    them). This removes the global sort entirely: one shuffle, the
+    sort order lives inside the aggregation buffers — the lowering
+    that makes the idiom legal inside a correlated ``$lookup``, where
+    a per-document $sort must never become a global one."""
     env = env if env is not None else _root_env(df)
     gid = spec["_id"]
     ops = {next(iter(a)) for k, a in spec.items() if k != "_id"}
-    if ops & {"$first", "$last", "$firstN", "$lastN", "$mergeObjects"}:
+    order_ops = {"$first", "$last", "$firstN", "$lastN", "$mergeObjects"}
+    if sort_spec is not None:
+        if any("." in f for f in sort_spec):
+            raise ValueError(
+                "$sort before $group on a dotted path is unsupported — "
+                "$addFields the value to a top-level field first")
+        missing = [f for f in sort_spec if f not in df.columns]
+        if missing:
+            raise ValueError(
+                f"$sort before $group references field(s) {missing} "
+                "not present at the $group input — keep them in the "
+                "$project/$addFields upstream")
+    if ops & order_ops and sort_spec is None:
         # position must be MATERIALIZED before the aggregation (Spark
         # rejects non-deterministic expressions inside agg functions);
         # on a just-sorted df the id is globally monotone, so
         # min_by/max_by over it reproduce Mongo's "first/last after
         # $sort" semantics
         df = df.withColumn("__pos", F.monotonically_increasing_id())
+
+    def sorted_elem_and_cmp(out_col):
+        """(element struct carrying the sort key + payload, comparator)
+        for the absorbed-sort array paths."""
+        items = list(sort_spec.items())
+        elem = F.struct(
+            *[F.col(f).alias(f"__s{i}") for i, (f, _) in enumerate(items)],
+            out_col.alias("__o"))
+        cmp = _lookup_sort_cmp(
+            {f"__s{i}": int(d) for i, (_, d) in enumerate(items)})
+        return elem, cmp
     aggs = []
     for name, agg in spec.items():
         if name == "_id":
@@ -1718,6 +1813,16 @@ def _group(df: DataFrame, spec: dict[str, Any],
         elif op == "$count":
             aggs.append(F.count(F.lit(1)).alias(name))
         elif op == "$push":
+            if sort_spec is not None:
+                # absorbed $sort (r15): the push order is SPECIFIED —
+                # Mongo's document order after the sort — so pack in
+                # comparator order (key ties fall through to the
+                # whole-element compare, the rank-family tie contract)
+                elem, cmp = sorted_elem_and_cmp(_expr(arg, env))
+                aggs.append(F.transform(
+                    F.array_sort(F.collect_list(elem), cmp),
+                    lambda x: x["__o"]).alias(name))
+                continue
             # Mongo preserves document order; a distributed groupBy has
             # none, so pin it (sorted) — deterministic beats unspecified,
             # the $lookup convention
@@ -1727,6 +1832,14 @@ def _group(df: DataFrame, spec: dict[str, Any],
             aggs.append(F.sort_array(F.collect_set(_expr(arg, env)))
                         .alias(name))
         elif op in ("$first", "$last"):
+            if sort_spec is not None:
+                # absorbed $sort (r15): $first after $sort IS $top (and
+                # $last is $bottom) — Mongo documents the equivalence;
+                # the rank-family compiler brings its tie contract
+                aggs.append(_topn_agg(
+                    "$top" if op == "$first" else "$bottom",
+                    {"sortBy": sort_spec, "output": arg}, env).alias(name))
+                continue
             # meaningful only after $sort, same caveat as Mongo's docs
             fn = F.min_by if op == "$first" else F.max_by
             aggs.append(fn(_expr(arg, env), F.col("__pos")).alias(name))
@@ -1749,6 +1862,26 @@ def _group(df: DataFrame, spec: dict[str, Any],
                 raise ValueError(
                     "$mergeObjects accumulator needs a document "
                     f"(struct) expression, got {dt.simpleString()}")
+            if sort_spec is not None:
+                # absorbed $sort (r15): per field, the last non-null in
+                # SORT order — a comparator-sorted array walked left to
+                # right with a coalesce fold (x non-null wins over the
+                # accumulator, so the walk ends on the last non-null).
+                # Same SQL-NULL-counts-as-missing rule as the __pos
+                # form below.
+                elem, cmp = sorted_elem_and_cmp(inner)
+                arr = F.array_sort(F.collect_list(elem), cmp)
+
+                def last_non_null(fname):
+                    # closure factory: F.aggregate's merge lambda must
+                    # be EXACTLY 2-ary (PySpark introspects arity)
+                    return lambda acc, x: F.coalesce(x["__o"][fname], acc)
+
+                aggs.append(F.struct(*[
+                    F.aggregate(arr, F.lit(None).cast(f.dataType),
+                                last_non_null(f.name)).alias(f.name)
+                    for f in dt.fields]).alias(name))
+                continue
             aggs.append(F.struct(*[
                 F.max_by(inner[f.name],
                          F.when(inner[f.name].isNotNull(),
@@ -1761,6 +1894,15 @@ def _group(df: DataFrame, spec: dict[str, Any],
                              op == "$minN"),
                 1, int(arg["n"])).alias(name))
         elif op in ("$firstN", "$lastN"):
+            if sort_spec is not None:
+                # absorbed $sort (r15): $firstN after $sort IS $topN
+                # ($lastN is $bottomN — both emit in sortBy order,
+                # Mongo's documented equivalence)
+                aggs.append(_topn_agg(
+                    "$topN" if op == "$firstN" else "$bottomN",
+                    {"sortBy": sort_spec, "output": arg["input"],
+                     "n": arg["n"]}, env).alias(name))
+                continue
             # document-order head/tail via the materialized __pos key;
             # lastN keeps the original order (slice from the far end)
             pairs = F.sort_array(F.collect_list(F.struct(
@@ -1775,9 +1917,14 @@ def _group(df: DataFrame, spec: dict[str, Any],
             aggs.append(F.stddev_samp(_expr(arg, env)).alias(name))
         elif op in ("$median", "$percentile"):
             # Mongo 7.0 (t-digest "approximate" method); lowered to
-            # Spark's EXACT distributed percentile — deterministic
-            # (gate-able) and strictly more accurate, the documented
-            # deviation. $percentile returns the array of requested ps.
+            # Spark's EXACT distributed percentile. CONTRACT, not a
+            # deviation (r15): Mongo's own docs define $percentile's
+            # approximate method as returning an implementation-
+            # dependent value NEAR the requested quantile; the exact
+            # linear-interpolation answer is inside every t-digest
+            # error envelope, deterministic (gate-able), and identical
+            # at any cluster size. $percentile returns the array of
+            # requested ps. The window form shares this rule.
             y = _expr(arg["input"], env)
             if op == "$median":
                 aggs.append(F.percentile(y, F.lit(0.5)).alias(name))
@@ -1802,6 +1949,10 @@ def _bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     numeric boundaries coerces every label to string (Mongo's _id is
     schemaless; one Spark column needs one type — documented
     deviation, value-preserving)."""
+    missing = [k for k in ("groupBy", "boundaries") if k not in spec]
+    if missing:
+        raise ValueError(f"$bucket spec missing required "
+                         f"field(s): {missing}")
     bounds = spec["boundaries"]
     # STRICTLY increasing, Mongo's rule: a duplicated boundary ([0, 10,
     # 10, 20]) would pass a sorted() check but yield an unreachable
@@ -2102,7 +2253,8 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # β^-j overflow), then explode back to rows. O(partition)
             # memory — the same bound Mongo itself puts on
             # $setWindowFields partitions and this module documents for
-            # the rank accumulators. Deviations, documented: sortBy ties
+            # the rank accumulators. Contract (r15 — deterministic
+            # superset of Mongo's unspecified cases): sortBy ties
             # break by (input, doc) for determinism where Mongo is
             # unspecified; a null input emits null and does NOT advance
             # the EMA state.
@@ -2221,8 +2373,9 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                  else F.covar_samp)(a1, a2)
         elif op in ("$median", "$percentile"):
             # exact distributed percentile over the frame (Mongo 7.0's
-            # t-digest method replaced by the deterministic exact form,
-            # same deviation as the $group accumulator)
+            # t-digest method replaced by the deterministic exact form
+            # — the same documented CONTRACT as the $group accumulator:
+            # exact is inside every t-digest error envelope, r15)
             y = _expr(arg["input"], env)
             c = (F.percentile(y, F.lit(0.5)) if op == "$median"
                  else F.percentile(y, F.lit([float(p)
@@ -2325,6 +2478,10 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     non-field columns come back NULL (Mongo's behavior). Time units use
     interval steps (calendar units included — sequence handles
     year-month intervals natively)."""
+    missing = [k for k in ("field", "range") if k not in spec]
+    if missing:
+        raise ValueError(f"$densify spec missing required "
+                         f"field(s): {missing}")
     f = spec["field"]
     if "." in f:
         raise ValueError("$densify nested field unsupported")
@@ -2748,6 +2905,12 @@ def _bucket_as_group_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
     Mongo ERRORS on an out-of-bounds value, and inside a decomposed
     join there is no per-document error channel — raising at compile
     time beats a silent null bucket."""
+    missing = [k for k in ("groupBy", "boundaries") if k not in spec]
+    if missing:
+        # bare KeyError here would break the translator's documented
+        # ValueError contract for malformed specs (r14 ADVICE)
+        raise ValueError(f"$bucket spec missing required "
+                         f"field(s): {missing}")
     bounds = spec["boundaries"]
     if len(bounds) < 2 or not all(a < b for a, b in zip(bounds, bounds[1:])):
         raise ValueError(
@@ -2799,6 +2962,11 @@ def _augment_partitions(stages: list[dict[str, Any]],
             out.append({"$setWindowFields": spec})
         elif ops == {"$densify"}:
             spec = dict(st["$densify"])
+            if "range" not in spec:
+                # ValueError, the documented malformed-spec error
+                # class — not a bare KeyError (r14 ADVICE)
+                raise ValueError("$densify spec missing required "
+                                 "field: 'range'")
             spec["partitionByFields"] = (
                 list(spec.get("partitionByFields") or [])
                 + [f for f in key_fields
@@ -2890,7 +3058,13 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     ``$group`` with a GROUPING ``_id`` (expression or composite doc,
     r14) groups ONCE over (key columns, ``_id`` expr) and packs one
     element per distinct sub-key, the array sorted by ``_id``
-    (distinct within a key, so the order is total); a terminal
+    (distinct within a key, so the order is total); a ``$sort``
+    immediately BEFORE either terminal ``$group`` form (r15 — Mongo's
+    'latest doc per key' idiom: ``$sort`` then ``$first/$last/$push``)
+    is ABSORBED into the group's order-sensitive accumulators
+    (``$first``→``$top``, ``$firstN``→``$topN``, comparator-ordered
+    ``$push``/``$mergeObjects`` — see :func:`_group`), so the
+    per-document sort never plans as a global one; a terminal
     ``$sort`` [+ ``$skip`` n] [+ ``$limit`` k] suffix (Mongo's 'latest
     matching doc' idiom and its pagination cousin) becomes a per-KEY
     ordered top-k-after-offset — ``array_sort`` with a multi-field
@@ -2902,8 +3076,9 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     never silently diverge): the sub-pipeline must keep the join/let
     key columns in scope (don't project them away), and
     per-outer-document stages beyond those terminal forms
-    ($sample/windows/buckets/mid-pipeline $sort/$skip/$limit/
-    non-terminal $group) are refused rather than applied globally."""
+    ($sample/$bucketAuto/a $sort not adjacent to the terminal $group/
+    mid-pipeline $skip/$limit/non-terminal $group) are refused rather
+    than applied globally."""
     foreign = collections[spec["from"]]
     let = dict(spec.get("let", {}))
     pipeline = list(spec["pipeline"])
@@ -2969,15 +3144,27 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                   # their partition key with the join/let keys (r14,
                   # _augment_partitions) — exact, never global
                   "$setWindowFields", "$densify", "$fill"}
+    def _is_term_group(st) -> bool:
+        return (isinstance(st, dict) and set(st) == {"$group"}
+                and "_id" in st["$group"])
+
     for i, st in enumerate(rest):
         ops = set(st) if isinstance(st, dict) else set()
         if ops and ops <= _ROW_LOCAL:
             continue
-        if (ops == {"$group"} and i == len(rest) - 1
-                and "_id" in st["$group"]):
+        if ops == {"$group"} and i == len(rest) - 1 and "_id" in st["$group"]:
             # terminal per-doc $group — regrouped per (outer key, _id):
             # _id null packs ONE aggregate doc per key; a grouping _id
             # (r14) packs one element per distinct sub-key
+            continue
+        if (ops == {"$sort"} and i == len(rest) - 2
+                and _is_term_group(rest[-1])):
+            # $sort immediately before the terminal $group (r15 —
+            # Mongo's 'latest doc per key' idiom): ABSORBED into the
+            # group's order-sensitive accumulators ($first→$top,
+            # $firstN→$topN, ordered $push/$mergeObjects) by the
+            # _group compiler — the per-document sort never becomes a
+            # global one, and order-insensitive accumulators ignore it
             continue
         raise ValueError(
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
@@ -2987,8 +3174,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             "$sort/$skip/$limit). Supported per-document forms: a "
             "TERMINAL $sort [+ $skip] [+ $limit] suffix (per-key "
             "ordered top-k-after-offset); a terminal $group (_id: "
-            "null aggregate or grouping _id) / $bucket (explicit "
-            "default) / $sortByCount / $count; and "
+            "null aggregate or grouping _id), optionally preceded by "
+            "a $sort its ordered accumulators honor ($first/$last/"
+            "$firstN/$lastN/$push/$mergeObjects — r15); a terminal "
+            "$bucket (explicit default) / $sortByCount / $count; and "
             "$setWindowFields/$fill/$densify anywhere (partition key "
             "extended by the join keys — exact). Otherwise rewrite "
             "over the joined array ($sortArray + $slice)")
@@ -3000,17 +3189,31 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                                      else conjs[0])}}
 
     def split_term_group(stages):
+        """(residual stages, terminal $group spec or None, absorbed
+        $sort spec or None). A ``$sort`` immediately before the
+        terminal ``$group`` (r15) is stripped here and handed to the
+        ``_group`` compiler as ``sort_spec`` — its order-sensitive
+        accumulators compile against the key, so no global sort is
+        ever planned."""
         if stages and set(stages[-1]) == {"$group"} \
                 and "_id" in stages[-1]["$group"]:
             if term_sort is not None or term_skip is not None \
                     or term_limit is not None:
                 raise ValueError(
-                    "$lookup sub-pipeline combining $sort/$skip/$limit "
-                    "with a terminal $group is unsupported — aggregate "
-                    "the sliced array with $sortArray/$slice + array "
-                    "operators in the outer pipeline instead")
-            return stages[:-1], stages[-1]["$group"]
-        return stages, None
+                    "$lookup sub-pipeline combining a TERMINAL "
+                    "$sort/$skip/$limit suffix with a $group is "
+                    "unsupported — put the $sort immediately BEFORE "
+                    "the $group (its ordered accumulators honor it), "
+                    "or aggregate the sliced array with "
+                    "$sortArray/$slice + array operators in the outer "
+                    "pipeline instead")
+            gsort = None
+            if len(stages) >= 2 and isinstance(stages[-2], dict) \
+                    and set(stages[-2]) == {"$sort"}:
+                gsort = dict(stages[-2]["$sort"])
+                return stages[:-2], stages[-1]["$group"], gsort
+            return stages[:-1], stages[-1]["$group"], None
+        return stages, None, None
 
     def packed_list(fields):
         if term_sort is not None:
@@ -3032,7 +3235,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             arr = F.slice(arr, F.lit(start), length)
         return arr
 
-    def pack(sub, key_cols, term_group):
+    def pack(sub, key_cols, term_group, gsort=None):
         missing = [src for src in key_cols.values()
                    if src not in sub.columns]
         if missing:
@@ -3047,7 +3250,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                                       for k, src in key_cols.items()}
             if uid is None:
                 gspec["_id"] = idspec
-                grouped = _group(sub, gspec)
+                grouped = _group(sub, gspec, sort_spec=gsort)
                 accs = [c for c in grouped.columns if c != "_id"]
                 return grouped.select(
                     *[F.col(f"_id.{k}").alias(k) for k in key_cols],
@@ -3069,7 +3272,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             else:
                 idspec["__gid"] = uid
             gspec["_id"] = idspec
-            grouped = _group(sub, gspec)
+            grouped = _group(sub, gspec, sort_spec=gsort)
             accs = [c for c in grouped.columns if c != "_id"]
             gid_col = (F.struct(*[F.col(f"_id.__gid_{f}").alias(f)
                                   for f in uid]) if composite
@@ -3095,7 +3298,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             pre.append(expr_match(plain_conjs))
         if plain_match:
             pre.append({"$match": plain_match})
-        rest, term_group = split_term_group(rest)
+        rest, term_group, gsort = split_term_group(rest)
         sub = apply_pipeline(
             foreign,
             pre + _augment_partitions(rest, [ff for _, ff in pairs]),
@@ -3112,7 +3315,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                 f"foreign join field(s) {missing} — keep them in the "
                 "$project and drop them in the outer pipeline instead")
         if term_group is not None:
-            packed = pack(sub, lk, term_group)
+            packed = pack(sub, lk, term_group, gsort)
         else:
             packed = (sub
                       .groupBy(*[F.col(ff).alias(k)
@@ -3147,12 +3350,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             sub_stages.append(expr_match(plain_conjs))
         if plain_match:
             sub_stages.append({"$match": plain_match})
-        rest_sub, term_group = split_term_group(
+        rest_sub, term_group, gsort = split_term_group(
             _subst_let_refs(rest, lk_of))
         rest_sub = _augment_partitions(rest_sub, list(lk_of.values()))
         sub = apply_pipeline(joined, sub_stages + rest_sub, collections)
         lk = {lk_of[v]: lk_of[v] for v in lets}
-        packed = pack(sub, lk, term_group)
+        packed = pack(sub, lk, term_group, gsort)
         join_vars = lets
 
     cond = None

@@ -35,6 +35,16 @@ diagnostic, and the historically jittery queries (_JITTERY) run
 _JITTERY_ITERS (7) fresh-JVM iterations instead of 3. Skip the isolated pass with
 SPARK_GRAFT_NO_ISOLATED=1 (it adds one JVM startup per headline query
 — "value" then falls back to in-session).
+
+Evidence completeness (r15, after the r14 adjudication stalled on
+truncated data): the final JSON line carries the FULL per-iteration
+arrays for every query in BOTH columns ("iterations": {"in_session",
+"isolated"}) and a machine-load marker ("load": os.getloadavg() at
+bench start/end + per-isolated-query start 1-min load). The driver
+stores that line whole under "parsed", so an inflated round is
+self-diagnosing: uniform inflation with high loadavg = machine band;
+a single query whose every iteration moved on a quiet box = real
+regression. The stderr tail alone (2,000 chars) cannot carry this.
 """
 
 from __future__ import annotations
@@ -115,15 +125,28 @@ def _run_one(name: str) -> None:
         print(f"# WARNING: warm-up {name} failed in {warm_dir}: {e}",
               file=sys.stderr)
     _clear_all_caches(spark)
+    load_pre = _loadavg()[0]
     runs = []
     for _ in range(int(os.environ.get("SPARK_GRAFT_ITERS", "3"))):
         t0 = time.perf_counter()
         q(spark, sf_dir).count()
         runs.append(time.perf_counter() - t0)
         _clear_all_caches(spark)
+    # load1 pre = 1-min loadavg entering the timed loop (warm-up tax
+    # included); post = leaving it — together they bracket the window
+    # the runs actually executed in
     print(json.dumps({"query": name,
                       "median": round(sorted(runs)[len(runs) // 2], 3),
-                      "runs": [round(r, 3) for r in runs]}))
+                      "runs": [round(r, 3) for r in runs],
+                      "load1_pre": load_pre,
+                      "load1_post": _loadavg()[0]}))
+
+
+def _loadavg() -> list:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (AttributeError, OSError):  # non-POSIX fallback
+        return [-1.0, -1.0, -1.0]
 
 
 #: queries whose isolated medians moved ±20-50% across r9/r10 with NO
@@ -148,10 +171,15 @@ _JITTERY = {"q113_latest_shipper", "q58_corpus_build",
 _JITTERY_ITERS = 7
 
 
-def _isolated_medians() -> dict:
+def _isolated_medians() -> tuple[dict, dict, dict]:
+    """(medians, per-iteration runs, per-query start load1) — the runs
+    and load maps ride into the final JSON so a drifted median is
+    adjudicable from the driver's record alone (r15)."""
     import subprocess
 
-    out = {}
+    out: dict = {}
+    runs_map: dict = {}
+    load_map: dict = {}
     for name in HEADLINE:
         env = dict(os.environ)
         if name in _JITTERY:
@@ -166,11 +194,14 @@ def _isolated_medians() -> dict:
                     if ln.startswith("{")][-1]
             rec = json.loads(line)
             out[name] = rec["median"]
+            runs_map[name] = rec["runs"]
+            load_map[name] = rec.get("load1_pre", -1.0)
             print(f"# isolated {name}: median {rec['median']}s of "
-                  f"{rec['runs']}", file=sys.stderr)
+                  f"{rec['runs']} (load1 {load_map[name]})",
+                  file=sys.stderr)
         except Exception as e:
             print(f"# WARNING: isolated {name} failed: {e}", file=sys.stderr)
-    return out
+    return out, runs_map, load_map
 
 
 def main() -> None:
@@ -208,8 +239,10 @@ def main() -> None:
                   file=sys.stderr)
     _clear_all_caches(spark)
 
+    load_start = _loadavg()
     iters = int(os.environ.get("SPARK_GRAFT_ITERS", "3"))
     timings: dict[str, float] = {}
+    session_runs: dict[str, list] = {}
     for name in HEADLINE:
         runs = []
         n = 0
@@ -219,11 +252,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             _clear_all_caches(spark)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        session_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: median {timings[name]}s of "
-              f"{[round(r, 3) for r in runs]} ({n} rows)", file=sys.stderr)
+              f"{session_runs[name]} ({n} rows)", file=sys.stderr)
 
-    isolated = ({} if os.environ.get("SPARK_GRAFT_NO_ISOLATED") else
-                _isolated_medians())
+    if os.environ.get("SPARK_GRAFT_NO_ISOLATED"):
+        isolated, iso_runs, iso_load = {}, {}, {}
+    else:
+        isolated, iso_runs, iso_load = _isolated_medians()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # PRIMARY metric = isolated_total (fresh-JVM per-query medians):
@@ -243,6 +279,12 @@ def main() -> None:
         "queries": timings,
         "in_session_total": round(sum(timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r15 evidence-completeness: full per-iteration arrays + load
+        # markers in the captured JSON — see module docstring
+        "iterations": {"in_session": session_runs, "isolated": iso_runs},
+        "load": {"start": load_start, "end": _loadavg(),
+                 "isolated_per_query_load1": iso_load,
+                 "cpus": os.cpu_count()},
     }
     if isolated:
         out["isolated"] = isolated

@@ -3547,3 +3547,255 @@ def test_correlated_lookup_partition_stages(spark):
     assert got3[1] == [1, 2, 3, 4]
     assert got3[2] == [7, 8]
     assert got3[3] == []
+
+
+def test_match_type_rejects_unrepresentable_names(spark):
+    """r15 (r14 ADVICE): a valid-but-unrepresentable BSON type NAME
+    ('objectId', 'timestamp', 'regex', 'minKey') — or a typo'd one
+    ('objectid') — used to compile to an always-false isin; now it
+    raises like the unknown-numeric-code branch does, the translator's
+    raise-don't-guess convention."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame([(1, "x")], "i long, s string")
+    for bad in ("objectId", "objectid", "timestamp", "regex", "minKey",
+                "javascript", "symbol"):
+        with pytest.raises(ValueError, match="not representable"):
+            apply_pipeline(df, [{"$match": {"s": {"$type": bad}}}])
+    # array-of-alternatives validates each element the same way
+    with pytest.raises(ValueError, match="not representable"):
+        apply_pipeline(df, [{"$match": {"s": {"$type": ["string",
+                                                        "objectId"]}}}])
+    # every representable name still compiles
+    for ok in ("double", "string", "object", "array", "binData", "bool",
+               "date", "null", "int", "long", "decimal", "number"):
+        apply_pipeline(df, [{"$match": {"s": {"$type": ok}}}]).collect()
+
+
+def test_convert_to_date_on_error_catches_out_of_range_double(spark):
+    """r15 (r14 ADVICE): $convert to:'date' with onError must route an
+    out-of-long-range double (1e300 ms) to onError instead of aborting
+    on the ANSI double->long cast — the try discipline now covers the
+    millis leg too."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame([(1, 1e300), (2, 86_400_000.0)],
+                               "i long, ms double")
+    out = apply_pipeline(df, [{"$addFields": {
+        "d": {"$convert": {"input": "$ms", "to": "date",
+                           "onError": None}}}}])
+    rows = {r["i"]: r["d"] for r in out.collect()}
+    assert rows[1] is None                       # onError, not an abort
+    assert rows[2] == datetime(1970, 1, 2)       # millis rule intact
+
+
+def test_malformed_bucket_and_densify_specs_raise_value_error(spark):
+    """r15 (r14 ADVICE): a $bucket spec missing 'boundaries'/'groupBy'
+    and a $densify missing 'range' raise the translator's documented
+    ValueError (naming the missing field), not a bare KeyError — at the
+    top level AND inside the correlated-$lookup lowerings."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    with pytest.raises(ValueError, match="boundaries"):
+        apply_pipeline(df, [{"$bucket": {"groupBy": "$v"}}])
+    with pytest.raises(ValueError, match="groupBy"):
+        apply_pipeline(df, [{"$bucket": {"boundaries": [0, 10]}}])
+    with pytest.raises(ValueError, match="range"):
+        apply_pipeline(df, [{"$densify": {"field": "v"}}])
+    with pytest.raises(ValueError, match="field"):
+        apply_pipeline(df, [{"$densify": {"range": {"step": 1,
+                                                    "bounds": "full"}}}])
+    outer = spark.createDataFrame([(1,)], ["ck"])
+    with pytest.raises(ValueError, match="boundaries"):
+        apply_pipeline(outer, [{"$lookup": {
+            "from": "f", "localField": "ck", "foreignField": "k",
+            "pipeline": [{"$bucket": {"groupBy": "$v", "default": 0}}],
+            "as": "s"}}], collections={"f": df})
+    with pytest.raises(ValueError, match="range"):
+        apply_pipeline(outer, [{"$lookup": {
+            "from": "f", "localField": "ck", "foreignField": "k",
+            "pipeline": [{"$densify": {"field": "v"}}],
+            "as": "s"}}], collections={"f": df})
+
+
+def test_correlated_lookup_sort_then_ordered_group(spark):
+    """r15: Mongo's 'latest doc per key' idiom — correlated $lookup
+    sub-pipeline ending $sort then $group with ORDER-SENSITIVE
+    accumulators. The $sort is absorbed into the accumulators
+    ($first->$top, $firstN->$topN, $lastN->$bottomN, comparator-ordered
+    $push) — never planned as a global sort. Aggregate accumulators
+    ($sum) ignore it."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0), (2, "d", 5.0)],
+        "o_ck long, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders", "let": {"k": "$ck"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$eq": ["$$k", "$o_ck"]}}},
+                         {"$sort": {"price": -1}},
+                         {"$group": {"_id": None,
+                                     "best": {"$first": "$oid"},
+                                     "worst": {"$last": "$oid"},
+                                     "top2": {"$firstN": {"input": "$oid",
+                                                          "n": 2}},
+                                     "tail2": {"$lastN": {"input": "$oid",
+                                                          "n": 2}},
+                                     "ordered": {"$push": "$oid"},
+                                     "total": {"$sum": "$price"}}}],
+                     "as": "agg"}}], collections={"orders": orders})
+    got = {r["ck"]: r["agg"] for r in out.collect()}
+    a1 = got[1][0]
+    assert (a1["best"], a1["worst"]) == ("b", "a")
+    assert list(a1["top2"]) == ["b", "c"]
+    assert list(a1["tail2"]) == ["c", "a"]
+    assert list(a1["ordered"]) == ["b", "c", "a"]
+    assert a1["total"] == 60.0
+    assert got[2][0]["best"] == "d" and got[2][0]["ordered"] == ["d"]
+    assert got[3] == []          # empty match -> no aggregate doc
+
+
+def test_correlated_lookup_sort_group_multi_key_and_grouping_id(spark):
+    """r15: the absorbed $sort with a MULTI-FIELD mixed-direction key,
+    on the GENERAL (non-equi correlated) path, feeding a terminal
+    $group with a grouping _id — one aggregation over (join key, _id),
+    ordered accumulators honoring (cat asc, price desc)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1, 8.0), (2, 8.0)], ["ck", "lo"])
+    orders = spark.createDataFrame(
+        [(1, "x", "a", 10.0), (1, "x", "b", 30.0), (1, "y", "c", 20.0),
+         (1, "y", "d", 5.0), (2, "x", "e", 7.0)],
+        "o_ck long, cat string, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "orders",
+                     "let": {"k": "$ck", "minp": "$lo"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$and": [
+                             {"$eq": ["$$k", "$o_ck"]},
+                             {"$gt": ["$price", "$$minp"]}]}}},
+                         {"$sort": {"cat": 1, "price": -1}},
+                         {"$group": {"_id": "$cat",
+                                     "latest": {"$first": "$oid"},
+                                     "prices": {"$push": "$price"}}}],
+                     "as": "agg"}}], collections={"orders": orders})
+    got = {r["ck"]: {e["_id"]: (e["latest"], list(e["prices"]))
+                     for e in r["agg"]} for r in out.collect()}
+    # ck=1: price > 8 keeps a,b,c; cat x -> first by price desc = b
+    assert got[1] == {"x": ("b", [30.0, 10.0]), "y": ("c", [20.0])}
+    assert got[2] == {}          # e(7.0) fails the correlated $gt
+
+
+def test_correlated_lookup_sort_group_merge_objects(spark):
+    """r15: $mergeObjects after an absorbed $sort — per field, the
+    LAST non-null in sort order (coalesce fold over the comparator-
+    sorted array), never carried across outer documents."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,)], ["ck"])
+    ev = spark.createDataFrame(
+        [(1, 1, "p1", None), (1, 2, None, "e2"), (1, 3, "p3", None),
+         (2, 1, "q1", "f1")],
+        "e_ck long, t long, phone string, email string")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "ev", "localField": "ck",
+                     "foreignField": "e_ck",
+                     "pipeline": [
+                         {"$addFields": {"doc": {"phone": "$phone",
+                                                 "email": "$email"}}},
+                         {"$sort": {"t": 1}},
+                         {"$group": {"_id": None,
+                                     "latest": {"$mergeObjects": "$doc"}}}],
+                     "as": "agg"}}], collections={"ev": ev})
+    got = {r["ck"]: r["agg"][0]["latest"] for r in out.collect()}
+    assert (got[1]["phone"], got[1]["email"]) == ("p3", "e2")
+    assert (got[2]["phone"], got[2]["email"]) == ("q1", "f1")
+
+
+def test_correlated_lookup_sort_not_adjacent_to_group_still_refused(spark):
+    """r15: only a $sort IMMEDIATELY before the terminal $group is
+    absorbed; a detached mid-pipeline $sort (or one followed by $limit
+    then $group) keeps the per-document scope-guard refusal."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,)], ["ck"])
+    orders = spark.createDataFrame([(1, "a", 10.0)],
+                                   "o_ck long, oid string, price double")
+    with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [
+                             {"$sort": {"price": -1}},
+                             {"$addFields": {"z": 1}},
+                             {"$group": {"_id": None,
+                                         "f": {"$first": "$oid"}}}],
+                         "as": "agg"}}], collections={"o": orders})
+    with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [
+                             {"$sort": {"price": -1}},
+                             {"$limit": 1},
+                             {"$group": {"_id": None,
+                                         "f": {"$first": "$oid"}}}],
+                         "as": "agg"}}], collections={"o": orders})
+    # absorbed-sort field must survive to the $group input
+    with pytest.raises(ValueError, match="not present at the .group"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [
+                             {"$project": {"oid": 1, "o_ck": 1}},
+                             {"$sort": {"price": -1}},
+                             {"$group": {"_id": None,
+                                         "f": {"$first": "$oid"}}}],
+                         "as": "agg"}}], collections={"o": orders})
+
+
+def test_rank_family_tie_contract(spark):
+    """r15 (closes the r14 'deviation' note as a tested CONTRACT):
+    equal sortBy keys resolve deterministically — the output value in
+    the walk direction breaks the tie, and null sort keys rank below
+    every value (BSON's order), uniformly across
+    $top/$bottom/$topN/$bottomN, single and compound keys."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b"), (1, 3, "c")],
+        "k long, s long, v string")
+
+    def group(accs):
+        out = apply_pipeline(df, [{"$group": {"_id": "$k", **accs}}])
+        return out.collect()[0]
+
+    r = group({"t": {"$top": {"output": "$v", "sortBy": {"s": 1}}},
+               "td": {"$top": {"output": "$v", "sortBy": {"s": -1}}},
+               "b": {"$bottom": {"output": "$v", "sortBy": {"s": 1}}},
+               "tn": {"$topN": {"output": "$v", "sortBy": {"s": 1},
+                                "n": 2}},
+               "bn": {"$bottomN": {"output": "$v", "sortBy": {"s": 1},
+                                   "n": 2}},
+               "tc": {"$top": {"output": "$v",
+                               "sortBy": {"s": -1, "k": 1}}}})
+    assert r["t"] == "c"           # no tie at the asc head
+    assert r["td"] == "b"          # desc walk: tie at s=5 -> max output
+    assert r["b"] == "b"           # asc tail: tie at s=5 -> max output
+    assert list(r["tn"]) == ["c", "a"]   # asc walk: tie -> min output
+    assert list(r["bn"]) == ["a", "b"]   # last 2 asc, emitted in order
+    # compound path: no single walk direction exists for a mixed-
+    # direction key, so the contract is payload-ASCENDING fallthrough
+    assert r["tc"] == "a"
+
+    dfn = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "z")], "k long, s long, v string")
+    rn = apply_pipeline(dfn, [{"$group": {"_id": "$k",
+        "t": {"$top": {"output": "$v", "sortBy": {"s": 1}}},
+        "b": {"$bottom": {"output": "$v", "sortBy": {"s": 1}}}}}]
+        ).collect()[0]
+    assert rn["t"] == "z"          # BSON: null sorts below every value
+    assert rn["b"] == "a"
