@@ -497,3 +497,90 @@ def test_q184_correlated_lookup_stays_a_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("Join") >= 2      # keys->foreign, packed->outer
+
+
+def test_geonear_limit_fuses_to_take_ordered(spark, sf_dir):
+    """r15 (VERDICT r14 task 6): the ``$geoNear`` + ``$limit`` idiom —
+    Mongo's 'k nearest' — must plan as TakeOrderedAndProject (per-
+    partition top-k, merged on the driver), never a global Sort
+    followed by a limit, and never a single-partition sort of the
+    whole match set. $geoNear is the translator's ONE global-sort-
+    shaped stage; this gate pins the fusion a refactor could silently
+    lose. Without $limit the global nearest-first sort is Mongo's own
+    contract (documented in _geo_near) — not gated here."""
+    from pyspark.sql import functions as F
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.relational import load_table
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "loc", F.struct(
+            F.lit("Point").alias("type"),
+            F.array(
+                ((F.col("c_custkey") * 37) % 360 - 180).cast("double"),
+                ((F.col("c_custkey") * 53) % 160 - 80).cast("double"),
+            ).alias("coordinates")))
+    df = apply_pipeline(cust, [
+        {"$geoNear": {
+            "near": {"type": "Point", "coordinates": [12.5, 42.0]},
+            "distanceField": "dist", "key": "loc",
+            "query": {"c_mktsegment": "BUILDING"}}},
+        {"$limit": 25},
+    ])
+    assert df.count() == 25
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan, plan
+    # the fused top-k must have REPLACED the global sort, not sit on
+    # one ("Sort [...], true, 0" = global sort node)
+    import re
+
+    assert not re.search(r"\bSort \[[^\]]*\], true", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_driver_budget_reaches_oldest_evidence(monkeypatch):
+    """r15 (VERDICT r14 task 5): 209 registered queries vs a ~50-row
+    driver budget means full re-coverage takes multiple rounds — the
+    ordering must guarantee the union can never age unboundedly. Two
+    parts:
+
+    1. Contract (synthetic): within the unpinned block, the green
+       query with the OLDEST evidence round leads all other greens,
+       and a pinned block of K entries can displace it by at most K
+       positions — so with P pinned, the oldest-evidence green sits at
+       index <= P (0-based) of all_queries() order.
+    2. Live repo state: compute the real ordering and assert the
+       oldest-evidence query's position < 50 + len(pinned) — i.e. the
+       driver's budget reaches it as soon as the pinned block drains
+       (same round when pins are few, next round after a mass re-pin
+       like a module split)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark import plans
+
+    # -- synthetic contract ------------------------------------------------
+    ev = {f"q{i:03d}": (3 + (i % 12), True) for i in range(200)}
+    ev["q_oldest"] = (1, True)
+    full = {n: n for n in list(ev)}
+    monkeypatch.setattr(plans, "_evidence_rounds", lambda: dict(ev))
+    monkeypatch.setattr(plans, "changed_since_stamped",
+                        lambda: ["q007", "q008", "q009"])
+    order = list(plans._ordered(full))
+    assert order.index("q_oldest") <= 3      # never buried past the pins
+    # with no pins at all, the oldest-evidence green is FIRST
+    monkeypatch.setattr(plans, "changed_since_stamped", lambda: [])
+    assert list(plans._ordered(full))[0] == "q_oldest"
+
+    # -- live repo state ---------------------------------------------------
+    monkeypatch.undo()
+    evidence = plans._evidence_rounds()
+    pinned = set(plans.changed_since_stamped())
+    order = list(plans.all_queries())
+    unpinned_with_rows = [n for n in order
+                          if n in evidence and n not in pinned]
+    if unpinned_with_rows:
+        oldest = min(unpinned_with_rows,
+                     key=lambda n: (evidence[n][1], evidence[n][0]))
+        assert order.index(oldest) < 50 + len(pinned), (
+            f"{oldest} (evidence round {evidence[oldest][0]}) sits at "
+            f"position {order.index(oldest)} with {len(pinned)} pinned "
+            "— the driver's 50-row budget can never re-confirm it")

@@ -6,7 +6,8 @@
 #   sh tools/run_all_checks.sh            # ~25 min on local[32]
 #
 # 1. unit/streaming/property tests   2. tri-scale oracle parity
-# 3. headline bench                  4. evidence-pin status (informational)
+# 3. headline bench                  4. BASELINE scaling-row gate (hard)
+# 5. evidence-pin status (informational)
 set -e
 cd "$(dirname "$0")/.."
 
@@ -20,6 +21,9 @@ done
 
 echo "== bench (sf0.1) =="
 python bench.py 2>/dev/null | tail -1
+
+echo "== BASELINE.md scaling rows for gated queries =="
+python tools/check_baseline_rows.py
 
 echo "== evidence pins (changed since last driver stamp) =="
 python tools/stamp_evidence.py --check 2>&1 | tail -1 | head -c 400
