@@ -1,0 +1,435 @@
+"""``$setWindowFields`` — the window-function family: rank/shift/
+locf/linearFill/derivative/integral/$expMovingAvg, documents and
+range frames incl. time-unit and calendar-month ranges — plus the
+whole-collection-window warning shared with $fill/$densify and the
+double-cast sort-key helper. Split from sources/mongoql.py in r15."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.expr import (
+    _expr,
+    _field_type,
+    _root_env,
+)
+
+
+_WF_RANK = {"$rank": F.rank, "$denseRank": F.dense_rank,
+            "$documentNumber": F.row_number}
+
+
+def _wf_bound(v, lower: bool, scale_ms: int | None = None):
+    from pyspark.sql import Window
+
+    if v == "unbounded":
+        return Window.unboundedPreceding if lower \
+            else Window.unboundedFollowing
+    if v == "current":
+        return Window.currentRow
+    if scale_ms is not None:
+        # time-unit range bound: N units -> milliseconds on the epoch-ms
+        # order key (fixed-width units only; rounding covers fractional
+        # bound values like 1.5 hours)
+        return int(round(float(v) * scale_ms))
+    return int(v)
+
+
+#: Fixed-width $setWindowFields range units -> milliseconds.
+_WF_UNIT_MS = {"week": 604_800_000, "day": 86_400_000,
+               "hour": 3_600_000, "minute": 60_000,
+               "second": 1_000, "millisecond": 1}
+
+#: Calendar $setWindowFields range units -> months. These have no fixed
+#: millisecond width; they lower onto a months-since-epoch sort key
+#: instead (see the calendar branch in _set_window_fields).
+_WF_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _wf_month_bound(v, lower: bool, scale: int):
+    from pyspark.sql import Window
+
+    if v == "unbounded":
+        return Window.unboundedPreceding if lower \
+            else Window.unboundedFollowing
+    if v == "current":
+        return Window.currentRow
+    if float(v) != int(v):
+        raise ValueError(
+            f"calendar range bound must be an integer, got {v!r}")
+    return int(v) * scale
+
+
+def _warn_whole_collection_window(df: DataFrame, stage: str) -> None:
+    """A window/series stage without ``partitionBy`` is Mongo's own
+    whole-collection semantics — correct, but it lowers to a
+    SINGLE-partition plan (Spark logs ``WindowExec: No Partition
+    Defined``): one task holds the entire collection, a silent
+    bottleneck at scale. Warn by default, naming the stage; set the
+    session conf ``spark.mongoql.strictWholeCollectionWindow=true``
+    to raise instead (opt-in for pipelines that must never plan a
+    one-task stage)."""
+    import warnings
+
+    strict = str(df.sparkSession.conf.get(
+        "spark.mongoql.strictWholeCollectionWindow", "false"))
+    msg = (f"{stage} without partitionBy runs as ONE task over the "
+           "whole collection (single-partition window) — fine for "
+           "small frames, a scale bottleneck otherwise; add "
+           "partitionBy, or set "
+           "spark.mongoql.strictWholeCollectionWindow=true to make "
+           "this an error")
+    if strict.lower() == "true":
+        raise ValueError(msg)
+    warnings.warn(msg, stacklevel=3)
+
+
+def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$setWindowFields`` (Mongo 5.0 window functions) lowered onto
+    Spark's Window: ``partitionBy`` expression, compound ``sortBy``,
+    and per-output ``window`` frames — ``documents`` → rowsBetween,
+    ``range`` → rangeBetween (single ascending numeric sort key, no
+    time ``unit``). Accumulators without an explicit window default to
+    the WHOLE partition (Mongo's rule — unlike SQL's default frame
+    when ORDER BY is present, so the frame is always set explicitly).
+    Rank-family ops require sortBy and take no frame; ``$shift``
+    lowers to lead/lag with its default. ``$push`` without sortBy has
+    no defined order in Mongo — pinned with sort_array here, the
+    translator's determinism convention."""
+    from pyspark.sql import Window
+
+    env = _root_env(df)
+    part = spec.get("partitionBy")
+    if part is None:
+        _warn_whole_collection_window(df, "$setWindowFields")
+    sortby = spec.get("sortBy") or {}
+    base = Window.partitionBy(*([_expr(part, env)] if part is not None else []))
+    ordered = base.orderBy(
+        *[F.col(k).asc() if d == 1 else F.col(k).desc()
+          for k, d in sortby.items()]) if sortby else base
+    for name, wspec in spec["output"].items():
+        if "." in name:
+            raise ValueError(
+                f"$setWindowFields nested output path unsupported: {name}")
+        wspec = dict(wspec)
+        frame = wspec.pop("window", None)
+        (op, arg), = wspec.items()
+        if op in _WF_RANK:
+            if not sortby:
+                raise ValueError(f"{op} requires sortBy")
+            if frame is not None:
+                raise ValueError(f"{op} does not accept a window")
+            df = df.withColumn(name, _WF_RANK[op]().over(ordered))
+            continue
+        if op == "$shift":
+            if not sortby:
+                raise ValueError("$shift requires sortBy")
+            by = int(arg.get("by", 1))
+            default = arg.get("default")
+            fn = F.lead if by >= 0 else F.lag
+            df = df.withColumn(name, fn(_expr(arg["output"], env), abs(by),
+                                        default).over(ordered))
+            continue
+        if op in ("$locf", "$linearFill"):
+            # gap-filling window operators (Mongo 5.2) — no frame spec
+            # in Mongo; $locf is one running ignore-nulls window,
+            # $linearFill brackets each null with its nearest non-null
+            # neighbors on the sort key (same lowering as the $fill
+            # stage, per-output here)
+            if not sortby:
+                raise ValueError(f"{op} requires sortBy")
+            if frame is not None:
+                raise ValueError(f"{op} does not accept a window")
+            y = _expr(arg, env)
+            if op == "$locf":
+                df = df.withColumn(name, F.last(y, ignorenulls=True).over(
+                    ordered.rowsBetween(Window.unboundedPreceding, 0)))
+                continue
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$linearFill needs a single ascending sortBy")
+            key = _sort_key_double(df, next(iter(sortby)))
+            before = ordered.rowsBetween(Window.unboundedPreceding, -1)
+            after = ordered.rowsBetween(1, Window.unboundedFollowing)
+            pv = F.last(y, ignorenulls=True).over(before)
+            pk = F.last(F.when(y.isNotNull(), key),
+                        ignorenulls=True).over(before)
+            nv = F.first(y, ignorenulls=True).over(after)
+            nk = F.first(F.when(y.isNotNull(), key),
+                         ignorenulls=True).over(after)
+            interp = pv + (nv - pv) * (key - pk) / (nk - pk)
+            df = df.withColumn(name, F.coalesce(
+                y.cast("double"),
+                F.when(pv.isNotNull() & nv.isNotNull(), interp)))
+            continue
+        # accumulator over a frame
+        w = ordered if sortby else base
+        unit = None
+        if frame is None:
+            lo, hi = "unbounded", "unbounded"
+            kind = "documents"
+        else:
+            unit = frame.get("unit")
+            kinds = [k for k in frame if k != "unit"]
+            if len(kinds) != 1:
+                raise ValueError(
+                    f"window needs exactly one frame kind, got: {frame}")
+            kind = kinds[0]
+            lo, hi = frame[kind]
+            if unit is not None and kind != "range":
+                raise ValueError("window 'unit' applies to range frames")
+        if kind == "documents":
+            w = w.rowsBetween(_wf_bound(lo, True), _wf_bound(hi, False))
+        elif kind == "range":
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "range window needs a single ascending sortBy")
+            if unit is not None:
+                # time-unit range (Mongo 5.0: trailing-N-days windows):
+                # order by the sort field's epoch MILLISECONDS and turn
+                # the [lo, hi] unit offsets into ms — rangeBetween takes
+                # integer deltas, so the frame stays a native Spark
+                # running-window (no self-join, no UDF). Millisecond
+                # resolution: sub-ms timestamp components are truncated
+                # from the ORDER KEY only (output rows keep full
+                # precision); fixed-width units only — year/quarter/
+                # month vary in length and raise.
+                sort_field = next(iter(sortby))
+                scale = _WF_UNIT_MS.get(unit)
+                if scale is not None:
+                    # TIMESTAMP_NTZ cannot cast straight to a number —
+                    # via timestamp; double epoch seconds keep ~0.4 us
+                    # precision for current epochs, exact at ms grain
+                    key = (F.col(sort_field).cast("timestamp")
+                           .cast("double") * 1000).cast("long")
+                    w = base.orderBy(key.asc()).rangeBetween(
+                        _wf_bound(lo, True, scale),
+                        _wf_bound(hi, False, scale))
+                elif unit in _WF_UNIT_MONTHS:
+                    # CALENDAR range (Mongo 5.0: trailing-N-month/
+                    # quarter/year windows): months have no fixed ms
+                    # width, so the frame runs on a MONTHS-SINCE-EPOCH
+                    # integer key. Exact Mongo parity holds only when
+                    # every sort value is month-aligned (Mongo anchors
+                    # the boundary at the current doc's day-of-month;
+                    # a constant-width Spark frame cannot follow that
+                    # for mid-month values) — so alignment is ENFORCED
+                    # per row with raise_error inside the key
+                    # expression (distributed, zero extra pass, the
+                    # $bucket contract pattern). Trailing-N-month
+                    # pipelines are post-aggregation monthly series in
+                    # practice — $dateTrunc the sort field first.
+                    ts = F.col(sort_field).cast("timestamp")
+                    months = ((F.year(ts) - F.lit(1970)) * 12
+                              + F.month(ts) - 1).cast("long")
+                    key = F.when(
+                        ts.eqNullSafe(F.date_trunc("month", ts)), months
+                    ).otherwise(F.raise_error(F.concat(
+                        F.lit(f"calendar range unit {unit!r} needs "
+                              f"month-aligned sort values; $dateTrunc "
+                              f"'{sort_field}' first — got "),
+                        ts.cast("string"))))
+                    mscale = _WF_UNIT_MONTHS[unit]
+                    w = base.orderBy(key.asc()).rangeBetween(
+                        _wf_month_bound(lo, True, mscale),
+                        _wf_month_bound(hi, False, mscale))
+                else:
+                    raise ValueError(
+                        f"unsupported $setWindowFields range unit: "
+                        f"{unit!r} (supported: "
+                        f"{sorted(_WF_UNIT_MS) + sorted(_WF_UNIT_MONTHS)})")
+            else:
+                w = w.rangeBetween(_wf_bound(lo, True), _wf_bound(hi, False))
+        else:
+            raise ValueError(f"unsupported window kind: {kind}")
+        if op == "$integral":
+            # trapezoidal integral over the frame (Mongo 5.0): per-row
+            # increment = Δsort-key × mean of the adjacent values, via
+            # lag over the SAME ordered partition (Spark chains the two
+            # Window operators on one exchange — no extra shuffle),
+            # then ONE frame sum minus the frame's first increment
+            # (that increment pairs with a point outside the frame).
+            # A single-point frame integrates to 0.
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$integral needs a single ascending sortBy")
+            y = _expr(arg["input"], env)
+            kcol = F.col(next(iter(sortby)))
+            iunit = arg.get("unit")
+            if iunit is not None:
+                if iunit not in _WF_UNIT_MS:
+                    raise ValueError(
+                        f"unsupported $integral unit: {iunit!r}")
+                k = (kcol.cast("timestamp").cast("double") * 1000) \
+                    / float(_WF_UNIT_MS[iunit])
+            else:
+                k = kcol.cast("double")
+            incr = F.coalesce(
+                (k - F.lag(k, 1).over(ordered))
+                * (y + F.lag(y, 1).over(ordered)) / 2, F.lit(0.0))
+            tmpc = f"__intg_{name}"
+            df = (df.withColumn(tmpc, incr)
+                  .withColumn(name, F.sum(tmpc).over(w)
+                              - F.first(tmpc).over(w))
+                  .drop(tmpc))
+            continue
+        if op == "$expMovingAvg":
+            # ema_i = α·x_i + (1-α)·ema_{i-1}, ema_0 = x_0 — an
+            # inherently sequential recurrence, lowered EXACTLY as one
+            # groupBy(partition) + JVM-side higher-order fold: collect
+            # each partition's docs sorted by the sortBy key, fold the
+            # EMA array left-to-right with F.aggregate (the same flop
+            # order as Mongo's cursor walk, so results are bit-identical
+            # to a sequential engine — no prefix-sum reassociation, no
+            # β^-j overflow), then explode back to rows. O(partition)
+            # memory — the same bound Mongo itself puts on
+            # $setWindowFields partitions and this module documents for
+            # the rank accumulators. Contract (r15 — deterministic
+            # superset of Mongo's unspecified cases): sortBy ties
+            # break by (input, doc) for determinism where Mongo is
+            # unspecified; a null input emits null and does NOT advance
+            # the EMA state.
+            if not sortby or len(sortby) != 1 \
+                    or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$expMovingAvg needs a single ascending sortBy")
+            if frame is not None:
+                raise ValueError("$expMovingAvg does not accept a window")
+            if "N" in arg:
+                alpha = 2.0 / (int(arg["N"]) + 1)
+            elif "alpha" in arg:
+                alpha = float(arg["alpha"])
+            else:
+                raise ValueError("$expMovingAvg needs N or alpha")
+            skey = next(iter(sortby))
+            x = _expr(arg["input"], env).cast("double")
+            doc = F.struct(*[F.col(c) for c in df.columns])
+            pcols = ([_expr(part, env).alias("__p")]
+                     if part is not None else [])
+            arr = F.sort_array(F.collect_list(F.struct(
+                F.col(skey).alias("__k"), x.alias("__x"),
+                doc.alias("__d"))))
+            zero = F.struct(
+                F.lit(None).cast("double").alias("prev"),
+                F.array().cast("array<double>").alias("out"))
+
+            def _ema_step(acc, s):
+                xi = s["__x"]
+                nxt = (F.when(xi.isNull(), acc["prev"])
+                       .when(acc["prev"].isNull(), xi)
+                       .otherwise(F.lit(alpha) * xi
+                                  + F.lit(1.0 - alpha) * acc["prev"]))
+                return F.struct(
+                    nxt.alias("prev"),
+                    F.concat(acc["out"],
+                             F.array(F.when(xi.isNotNull(), nxt))
+                             ).alias("out"))
+
+            g = (df.groupBy(*pcols).agg(arr.alias("__arr"))
+                 .withColumn("__ema", F.aggregate(
+                     "__arr", zero, _ema_step, lambda a: a["out"])))
+            df = (g.select(F.explode(F.arrays_zip("__arr", "__ema"))
+                           .alias("__z"))
+                  .select(F.col("__z.__arr.__d.*"),
+                          F.col("__z.__ema").alias(name)))
+            env = _root_env(df)
+            continue
+        if op == "$derivative":
+            # average rate of change over the frame: (Δoutput / Δsort
+            # key), the key delta optionally scaled to a time unit —
+            # first/last over the SAME frame, so it stays one Window op
+            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
+                raise ValueError(
+                    "$derivative needs a single ascending sortBy")
+            y = _expr(arg["input"], env)
+            kcol = F.col(next(iter(sortby)))
+            dy = F.last(y).over(w) - F.first(y).over(w)
+            dunit = arg.get("unit")
+            if dunit:
+                if dunit not in _WF_UNIT_MS:
+                    raise ValueError(
+                        f"unsupported $derivative unit: {dunit!r}")
+                kms = (kcol.cast("timestamp").cast("double") * 1000)
+                dx = (F.last(kms).over(w) - F.first(kms).over(w)) \
+                    / F.lit(_WF_UNIT_MS[dunit])
+            else:
+                dx = F.last(kcol).over(w) - F.first(kcol).over(w)
+            # a single-point frame has Δkey = 0: no rate exists — NULL
+            # (try_divide), never an ANSI divide-by-zero abort
+            df = df.withColumn(name, F.try_divide(dy, dx))
+            continue
+        if op in ("$minN", "$maxN", "$firstN", "$lastN"):
+            # slice/sort wrap the window AGGREGATE's result, so .over
+            # binds on the collect, not the wrapper
+            lst = F.collect_list(_expr(arg["input"], env)).over(w)
+            n = int(arg["n"])
+            if op in ("$minN", "$maxN"):
+                out_col = F.slice(F.sort_array(lst, op == "$minN"), 1, n)
+            elif op == "$firstN":
+                # frame order IS the window order (collect_list over an
+                # ordered frame preserves it); lastN takes the tail
+                out_col = F.slice(lst, 1, n)
+            else:
+                out_col = F.reverse(F.slice(F.reverse(lst), 1, n))
+            df = df.withColumn(name, out_col)
+            continue
+        if op == "$sum" and arg == 1:
+            c = F.count(F.lit(1))
+        elif op == "$count":
+            c = F.count(F.lit(1))
+        elif op == "$sum":
+            c = F.sum(_expr(arg, env))
+        elif op == "$avg":
+            c = F.avg(_expr(arg, env))
+        elif op == "$min":
+            c = F.min(_expr(arg, env))
+        elif op == "$max":
+            c = F.max(_expr(arg, env))
+        elif op == "$stdDevPop":
+            c = F.stddev_pop(_expr(arg, env))
+        elif op == "$stdDevSamp":
+            c = F.stddev_samp(_expr(arg, env))
+        elif op == "$first":
+            c = F.first(_expr(arg, env))
+        elif op == "$last":
+            c = F.last(_expr(arg, env))
+        elif op == "$push":
+            c = F.collect_list(_expr(arg, env)) if sortby \
+                else F.sort_array(F.collect_list(_expr(arg, env)))
+        elif op == "$addToSet":
+            c = F.sort_array(F.collect_set(_expr(arg, env)))
+        elif op in ("$covariancePop", "$covarianceSamp"):
+            a1, a2 = _expr(arg[0]), _expr(arg[1])
+            c = (F.covar_pop if op == "$covariancePop"
+                 else F.covar_samp)(a1, a2)
+        elif op in ("$median", "$percentile"):
+            # exact distributed percentile over the frame (Mongo 7.0's
+            # t-digest method replaced by the deterministic exact form
+            # — the same documented CONTRACT as the $group accumulator:
+            # exact is inside every t-digest error envelope, r15)
+            y = _expr(arg["input"], env)
+            c = (F.percentile(y, F.lit(0.5)) if op == "$median"
+                 else F.percentile(y, F.lit([float(p)
+                                             for p in arg["p"]])))
+        else:
+            raise ValueError(
+                f"unsupported $setWindowFields operator: {op}")
+        df = df.withColumn(name, c.over(w))
+    return df
+
+
+def _sort_key_double(df: DataFrame, field: str) -> Column:
+    """Numeric (double) image of a sort field for interpolation math:
+    TIMESTAMP_NTZ cannot cast straight to a number — route via
+    timestamp (epoch seconds); numerics cast directly."""
+    from pyspark.sql import types as ST
+
+    c = F.col(field)
+    dt = _field_type(df.schema, field)
+    if isinstance(dt, (ST.TimestampNTZType, ST.DateType)):
+        c = c.cast("timestamp")
+    return c.cast("double")

@@ -584,3 +584,21 @@ def test_driver_budget_reaches_oldest_evidence(monkeypatch):
             f"{oldest} (evidence round {evidence[oldest][0]}) sits at "
             f"position {order.index(oldest)} with {len(pinned)} pinned "
             "— the driver's 50-row budget can never re-confirm it")
+
+
+def test_fingerprint_walks_mongoql_subpackage():
+    """r15: sources/mongoql.py split into a subpackage — the evidence
+    fingerprint's support-module closure must reach EVERY submodule
+    through the facade, or an edit to (say) lookup.py would stop
+    re-pinning the mongo queries it backs (the r4 q28-class staleness
+    the mechanism exists to prevent)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark import plans
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans import extras
+
+    mods = {m.__name__ for m in plans._support_modules(extras)}
+    pkg = "airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql"
+    for sub in ("errors", "expr", "match", "windows", "geo", "lookup",
+                "writes", "stages"):
+        assert f"{pkg}.{sub}" in mods, (
+            f"{sub} missing from the support closure — its edits would "
+            "not re-pin dependent queries")
