@@ -351,7 +351,7 @@ def variant_pipeline(df: DataFrame, doc_col: str, stages: list,
     the pipeline reads — declared in ``fields`` with their types, the
     same per-access type bracketing every variant read requires — into
     document-shaped typed columns (``variant_select``); (2) the
-    struct-mode translator (sources/mongoql.py::apply_pipeline) runs
+    struct-mode translator (sources/mongoql/stages.py::apply_pipeline) runs
     unchanged on top, so the whole expression language ($cond/$switch/
     arithmetic/accumulators) is available over schemaless ingest.
     Everything stays JVM-side whole-stage codegen: variant byte-walk

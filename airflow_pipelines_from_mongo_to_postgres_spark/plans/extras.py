@@ -1461,7 +1461,7 @@ def q182_mongo_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     via ``$out``, then merge the 'O'-status aggregation with
     ``{$set: {n: {$add: ["$n", "$$new.n"]}, ...}}`` — lowered to one
     inner join + column expressions + ONE snapshot merge commit
-    (sources/mongoql.py::_merge_update_pipeline), never a per-doc
+    (sources/mongoql/writes.py::_merge_update_pipeline), never a per-doc
     update loop. DECIMAL sums for cross-engine hash stability; the
     oracle reproduces the final state as a FULL OUTER join."""
     import tempfile
@@ -1563,7 +1563,7 @@ def q184_mongo_lookup_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     order's own total — a per-document threshold) cannot fold into the
     equality join, so the translator materializes distinct (orderkey,
     threshold) tuples, equi-joins them to lineitem, filters post-join,
-    and aggregates per tuple (sources/mongoql.py::_correlated_lookup,
+    and aggregates per tuple (sources/mongoql/lookup.py::_correlated_lookup,
     the Neumann-Kemper unnesting rewrite). Oracle is a genuine DuckDB
     correlated subquery. 0.5*price is exact in double, so the strict >
     compare is engine-stable."""
@@ -1773,7 +1773,7 @@ def q190_mongo_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     security levels, then redact with the canonical
     ``$cond -> $$DESCEND/$$PRUNE`` expression — low-level roots drop
     (row filter), low-level sub-documents null out, all in plan-time
-    compiled column expressions (sources/mongoql.py::_redact). The
+    compiled column expressions (sources/mongoql/stages.py::_redact). The
     surviving detail's price projects through the possibly-null struct,
     which the oracle reproduces with a plain CASE."""
     orders = load_table(spark, "orders", sf_dir)
@@ -1889,7 +1889,7 @@ def q193_mongo_merge_jdbc_pipeline(spark: SparkSession,
     (embedded Derby, ansi dialect — the same statement shape ships as
     Postgres ``ON CONFLICT`` via dialect='postgres'): the ``$set``
     pipeline compiles into the SET clause of the ONE server-side
-    staging+MERGE statement (sources/mongoql.py::_compile_merge_set_sql)
+    staging+MERGE statement (sources/mongoql/writes.py::_compile_merge_set_sql)
     — conflict-increment ($add) and running-max ($cond) run inside the
     database transaction, no read-modify-write round trip, no per-row
     loop. All metrics are integer cents, so every engine computes
@@ -1958,7 +1958,7 @@ def q195_mongo_lookup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_shipdate (extendedprice tiebreak). The translator splits the
     terminal suffix and lowers it to a per-KEY ordered top-1 —
     ``array_sort`` with a desc/asc comparator + ``slice`` on the packed
-    array (sources/mongoql.py::_split_term_sort_limit) — so the limit
+    array (sources/mongoql/lookup.py::_split_term_sort_limit) — so the limit
     is applied per outer document, NEVER globally: one equi-join + one
     groupBy, no window over the fact table, no per-doc subquery loop.
     Oracle uses a genuine row_number-over-partition top-1, so the
@@ -2095,7 +2095,7 @@ def q194_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     then an N=3 (α=1/2 EXACTLY) EMA per (user, day) series. The
     lowering collects each partition sorted and folds the recurrence
     ema_i = α·x_i + (1-α)·ema_{i-1} left-to-right JVM-side
-    (sources/mongoql.py::_set_window_fields $expMovingAvg) — the SAME
+    (sources/mongoql/windows.py::_set_window_fields $expMovingAvg) — the SAME
     flop order as a sequential cursor walk, so with dyadic α and
     integer inputs every EMA value is an exact dyadic rational and the
     DuckDB recursive-CTE oracle (true row-by-row recurrence, ≤24
@@ -2150,7 +2150,7 @@ def q199_mongo_lookup_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its lineitems (skip 1, take 2) by shipdate desc. Lowered to a
     per-KEY ordered slice-after-offset — ``array_sort`` comparator +
     ``slice(start=skip+1)`` on the packed array
-    (sources/mongoql.py::_split_term_sort_limit) — so the offset
+    (sources/mongoql/lookup.py::_split_term_sort_limit) — so the offset
     applies per outer document, NEVER globally: one equi-join + one
     groupBy, no window over the fact table. The oracle is a genuine
     row_number-over-partition rn IN (2,3), pinning the per-key scope.
@@ -2201,7 +2201,7 @@ WHERE o.o_orderpriority = '1-URGENT'
 def q198_mongo_geonear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$geoNear`` — the r13 verdict's one high-frequency refused
     stage, now lowered to index-free haversine expression math
-    (sources/mongoql.py::_geo_near). Deterministic integer-grid
+    (sources/mongoql/geo.py::_geo_near). Deterministic integer-grid
     coordinates derived from c_custkey become GeoJSON Point structs;
     the stage computes spherical METERS from a GeoJSON near point
     (Mongo's R = 6378.1 km constant), applies the ``query`` match +
@@ -2258,7 +2258,7 @@ def q200_mongo_lookup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``$lookup`` (r14) — 'order count + spend by (status, year) per
     BUILDING customer', Mongo's per-document sub-aggregation idiom.
     Lowered to ONE aggregation over (join key, _id expr) + a per-key
-    pack (sources/mongoql.py::_correlated_lookup pack), never a
+    pack (sources/mongoql/lookup.py::_correlated_lookup pack), never a
     per-document re-run: two shuffles total, no window over orders.
     The composite ``_id`` {s, yr} round-trips as a struct ('$g._id.s'
     downstream, exactly Mongo's contract); the $unwind re-flatten
@@ -2505,7 +2505,7 @@ def q205_mongo_lookup_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend histogram of each BUILDING customer's own orders — the
     bucket label is row-local, so the stage rewrites to
     $addFields($switch) + terminal grouping-_id $group
-    (sources/mongoql.py::_bucket_as_group_stages) and rides the
+    (sources/mongoql/lookup.py::_bucket_as_group_stages) and rides the
     per-key pack: ONE aggregation over (custkey, bucket), one join,
     never a per-document re-run. Integer labels (no string default →
     no stringify), count-only output, $unwind re-flatten."""
@@ -2554,7 +2554,7 @@ def q206_mongo_merge_objects_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     when low priority) to the FRESHEST non-null value per field per customer —
     $sort by (date, key) then merge in document order. Lowered to one
     max_by(field, non-null position) per field inside ONE aggregation
-    (sources/mongoql.py::_group) — no window, no self-join; the oracle
+    (sources/mongoql/stages.py::_group) — no window, no self-join; the oracle
     is DuckDB's arg_max over a row_number, which skips null keys the
     same way. Documented rectangular deviation: SQL NULL counts as a
     missing field."""
@@ -2645,7 +2645,7 @@ def q208_mongo_lookup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     each MACHINERY customer's orders ranked by price with a running
     spend — a per-PARTITION stage made per-DOCUMENT by extending its
     partition key with the join keys
-    (sources/mongoql.py::_augment_partitions), which is exact: every
+    (sources/mongoql/lookup.py::_augment_partitions), which is exact: every
     window partition is one customer's matched set. ONE window over
     the orders scan + one broadcast join; the oracle is the same
     window PARTITION BY o_custkey, pinning that nothing leaks across
@@ -2705,7 +2705,7 @@ def q209_mongo_lookup_sort_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``$group`` with ORDER-SENSITIVE accumulators — ``$first`` (the
     latest lineitem's shipdate and linenumber), an ordered ``$push``
     (quantities in sort order), and ``$sum``. The $sort is ABSORBED
-    into the accumulators (sources/mongoql.py::_group ``sort_spec``:
+    into the accumulators (sources/mongoql/stages.py::_group ``sort_spec``:
     $first compiles to $top, $push packs comparator-sorted), so the
     plan is ONE aggregation over the filtered foreign side + one
     equi-join — no global sort, no window over the fact table, no
@@ -2759,6 +2759,64 @@ FROM orders o JOIN (
   FROM lineitem GROUP BY l_orderkey) l
   ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+# --- q210: correlated $lookup, MID-pipeline $sort+$limit ------------------------
+def q210_mongo_lookup_mid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's per-document 'top-k, then keep transforming' idiom —
+    a MID-pipeline ``$sort`` + ``$limit`` inside a correlated
+    ``$lookup``, followed by ``$addFields`` and an include-``$project``
+    (so the run is NOT terminal and the r14 scope guard would have
+    refused it). r15 lowering
+    (sources/mongoql/lookup.py::_lower_mid_sort_limit): the run
+    becomes a ``$documentNumber`` ranking window whose partition key
+    ``_augment_partitions`` extends with the join key — per-document
+    exact — and the rank rides as the internal ``__rn`` column so the
+    packed array keeps the sort order through the later row-local
+    stages (then is stripped). ONE shuffle: the window's
+    hash-partitioning on l_orderkey is the same partitioning the pack
+    groupBy needs. Plan-gated: no global Sort node. Price emitted as
+    integer cents (the q180 discipline); (extendedprice desc,
+    linenumber) ties can only be full-duplicate fixture rows, whose
+    outputs are identical — one deterministic multiset on both
+    engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$match": {"o_orderpriority": "2-HIGH"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$ok", "$l_orderkey"]}}},
+                {"$sort": {"l_extendedprice": -1, "l_linenumber": 1}},
+                {"$limit": 2},
+                {"$addFields": {"cents": {"$toLong": {"$round": [
+                    {"$multiply": ["$l_extendedprice", 100]}, 0]}}}},
+                {"$project": {"cents": 1, "l_linenumber": 1,
+                              "l_orderkey": 1}}],
+            "as": "top"}},
+        {"$unwind": {"path": "$top"}},
+    ], collections={"lineitem": lineitem})
+    return out.select(
+        "o_orderkey",
+        F.col("top.cents").alias("cents"),
+        F.col("top.l_linenumber").cast("long").alias("ln"))
+
+
+Q210_SQL = """
+SELECT o.o_orderkey, l.cents, l.ln
+FROM orders o JOIN (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(l_linenumber AS BIGINT) AS ln,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC,
+                                     l_linenumber ASC) AS rn
+  FROM lineitem) l
+  ON l.l_orderkey = o.o_orderkey AND l.rn <= 2
+WHERE o.o_orderpriority = '2-HIGH'
 """
 
 
@@ -2818,6 +2876,7 @@ QUERIES = {
     "q207_mongo_lookup_sort_by_count": q207_mongo_lookup_sort_by_count,
     "q208_mongo_lookup_window": q208_mongo_lookup_window,
     "q209_mongo_lookup_sort_group": q209_mongo_lookup_sort_group,
+    "q210_mongo_lookup_mid_topk": q210_mongo_lookup_mid_topk,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2879,6 +2938,7 @@ ORACLES = {
     "q207_mongo_lookup_sort_by_count": Q207_SQL,
     "q208_mongo_lookup_window": Q208_SQL,
     "q209_mongo_lookup_sort_group": Q209_SQL,
+    "q210_mongo_lookup_mid_topk": Q210_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

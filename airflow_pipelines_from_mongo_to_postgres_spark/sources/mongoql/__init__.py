@@ -29,7 +29,10 @@ the rank family ``$top/$bottom/$topN/$bottomN/$minN/$maxN/$firstN/
 $lastN`` with a uniform deterministic tie contract (see
 :func:`_topn_agg`); a ``$sort`` immediately before a ``$group`` whose
 accumulators are order-sensitive ABSORBS into them inside correlated
-``$lookup`` sub-pipelines (r15 — see :func:`_group`)),
+``$lookup`` sub-pipelines (r15 — see :func:`_group`); mid-pipeline
+``$sort``/``$skip``/``$limit`` runs in those sub-pipelines lower to
+per-key ranking windows with the order carried into the pack (r15 —
+see ``lookup._lower_mid_sort_limit``)),
 ``$sort``, ``$limit``, ``$skip``,
 ``$count``, ``$unset``, ``$sample``, ``$redact`` (schema-recursive
 KEEP/PRUNE/DESCEND), ``$facet`` (shared-scan

@@ -1019,6 +1019,8 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         raise UnsupportedMongoStage(
             f"{op} is refused by design: {UNSUPPORTED_EXPR_OPS[op]}")
     raise ValueError(f"unsupported expression operator: {op}")
+
+
 def _mongo_to_date(c: Column, use_try: bool = False) -> Column:
     """Mongo's number→date rule: a numeric value is MILLISECONDS since
     the epoch (r14 — a bare ``cast(timestamp)`` reads numbers as
@@ -1175,6 +1177,8 @@ def _regex_cond(col: Column, pattern: Any, options: str | None) -> Column:
             raise ValueError(f"unsupported $regex options: {options!r}")
         pattern = f"(?{options})" + pattern
     return col.rlike(pattern)
+
+
 def _root_env(df: DataFrame, extra: dict | None = None) -> dict:
     """Stage-level ``$$ROOT``/``$$CURRENT`` bindings: the whole current
     document as one struct (translator-internal ``__``-prefixed columns
@@ -1183,6 +1187,8 @@ def _root_env(df: DataFrame, extra: dict | None = None) -> dict:
     cols = [c for c in df.columns if not c.startswith("__")]
     root = F.struct(*[F.col(c).alias(c) for c in cols])
     return {**(extra or {}), "ROOT": root, "CURRENT": root}
+
+
 def _rebase_refs(v: Any, schema, var: str) -> Any:
     """Rewrite bare ``$path`` field references so an expression written
     against "the current document" evaluates against an arbitrary
@@ -1204,6 +1210,8 @@ def _rebase_refs(v: Any, schema, var: str) -> Any:
     if isinstance(v, list):
         return [_rebase_refs(x, schema, var) for x in v]
     return v
+
+
 def _lookup_sort_cmp(sortspec: dict[str, Any]):
     """array_sort comparator for a Mongo ``$sort`` spec over an array
     of doc structs: fields compared in spec order with ±1 directions,

@@ -250,6 +250,91 @@ def _augment_partitions(stages: list[dict[str, Any]],
         else:
             out.append(st)
     return out
+
+
+def _lower_mid_sort_limit(stages: list[dict[str, Any]]
+                          ) -> list[dict[str, Any]]:
+    """MID-pipeline ``$sort`` [+ ``$skip``] [+ ``$limit``] in a
+    correlated ``$lookup`` sub-pipeline (r15) — Mongo's per-document
+    'top-k, then keep transforming' idiom ([$sort, $limit, $project])
+    that the scope guard used to refuse. Lowered to a per-key ranking
+    window: ``$setWindowFields`` with ``$documentNumber`` over the
+    sort key (``_augment_partitions`` extends its partitionBy with the
+    join keys, so the rank IS per outer document) + a ``$match`` on
+    the rank range, with the rank kept as the internal ``__rn`` column
+    so the final pack preserves the sort order (``__``-internal
+    columns are stripped from packed docs). At 100 TB this is the
+    bounded shape the rank-family docstring recommends for huge
+    groups: the window sort spills to disk, and its hash-partitioning
+    on the join keys is the SAME partitioning the pack's groupBy
+    needs — one shuffle total, no global sort, no per-document rerun.
+
+    Left alone: a TERMINAL run (the slice-based terminal splitter owns
+    it — cheaper, no window) and a bare ``$sort`` immediately before
+    the terminal ``$group`` (the ``_group`` ``sort_spec`` absorption
+    owns it, no window needed). Any OTHER path into a terminal
+    ``$group`` — a run with ``$skip``/``$limit`` before it, or stages
+    between the sort and the group — carries the order as ``__rn``,
+    which ``pack`` hands the group compiler as its ``sort_spec``, so
+    ordered accumulators still honor the sort ('aggregate each
+    document's top-k'), robust even when later projections drop the
+    sort fields themselves. Ties within equal sort keys take Mongo's
+    own unspecified-order latitude (the row_number assignment); use
+    tie-free keys where cross-engine determinism matters."""
+    out: list[dict[str, Any]] = []
+    i, n = 0, len(stages)
+    while i < n:
+        st = stages[i]
+        if not (isinstance(st, dict) and set(st) == {"$sort"}):
+            out.append(st)
+            i += 1
+            continue
+        sort = dict(st["$sort"])
+        j, skip, limit = i + 1, None, None
+        if j < n and isinstance(stages[j], dict) \
+                and set(stages[j]) == {"$skip"}:
+            skip = int(stages[j]["$skip"])
+            if skip < 0:
+                raise ValueError("$skip must be non-negative")
+            j += 1
+        if j < n and isinstance(stages[j], dict) \
+                and set(stages[j]) == {"$limit"}:
+            limit = int(stages[j]["$limit"])
+            j += 1
+        term_group_next = (
+            j == n - 1 and isinstance(stages[j], dict)
+            and set(stages[j]) == {"$group"}
+            and "_id" in stages[j]["$group"])
+        if j == n:
+            # terminal run — the slice-based splitter owns it
+            out.extend(stages[i:j])
+            i = j
+            continue
+        if skip is None and limit is None and term_group_next:
+            # bare $sort adjacent to the terminal $group — the _group
+            # sort_spec absorption owns it (no window needed)
+            out.append(st)
+            i += 1
+            continue
+        if any("." in f for f in sort):
+            raise ValueError(
+                "$lookup sub-pipeline $sort on a dotted path is "
+                "unsupported — $addFields the value to a top-level "
+                "field first")
+        out.append({"$setWindowFields": {
+            "sortBy": sort,
+            "output": {"__rn": {"$documentNumber": {}}}}})
+        rng: dict[str, Any] = {}
+        if skip is not None:
+            rng["$gt"] = skip
+        if limit is not None:
+            rng["$lte"] = (skip or 0) + limit
+        if rng:
+            out.append({"$match": {"__rn": rng}})
+        i = j
+    return out
+
+
 def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                        collections: dict[str, DataFrame]) -> DataFrame:
     """Correlated ``$lookup`` (``let`` + ``pipeline``, and the concise
@@ -296,16 +381,21 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     matching doc' idiom and its pagination cousin) becomes a per-KEY
     ordered top-k-after-offset — ``array_sort`` with a multi-field
     asc/desc comparator + ``slice`` on the packed array,
-    zero extra shuffles (:func:`_split_term_sort_limit`); otherwise
-    matching docs pack per key (sorted — deterministic beats Mongo's
-    unspecified order, the $lookup convention). The final outer join is
-    null-safe (Mongo's $eq matches null to null). Contracts (raise,
-    never silently diverge): the sub-pipeline must keep the join/let
-    key columns in scope (don't project them away), and
-    per-outer-document stages beyond those terminal forms
-    ($sample/$bucketAuto/a $sort not adjacent to the terminal $group/
-    mid-pipeline $skip/$limit/non-terminal $group) are refused rather
-    than applied globally."""
+    zero extra shuffles (:func:`_split_term_sort_limit`); a
+    MID-pipeline ``$sort`` [+ ``$skip``] [+ ``$limit``] run — more
+    stages follow it — becomes a per-key ``$documentNumber`` ranking
+    window + rank filter (:func:`_lower_mid_sort_limit`, r15), its
+    order carried through later row-local stages as the internal
+    ``__rn`` column into the pack (and into the terminal ``$group``'s
+    ordered accumulators); otherwise matching docs pack per key
+    (sorted — deterministic beats Mongo's unspecified order, the
+    $lookup convention). The final outer join is null-safe (Mongo's
+    $eq matches null to null). Contracts (raise, never silently
+    diverge): the sub-pipeline must keep the join/let key columns in
+    scope (don't project them away), and the remaining genuinely
+    per-outer-document stages ($sample/$bucketAuto/$skip/$limit with
+    no preceding $sort/non-terminal $group) are refused rather than
+    applied globally."""
     # back-edge into the dispatcher, bound at CALL time: stages.py
     # imports this module while loading, so a module-level import
     # here would be circular
@@ -365,13 +455,17 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         rest = rest[:-1] + [{"$group": {"_id": rest[-1]["$sortByCount"],
                                         "count": {"$sum": 1}}}]
         term_elem_order = {"count": -1, "_id": 1}
+    # mid-pipeline $sort/$skip/$limit runs → per-key ranking windows
+    # (r15) — BEFORE the scope guard so the rewritten window/match
+    # stages pass it as row-local
+    rest = _lower_mid_sort_limit(rest)
     # Per-document scope guard: the residual sub-pipeline runs ONCE
     # over the (filtered/joined) foreign frame — never once per outer
     # document — so only stages whose per-key result is invariant to
-    # the other keys' rows are sound. A MID-pipeline $limit would be
-    # Mongo's per-document limit applied GLOBALLY here, silently
-    # emptying most documents' arrays. Contract: raise, never
-    # silently diverge.
+    # the other keys' rows are sound. A MID-pipeline $limit with no
+    # preceding $sort would be Mongo's natural-order limit — no
+    # defined order to rank by. Contract: raise, never silently
+    # diverge.
     _ROW_LOCAL = {"$match", "$project", "$addFields", "$set", "$unset",
                   "$unwind", "$replaceRoot", "$replaceWith", "$redact",
                   "$lookup", "$graphLookup",
@@ -405,17 +499,20 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
             "globally under the join decompilation ($sample, "
-            "$bucketAuto, a non-terminal $group, or a mid-pipeline "
-            "$sort/$skip/$limit). Supported per-document forms: a "
-            "TERMINAL $sort [+ $skip] [+ $limit] suffix (per-key "
-            "ordered top-k-after-offset); a terminal $group (_id: "
-            "null aggregate or grouping _id), optionally preceded by "
-            "a $sort its ordered accumulators honor ($first/$last/"
-            "$firstN/$lastN/$push/$mergeObjects — r15); a terminal "
-            "$bucket (explicit default) / $sortByCount / $count; and "
-            "$setWindowFields/$fill/$densify anywhere (partition key "
-            "extended by the join keys — exact). Otherwise rewrite "
-            "over the joined array ($sortArray + $slice)")
+            "$bucketAuto, a non-terminal $group, or a $skip/$limit "
+            "with no preceding $sort — Mongo's natural order has no "
+            "distributed definition). Supported per-document forms: "
+            "$sort [+ $skip] [+ $limit] ANYWHERE (terminal runs slice "
+            "the packed array; mid-pipeline runs rank per key via a "
+            "join-key window — r15); a terminal $group (_id: null "
+            "aggregate or grouping _id), optionally preceded by a "
+            "$sort [+ $skip/$limit] its ordered accumulators honor "
+            "($first/$last/$firstN/$lastN/$push/$mergeObjects — r15); "
+            "a terminal $bucket (explicit default) / $sortByCount / "
+            "$count; and $setWindowFields/$fill/$densify anywhere "
+            "(partition key extended by the join keys — exact). "
+            "Otherwise rewrite over the joined array "
+            "($sortArray + $slice)")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
     general = bool(corr_conjs) or _mentions_vars(rest, set(let))
 
@@ -451,15 +548,22 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         return stages, None, None
 
     def packed_list(fields):
-        if term_sort is not None:
-            bad = [f for f in term_sort if f not in fields]
+        order = term_sort
+        if order is None and "__rn" in fields:
+            # a mid-pipeline $sort's rank column (r15): Mongo keeps the
+            # sort order through later row-local stages, so the pack
+            # preserves it — by the rank, which encodes the multi-field
+            # comparator already applied in the window
+            order = {"__rn": 1}
+        if order is not None:
+            bad = [f for f in order if f not in fields]
             if bad:
                 raise ValueError(
                     f"$lookup sub-pipeline $sort field(s) {bad} not in "
                     "the packed documents — keep them in the $project")
         lst = F.collect_list(F.struct(*fields))
-        arr = (F.array_sort(lst, _lookup_sort_cmp(term_sort))
-               if term_sort is not None else F.sort_array(lst))
+        arr = (F.array_sort(lst, _lookup_sort_cmp(order))
+               if order is not None else F.sort_array(lst))
         if term_limit is not None or term_skip is not None:
             # Mongo's $skip n then $limit k = elements n+1 .. n+k of
             # the per-key sorted array; a start past the end slices
@@ -468,6 +572,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             length = (F.lit(term_limit) if term_limit is not None
                       else F.size(arr))
             arr = F.slice(arr, F.lit(start), length)
+        keep = [f for f in fields if not f.startswith("__")]
+        if keep and len(keep) != len(fields):
+            # translator-internal __ columns (the __rn rank) never leak
+            # into packed documents — same rule as $$ROOT (_root_env)
+            arr = F.transform(arr, lambda x: F.struct(
+                *[x[f].alias(f) for f in keep]))
         return arr
 
     def pack(sub, key_cols, term_group, gsort=None):
@@ -479,6 +589,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                 f"join/let key column(s) {missing} — keep them in the "
                 "$project and drop them in the outer pipeline instead")
         if term_group is not None:
+            if gsort is None and "__rn" in sub.columns:
+                # a mid-pipeline $sort's carried rank (r15): the
+                # terminal $group's ordered accumulators absorb the
+                # rank column — it encodes the sort order and survives
+                # projections that drop the sort fields themselves
+                gsort = {"__rn": 1}
             gspec = dict(term_group)
             uid = gspec.pop("_id")
             idspec: dict[str, Any] = {k: "$" + src

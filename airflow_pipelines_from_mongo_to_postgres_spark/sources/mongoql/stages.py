@@ -121,6 +121,11 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         for root, child in _include_tree(includes).items():
             cols.append(_tree_col(child, root if isinstance(child, dict)
                                   else "", env).alias(root))
+        # translator-internal __ columns (the mid-$sort __rn rank in a
+        # $lookup sub-pipeline, r15) ride through user projections —
+        # they are scratch outside the stage language ($$ROOT excludes
+        # them too), so an include-projection must not strip them
+        cols.extend(F.col(c) for c in df.columns if c.startswith("__"))
         return df.select(*cols)
     # exclusion projection. DataFrame.drop ignores nested fields, so a
     # dotted exclusion path would silently SURVIVE where Mongo removes
@@ -132,6 +137,8 @@ def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             "(use an inclusion projection or flatten first)")
     drop = excludes + ([] if keep_id else ["_id"])
     return df.drop(*[c for c in drop if c in df.columns])
+
+
 def _group_key(gid: Any) -> Column:
     """``_id`` compiler: an operator doc or field ref evaluates as an
     expression; a COMPOSITE document ({a: "$x", b: {$op: ...}}, Mongo's
@@ -486,6 +493,8 @@ def _bucket(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                      {"_id": f"${tmp}",
                       **spec.get("output", {"count": {"$sum": 1}})})
     return grouped
+
+
 def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$fill`` (Mongo 5.3): constant, last-observation-carried-forward
     and linear-interpolation null filling. ``value`` fills lower to
@@ -740,6 +749,8 @@ def _bucket_auto(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 
 _REDACT_VARS = {"KEEP": "keep", "PRUNE": "prune", "DESCEND": "descend"}
+
+
 def _redact(df: DataFrame, spec: Any) -> DataFrame:
     """``$redact``: per-document recursive access control. The
     expression evaluates at EVERY document level to ``$$KEEP`` (keep
@@ -823,6 +834,8 @@ def _redact(df: DataFrame, spec: Any) -> DataFrame:
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
 def _facet(df: DataFrame, spec: dict[str, Any],
            collections: dict[str, DataFrame] | None) -> DataFrame:
     """``$facet``: N named sub-pipelines over ONE shared input, emitting
@@ -862,6 +875,8 @@ def _facet(df: DataFrame, spec: dict[str, Any],
     acc = acc.localCheckpoint(eager=True)
     df.unpersist()
     return acc
+
+
 def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                    collections: dict[str, DataFrame] | None = None,
                    targets: dict[str, str] | None = None
@@ -1006,8 +1021,13 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                   .orderBy(F.col("count").desc(), F.col("_id")))
         elif op in ("$replaceRoot", "$replaceWith"):
             root = spec["newRoot"] if op == "$replaceRoot" else spec
-            df = (df.select(_expr(root, _root_env(df)).alias("__root"))
-                  .select("__root.*"))
+            # translator-internal __ columns ride through the root
+            # swap (r15, same rule as $project) — user fields cannot
+            # collide with the __ namespace
+            internal = [c for c in df.columns if c.startswith("__")]
+            df = (df.select(_expr(root, _root_env(df)).alias("__root"),
+                            *[F.col(c) for c in internal])
+                  .select("__root.*", *internal))
         elif op == "$unionWith":
             if isinstance(spec, str):
                 cname, sub = spec, []
@@ -1090,7 +1110,7 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                 raise UnsupportedMongoStage(
                     f"{op} is unsupported by design: "
                     f"{UNSUPPORTED_STAGES[op]} (full table: "
-                    "sources/mongoql.py::UNSUPPORTED_STAGES, "
+                    "sources/mongoql/errors.py::UNSUPPORTED_STAGES, "
                     "README 'Unsupported Mongo stages')")
             raise ValueError(f"unsupported pipeline stage: {op}")
     return df

@@ -107,7 +107,23 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     if part is None:
         _warn_whole_collection_window(df, "$setWindowFields")
     sortby = spec.get("sortBy") or {}
-    base = Window.partitionBy(*([_expr(part, env)] if part is not None else []))
+    # a COMPOSITE partitionBy doc ({a: "$x", b: "$y"} — _group_key's
+    # convention: no $-operator at the top) partitions by its component
+    # expressions as SEPARATE keys, not one struct: identical partition
+    # semantics, but hashpartitioning(x, y) instead of
+    # hashpartitioning(named_struct(...)) — so a downstream
+    # groupBy/join on the same bare columns REUSES the window's
+    # exchange instead of reshuffling (r15; the window-in-$lookup pack
+    # rides the window's own shuffle, measured one-Exchange saving on
+    # q208/q210-class plans)
+    if isinstance(part, dict) and part and not (
+            len(part) == 1 and next(iter(part)).startswith("$")):
+        pexprs = [_expr(v, env) for v in part.values()]
+    elif part is not None:
+        pexprs = [_expr(part, env)]
+    else:
+        pexprs = []
+    base = Window.partitionBy(*pexprs)
     ordered = base.orderBy(
         *[F.col(k).asc() if d == 1 else F.col(k).desc()
           for k, d in sortby.items()]) if sortby else base

@@ -648,7 +648,7 @@ def upsert_statement(table: str, columns: Sequence[str], key: str | Sequence[str
     ``set_sql`` (column -> SQL expression over ``{table}.col`` /
     ``EXCLUDED.col``) overrides the default overwrite-from-staging SET
     list — the $merge whenMatched update-pipeline lowering
-    (sources/mongoql.py::_compile_merge_set_sql)."""
+    (sources/mongoql/writes.py::_compile_merge_set_sql)."""
     keys = [key] if isinstance(key, str) else list(key)
     staging = staging or f"{table}_staging"
     collist = ", ".join(columns)

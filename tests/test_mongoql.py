@@ -2223,28 +2223,34 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
             "as": "s"}}]
 
     for rest in (
-        # mid-pipeline $skip (not part of a terminal $sort suffix)
+        # mid-pipeline $skip with NO preceding $sort (no defined order)
         [{"$skip": 1}, {"$addFields": {"z": 1}}],
         [{"$sample": {"size": 1}}],
-        # mid-pipeline $sort (not a terminal suffix)
-        [{"$sort": {"qty": -1}}, {"$addFields": {"z": 1}}],
         # genuinely non-terminal $group (a stage follows it)
         [{"$group": {"_id": "$wh", "n": {"$sum": 1}}},
          {"$addFields": {"z": 1}}],
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
+    # a mid-pipeline $sort (r14: refused) now LOWERS to the per-key
+    # ranking window and carries its order into the pack (r15)
+    out = apply_pipeline(orders, lookup(
+        [{"$sort": {"qty": -1}}, {"$addFields": {"z": 1}}]),
+        collections=coll)
+    assert [e["wh"] for e in out.collect()[0]["s"]] == ["A", "B"]
     # terminal $limit/$skip without $sort has no defined order — refused
     with pytest.raises(ValueError, match="no defined order"):
         apply_pipeline(orders, lookup([{"$limit": 1}]), collections=coll)
     with pytest.raises(ValueError, match="no defined order"):
         apply_pipeline(orders, lookup([{"$skip": 1}]), collections=coll)
-    # $sort/$limit + terminal $group combination refused
-    with pytest.raises(ValueError, match="terminal .group"):
-        apply_pipeline(orders, lookup(
-            [{"$sort": {"qty": -1}}, {"$limit": 1},
-             {"$group": {"_id": None, "n": {"$sum": 1}}}]),
-            collections=coll)
+    # $sort + $limit + terminal $group (r14: refused) now aggregates
+    # each document's top-k via the carried rank (r15)
+    topk = apply_pipeline(orders, lookup(
+        [{"$sort": {"qty": -1}}, {"$limit": 1},
+         {"$group": {"_id": None, "n": {"$sum": 1},
+                     "w": {"$first": "$wh"}}}]),
+        collections=coll)
+    assert [(x["n"], x["w"]) for x in topk.collect()[0].s] == [(1, "A")]
 
     # row-local stages + terminal _id:null group still compile
     ok = apply_pipeline(orders, lookup(
@@ -3715,36 +3721,49 @@ def test_correlated_lookup_sort_group_merge_objects(spark):
     assert (got[2]["phone"], got[2]["email"]) == ("q1", "f1")
 
 
-def test_correlated_lookup_sort_not_adjacent_to_group_still_refused(spark):
-    """r15: only a $sort IMMEDIATELY before the terminal $group is
-    absorbed; a detached mid-pipeline $sort (or one followed by $limit
-    then $group) keeps the per-document scope-guard refusal."""
+def test_correlated_lookup_detached_sort_feeds_ordered_group(spark):
+    """r15 (tightened the same round: these two shapes were refusals
+    for a few commits, then the __rn carry closed them): a $sort NOT
+    adjacent to the terminal $group — separated by other stages, or
+    truncated by $limit — still feeds the group's ordered accumulators
+    via the carried rank column."""
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
 
     cust = spark.createDataFrame([(1,)], ["ck"])
-    orders = spark.createDataFrame([(1, "a", 10.0)],
-                                   "o_ck long, oid string, price double")
-    with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
-        apply_pipeline(cust, [
+    orders = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0)],
+        "o_ck long, oid string, price double")
+
+    def run(pipeline):
+        out = apply_pipeline(cust, [
             {"$lookup": {"from": "o", "localField": "ck",
                          "foreignField": "o_ck",
-                         "pipeline": [
-                             {"$sort": {"price": -1}},
-                             {"$addFields": {"z": 1}},
-                             {"$group": {"_id": None,
-                                         "f": {"$first": "$oid"}}}],
+                         "pipeline": pipeline,
                          "as": "agg"}}], collections={"o": orders})
-    with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
-        apply_pipeline(cust, [
-            {"$lookup": {"from": "o", "localField": "ck",
-                         "foreignField": "o_ck",
-                         "pipeline": [
-                             {"$sort": {"price": -1}},
-                             {"$limit": 1},
-                             {"$group": {"_id": None,
-                                         "f": {"$first": "$oid"}}}],
-                         "as": "agg"}}], collections={"o": orders})
-    # absorbed-sort field must survive to the $group input
+        return out.collect()[0]["agg"][0]
+
+    # $sort … $addFields … $group: $first/$push honor the sort order
+    r = run([{"$sort": {"price": -1}},
+             {"$addFields": {"z": 1}},
+             {"$group": {"_id": None, "f": {"$first": "$oid"},
+                         "p": {"$push": "$oid"}}}])
+    assert (r["f"], list(r["p"])) == ("b", ["b", "c", "a"])
+    # $sort + $limit + $group: aggregate each document's top-k
+    r = run([{"$sort": {"price": -1}},
+             {"$limit": 2},
+             {"$group": {"_id": None, "f": {"$first": "$oid"},
+                         "last": {"$last": "$oid"},
+                         "s": {"$sum": "$price"}}}])
+    assert (r["f"], r["last"], r["s"]) == ("b", "c", 50.0)
+    # even when a projection drops the sort field itself, the carried
+    # rank keeps the order
+    r = run([{"$sort": {"price": -1}},
+             {"$limit": 2},
+             {"$project": {"oid": 1, "o_ck": 1}},
+             {"$group": {"_id": None, "p": {"$push": "$oid"}}}])
+    assert list(r["p"]) == ["b", "c"]
+    # absorbed-sort field must survive to the $group input (adjacent
+    # $sort form — no window, no carried rank)
     with pytest.raises(ValueError, match="not present at the .group"):
         apply_pipeline(cust, [
             {"$lookup": {"from": "o", "localField": "ck",
@@ -3799,3 +3818,113 @@ def test_rank_family_tie_contract(spark):
         ).collect()[0]
     assert rn["t"] == "z"          # BSON: null sorts below every value
     assert rn["b"] == "a"
+
+
+def test_correlated_lookup_mid_sort_skip_limit(spark):
+    """r15: MID-pipeline $sort+$skip+$limit in a correlated $lookup —
+    per-document top-k-after-offset followed by MORE stages (the form
+    the r14 scope guard refused). Lowered to a per-key $documentNumber
+    window (join-key partition) + rank filter; the rank rides as the
+    internal __rn so the packed array keeps the sort order through
+    later row-local stages, then is stripped."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0), (1, "d", 5.0),
+         (2, "e", 7.0)],
+        "o_ck long, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "let": {"k": "$ck"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$eq": ["$$k", "$o_ck"]}}},
+                         {"$sort": {"price": -1}},
+                         {"$skip": 1},
+                         {"$limit": 2},
+                         {"$addFields": {"half": {"$divide": ["$price",
+                                                              2]}}},
+                         {"$project": {"oid": 1, "half": 1, "o_ck": 1}}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["oid"], e["half"]) for e in r["s"]]
+           for r in out.collect()}
+    # per doc: skip the priciest, take next 2, IN SORT ORDER
+    assert got[1] == [("c", 10.0), ("a", 5.0)]
+    assert got[2] == []            # one match, skipped past
+    assert got[3] == []
+    # the internal rank column must not leak into packed docs
+    assert out.schema["s"].dataType.elementType.fieldNames() == \
+        ["oid", "half", "o_ck"]
+
+
+def test_correlated_lookup_mid_sort_limit_then_group(spark):
+    """r15: $sort+$limit immediately before the terminal $group —
+    'aggregate each document's top-k'. The rank window prunes to k per
+    key and a re-emitted $sort keeps the order adjacent so ordered
+    accumulators ($first/$push) absorb it."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0), (1, "d", 5.0),
+         (2, "e", 7.0)],
+        "o_ck long, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$sort": {"price": -1}},
+                         {"$limit": 3},
+                         {"$group": {"_id": None,
+                                     "top3_sum": {"$sum": "$price"},
+                                     "best": {"$first": "$oid"},
+                                     "ordered": {"$push": "$oid"}}}],
+                     "as": "g"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["top3_sum"], e["best"], list(e["ordered"]))
+                     for e in r["g"]] for r in out.collect()}
+    assert got[1] == [(60.0, "b", ["b", "c", "a"])]
+    assert got[2] == [(7.0, "e", ["e"])]
+    assert got[3] == []
+
+
+def test_correlated_lookup_mid_order_through_replace_with(spark):
+    """r15: the carried sort order survives a $replaceWith root swap
+    (internal __ columns ride through, same rule as $project)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 30.0), (1, "c", 20.0), (2, "e", 7.0)],
+        "o_ck long, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$sort": {"price": -1}},
+                         {"$limit": 2},
+                         {"$replaceWith": {"tag": "$oid", "p": "$price",
+                                           "o_ck": "$o_ck"}}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["tag"], e["p"]) for e in r["s"]]
+           for r in out.collect()}
+    assert got[1] == [("b", 30.0), ("c", 20.0)]
+    assert got[2] == [("e", 7.0)]
+    assert out.schema["s"].dataType.elementType.fieldNames() == \
+        ["tag", "p", "o_ck"]
+
+
+def test_correlated_lookup_mid_limit_without_sort_refused(spark):
+    """r15: a mid-pipeline $skip/$limit with NO preceding $sort still
+    refuses — Mongo's natural order has no distributed definition."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,)], ["ck"])
+    orders = spark.createDataFrame([(1, "a", 10.0)],
+                                   "o_ck long, oid string, price double")
+    with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [
+                             {"$limit": 2},
+                             {"$addFields": {"z": 1}}],
+                         "as": "s"}}], collections={"o": orders})
