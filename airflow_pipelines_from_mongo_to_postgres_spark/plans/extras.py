@@ -2820,6 +2820,61 @@ WHERE o.o_orderpriority = '2-HIGH'
 """
 
 
+# --- q211: correlated $lookup, NON-terminal $group + top-k groups ----------------
+def q211_mongo_lookup_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-terminal ``$group`` inside a correlated ``$lookup`` (r15 —
+    the last refused $group position): per MACHINERY customer,
+    aggregate orders by status, then ``$sort`` + ``$limit`` the GROUP
+    OUTPUT docs — 'top-2 statuses by spend per customer'. The
+    mid-group rewrite (sources/mongoql/lookup.py::_augment_partitions)
+    groups ONCE over (join key, ``_id``) carrying the key as an
+    internal ``__gk`` column, and the terminal suffix orders/slices
+    the packed per-customer arrays — one aggregation + one pack +
+    one broadcast join, no global sort, no per-document re-run.
+    Totals as integer cents (q180 discipline); (total desc, _id asc)
+    is tie-free per customer because _id IS the status."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "MACHINERY"}},
+        {"$lookup": {
+            "from": "orders",
+            "let": {"k": "$c_custkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$k", "$o_custkey"]}}},
+                {"$group": {"_id": "$o_orderstatus",
+                            "total": {"$sum": {"$toLong": {"$round": [
+                                {"$multiply": ["$o_totalprice", 100]},
+                                0]}}},
+                            "n": {"$sum": 1}}},
+                {"$sort": {"total": -1, "_id": 1}},
+                {"$limit": 2}],
+            "as": "top"}},
+        {"$unwind": {"path": "$top"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey",
+        F.col("top._id").alias("status"),
+        F.col("top.total").alias("total"),
+        F.col("top.n").cast("long").alias("n"))
+
+
+Q211_SQL = """
+SELECT c.c_custkey, g.status, g.total, g.n
+FROM customer c JOIN (
+  SELECT o_custkey, status, total, n,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY total DESC, status ASC) AS rn
+  FROM (SELECT o_custkey, o_orderstatus AS status,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2)) g
+  ON g.o_custkey = c.c_custkey AND g.rn <= 2
+WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2877,6 +2932,7 @@ QUERIES = {
     "q208_mongo_lookup_window": q208_mongo_lookup_window,
     "q209_mongo_lookup_sort_group": q209_mongo_lookup_sort_group,
     "q210_mongo_lookup_mid_topk": q210_mongo_lookup_mid_topk,
+    "q211_mongo_lookup_group_topk": q211_mongo_lookup_group_topk,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2939,6 +2995,7 @@ ORACLES = {
     "q208_mongo_lookup_window": Q208_SQL,
     "q209_mongo_lookup_sort_group": Q209_SQL,
     "q210_mongo_lookup_mid_topk": Q210_SQL,
+    "q211_mongo_lookup_group_topk": Q211_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

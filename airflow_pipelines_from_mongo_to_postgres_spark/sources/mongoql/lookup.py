@@ -197,23 +197,52 @@ def _bucket_as_group_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
 
 
 def _augment_partitions(stages: list[dict[str, Any]],
-                        key_fields: list[str]) -> list[dict[str, Any]]:
-    """Make per-partition stages PER-DOCUMENT inside a correlated
-    ``$lookup`` (r14): ``$setWindowFields``/``$fill``/``$densify`` in
-    a sub-pipeline are scoped to one outer document's matched docs in
-    Mongo; under the join decompilation the same semantics are exact
-    once the stage's partition key is EXTENDED by the join/let key
-    columns (every partition then is one key's matched set — windows,
-    gap fills and grids never leak across documents). ``$densify``
-    ``bounds: "full"`` rewrites to ``"partition"``: the per-document
-    pipeline's 'full' range IS the per-key range here."""
+                        key_fields: list[str]
+                        ) -> tuple[list[dict[str, Any]], list[str]]:
+    """Make per-partition/per-collection stages PER-DOCUMENT inside a
+    correlated ``$lookup``, returning ``(stages, current key columns)``:
+
+    - ``$setWindowFields``/``$fill``/``$densify`` (r14): the stage's
+      partition key is EXTENDED by the join/let key columns — every
+      partition then is one key's matched set, so windows, gap fills
+      and grids never leak across documents. ``$densify`` ``bounds:
+      "full"`` rewrites to ``"partition"``: the per-document pipeline's
+      'full' range IS the per-key range here.
+    - NON-terminal ``$group`` (r15 — previously refused): grouped ONCE
+      over (join keys, user ``_id``), the join keys then carried
+      forward as internal ``__gk*`` columns (a Mongo group output doc
+      has only ``_id`` + accumulators, so the carried keys must be
+      invisible — the ``__`` namespace rides through later projections
+      and is stripped from packed docs). Every later stage, including
+      another ``$group`` or the final pack, keys on the CARRIED
+      columns — hence the returned key list. If a mid-pipeline
+      ``$sort`` preceded the group, its ``__rn`` rank feeds the
+      group's ordered accumulators (dispatcher-level absorb).
+    """
     out = []
+    keys = list(key_fields)
+    gen = 0
     for st in stages:
         ops = set(st) if isinstance(st, dict) else set()
-        if ops == {"$setWindowFields"}:
+        if ops == {"$group"}:
+            spec = dict(st["$group"])
+            if "_id" not in spec:
+                raise ValueError("$group requires an _id field")
+            uid = spec.pop("_id")
+            idspec: dict[str, Any] = {f"__k{i}": f"${k}"
+                                      for i, k in enumerate(keys)}
+            idspec["__u"] = uid
+            newkeys = [f"__gk{gen}_{i}" for i in range(len(keys))]
+            gen += 1
+            out.append({"$group": {"_id": idspec, **spec}})
+            out.append({"$addFields": {nk: f"$_id.__k{i}"
+                                       for i, nk in enumerate(newkeys)}})
+            out.append({"$addFields": {"_id": "$_id.__u"}})
+            keys = newkeys
+        elif ops == {"$setWindowFields"}:
             spec = dict(st["$setWindowFields"])
             aug: dict[str, Any] = {f"__pk{i}": f"${f}"
-                                   for i, f in enumerate(key_fields)}
+                                   for i, f in enumerate(keys)}
             if spec.get("partitionBy") is not None:
                 aug["__pborig"] = spec["partitionBy"]
             spec["partitionBy"] = aug
@@ -227,7 +256,7 @@ def _augment_partitions(stages: list[dict[str, Any]],
                                  "field: 'range'")
             spec["partitionByFields"] = (
                 list(spec.get("partitionByFields") or [])
-                + [f for f in key_fields
+                + [f for f in keys
                    if f not in (spec.get("partitionByFields") or [])])
             rng = dict(spec["range"])
             if rng.get("bounds") == "full":
@@ -238,17 +267,52 @@ def _augment_partitions(stages: list[dict[str, Any]],
             spec = dict(st["$fill"])
             if spec.get("partitionBy") is not None:
                 aug = {f"__pk{i}": f"${f}"
-                       for i, f in enumerate(key_fields)}
+                       for i, f in enumerate(keys)}
                 aug["__pborig"] = spec["partitionBy"]
                 spec["partitionBy"] = aug
             else:
                 spec["partitionByFields"] = (
                     list(spec.get("partitionByFields") or [])
-                    + [f for f in key_fields
+                    + [f for f in keys
                        if f not in (spec.get("partitionByFields") or [])])
             out.append({"$fill": spec})
         else:
             out.append(st)
+    return out, keys
+
+
+def _rewrite_mid_sugar(stages: list[dict[str, Any]]
+                       ) -> list[dict[str, Any]]:
+    """Rewrite NON-terminal ``$count``/``$sortByCount``/``$bucket`` in
+    a correlated ``$lookup`` sub-pipeline into their ``$group``
+    (+``$sort``) definitions (r15). Terminal occurrences keep their
+    dedicated lowerings (cheaper pack-level forms); mid-pipeline ones
+    become groups the mid-group rewrite then scopes per document, with
+    any emitted ``$sort`` lowered to a ranking window by
+    :func:`_lower_mid_sort_limit`. ``$count`` emits Mongo's exact doc
+    shape (the count field only, no ``_id``)."""
+    out: list[dict[str, Any]] = []
+    last = len(stages) - 1
+    for i, st in enumerate(stages):
+        ops = set(st) if isinstance(st, dict) else set()
+        if i == last or len(ops) != 1 \
+                or not ops & {"$count", "$sortByCount", "$bucket"}:
+            out.append(st)
+            continue
+        if ops == {"$count"}:
+            cname = st["$count"]
+            if not isinstance(cname, str) or not cname:
+                raise ValueError("$count expects a non-empty field name")
+            out.append({"$group": {"_id": None, cname: {"$sum": 1}}})
+            out.append({"$project": {cname: 1, "_id": 0}})
+        elif ops == {"$sortByCount"}:
+            out.append({"$group": {"_id": st["$sortByCount"],
+                                   "count": {"$sum": 1}}})
+            # count desc, _id asc — Mongo's contract plus the
+            # deterministic tiebreak, same as the terminal form
+            out.append({"$sort": {"count": -1, "_id": 1}})
+        else:
+            out.extend(_bucket_as_group_stages(st["$bucket"]))
     return out
 
 
@@ -376,7 +440,14 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     is ABSORBED into the group's order-sensitive accumulators
     (``$first``→``$top``, ``$firstN``→``$topN``, comparator-ordered
     ``$push``/``$mergeObjects`` — see :func:`_group`), so the
-    per-document sort never plans as a global one; a terminal
+    per-document sort never plans as a global one; a NON-terminal
+    ``$group`` — including one followed by ``$match``-on-aggregates,
+    another ``$group``, or a terminal ``$sort``/``$limit`` suffix
+    ('top-k groups per document') — is rewritten by
+    :func:`_augment_partitions` to group over (join keys, ``_id``)
+    with the keys carried as internal ``__gk*`` columns (r15), and
+    mid-pipeline ``$count``/``$sortByCount``/``$bucket`` reduce to
+    that via :func:`_rewrite_mid_sugar`; a terminal
     ``$sort`` [+ ``$skip`` n] [+ ``$limit`` k] suffix (Mongo's 'latest
     matching doc' idiom and its pagination cousin) becomes a per-KEY
     ordered top-k-after-offset — ``array_sort`` with a multi-field
@@ -455,9 +526,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         rest = rest[:-1] + [{"$group": {"_id": rest[-1]["$sortByCount"],
                                         "count": {"$sum": 1}}}]
         term_elem_order = {"count": -1, "_id": 1}
+    # mid-pipeline sugar stages → their $group(+$sort) forms, then
     # mid-pipeline $sort/$skip/$limit runs → per-key ranking windows
-    # (r15) — BEFORE the scope guard so the rewritten window/match
-    # stages pass it as row-local
+    # (r15) — BEFORE the scope guard so the rewritten stages pass it
+    rest = _rewrite_mid_sugar(rest)
     rest = _lower_mid_sort_limit(rest)
     # Per-document scope guard: the residual sub-pipeline runs ONCE
     # over the (filtered/joined) foreign frame — never once per outer
@@ -481,10 +553,14 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         ops = set(st) if isinstance(st, dict) else set()
         if ops and ops <= _ROW_LOCAL:
             continue
-        if ops == {"$group"} and i == len(rest) - 1 and "_id" in st["$group"]:
-            # terminal per-doc $group — regrouped per (outer key, _id):
+        if ops == {"$group"} and "_id" in st["$group"]:
+            # TERMINAL per-doc $group — regrouped per (outer key, _id):
             # _id null packs ONE aggregate doc per key; a grouping _id
-            # (r14) packs one element per distinct sub-key
+            # (r14) packs one element per distinct sub-key. A
+            # NON-terminal $group (r15) is rewritten by
+            # _augment_partitions to group over (join keys, _id) with
+            # the keys carried forward as __gk* columns — per-document
+            # exact, one aggregation, never a re-run
             continue
         if (ops == {"$sort"} and i == len(rest) - 2
                 and _is_term_group(rest[-1])):
@@ -499,9 +575,9 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
             "globally under the join decompilation ($sample, "
-            "$bucketAuto, a non-terminal $group, or a $skip/$limit "
-            "with no preceding $sort — Mongo's natural order has no "
-            "distributed definition). Supported per-document forms: "
+            "$bucketAuto, or a $skip/$limit with no preceding $sort "
+            "— Mongo's natural order has no distributed definition). "
+            "Supported per-document forms: "
             "$sort [+ $skip] [+ $limit] ANYWHERE (terminal runs slice "
             "the packed array; mid-pipeline runs rank per key via a "
             "join-key window — r15); a terminal $group (_id: null "
@@ -509,8 +585,11 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             "$sort [+ $skip/$limit] its ordered accumulators honor "
             "($first/$last/$firstN/$lastN/$push/$mergeObjects — r15); "
             "a terminal $bucket (explicit default) / $sortByCount / "
-            "$count; and $setWindowFields/$fill/$densify anywhere "
-            "(partition key extended by the join keys — exact). "
+            "$count; $group/$count/$sortByCount/$bucket ANYWHERE "
+            "(r15 — grouped over the join keys, which then ride as "
+            "carried columns); and $setWindowFields/$fill/$densify "
+            "anywhere (partition key extended by the join keys — "
+            "exact). "
             "Otherwise rewrite over the joined array "
             "($sortArray + $slice)")
     plain_match = {k: v for k, v in match_spec.items() if k != "$expr"}
@@ -531,14 +610,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
                 and "_id" in stages[-1]["$group"]:
             if term_sort is not None or term_skip is not None \
                     or term_limit is not None:
-                raise ValueError(
-                    "$lookup sub-pipeline combining a TERMINAL "
-                    "$sort/$skip/$limit suffix with a $group is "
-                    "unsupported — put the $sort immediately BEFORE "
-                    "the $group (its ordered accumulators honor it), "
-                    "or aggregate the sliced array with "
-                    "$sortArray/$slice + array operators in the outer "
-                    "pipeline instead")
+                # [..., $group, $sort[, $skip][, $limit]] — order/slice
+                # the GROUP OUTPUT docs per document (top-k groups).
+                # Route the group through the mid-group rewrite
+                # (_augment_partitions) and let the terminal suffix
+                # sort/slice the packed elements (r15; raised in r14)
+                return stages, None, None
             gsort = None
             if len(stages) >= 2 and isinstance(stages[-2], dict) \
                     and set(stages[-2]) == {"$sort"}:
@@ -650,15 +727,15 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         if plain_match:
             pre.append({"$match": plain_match})
         rest, term_group, gsort = split_term_group(rest)
-        sub = apply_pipeline(
-            foreign,
-            pre + _augment_partitions(rest, [ff for _, ff in pairs]),
-            collections)
-        # key columns ARE the foreign join fields on this path, so they
-        # belong in the packed docs too (Mongo's matched docs carry
-        # them) — pass disjoint alias->source names and keep payload
-        # full via a sentinel-free select below
-        lk = {f"__lk{i}": ff for i, (_, ff) in enumerate(pairs)}
+        rest, fkeys = _augment_partitions(rest, [ff for _, ff in pairs])
+        sub = apply_pipeline(foreign, pre + rest, collections)
+        # key columns START as the foreign join fields on this path
+        # (they belong in the packed docs too — Mongo's matched docs
+        # carry them); after a mid-pipeline $group (r15) the keys are
+        # the carried __gk* columns instead. Pass disjoint
+        # alias->source names; payload stays full via a sentinel-free
+        # select below
+        lk = {f"__lk{i}": fk for i, fk in enumerate(fkeys)}
         missing = [ff for ff in lk.values() if ff not in sub.columns]
         if missing:
             raise ValueError(
@@ -703,9 +780,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             sub_stages.append({"$match": plain_match})
         rest_sub, term_group, gsort = split_term_group(
             _subst_let_refs(rest, lk_of))
-        rest_sub = _augment_partitions(rest_sub, list(lk_of.values()))
+        rest_sub, fkeys = _augment_partitions(rest_sub,
+                                              list(lk_of.values()))
         sub = apply_pipeline(joined, sub_stages + rest_sub, collections)
-        lk = {lk_of[v]: lk_of[v] for v in lets}
+        lk = {lk_of[v]: fk for v, fk in zip(lets, fkeys)}
         packed = pack(sub, lk, term_group, gsort)
         join_vars = lets
 

@@ -981,7 +981,13 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
             cols.extend(v.alias(n) for n, v in assigns.items())
             df = df.select(*cols)
         elif op == "$group":
-            df = _group(df, spec)
+            # inside a correlated $lookup, a mid-pipeline $sort rides
+            # as the __rn rank (lookup._lower_mid_sort_limit) — a
+            # following $group's order-sensitive accumulators absorb
+            # it, Mongo's '$sort then $group $first' contract.
+            # Top-level frames never carry __rn.
+            df = _group(df, spec, sort_spec=(
+                {"__rn": 1} if "__rn" in df.columns else None))
         elif op == "$sort":
             df = df.orderBy(*[F.col(k).asc() if d == 1 else F.col(k).desc()
                               for k, d in spec.items()])

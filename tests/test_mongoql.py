@@ -2226,9 +2226,6 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
         # mid-pipeline $skip with NO preceding $sort (no defined order)
         [{"$skip": 1}, {"$addFields": {"z": 1}}],
         [{"$sample": {"size": 1}}],
-        # genuinely non-terminal $group (a stage follows it)
-        [{"$group": {"_id": "$wh", "n": {"$sum": 1}}},
-         {"$addFields": {"z": 1}}],
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
@@ -2238,6 +2235,15 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
         [{"$sort": {"qty": -1}}, {"$addFields": {"z": 1}}]),
         collections=coll)
     assert [e["wh"] for e in out.collect()[0]["s"]] == ["A", "B"]
+    # a non-terminal $group (r14: refused) now groups over (join key,
+    # _id) with the key carried internally (r15)
+    out = apply_pipeline(orders, lookup(
+        [{"$group": {"_id": "$wh", "n": {"$sum": 1}}},
+         {"$addFields": {"z": 1}}]),
+        collections=coll)
+    assert sorted((e["_id"], e["n"], e["z"])
+                  for e in out.collect()[0]["s"]) == [("A", 1, 1),
+                                                      ("B", 1, 1)]
     # terminal $limit/$skip without $sort has no defined order — refused
     with pytest.raises(ValueError, match="no defined order"):
         apply_pipeline(orders, lookup([{"$limit": 1}]), collections=coll)
@@ -3928,3 +3934,143 @@ def test_correlated_lookup_mid_limit_without_sort_refused(spark):
                              {"$limit": 2},
                              {"$addFields": {"z": 1}}],
                          "as": "s"}}], collections={"o": orders})
+
+
+def test_correlated_lookup_mid_group(spark):
+    """r15: NON-terminal $group in a correlated $lookup sub-pipeline —
+    grouped once over (join key, _id) with the key carried as an
+    internal __gk column, later stages ($match on aggregates,
+    $project) apply per document; a SECOND group composes; the general
+    (let-correlated) path works the same."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)],
+                                 ["ck", "lo"])
+    orders = spark.createDataFrame(
+        [(1, "x", "a", 10.0), (1, "x", "b", 30.0), (1, "y", "c", 20.0),
+         (2, "x", "e", 7.0)],
+        "o_ck long, cat string, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "let": {"k": "$ck"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$eq": ["$$k", "$o_ck"]}}},
+                         {"$group": {"_id": "$cat",
+                                     "total": {"$sum": "$price"},
+                                     "n": {"$sum": 1}}},
+                         {"$match": {"total": {"$gte": 20.0}}},
+                         {"$project": {"_id": 1, "total": 1}}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: sorted((e["_id"], e["total"]) for e in r["s"])
+           for r in out.collect()}
+    assert got[1] == [("x", 40.0), ("y", 20.0)]
+    assert got[2] == []                      # 7.0 filtered out
+    assert got[3] == []
+    assert out.schema["s"].dataType.elementType.fieldNames() == \
+        ["_id", "total"]                     # no __gk leak
+
+    # group-of-group: count how many categories exceed the threshold
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "o",
+                     "let": {"k": "$ck", "minp": "$lo"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$and": [
+                             {"$eq": ["$$k", "$o_ck"]},
+                             {"$gt": ["$price", "$$minp"]}]}}},
+                         {"$group": {"_id": "$cat",
+                                     "total": {"$sum": "$price"}}},
+                         {"$match": {"total": {"$gte": 20.0}}},
+                         {"$group": {"_id": None,
+                                     "cats": {"$sum": 1}}}],
+                     "as": "s"}}], collections={"o": orders})
+    got2 = {r["ck"]: [e["cats"] for e in r["s"]] for r in out2.collect()}
+    assert got2[1] == [2] and got2[2] == [] and got2[3] == []
+
+
+def test_correlated_lookup_group_then_terminal_sort_limit(spark):
+    """r15: [$group, $sort, $limit] in a $lookup — order and slice the
+    GROUP OUTPUT docs per document ('top-k groups'); the r14 refusal
+    is gone. The terminal suffix sorts the packed elements."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "x", 30.0), (1, "y", 20.0), (2, "x", 7.0)],
+        "o_ck long, cat string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$group": {"_id": "$cat",
+                                     "total": {"$sum": "$price"}}},
+                         {"$sort": {"total": -1, "_id": 1}},
+                         {"$limit": 1}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["_id"], e["total"]) for e in r["s"]]
+           for r in out.collect()}
+    assert got[1] == [("x", 40.0)]
+    assert got[2] == [("x", 7.0)]
+    assert got[3] == []
+
+
+def test_correlated_lookup_mid_sugar_stages(spark):
+    """r15: mid-pipeline $sortByCount / $count / $bucket rewrite to
+    their $group(+$sort) forms and scope per document."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "x", 30.0), (1, "y", 20.0), (2, "x", 7.0)],
+        "o_ck long, cat string, price double")
+    # mid $sortByCount -> top category; mid $count over its output
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$sortByCount": "$cat"},
+                         {"$limit": 1},
+                         {"$count": "top1"}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [e["top1"] for e in r["s"]] for r in out.collect()}
+    assert got[1] == [1] and got[2] == [1] and got[3] == []
+    # mid $bucket histogram then filter non-empty buckets
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$bucket": {"groupBy": "$price",
+                                      "boundaries": [0, 15, 100],
+                                      "default": -1}},
+                         {"$match": {"count": {"$gte": 2}}}],
+                     "as": "s"}}], collections={"o": orders})
+    got2 = {r["ck"]: [(e["_id"], e["count"]) for e in r["s"]]
+            for r in out2.collect()}
+    assert got2[1] == [(15, 2)]              # 30.0 and 20.0
+    assert got2[2] == [] and got2[3] == []
+
+
+def test_correlated_lookup_sort_then_mid_group_absorbs_rank(spark):
+    """r15: a lowered mid-pipeline $sort's __rn rank feeds a FOLLOWING
+    (non-adjacent-to-terminal) $group's ordered accumulators — Mongo's
+    '$sort then $group $first' contract holds even when the group is
+    itself mid-pipeline."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "x", "a", 10.0), (1, "x", "b", 30.0), (1, "y", "c", 20.0),
+         (2, "x", "e", 7.0)],
+        "o_ck long, cat string, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [
+                         {"$sort": {"price": -1}},
+                         {"$group": {"_id": "$cat",
+                                     "best": {"$first": "$oid"},
+                                     "ordered": {"$push": "$oid"}}},
+                         {"$match": {"_id": "x"}}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["_id"], e["best"], list(e["ordered"]))
+                     for e in r["s"]] for r in out.collect()}
+    assert got[1] == [("x", "b", ["b", "a"])]
+    assert got[2] == [("x", "e", ["e"])]
