@@ -285,7 +285,8 @@ def _rewrite_mid_sugar(stages: list[dict[str, Any]]
                        ) -> list[dict[str, Any]]:
     """Rewrite NON-terminal ``$count``/``$sortByCount``/``$bucket`` in
     a correlated ``$lookup`` sub-pipeline into their ``$group``
-    (+``$sort``) definitions (r15). Terminal occurrences keep their
+    (+``$sort``) definitions, and ``$sample`` (ANY position) into a
+    rand-keyed per-document ranking window (r15). Terminal occurrences keep their
     dedicated lowerings (cheaper pack-level forms); mid-pipeline ones
     become groups the mid-group rewrite then scopes per document, with
     any emitted ``$sort`` lowered to a ranking window by
@@ -295,6 +296,22 @@ def _rewrite_mid_sugar(stages: list[dict[str, Any]]
     last = len(stages) - 1
     for i, st in enumerate(stages):
         ops = set(st) if isinstance(st, dict) else set()
+        if ops == {"$sample"}:
+            # per-document $sample (r15, ANY position): n random
+            # matches per outer document — a rand-keyed ranking window
+            # (the join-key partition makes it per-document), the same
+            # random-per-run convention as the top-level $sample
+            # lowering. Mongo's contract is 'any n docs, random
+            # order'; the carried __rn packs them in that random order
+            n = int(st["$sample"]["size"])
+            if n < 0:
+                raise ValueError("$sample size must be non-negative")
+            out.append({"$addFields": {"__smp": {"$rand": {}}}})
+            out.append({"$setWindowFields": {
+                "sortBy": {"__smp": 1},
+                "output": {"__rn": {"$documentNumber": {}}}}})
+            out.append({"$match": {"__rn": {"$lte": n}}})
+            continue
         if i == last or len(ops) != 1 \
                 or not ops & {"$count", "$sortByCount", "$bucket"}:
             out.append(st)
@@ -574,9 +591,9 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         raise ValueError(
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
-            "globally under the join decompilation ($sample, "
-            "$bucketAuto, or a $skip/$limit with no preceding $sort "
-            "— Mongo's natural order has no distributed definition). "
+            "globally under the join decompilation ($bucketAuto, or "
+            "a $skip/$limit with no preceding $sort — Mongo's natural "
+            "order has no distributed definition). "
             "Supported per-document forms: "
             "$sort [+ $skip] [+ $limit] ANYWHERE (terminal runs slice "
             "the packed array; mid-pipeline runs rank per key via a "

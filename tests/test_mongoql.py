@@ -4074,3 +4074,44 @@ def test_correlated_lookup_sort_then_mid_group_absorbs_rank(spark):
                      for e in r["s"]] for r in out.collect()}
     assert got[1] == [("x", "b", ["b", "a"])]
     assert got[2] == [("x", "e", ["e"])]
+
+
+def test_correlated_lookup_sample(spark):
+    """r15: $sample inside a correlated $lookup — n random matches PER
+    DOCUMENT via a rand-keyed ranking window over the join-key
+    partition (random per run, the top-level $sample convention;
+    membership and per-document size are the testable contract)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, f"a{i}", float(i)) for i in range(6)]
+        + [(2, "b0", 1.0)],
+        "o_ck long, oid string, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$sample": {"size": 2}},
+                                  {"$project": {"oid": 1, "o_ck": 1}}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [e["oid"] for e in r["s"]] for r in out.collect()}
+    assert len(got[1]) == 2 and len(set(got[1])) == 2
+    assert set(got[1]) <= {f"a{i}" for i in range(6)}
+    assert got[2] == ["b0"]          # n > matched -> all matches
+    assert got[3] == []
+    # $sample feeding a $group: 'aggregate a random subset per doc'
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$sample": {"size": 3}},
+                                  {"$group": {"_id": None,
+                                              "n": {"$sum": 1}}}],
+                     "as": "s"}}], collections={"o": orders})
+    got2 = {r["ck"]: [e["n"] for e in r["s"]] for r in out2.collect()}
+    assert got2[1] == [3] and got2[2] == [1] and got2[3] == []
+    with pytest.raises(ValueError, match="non-negative"):
+        apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [{"$sample": {"size": -1}}],
+                         "as": "s"}}], collections={"o": orders})
