@@ -2204,10 +2204,11 @@ def test_r13_advice_fixes(spark):
 
 
 def test_correlated_lookup_per_doc_scope_guard(spark):
-    """Per-outer-document-scoped stages in a correlated $lookup
-    sub-pipeline ($sort+$limit 'latest match' idiom, $skip, $sample,
-    non-terminal $group) raise with rewrite guidance instead of
-    silently applying GLOBALLY across all outer documents."""
+    """The correlated-$lookup per-document scope guard after the r15
+    lowerings: what remains refused ($skip/$limit with no preceding
+    $sort, $bucketAuto) raises with rewrite guidance instead of
+    silently applying GLOBALLY; the formerly-refused $sort/$sample/
+    non-terminal-$group forms now lower per document."""
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
 
     orders = spark.createDataFrame([(1, "apple")], ["_id", "item"])
@@ -2225,10 +2226,15 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
     for rest in (
         # mid-pipeline $skip with NO preceding $sort (no defined order)
         [{"$skip": 1}, {"$addFields": {"z": 1}}],
-        [{"$sample": {"size": 1}}],
+        [{"$bucketAuto": {"groupBy": "$qty", "buckets": 2}}],
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
+    # $sample (r14: refused) now draws n random matches per document
+    # (r15) — size is the testable contract
+    out = apply_pipeline(orders, lookup([{"$sample": {"size": 1}}]),
+                         collections=coll)
+    assert len(out.collect()[0]["s"]) == 1
     # a mid-pipeline $sort (r14: refused) now LOWERS to the per-key
     # ranking window and carries its order into the pack (r15)
     out = apply_pipeline(orders, lookup(
