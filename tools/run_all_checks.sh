@@ -20,6 +20,11 @@ for sf in sf0.001 sf0.01 sf0.1; do
 done
 
 echo "== bench (sf0.1) =="
+# settle: the suite/sweep phases leave a decaying loadavg tail that
+# inflates the first isolated medians (r15 close run: load1 7.15 at
+# bench start, q26 median 3.42 vs 2.42 clean-box) — the bench's own
+# load markers record whatever remains, this just shrinks it
+sleep 60
 python bench.py 2>/dev/null | tail -1
 
 echo "== BASELINE.md scaling rows for gated queries =="
