@@ -836,3 +836,112 @@ def test_exp_moving_avg_matches_sequential_reference(spark, series, n):
         state[g] = ema
         want[(g, k)] = ema
     assert got == want
+
+
+_lk15_shape = st.integers(0, 3)
+_lk15_dir = st.sampled_from([1, -1])
+_lk15_skip = st.integers(0, 2)
+_lk15_limit = st.integers(1, 3)
+
+
+@given(outer=_lk_outer, foreign=_lk_foreign, shape=_lk15_shape,
+       sdir=_lk15_dir, skip=_lk15_skip, limit=_lk15_limit)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_correlated_lookup_r15_grammar_matches_reference(
+        spark, outer, foreign, shape, sdir, skip, limit):
+    """Model check for the r15 lookup lowerings: random sub-pipelines
+    from the newly supported grammar — (0) MID $sort+$skip+$limit then
+    row-local transforms, (1) NON-terminal $group then $match on the
+    aggregate, (2) $sort absorbed into ordered $group accumulators,
+    (3) [$group, $sort, $limit] top-k groups — each compared against a
+    LITERAL per-document Python evaluation of Mongo's semantics. A
+    unique fid tiebreak keeps every sort total, so the reference is
+    exact (no tie latitude). Covers null join keys (Mongo $eq matches
+    null to null) and empty match sets."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        apply_pipeline,
+    )
+
+    frows = [(sk, q, i) for i, (sk, q) in enumerate(foreign)]
+    odf = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(outer)], "oid int, key string")
+    fdf = spark.createDataFrame(frows, "sku string, qty int, fid int") \
+        if frows else spark.createDataFrame([], "sku string, qty int, fid int")
+
+    def matches(k):
+        return [(q, f) for (sk, q, f) in frows if sk == k]
+
+    if shape == 0:
+        pipeline = [
+            {"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}},
+            {"$sort": {"qty": sdir, "fid": 1}},
+            {"$skip": skip},
+            {"$limit": limit},
+            {"$addFields": {"dbl": {"$multiply": ["$qty", 2]}}},
+            {"$project": {"fid": 1, "dbl": 1, "sku": 1}}]
+
+        def ref(k):
+            rows = sorted(matches(k),
+                          key=lambda t: (sdir * t[0], t[1]))
+            return [(f, q * 2) for (q, f) in rows[skip:skip + limit]]
+
+        def read(arr):
+            return [(x["fid"], x["dbl"]) for x in arr]
+    elif shape == 1:
+        pipeline = [
+            {"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}},
+            {"$group": {"_id": {"$mod": ["$qty", 2]},
+                        "n": {"$sum": 1}, "mx": {"$max": "$qty"}}},
+            {"$match": {"n": {"$gte": 2}}}]
+
+        def ref(k):
+            groups: dict = {}
+            for q, _ in matches(k):
+                groups.setdefault(q % 2, []).append(q)
+            return sorted((g, len(v), max(v)) for g, v in groups.items()
+                          if len(v) >= 2)
+
+        def read(arr):
+            return sorted((x["_id"], x["n"], x["mx"]) for x in arr)
+    elif shape == 2:
+        pipeline = [
+            {"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}},
+            {"$sort": {"qty": -1, "fid": 1}},
+            {"$group": {"_id": {"$mod": ["$qty", 2]},
+                        "first": {"$first": "$fid"},
+                        "ordered": {"$push": "$fid"}}}]
+
+        def ref(k):
+            groups: dict = {}
+            for q, f in sorted(matches(k), key=lambda t: (-t[0], t[1])):
+                groups.setdefault(q % 2, []).append(f)
+            return sorted((g, v[0], tuple(v)) for g, v in groups.items())
+
+        def read(arr):
+            return sorted((x["_id"], x["first"], tuple(x["ordered"]))
+                          for x in arr)
+    else:
+        pipeline = [
+            {"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}},
+            {"$group": {"_id": {"$mod": ["$qty", 2]},
+                        "total": {"$sum": "$qty"}}},
+            {"$sort": {"total": -1, "_id": 1}},
+            {"$limit": limit}]
+
+        def ref(k):
+            groups: dict = {}
+            for q, _ in matches(k):
+                groups[q % 2] = groups.get(q % 2, 0) + q
+            ranked = sorted(groups.items(), key=lambda t: (-t[1], t[0]))
+            return [(g, t) for g, t in ranked[:limit]]
+
+        def read(arr):
+            return [(x["_id"], x["total"]) for x in arr]
+
+    out = apply_pipeline(odf, [{"$lookup": {
+        "from": "inv", "let": {"k": "$key"}, "pipeline": pipeline,
+        "as": "s"}}], collections={"inv": fdf})
+    got = {r.oid: read(r.s) for r in out.collect()}
+    want = {i: ref(k) for i, (k, _) in enumerate(outer)}
+    assert got == want, (shape, sdir, skip, limit, outer, foreign)
