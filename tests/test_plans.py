@@ -602,3 +602,43 @@ def test_fingerprint_walks_mongoql_subpackage():
         assert f"{pkg}.{sub}" in mods, (
             f"{sub} missing from the support closure — its edits would "
             "not re-pin dependent queries")
+
+
+def test_lookup_rank_window_plans_stay_bounded(spark, sf_dir):
+    """r15: the mid-pipeline-$sort-in-$lookup lowering (q210) must keep
+    its two scale properties — Catalyst's WindowGroupLimit sits below
+    the shuffle (map-side top-k pruning: only ~k rows per key cross
+    the wire at 100 TB) and no global Sort node exists; the
+    non-terminal-$group lowering (q211) must likewise plan zero global
+    sorts and no cartesian/NLJ. A conf or refactor regression that
+    silently loses the pruning turns the window into a full per-key
+    sort of the fact table."""
+    import re
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans.extras import (
+        q210_mongo_lookup_mid_topk,
+        q211_mongo_lookup_group_topk,
+    )
+
+    p210 = (q210_mongo_lookup_mid_topk(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "WindowGroupLimit" in p210, p210
+    # the partial (pre-shuffle) WindowGroupLimit: one instance BELOW
+    # the exchange — formatted as Partial in Spark 4's plan string or
+    # simply appearing twice (partial + final)
+    assert p210.count("WindowGroupLimit") >= 2, p210
+    for plan, name in ((p210, "q210"),):
+        assert not re.search(r"\bSort \[[^\]]*\], true", plan), name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    p211 = (q211_mongo_lookup_group_topk(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert not re.search(r"\bSort \[[^\]]*\], true", p211), p211
+    assert "CartesianProduct" not in p211, p211
+    assert "BroadcastNestedLoopJoin" not in p211, p211
+    # map-side partial aggregation must survive (ObjectHashAggregate
+    # partial_ pairs) — the group is one shuffle, not two
+    assert "partial_" in p211, p211
