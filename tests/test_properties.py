@@ -945,3 +945,75 @@ def test_correlated_lookup_r15_grammar_matches_reference(
     got = {r.oid: read(r.s) for r in out.collect()}
     want = {i: ref(k) for i, (k, _) in enumerate(outer)}
     assert got == want, (shape, sdir, skip, limit, outer, foreign)
+
+
+_lk15_sub_stage = st.one_of(
+    st.builds(lambda d: {"$sort": {"qty": d, "fid": 1}},
+              st.sampled_from([1, -1])),
+    st.builds(lambda n: {"$skip": n}, st.integers(0, 2)),
+    st.builds(lambda n: {"$limit": n}, st.integers(1, 3)),
+    st.builds(lambda n: {"$sample": {"size": n}}, st.integers(0, 3)),
+    st.just({"$count": "n"}),
+    st.just({"$sortByCount": {"$mod": ["$qty", 2]}}),
+    st.builds(lambda b: {"$bucket": {"groupBy": "$qty",
+                                     "boundaries": [0, b, 20],
+                                     "default": -1}},
+              st.integers(1, 10)),
+    st.builds(lambda op: {"$group": {"_id": {"$mod": ["$qty", 2]},
+                                     "out": {op: "$qty"},
+                                     "n": {"$sum": 1}}},
+              st.sampled_from(["$sum", "$min", "$max", "$first",
+                               "$last", "$push"])),
+    st.builds(lambda v: {"$match": {"qty": {"$gte": v}}},
+              st.integers(0, 6)),
+    st.builds(lambda f: {"$addFields": {f: {"$add": ["$qty", 1]}}},
+              st.sampled_from(["c", "d"])),
+    st.just({"$project": {"qty": 1, "fid": 1, "sku": 1}}),
+    st.just({"$unset": "fid"}),
+    st.builds(lambda op: {"$setWindowFields": {
+                  "sortBy": {"qty": 1, "fid": 1},
+                  "output": {"w": {op: {}}}}},
+              st.sampled_from(["$rank", "$documentNumber"])),
+    st.just({"$replaceWith": {"q2": "$qty", "sku": "$sku"}}),
+)
+
+
+@given(sub=st.lists(_lk15_sub_stage, min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_lookup_subpipeline_compositions_never_crash_outside_contract(
+        spark, sub):
+    """Fuzz the correlated-$lookup SUB-pipeline composition space over
+    the full r15 per-document grammar ($sort/$skip/$limit/$sample
+    anywhere, mid and terminal $group/$count/$sortByCount/$bucket,
+    windows, projections, root swaps): every drawn composition either
+    evaluates or fails with the declared error classes (ValueError for
+    refused/malformed shapes like a $skip with no preceding $sort or a
+    projected-away join field; AnalysisException for schema mismatches
+    like referencing a column a $group consumed) — never an untyped
+    crash, and never a wrong SHAPE (the `as` column is always an
+    array). Result values are covered by the directed + model tests;
+    this guards the composition space."""
+    from pyspark.sql import types as ST
+    from pyspark.sql.utils import AnalysisException
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    outer = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "oid int, key string")
+    foreign = spark.createDataFrame(
+        [("x", 3, 0), ("x", 7, 1), ("x", 7, 2), ("y", 11, 3),
+         (None, 5, 4)],
+        "sku string, qty int, fid int")
+    try:
+        out = apply_pipeline(outer, [{"$lookup": {
+            "from": "inv", "let": {"k": "$key"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$$k", "$sku"]}}}]
+            + sub,
+            "as": "s"}}], collections={"inv": foreign})
+        assert isinstance(out.schema["s"].dataType, ST.ArrayType)
+        rows = out.collect()
+        assert {r["oid"] for r in rows} == {1, 2, 3}   # outer preserved
+    except (ValueError, AnalysisException):
+        pass
