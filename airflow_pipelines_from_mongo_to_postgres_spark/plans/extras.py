@@ -2875,6 +2875,67 @@ WHERE c.c_mktsegment = 'MACHINERY'
 """
 
 
+# --- q212: correlated $lookup $bucketAuto (per-document equal-population) --------
+def q212_mongo_lookup_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$bucketAuto`` inside a correlated ``$lookup`` (r15 — the last
+    per-document stage refusal): each HOUSEHOLD customer's orders
+    auto-bucketed into 4 ~equal-population totalprice buckets. Lowered
+    with existing ops (sources/mongoql/lookup.py::_bucket_auto_as_stages):
+    ONE ``$percentile`` window keyed by the join key gives every row
+    its customer's exact quantile boundaries, a branch-free clamp
+    assigns the bucket, and the terminal composite-``_id`` ``$group``
+    packs per customer — no per-document re-run, no global sort, and
+    the same exact-percentile contract the top-level ``$bucketAuto``
+    gates (q176: bit-exact vs DuckDB quantile_cont). The oracle
+    replays the identical algorithm in SQL (quantile_cont per key +
+    list_filter clamp); boundaries rounded to 6 dp on both engines."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "HOUSEHOLD"}},
+        {"$lookup": {
+            "from": "orders",
+            "let": {"k": "$c_custkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$k", "$o_custkey"]}}},
+                {"$bucketAuto": {"groupBy": "$o_totalprice",
+                                 "buckets": 4}}],
+            "as": "b"}},
+        {"$unwind": {"path": "$b"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey",
+        F.round(F.col("b._id.min"), 6).alias("lo"),
+        F.round(F.col("b._id.max"), 6).alias("hi"),
+        F.col("b.count").cast("long").alias("n"))
+
+
+Q212_SQL = """
+WITH m AS (
+  SELECT c.c_custkey, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'HOUSEHOLD'
+), q AS (
+  SELECT c_custkey,
+         quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) AS bnd
+  FROM m GROUP BY 1
+), e AS (
+  SELECT c_custkey, list_sort(list_distinct(bnd)) AS edges FROM q
+), a AS (
+  SELECT m.c_custkey, m.v, e.edges,
+         GREATEST(LEAST(len(list_filter(e.edges, x -> m.v >= x)) - 1,
+                        len(e.edges) - 2), 0) AS idx
+  FROM m JOIN e ON e.c_custkey = m.c_custkey
+)
+SELECT c_custkey,
+       round(edges[idx + 1], 6) AS lo,
+       round(CASE WHEN len(edges) <= 1 THEN edges[idx + 1]
+                  ELSE edges[idx + 2] END, 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2933,6 +2994,7 @@ QUERIES = {
     "q209_mongo_lookup_sort_group": q209_mongo_lookup_sort_group,
     "q210_mongo_lookup_mid_topk": q210_mongo_lookup_mid_topk,
     "q211_mongo_lookup_group_topk": q211_mongo_lookup_group_topk,
+    "q212_mongo_lookup_bucket_auto": q212_mongo_lookup_bucket_auto,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -2996,6 +3058,7 @@ ORACLES = {
     "q209_mongo_lookup_sort_group": Q209_SQL,
     "q210_mongo_lookup_mid_topk": Q210_SQL,
     "q211_mongo_lookup_group_topk": Q211_SQL,
+    "q212_mongo_lookup_bucket_auto": Q212_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

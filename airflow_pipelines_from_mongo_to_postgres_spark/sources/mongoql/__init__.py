@@ -31,8 +31,11 @@ $lastN`` with a uniform deterministic tie contract (see
 accumulators are order-sensitive ABSORBS into them inside correlated
 ``$lookup`` sub-pipelines (r15 — see :func:`_group`); mid-pipeline
 ``$sort``/``$skip``/``$limit`` runs in those sub-pipelines lower to
-per-key ranking windows with the order carried into the pack (r15 —
-see ``lookup._lower_mid_sort_limit``)),
+per-key ranking windows with the order carried into the pack;
+non-terminal ``$group`` and ``$count``/``$sortByCount``/``$bucket``/
+``$sample``/``$bucketAuto`` anywhere in them lower to per-document
+forms over the join keys (r15 — see ``lookup._lower_mid_sort_limit``,
+``lookup._rewrite_mid_sugar``, ``lookup._augment_partitions``)),
 ``$sort``, ``$limit``, ``$skip``,
 ``$count``, ``$unset``, ``$sample``, ``$redact`` (schema-recursive
 KEEP/PRUNE/DESCEND), ``$facet`` (shared-scan
@@ -49,7 +52,9 @@ stages ``$merge``/``$out`` (lowered
 onto the snapshot table-format commits — see ``_write_stage``) — plus
 the aggregation EXPRESSION language in computed values (``$project``
 computed fields, ``$addFields``, ``$group`` accumulator arguments):
-``$cond``/``$switch``, ``$ifNull``, ``$concat``,
+``$cond``/``$switch``, ``$ifNull``, ``$concat``, ``$min/$max``
+(expression forms: element-wise over operand lists / reduce over a
+single array operand, nulls ignored — r15),
 ``$add/$subtract/$multiply/$divide/$mod/$abs/$floor/$ceil/$round/
 $trunc/$sqrt/$pow/$ln/$log/$log10/$exp`` + the trig/angle family
 (``$sin..$atan2``, ``$degreesToRadians/$radiansToDegrees``), ``$toUpper/$toLower/$substrCP/$strLenCP/$substrBytes/$strLenBytes/

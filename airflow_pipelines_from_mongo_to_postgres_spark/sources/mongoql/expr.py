@@ -212,6 +212,20 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return a % b                   # dividend sign, Mongo/C semantics
     if op == "$abs":
         return F.abs(_expr(arg, env))
+    if op in ("$min", "$max"):
+        # EXPRESSION form (distinct from the $group accumulators,
+        # r15): an operand LIST compares element-wise (least/greatest
+        # — nulls ignored, all-null -> null, Mongo's rule); a single
+        # operand must resolve to an ARRAY and reduces over it
+        # (array_min/array_max, same null handling)
+        if isinstance(arg, list):
+            cols = [_expr(a, env) for a in arg]
+            if len(cols) == 1:
+                return (F.array_min if op == "$min"
+                        else F.array_max)(cols[0])
+            return (F.least if op == "$min" else F.greatest)(*cols)
+        return (F.array_min if op == "$min" else F.array_max)(
+            _expr(arg, env))
     if op == "$toUpper":
         return F.upper(_expr(arg, env))
     if op == "$toLower":

@@ -281,6 +281,69 @@ def _augment_partitions(stages: list[dict[str, Any]],
     return out, keys
 
 
+def _bucket_auto_as_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
+    """``$bucketAuto`` inside a correlated ``$lookup`` (r15 — the last
+    per-document stage refusal), ANY position: ~equal-population
+    buckets PER OUTER DOCUMENT. Lowered with existing ops only:
+
+    1. a ``$setWindowFields`` ``$percentile`` over the whole (join-key
+       augmented) partition yields each row its key's exact B+1
+       quantile boundaries — the same exact-percentile contract as the
+       top-level ``_bucket_auto`` (q176: bit-exact vs DuckDB
+       quantile_cont);
+    2. order-preserving dedupe of the boundary array (Mongo merges
+       duplicate boundaries into fewer buckets) via a ``$reduce``
+       fold;
+    3. branch-free bucket assignment: idx = clamp(#edges <= value − 1,
+       0, #edges − 2) — nulls land in the first bucket (BSON null
+       sorts below every value), the maximum lands in the last
+       (inclusive upper bound, Mongo's rule), a single-distinct-value
+       key collapses to one ``{min: v, max: v}`` bucket;
+    4. a ``$group`` on the composite ``_id {min, max}`` doc carrying
+       the user's ``output`` accumulators — which the mid-group
+       rewrite then scopes per document.
+
+    ``granularity`` is refused here: preferred-number rounding needs
+    the driver-side series tables per KEY (top-level ``$bucketAuto``
+    supports it)."""
+    if "granularity" in spec:
+        raise ValueError(
+            "$bucketAuto with granularity inside a $lookup "
+            "sub-pipeline is unsupported — apply the preferred-number "
+            "rounding at the top level, or bucket on a pre-rounded "
+            "field")
+    missing = [k for k in ("groupBy", "buckets") if k not in spec]
+    if missing:
+        raise ValueError(f"$bucketAuto spec missing required "
+                         f"field(s): {missing}")
+    buckets = int(spec["buckets"])
+    if buckets < 1:
+        raise ValueError("$bucketAuto buckets must be >= 1")
+    g = spec["groupBy"]
+    ps = [i / buckets for i in range(buckets + 1)]
+    # dedupe the (already ascending) boundary array: $setUnion's
+    # sorted-distinct IS order-preserving dedupe on a monotone input
+    dedupe = {"$setUnion": ["$__bnd", "$__bnd"]}
+    m = {"$size": "$__edges"}
+    raw = {"$subtract": [
+        {"$size": {"$filter": {"input": "$__edges",
+                               "cond": {"$gte": [g, "$$this"]}}}}, 1]}
+    idx = {"$min": [{"$max": [raw, 0]},
+                    {"$max": [{"$subtract": [m, 2]}, 0]}]}
+    lo = {"$arrayElemAt": ["$__edges", "$__bkt"]}
+    hi = {"$cond": [{"$lte": [m, 1]}, lo,
+                    {"$arrayElemAt": ["$__edges",
+                                      {"$add": ["$__bkt", 1]}]}]}
+    return [
+        {"$setWindowFields": {"output": {"__bnd": {"$percentile": {
+            "input": g, "p": ps}}}}},
+        {"$addFields": {"__edges": dedupe}},
+        {"$addFields": {"__bkt": idx}},
+        {"$group": {"_id": {"min": lo, "max": hi},
+                    **spec.get("output", {"count": {"$sum": 1}})}},
+    ]
+
+
 def _rewrite_mid_sugar(stages: list[dict[str, Any]]
                        ) -> list[dict[str, Any]]:
     """Rewrite NON-terminal ``$count``/``$sortByCount``/``$bucket`` in
@@ -311,6 +374,9 @@ def _rewrite_mid_sugar(stages: list[dict[str, Any]]
                 "sortBy": {"__smp": 1},
                 "output": {"__rn": {"$documentNumber": {}}}}})
             out.append({"$match": {"__rn": {"$lte": n}}})
+            continue
+        if ops == {"$bucketAuto"}:
+            out.extend(_bucket_auto_as_stages(st["$bucketAuto"]))
             continue
         if i == last or len(ops) != 1 \
                 or not ops & {"$count", "$sortByCount", "$bucket"}:
@@ -591,10 +657,10 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
         raise ValueError(
             f"$lookup with let: sub-pipeline stage {sorted(ops)} is "
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
-            "globally under the join decompilation ($bucketAuto, or "
-            "a $skip/$limit with no preceding $sort — Mongo's natural "
-            "order has no distributed definition). "
-            "Supported per-document forms: "
+            "globally under the join decompilation (a $skip/$limit "
+            "with no preceding $sort — Mongo's natural order has no "
+            "distributed definition — or $bucketAuto with "
+            "granularity). Supported per-document forms: "
             "$sort [+ $skip] [+ $limit] ANYWHERE (terminal runs slice "
             "the packed array; mid-pipeline runs rank per key via a "
             "join-key window — r15); a terminal $group (_id: null "

@@ -2206,8 +2206,9 @@ def test_r13_advice_fixes(spark):
 def test_correlated_lookup_per_doc_scope_guard(spark):
     """The correlated-$lookup per-document scope guard after the r15
     lowerings: what remains refused ($skip/$limit with no preceding
-    $sort, $bucketAuto) raises with rewrite guidance instead of
-    silently applying GLOBALLY; the formerly-refused $sort/$sample/
+    $sort — Mongo's natural order has no distributed definition)
+    raises with rewrite guidance instead of silently applying
+    GLOBALLY; the formerly-refused $sort/$sample/$bucketAuto/
     non-terminal-$group forms now lower per document."""
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
 
@@ -2226,7 +2227,7 @@ def test_correlated_lookup_per_doc_scope_guard(spark):
     for rest in (
         # mid-pipeline $skip with NO preceding $sort (no defined order)
         [{"$skip": 1}, {"$addFields": {"z": 1}}],
-        [{"$bucketAuto": {"groupBy": "$qty", "buckets": 2}}],
+        [{"$limit": 1}, {"$addFields": {"z": 1}}],
     ):
         with pytest.raises(ValueError, match="PER OUTER DOCUMENT"):
             apply_pipeline(orders, lookup(rest), collections=coll)
@@ -4121,3 +4122,72 @@ def test_correlated_lookup_sample(spark):
                          "foreignField": "o_ck",
                          "pipeline": [{"$sample": {"size": -1}}],
                          "as": "s"}}], collections={"o": orders})
+
+
+def test_correlated_lookup_bucket_auto(spark):
+    """r15: $bucketAuto inside a correlated $lookup — per-document
+    ~equal-population buckets via ONE join-key-partitioned $percentile
+    window + branch-free clamp assignment. Duplicate boundaries merge
+    (fewer buckets); a single-distinct-value key collapses to one
+    {min: v, max: v} bucket; empty match sets pack []; mid-position
+    composes with later stages; granularity refuses."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, float(v)) for v in [1, 2, 3, 4, 5, 6]] + [(2, 9.0)],
+        "o_ck long, price double")
+
+    def run(pipeline):
+        out = apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck", "pipeline": pipeline,
+                         "as": "s"}}], collections={"o": orders})
+        return {r["ck"]: r["s"] for r in out.collect()}
+
+    got = run([{"$bucketAuto": {"groupBy": "$price", "buckets": 3}}])
+    b1 = sorted((e["_id"]["min"], e["_id"]["max"], e["count"])
+                for e in got[1])
+    assert [round(x, 6) for t in b1 for x in t] == [
+        1.0, 2.666667, 2, 2.666667, 4.333333, 2, 4.333333, 6.0, 2]
+    assert [(e["_id"]["min"], e["_id"]["max"], e["count"])
+            for e in got[2]] == [(9.0, 9.0, 1)]    # single value, 1 bucket
+    assert got[3] == []
+    # custom output accumulators + mid-position composition
+    got2 = run([{"$bucketAuto": {"groupBy": "$price", "buckets": 2,
+                                 "output": {"tot": {"$sum": "$price"},
+                                            "n": {"$sum": 1}}}},
+                {"$match": {"n": {"$gte": 3}}}])
+    assert sorted((e["n"], e["tot"]) for e in got2[1]) == [(3, 6.0),
+                                                           (3, 15.0)]
+    assert got2[2] == []                   # single match: n=1 filtered
+    with pytest.raises(ValueError, match="granularity"):
+        run([{"$bucketAuto": {"groupBy": "$price", "buckets": 2,
+                              "granularity": "R5"}}])
+    with pytest.raises(ValueError, match="buckets"):
+        run([{"$bucketAuto": {"groupBy": "$price"}}])
+
+
+def test_min_max_expression_operators(spark):
+    """r15: $min/$max EXPRESSION forms (distinct from the $group
+    accumulators) — operand lists compare element-wise with nulls
+    ignored (all-null -> null), a single array operand reduces over
+    the array."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 5, None, [3, 9, 1]), (2, None, None, [])],
+        "i long, a long, b long, arr array<long>")
+    out = apply_pipeline(df, [{"$addFields": {
+        "mn": {"$min": ["$a", "$b", 4]},
+        "mx": {"$max": ["$a", "$b", 4]},
+        "alln": {"$min": ["$b", "$b"]},
+        "amn": {"$min": "$arr"},
+        "amx": {"$max": "$arr"},
+    }}])
+    rows = {r["i"]: r for r in out.collect()}
+    assert (rows[1]["mn"], rows[1]["mx"]) == (4, 5)
+    assert (rows[2]["mn"], rows[2]["mx"]) == (4, 4)   # nulls ignored
+    assert rows[1]["alln"] is None
+    assert (rows[1]["amn"], rows[1]["amx"]) == (1, 9)
+    assert rows[2]["amn"] is None and rows[2]["amx"] is None
