@@ -37,14 +37,24 @@ SPARK_GRAFT_NO_ISOLATED=1 (it adds one JVM startup per headline query
 — "value" then falls back to in-session).
 
 Evidence completeness (r15, after the r14 adjudication stalled on
-truncated data): the final JSON line carries the FULL per-iteration
-arrays for every query in BOTH columns ("iterations": {"in_session",
-"isolated"}) and a machine-load marker ("load": os.getloadavg() at
-bench start/end + per-isolated-query start 1-min load). The driver
-stores that line whole under "parsed", so an inflated round is
+truncated data): per-iteration arrays for every query in BOTH columns
+("iterations": {"in_session", "isolated"}) and machine-load markers
+("load": os.getloadavg() at bench start/end + per-isolated-query
+start 1-min load) are recorded, so an inflated round is
 self-diagnosing: uniform inflation with high loadavg = machine band;
 a single query whose every iteration moved on a quiet box = real
-regression. The stderr tail alone (2,000 chars) cannot carry this.
+regression.
+
+Artifact split (r16, after the r15 driver capture truncated the
+arrays AGAIN — the driver keeps only the LAST 2,000 chars of stdout,
+so a final line carrying 2x25 iteration arrays never parses): the
+final stdout line is now a COMPACT record (per-query isolated
+medians, totals, load markers — provably < 2,000 chars for the
+25-query set; guarded by an assert here and in run_all_checks.sh),
+and the FULL record (both median columns + all per-iteration arrays
++ per-query load) is written to $SPARK_GRAFT_BENCH_FULL_OUT
+(default <repo>/BENCH_FULL.json), committed per round as
+BENCH_FULL_r{N}.json. The compact line's "full" key names the file.
 """
 
 from __future__ import annotations
@@ -267,29 +277,49 @@ def main() -> None:
     # moves ±20-50% on untouched queries whenever suite composition or
     # cache policy changes — isolated medians are the round-over-round
     # comparable column. In-session stays as a diagnostic.
-    out = {
+    full_out = os.environ.get("SPARK_GRAFT_BENCH_FULL_OUT",
+                              str(REPO / "BENCH_FULL.json"))
+    compact = {
         "metric": "headline_queries_total",
         "value": (round(sum(isolated.values()), 3) if isolated
                   else round(sum(timings.values()), 3)),
-        "value_is": ("isolated_total: fresh-JVM per-query medians "
-                     "(the comparable column); in-session diagnostics "
-                     "under 'queries'/'in_session_total'" if isolated
+        "value_is": ("isolated_total (fresh-JVM medians)" if isolated
                      else "in_session_total (isolated pass skipped)"),
         "unit": "sec",
-        "queries": timings,
+        # the driver contract's per-query map carries the COMPARABLE
+        # column (isolated medians); in-session medians live in the
+        # full artifact
+        "queries": dict(isolated) if isolated else timings,
         "in_session_total": round(sum(timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # r15 evidence-completeness: full per-iteration arrays + load
-        # markers in the captured JSON — see module docstring
-        "iterations": {"in_session": session_runs, "isolated": iso_runs},
         "load": {"start": load_start, "end": _loadavg(),
-                 "isolated_per_query_load1": iso_load,
                  "cpus": os.cpu_count()},
+        "full": os.path.basename(full_out),
     }
     if isolated:
-        out["isolated"] = isolated
-        out["isolated_total"] = round(sum(isolated.values()), 3)
-    print(json.dumps(out))
+        compact["isolated_total"] = round(sum(isolated.values()), 3)
+    full = dict(compact)
+    full.update({
+        "in_session_queries": timings,
+        # r15 evidence-completeness: full per-iteration arrays + load
+        # markers — see module docstring
+        "iterations": {"in_session": session_runs, "isolated": iso_runs},
+        "load": {**compact["load"],
+                 "isolated_per_query_load1": iso_load},
+    })
+    try:
+        with open(full_out, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:  # a read-only checkout must not sink the bench
+        print(f"# WARNING: could not write {full_out}: {e}",
+              file=sys.stderr)
+    line = json.dumps(compact)
+    # the driver stores only the LAST 2,000 stdout chars — a final line
+    # over that cap silently becomes "parsed": null (r14/r15 incident)
+    assert len(line) < 2000, (
+        f"compact bench line is {len(line)} chars (cap 2000) — trim it")
+    print(line)
 
 
 if __name__ == "__main__":
