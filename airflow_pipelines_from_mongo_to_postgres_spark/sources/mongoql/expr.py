@@ -216,16 +216,28 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         # EXPRESSION form (distinct from the $group accumulators,
         # r15): an operand LIST compares element-wise (least/greatest
         # — nulls ignored, all-null -> null, Mongo's rule); a single
-        # operand must resolve to an ARRAY and reduces over it
-        # (array_min/array_max, same null handling)
-        if isinstance(arg, list):
-            cols = [_expr(a, env) for a in arg]
-            if len(cols) == 1:
-                return (F.array_min if op == "$min"
-                        else F.array_max)(cols[0])
-            return (F.least if op == "$min" else F.greatest)(*cols)
-        return (F.array_min if op == "$min" else F.array_max)(
-            _expr(arg, env))
+        # operand resolving to an ARRAY reduces over it (array_min/
+        # array_max, same null handling). Mongo's SINGLETON rule: a
+        # single NON-array operand is the value itself — honored here
+        # for the statically-knowable scalar forms (plain literals,
+        # $literal, non-$ strings); a field-path/operator singleton
+        # compiles to the array reduce (its type is unknown until
+        # analysis), and a scalar there surfaces as the translator's
+        # ValueError via the apply_pipeline conversion (r16 ADVICE)
+        if not isinstance(arg, list) or len(arg) == 1:
+            single = arg[0] if isinstance(arg, list) else arg
+            scalar_literal = (
+                not isinstance(single, (list, dict))
+                and not (isinstance(single, str)
+                         and single.startswith("$"))
+            ) or (isinstance(single, dict) and set(single) == {"$literal"}
+                  and not isinstance(single["$literal"], list))
+            if scalar_literal:
+                return _expr(single, env)
+            return (F.array_min if op == "$min"
+                    else F.array_max)(_expr(single, env))
+        cols = [_expr(a, env) for a in arg]
+        return (F.least if op == "$min" else F.greatest)(*cols)
     if op == "$toUpper":
         return F.upper(_expr(arg, env))
     if op == "$toLower":

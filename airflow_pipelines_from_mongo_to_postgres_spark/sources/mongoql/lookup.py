@@ -127,6 +127,11 @@ def _split_term_sort_limit(stages: list[dict[str, Any]]):
     if stages and isinstance(stages[-1], dict) \
             and set(stages[-1]) == {"$limit"}:
         limit = int(stages[-1]["$limit"])
+        if limit < 1:
+            # Mongo: 'the limit must be positive' — and a 0/negative
+            # slice would otherwise yield silently-empty arrays or a
+            # raw Spark runtime error (r16 ADVICE)
+            raise ValueError("$limit must be a positive integer")
         stages = stages[:-1]
     skip = None
     if stages and isinstance(stages[-1], dict) \
@@ -344,6 +349,46 @@ def _bucket_auto_as_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
     ]
 
 
+def _expand_term_sugar_suffix(stages: list[dict[str, Any]]
+                              ) -> list[dict[str, Any]]:
+    """Terminal ``$sortByCount``/``$bucketAuto`` followed by ``$skip``/
+    ``$limit`` — Mongo's 'top-k categories / first-k buckets per
+    document' idiom, previously refused as 'terminal $skip/$limit
+    without $sort has no defined order' even though the sugar stage's
+    output order IS pinned by the translator (``$sortByCount``: count
+    desc, _id asc; ``$bucketAuto``: ascending bucket bounds). Expand
+    the sugar to its ``$group`` definition plus an EXPLICIT ``$sort``
+    in that pinned order, and the existing terminal-suffix machinery
+    (mid-group rewrite + per-key pack slice, the r15 q211 'top-k
+    groups' path) slices per outer document (r16 ADVICE). Only the
+    recognized suffix order ``$skip, $limit`` expands; others fall
+    through to the splitter's refusal."""
+    tail: list[dict[str, Any]] = []
+    i = len(stages)
+    if i and isinstance(stages[i - 1], dict) \
+            and set(stages[i - 1]) == {"$limit"}:
+        tail.insert(0, stages[i - 1])
+        i -= 1
+    if i and isinstance(stages[i - 1], dict) \
+            and set(stages[i - 1]) == {"$skip"}:
+        tail.insert(0, stages[i - 1])
+        i -= 1
+    if not tail or not i or not isinstance(stages[i - 1], dict):
+        return stages
+    ops = set(stages[i - 1])
+    if ops == {"$sortByCount"}:
+        expand: list[dict[str, Any]] = [
+            {"$group": {"_id": stages[i - 1]["$sortByCount"],
+                        "count": {"$sum": 1}}},
+            {"$sort": {"count": -1, "_id": 1}}]
+    elif ops == {"$bucketAuto"}:
+        expand = _bucket_auto_as_stages(stages[i - 1]["$bucketAuto"]) \
+            + [{"$sort": {"_id": 1}}]
+    else:
+        return stages
+    return stages[:i - 1] + expand + tail
+
+
 def _rewrite_mid_sugar(stages: list[dict[str, Any]]
                        ) -> list[dict[str, Any]]:
     """Rewrite NON-terminal ``$count``/``$sortByCount``/``$bucket`` in
@@ -447,6 +492,10 @@ def _lower_mid_sort_limit(stages: list[dict[str, Any]]
         if j < n and isinstance(stages[j], dict) \
                 and set(stages[j]) == {"$limit"}:
             limit = int(stages[j]["$limit"])
+            if limit < 1:
+                # Mongo: 'the limit must be positive' (r16 ADVICE —
+                # a 0 here silently yielded empty per-document arrays)
+                raise ValueError("$limit must be a positive integer")
             j += 1
         term_group_next = (
             j == n - 1 and isinstance(stages[j], dict)
@@ -578,9 +627,12 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
     # Terminal $sort [+ $limit] is the per-document ordered-top-k
     # idiom ('latest matching doc') — split it off FIRST: it lowers to
     # array_sort + slice on each key's packed array (one comparator,
-    # zero extra shuffles), never a global sort/limit.
+    # zero extra shuffles), never a global sort/limit. A terminal
+    # $sortByCount/$bucketAuto + $skip/$limit suffix expands to its
+    # $group + pinned-order $sort first, so the splitter sees a
+    # defined order (r16).
     rest, term_sort, term_skip, term_limit = \
-        _split_term_sort_limit(pipeline[1:])
+        _split_term_sort_limit(_expand_term_sugar_suffix(pipeline[1:]))
     if rest and isinstance(rest[-1], dict) and set(rest[-1]) == {"$bucket"}:
         # terminal $bucket (r14): the bucket label is ROW-LOCAL, so the
         # stage rewrites to $addFields(label) + terminal grouping-_id

@@ -105,6 +105,17 @@ def _path_exists(schema, path: str) -> bool:
 
 
 def _project(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    # the __ prefix is the translator's RESERVED internal namespace
+    # (__rn/__gk*/__lk*/__pk* scratch columns ride through user
+    # projections automatically) — a user spec naming one would emit
+    # the column twice and fail downstream with an ambiguous-column
+    # error; refuse up front instead (r16 ADVICE)
+    reserved = [k for k in spec if k.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"$project field(s) {reserved} use the translator-reserved "
+            "'__' namespace (internal scratch columns) — rename the "
+            "source fields")
     keep_id = "_id" in df.columns and spec.get("_id", 1) not in (0, False)
     includes = {k: v for k, v in spec.items()
                 if k != "_id" and v not in (0, False)}
@@ -891,6 +902,33 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
     collection names to snapshot-table paths (sources/snapshots.py) —
     the write actually COMMITS (the one eager point in the translator),
     and the call returns the target's post-write snapshot."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return _apply_stages(df, stages, collections, targets)
+    except AnalysisException as e:
+        # $min/$max singleton rule (r16 ADVICE): a single field-path/
+        # operator operand compiles to array_min/array_max because its
+        # type is unknown until analysis — when it resolves to a
+        # SCALAR, convert the raw analysis error into the translator's
+        # documented ValueError class with guidance, scoped to exactly
+        # this mismatch
+        msg = str(e)
+        if "DATATYPE_MISMATCH" in msg and (
+                '"array_min(' in msg or '"array_max(' in msg):
+            raise ValueError(
+                "$min/$max with a single operand requires the operand "
+                "to resolve to an ARRAY (Mongo traverses it); for a "
+                "scalar, Mongo's singleton rule returns the value "
+                "itself — write the operand directly, or use the list "
+                "form {$min: [a, b, ...]} to compare values "
+                f"({msg.splitlines()[0]})") from e
+        raise
+
+
+def _apply_stages(df: DataFrame, stages: list[dict[str, Any]],
+                  collections: dict[str, DataFrame] | None = None,
+                  targets: dict[str, str] | None = None) -> DataFrame:
     for i, stage in enumerate(stages):
         (op, spec), = stage.items()
         if op in ("$merge", "$out"):

@@ -4191,3 +4191,125 @@ def test_min_max_expression_operators(spark):
     assert rows[1]["alln"] is None
     assert (rows[1]["amn"], rows[1]["amx"]) == (1, 9)
     assert rows[2]["amn"] is None and rows[2]["amx"] is None
+
+
+def test_min_max_singleton_rule(spark):
+    """r16 (ADVICE): $min/$max with a SINGLE non-array operand is
+    Mongo's singleton-set rule — the value itself. Statically-knowable
+    scalars (literals, $literal, non-$ strings) compile directly; a
+    field-path/operator singleton that resolves to a scalar surfaces
+    as the translator's ValueError (not a raw AnalysisException)."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame([(1, 5, [3, 9])],
+                               "i long, a long, arr array<long>")
+    out = apply_pipeline(df, [{"$addFields": {
+        "lit1": {"$min": 7},
+        "lit2": {"$max": [7]},
+        "lits": {"$min": "abc"},
+        "litl": {"$max": {"$literal": 3}},
+        "amn": {"$min": ["$arr"]},          # array singleton reduces
+    }}]).collect()[0]
+    assert (out["lit1"], out["lit2"], out["lits"], out["litl"]) == \
+        (7, 7, "abc", 3)
+    assert out["amn"] == 3
+    # field path resolving to a scalar: translator ValueError, with
+    # guidance, never the raw analysis error
+    with pytest.raises(ValueError, match="singleton"):
+        apply_pipeline(df, [{"$addFields": {"x": {"$min": "$a"}}}])
+    with pytest.raises(ValueError, match="singleton"):
+        apply_pipeline(df, [{"$addFields": {
+            "x": {"$max": {"$add": ["$a", 1]}}}}])
+
+
+def test_project_reserved_internal_namespace(spark):
+    """r16 (ADVICE): a user $project naming a __-prefixed field would
+    collide with the translator's internal scratch namespace (the
+    extend-after-include rule would emit the column twice) — refused
+    up front."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame([(1, 2)], "a long, __x long")
+    with pytest.raises(ValueError, match="reserved"):
+        apply_pipeline(df, [{"$project": {"a": 1, "__x": 1}}])
+    with pytest.raises(ValueError, match="reserved"):
+        apply_pipeline(df, [{"$project": {"__y": "$a"}}])
+
+
+def test_lookup_terminal_sortbycount_slice(spark):
+    """r16 (ADVICE): terminal $sortByCount followed by $skip/$limit —
+    'top-k categories per document'. The sugar's output order is
+    pinned (count desc, _id asc), so the suffix slices the packed
+    array deterministically instead of refusing."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (1, "z"), (1, "z"), (1, "z"),
+         (2, "q")],
+        "o_ck long, cat string")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$sortByCount": "$cat"},
+                                  {"$limit": 2}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["_id"], e["count"]) for e in r["s"]]
+           for r in out.collect()}
+    assert got[1] == [("z", 3), ("x", 2)]
+    assert got[2] == [("q", 1)]
+    assert got[3] == []
+    # $skip composes in pipeline order ($skip, then $limit)
+    out2 = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$sortByCount": "$cat"},
+                                  {"$skip": 1}, {"$limit": 1}],
+                     "as": "s"}}], collections={"o": orders})
+    got2 = {r["ck"]: [(e["_id"], e["count"]) for e in r["s"]]
+            for r in out2.collect()}
+    assert got2[1] == [("x", 2)] and got2[2] == [] and got2[3] == []
+
+
+def test_lookup_terminal_bucket_auto_slice(spark):
+    """r16 (ADVICE): terminal $bucketAuto + $limit — 'first-k buckets
+    per document', sliced in ascending bound order."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0), (2, 5.0)],
+        "o_ck long, price double")
+    out = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$bucketAuto": {"groupBy": "$price",
+                                                   "buckets": 2}},
+                                  {"$limit": 1}],
+                     "as": "s"}}], collections={"o": orders})
+    got = {r["ck"]: [(e["_id"]["min"], e["_id"]["max"], e["count"])
+                     for e in r["s"]] for r in out.collect()}
+    assert got[1] == [(1.0, 2.5, 2)]         # first of two buckets
+    assert got[2] == [(5.0, 5.0, 1)]         # single-value key: one bucket
+
+
+def test_lookup_limit_must_be_positive(spark):
+    """r16 (ADVICE): $limit < 1 in a $lookup sub-pipeline raises the
+    translator's ValueError (Mongo: 'the limit must be positive') —
+    terminal and mid-pipeline forms both validate."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,)], ["ck"])
+    orders = spark.createDataFrame([(1, 2.0)], "o_ck long, price double")
+
+    def run(sub):
+        return apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck", "pipeline": sub,
+                         "as": "s"}}], collections={"o": orders})
+
+    with pytest.raises(ValueError, match="positive"):
+        run([{"$sort": {"price": 1}}, {"$limit": 0}])
+    with pytest.raises(ValueError, match="positive"):
+        run([{"$sort": {"price": 1}}, {"$limit": -2},
+             {"$project": {"price": 1}}])
