@@ -575,15 +575,65 @@ _DENSIFY_DT = {"week": (7, 0, 0, 0), "day": (1, 0, 0, 0),
 _DENSIFY_YM = {"year": (1, 0), "quarter": (0, 3), "month": (0, 1)}
 
 
+#: fixed-width $densify units -> milliseconds (grid-count estimation)
+_DENSIFY_UNIT_MS = {"week": 604_800_000, "day": 86_400_000,
+                    "hour": 3_600_000, "minute": 60_000,
+                    "second": 1_000, "millisecond": 1}
+
+
+def _densify_grid_count(lo, hi, step, unit) -> int:
+    """Upper-bound COUNT of grid points in ``[lo, hi]`` stepping by
+    ``step`` ``unit``s — drives the distributed ``spark.range`` grid.
+    An over-estimate is fine (the caller trims with an exact bound
+    filter); an under-estimate would drop grid points, so every branch
+    rounds up by a comfortable margin."""
+    import datetime as _dt
+    import math
+
+    if unit is None:
+        span = float(hi) - float(lo)
+        return max(int(math.floor(span / float(step) + 1e-9)) + 1, 0)
+    if isinstance(lo, _dt.datetime) or isinstance(lo, _dt.date):
+        if unit in _DENSIFY_UNIT_MS:
+            if isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime):
+                span_ms = (hi - lo).days * 86_400_000.0
+            else:
+                span_ms = (hi - lo).total_seconds() * 1000.0
+            return max(int(math.floor(
+                span_ms / (step * _DENSIFY_UNIT_MS[unit]) + 1e-9)) + 1, 0)
+        # calendar units: month count ignores the day/time component —
+        # at most one extra step, trimmed by the caller's bound filter
+        y, m = _DENSIFY_YM[unit]
+        months = (hi.year - lo.year) * 12 + (hi.month - lo.month)
+        return max(int(months // (step * (y * 12 + m))) + 1, 0)
+    raise ValueError(
+        f"$densify with unit {unit!r} needs a date/timestamp field, "
+        f"got bound {type(lo).__name__}")
+
+
 def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$densify`` (Mongo 5.1): add rows on a fixed grid where the
-    field has gaps. The grid derives from one aggregate (global min/max
-    for ``bounds: "full"``, per-partition for ``"partition"``, literals
-    for ``[lo, hi)``), explodes a ``sequence`` per partition, and
-    anti-joins existing field values — grid size is data-bounded,
-    non-field columns come back NULL (Mongo's behavior). Time units use
-    interval steps (calendar units included — sequence handles
-    year-month intervals natively)."""
+    field has gaps, anti-joined against existing field values — grid
+    size is data-bounded, non-field columns come back NULL (Mongo's
+    behavior). Time units use interval steps (calendar units included).
+
+    Two grid shapes, both distributed (r16):
+
+    - WITH ``partitionByFields``: one aggregate derives per-partition
+      ``[lo, hi]`` rows (global for ``bounds: "full"``, literals for
+      ``[lo, hi)``) and a ``sequence`` explodes per partition row —
+      parallelism = #partitions.
+    - WITHOUT (whole-collection grid — q175's day-series shape): the
+      bounds reduce to TWO driver scalars (explicit bounds need no
+      scan at all) and the grid generates as ``spark.range(n)`` with
+      ``value = lo + i*step`` — parallelism = default parallelism,
+      never the single task the pre-r16 one-row explode planned. The
+      count over-estimates by one step and an exact ``<= hi`` (or
+      ``< hi``, half-open explicit bounds) filter trims it, so float/
+      calendar edge rounding can never drop or add a grid point.
+      ``lo + i*step`` equals ``sequence``'s own stepping (Spark
+      multiplies, it does not accumulate — Jan 31 + 2 months is
+      Mar 31, not Mar 29 via Feb)."""
     missing = [k for k in ("field", "range") if k not in spec]
     if missing:
         raise ValueError(f"$densify spec missing required "
@@ -593,9 +643,10 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         raise ValueError("$densify nested field unsupported")
     rng = spec["range"]
     step, unit, bounds = rng["step"], rng.get("unit"), rng["bounds"]
+    if not isinstance(step, (int, float)) or isinstance(step, bool) \
+            or step <= 0:
+        raise ValueError("$densify range.step must be a positive number")
     parts = list(spec.get("partitionByFields") or [])
-    if not parts:
-        _warn_whole_collection_window(df, "$densify")
     if unit is None:
         step_col = F.lit(step)
     elif unit in _DENSIFY_DT:
@@ -608,29 +659,53 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     else:
         raise ValueError(f"unsupported $densify unit: {unit!r}")
     explicit = isinstance(bounds, (list, tuple))
-    if explicit:
-        lo = F.lit(bounds[0]).cast(df.schema[f].dataType)
-        hi = F.lit(bounds[1]).cast(df.schema[f].dataType)
-        base = (df.select(*parts).distinct() if parts
-                else df.sparkSession.range(1).select())
-        base = base.select(*parts, lo.alias("__lo"), hi.alias("__hi"))
-    elif bounds == "full":
-        agg = df.agg(F.min(f).alias("__lo"), F.max(f).alias("__hi"))
-        base = (df.select(*parts).distinct().crossJoin(agg) if parts
-                else agg)
-    elif bounds == "partition":
-        if not parts:
+    ftype = df.schema[f].dataType
+    if not parts:
+        # partition-less distributed grid (r16) — see docstring
+        if explicit:
+            lo_v, hi_v = bounds[0], bounds[1]
+        elif bounds == "full":
+            row = df.agg(F.min(f).alias("lo"),
+                         F.max(f).alias("hi")).collect()[0]  # 2 scalars
+            lo_v, hi_v = row["lo"], row["hi"]
+            if lo_v is None:
+                return df          # empty / all-null: nothing to densify
+        elif bounds == "partition":
             raise ValueError(
                 "$densify bounds 'partition' needs partitionByFields")
-        base = df.groupBy(*parts).agg(F.min(f).alias("__lo"),
-                                      F.max(f).alias("__hi"))
-    else:
-        raise ValueError(f"unsupported $densify bounds: {bounds!r}")
-    seq = F.sequence(F.col("__lo"), F.col("__hi"), step_col)
-    grid = base.select(*parts, F.explode(seq).alias(f))
-    if explicit:
+        else:
+            raise ValueError(f"unsupported $densify bounds: {bounds!r}")
+        n = _densify_grid_count(lo_v, hi_v, step, unit) + 1  # over by one
+        idx = F.col("id")
+        lo_col = F.lit(lo_v).cast(ftype) if explicit else F.lit(lo_v)
+        val = (lo_col + step_col * idx).cast(ftype)
+        hi_col = F.lit(hi_v).cast(ftype) if explicit else F.lit(hi_v)
+        # exact trim: half-open [lo, hi) for explicit bounds (Mongo),
+        # closed for "full"
+        grid = (df.sparkSession.range(max(n, 0))
+                .select(val.alias(f))
+                .filter(F.col(f) < hi_col if explicit
+                        else F.col(f) <= hi_col))
+    elif explicit:
+        lo = F.lit(bounds[0]).cast(ftype)
+        hi = F.lit(bounds[1]).cast(ftype)
+        base = df.select(*parts).distinct().select(
+            *parts, lo.alias("__lo"), hi.alias("__hi"))
+        grid = base.select(*parts, F.explode(F.sequence(
+            F.col("__lo"), F.col("__hi"), step_col)).alias(f))
         # Mongo's explicit bounds are half-open [lo, hi)
         grid = grid.filter(F.col(f) < hi)
+    else:
+        if bounds == "full":
+            agg = df.agg(F.min(f).alias("__lo"), F.max(f).alias("__hi"))
+            base = df.select(*parts).distinct().crossJoin(agg)
+        elif bounds == "partition":
+            base = df.groupBy(*parts).agg(F.min(f).alias("__lo"),
+                                          F.max(f).alias("__hi"))
+        else:
+            raise ValueError(f"unsupported $densify bounds: {bounds!r}")
+        grid = base.select(*parts, F.explode(F.sequence(
+            F.col("__lo"), F.col("__hi"), step_col)).alias(f))
     # NULL-SAFE anti join: a using-columns join is null-unsafe, so rows
     # whose partitionByFields value is NULL would never match and the
     # grid would re-insert values that already exist in the null

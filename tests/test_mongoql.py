@@ -1319,6 +1319,61 @@ def test_densify_stage(spark):
         (1, 31), (2, 29), (3, 31), (4, 30)]
 
 
+def test_densify_partitionless_distributed(spark):
+    """r16: a partition-less $densify grid generates via a DISTRIBUTED
+    spark.range (value = lo + i*step), never the pre-r16 one-task
+    explode — the plan carries a Range scan with the default
+    parallelism and no Window; results are unchanged across numeric,
+    fixed-width time and calendar units, full and explicit (half-open)
+    bounds."""
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame([(0,), (3,), (7,)], "n int")
+    out = apply_pipeline(df, [{"$densify": {
+        "field": "n", "range": {"step": 2, "bounds": "full"}}}])
+    assert sorted(r.n for r in out.collect()) == [0, 2, 3, 4, 6, 7]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert " Range (" in plan, plan              # spark.range grid scan
+    assert "Window" not in plan, plan            # no one-task window
+    import re
+    m = re.search(r"Range \(0, (\d+), step=1, splits=(\d+)", plan)
+    assert m and int(m.group(2)) > 1, plan       # distributed splits
+
+    # explicit bounds are half-open [lo, hi): 9 excluded, no scan needed
+    expl = apply_pipeline(df, [{"$densify": {
+        "field": "n", "range": {"step": 3, "bounds": [0, 9]}}}])
+    assert sorted(r.n for r in expl.collect()) == [0, 3, 6, 7]
+
+    # fixed-width unit on timestamps, full bounds
+    ts = spark.createDataFrame(
+        [(dt(2024, 1, 1),), (dt(2024, 1, 4),)], "t timestamp")
+    days = apply_pipeline(ts, [{"$densify": {
+        "field": "t", "range": {"step": 1, "unit": "day",
+                                "bounds": "full"}}}])
+    assert sorted(r.t.day for r in days.collect()) == [1, 2, 3, 4]
+
+    # calendar unit, partition-less: month-end clamp matches sequence
+    # (lo + i*step, multiplied not accumulated)
+    tm = spark.createDataFrame([(dt(2024, 1, 31),), (dt(2024, 4, 30),)],
+                               "t timestamp")
+    month = apply_pipeline(tm, [{"$densify": {
+        "field": "t", "range": {"step": 1, "unit": "month",
+                                "bounds": "full"}}}])
+    assert sorted((r.t.month, r.t.day) for r in month.collect()) == [
+        (1, 31), (2, 29), (3, 31), (4, 30)]
+
+    # empty / all-null collection with full bounds: no grid, no crash
+    empty = spark.createDataFrame([], "n int")
+    assert apply_pipeline(empty, [{"$densify": {
+        "field": "n", "range": {"step": 1, "bounds": "full"}}}]) \
+        .count() == 0
+
+    with pytest.raises(ValueError, match="positive"):
+        apply_pipeline(df, [{"$densify": {
+            "field": "n", "range": {"step": 0, "bounds": "full"}}}])
+
+
 def test_bucket_auto_stage(spark):
     """$bucketAuto: ~equal-population buckets via exact percentile
     boundaries; _id carries each bucket's observed min/max; output
@@ -2518,8 +2573,6 @@ def test_unsupported_stage_table_and_window_warning(spark):
         "$setWindowFields": {"sortBy": {"k": 1},
                              "output": {"s": {"$sum": "$x"}}},
         "$fill": {"sortBy": {"k": 1}, "output": {"x": {"method": "locf"}}},
-        "$densify": {"field": "k",
-                     "range": {"step": 1, "bounds": "full"}},
     }
     for stage, spec in stages.items():
         with warnings.catch_warnings(record=True) as w:
@@ -2527,12 +2580,15 @@ def test_unsupported_stage_table_and_window_warning(spark):
             apply_pipeline(df, [{stage: spec}]).collect()
         assert any(stage in str(x.message) and
                    "ONE task" in str(x.message) for x in w), stage
-    # constant-value $fill plans no window — no warning
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        apply_pipeline(df, [{"$fill": {
-            "output": {"x": {"value": 0.0}}}}]).collect()
-    assert not [x for x in w if "ONE task" in str(x.message)]
+    # constant-value $fill plans no window — no warning; partition-less
+    # $densify generates its grid DISTRIBUTED since r16 — no warning
+    for sil in ({"$fill": {"output": {"x": {"value": 0.0}}}},
+                {"$densify": {"field": "k",
+                              "range": {"step": 1, "bounds": "full"}}}):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            apply_pipeline(df, [sil]).collect()
+        assert not [x for x in w if "ONE task" in str(x.message)], sil
     # strict session conf raises instead
     spark.conf.set("spark.mongoql.strictWholeCollectionWindow", "true")
     try:
