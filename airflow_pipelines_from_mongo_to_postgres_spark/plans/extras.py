@@ -2936,6 +2936,203 @@ FROM a GROUP BY 1, 2, 3
 """
 
 
+# --- q213: top-level $bucketAuto with granularity (preferred-number snap) ------
+def q213_mongo_bucket_auto_gran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$bucketAuto`` with ``granularity: "R5"`` — percentile
+    boundaries snap UP to the Renard series and the first bucket's min
+    snaps DOWN (driver-side math over the collected scalars,
+    ``stages._gran_round``; the percentile aggregate itself stays
+    distributed, the driver sees <= buckets+1 scalars). The oracle
+    replays the IDENTICAL snap in SQL: same candidate arithmetic
+    (b * 10^(floor(log10(x)) + p), p in ±1) and the same 1e-9
+    strictness tolerances — both engines call the same libm log10/pow,
+    so the chosen series values are bit-identical; outputs rounded to
+    6 dp anyway. At 100 TB: one sort-based percentile aggregate, then
+    a branch-free running comparison — the same scaling shape as the
+    granularity-less q176."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 6,
+                         "granularity": "R5"}}])
+    return out.select(
+        F.round(F.col("_id.min"), 6).alias("lo"),
+        F.round(F.col("_id.max"), 6).alias("hi"),
+        F.col("count").cast("long").alias("n"))
+
+
+Q213_SQL = """
+WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+agg AS (
+  SELECT quantile_cont(x, [1.0/6, 2.0/6, 3.0/6, 4.0/6, 5.0/6]) AS bs,
+         min(x) AS mn, max(x) AS mx
+  FROM v),
+pts AS (
+  SELECT unnest(bs) AS x, 'up' AS dir, 'b' AS role FROM agg
+  UNION ALL SELECT mn, 'down', 'lo' FROM agg
+  UNION ALL SELECT mx, 'up', 'hi' FROM agg),
+snapped AS (
+  SELECT role,
+    CASE WHEN dir = 'up'
+         THEN list_min(list_filter(cands, c -> c > x * (1 + 1e-9)))
+         ELSE coalesce(
+            list_max(list_filter(cands, c -> c < x * (1 - 1e-9))),
+            power(10.0, floor(log10(x)) - 2))
+    END AS s
+  FROM (SELECT role, dir, x,
+          flatten(list_transform([-1.0, 0.0, 1.0], p ->
+            list_transform([1.0, 1.6, 2.5, 4.0, 6.3], b ->
+              b * power(10.0, floor(log10(x)) + p)))) AS cands
+        FROM pts) t),
+bnds AS (
+  SELECT lo, hi,
+         list_filter(rb0, b -> b > lo AND b < hi) AS rb,
+         list_concat(list_concat(
+             [lo], list_filter(rb0, b -> b > lo AND b < hi)), [hi])
+           AS bounds
+  FROM (SELECT
+          (SELECT s FROM snapped WHERE role = 'lo') AS lo,
+          (SELECT s FROM snapped WHERE role = 'hi') AS hi,
+          (SELECT list_sort(list_distinct(list(s)))
+           FROM snapped WHERE role = 'b') AS rb0)),
+a AS (
+  SELECT coalesce(len(list_filter(bn.rb, e -> v.x >= e)), 0) AS idx,
+         bn.bounds
+  FROM v, bnds bn)
+SELECT round(bounds[idx + 1], 6) AS lo,
+       round(bounds[idx + 2], 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2
+"""
+
+
+# --- q214: correlated $lookup $bucketAuto with granularity (column snap) --------
+def q214_mongo_lookup_bucket_gran(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``$bucketAuto`` with ``granularity: "POWERSOF2"`` INSIDE a
+    correlated ``$lookup`` (r16 — the refusal deleted): each MACHINERY
+    customer's order totals bucketed to power-of-two bounds. The snap
+    runs as a COLUMN expression over the per-key percentile boundary
+    array (``expr._gran_snap_edges`` via the internal ``$__granSnap``
+    op — no driver-side series table, no per-key collect), so the plan
+    keeps q212's shape: ONE join-key-partitioned percentile window +
+    clamp + pack. The oracle replays the snap per key in SQL
+    (power(2, floor/ceil(log2 ± 1e-9) ± 1)); the 1e-9 tolerance
+    swamps the <= 1-ulp log2 difference between the JVM and libm, so
+    the chosen bounds agree; 6 dp rounding on both engines."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(cust, [
+        {"$match": {"c_mktsegment": "MACHINERY"}},
+        {"$lookup": {
+            "from": "orders",
+            "let": {"k": "$c_custkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$k", "$o_custkey"]}}},
+                {"$bucketAuto": {"groupBy": "$o_totalprice",
+                                 "buckets": 4,
+                                 "granularity": "POWERSOF2"}}],
+            "as": "b"}},
+        {"$unwind": {"path": "$b"}},
+    ], collections={"orders": orders})
+    return out.select(
+        "c_custkey",
+        F.round(F.col("b._id.min"), 6).alias("lo"),
+        F.round(F.col("b._id.max"), 6).alias("hi"),
+        F.col("b.count").cast("long").alias("n"))
+
+
+Q214_SQL = """
+WITH m AS (
+  SELECT c.c_custkey, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'MACHINERY'
+), q AS (
+  SELECT c_custkey,
+         quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) AS bnd
+  FROM m GROUP BY 1
+), e AS (
+  SELECT c_custkey,
+         power(2.0, ceil(log2(bnd[1]) - 1e-9) - 1) AS lo,
+         power(2.0, floor(log2(bnd[5]) + 1e-9) + 1) AS hi,
+         list_sort(list_distinct(list_transform(bnd[2:4], b ->
+             power(2.0, floor(log2(b) + 1e-9) + 1)))) AS rb0
+  FROM q
+), e2 AS (
+  SELECT c_custkey,
+         list_concat(list_concat(
+             [lo], list_filter(rb0, b -> b > lo AND b < hi)), [hi])
+           AS edges
+  FROM e
+), a AS (
+  SELECT m.c_custkey, m.v, e2.edges,
+         GREATEST(LEAST(len(list_filter(e2.edges, x -> m.v >= x)) - 1,
+                        len(e2.edges) - 2), 0) AS idx
+  FROM m JOIN e2 USING (c_custkey)
+)
+SELECT c_custkey,
+       round(edges[idx + 1], 6) AS lo,
+       round(edges[idx + 2], 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2, 3
+"""
+
+
+# --- q215: $setWindowFields calendar QUARTER/YEAR range units -------------------
+def q215_mongo_quarter_year_window(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Trailing-1-quarter and trailing-1-year revenue per order
+    priority — calendar range units beyond month (``unit: "quarter"``
+    scales the months-since-epoch key by 3, ``"year"`` by 12; q183
+    gates the month unit). Same shape: month-aligned sort values via
+    ``$dateTrunc``+``$group``, then ONE window partition — the oracle
+    uses DuckDB's native variable-width INTERVAL frames (Mongo's exact
+    semantics), proving the scaled months-key lowering matches them on
+    aligned data. DECIMAL sums for hash stability."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "price_d", F.col("o_totalprice").cast("decimal(18,2)"))
+    out = apply_pipeline(orders, [
+        {"$group": {"_id": {"pri": "$o_orderpriority",
+                            "m": {"$dateTrunc": {"date": "$o_orderdate",
+                                                 "unit": "month"}}},
+                    "rev": {"$sum": "$price_d"}}},
+        {"$addFields": {"pri": "$_id.pri", "m": "$_id.m"}},
+        {"$setWindowFields": {
+            "partitionBy": "$pri", "sortBy": {"m": 1},
+            "output": {
+                "revq": {"$sum": "$rev",
+                         "window": {"range": [-1, 0],
+                                    "unit": "quarter"}},
+                "revy": {"$sum": "$rev",
+                         "window": {"range": [-1, 0],
+                                    "unit": "year"}}}}},
+    ])
+    return out.select(
+        "pri", F.col("m").cast("date").alias("m"),
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(F.col("revq").cast("double"), 2).alias("revq"),
+        F.round(F.col("revy").cast("double"), 2).alias("revy"))
+
+
+Q215_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS pri,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT pri, m,
+       round(CAST(rev AS DOUBLE), 2) AS rev,
+       round(CAST(sum(rev) OVER (
+           PARTITION BY pri ORDER BY m
+           RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW)
+         AS DOUBLE), 2) AS revq,
+       round(CAST(sum(rev) OVER (
+           PARTITION BY pri ORDER BY m
+           RANGE BETWEEN INTERVAL 12 MONTH PRECEDING AND CURRENT ROW)
+         AS DOUBLE), 2) AS revy
+FROM monthly
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -2995,6 +3192,9 @@ QUERIES = {
     "q210_mongo_lookup_mid_topk": q210_mongo_lookup_mid_topk,
     "q211_mongo_lookup_group_topk": q211_mongo_lookup_group_topk,
     "q212_mongo_lookup_bucket_auto": q212_mongo_lookup_bucket_auto,
+    "q213_mongo_bucket_auto_gran": q213_mongo_bucket_auto_gran,
+    "q214_mongo_lookup_bucket_gran": q214_mongo_lookup_bucket_gran,
+    "q215_mongo_quarter_year_window": q215_mongo_quarter_year_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3059,6 +3259,9 @@ ORACLES = {
     "q210_mongo_lookup_mid_topk": Q210_SQL,
     "q211_mongo_lookup_group_topk": Q211_SQL,
     "q212_mongo_lookup_bucket_auto": Q212_SQL,
+    "q213_mongo_bucket_auto_gran": Q213_SQL,
+    "q214_mongo_lookup_bucket_gran": Q214_SQL,
+    "q215_mongo_quarter_year_window": Q215_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

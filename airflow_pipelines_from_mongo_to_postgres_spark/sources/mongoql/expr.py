@@ -36,6 +36,90 @@ _TRIM_DEFAULT_CHARS = (
 _WEEK_START = {"sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
                "thursday": 5, "friday": 6, "saturday": 7}
 
+#: $bucketAuto granularity preferred-number series (Renard / 1-2-5 /
+#: E-series bases; POWERSOF2 handled analytically). Lives here (leaf
+#: module) so both the driver-side rounder (stages._gran_round, on
+#: collected scalars) and the column-side snap (_gran_round_col, inside
+#: a $lookup) share one table.
+_GRAN_SERIES = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8, 3.15,
+            3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+    "R40": [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8,
+            1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
+            3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3,
+            6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5],
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1],
+}
+
+
+def _gran_round_col(x: Column, series: str, up: bool) -> Column:
+    """Column-expression image of the driver-side preferred-number
+    rounder (``stages._gran_round``), for the $lookup lowering where
+    boundaries are PER-KEY columns, not collected scalars. Same
+    contract: ``up`` -> the series value STRICTLY greater than x,
+    ``down`` -> strictly less; 0 maps to 0; a NEGATIVE value raises at
+    RUNTIME via raise_error (the top-level stage raises at plan time —
+    inside a join decomposition the check is data-dependent); null
+    propagates. Same arithmetic shape (b * 10^(k+p), p in k±1) so both
+    paths pick identical candidates."""
+    tol = 1e-9
+    err = F.raise_error(F.concat(
+        F.lit("$bucketAuto granularity requires non-negative values; "
+              "got "), x.cast("string")))
+    if series == "POWERSOF2":
+        e = F.log2(x)
+        k = (F.floor(e + tol) + 1) if up else (F.ceil(e - tol) - 1)
+        snapped = F.pow(F.lit(2.0), k)
+        return (F.when(x == 0, F.lit(0.0)).when(x < 0, err)
+                .otherwise(snapped))
+    base = _GRAN_SERIES[series]
+    k = F.floor(F.log10(x)).cast("double")
+
+    def _scaled(p: float):
+        # factory: F.transform lambdas must be SINGLE-ARG (bound
+        # defaults make PySpark pass the element index)
+        return F.transform(
+            F.array(*[F.lit(float(b)) for b in base]),
+            lambda b: b * F.pow(F.lit(10.0), k + F.lit(p)))
+
+    cands = F.flatten(F.array(_scaled(-1.0), _scaled(0.0), _scaled(1.0)))
+    if up:
+        snapped = F.array_min(
+            F.filter(cands, lambda c: c > x * F.lit(1 + tol)))
+    else:
+        # the driver rounder's fallback (no candidate below x) is
+        # smallest-candidate/10 = 10^(k-1)/10; unreachable for x with
+        # k = floor(log10 x), kept for exact parity
+        snapped = F.coalesce(
+            F.array_max(F.filter(cands, lambda c: c < x * F.lit(1 - tol))),
+            F.pow(F.lit(10.0), k - 1) / F.lit(10.0))
+    return (F.when(x == 0, F.lit(0.0)).when(x < 0, err)
+            .otherwise(snapped))
+
+
+def _gran_snap_edges(bnd: Column, series: str) -> Column:
+    """Snap a sorted per-key percentile-boundary array ``[min, b1..,
+    max]`` to the preferred-number series — the column image of the
+    top-level ``_bucket_auto`` granularity path: ``[down(min)] +
+    dedupe(up(interior) within (lo, hi) exclusive) + [up(max)]``.
+    Monotone input keeps array_distinct's order-preserving dedupe
+    sorted; the caller's existing clamp/elemAt machinery then assigns
+    buckets off this array unchanged."""
+    lo = _gran_round_col(F.get(bnd, 0), series, up=False)
+    hi = _gran_round_col(F.get(bnd, F.size(bnd) - 1), series, up=True)
+    interior = F.slice(bnd, 2, F.greatest(F.size(bnd) - 2, F.lit(0)))
+    rb = F.array_distinct(F.filter(
+        F.transform(interior,
+                    lambda b: _gran_round_col(b, series, up=True)),
+        lambda c: (c > lo) & (c < hi)))
+    return F.concat(F.array(lo), rb, F.array(hi))
+
 
 def _tz_literal(arg: dict) -> str | None:
     """Extract a Mongo ``timezone`` option — an Olson name or a
@@ -535,6 +619,18 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         return _mongo_to_date(_expr(arg, env))
     # array higher-order functions — Spark lambda functions, so the
     # per-element logic runs inside codegen, never a Python UDF
+    if op == "$__granSnap":
+        # INTERNAL (translator-generated — $bucketAuto granularity in
+        # a $lookup sub-pipeline, lookup._bucket_auto_as_stages): snap
+        # a per-key percentile boundary array to the preferred-number
+        # series. The __ prefix marks it out of the public Mongo
+        # grammar, like the __ column namespace.
+        series = arg["granularity"]
+        if series != "POWERSOF2" and series not in _GRAN_SERIES:
+            raise ValueError(
+                f"unsupported $bucketAuto granularity {series!r} "
+                f"(supported: {sorted(_GRAN_SERIES) + ['POWERSOF2']})")
+        return _gran_snap_edges(_expr(arg["input"], env), series)
     if op == "$map":
         var = arg.get("as", "this")
         return F.transform(

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.expr import (
+    _GRAN_SERIES,
     _expr,
     _lookup_sort_cmp,
 )
@@ -308,15 +309,23 @@ def _bucket_auto_as_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
        the user's ``output`` accumulators — which the mid-group
        rewrite then scopes per document.
 
-    ``granularity`` is refused here: preferred-number rounding needs
-    the driver-side series tables per KEY (top-level ``$bucketAuto``
-    supports it)."""
-    if "granularity" in spec:
+    With ``granularity`` (r16 — previously refused), the boundary
+    array is snapped to the preferred-number series BEFORE dedupe via
+    the internal ``$__granSnap`` expression (``expr._gran_snap_edges``
+    — the column image of the top-level driver-side rounder, same
+    candidate arithmetic): edges become ``[down(min)] + up(interior)
+    + [up(max)]``, the same clamp assigns buckets (every value falls
+    strictly inside (lo, hi), nulls to the first bucket), and ``_id``
+    bounds are the snapped series values. A negative groupBy value
+    raises at RUNTIME (raise_error) where the top-level stage raises
+    at plan time — inside a join decomposition the check is
+    data-dependent."""
+    gran = spec.get("granularity")
+    if gran is not None and gran != "POWERSOF2" \
+            and gran not in _GRAN_SERIES:
         raise ValueError(
-            "$bucketAuto with granularity inside a $lookup "
-            "sub-pipeline is unsupported — apply the preferred-number "
-            "rounding at the top level, or bucket on a pre-rounded "
-            "field")
+            f"unsupported $bucketAuto granularity {gran!r} (supported: "
+            f"{sorted(_GRAN_SERIES) + ['POWERSOF2']})")
     missing = [k for k in ("groupBy", "buckets") if k not in spec]
     if missing:
         raise ValueError(f"$bucketAuto spec missing required "
@@ -326,9 +335,14 @@ def _bucket_auto_as_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
         raise ValueError("$bucketAuto buckets must be >= 1")
     g = spec["groupBy"]
     ps = [i / buckets for i in range(buckets + 1)]
-    # dedupe the (already ascending) boundary array: $setUnion's
-    # sorted-distinct IS order-preserving dedupe on a monotone input
-    dedupe = {"$setUnion": ["$__bnd", "$__bnd"]}
+    if gran is not None:
+        # snapped edges [down(min)] + up(interior) + [up(max)] — the
+        # clamp below then assigns off the snapped array unchanged
+        edges = {"$__granSnap": {"input": "$__bnd", "granularity": gran}}
+    else:
+        # dedupe the (already ascending) boundary array: $setUnion's
+        # sorted-distinct IS order-preserving dedupe on a monotone input
+        edges = {"$setUnion": ["$__bnd", "$__bnd"]}
     m = {"$size": "$__edges"}
     raw = {"$subtract": [
         {"$size": {"$filter": {"input": "$__edges",
@@ -342,7 +356,7 @@ def _bucket_auto_as_stages(spec: dict[str, Any]) -> list[dict[str, Any]]:
     return [
         {"$setWindowFields": {"output": {"__bnd": {"$percentile": {
             "input": g, "p": ps}}}}},
-        {"$addFields": {"__edges": dedupe}},
+        {"$addFields": {"__edges": edges}},
         {"$addFields": {"__bkt": idx}},
         {"$group": {"_id": {"min": lo, "max": hi},
                     **spec.get("output", {"count": {"$sum": 1}})}},
@@ -711,8 +725,7 @@ def _correlated_lookup(df: DataFrame, spec: dict[str, Any],
             "scoped PER OUTER DOCUMENT in Mongo but would apply "
             "globally under the join decompilation (a $skip/$limit "
             "with no preceding $sort — Mongo's natural order has no "
-            "distributed definition — or $bucketAuto with "
-            "granularity). Supported per-document forms: "
+            "distributed definition). Supported per-document forms: "
             "$sort [+ $skip] [+ $limit] ANYWHERE (terminal runs slice "
             "the packed array; mid-pipeline runs rank per key via a "
             "join-key window — r15); a terminal $group (_id: null "

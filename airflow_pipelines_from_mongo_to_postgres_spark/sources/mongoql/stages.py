@@ -19,6 +19,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.errors impor
     UnsupportedMongoStage,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.expr import (
+    _GRAN_SERIES,
     _expr,
     _lookup_sort_cmp,
     _rebase_refs,
@@ -718,25 +719,6 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         cond = eq if cond is None else cond & eq
     new_rows = galias.join(exist, cond, "left_anti")
     return df.unionByName(new_rows, allowMissingColumns=True)
-
-
-#: $bucketAuto granularity preferred-number series (Renard / 1-2-5 /
-#: E-series bases; POWERSOF2 handled analytically in _gran_round).
-_GRAN_SERIES = {
-    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
-    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
-    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8, 3.15,
-            3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
-    "R40": [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8,
-            1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
-            3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3,
-            6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5],
-    "1-2-5": [1.0, 2.0, 5.0],
-    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
-    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
-    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
-            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1],
-}
 
 
 def _gran_round(x: float, series: str, up: bool) -> float:

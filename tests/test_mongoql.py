@@ -4186,7 +4186,8 @@ def test_correlated_lookup_bucket_auto(spark):
     window + branch-free clamp assignment. Duplicate boundaries merge
     (fewer buckets); a single-distinct-value key collapses to one
     {min: v, max: v} bucket; empty match sets pack []; mid-position
-    composes with later stages; granularity refuses."""
+    composes with later stages; an unknown granularity series
+    refuses."""
     from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
 
     cust = spark.createDataFrame([(1,), (2,), (3,)], ["ck"])
@@ -4219,9 +4220,62 @@ def test_correlated_lookup_bucket_auto(spark):
     assert got2[2] == []                   # single match: n=1 filtered
     with pytest.raises(ValueError, match="granularity"):
         run([{"$bucketAuto": {"groupBy": "$price", "buckets": 2,
-                              "granularity": "R5"}}])
+                              "granularity": "R999"}}])
     with pytest.raises(ValueError, match="buckets"):
         run([{"$bucketAuto": {"groupBy": "$price"}}])
+
+
+def test_lookup_bucket_auto_granularity(spark):
+    """r16: $bucketAuto granularity INSIDE a correlated $lookup — the
+    per-key percentile boundary array snaps to the preferred-number
+    series via a column expression ($__granSnap, the exact image of
+    the top-level driver-side rounder): min rounds DOWN, interior
+    boundaries and max round UP, _id bounds are the series values.
+    R5, E12 and POWERSOF2 series checked; negative values raise at
+    runtime."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(1,), (2,)], ["ck"])
+    orders = spark.createDataFrame(
+        [(1, float(v)) for v in [1, 2, 3, 4, 5, 6]] + [(2, 9.0)],
+        "o_ck long, price double")
+
+    def run(gran):
+        out = apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [{"$bucketAuto": {
+                             "groupBy": "$price", "buckets": 2,
+                             "granularity": gran}}],
+                         "as": "s"}}], collections={"o": orders})
+        return {r["ck"]: sorted(
+            (round(e["_id"]["min"], 9), round(e["_id"]["max"], 9),
+             e["count"]) for e in r["s"]) for r in out.collect()}
+
+    # prices 1..6, buckets 2: interior boundary = median 3.5
+    assert run("R5")[1] == [(0.63, 4.0, 3), (4.0, 6.3, 3)]
+    assert run("E12")[1] == [(0.82, 3.9, 3), (3.9, 6.8, 3)]
+    assert run("POWERSOF2")[1] == [(0.5, 4.0, 3), (4.0, 8.0, 3)]
+    # single-value key: one bucket [down(9), up(9))
+    assert run("R5")[2] == [(6.3, 10.0, 1)]
+    # in-lookup snap == the top-level driver-side snap on the same data
+    top = apply_pipeline(
+        orders.filter("o_ck = 1"),
+        [{"$bucketAuto": {"groupBy": "$price", "buckets": 2,
+                          "granularity": "R5"}}])
+    assert sorted((round(r["_id"]["min"], 9), round(r["_id"]["max"], 9),
+                   r["count"]) for r in top.collect()) == run("R5")[1]
+    # negative values: runtime raise (top-level raises at plan time)
+    neg = spark.createDataFrame([(1, -2.0)], "o_ck long, price double")
+    bad = apply_pipeline(cust, [
+        {"$lookup": {"from": "o", "localField": "ck",
+                     "foreignField": "o_ck",
+                     "pipeline": [{"$bucketAuto": {
+                         "groupBy": "$price", "buckets": 2,
+                         "granularity": "R5"}}],
+                     "as": "s"}}], collections={"o": neg})
+    with pytest.raises(Exception, match="non-negative"):
+        bad.collect()
 
 
 def test_min_max_expression_operators(spark):
@@ -4369,3 +4423,37 @@ def test_lookup_limit_must_be_positive(spark):
     with pytest.raises(ValueError, match="positive"):
         run([{"$sort": {"price": 1}}, {"$limit": -2},
              {"$project": {"price": 1}}])
+
+
+def test_lookup_bucket_auto_granularity_plan_parity(spark):
+    """r16 plan gate: granularity inside the $lookup $bucketAuto
+    lowering is a pure column expression over the per-key boundary
+    array — the plan must keep EXACTLY the granularity-less shape
+    (same hash-exchange count, no global sort, no Python eval); a
+    regression to per-key driver-side snapping or an extra shuffle
+    would show here."""
+    import re
+
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    cust = spark.createDataFrame([(i,) for i in range(20)], ["ck"])
+    orders = spark.createDataFrame(
+        [(i % 20, float(i % 7 + 1)) for i in range(200)],
+        "o_ck long, price double")
+
+    def plan(gran):
+        spec = {"groupBy": "$price", "buckets": 3,
+                **({"granularity": gran} if gran else {})}
+        out = apply_pipeline(cust, [
+            {"$lookup": {"from": "o", "localField": "ck",
+                         "foreignField": "o_ck",
+                         "pipeline": [{"$bucketAuto": spec}],
+                         "as": "s"}}], collections={"o": orders})
+        p = out._jdf.queryExecution().executedPlan().toString()
+        return p.split("== Initial Plan ==")[0]
+
+    base, gran = plan(None), plan("R5")
+    n_ex = len(re.findall(r"Exchange hashpartitioning", base))
+    assert len(re.findall(r"Exchange hashpartitioning", gran)) == n_ex, gran
+    assert not re.search(r"\bSort \[[^\]]*\], true", gran), gran
+    assert "BatchEvalPython" not in gran and "ArrowEval" not in gran

@@ -959,9 +959,11 @@ _lk15_sub_stage = st.one_of(
                                      "boundaries": [0, b, 20],
                                      "default": -1}},
               st.integers(1, 10)),
-    st.builds(lambda b: {"$bucketAuto": {"groupBy": "$qty",
-                                         "buckets": b}},
-              st.integers(1, 4)),
+    st.builds(lambda b, g: {"$bucketAuto": {
+                  "groupBy": "$qty", "buckets": b,
+                  **({"granularity": g} if g else {})}},
+              st.integers(1, 4),
+              st.sampled_from([None, "R5", "E12", "POWERSOF2"])),
     st.builds(lambda op: {"$group": {"_id": {"$mod": ["$qty", 2]},
                                      "out": {op: "$qty"},
                                      "n": {"$sum": 1}}},
