@@ -1087,8 +1087,14 @@ def _apply_stages(df: DataFrame, stages: list[dict[str, Any]],
             df = df.orderBy(*[F.col(k).asc() if d == 1 else F.col(k).desc()
                               for k, d in spec.items()])
         elif op == "$limit":
+            # Mongo: 'the limit must be positive' (r16 — matches the
+            # $lookup sub-pipeline validation)
+            if int(spec) < 1:
+                raise ValueError("$limit must be a positive integer")
             df = df.limit(int(spec))
         elif op == "$skip":
+            if int(spec) < 0:
+                raise ValueError("$skip must be non-negative")
             df = df.offset(int(spec))
         elif op == "$documents":
             # collectionless literal source (Mongo: first stage of a
@@ -1192,6 +1198,21 @@ def _apply_stages(df: DataFrame, stages: list[dict[str, Any]],
             foreign = collections[spec["from"]]
             local, ff, out = (spec["localField"], spec["foreignField"],
                               spec["as"])
+            from pyspark.sql import types as ST
+            ltype = (df.schema[local].dataType
+                     if local in df.columns else None)
+            if isinstance(ltype, ST.ArrayType):
+                # Mongo matches an ARRAY localField against any
+                # element; a distributed equivalent needs a stable
+                # per-row identity to explode and regroup on, which a
+                # rectangular frame does not carry — refuse with the
+                # standard rewrite instead of the raw join type
+                # mismatch (r16)
+                raise ValueError(
+                    f"$lookup localField {local!r} is an array: "
+                    "$unwind it first, $lookup on the element, then "
+                    "$group the matches back (Mongo's any-element "
+                    "match semantics)")
             # Pack the foreign side to ONE array row per key FIRST, then
             # a single left equi join — the local side never fans out
             # and regroups (Mongo's per-doc subarray semantics with one

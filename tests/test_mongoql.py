@@ -4457,3 +4457,30 @@ def test_lookup_bucket_auto_granularity_plan_parity(spark):
     assert len(re.findall(r"Exchange hashpartitioning", gran)) == n_ex, gran
     assert not re.search(r"\bSort \[[^\]]*\], true", gran), gran
     assert "BatchEvalPython" not in gran and "ArrowEval" not in gran
+
+
+def test_top_level_limit_skip_validation(spark):
+    """r16: top-level $limit < 1 / $skip < 0 raise the translator's
+    ValueError (Mongo's own rules), matching the $lookup sub-pipeline
+    validation."""
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="positive"):
+        apply_pipeline(df, [{"$limit": 0}])
+    with pytest.raises(ValueError, match="non-negative"):
+        apply_pipeline(df, [{"$skip": -1}])
+    assert apply_pipeline(df, [{"$skip": 0}, {"$limit": 1}]).count() == 1
+
+
+def test_lookup_array_local_field_refused_with_guidance(spark):
+    """r16: an ARRAY localField (Mongo's any-element match) has no
+    stable distributed lowering without a per-row identity — the
+    translator refuses with the $unwind-then-$group rewrite instead
+    of surfacing a raw join type mismatch."""
+    left = spark.createDataFrame([(1, ["a", "b"])],
+                                 "i long, tags array<string>")
+    right = spark.createDataFrame([("a", 10)], "tag string, w long")
+    with pytest.raises(ValueError, match="unwind"):
+        apply_pipeline(left, [
+            {"$lookup": {"from": "t", "localField": "tags",
+                         "foreignField": "tag", "as": "m"}}],
+            collections={"t": right})
