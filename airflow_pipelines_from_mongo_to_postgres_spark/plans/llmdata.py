@@ -1471,6 +1471,133 @@ FROM logp GROUP BY doc_id
 """
 
 
+def bigram_backoff_scores(docs: DataFrame, train_flag,
+                          key: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """CCNet-class perplexity filter (cf. Wenzek et al. 2020, CCNet;
+    backoff per Brants et al. 2007 "Stupid Backoff"): score every
+    document's mean bigram log-likelihood under a bigram LM trained on
+    the REFERENCE subset ``train_flag`` (a boolean Column — the
+    realistic shape: LM trained on a clean corpus, scoring the crawl).
+
+    Model, exactly (the documented cross-engine contract):
+
+    - ``S(w2|w1) = c(w1,w2) / c(w1)`` when the bigram was seen in
+      training, with ``c(w1) = Σ_w2 c(w1,w2)`` (context counts, so the
+      conditionals sum to 1 per context);
+    - else ``S(w2|w1) = 0.4 · coalesce(c(w2), 0.5) / N`` — Stupid
+      Backoff's unnormalized unigram leg with the 0.4 constant from
+      the paper; an out-of-vocabulary ``w2`` takes a half-count floor
+      (deterministic, never ln(0));
+    - per-doc output: bigram count, mean of per-bigram ln S, and the
+      backoff rate (fraction of unseen bigrams — itself a useful
+      contamination/novelty signal).
+
+    Distributed shape (100 TB): bigram extraction is ARRAY-side (one
+    transform over the token array — no window, no per-token explode
+    until after pairing); training counts are two hash aggregations on
+    token keys; scoring is three equi-joins (bigram / context /
+    unigram keys — AQE broadcasts the LM when it is small, plain
+    shuffle joins otherwise) + one groupBy on the doc key. No driver
+    state, no collect, no global sort.
+
+    Cross-engine exactness (the q78 discipline): each bigram's ln S is
+    rounded to 9 dp FIRST, summed as DECIMAL(18,9) (order-free), cast
+    to double before the division; S itself is a ratio of small
+    integers (or the identically-associated backoff product), so both
+    engines feed ln the same double."""
+    toks = docs.select(F.col(key), train_flag.alias("__tr"),
+                       T.tokens(text_col).alias("__ts"))
+    # slice length clamps at 0: an empty token array would otherwise
+    # feed slice a negative length (runtime error), and 0/1-token docs
+    # have no bigrams by definition
+    n_t = F.greatest(F.size("__ts") - 1, F.lit(0))
+    bgs = F.transform(
+        F.slice("__ts", 1, n_t),
+        lambda w, i: F.struct(w.alias("w1"),
+                              F.get(F.col("__ts"), i + 1).alias("w2")))
+    bi = toks.select(F.col(key), "__tr", F.explode(bgs).alias("bg")) \
+        .select(F.col(key), "__tr", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2"))
+    tb = bi.filter(F.col("__tr"))
+    big = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    tuni = (toks.filter(F.col("__tr"))
+            .select(F.explode("__ts").alias("w2"))
+            .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
+    total = tuni.agg(F.sum("cu").alias("nn"))
+    s = (F.when(F.col("cbg").isNotNull(),
+                F.col("cbg") / F.col("cw1"))
+         .otherwise(F.lit(0.4)
+                    * (F.coalesce(F.col("cu"), F.lit(0.5)) / F.col("nn"))))
+    scored = (bi.join(big, ["w1", "w2"], "left")
+              .join(ctx, ["w1"], "left")
+              .join(tuni, ["w2"], "left")
+              .crossJoin(F.broadcast(total))
+              .select(F.col(key),
+                      F.col("cbg").isNull().cast("int").alias("bo"),
+                      F.round(F.log(s), 9).cast("decimal(18,9)")
+                      .alias("lp")))
+    return (scored.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum("lp").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_lp"),
+                 F.round(F.sum("bo").cast("double")
+                         / F.count(F.lit(1)), 6).alias("bo_rate")))
+
+
+# --- q216: bigram Stupid-Backoff LM score (CCNet-class perplexity filter) ----------
+def q216_lm_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff scores for EVERY document, LM trained on
+    the hash-split train subset (u < 0.8 — the exact q57 membership
+    function, so training membership is auditable and the DuckDB
+    oracle reproduces it bit-for-bit). See
+    :func:`bigram_backoff_scores` for the model/scale/exactness
+    contracts."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    return bigram_backoff_scores(
+        d, sampling.hash_uniform("doc_id") < F.lit(0.8))
+
+
+Q216_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKENS_SQL.format(col='text')} AS ts,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+              AS BIGINT) / 268435456.0 < 0.8 AS tr
+  FROM documents
+),
+bi AS (
+  SELECT d.doc_id, d.tr, ts[t.i] AS w1, ts[t.i + 1] AS w2
+  FROM d, LATERAL unnest(range(1, len(ts))) t(i)
+),
+big AS (SELECT w1, w2, count(*) AS cbg FROM bi WHERE tr GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS cw1 FROM bi WHERE tr GROUP BY 1),
+tuni AS (
+  SELECT t.tok AS w2, count(*) AS cu
+  FROM d, LATERAL unnest(ts) t(tok) WHERE tr GROUP BY 1
+),
+total AS (SELECT sum(cu) AS nn FROM tuni),
+scored AS (
+  SELECT bi.doc_id,
+         CASE WHEN big.cbg IS NULL THEN 1 ELSE 0 END AS bo,
+         CAST(round(ln(
+           CASE WHEN big.cbg IS NOT NULL THEN big.cbg / ctx.cw1
+                ELSE 0.4 * (coalesce(tuni.cu, 0.5) / total.nn) END
+         ), 9) AS DECIMAL(18,9)) AS lp
+  FROM bi
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN tuni USING (w2)
+  CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_lp,
+       round(CAST(sum(bo) AS DOUBLE) / count(*), 6) AS bo_rate
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- q81: PageRank over the near-dup graph (iterative numeric fixpoint) ------------
 _PR_ITERS, _PR_DAMP = 5, 0.85
 
@@ -3310,6 +3437,7 @@ QUERIES = {
     "q74_pii_scan": q74_pii_scan,
     "q75_sequence_packing": q75_sequence_packing,
     "q78_lm_unigram_score": q78_lm_unigram_score,
+    "q216_lm_bigram_backoff": q216_lm_bigram_backoff,
     "q80_source_mix": q80_source_mix,
     "q81_pagerank_neardup": q81_pagerank_neardup,
     "q84_ngram_contamination": q84_ngram_contamination,
@@ -3376,6 +3504,7 @@ ORACLES = {
     "q74_pii_scan": Q74_SQL,
     "q75_sequence_packing": Q75_SQL,
     "q78_lm_unigram_score": Q78_SQL,
+    "q216_lm_bigram_backoff": Q216_SQL,
     "q80_source_mix": Q80_SQL,
     "q81_pagerank_neardup": Q81_SQL,
     "q84_ngram_contamination": Q84_SQL,

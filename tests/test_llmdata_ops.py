@@ -175,3 +175,30 @@ def test_count_min_never_undercounts(spark, sf_dir):
         # loose sanity on the overcount: heavy hitters collide with at
         # most the tail, which is << their own mass in a Zipf stream
         assert r.cms_estimate <= 2 * r.true_count + 10_000, r
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """r16: bigram Stupid-Backoff scores against a hand-computed tiny
+    corpus — seen bigrams take c(w1,w2)/c(w1) with CONTEXT counts
+    (conditionals sum to 1 per context), unseen take
+    0.4 * c(w2)/N with the 0.5 half-count OOV floor; the backoff rate
+    counts unseen bigrams. LM trained only on the flagged docs."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "a b x")],
+        "doc_id long, text string")
+    out = llmdata.bigram_backoff_scores(docs, F.col("doc_id") != 3)
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_lp"], r["bo_rate"])
+           for r in out.collect()}
+    # train bigrams: (a,b)x2 (b,a) (a,c) (b,b); ctx a:3 b:2;
+    # train unigrams a:3 b:3 c:1, N=7
+    # d1: ln(2/3) + ln(1/2) + ln(1/3) over 3
+    assert got[1] == (3, -0.732408, 0.0)
+    # d2: ln(2/3) + ln(1/2) over 2
+    assert got[2] == (2, -0.549306, 0.0)
+    # d3: (a,b) seen ln(2/3); (b,x) unseen, x OOV: ln(0.4 * 0.5/7)
+    assert got[3] == (2, -1.980407, 0.5)
+    # single-token / empty docs yield no bigrams and no output row
+    short = spark.createDataFrame([(1, "a b"), (2, "solo"), (3, "")],
+                                  "doc_id long, text string")
+    out2 = llmdata.bigram_backoff_scores(short, F.lit(True))
+    assert {r["doc_id"] for r in out2.collect()} == {1}
