@@ -3133,6 +3133,78 @@ FROM monthly
 """
 
 
+# --- q217: partition-less $fill, DISTRIBUTED (locf + linear over raw rows) ------
+def q217_mongo_fill_partitionless(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Whole-collection ``$fill`` over the RAW events table — a sensor
+    back-fill: every 7th reading observed, the rest reconstructed by
+    last-observation-carried-forward AND linear interpolation on the
+    global ``event_id`` order. Exercises the r17 distributed lowering
+    (``stages.py::_fill_partitionless``): range-bucket on the sort
+    key's percentile boundaries (one agg, ≤ B-1 scalars), per-bucket
+    ignore-nulls windows, cross-bucket boundary carry via a ≤ B-row
+    summary + broadcast join — never the pre-r17 single-task window,
+    so null runs straddle bucket boundaries by construction (run
+    length 6 ≫ 0 at every SF). ``event_id`` is unique (tie-free sort,
+    the determinism convention); the oracle replays the identical
+    interpolation arithmetic on bit-identical doubles, rounded 6 dp
+    per row (no sums — per-row outputs hash stably).
+
+    Reference scope: gap handling in the reference is per-field
+    defaulting only (`dags/includes/user_table.py:62-84`); series
+    reconstruction is engine-declared scope."""
+    ev = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(ev, [
+        {"$addFields": {"obs": {"$cond": [
+            {"$eq": [{"$mod": ["$event_id", 7]}, 0]},
+            "$value", None]}}},
+        {"$addFields": {"carried": "$obs", "interp": "$obs"}},
+        {"$fill": {"sortBy": {"event_id": 1},
+                   "output": {"carried": {"method": "locf"},
+                              "interp": {"method": "linear"}}}},
+    ])
+    return out.select(
+        "event_id",
+        F.round(F.col("carried"), 6).alias("carried"),
+        F.round(F.col("interp"), 6).alias("interp"))
+
+
+Q217_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value END AS obs
+  FROM events),
+w AS (
+  SELECT event_id, obs,
+         last_value(obs IGNORE NULLS) OVER
+           (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS carried,
+         last_value(obs IGNORE NULLS) OVER
+           (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN obs IS NOT NULL
+                         THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+           OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS pk,
+         first_value(obs IGNORE NULLS) OVER
+           (ORDER BY event_id ROWS BETWEEN 1 FOLLOWING
+            AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN obs IS NOT NULL
+                          THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+           OVER (ORDER BY event_id ROWS BETWEEN 1 FOLLOWING
+                 AND UNBOUNDED FOLLOWING) AS nk
+  FROM s)
+SELECT event_id,
+       round(carried, 6) AS carried,
+       round(coalesce(obs,
+             CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) *
+                       (CAST(event_id AS DOUBLE) - pk) / (nk - pk)
+             END), 6) AS interp
+FROM w
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -3195,6 +3267,7 @@ QUERIES = {
     "q213_mongo_bucket_auto_gran": q213_mongo_bucket_auto_gran,
     "q214_mongo_lookup_bucket_gran": q214_mongo_lookup_bucket_gran,
     "q215_mongo_quarter_year_window": q215_mongo_quarter_year_window,
+    "q217_mongo_fill_partitionless": q217_mongo_fill_partitionless,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3262,6 +3335,7 @@ ORACLES = {
     "q213_mongo_bucket_auto_gran": Q213_SQL,
     "q214_mongo_lookup_bucket_gran": Q214_SQL,
     "q215_mongo_quarter_year_window": Q215_SQL,
+    "q217_mongo_fill_partitionless": Q217_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

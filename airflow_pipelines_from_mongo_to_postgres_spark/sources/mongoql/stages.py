@@ -21,6 +21,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.errors impor
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.expr import (
     _GRAN_SERIES,
     _expr,
+    _field_type,
     _lookup_sort_cmp,
     _rebase_refs,
     _root_env,
@@ -514,7 +515,12 @@ def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     brackets each null with the nearest non-null neighbors (two
     ignore-nulls windows) and interpolates on the sort key — all native
     window expressions, no self-join, no UDF. Without ``partitionBy``
-    the window is global, same caveat as Mongo (partition for scale)."""
+    the fill needs the GLOBAL order; since r17 that no longer plans a
+    single-task window when the leading sort key has a numeric image
+    (numeric/date/timestamp/bool): ``_fill_partitionless`` range-buckets
+    on the key, fills within buckets, and carries boundary state across
+    buckets — see its docstring. Only non-orderable-to-double keys
+    (strings) keep the whole-collection window + warning."""
     from pyspark.sql import Window
 
     parts: list[Column] = []
@@ -522,17 +528,15 @@ def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         parts = [_expr(spec["partitionBy"])]
     elif spec.get("partitionByFields"):
         parts = [F.col(c) for c in spec["partitionByFields"]]
-    elif any("value" not in how for how in spec["output"].values()):
-        # constant-value fills are pure coalesce (no window) — only
-        # locf/linear methods plan the whole-collection window
-        _warn_whole_collection_window(df, "$fill")
     sortby = spec.get("sortBy") or {}
     order = [F.col(k).asc() if d == 1 else F.col(k).desc()
              for k, d in sortby.items()]
+    methods: dict[str, str] = {}
     for name, how in spec["output"].items():
         if "." in name:
             raise ValueError(f"$fill nested output path unsupported: {name}")
         if "value" in how:
+            # constant-value fills are pure coalesce — no window at all
             df = df.withColumn(
                 name, F.coalesce(F.col(name), _expr(how["value"]))
                 if name in df.columns else _expr(how["value"]))
@@ -540,32 +544,183 @@ def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         method = how.get("method")
         if not sortby:
             raise ValueError(f"$fill method {method!r} requires sortBy")
-        w = Window.partitionBy(*parts).orderBy(*order)
+        if method not in ("locf", "linear"):
+            raise ValueError(f"unsupported $fill method: {method!r}")
+        if method == "linear" and (
+                len(sortby) != 1 or next(iter(sortby.values())) != 1):
+            raise ValueError("$fill linear needs a single ascending sortBy")
+        methods[name] = method
+    if not methods:
+        return df
+    if not parts:
+        return _fill_partitionless(df, methods, sortby, order)
+    w = Window.partitionBy(*parts).orderBy(*order)
+    for name, method in methods.items():
+        df = _fill_one_windowed(df, name, method, w, sortby)
+    return df
+
+
+def _fill_one_windowed(df: DataFrame, name: str, method: str, w,
+                       sortby: dict[str, int]) -> DataFrame:
+    """One locf/linear fill over an already-partitioned window — the
+    per-partition arithmetic shared by the ``partitionBy`` path and the
+    string-key whole-collection fallback."""
+    from pyspark.sql import Window
+
+    if method == "locf":
+        return df.withColumn(name, F.last(name, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    key = _sort_key_double(df, next(iter(sortby)))
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    pv = F.last(F.col(name), ignorenulls=True).over(before)
+    pk = F.last(F.when(F.col(name).isNotNull(), key),
+                ignorenulls=True).over(before)
+    nv = F.first(F.col(name), ignorenulls=True).over(after)
+    nk = F.first(F.when(F.col(name).isNotNull(), key),
+                 ignorenulls=True).over(after)
+    interp = pv + (nv - pv) * (key - pk) / (nk - pk)
+    # Mongo: unbracketed nulls (before the first / after the
+    # last observation) stay null
+    return df.withColumn(name, F.coalesce(
+        F.col(name).cast("double"),
+        F.when(pv.isNotNull() & nv.isNotNull(), interp)))
+
+
+def _fill_partitionless(df: DataFrame, methods: dict[str, str],
+                        sortby: dict[str, int], order) -> DataFrame:
+    """Distributed whole-collection ``$fill`` (r17 — the last
+    single-task translator stage, VERDICT r16 #1). LOCF/linear need the
+    GLOBAL sort order, but the state that crosses a range boundary is
+    tiny (the last/first non-null observation on each side), so:
+
+    1. Range-bucket on the LEADING sort key's numeric image: one
+       ``percentile_approx`` aggregation yields ≤ B-1 boundary scalars
+       (bounded collect, same class as ``$densify``'s two bounds), and
+       bucket assignment is a pure column expression (count of
+       boundaries ≤ key) — deterministic BY VALUE, so sort-key ties can
+       never straddle buckets.
+    2. Fill WITHIN buckets: the usual ignore-nulls windows, partitioned
+       by ``__fillb`` — ONE hash exchange over the data, parallelism =
+       #buckets (min(shuffle.partitions, 64)).
+    3. Boundary carry: a groupBy(``__fillb``) reuses the window's
+       exchange (same key → no second data shuffle) and reduces each
+       bucket to its first/last non-null (value, key) pairs; a window
+       over those ≤ B summary rows computes the cross-bucket carry-in
+       (locf/linear ``prev``) and carry-out (linear ``next``); a
+       broadcast join hands each row its bucket's carry.
+
+    Value-identical to the single global window: the carry supplies
+    exactly the "nearest non-null in a preceding/following bucket" that
+    the in-bucket window cannot see, and the interpolation expression is
+    the same arithmetic on the same operands. NULL sort keys bucket to
+    the walk's null end (first bucket for ascending, last for
+    descending — Spark's asc=nulls-first/desc=nulls-last contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as ST
+
+    k1, d1 = next(iter(sortby.items()))
+    ktype = _field_type(df.schema, k1)
+    if not isinstance(ktype, (ST.NumericType, ST.DateType,
+                              ST.TimestampType, ST.TimestampNTZType,
+                              ST.BooleanType)):
+        # no numeric image to range-bucket on (string keys): keep the
+        # whole-collection window, warned / strict-gated as before
+        _warn_whole_collection_window(df, "$fill")
+        w = Window.orderBy(*order)
+        for name, method in methods.items():
+            df = _fill_one_windowed(df, name, method, w, sortby)
+        return df
+
+    keyd = _sort_key_double(df, k1)
+    knorm = keyd if d1 == 1 else -keyd
+    spark = df.sparkSession
+    nb = max(2, min(int(spark.conf.get(
+        "spark.sql.shuffle.partitions", "200") or "200"), 64))
+    row = df.agg(F.percentile_approx(
+        knorm, F.lit([i / nb for i in range(1, nb)]),
+        F.lit(10_000)).alias("b")).collect()[0]  # ≤ nb-1 scalars
+    bnds = sorted({float(b) for b in (row["b"] or []) if b is not None})
+    if bnds:
+        barr = F.array(*[F.lit(b) for b in bnds])
+        bucket = F.size(F.filter(barr, lambda b: b <= knorm))
+    else:
+        bucket = F.lit(0)  # empty / all-null key: one bucket
+    null_bucket = 0 if d1 == 1 else len(bnds)
+    dfb = df.withColumn("__fillb", F.when(
+        keyd.isNull(), F.lit(null_bucket)).otherwise(bucket))
+
+    w = Window.partitionBy("__fillb").orderBy(*order)
+    dfb = dfb.withColumn("__fillrn", F.row_number().over(w))
+    aggs: list[Column] = []
+    for name, method in methods.items():
+        col = F.col(name)
         if method == "locf":
-            df = df.withColumn(name, F.last(name, ignorenulls=True).over(
+            dfb = dfb.withColumn(f"__fl_{name}", F.last(
+                name, ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
-        elif method == "linear":
-            if len(sortby) != 1 or next(iter(sortby.values())) != 1:
-                raise ValueError(
-                    "$fill linear needs a single ascending sortBy")
-            key = _sort_key_double(df, next(iter(sortby)))
+            # the bucket's LAST row's running-locf value IS its last
+            # non-null observation (null iff the bucket is all-null)
+            aggs.append(F.max_by(F.col(f"__fl_{name}"),
+                                 F.col("__fillrn")).alias(f"__lv_{name}"))
+        else:  # linear — single ascending numeric key, validated above
             before = w.rowsBetween(Window.unboundedPreceding, -1)
             after = w.rowsBetween(1, Window.unboundedFollowing)
-            pv = F.last(F.col(name), ignorenulls=True).over(before)
-            pk = F.last(F.when(F.col(name).isNotNull(), key),
-                        ignorenulls=True).over(before)
-            nv = F.first(F.col(name), ignorenulls=True).over(after)
-            nk = F.first(F.when(F.col(name).isNotNull(), key),
-                         ignorenulls=True).over(after)
-            interp = pv + (nv - pv) * (key - pk) / (nk - pk)
-            # Mongo: unbracketed nulls (before the first / after the
-            # last observation) stay null
-            df = df.withColumn(name, F.coalesce(
+            dfb = (dfb
+                   .withColumn(f"__pv_{name}", F.last(
+                       col, ignorenulls=True).over(before))
+                   .withColumn(f"__pk_{name}", F.last(
+                       F.when(col.isNotNull(), keyd),
+                       ignorenulls=True).over(before))
+                   .withColumn(f"__nv_{name}", F.first(
+                       col, ignorenulls=True).over(after))
+                   .withColumn(f"__nk_{name}", F.first(
+                       F.when(col.isNotNull(), keyd),
+                       ignorenulls=True).over(after)))
+            nn = F.when(col.isNotNull(), F.col("__fillrn"))
+            pair = F.struct(col.alias("v"), keyd.alias("k"))
+            # max_by/min_by skip rows whose ordering key is null, so
+            # all-null buckets yield a NULL pair the carry window skips
+            aggs.append(F.max_by(pair, nn).alias(f"__lst_{name}"))
+            aggs.append(F.min_by(pair, nn).alias(f"__fst_{name}"))
+
+    summ = dfb.groupBy("__fillb").agg(*aggs)
+    # carry across buckets: a window over ≤ nb summary rows (bounded by
+    # CLUSTER width, not data size — never a whole-collection window)
+    ws = Window.orderBy(F.col("__fillb").asc())
+    carry = [F.col("__fillb")]
+    for name, method in methods.items():
+        if method == "locf":
+            carry.append(F.last(f"__lv_{name}", ignorenulls=True).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1))
+                .alias(f"__ci_{name}"))
+        else:
+            carry.append(F.last(f"__lst_{name}", ignorenulls=True).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1))
+                .alias(f"__cp_{name}"))
+            carry.append(F.first(f"__fst_{name}", ignorenulls=True).over(
+                ws.rowsBetween(1, Window.unboundedFollowing))
+                .alias(f"__cn_{name}"))
+    out = dfb.join(F.broadcast(summ.select(*carry)), "__fillb")
+
+    drop = ["__fillb", "__fillrn"]
+    for name, method in methods.items():
+        if method == "locf":
+            out = out.withColumn(name, F.coalesce(
+                F.col(f"__fl_{name}"), F.col(f"__ci_{name}")))
+            drop += [f"__fl_{name}", f"__ci_{name}"]
+        else:
+            pv = F.coalesce(F.col(f"__pv_{name}"), F.col(f"__cp_{name}.v"))
+            pk = F.coalesce(F.col(f"__pk_{name}"), F.col(f"__cp_{name}.k"))
+            nv = F.coalesce(F.col(f"__nv_{name}"), F.col(f"__cn_{name}.v"))
+            nk = F.coalesce(F.col(f"__nk_{name}"), F.col(f"__cn_{name}.k"))
+            interp = pv + (nv - pv) * (keyd - pk) / (nk - pk)
+            out = out.withColumn(name, F.coalesce(
                 F.col(name).cast("double"),
                 F.when(pv.isNotNull() & nv.isNotNull(), interp)))
-        else:
-            raise ValueError(f"unsupported $fill method: {method!r}")
-    return df
+            drop += [f"__pv_{name}", f"__pk_{name}", f"__nv_{name}",
+                     f"__nk_{name}", f"__cp_{name}", f"__cn_{name}"]
+    return out.drop(*drop)
 
 
 #: $densify/$dateAdd-style calendar steps -> (make_ym_interval years,

@@ -1374,7 +1374,56 @@ def test_densify_partitionless_distributed(spark):
             "field": "n", "range": {"step": 0, "bounds": "full"}}}])
 
 
-def test_bucket_auto_stage(spark):
+def test_fill_partitionless_distributed(spark):
+    """r17: partition-less $fill with a numeric/temporal sort key
+    range-buckets on the key and fills per bucket with a cross-bucket
+    boundary carry — the DATA window always partitions on __fillb
+    (never the pre-r17 whole-collection single-task window); the only
+    partition-less windows left in the plan run over the ≤ B-row
+    bucket summary. Values are identical to a global window: null runs
+    that straddle bucket boundaries interpolate/carry across them."""
+    import pyspark.sql.functions as F
+
+    # 5k rows, non-nulls every 7th: null runs of 6 guarantee many
+    # bucket-straddling runs at 32+ buckets
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.col("id").cast("double"))
+        .alias("v"),
+        F.when(F.col("id") % 11 == 0, F.col("id").cast("double"))
+        .alias("u"))
+    out = apply_pipeline(df, [{"$fill": {
+        "sortBy": {"k": 1},
+        "output": {"v": {"method": "linear"}, "u": {"method": "locf"}}}}])
+    rows = {r.k: (r.v, r.u) for r in out.collect()}
+    assert len(rows) == 5000
+    for k in range(5000):
+        v, u = rows[k]
+        # linear on the key is k; past the LAST observation (4998, the
+        # largest 7-multiple) Mongo leaves nulls unbracketed → null
+        assert v == (float(k) if k <= 4998 else None), (k, v)
+        assert u == float(k - k % 11), (k, u)  # locf: last 11-multiple
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(__fillb" in final, final
+    for ln in final.splitlines():
+        if "windowspecdefinition(" not in ln:
+            continue
+        # data windows partition on the bucket; the only partition-less
+        # windows are the bucket-summary carries (named __lv_/__lst_/
+        # __fst_ inputs over the aggregate's ≤ B rows)
+        assert "__fillb" in ln or any(
+            t in ln for t in ("__lv_", "__lst_", "__fst_")), ln
+
+    # descending + bucket-straddling locf carry, exact parity with a
+    # hand-computed walk
+    desc = apply_pipeline(df.select("k", "u"), [{"$fill": {
+        "sortBy": {"k": -1}, "output": {"u": {"method": "locf"}}}}])
+    drows = {r.k: r.u for r in desc.collect()}
+    for k in range(5000):
+        nxt = k + (-k) % 11            # nearest 11-multiple at or above
+        assert drows[k] == (float(nxt) if nxt < 5000 else None), (k, nxt)
     """$bucketAuto: ~equal-population buckets via exact percentile
     boundaries; _id carries each bucket's observed min/max; output
     accumulators reuse the $group compiler; nulls join the first
@@ -2569,20 +2618,27 @@ def test_unsupported_stage_table_and_window_warning(spark):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
         apply_pipeline(df, [{"$noSuchStage": {}}])
 
+    sdf = spark.createDataFrame([("a", 1.0)], "s string, x double")
     stages = {
-        "$setWindowFields": {"sortBy": {"k": 1},
-                             "output": {"s": {"$sum": "$x"}}},
-        "$fill": {"sortBy": {"k": 1}, "output": {"x": {"method": "locf"}}},
+        "$setWindowFields": (df, {"sortBy": {"k": 1},
+                                  "output": {"s": {"$sum": "$x"}}}),
+        # $fill warns only for sort keys with NO numeric image (strings)
+        # — numeric/temporal keys distribute since r17
+        "$fill": (sdf, {"sortBy": {"s": 1},
+                        "output": {"x": {"method": "locf"}}}),
     }
-    for stage, spec in stages.items():
+    for stage, (frame, spec) in stages.items():
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            apply_pipeline(df, [{stage: spec}]).collect()
+            apply_pipeline(frame, [{stage: spec}]).collect()
         assert any(stage in str(x.message) and
                    "ONE task" in str(x.message) for x in w), stage
     # constant-value $fill plans no window — no warning; partition-less
-    # $densify generates its grid DISTRIBUTED since r16 — no warning
+    # $densify generates its grid DISTRIBUTED since r16, partition-less
+    # numeric-key method $fill range-buckets since r17 — no warning
     for sil in ({"$fill": {"output": {"x": {"value": 0.0}}}},
+                {"$fill": {"sortBy": {"k": 1},
+                           "output": {"x": {"method": "locf"}}}},
                 {"$densify": {"field": "k",
                               "range": {"step": 1, "bounds": "full"}}}):
         with warnings.catch_warnings(record=True) as w:
