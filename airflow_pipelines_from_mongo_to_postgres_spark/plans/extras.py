@@ -3205,6 +3205,68 @@ FROM w
 """
 
 
+# --- q218: $lookup with ARRAY localField (any-element match, r17) ---------------
+def q218_mongo_lookup_array_local(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``$lookup`` on an ARRAY ``localField`` — Mongo's any-element
+    match, lowered r17 (was a refusal): per-order distinct supplier
+    region keys (``$addToSet`` + ``$filter`` leaves keys ≥ 3, so ~2/5
+    of orders get MULTI-element arrays and a fraction get EMPTY ones),
+    joined against nation on ``n_regionkey`` where every key matches
+    FIVE nations (the dup-foreign-doc case). The lowering explodes
+    (_id, element) pairs, equi-joins, re-packs per ``_id`` with
+    collect_set + sort_array, and left-joins back — the outer frame
+    never fans out and misses/empties come back ``[]``. Output reduces
+    the pack with the r17 ``$sum``-over-``$map`` EXPRESSION form (no
+    array columns leave the query). Empty packs: $size → 0, $sum → 0.
+
+    Reference scope: the reference's only join is the surrogate-key
+    existence probe (`dags/includes/utils.py:27-37`); any-element
+    array joins are engine-declared scope."""
+    li = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    out = apply_pipeline(li, [
+        {"$group": {"_id": "$l_orderkey",
+                    "sks": {"$addToSet": {"$mod": ["$l_suppkey", 5]}}}},
+        {"$addFields": {"rks": {"$filter": {
+            "input": "$sks", "as": "k",
+            "cond": {"$gte": ["$$k", 3]}}}}},
+        {"$lookup": {"from": "nation", "localField": "rks",
+                     "foreignField": "n_regionkey", "as": "ns"}},
+        {"$project": {"_id": 1, "rk_n": {"$size": "$rks"},
+                      "n_match": {"$size": "$ns"},
+                      "key_sum": {"$sum": {"$map": {
+                          "input": "$ns", "as": "s",
+                          "in": "$$s.n_nationkey"}}}}},
+    ], collections={"nation": nation})
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("rk_n").cast("int").alias("rk_n"),
+        F.col("n_match").cast("int").alias("n_match"),
+        F.col("key_sum").cast("long").alias("key_sum"))
+
+
+Q218_SQL = """
+WITH g AS (
+  SELECT l_orderkey AS _id,
+         list_filter(list_distinct(list(l_suppkey % 5)),
+                     k -> k >= 3) AS rks
+  FROM lineitem GROUP BY 1),
+m AS (
+  SELECT DISTINCT g._id, n.n_nationkey
+  FROM g, unnest(g.rks) AS u(k)
+  JOIN nation n ON n.n_regionkey = u.k),
+p AS (
+  SELECT _id, count(*) AS n_match, sum(n_nationkey) AS key_sum
+  FROM m GROUP BY 1)
+SELECT g._id,
+       CAST(len(g.rks) AS INT) AS rk_n,
+       CAST(coalesce(p.n_match, 0) AS INT) AS n_match,
+       CAST(coalesce(p.key_sum, 0) AS BIGINT) AS key_sum
+FROM g LEFT JOIN p USING (_id)
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -3268,6 +3330,7 @@ QUERIES = {
     "q214_mongo_lookup_bucket_gran": q214_mongo_lookup_bucket_gran,
     "q215_mongo_quarter_year_window": q215_mongo_quarter_year_window,
     "q217_mongo_fill_partitionless": q217_mongo_fill_partitionless,
+    "q218_mongo_lookup_array_local": q218_mongo_lookup_array_local,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3336,6 +3399,7 @@ ORACLES = {
     "q214_mongo_lookup_bucket_gran": Q214_SQL,
     "q215_mongo_quarter_year_window": Q215_SQL,
     "q217_mongo_fill_partitionless": Q217_SQL,
+    "q218_mongo_lookup_array_local": Q218_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -322,6 +322,55 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
                     else F.array_max)(_expr(single, env))
         cols = [_expr(a, env) for a in arg]
         return (F.least if op == "$min" else F.greatest)(*cols)
+    if op in ("$sum", "$avg"):
+        # EXPRESSION form (r17; distinct from the $group/window
+        # accumulators): an operand LIST adds/averages the values
+        # element-wise with nulls ignored (Mongo's rule — $sum of
+        # all-null is 0, $avg is null); a single operand resolving to
+        # an ARRAY reduces over it, nulls dropped first, with the
+        # accumulator's zero DERIVED from the array's own element type
+        # (first-element × 0 — no literal-zero type guess, the $reduce
+        # initialValue lesson), so long arrays sum as longs. Empty →
+        # $sum 0 / $avg null. The singleton rules mirror $min/$max:
+        # statically-knowable scalars return themselves ($sum) /
+        # themselves ($avg of one value); a field-path singleton
+        # compiles to the array reduce and a scalar there surfaces as
+        # the structured singleton-rule ValueError (apply_pipeline).
+        if not isinstance(arg, list) or len(arg) == 1:
+            single = arg[0] if isinstance(arg, list) else arg
+            scalar_literal = (
+                not isinstance(single, (list, dict))
+                and not (isinstance(single, str)
+                         and single.startswith("$"))
+            ) or (isinstance(single, dict) and set(single) == {"$literal"}
+                  and not isinstance(single["$literal"], list))
+            if scalar_literal:
+                val = (single["$literal"] if isinstance(single, dict)
+                       else single)
+                if isinstance(val, bool) or not isinstance(
+                        val, (int, float)):
+                    # Mongo: non-numeric operands are ignored —
+                    # $sum → 0, $avg → null
+                    return (F.lit(0) if op == "$sum"
+                            else F.lit(None).cast("double"))
+                return _expr(single, env)
+            aarr = _expr(single, env)
+            nn = F.filter(aarr, lambda x: x.isNotNull())
+            zero = F.get(nn, F.lit(0)) * F.lit(0)
+            total = F.aggregate(nn, zero, lambda a, x: a + x)
+            if op == "$sum":
+                return F.coalesce(total, F.lit(0))
+            return F.when(F.size(nn) > 0,
+                          total / F.size(nn))
+        cols = [_expr(a, env) for a in arg]
+        if op == "$sum":
+            return fold([F.coalesce(c, F.lit(0)) for c in cols],
+                        lambda a, b: a + b)
+        total = fold([F.coalesce(c, F.lit(0)) for c in cols],
+                     lambda a, b: a + b)
+        n = fold([F.when(c.isNotNull(), 1).otherwise(0) for c in cols],
+                 lambda a, b: a + b)
+        return F.when(n > 0, total / n)
     if op == "$toUpper":
         return F.upper(_expr(arg, env))
     if op == "$toLower":

@@ -767,6 +767,27 @@ def _densify_grid_count(lo, hi, step, unit) -> int:
         f"got bound {type(lo).__name__}")
 
 
+def _coerce_densify_bound(b, ftype):
+    """Driver-side image of a ``$densify`` explicit bound: ISO-8601
+    strings against date/timestamp fields parse to the matching Python
+    value (the column-side twin is ``F.lit(b).cast(ftype)`` on the
+    partitionByFields path — both paths accept the same specs, r17);
+    any other string bound is a spec error, raised uniformly."""
+    import datetime as _dt
+
+    from pyspark.sql import types as ST
+
+    if not isinstance(b, str):
+        return b
+    if isinstance(ftype, (ST.TimestampType, ST.TimestampNTZType)):
+        return _dt.datetime.fromisoformat(b.replace("Z", "+00:00"))
+    if isinstance(ftype, ST.DateType):
+        return _dt.date.fromisoformat(b[:10])
+    raise ValueError(
+        f"$densify string bound {b!r} is only valid against a "
+        f"date/timestamp field, got {ftype.simpleString()}")
+
+
 def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$densify`` (Mongo 5.1): add rows on a fixed grid where the
     field has gaps, anti-joined against existing field values — grid
@@ -819,7 +840,12 @@ def _densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     if not parts:
         # partition-less distributed grid (r16) — see docstring
         if explicit:
-            lo_v, hi_v = bounds[0], bounds[1]
+            # ISO string bounds against a date/timestamp field coerce
+            # driver-side (r17, ADVICE r16): the partitionByFields path
+            # accepts them via lit+cast, so the partition-less
+            # _densify_grid_count must too — same observable contract
+            lo_v, hi_v = (_coerce_densify_bound(b, ftype)
+                          for b in (bounds[0], bounds[1]))
         elif bounds == "full":
             row = df.agg(F.min(f).alias("lo"),
                          F.max(f).alias("hi")).collect()[0]  # 2 scalars
@@ -1119,22 +1145,38 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
     try:
         return _apply_stages(df, stages, collections, targets)
     except AnalysisException as e:
-        # $min/$max singleton rule (r16 ADVICE): a single field-path/
-        # operator operand compiles to array_min/array_max because its
-        # type is unknown until analysis — when it resolves to a
-        # SCALAR, convert the raw analysis error into the translator's
-        # documented ValueError class with guidance, scoped to exactly
-        # this mismatch
-        msg = str(e)
-        if "DATATYPE_MISMATCH" in msg and (
-                '"array_min(' in msg or '"array_max(' in msg):
-            raise ValueError(
-                "$min/$max with a single operand requires the operand "
-                "to resolve to an ARRAY (Mongo traverses it); for a "
-                "scalar, Mongo's singleton rule returns the value "
-                "itself — write the operand directly, or use the list "
-                "form {$min: [a, b, ...]} to compare values "
-                f"({msg.splitlines()[0]})") from e
+        # Array-reduce singleton rule ($min/$max/$sum/$avg): a single
+        # field-path/operator operand compiles to an array reduce
+        # because its type is unknown until analysis — when it resolves
+        # to a SCALAR, convert the raw analysis error into the
+        # translator's documented ValueError with guidance. Matched on
+        # the STRUCTURED errorClass + messageParameters (r17, ADVICE
+        # r16): only the exact "scalar where ARRAY required" mismatch
+        # converts; unrelated mismatches on the same functions (e.g.
+        # non-orderable element types → INVALID_ORDERING_TYPE, or an
+        # array-typed first input failing elsewhere) pass through raw.
+        params = e.getMessageParameters() or {}
+        sql_expr = params.get("sqlExpr", "")
+        if (e.getErrorClass() == "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE"
+                and params.get("requiredType") == '"ARRAY"'
+                and not params.get("inputType", "").startswith('"ARRAY')):
+            if sql_expr.startswith(('"array_min(', '"array_max(')):
+                raise ValueError(
+                    "$min/$max with a single operand requires the "
+                    "operand to resolve to an ARRAY (Mongo traverses "
+                    "it); for a scalar, Mongo's singleton rule returns "
+                    "the value itself — write the operand directly, or "
+                    "use the list form {$min: [a, b, ...]} to compare "
+                    f"values ({sql_expr})") from e
+            if sql_expr.startswith(('"aggregate(', '"filter(',
+                                    '"transform(')):
+                raise ValueError(
+                    "array operator requires its operand to resolve to "
+                    f"an ARRAY, got {params.get('inputType', '?')} "
+                    f"from {params.get('inputSql', '?')}; for a "
+                    "scalar, Mongo's $sum/$avg singleton rule returns "
+                    "the value itself — write the operand directly "
+                    f"({sql_expr[:120]})") from e
         raise
 
 
@@ -1357,17 +1399,46 @@ def _apply_stages(df: DataFrame, stages: list[dict[str, Any]],
             ltype = (df.schema[local].dataType
                      if local in df.columns else None)
             if isinstance(ltype, ST.ArrayType):
-                # Mongo matches an ARRAY localField against any
-                # element; a distributed equivalent needs a stable
-                # per-row identity to explode and regroup on, which a
-                # rectangular frame does not carry — refuse with the
-                # standard rewrite instead of the raw join type
-                # mismatch (r16)
-                raise ValueError(
-                    f"$lookup localField {local!r} is an array: "
-                    "$unwind it first, $lookup on the element, then "
-                    "$group the matches back (Mongo's any-element "
-                    "match semantics)")
+                # Mongo's ARRAY localField matches foreign docs whose
+                # foreignField equals ANY element, each matching doc
+                # once (r17; was a refusal). Distributed lowering needs
+                # a stable per-row identity to explode and regroup on:
+                # Mongo's own ``_id`` (uniqueness is the collection
+                # invariant Mongo itself enforces — assumed here, not
+                # re-checked: a verify pass would cost one extra
+                # aggregation over the data; duplicate ``_id`` rows
+                # would share a merged match-set). The outer frame
+                # itself never fans out:
+                #   1. (_id, element) pairs via explode — empty/null
+                #      arrays vanish here and come back as [] in 3.
+                #   2. equi-join the pairs against the foreign side,
+                #   3. re-pack per _id with collect_SET (a doc matching
+                #      two elements lands once) + sort_array (Mongo
+                #      leaves order unspecified; determinism
+                #      convention), left-joined back — misses get [].
+                # NULL elements never match (null-unsafe equi-join) —
+                # the same null contract as the scalar-key path below.
+                if "_id" not in df.columns:
+                    raise ValueError(
+                        f"$lookup localField {local!r} is an array and "
+                        "the frame has no _id column to regroup on: "
+                        "$unwind it first, $lookup on the element, "
+                        "then $group the matches back (Mongo's "
+                        "any-element match semantics)")
+                pairs = df.select(F.col("_id").alias("__li"),
+                                  F.explode(local).alias("__lk"))
+                matched = pairs.join(
+                    foreign, F.col("__lk") == F.col(ff)).drop("__lk")
+                packs = (matched
+                         .groupBy("__li")
+                         .agg(F.sort_array(F.collect_set(
+                             F.struct(*foreign.columns))).alias(out)))
+                empty = F.array().cast(packs.schema[out].dataType)
+                df = (df.join(packs, F.col("_id") == F.col("__li"),
+                              "left")
+                      .drop("__li")
+                      .withColumn(out, F.coalesce(F.col(out), empty)))
+                continue
             # Pack the foreign side to ONE array row per key FIRST, then
             # a single left equi join — the local side never fans out
             # and regroups (Mongo's per-doc subarray semantics with one

@@ -1363,6 +1363,20 @@ def test_densify_partitionless_distributed(spark):
     assert sorted((r.t.month, r.t.day) for r in month.collect()) == [
         (1, 31), (2, 29), (3, 31), (4, 30)]
 
+    # ISO STRING bounds against a temporal field coerce driver-side
+    # (r17, ADVICE r16 — the partitionByFields path already accepted
+    # them via lit+cast; both paths now share the contract); a string
+    # bound against a numeric field is refused uniformly
+    sb = apply_pipeline(ts, [{"$densify": {
+        "field": "t", "range": {"step": 1, "unit": "day",
+                                "bounds": ["2024-01-01",
+                                           "2024-01-06"]}}}])
+    assert sorted(r.t.day for r in sb.collect()) == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="date/timestamp"):
+        apply_pipeline(df, [{"$densify": {
+            "field": "n", "range": {"step": 1,
+                                    "bounds": ["a", "b"]}}}])
+
     # empty / all-null collection with full bounds: no grid, no crash
     empty = spark.createDataFrame([], "n int")
     assert apply_pipeline(empty, [{"$densify": {
@@ -4388,6 +4402,39 @@ def test_min_max_singleton_rule(spark):
             "x": {"$max": {"$add": ["$a", 1]}}}}])
 
 
+def test_sum_avg_expression_forms(spark):
+    """r17: $sum/$avg as EXPRESSION operators (Mongo's array/list
+    forms, distinct from the accumulators): a single array operand
+    reduces over it with nulls dropped (the accumulator zero derives
+    from the element type, so long arrays sum as longs — no double
+    detour); empty/all-null → $sum 0, $avg null; an operand LIST
+    adds/averages values with nulls ignored; non-numeric statically-
+    knowable singletons follow Mongo ($sum → 0, $avg → null); a
+    field-path singleton resolving to a scalar surfaces as the
+    structured singleton-rule ValueError."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import apply_pipeline
+
+    df = spark.createDataFrame(
+        [([1, None, 3], 2.0, None), ([], 5.0, 4.0), (None, None, None)],
+        "arr array<long>, a double, b double")
+    rows = apply_pipeline(df, [{"$project": {
+        "s": {"$sum": "$arr"}, "av": {"$avg": "$arr"},
+        "ls": {"$sum": ["$a", "$b", 1]}, "la": {"$avg": ["$a", "$b"]},
+        "lit": {"$sum": 7}, "nonnum": {"$sum": "x"},
+        "alit": {"$avg": 3}}}]).collect()
+    assert sorted([tuple(r) for r in rows], key=str) == sorted([
+        (4, 2.0, 3.0, 2.0, 7, 0, 3),     # 1+3; avg(1,3); 2+null+1
+        (0, None, 10.0, 4.5, 7, 0, 3),   # empty array
+        (0, None, 1.0, None, 7, 0, 3),   # null array, all-null list
+    ], key=str)
+    # long array sums stay LONG (no double detour)
+    schema = apply_pipeline(df, [{"$project": {"s": {"$sum": "$arr"}}}])
+    assert schema.schema["s"].dataType.simpleString() == "bigint"
+    # scalar field-path singleton: structured ValueError, with guidance
+    with pytest.raises(ValueError, match="singleton"):
+        apply_pipeline(df, [{"$addFields": {"x": {"$sum": "$a"}}}])
+
+
 def test_project_reserved_internal_namespace(spark):
     """r16 (ADVICE): a user $project naming a __-prefixed field would
     collide with the translator's internal scratch namespace (the
@@ -4527,16 +4574,39 @@ def test_top_level_limit_skip_validation(spark):
     assert apply_pipeline(df, [{"$skip": 0}, {"$limit": 1}]).count() == 1
 
 
-def test_lookup_array_local_field_refused_with_guidance(spark):
-    """r16: an ARRAY localField (Mongo's any-element match) has no
-    stable distributed lowering without a per-row identity — the
-    translator refuses with the $unwind-then-$group rewrite instead
-    of surfacing a raw join type mismatch."""
-    left = spark.createDataFrame([(1, ["a", "b"])],
-                                 "i long, tags array<string>")
-    right = spark.createDataFrame([("a", 10)], "tag string, w long")
+def test_lookup_array_local_field_lowered(spark):
+    """r17: an ARRAY localField (Mongo's any-element match) lowers to
+    explode(_id, element) → equi-join → collect_SET re-pack by _id —
+    the refusal narrowed to frames WITHOUT an _id to regroup on.
+    Semantics: any-element match; a foreign doc matching several
+    elements appears ONCE; empty/null arrays and no-match rows get [];
+    null elements never match (the scalar path's null contract); pack
+    order pinned by sort_array; the outer frame never fans out."""
+    left = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "b", "z"]), (3, []), (4, None),
+         (5, [None, "c"])],
+        "_id long, tags array<string>")
+    right = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20), ("c", 30), (None, 40)],
+        "tag string, w long")
+    out = apply_pipeline(left, [
+        {"$lookup": {"from": "t", "localField": "tags",
+                     "foreignField": "tag", "as": "m"}}],
+        collections={"t": right})
+    got = {r._id: sorted((x.tag, x.w) for x in r.m)
+           for r in out.collect()}
+    assert got == {
+        1: [("a", 10), ("a", 11), ("b", 20)],  # dup-ff docs both match
+        2: [("b", 20)],                        # repeated element → once
+        3: [],                                 # empty array
+        4: [],                                 # null/missing array
+        5: [("c", 30)],                        # null element ignored
+    }
+    # outer multiplicity preserved: 5 rows in, 5 rows out
+    assert out.count() == 5
+    # the _id-less frame still gets the guided refusal
     with pytest.raises(ValueError, match="unwind"):
-        apply_pipeline(left, [
+        apply_pipeline(left.withColumnRenamed("_id", "i"), [
             {"$lookup": {"from": "t", "localField": "tags",
                          "foreignField": "tag", "as": "m"}}],
             collections={"t": right})
