@@ -1598,6 +1598,72 @@ FROM scored GROUP BY doc_id
 """
 
 
+#: q219 perplexity band (CCNet's head/middle cut on the mean bigram
+#: log-likelihood) + backoff-rate ceiling. Literals chosen against the
+#: fixtures' measured distribution (medians −3.39..−3.40 across all
+#: three SFs) so the band does REAL cutting at every scale — roughly
+#: the middle half survives, both tails drop.
+_LM_BAND_LO, _LM_BAND_HI, _LM_BO_MAX = -3.43, -3.36, 0.2
+
+
+# --- q219: LM-band gated corpus build (the scorer as a GATE, r17) -------------------
+def q219_lm_band_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet use of the q216 scorer: the Stupid-Backoff mean
+    log-likelihood as a CURATION GATE inside a corpus build, not a
+    report — language + quality gates, LM trained on the q57 hash-split
+    train subset scoring every doc, keep only docs inside the
+    perplexity band [−3.43, −3.36] with backoff rate ≤ 0.2 (both tails
+    drop: gibberish scores low, boilerplate-degenerate text scores
+    high), then exact dedup to min-id keepers. ONE lazy plan end to
+    end — the scorer's three equi-joins and two hash aggs compose with
+    the gates and the fingerprint agg with no materialization barrier;
+    per-row rounded-6dp outputs reuse q216's decimal discipline, so
+    the band comparison sees identical doubles on both engines."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import sampling
+    d = load_table(spark, "documents", sf_dir)
+    scores = bigram_backoff_scores(
+        d, sampling.hash_uniform("doc_id") < F.lit(0.8))
+    gated = (d.select("doc_id", "text",
+                      T.lang_id("text").alias("plang"),
+                      T.quality_score("text").alias("quality"))
+             .filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
+             .join(scores, "doc_id")
+             .filter((F.col("mean_lp") >= F.lit(_LM_BAND_LO))
+                     & (F.col("mean_lp") <= F.lit(_LM_BAND_HI))
+                     & (F.col("bo_rate") <= F.lit(_LM_BO_MAX))))
+    keepers = (gated.select("doc_id", T.fingerprint("text").alias("fp"))
+               .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    return (gated.join(keepers, "doc_id", "left_semi")
+            .select("doc_id", "mean_lp", "bo_rate"))
+
+
+Q219_SQL = f"""
+WITH lang_t AS ({_lang_id_sql()}), qual_t AS ({_quality_sql()}),
+sc AS ({Q216_SQL}),
+gated AS (
+  SELECT d.doc_id, d.text, sc.mean_lp, sc.bo_rate
+  FROM documents d
+  JOIN lang_t ON d.doc_id = lang_t.doc_id
+  JOIN qual_t ON d.doc_id = qual_t.doc_id
+  JOIN sc ON d.doc_id = sc.doc_id
+  WHERE lang_t.predicted_lang = 'en'
+    AND sc.mean_lp >= {_LM_BAND_LO!r} AND sc.mean_lp <= {_LM_BAND_HI!r}
+    AND sc.bo_rate <= {_LM_BO_MAX!r}
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS fp
+        FROM gated)
+  GROUP BY fp
+)
+SELECT g.doc_id, g.mean_lp, g.bo_rate
+FROM gated g JOIN keep USING (doc_id)
+"""
+
+
 # --- q81: PageRank over the near-dup graph (iterative numeric fixpoint) ------------
 _PR_ITERS, _PR_DAMP = 5, 0.85
 
@@ -3438,6 +3504,7 @@ QUERIES = {
     "q75_sequence_packing": q75_sequence_packing,
     "q78_lm_unigram_score": q78_lm_unigram_score,
     "q216_lm_bigram_backoff": q216_lm_bigram_backoff,
+    "q219_lm_band_corpus": q219_lm_band_corpus,
     "q80_source_mix": q80_source_mix,
     "q81_pagerank_neardup": q81_pagerank_neardup,
     "q84_ngram_contamination": q84_ngram_contamination,
@@ -3505,6 +3572,7 @@ ORACLES = {
     "q75_sequence_packing": Q75_SQL,
     "q78_lm_unigram_score": Q78_SQL,
     "q216_lm_bigram_backoff": Q216_SQL,
+    "q219_lm_band_corpus": Q219_SQL,
     "q80_source_mix": Q80_SQL,
     "q81_pagerank_neardup": Q81_SQL,
     "q84_ngram_contamination": Q84_SQL,
