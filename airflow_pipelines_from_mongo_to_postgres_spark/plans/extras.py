@@ -3267,6 +3267,79 @@ FROM g LEFT JOIN p USING (_id)
 """
 
 
+# --- q220: partition-less $setWindowFields, DISTRIBUTED prefix scan (r17) --------
+def q220_mongo_global_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running ledger over ALL orders — partition-less
+    ``$setWindowFields`` through the r17 distributed prefix-scan
+    lowering (``windows.py::_swf_partitionless``): range-bucket on the
+    leading sort key, in-bucket windows behind ONE data shuffle,
+    cross-bucket carry over a ≤ B-row bucket summary. Two window
+    stages: a tie-free (date, key) sort carries position and the
+    running/global cents accumulators (exact long arithmetic — the
+    carry reassociation is value-identical for integers); a coarse
+    date-only sort exercises ``$rank``/``$denseRank`` over REAL ties
+    (tie groups never straddle buckets — bucket id is a value
+    function). Never the pre-r17 single-task window; the oracle is the
+    plain SQL window equivalent.
+
+    Reference scope: running totals/ranks are engine-declared scope
+    (the reference's only ordering is the surrogate-key sort,
+    `dags/includes/user_table.py:143`)."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    out = apply_pipeline(orders, [
+        {"$setWindowFields": {
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "pos": {"$documentNumber": {}},
+                "run_cents": {"$sum": "$cents",
+                              "window": {"documents": ["unbounded",
+                                                       "current"]}},
+                "run_min": {"$min": "$cents",
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "run_max": {"$max": "$cents",
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "tot": {"$sum": "$cents"},
+                "g_avg": {"$avg": "$cents"},
+            }}},
+        {"$setWindowFields": {
+            "sortBy": {"o_orderdate": 1},
+            "output": {"rk": {"$rank": {}},
+                       "drk": {"$denseRank": {}}}}},
+    ])
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("run_cents").cast("long").alias("run_cents"),
+        F.col("run_min").cast("long").alias("run_min"),
+        F.col("run_max").cast("long").alias("run_max"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("drk").cast("long").alias("drk"),
+        F.col("tot").cast("long").alias("tot"),
+        F.round(F.col("g_avg"), 6).alias("g_avg"))
+
+
+Q220_SQL = """
+WITH o AS (SELECT o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey AS _id,
+       CAST(row_number() OVER w2 AS BIGINT) AS pos,
+       CAST(sum(cents) OVER w2 AS BIGINT) AS run_cents,
+       CAST(min(cents) OVER w2 AS BIGINT) AS run_min,
+       CAST(max(cents) OVER w2 AS BIGINT) AS run_max,
+       CAST(rank() OVER (ORDER BY o_orderdate) AS BIGINT) AS rk,
+       CAST(dense_rank() OVER (ORDER BY o_orderdate) AS BIGINT) AS drk,
+       CAST(sum(cents) OVER () AS BIGINT) AS tot,
+       round(avg(cents) OVER (), 6) AS g_avg
+FROM o
+WINDOW w2 AS (ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -3331,6 +3404,7 @@ QUERIES = {
     "q215_mongo_quarter_year_window": q215_mongo_quarter_year_window,
     "q217_mongo_fill_partitionless": q217_mongo_fill_partitionless,
     "q218_mongo_lookup_array_local": q218_mongo_lookup_array_local,
+    "q220_mongo_global_window": q220_mongo_global_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3400,6 +3474,7 @@ ORACLES = {
     "q215_mongo_quarter_year_window": Q215_SQL,
     "q217_mongo_fill_partitionless": Q217_SQL,
     "q218_mongo_lookup_array_local": Q218_SQL,
+    "q220_mongo_global_window": Q220_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

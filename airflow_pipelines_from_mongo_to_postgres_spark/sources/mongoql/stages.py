@@ -21,7 +21,6 @@ from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.errors impor
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.expr import (
     _GRAN_SERIES,
     _expr,
-    _field_type,
     _lookup_sort_cmp,
     _rebase_refs,
     _root_env,
@@ -37,6 +36,7 @@ from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.match import
     _match_cond,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.windows import (
+    _range_bucket,
     _set_window_fields,
     _sort_key_double,
     _warn_whole_collection_window,
@@ -617,13 +617,10 @@ def _fill_partitionless(df: DataFrame, methods: dict[str, str],
     the walk's null end (first bucket for ascending, last for
     descending — Spark's asc=nulls-first/desc=nulls-last contract)."""
     from pyspark.sql import Window
-    from pyspark.sql import types as ST
 
     k1, d1 = next(iter(sortby.items()))
-    ktype = _field_type(df.schema, k1)
-    if not isinstance(ktype, (ST.NumericType, ST.DateType,
-                              ST.TimestampType, ST.TimestampNTZType,
-                              ST.BooleanType)):
+    bucket = _range_bucket(df, k1, d1 == 1)  # shared helper (windows.py)
+    if bucket is None:
         # no numeric image to range-bucket on (string keys): keep the
         # whole-collection window, warned / strict-gated as before
         _warn_whole_collection_window(df, "$fill")
@@ -633,22 +630,7 @@ def _fill_partitionless(df: DataFrame, methods: dict[str, str],
         return df
 
     keyd = _sort_key_double(df, k1)
-    knorm = keyd if d1 == 1 else -keyd
-    spark = df.sparkSession
-    nb = max(2, min(int(spark.conf.get(
-        "spark.sql.shuffle.partitions", "200") or "200"), 64))
-    row = df.agg(F.percentile_approx(
-        knorm, F.lit([i / nb for i in range(1, nb)]),
-        F.lit(10_000)).alias("b")).collect()[0]  # ≤ nb-1 scalars
-    bnds = sorted({float(b) for b in (row["b"] or []) if b is not None})
-    if bnds:
-        barr = F.array(*[F.lit(b) for b in bnds])
-        bucket = F.size(F.filter(barr, lambda b: b <= knorm))
-    else:
-        bucket = F.lit(0)  # empty / all-null key: one bucket
-    null_bucket = 0 if d1 == 1 else len(bnds)
-    dfb = df.withColumn("__fillb", F.when(
-        keyd.isNull(), F.lit(null_bucket)).otherwise(bucket))
+    dfb = df.withColumn("__fillb", bucket)
 
     w = Window.partitionBy("__fillb").orderBy(*order)
     dfb = dfb.withColumn("__fillrn", F.row_number().over(w))

@@ -88,6 +88,222 @@ def _warn_whole_collection_window(df: DataFrame, stage: str) -> None:
     warnings.warn(msg, stacklevel=3)
 
 
+def _range_bucket(df: DataFrame, field: str,
+                  ascending: bool = True) -> Column | None:
+    """Range-bucket assignment on a sort field's numeric image — the
+    shared first step of the distributed whole-collection lowerings
+    (``$fill`` r17, partition-less ``$setWindowFields`` r17): ONE
+    ``percentile_approx`` aggregation yields ≤ B-1 boundary scalars
+    (bounded collect), and the bucket id is a pure column expression
+    (count of boundaries ≤ key) — deterministic BY VALUE, so full
+    sort-key tie groups can never straddle buckets. NULL keys bucket to
+    the walk's null end (first bucket ascending, last descending —
+    Spark's asc=nulls-first/desc=nulls-last contract). Returns ``None``
+    when the field has no numeric image (strings) — callers fall back
+    to the warned single-window path."""
+    from pyspark.sql import types as ST
+
+    ktype = _field_type(df.schema, field)
+    if not isinstance(ktype, (ST.NumericType, ST.DateType,
+                              ST.TimestampType, ST.TimestampNTZType,
+                              ST.BooleanType)):
+        return None
+    keyd = _sort_key_double(df, field)
+    knorm = keyd if ascending else -keyd
+    nb = max(2, min(int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200") or "200"), 64))
+    row = df.agg(F.percentile_approx(
+        knorm, F.lit([i / nb for i in range(1, nb)]),
+        F.lit(10_000)).alias("b")).collect()[0]  # ≤ nb-1 scalars
+    bnds = sorted({float(b) for b in (row["b"] or []) if b is not None})
+    if bnds:
+        barr = F.array(*[F.lit(b) for b in bnds])
+        bucket = F.size(F.filter(barr, lambda b: b <= knorm))
+    else:
+        bucket = F.lit(0)  # empty / all-null key: one bucket
+    null_bucket = 0 if ascending else len(bnds)
+    return F.when(keyd.isNull(), F.lit(null_bucket)).otherwise(bucket)
+
+
+#: ops _swf_partitionless distributes (the prefix-scan family); every
+#: other op / frame shape falls back to the warned single window
+_SWF_PREFIX_OPS = ("$sum", "$avg", "$min", "$max", "$count")
+
+
+def _swf_partitionless(df: DataFrame,
+                       spec: dict[str, Any]) -> DataFrame | None:
+    """Distributed partition-less ``$setWindowFields`` (r17) for the
+    PREFIX-SCAN shapes — the classic two-pass distributed scan:
+
+    - rank family (``$rank``/``$denseRank``/``$documentNumber``),
+    - running accumulators (``$sum/$avg/$min/$max/$count`` over
+      ``documents: ["unbounded", "current"]``),
+    - whole-collection accumulators (same ops, no window or
+      ``["unbounded", "unbounded"]``).
+
+    Same skeleton as ``$fill``'s r17 lowering: ``_range_bucket`` on the
+    LEADING sort key (ties can't straddle buckets, so in-bucket ranks
+    and running aggregates are globally correct after a carry),
+    in-bucket windows behind ONE hash exchange, a groupBy on the bucket
+    id that reuses that exchange (each bucket reduces to its row count,
+    distinct-sort-tuple count and per-output totals), a carry window
+    over the ≤ B summary rows, and a broadcast join back:
+
+    - ``$documentNumber``/``$rank`` add the preceding buckets' ROW
+      count (all preceding-bucket rows sort strictly before, ties are
+      in-bucket by construction);
+    - ``$denseRank`` adds the preceding buckets' DISTINCT-tuple count
+      (a tuple value never spans two buckets);
+    - running ``$sum`` adds the preceding buckets' totals (NULL iff
+      both legs are NULL — exactly the single-window Spark sum's
+      all-null-prefix contract); ``$min/$max`` combine via
+      least/greatest (null-skipping); ``$avg`` divides combined sums
+      by combined non-null counts (try_divide: empty → null).
+
+    Returns ``None`` when any output needs a shape outside this family
+    (mid-frame windows, $shift, range frames, gap-fillers, …) — the
+    caller falls back to the warned single-window path. Float running
+    sums may differ from the single window by reassociation ulps (the
+    carry adds bucket partials first); gated queries use the DECIMAL
+    sum discipline, where both paths are exact."""
+    from pyspark.sql import Window
+
+    sortby = spec.get("sortBy") or {}
+    if not sortby:
+        return None
+    env = _root_env(df)
+    k1, d1 = next(iter(sortby.items()))
+    tasks: list[tuple[str, str, Any, str]] = []
+    for name, wspec0 in spec["output"].items():
+        if "." in name or not isinstance(wspec0, dict):
+            return None                    # main path raises its error
+        wspec = dict(wspec0)
+        frame = wspec.pop("window", None)
+        if len(wspec) != 1:
+            return None
+        (op, arg), = wspec.items()
+        if op in _WF_RANK:
+            if frame is not None:
+                return None
+            tasks.append((name, op, arg, "rank"))
+            continue
+        if op in _SWF_PREFIX_OPS:
+            if frame is None:
+                mode = "whole"
+            elif (isinstance(frame, dict) and list(frame) == ["documents"]
+                  and isinstance(frame["documents"], (list, tuple))):
+                b = list(frame["documents"])
+                if b in (["unbounded", "current"], ["unbounded", 0]):
+                    mode = "run"
+                elif b == ["unbounded", "unbounded"]:
+                    mode = "whole"
+                else:
+                    return None
+            else:
+                return None
+            tasks.append((name, op, arg, mode))
+            continue
+        return None
+    bucket = _range_bucket(df, k1, d1 == 1)
+    if bucket is None:
+        return None
+
+    order = [F.col(k).asc() if d == 1 else F.col(k).desc()
+             for k, d in sortby.items()]
+    dfb = df.withColumn("__swfb", bucket)
+    w = Window.partitionBy("__swfb").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dfb = dfb.withColumn("__swfrn", F.row_number().over(w))
+    aggs = [F.count(F.lit(1)).alias("__rows"),
+            F.count_distinct(F.struct(
+                *[F.col(k) for k in sortby])).alias("__dense")]
+    drop = ["__swfb", "__swfrn"]
+    for i, (name, op, arg, mode) in enumerate(tasks):
+        if mode == "rank":
+            continue
+        x = F.lit(1) if op == "$count" else _expr(arg, env)
+        if op in ("$sum", "$count"):
+            dfb = dfb.withColumn(f"__s{i}", F.sum(x).over(run))
+            aggs.append(F.max_by(F.col(f"__s{i}"),
+                                 F.col("__swfrn")).alias(f"__t{i}"))
+        elif op == "$min":
+            dfb = dfb.withColumn(f"__s{i}", F.min(x).over(run))
+            aggs.append(F.max_by(F.col(f"__s{i}"),
+                                 F.col("__swfrn")).alias(f"__t{i}"))
+        elif op == "$max":
+            dfb = dfb.withColumn(f"__s{i}", F.max(x).over(run))
+            aggs.append(F.max_by(F.col(f"__s{i}"),
+                                 F.col("__swfrn")).alias(f"__t{i}"))
+        else:  # $avg: running sum + running non-null count
+            dfb = (dfb.withColumn(f"__s{i}", F.sum(x).over(run))
+                   .withColumn(f"__n{i}", F.count(x).over(run)))
+            aggs.append(F.max_by(F.col(f"__s{i}"),
+                                 F.col("__swfrn")).alias(f"__t{i}"))
+            aggs.append(F.max_by(F.col(f"__n{i}"),
+                                 F.col("__swfrn")).alias(f"__tn{i}"))
+            drop.append(f"__n{i}")
+        drop.append(f"__s{i}")
+
+    summ = dfb.groupBy("__swfb").agg(*aggs)
+    ws = Window.orderBy(F.col("__swfb").asc())
+    prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    both = ws.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    carry = [F.col("__swfb"),
+             F.sum("__rows").over(prev).alias("__crows"),
+             F.sum("__dense").over(prev).alias("__cdense")]
+    for i, (name, op, arg, mode) in enumerate(tasks):
+        if mode == "rank":
+            continue
+        frm = prev if mode == "run" else both
+        if op in ("$sum", "$count", "$avg"):
+            carry.append(F.sum(f"__t{i}").over(frm).alias(f"__c{i}"))
+            if op == "$avg":
+                carry.append(F.sum(f"__tn{i}").over(frm)
+                             .alias(f"__cn{i}"))
+        elif op == "$min":
+            carry.append(F.min(f"__t{i}").over(frm).alias(f"__c{i}"))
+        else:
+            carry.append(F.max(f"__t{i}").over(frm).alias(f"__c{i}"))
+    out = dfb.join(F.broadcast(summ.select(*carry)), "__swfb")
+
+    for i, (name, op, arg, mode) in enumerate(tasks):
+        if mode == "rank":
+            fn = _WF_RANK[op]().over(w)
+            cr = F.col("__cdense" if op == "$denseRank" else "__crows")
+            out = out.withColumn(name, fn + F.coalesce(cr, F.lit(0)))
+            continue
+        if mode == "whole":
+            if op == "$avg":
+                out = out.withColumn(name, F.try_divide(
+                    F.col(f"__c{i}"), F.col(f"__cn{i}")))
+                drop.append(f"__cn{i}")
+            else:
+                out = out.withColumn(name, F.col(f"__c{i}"))
+            drop.append(f"__c{i}")
+            continue
+        loc, cr = F.col(f"__s{i}"), F.col(f"__c{i}")
+        if op in ("$sum", "$count"):
+            out = out.withColumn(name, F.when(
+                loc.isNull() & cr.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(loc, F.lit(0))
+                        + F.coalesce(cr, F.lit(0))))
+        elif op == "$min":
+            out = out.withColumn(name, F.least(loc, cr))
+        elif op == "$max":
+            out = out.withColumn(name, F.greatest(loc, cr))
+        else:  # $avg
+            tot = F.when(loc.isNull() & cr.isNull(), F.lit(None)) \
+                .otherwise(F.coalesce(loc, F.lit(0))
+                           + F.coalesce(cr, F.lit(0)))
+            n = F.col(f"__n{i}") + F.coalesce(F.col(f"__cn{i}"),
+                                              F.lit(0))
+            out = out.withColumn(name, F.try_divide(tot, n))
+            drop.append(f"__cn{i}")
+        drop.append(f"__c{i}")
+    return out.drop(*dict.fromkeys(drop), "__crows", "__cdense")
+
+
 def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$setWindowFields`` (Mongo 5.0 window functions) lowered onto
     Spark's Window: ``partitionBy`` expression, compound ``sortBy``,
@@ -105,6 +321,13 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     env = _root_env(df)
     part = spec.get("partitionBy")
     if part is None:
+        # r17: the prefix-scan family (rank/running/whole accumulators)
+        # distributes via range buckets + carry — only shapes outside
+        # it (mid-frame windows, $shift, range frames, gap-fillers,
+        # string sort keys) still plan the warned single window
+        out = _swf_partitionless(df, spec)
+        if out is not None:
+            return out
         _warn_whole_collection_window(df, "$setWindowFields")
     sortby = spec.get("sortBy") or {}
     # a COMPOSITE partitionBy doc ({a: "$x", b: "$y"} — _group_key's

@@ -1438,6 +1438,84 @@ def test_fill_partitionless_distributed(spark):
     for k in range(5000):
         nxt = k + (-k) % 11            # nearest 11-multiple at or above
         assert drows[k] == (float(nxt) if nxt < 5000 else None), (k, nxt)
+
+
+def test_swf_partitionless_distributed(spark):
+    """r17: partition-less $setWindowFields for the prefix-scan family
+    (rank/denseRank/documentNumber, running and whole-collection
+    $sum/$min/$max/$avg/$count) distributes via range buckets + carry —
+    value-identical to the single global window (verified against the
+    constant-partitionBy reference over nulls, ties, and every op),
+    and the plan's data windows always partition on __swfb."""
+    import pyspark.sql.functions as F
+
+    # 2k rows with nulls (every 3rd) AND sort-key ties (k = id // 2)
+    df = spark.range(0, 2000).select(
+        (F.col("id") / 2).cast("long").alias("k"),
+        F.when(F.col("id") % 3 != 0,
+               (F.col("id") % 97).cast("double")).alias("v"),
+        F.col("id").alias("i"))
+    out_spec = {
+        "rn": {"$documentNumber": {}},
+        "rk": {"$rank": {}},
+        "dr": {"$denseRank": {}},
+        "rsum": {"$sum": "$v",
+                 "window": {"documents": ["unbounded", "current"]}},
+        "rmin": {"$min": "$v",
+                 "window": {"documents": ["unbounded", "current"]}},
+        "rmax": {"$max": "$v",
+                 "window": {"documents": ["unbounded", "current"]}},
+        "ravg": {"$avg": "$v",
+                 "window": {"documents": ["unbounded", "current"]}},
+        "rcnt": {"$count": {},
+                 "window": {"documents": ["unbounded", "current"]}},
+        "tot": {"$sum": "$v"},
+        "gavg": {"$avg": "$v"},
+    }
+    # tie-free compound sort (k, i) so ranks are deterministic; ranks
+    # still tie on k alone in the dr/rk columns? No — rank ties are on
+    # the FULL sort tuple, which (k, i) makes unique; the k-ties still
+    # exercise the bucket-by-value tie containment.
+    dist = apply_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1, "i": 1}, "output": out_spec}}])
+    ref = apply_pipeline(df.withColumn("c", F.lit(1)), [
+        {"$setWindowFields": {"partitionBy": "$c",
+                              "sortBy": {"k": 1, "i": 1},
+                              "output": out_spec}}])
+    rd = {r.i: r for r in dist.collect()}
+    rr = {r.i: r for r in ref.collect()}
+    assert len(rd) == len(rr) == 2000
+    for i, b in rr.items():
+        a = rd[i]
+        for f in out_spec:
+            va, vb = a[f], b[f]
+            if isinstance(va, float) and vb is not None:
+                # $avg/$sum float carries reassociate bucket partials —
+                # documented ulp-level latitude (decimal sums are exact)
+                assert abs(va - vb) < 1e-9, (i, f, va, vb)
+            else:
+                assert va == vb, (i, f, va, vb)
+
+    # plan gate: every data window partitions on the bucket; the only
+    # order-only windows are the ≤ B-row summary carries
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(__swfb" in final, final
+    for ln in final.splitlines():
+        if "windowspecdefinition(" not in ln:
+            continue
+        assert "__swfb" in ln, ln
+
+    # descending + single-key rank family over ties
+    d2 = apply_pipeline(df.select("k", "i"), [{"$setWindowFields": {
+        "sortBy": {"k": -1}, "output": {"rk": {"$rank": {}},
+                                        "dr": {"$denseRank": {}}}}}])
+    got = {(r.k, r.rk, r.dr) for r in d2.collect()}
+    # k runs 999..0 descending, two rows per k: rank jumps by 2, dense
+    # rank by 1
+    for k in range(1000):
+        pos = 2 * (999 - k) + 1
+        assert (k, pos, 1000 - k) in got, (k, pos)
     """$bucketAuto: ~equal-population buckets via exact percentile
     boundaries; _id carries each bucket's observed min/max; output
     accumulators reuse the $group compiler; nulls join the first
@@ -2634,10 +2712,14 @@ def test_unsupported_stage_table_and_window_warning(spark):
 
     sdf = spark.createDataFrame([("a", 1.0)], "s string, x double")
     stages = {
+        # $setWindowFields warns only for shapes OUTSIDE the r17
+        # distributed prefix-scan family (here a mid-frame window)...
         "$setWindowFields": (df, {"sortBy": {"k": 1},
-                                  "output": {"s": {"$sum": "$x"}}}),
-        # $fill warns only for sort keys with NO numeric image (strings)
-        # — numeric/temporal keys distribute since r17
+                                  "output": {"s": {
+                                      "$sum": "$x",
+                                      "window": {"documents": [-1, 0]}}}}),
+        # ...and $fill only for sort keys with NO numeric image
+        # (strings) — numeric/temporal keys distribute since r17
         "$fill": (sdf, {"sortBy": {"s": 1},
                         "output": {"x": {"method": "locf"}}}),
     }
@@ -2648,24 +2730,30 @@ def test_unsupported_stage_table_and_window_warning(spark):
         assert any(stage in str(x.message) and
                    "ONE task" in str(x.message) for x in w), stage
     # constant-value $fill plans no window — no warning; partition-less
-    # $densify generates its grid DISTRIBUTED since r16, partition-less
-    # numeric-key method $fill range-buckets since r17 — no warning
+    # $densify generates its grid DISTRIBUTED since r16; partition-less
+    # numeric-key method $fill AND prefix-scan $setWindowFields
+    # range-bucket since r17 — no warning
     for sil in ({"$fill": {"output": {"x": {"value": 0.0}}}},
                 {"$fill": {"sortBy": {"k": 1},
                            "output": {"x": {"method": "locf"}}}},
+                {"$setWindowFields": {"sortBy": {"k": 1},
+                                      "output": {"s": {"$sum": "$x"}}}},
+                {"$setWindowFields": {"sortBy": {"k": 1},
+                                      "output": {"r": {"$rank": {}}}}},
                 {"$densify": {"field": "k",
                               "range": {"step": 1, "bounds": "full"}}}):
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             apply_pipeline(df, [sil]).collect()
         assert not [x for x in w if "ONE task" in str(x.message)], sil
-    # strict session conf raises instead
+    # strict session conf raises instead (an out-of-family shape)
     spark.conf.set("spark.mongoql.strictWholeCollectionWindow", "true")
     try:
         with pytest.raises(ValueError, match="ONE task"):
             apply_pipeline(df, [{"$setWindowFields": {
                 "sortBy": {"k": 1},
-                "output": {"s": {"$sum": "$x"}}}}])
+                "output": {"s": {"$sum": "$x",
+                                 "window": {"documents": [-1, 0]}}}}}])
     finally:
         spark.conf.unset("spark.mongoql.strictWholeCollectionWindow")
 

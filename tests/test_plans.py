@@ -224,12 +224,14 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
         # the q66 class; docstrings in plans/extras.py q175/q179)
         "q175_mongo_densify_fill",
         "q179_mongo_linear_fill_rate",
-        # distributed partition-less $fill: the DATA windows partition
-        # on __fillb (gated hard by test_mongoql.py::
-        # test_fill_partitionless_distributed); the one partition-less
-        # window here is the cross-bucket carry over the ≤ B-row bucket
+        # distributed partition-less $fill / $setWindowFields: the DATA
+        # windows partition on the range bucket (gated hard by
+        # test_mongoql.py::test_fill_partitionless_distributed /
+        # test_swf_partitionless_distributed); the only partition-less
+        # windows are the cross-bucket carries over the ≤ B-row bucket
         # SUMMARY — bounded by cluster width (#buckets ≤ 64), not data
         "q217_mongo_fill_partitionless",
+        "q220_mongo_global_window",
     }
     offenders, cartesian = [], []
     for name, fn in entrymod.queries().items():
