@@ -36,10 +36,9 @@ from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.match import
     _match_cond,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.windows import (
-    _range_bucket,
+    _fill_one_windowed,
+    _fill_partitionless,
     _set_window_fields,
-    _sort_key_double,
-    _warn_whole_collection_window,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.writes import (
     _write_stage,
@@ -558,151 +557,6 @@ def _fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     for name, method in methods.items():
         df = _fill_one_windowed(df, name, method, w, sortby)
     return df
-
-
-def _fill_one_windowed(df: DataFrame, name: str, method: str, w,
-                       sortby: dict[str, int]) -> DataFrame:
-    """One locf/linear fill over an already-partitioned window — the
-    per-partition arithmetic shared by the ``partitionBy`` path and the
-    string-key whole-collection fallback."""
-    from pyspark.sql import Window
-
-    if method == "locf":
-        return df.withColumn(name, F.last(name, ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-    key = _sort_key_double(df, next(iter(sortby)))
-    before = w.rowsBetween(Window.unboundedPreceding, -1)
-    after = w.rowsBetween(1, Window.unboundedFollowing)
-    pv = F.last(F.col(name), ignorenulls=True).over(before)
-    pk = F.last(F.when(F.col(name).isNotNull(), key),
-                ignorenulls=True).over(before)
-    nv = F.first(F.col(name), ignorenulls=True).over(after)
-    nk = F.first(F.when(F.col(name).isNotNull(), key),
-                 ignorenulls=True).over(after)
-    interp = pv + (nv - pv) * (key - pk) / (nk - pk)
-    # Mongo: unbracketed nulls (before the first / after the
-    # last observation) stay null
-    return df.withColumn(name, F.coalesce(
-        F.col(name).cast("double"),
-        F.when(pv.isNotNull() & nv.isNotNull(), interp)))
-
-
-def _fill_partitionless(df: DataFrame, methods: dict[str, str],
-                        sortby: dict[str, int], order) -> DataFrame:
-    """Distributed whole-collection ``$fill`` (r17 — the last
-    single-task translator stage, VERDICT r16 #1). LOCF/linear need the
-    GLOBAL sort order, but the state that crosses a range boundary is
-    tiny (the last/first non-null observation on each side), so:
-
-    1. Range-bucket on the LEADING sort key's numeric image: one
-       ``percentile_approx`` aggregation yields ≤ B-1 boundary scalars
-       (bounded collect, same class as ``$densify``'s two bounds), and
-       bucket assignment is a pure column expression (count of
-       boundaries ≤ key) — deterministic BY VALUE, so sort-key ties can
-       never straddle buckets.
-    2. Fill WITHIN buckets: the usual ignore-nulls windows, partitioned
-       by ``__fillb`` — ONE hash exchange over the data, parallelism =
-       #buckets (min(shuffle.partitions, 64)).
-    3. Boundary carry: a groupBy(``__fillb``) reuses the window's
-       exchange (same key → no second data shuffle) and reduces each
-       bucket to its first/last non-null (value, key) pairs; a window
-       over those ≤ B summary rows computes the cross-bucket carry-in
-       (locf/linear ``prev``) and carry-out (linear ``next``); a
-       broadcast join hands each row its bucket's carry.
-
-    Value-identical to the single global window: the carry supplies
-    exactly the "nearest non-null in a preceding/following bucket" that
-    the in-bucket window cannot see, and the interpolation expression is
-    the same arithmetic on the same operands. NULL sort keys bucket to
-    the walk's null end (first bucket for ascending, last for
-    descending — Spark's asc=nulls-first/desc=nulls-last contract)."""
-    from pyspark.sql import Window
-
-    k1, d1 = next(iter(sortby.items()))
-    bucket = _range_bucket(df, k1, d1 == 1)  # shared helper (windows.py)
-    if bucket is None:
-        # no numeric image to range-bucket on (string keys): keep the
-        # whole-collection window, warned / strict-gated as before
-        _warn_whole_collection_window(df, "$fill")
-        w = Window.orderBy(*order)
-        for name, method in methods.items():
-            df = _fill_one_windowed(df, name, method, w, sortby)
-        return df
-
-    keyd = _sort_key_double(df, k1)
-    dfb = df.withColumn("__fillb", bucket)
-
-    w = Window.partitionBy("__fillb").orderBy(*order)
-    dfb = dfb.withColumn("__fillrn", F.row_number().over(w))
-    aggs: list[Column] = []
-    for name, method in methods.items():
-        col = F.col(name)
-        if method == "locf":
-            dfb = dfb.withColumn(f"__fl_{name}", F.last(
-                name, ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)))
-            # the bucket's LAST row's running-locf value IS its last
-            # non-null observation (null iff the bucket is all-null)
-            aggs.append(F.max_by(F.col(f"__fl_{name}"),
-                                 F.col("__fillrn")).alias(f"__lv_{name}"))
-        else:  # linear — single ascending numeric key, validated above
-            before = w.rowsBetween(Window.unboundedPreceding, -1)
-            after = w.rowsBetween(1, Window.unboundedFollowing)
-            dfb = (dfb
-                   .withColumn(f"__pv_{name}", F.last(
-                       col, ignorenulls=True).over(before))
-                   .withColumn(f"__pk_{name}", F.last(
-                       F.when(col.isNotNull(), keyd),
-                       ignorenulls=True).over(before))
-                   .withColumn(f"__nv_{name}", F.first(
-                       col, ignorenulls=True).over(after))
-                   .withColumn(f"__nk_{name}", F.first(
-                       F.when(col.isNotNull(), keyd),
-                       ignorenulls=True).over(after)))
-            nn = F.when(col.isNotNull(), F.col("__fillrn"))
-            pair = F.struct(col.alias("v"), keyd.alias("k"))
-            # max_by/min_by skip rows whose ordering key is null, so
-            # all-null buckets yield a NULL pair the carry window skips
-            aggs.append(F.max_by(pair, nn).alias(f"__lst_{name}"))
-            aggs.append(F.min_by(pair, nn).alias(f"__fst_{name}"))
-
-    summ = dfb.groupBy("__fillb").agg(*aggs)
-    # carry across buckets: a window over ≤ nb summary rows (bounded by
-    # CLUSTER width, not data size — never a whole-collection window)
-    ws = Window.orderBy(F.col("__fillb").asc())
-    carry = [F.col("__fillb")]
-    for name, method in methods.items():
-        if method == "locf":
-            carry.append(F.last(f"__lv_{name}", ignorenulls=True).over(
-                ws.rowsBetween(Window.unboundedPreceding, -1))
-                .alias(f"__ci_{name}"))
-        else:
-            carry.append(F.last(f"__lst_{name}", ignorenulls=True).over(
-                ws.rowsBetween(Window.unboundedPreceding, -1))
-                .alias(f"__cp_{name}"))
-            carry.append(F.first(f"__fst_{name}", ignorenulls=True).over(
-                ws.rowsBetween(1, Window.unboundedFollowing))
-                .alias(f"__cn_{name}"))
-    out = dfb.join(F.broadcast(summ.select(*carry)), "__fillb")
-
-    drop = ["__fillb", "__fillrn"]
-    for name, method in methods.items():
-        if method == "locf":
-            out = out.withColumn(name, F.coalesce(
-                F.col(f"__fl_{name}"), F.col(f"__ci_{name}")))
-            drop += [f"__fl_{name}", f"__ci_{name}"]
-        else:
-            pv = F.coalesce(F.col(f"__pv_{name}"), F.col(f"__cp_{name}.v"))
-            pk = F.coalesce(F.col(f"__pk_{name}"), F.col(f"__cp_{name}.k"))
-            nv = F.coalesce(F.col(f"__nv_{name}"), F.col(f"__cn_{name}.v"))
-            nk = F.coalesce(F.col(f"__nk_{name}"), F.col(f"__cn_{name}.k"))
-            interp = pv + (nv - pv) * (keyd - pk) / (nk - pk)
-            out = out.withColumn(name, F.coalesce(
-                F.col(name).cast("double"),
-                F.when(pv.isNotNull() & nv.isNotNull(), interp)))
-            drop += [f"__pv_{name}", f"__pk_{name}", f"__nv_{name}",
-                     f"__nk_{name}", f"__cp_{name}", f"__cn_{name}"]
-    return out.drop(*drop)
 
 
 #: $densify/$dateAdd-style calendar steps -> (make_ym_interval years,

@@ -1516,6 +1516,34 @@ def test_swf_partitionless_distributed(spark):
     for k in range(1000):
         pos = 2 * (999 - k) + 1
         assert (k, pos, 1000 - k) in got, (k, pos)
+
+    # gap-fillers ($locf/$linearFill) ride the SAME distributed
+    # machinery as the $fill stage, alone and MIXED with prefix ops —
+    # and the filled output may be a pure ALIAS of an input column (the
+    # regression shape: a filter() HOF in the bucket expression once
+    # shared lambda exprIds across the self-join and Catalyst inferred
+    # an unbindable cross-side filter — INTERNAL_ERROR at runtime)
+    sdf = df.select("i", F.when(F.col("i") % 7 == 0,
+                                F.col("v")).alias("v"))
+    mix_spec = {"sortBy": {"i": 1}, "output": {
+        "c": {"$locf": "$v"}, "l": {"$linearFill": "$v"},
+        "rs": {"$sum": "$v",
+               "window": {"documents": ["unbounded", "current"]}}}}
+    md = {r.i: r for r in apply_pipeline(
+        sdf, [{"$setWindowFields": mix_spec}]).collect()}
+    mref = {r.i: r for r in apply_pipeline(
+        sdf.withColumn("p", F.lit(1)), [{"$setWindowFields": {
+            "partitionBy": "$p", **mix_spec}}]).collect()}
+    for i, b in mref.items():
+        for f in ("c", "l", "rs"):
+            assert md[i][f] == b[f] or (
+                md[i][f] is None and b[f] is None), (i, f, md[i][f], b[f])
+    # alias-derived $fill stage column (the minimal repro of the same)
+    alias = apply_pipeline(
+        sdf.withColumn("c", F.col("v")),
+        [{"$fill": {"sortBy": {"i": 1},
+                    "output": {"c": {"method": "locf"}}}}])
+    assert alias.count() == 2000
     """$bucketAuto: ~equal-population buckets via exact percentile
     boundaries; _id carries each bucket's observed min/max; output
     accumulators reuse the $group compiler; nulls join the first
