@@ -149,7 +149,12 @@ def _swf_partitionless(df: DataFrame,
     - running accumulators (``$sum/$avg/$min/$max/$count`` over
       ``documents: ["unbounded", "current"]``),
     - whole-collection accumulators (same ops, no window or
-      ``["unbounded", "unbounded"]``).
+      ``["unbounded", "unbounded"]``),
+    - ``$shift`` (lead/lag): in-bucket lead/lag plus edge stitching —
+      each bucket's first/last |by| values ride the summary, neighbour
+      streams concatenate in bucket order, and edge rows index into
+      them (``default`` applies ONLY past the collection ends; a null
+      target value passes through, Mongo's lead/lag contract).
 
     Same skeleton as ``$fill``'s r17 lowering: ``_range_bucket`` on the
     LEADING sort key (ties can't straddle buckets, so in-bucket ranks
@@ -177,7 +182,7 @@ def _swf_partitionless(df: DataFrame,
     form and the stage form stay value-twins by construction).
 
     Returns ``None`` when any output needs a shape outside this family
-    (mid-frame windows, $shift, range frames, …) — the caller falls
+    (mid-frame windows, range frames, …) — the caller falls
     back to the warned single-window path. Float running sums may
     differ from the single window by reassociation ulps (the carry adds
     bucket partials first); gated queries use the DECIMAL sum
@@ -211,6 +216,12 @@ def _swf_partitionless(df: DataFrame,
                     len(sortby) != 1 or next(iter(sortby.values())) != 1):
                 return None                # main path raises its error
             fills[name] = ("locf" if op == "$locf" else "linear", arg)
+            continue
+        if op == "$shift":
+            if frame is not None or not isinstance(arg, dict) \
+                    or "output" not in arg:
+                return None
+            tasks.append((name, op, arg, "shift"))
             continue
         if op in _SWF_PREFIX_OPS:
             if frame is None:
@@ -256,8 +267,36 @@ def _swf_partitionless(df: DataFrame,
             F.count_distinct(F.struct(
                 *[F.col(k) for k in sortby])).alias("__dense")]
     drop = ["__swfb", "__swfrn"]
+    if any(m == "shift" for *_, m in tasks):
+        # bucket row count (whole-partition frame, same exchange) —
+        # edge-row detection for the $shift stitching
+        dfb = dfb.withColumn("__swfcnt", F.count(F.lit(1)).over(
+            Window.partitionBy("__swfb")))
+        drop.append("__swfcnt")
     for i, (name, op, arg, mode) in enumerate(tasks):
         if mode == "rank":
+            continue
+        if mode == "shift":
+            by = int(arg.get("by", 1))
+            k = abs(by)
+            if k == 0:
+                continue                   # identity — final pass only
+            x = _expr(arg["output"], env)
+            dfb = dfb.withColumn(
+                f"__sh{i}", (F.lead if by > 0 else F.lag)(x, k).over(w))
+            drop.append(f"__sh{i}")
+            # the bucket's first (lead) / last (lag) k values, in order
+            # — struct-wrapped so NULL values survive collect_list; the
+            # comparator sorts on the row number alone, so the value
+            # type never needs to be orderable
+            edge = (F.col("__swfrn") <= k) if by > 0 \
+                else (F.col("__swfrn") > F.col("__swfcnt") - k)
+            pair = F.when(edge, F.struct(F.col("__swfrn").alias("r"),
+                                         x.alias("v")))
+            aggs.append(F.transform(
+                F.array_sort(F.collect_list(pair),
+                             lambda a, b: (a["r"] - b["r"]).cast("int")),
+                lambda s: s["v"]).alias(f"__e{i}"))
             continue
         x = F.lit(1) if op == "$count" else _expr(arg, env)
         if op in ("$sum", "$count"):
@@ -293,6 +332,22 @@ def _swf_partitionless(df: DataFrame,
     for i, (name, op, arg, mode) in enumerate(tasks):
         if mode == "rank":
             continue
+        if mode == "shift":
+            by = int(arg.get("by", 1))
+            if by == 0:
+                continue
+            # the neighbouring buckets' edge-value stream, bucket order
+            # pinned by the comparator sort (≤ B small arrays)
+            nbr = (ws.rowsBetween(1, Window.unboundedFollowing)
+                   if by > 0 else prev)
+            seq = F.array_sort(
+                F.collect_list(F.struct(
+                    F.col("__swfb").alias("b"),
+                    F.col(f"__e{i}").alias("e"))).over(nbr),
+                lambda a, b: (a["b"] - b["b"]).cast("int"))
+            carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                         .alias(f"__c{i}"))
+            continue
         frm = prev if mode == "run" else both
         if op in ("$sum", "$count", "$avg"):
             carry.append(F.sum(f"__t{i}").over(frm).alias(f"__c{i}"))
@@ -310,6 +365,30 @@ def _swf_partitionless(df: DataFrame,
             fn = _WF_RANK[op]().over(w)
             cr = F.col("__cdense" if op == "$denseRank" else "__crows")
             out = out.withColumn(name, fn + F.coalesce(cr, F.lit(0)))
+            continue
+        if mode == "shift":
+            by = int(arg.get("by", 1))
+            if by == 0:
+                out = out.withColumn(name, _expr(arg["output"], env))
+                continue
+            k = abs(by)
+            rn, cnt = F.col("__swfrn"), F.col("__swfcnt")
+            flat = F.col(f"__c{i}")
+            # 1-based index into the neighbour stream; default applies
+            # ONLY past the collection ends (a NULL at the target row
+            # passes through — Mongo's lead/lag default contract)
+            if by > 0:
+                idx = (rn + F.lit(k) - cnt).cast("int")
+                infill = F.element_at(flat, idx)
+            else:
+                idx = (F.lit(k) - rn + 1).cast("int")
+                infill = F.element_at(flat, -idx)
+            dflt = F.lit(arg.get("default"))
+            out = out.withColumn(name, F.when(
+                idx >= 1,
+                F.when(idx <= F.size(flat), infill).otherwise(dflt)
+            ).otherwise(F.col(f"__sh{i}")))
+            drop.append(f"__c{i}")
             continue
         if mode == "whole":
             if op == "$avg":
@@ -509,9 +588,9 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     env = _root_env(df)
     part = spec.get("partitionBy")
     if part is None:
-        # r17: the prefix-scan family (rank/running/whole accumulators)
-        # distributes via range buckets + carry — only shapes outside
-        # it (mid-frame windows, $shift, range frames, gap-fillers,
+        # r17: the prefix-scan family (rank/running/whole accumulators,
+        # $shift, gap-fillers) distributes via range buckets + carry —
+        # only shapes outside it (mid-frame windows, range frames,
         # string sort keys) still plan the warned single window
         out = _swf_partitionless(df, spec)
         if out is not None:

@@ -1544,6 +1544,33 @@ def test_swf_partitionless_distributed(spark):
         [{"$fill": {"sortBy": {"i": 1},
                     "output": {"c": {"method": "locf"}}}}])
     assert alias.count() == 2000
+
+    # $shift distributes too: lead/lag whose offset SPANS several tiny
+    # buckets (150 rows over up-to-64 buckets → 2-3 rows each, k=7),
+    # defaults only past the collection ends, by=0 identity, and a null
+    # target value passes through (never replaced by the default)
+    small = spark.range(0, 150).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 != 0,
+               (F.col("id") % 13).cast("double")).alias("v"))
+    sh_spec = {"sortBy": {"k": 1}, "output": {
+        "ld": {"$shift": {"output": "$v", "by": 7, "default": -1.0}},
+        "lg": {"$shift": {"output": "$v", "by": -7}},
+        "id0": {"$shift": {"output": "$v", "by": 0}}}}
+    sd = {r.k: r for r in apply_pipeline(
+        small, [{"$setWindowFields": sh_spec}]).collect()}
+    sref = {r.k: r for r in apply_pipeline(
+        small.withColumn("p", F.lit(1)), [{"$setWindowFields": {
+            "partitionBy": "$p", **sh_spec}}]).collect()}
+    for kk, b in sref.items():
+        for f in ("ld", "lg", "id0"):
+            assert sd[kk][f] == b[f] or (
+                sd[kk][f] is None and b[f] is None), (kk, f)
+    # offset beyond the whole collection → default everywhere
+    alld = apply_pipeline(small, [{"$setWindowFields": {
+        "sortBy": {"k": 1}, "output": {"x": {"$shift": {
+            "output": "$v", "by": 200, "default": 9.9}}}}}]).collect()
+    assert all(r.x == 9.9 for r in alld)
     """$bucketAuto: ~equal-population buckets via exact percentile
     boundaries; _id carries each bucket's observed min/max; output
     accumulators reuse the $group compiler; nulls join the first
