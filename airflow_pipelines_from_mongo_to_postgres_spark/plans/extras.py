@@ -3321,6 +3321,48 @@ def q220_mongo_global_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("g_avg"), 6).alias("g_avg"))
 
 
+# --- q221: partition-less $shift, DISTRIBUTED (global neighbours) ---------------
+def q221_mongo_global_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-reading deltas over the GLOBAL event stream —
+    partition-less ``$shift`` (lead/lag) through the r17 edge-stitching
+    lowering: in-bucket lead/lag with each bucket's first/last |by|
+    values carried through the ≤ B-row summary, so neighbours that
+    straddle bucket boundaries stitch exactly (by −3 guarantees
+    multi-row spans at every SF). ``default`` (the by −3 leg) applies
+    only past the collection ends; null readings pass through. Sort key
+    ``event_id`` is unique (tie-free, the determinism convention);
+    per-row rounded-6dp outputs — no sums — hash stably."""
+    ev = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(ev, [
+        {"$setWindowFields": {
+            "sortBy": {"event_id": 1},
+            "output": {
+                "prev_v": {"$shift": {"output": "$value", "by": -1}},
+                "next_v": {"$shift": {"output": "$value", "by": 1}},
+                "prev3_v": {"$shift": {"output": "$value", "by": -3,
+                                       "default": 0.0}},
+            }}},
+        {"$addFields": {"delta": {"$subtract": ["$value", "$prev_v"]}}},
+    ])
+    return out.select(
+        "event_id",
+        F.round(F.col("prev_v"), 6).alias("prev_v"),
+        F.round(F.col("next_v"), 6).alias("next_v"),
+        F.round(F.col("prev3_v"), 6).alias("prev3_v"),
+        F.round(F.col("delta"), 6).alias("delta"))
+
+
+Q221_SQL = """
+SELECT event_id,
+       round(lag(value, 1) OVER w, 6) AS prev_v,
+       round(lead(value, 1) OVER w, 6) AS next_v,
+       round(lag(value, 3, 0.0) OVER w, 6) AS prev3_v,
+       round(value - lag(value, 1) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (ORDER BY event_id)
+"""
+
+
 Q220_SQL = """
 WITH o AS (SELECT o_orderkey, o_orderdate,
                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
@@ -3405,6 +3447,7 @@ QUERIES = {
     "q217_mongo_fill_partitionless": q217_mongo_fill_partitionless,
     "q218_mongo_lookup_array_local": q218_mongo_lookup_array_local,
     "q220_mongo_global_window": q220_mongo_global_window,
+    "q221_mongo_global_shift": q221_mongo_global_shift,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3475,6 +3518,7 @@ ORACLES = {
     "q217_mongo_fill_partitionless": Q217_SQL,
     "q218_mongo_lookup_array_local": Q218_SQL,
     "q220_mongo_global_window": Q220_SQL,
+    "q221_mongo_global_shift": Q221_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -232,6 +232,7 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
         # SUMMARY — bounded by cluster width (#buckets ≤ 64), not data
         "q217_mongo_fill_partitionless",
         "q220_mongo_global_window",
+        "q221_mongo_global_shift",
     }
     offenders, cartesian = [], []
     for name, fn in entrymod.queries().items():
