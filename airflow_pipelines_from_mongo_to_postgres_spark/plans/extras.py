@@ -14,14 +14,22 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from airflow_pipelines_from_mongo_to_postgres_spark.operators import similarity
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
     load_table,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
     apply_pipeline,
+)
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql.stages import (
+    _VS_PLANES,
+    _VS_TABLES,
+    _vs_query_buckets,
 )
 
 
@@ -3382,6 +3390,149 @@ WINDOW w2 AS (ORDER BY o_orderdate, o_orderkey
 """
 
 
+# --- q222/q223: $vectorSearch — ENN and LSH-ANN through the translator (r17) ----
+#: Literal query vector for the $vectorSearch gated queries: Mongo's
+#: queryVector is part of the QUERY (never an expression), so a fixed
+#: deterministic literal is the faithful shape. 6-dp sine values keep
+#: the plan/SQL literals tidy; the UNIT copy is computed ONCE here in
+#: Python float64 (the same arithmetic _vector_search itself performs)
+#: and embedded verbatim on both engines — q-side normalization never
+#: crosses an engine boundary.
+_VS_DIM = 64
+_VS_QV = [round(math.sin(1.7 * i), 6) for i in range(_VS_DIM)]
+_VS_QNORM = math.sqrt(sum(float(x) * float(x) for x in _VS_QV))
+_VS_QUNIT = [float(x) / _VS_QNORM for x in _VS_QV]
+
+
+def _vs_darr(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _vs_unit_sql(v: str) -> str:
+    # V.unit's float procedure (normalize per element after one
+    # sequential self-dot), the proven-parity form from plans/llmdata
+    dv = f"{v}::DOUBLE[]"
+    return f"list_transform({dv}, x -> x / sqrt(list_dot_product({dv}, {dv})))"
+
+
+def q222_mongo_vector_search_exact(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """``$vectorSearch`` with ``exact: true`` (ENN) — an Atlas user's
+    scored retrieval pipeline run verbatim through the translator: MQL
+    pre-``filter``, full-scan cosine against the literal query vector,
+    top-25 by the Atlas score convention ``(1+cos)/2``, the score
+    surfaced downstream via ``{$meta: "vectorSearchScore"}`` inside
+    ``$project`` (the r17 scratch-column plumbing:
+    ``stages.py::_vector_search`` + ``expr.py`` VS_SCORE binding). The
+    plan is scan → filter → TakeOrderedAndProject — no join, no global
+    sort; ties at the boundary break on ``_id`` (the determinism
+    convention) on both engines.
+
+    Reference scope: the reference has no vector operations
+    (SURVEY.md §2 similarity family is engine-declared scope); the
+    stage surface follows MongoDB Atlas's published $vectorSearch
+    contract."""
+    e = (load_table(spark, "embeddings", sf_dir)
+         .withColumnRenamed("vec_id", "_id"))
+    out = apply_pipeline(e, [
+        {"$vectorSearch": {"index": "emb_idx", "path": "embedding",
+                           "queryVector": _VS_QV, "limit": 25,
+                           "exact": True,
+                           "filter": {"label": {"$gte": 2}}}},
+        {"$project": {"_id": 1, "label": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+    ])
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("label").cast("int").alias("label"),
+        F.round(F.col("score"), 6).alias("score"))
+
+
+Q222_SQL = f"""
+WITH scored AS (
+  SELECT vec_id AS _id, label,
+         list_dot_product({_vs_unit_sql('embedding')},
+                          {_vs_darr(_VS_QUNIT)}) AS cos
+  FROM embeddings
+  WHERE label >= 2 AND embedding IS NOT NULL
+    AND len(embedding) = {_VS_DIM}
+)
+SELECT CAST(_id AS BIGINT) AS _id, CAST(label AS INT) AS label,
+       round((1.0 + cos) / 2.0, 6) AS score
+FROM scored ORDER BY cos DESC, _id ASC LIMIT 25
+"""
+
+
+def _vs_ann_pred_sql(tables_used: int) -> str:
+    """DuckDB predicate replaying the stage's ANN candidate test: the
+    row's LSH bucket equals the query's bucket in ≥1 probed hash table.
+    Sign literals and the query's driver-side buckets come from the
+    SAME functions the stage uses (rademacher_signs /
+    _vs_query_buckets), so the approximate candidate set is
+    bit-identical across engines — the q52 hash-gating discipline."""
+    signs = similarity.rademacher_signs(_VS_PLANES, _VS_TABLES, _VS_DIM)
+    qb = _vs_query_buckets([float(x) for x in _VS_QV], signs[:tables_used])
+    preds = []
+    for t in range(tables_used):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{_vs_darr(signs[t][j])}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_VS_PLANES))
+        preds.append(f"({bits}) = {qb[t]}")
+    return "(" + "\n   OR ".join(preds) + ")"
+
+
+def q223_mongo_vector_search_ann(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``$vectorSearch`` ANN (``exact`` omitted — Atlas's default): the
+    deterministic LSH analogue of the managed index. ``numCandidates:
+    100`` with ``limit: 25`` probes ceil(100/25) = 4 of the 8 hash
+    tables; candidates are bucket-collisions with the DRIVER-computed
+    query buckets (the query vector is a literal, so the whole
+    candidate test is a map-side when-sum — NO join in the plan),
+    exact cosine re-ranks, TakeOrdered keeps 25. Approximate yet
+    hash-gated: the md5-derived planes replay in SQL, so recall < 1
+    divergence is impossible BY CONSTRUCTION, not by luck (q52's
+    discipline, now through the stage language).
+
+    Reference scope: engine-declared (SURVEY.md §2 similarity
+    family); surface per MongoDB Atlas's published contract."""
+    e = (load_table(spark, "embeddings", sf_dir)
+         .withColumnRenamed("vec_id", "_id"))
+    out = apply_pipeline(e, [
+        {"$vectorSearch": {"path": "embedding", "queryVector": _VS_QV,
+                           "limit": 25, "numCandidates": 100}},
+        {"$project": {"_id": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+    ])
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.round(F.col("score"), 6).alias("score"))
+
+
+def _q223_sql() -> str:
+    return f"""
+WITH cand AS (
+  SELECT vec_id AS _id, embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_VS_DIM}
+    AND {_vs_ann_pred_sql(4)}
+),
+scored AS (
+  SELECT _id,
+         list_dot_product({_vs_unit_sql('embedding')},
+                          {_vs_darr(_VS_QUNIT)}) AS cos
+  FROM cand
+)
+SELECT CAST(_id AS BIGINT) AS _id,
+       round((1.0 + cos) / 2.0, 6) AS score
+FROM scored ORDER BY cos DESC, _id ASC LIMIT 25
+"""
+
+
+Q223_SQL = _q223_sql()
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -3448,6 +3599,8 @@ QUERIES = {
     "q218_mongo_lookup_array_local": q218_mongo_lookup_array_local,
     "q220_mongo_global_window": q220_mongo_global_window,
     "q221_mongo_global_shift": q221_mongo_global_shift,
+    "q222_mongo_vector_search_exact": q222_mongo_vector_search_exact,
+    "q223_mongo_vector_search_ann": q223_mongo_vector_search_ann,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3519,6 +3672,8 @@ ORACLES = {
     "q218_mongo_lookup_array_local": Q218_SQL,
     "q220_mongo_global_window": Q220_SQL,
     "q221_mongo_global_shift": Q221_SQL,
+    "q222_mongo_vector_search_exact": Q222_SQL,
+    "q223_mongo_vector_search_ann": Q223_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -108,8 +108,11 @@ Unsupported stages (REFUSED BY DESIGN, uniform error): Atlas-managed
 and server-introspection stages raise :class:`UnsupportedMongoStage`
 naming the reason and the in-repo alternative — see
 :data:`UNSUPPORTED_STAGES` for the full stage → reason table
-(Atlas ``$search``/``$searchMeta``/``$vectorSearch``,
-``$changeStream``, ``$collStats``-family introspection); refused
+(Atlas ``$search``/``$searchMeta``, ``$changeStream``,
+``$collStats``-family introspection — ``$vectorSearch`` is IMPLEMENTED
+since r17 as full-scan ENN / deterministic-LSH ANN with
+``{$meta: "vectorSearchScore"}`` support, ``stages._vector_search``);
+refused
 EXPRESSION operators (server-side JavaScript, BSON-internal types)
 raise the same way — see :data:`UNSUPPORTED_EXPR_OPS`. A
 whole-collection window (``$setWindowFields``/``$fill``/``$densify``

@@ -27,9 +27,6 @@ UNSUPPORTED_STAGES: dict[str, str] = {
     "$searchMeta": (
         "Atlas Search metadata — same as $search; count facets with "
         "$group/$facet instead"),
-    "$vectorSearch": (
-        "Atlas Vector Search is a managed ANN service; use "
-        "operators/similarity.py (brute/LSH/IVF/PQ top-k)"),
     "$changeStream": (
         "change streams are a replication-protocol cursor, not a "
         "batch stage; the streaming equivalent is "
@@ -73,5 +70,7 @@ UNSUPPORTED_EXPR_OPS: dict[str, str] = {
         "parquet/JDBC data; use date expressions on real timestamps"),
     "$meta": (
         "query-execution metadata (textScore/indexKey) needs a server "
-        "query planner; BM25 scoring lives in plans/llmdata.py"),
+        "query planner; BM25 scoring lives in plans/llmdata.py. The "
+        "one supported form is {$meta: 'vectorSearchScore'} in a "
+        "pipeline that starts with $vectorSearch (r17)"),
 }

@@ -219,6 +219,81 @@ def _regex_is_context_free(pat: str) -> bool:
         """, pat, _re.VERBOSE)
 
 
+def _pcre_only_construct(pat: str) -> str | None:
+    """Name the first PCRE-only construct in ``pat``, or None.
+
+    Mongo's regex engine is PCRE; Spark's is ``java.util.regex``. The
+    common subset — the overwhelming majority of real patterns — is
+    identical, but a handful of PCRE constructs either fail to compile
+    on the JVM (an opaque PatternSyntaxException deep inside a stage)
+    or silently match differently. Detecting them at TRANSLATION time
+    turns that into the translator's own ValueError naming the
+    divergence and the rewrite (ADVICE r17).
+
+    Detected: ``\\K`` match-start reset (JVM: illegal escape; PCRE
+    resets the reported match), recursion/subroutine calls ``(?R)``
+    ``(?n)`` ``(?&name)`` ``(?P>name)``, backtracking-control verbs
+    ``(*SKIP)``/``(*FAIL)``/..., callouts ``(?C``, and branch-reset
+    groups ``(?|``. The scanner honors escaping (``\\\\K`` is a literal
+    backslash + K) and character classes (``[(*F)]`` is a class of
+    literals — except ``\\K``, which diverges INSIDE a class too: PCRE
+    reads a literal K, the JVM refuses the escape). Possessive
+    quantifiers compile on both engines (edge semantics documented as a
+    low-frequency divergence, not detectable syntactically)."""
+    import re as _re
+
+    i, n, in_class = 0, len(pat), False
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            if i + 1 < n and pat[i + 1] == "K":
+                return r"\K (match-start reset)"
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            # leading ] (or ^]) is a literal inside a class
+            if i < n and pat[i] == "^":
+                i += 1
+            if i < n and pat[i] == "]":
+                i += 1
+            continue
+        if c == "(":
+            rest = pat[i:]
+            for probe, name in (
+                    (r"\(\?R\)", "(?R) pattern recursion"),
+                    (r"\(\?[0-9]+\)", "(?n) subpattern recursion"),
+                    (r"\(\?&\w", "(?&name) subroutine call"),
+                    (r"\(\?P>\w", "(?P>name) subroutine call"),
+                    (r"\(\?C[0-9]*\)", "(?C) callout"),
+                    (r"\(\?\|", "(?| branch-reset group"),
+                    (r"\(\*\w+[):]", "(*VERB) backtracking control")):
+                m = _re.match(probe, rest)
+                if m:
+                    return name
+        i += 1
+    return None
+
+
+def _reject_pcre_only(pat: str, where: str) -> None:
+    """Raise the translator's ValueError when ``pat`` uses a PCRE-only
+    construct — BEFORE the JVM's PatternSyntaxException (or a silent
+    match divergence) can surface mid-query."""
+    desc = _pcre_only_construct(pat)
+    if desc:
+        raise ValueError(
+            f"{where}: pattern {pat!r} uses the PCRE-only construct "
+            f"{desc}, which Java regex (Spark's rlike/regexp_*) does "
+            "not support — rewrite with Java-regex equivalents "
+            "(lookbehind replaces \\K; unroll recursion; drop "
+            "control verbs)")
+
+
 def _expr(v: Any, env: dict | None = None) -> Column:
     """Aggregation EXPRESSION evaluator — the value language of
     ``$project`` computed fields, ``$addFields``/``$set`` and ``$group``
@@ -942,10 +1017,13 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         opts = arg.get("options", "")
         if set(opts) - set("imsx"):
             raise ValueError(f"unsupported $regexMatch options: {opts!r}")
+        # Java regex, not PCRE — the common subset is identical;
+        # detectable PCRE-only constructs are refused by name here
+        # (r17); possessive-quantifier edge semantics remain the one
+        # documented silent deviation
+        _reject_pcre_only(pat, "$regexMatch")
         if opts:
             pat = f"(?{opts}){pat}"
-        # Java regex, not PCRE — the common subset is identical; exotic
-        # PCRE constructs (recursion, \K) differ, documented deviation
         return _expr(arg["input"], env).rlike(pat)
     if op in ("$regexFind", "$regexFindAll"):
         import re as _re
@@ -956,6 +1034,7 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         opts = arg.get("options", "")
         if set(opts) - set("imsx"):
             raise ValueError(f"unsupported {op} options: {opts!r}")
+        _reject_pcre_only(pat, op)
         ngroups = _re.compile(pat).groups
         if opts:
             pat = f"(?{opts}){pat}"
@@ -1186,6 +1265,19 @@ def _expr_op(op: str, arg: Any, env: dict | None = None) -> Column:
         c = _expr(a, env)
         return c.isNotNull() \
             & F.call_function("typeof", c).startswith("array")
+    if op == "$meta" and arg == "vectorSearchScore":
+        # The one $meta form with an off-server meaning (r17): the
+        # similarity score a leading $vectorSearch stage attached to
+        # every document (stages.py::_vector_search carries it as the
+        # internal __vs_score column; _root_env binds it here). Any
+        # other $meta — or this one outside a $vectorSearch pipeline —
+        # falls through to the by-design refusal below.
+        if env and "VS_SCORE" in env:
+            return env["VS_SCORE"]
+        raise UnsupportedMongoStage(
+            "{$meta: 'vectorSearchScore'} is only defined in a pipeline "
+            "whose FIRST stage is $vectorSearch (the score of the "
+            "current document against the query vector)")
     if op in UNSUPPORTED_EXPR_OPS:
         raise UnsupportedMongoStage(
             f"{op} is refused by design: {UNSUPPORTED_EXPR_OPS[op]}")
@@ -1343,6 +1435,7 @@ def _regex_cond(col: Column, pattern: Any, options: str | None) -> Column:
     and the whole predicate stays one JVM RLIKE."""
     if not isinstance(pattern, str):
         raise ValueError("$regex expects a string pattern")
+    _reject_pcre_only(pattern, "$regex")
     if options:
         if not set(options) <= set("imsx"):
             raise ValueError(f"unsupported $regex options: {options!r}")
@@ -1357,7 +1450,12 @@ def _root_env(df: DataFrame, extra: dict | None = None) -> dict:
     scratch). At stage start CURRENT is ROOT, Mongo's rule."""
     cols = [c for c in df.columns if not c.startswith("__")]
     root = F.struct(*[F.col(c).alias(c) for c in cols])
-    return {**(extra or {}), "ROOT": root, "CURRENT": root}
+    env = {**(extra or {}), "ROOT": root, "CURRENT": root}
+    if "__vs_score" in df.columns:
+        # the $vectorSearch score rides as internal scratch; {$meta:
+        # "vectorSearchScore"} is its only user-visible accessor
+        env["VS_SCORE"] = F.col("__vs_score")
+    return env
 
 
 def _rebase_refs(v: Any, schema, var: str) -> Any:

@@ -962,6 +962,164 @@ def _facet(df: DataFrame, spec: dict[str, Any],
     return acc
 
 
+#: $vectorSearch ANN geometry (r17). Atlas never exposes its index
+#: internals, so the engine pins a deterministic analogue: random-
+#: hyperplane LSH over the md5-derived Rademacher sign planes
+#: (operators/similarity.py::rademacher_signs) — the same literals a
+#: SQL oracle regenerates, so even the APPROXIMATE path hash-gates.
+#: ``numCandidates`` buys recall by widening the probe across hash
+#: tables (Atlas's own contract: more candidates → better recall).
+_VS_PLANES = 4
+_VS_TABLES = 8
+
+
+def _vs_query_buckets(qv: list, signs: list) -> list[int]:
+    """Driver-side LSH bucket ids of the LITERAL query vector, one per
+    hash table. Sequential left-to-right float64 sums — the same fold
+    order as the JVM ``_sign_bucket`` and a SQL oracle's
+    ``list_dot_product``, so the projection SIGN (all that matters)
+    agrees bit-for-bit across engines."""
+    out = []
+    for signs_t in signs:
+        b = 0
+        for j, srow in enumerate(signs_t):
+            s = 0.0
+            for x, sg in zip(qv, srow):
+                s += float(x) * sg
+            if s > 0:
+                b |= 1 << j
+        out.append(b)
+    return out
+
+
+def _refs_meta_score(v: Any) -> bool:
+    """True when a stage spec references {$meta: "vectorSearchScore"}
+    anywhere — decides whether $vectorSearch must carry its score
+    column (__vs_score) forward and how long (dropped after the last
+    referencing stage; never attached when nothing asks)."""
+    if isinstance(v, dict):
+        return any((k == "$meta" and x == "vectorSearchScore")
+                   or _refs_meta_score(x) for k, x in v.items())
+    if isinstance(v, (list, tuple)):
+        return any(_refs_meta_score(x) for x in v)
+    return False
+
+
+def _vector_search(df: DataFrame, spec: dict[str, Any],
+                   keep_score: bool) -> DataFrame:
+    """``$vectorSearch`` lowered onto aggregation semantics (r17; was a
+    by-design refusal). Atlas Vector Search is a managed ANN *index*,
+    but its query surface — score every document's vector against a
+    LITERAL query vector, optional pre-``filter``, return the top
+    ``limit`` — is pure dataflow:
+
+    - ``exact: true`` (ENN): full-scan cosine + global top-``limit``
+      — one codegen'd HOF dot per row against the plan-literal unit
+      query vector, collapsed to TakeOrderedAndProject (no global
+      sort, no join; the only movement is the k·partitions reduce).
+    - ``exact: false`` (ANN, default): deterministic LSH prefilter —
+      the query vector's bucket per hash table is computed DRIVER-side
+      (it is a literal), the corpus side is a map-side when-sum bucket
+      test, candidates = rows sharing the query's bucket in ≥1 of the
+      probed tables, exact cosine re-rank + top-``limit``. NO join
+      anywhere: the ANN path is scan → filter → TakeOrdered.
+      ``numCandidates`` (Mongo: required, ≥ limit, ≤ 10000) maps to
+      probe breadth: ``ceil(numCandidates/limit)`` hash tables, capped
+      at ``_VS_TABLES`` — wider probe, higher recall, more candidates.
+
+    Scores use Atlas's cosine convention ``(1 + cos) / 2``; documents
+    whose vector is null/absent or of a different dimensionality than
+    the query are not indexed by Atlas and are skipped here the same
+    way. ``index`` is accepted and ignored (names a server object; the
+    engine has no index catalog). Ordering is score-descending with
+    ``_id`` ascending tie-break when the frame has ``_id`` (the
+    determinism convention; Mongo leaves ties unspecified).
+
+    Divergences, documented: Atlas forbids $vectorSearch inside
+    $facet/$lookup sub-pipelines — the translator accepts it wherever
+    it is stage 0 of its own pipeline (a strict superset); Atlas's
+    euclidean/dotProduct similarity variants are index-creation-time
+    options with no stage-language surface, so cosine (the default) is
+    the one implemented.
+
+    Reference scope: the reference has no vector operations at all —
+    ANN is engine-declared scope (SURVEY.md §2 similarity family).
+    """
+    from airflow_pipelines_from_mongo_to_postgres_spark.functions import vectors as V
+    from airflow_pipelines_from_mongo_to_postgres_spark.operators.similarity import (
+        _sign_bucket,
+        rademacher_signs,
+    )
+
+    if not isinstance(spec, dict):
+        raise ValueError("$vectorSearch expects a document spec")
+    unknown = set(spec) - {"index", "path", "queryVector", "limit",
+                           "numCandidates", "exact", "filter"}
+    if unknown:
+        raise ValueError(f"$vectorSearch unknown options: {sorted(unknown)}")
+    path = spec.get("path")
+    if not isinstance(path, str) or not path:
+        raise ValueError("$vectorSearch requires a string 'path'")
+    qv = spec.get("queryVector")
+    if (not isinstance(qv, (list, tuple)) or not qv
+            or not all(isinstance(x, (int, float)) for x in qv)):
+        raise ValueError(
+            "$vectorSearch requires a LITERAL numeric 'queryVector' "
+            "(Atlas's own rule — the vector is part of the query, "
+            "not an expression)")
+    limit = spec.get("limit")
+    if not isinstance(limit, int) or isinstance(limit, bool) or limit < 1:
+        raise ValueError("$vectorSearch 'limit' must be an int >= 1")
+    exact = spec.get("exact", False)
+    if not isinstance(exact, bool):
+        raise ValueError("$vectorSearch 'exact' must be a boolean")
+    if exact and "numCandidates" in spec:
+        raise ValueError(
+            "$vectorSearch: 'numCandidates' and 'exact': true are "
+            "mutually exclusive (Atlas's rule — ENN scans everything)")
+    if not exact:
+        nc = spec.get("numCandidates")
+        if not isinstance(nc, int) or isinstance(nc, bool):
+            raise ValueError(
+                "$vectorSearch requires 'numCandidates' when exact is "
+                "false (Atlas's rule)")
+        if not limit <= nc <= 10000:
+            raise ValueError(
+                "$vectorSearch 'numCandidates' must satisfy "
+                f"limit <= numCandidates <= 10000, got {nc}")
+
+    dim = len(qv)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
+    if qnorm == 0.0:
+        raise ValueError("$vectorSearch queryVector must be non-zero")
+    q_unit = [float(x) / qnorm for x in qv]
+
+    if "filter" in spec:
+        df = df.filter(_match_cond(spec["filter"], df.schema))
+    vec = F.col(path)
+    # Atlas indexes only well-formed vectors of the index's dim —
+    # null/missing/wrong-width rows are simply absent from the search
+    df = df.filter(vec.isNotNull() & (F.size(vec) == dim))
+    if not exact:
+        signs = rademacher_signs(_VS_PLANES, _VS_TABLES, dim)
+        tables = min(_VS_TABLES, -(-spec["numCandidates"] // limit))
+        qb = _vs_query_buckets([float(x) for x in qv], signs[:tables])
+        hit = None
+        for t in range(tables):
+            eq = _sign_bucket(V.as_double(vec), signs[t]) == F.lit(qb[t])
+            hit = eq if hit is None else (hit | eq)
+        df = df.filter(hit)
+    score = (F.lit(1.0) + V.dot(V.unit(V.as_double(vec)),
+                                F.lit(q_unit))) / F.lit(2.0)
+    order = [F.col("__vs_score").desc()]
+    if "_id" in df.columns:
+        order.append(F.col("_id").asc())
+    out = (df.withColumn("__vs_score", score)
+           .orderBy(*order)           # collapses to TakeOrdered with
+           .limit(limit))             # the adjacent limit — no Sort
+    return out if keep_score else out.drop("__vs_score")
+
+
 def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
                    collections: dict[str, DataFrame] | None = None,
                    targets: dict[str, str] | None = None
@@ -1019,12 +1177,33 @@ def apply_pipeline(df: DataFrame, stages: list[dict[str, Any]],
 def _apply_stages(df: DataFrame, stages: list[dict[str, Any]],
                   collections: dict[str, DataFrame] | None = None,
                   targets: dict[str, str] | None = None) -> DataFrame:
+    # index of the last stage referencing {$meta: "vectorSearchScore"}
+    # — the internal __vs_score column a leading $vectorSearch attached
+    # is dropped right after it (and never attached when nothing asks)
+    vs_drop_after: int | None = None
     for i, stage in enumerate(stages):
+        if (vs_drop_after is not None and i > vs_drop_after
+                and "__vs_score" in df.columns):
+            df = df.drop("__vs_score")
+            vs_drop_after = None
         (op, spec), = stage.items()
         if op in ("$merge", "$out"):
             if i != len(stages) - 1:
                 raise ValueError(f"{op} must be the final pipeline stage")
+            if "__vs_score" in df.columns:
+                # internal scratch never reaches a write target
+                df = df.drop("__vs_score")
             return _write_stage(df, op, spec, targets)
+        if op == "$vectorSearch":
+            if i != 0:
+                raise ValueError(
+                    "$vectorSearch must be the first pipeline stage "
+                    "(Mongo's own rule)")
+            refs = [j for j in range(1, len(stages))
+                    if _refs_meta_score(stages[j])]
+            df = _vector_search(df, spec, keep_score=bool(refs))
+            vs_drop_after = refs[-1] if refs else None
+            continue
         if op == "$geoNear":
             if i != 0:
                 raise ValueError(
@@ -1297,4 +1476,8 @@ def _apply_stages(df: DataFrame, stages: list[dict[str, Any]],
                     "sources/mongoql/errors.py::UNSUPPORTED_STAGES, "
                     "README 'Unsupported Mongo stages')")
             raise ValueError(f"unsupported pipeline stage: {op}")
+    if vs_drop_after is not None and "__vs_score" in df.columns:
+        # the last consumer of the $vectorSearch score was the final
+        # stage — the internal column still never leaves the pipeline
+        df = df.drop("__vs_score")
     return df

@@ -4753,3 +4753,187 @@ def test_lookup_array_local_field_lowered(spark):
             {"$lookup": {"from": "t", "localField": "tags",
                          "foreignField": "tag", "as": "m"}}],
             collections={"t": right})
+
+
+def test_vector_search_exact_enn(spark):
+    """$vectorSearch exact:true — full-scan ENN through the translator
+    (r17; was a by-design refusal): Atlas's (1+cos)/2 score convention,
+    top-limit with _id tie-break, MQL pre-filter, null / wrong-dim
+    vectors skipped like unindexed docs, {$meta: "vectorSearchScore"}
+    readable downstream, the internal __vs_score column never in the
+    output, and the physical plan a TakeOrdered with no join and no
+    global Sort."""
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.0, 1.0], "a"),
+        (3, [1.0, 1.0], "a"),
+        (4, [-1.0, 0.0], "a"),
+        (5, None, "a"),                # null vector: not indexed
+        (6, [1.0, 0.0, 0.0], "a"),     # wrong dim: not indexed
+        (7, [1.0, 0.1], "b"),          # pre-filter removes
+    ]
+    df = spark.createDataFrame(rows, "_id int, v array<double>, tag string")
+    out = apply_pipeline(df, [
+        {"$vectorSearch": {"index": "ignored", "path": "v",
+                           "queryVector": [1.0, 0.0], "limit": 3,
+                           "exact": True, "filter": {"tag": "a"}}},
+        {"$project": {"_id": 1, "score": {"$meta": "vectorSearchScore"}}},
+    ])
+    assert "__vs_score" not in out.columns
+    got = sorted(((r._id, round(r.score, 6)) for r in out.collect()),
+                 key=lambda t: (-t[1], t[0]))
+    assert got == [(1, 1.0), (3, 0.853553), (2, 0.5)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrdered" in plan, plan
+    assert "Join" not in plan, plan
+
+    # _id tie-break: duplicate vectors rank by ascending _id
+    dup = spark.createDataFrame(
+        [(9, [2.0, 0.0]), (8, [1.0, 0.0]), (1, [3.0, 0.0])],
+        "_id int, v array<double>")
+    top2 = apply_pipeline(dup, [
+        {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                           "limit": 2, "exact": True}}])
+    assert sorted(r._id for r in top2.collect()) == [1, 8]
+    # score column dropped even when nothing downstream asks for it
+    assert top2.columns == ["_id", "v"]
+
+    # $$ROOT never sees the internal score column
+    rooted = apply_pipeline(df, [
+        {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                           "limit": 1, "exact": True}},
+        {"$addFields": {"r": "$$ROOT",
+                        "s": {"$meta": "vectorSearchScore"}}},
+    ])
+    row = rooted.collect()[0]
+    assert row.s == 1.0 and row.r._id == 1
+    root_fields = rooted.schema["r"].dataType.names
+    assert all(not f.startswith("__") for f in root_fields)
+    # the score column is dropped right after its last consumer stage
+    assert "__vs_score" not in rooted.columns
+
+
+def test_vector_search_ann_lsh(spark):
+    """ANN path (exact omitted): candidates are LSH bucket collisions
+    with the DRIVER-computed query buckets — a map-side when-sum, no
+    join anywhere in the plan; numCandidates maps to probe breadth
+    (ceil(nc/limit) hash tables, capped at 8), so widening it is
+    recall-monotone vs the exact ENN truth; every ANN row's score
+    equals the exact row's score (re-rank is exact)."""
+    import math as m
+
+    n, dim, k = 60, 8, 10
+    rows = [(i, [m.sin(0.7 * i + 1.3 * j) for j in range(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "_id int, v array<double>")
+    qv = [m.cos(0.9 * j) for j in range(dim)]
+
+    exact = apply_pipeline(df, [
+        {"$vectorSearch": {"path": "v", "queryVector": qv,
+                           "limit": k, "exact": True}},
+        {"$project": {"_id": 1, "s": {"$meta": "vectorSearchScore"}}}])
+    truth = {r._id: round(r.s, 9) for r in exact.collect()}
+    assert len(truth) == k
+
+    def ann(nc):
+        out = apply_pipeline(df, [
+            {"$vectorSearch": {"path": "v", "queryVector": qv,
+                               "limit": k, "numCandidates": nc}},
+            {"$project": {"_id": 1, "s": {"$meta": "vectorSearchScore"}}}])
+        return {r._id: round(r.s, 9) for r in out.collect()}
+
+    narrow, wide = ann(k), ann(8 * k)      # 1 table vs all 8
+    assert len(narrow) <= k and len(wide) <= k
+    # exact re-rank: any id the ANN returns that is also in the truth
+    # set carries the identical score
+    for got in (narrow, wide):
+        for i, s in got.items():
+            if i in truth:
+                assert s == truth[i]
+    recall_n = len(set(narrow) & set(truth)) / k
+    recall_w = len(set(wide) & set(truth)) / k
+    assert recall_w >= recall_n            # candidate-superset monotonicity
+    assert recall_w >= 0.5                 # 8 tables finds most of top-10
+
+    # deterministic across runs (md5-derived planes, no RNG)
+    assert ann(8 * k) == wide
+    plan_df = apply_pipeline(df, [
+        {"$vectorSearch": {"path": "v", "queryVector": qv,
+                           "limit": k, "numCandidates": 2 * k}}])
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan
+    assert "TakeOrdered" in plan, plan
+
+
+def test_vector_search_validation(spark):
+    """The $vectorSearch contract errors: first-stage-only, literal
+    numeric queryVector, limit >= 1, numCandidates required without
+    exact and banned with it, numCandidates in [limit, 10000], unknown
+    options named, zero query vector refused; $meta outside a
+    $vectorSearch pipeline (or with any other arg) stays refused."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
+        UnsupportedMongoStage,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "_id int, v array<double>")
+    vs = {"path": "v", "queryVector": [1.0, 0.0], "limit": 1,
+          "numCandidates": 5}
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        apply_pipeline(df, [{"$match": {}}, {"$vectorSearch": vs}])
+    for bad, msg in [
+        ({**vs, "queryVector": "$v"}, "LITERAL numeric"),
+        ({**vs, "queryVector": []}, "LITERAL numeric"),
+        ({**vs, "limit": 0}, "limit"),
+        ({**vs, "limit": True}, "limit"),
+        ({"path": "v", "queryVector": [1.0], "limit": 1}, "numCandidates"),
+        ({**vs, "exact": True}, "mutually exclusive"),
+        ({**vs, "numCandidates": 0}, "numCandidates"),
+        ({**vs, "numCandidates": 10001}, "numCandidates"),
+        ({**vs, "nearest": 3}, "unknown options"),
+        ({**vs, "queryVector": [0.0, 0.0]}, "non-zero"),
+        ({**vs, "path": 7}, "path"),
+        ({**vs, "exact": "yes"}, "boolean"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            apply_pipeline(df, [{"$vectorSearch": bad}])
+    with pytest.raises(UnsupportedMongoStage, match="FIRST stage"):
+        apply_pipeline(df, [{"$addFields": {
+            "s": {"$meta": "vectorSearchScore"}}}])
+    with pytest.raises(UnsupportedMongoStage, match="refused by design"):
+        apply_pipeline(df, [
+            {"$vectorSearch": vs},
+            {"$addFields": {"t": {"$meta": "textScore"}}}])
+
+
+def test_pcre_only_regex_refused(spark):
+    """Known PCRE-only constructs are refused at TRANSLATION time with
+    the divergence named (ADVICE r17) — never the JVM's opaque
+    PatternSyntaxException mid-query; benign look-alikes (inline
+    flags, named groups/backrefs, escaped \\K, class literals,
+    possessive quantifiers) still compile and run."""
+    df = spark.createDataFrame([("abc",)], "s string")
+    for pat in [r"foo\Kbar", "(?R)", "a(?1)b", "(?&name)x", "(?P>grp)",
+                "(?C1)a", "(?|a|b)", "(*SKIP)a", "x(*FAIL)",
+                r"[\K]"]:
+        with pytest.raises(ValueError, match="PCRE-only"):
+            apply_pipeline(df, [{"$match": {"s": {"$regex": pat}}}])
+    with pytest.raises(ValueError, match="PCRE-only"):
+        apply_pipeline(df, [{"$addFields": {"m": {"$regexMatch": {
+            "input": "$s", "regex": "x\\Ky"}}}}])
+    with pytest.raises(ValueError, match="PCRE-only"):
+        apply_pipeline(df, [{"$addFields": {"m": {"$regexFind": {
+            "input": "$s", "regex": "(?|a)(b)"}}}}])
+    with pytest.raises(ValueError, match="PCRE-only"):
+        apply_pipeline(df, [{"$addFields": {"m": {"$regexFindAll": {
+            "input": "$s", "regex": "(*PRUNE)z"}}}}])
+    ok = apply_pipeline(df, [{"$addFields": {
+        "a": {"$regexMatch": {"input": "$s", "regex": "(?i)AB"}},
+        "b": {"$regexMatch": {"input": "$s", "regex": r"(?<g>a)\k<g>"}},
+        "c": {"$regexMatch": {"input": "$s", "regex": r"\\K"}},
+        "d": {"$regexMatch": {"input": "$s", "regex": "[(*F)]"}},
+        "e": {"$regexMatch": {"input": "$s", "regex": "ab*+c?"}},
+    }}])
+    r = ok.collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (True, False, False, False, True)
