@@ -3533,6 +3533,75 @@ FROM scored ORDER BY cos DESC, _id ASC LIMIT 25
 Q223_SQL = _q223_sql()
 
 
+# --- q224: partition-less FINITE-frame $setWindowFields, DISTRIBUTED (r17) ------
+def q224_mongo_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global MOVING windows over the whole event stream — the classic
+    smoothing shape (centered 7-doc sum/avg, trailing 5-doc min,
+    forward 4-doc max, ±10-doc band count), partition-less, through the
+    r17 "mid" halo lowering (``windows.py::_swf_partitionless``): the
+    in-bucket framed windows run behind ONE bucket shuffle, each
+    bucket's first/last frame-width values ride the ≤ B-row summary,
+    and edge rows take contiguous slices of the flattened neighbour
+    streams — correct across multi-bucket spans, never the pre-r17
+    single-task window. ``event_id`` is unique (tie-free sort, the
+    determinism convention). Cents-integer values keep every framed
+    sum exact on both engines (no float reassociation); the one
+    division ($avg) happens once per row on identical exact integers.
+
+    Reference scope: the reference has no window functions at all
+    (its pandas stage is row-at-a-time, `dags/includes/user_table.py`);
+    series smoothing is engine-declared scope."""
+    ev = load_table(spark, "events", sf_dir)
+    out = apply_pipeline(ev, [
+        {"$addFields": {"mv": {"$toLong": {"$round": [
+            {"$multiply": ["$value", 100]}, 0]}}}},
+        {"$setWindowFields": {
+            "sortBy": {"event_id": 1},
+            "output": {
+                "ctr_sum": {"$sum": "$mv",
+                            "window": {"documents": [-3, 3]}},
+                "ctr_avg": {"$avg": "$mv",
+                            "window": {"documents": [-3, 3]}},
+                "trail_min": {"$min": "$mv",
+                              "window": {"documents": [-5, -1]}},
+                "fwd_max": {"$max": "$mv",
+                            "window": {"documents": [1, 4]}},
+                "band_n": {"$count": {},
+                           "window": {"documents": [-10, 10]}},
+            }}},
+    ])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ctr_sum").cast("long").alias("ctr_sum"),
+        F.round(F.col("ctr_avg"), 6).alias("ctr_avg"),
+        F.col("trail_min").cast("long").alias("trail_min"),
+        F.col("fwd_max").cast("long").alias("fwd_max"),
+        F.col("band_n").cast("long").alias("band_n"))
+
+
+Q224_SQL = """
+WITH s AS (
+  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS mv
+  FROM events)
+SELECT event_id,
+       CAST(sum(mv) OVER w7 AS BIGINT) AS ctr_sum,
+       round(CAST(sum(mv) OVER w7 AS DOUBLE) / count(mv) OVER w7, 6)
+         AS ctr_avg,
+       CAST(min(mv) OVER (ORDER BY event_id
+              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS BIGINT)
+         AS trail_min,
+       CAST(max(mv) OVER (ORDER BY event_id
+              ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS BIGINT)
+         AS fwd_max,
+       CAST(count(*) OVER (ORDER BY event_id
+              ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS BIGINT)
+         AS band_n
+FROM s
+WINDOW w7 AS (ORDER BY event_id
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -3601,6 +3670,7 @@ QUERIES = {
     "q221_mongo_global_shift": q221_mongo_global_shift,
     "q222_mongo_vector_search_exact": q222_mongo_vector_search_exact,
     "q223_mongo_vector_search_ann": q223_mongo_vector_search_ann,
+    "q224_mongo_moving_window": q224_mongo_moving_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3674,6 +3744,7 @@ ORACLES = {
     "q221_mongo_global_shift": Q221_SQL,
     "q222_mongo_vector_search_exact": Q222_SQL,
     "q223_mongo_vector_search_ann": Q223_SQL,
+    "q224_mongo_moving_window": Q224_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

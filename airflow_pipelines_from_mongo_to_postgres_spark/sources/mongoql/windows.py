@@ -181,8 +181,22 @@ def _swf_partitionless(df: DataFrame,
     (``_fill_partitionless`` — identical math, so the per-output window
     form and the stage form stay value-twins by construction).
 
+    FINITE documents frames (``[a, b]``, both ints/"current" — moving
+    averages and friends) also distribute (r17 "mid"): the in-bucket
+    framed window handles a row's own bucket (Spark clips at the
+    edge), and each bucket ships its first ``b`` / last ``|a|``
+    sort-ordered values into the bucket summary; the carry flattens
+    the FOLLOWING (resp. PRECEDING) buckets' streams in bucket order,
+    and each edge row takes a contiguous slice — correct across
+    MULTI-bucket frame spans by induction (a bucket smaller than the
+    frame contributes itself whole, so the flattened stream's first
+    ``b``/last ``|a|`` elements equal the true global neighbour rows).
+    The combine is null-aware per op (sum/avg fold in the local
+    aggregate's result type; min/max via least/greatest + array_min/
+    array_max; count adds slice sizes).
+
     Returns ``None`` when any output needs a shape outside this family
-    (mid-frame windows, range frames, …) — the caller falls
+    (range frames, half-open document frames, …) — the caller falls
     back to the warned single-window path. Float running sums may
     differ from the single window by reassociation ulps (the carry adds
     bucket partials first); gated queries use the DECIMAL sum
@@ -234,7 +248,18 @@ def _swf_partitionless(df: DataFrame,
                 elif b == ["unbounded", "unbounded"]:
                     mode = "whole"
                 else:
-                    return None
+                    # FINITE documents frame [a, b] (r17 "mid" halo
+                    # lowering) — "current" is 0, both bounds ints
+                    bb = [0 if x == "current" else x for x in b]
+                    if (len(bb) == 2
+                            and all(isinstance(x, int)
+                                    and not isinstance(x, bool)
+                                    for x in bb)
+                            and bb[0] <= bb[1]):
+                        mode = "mid"
+                        arg = (arg, bb[0], bb[1])
+                    else:
+                        return None        # half-open / malformed
             else:
                 return None
             tasks.append((name, op, arg, mode))
@@ -267,9 +292,10 @@ def _swf_partitionless(df: DataFrame,
             F.count_distinct(F.struct(
                 *[F.col(k) for k in sortby])).alias("__dense")]
     drop = ["__swfb", "__swfrn"]
-    if any(m == "shift" for *_, m in tasks):
+    if any(m in ("shift", "mid") for *_, m in tasks):
         # bucket row count (whole-partition frame, same exchange) —
-        # edge-row detection for the $shift stitching
+        # edge-row detection for the $shift stitching and the mid-frame
+        # halo slices
         dfb = dfb.withColumn("__swfcnt", F.count(F.lit(1)).over(
             Window.partitionBy("__swfb")))
         drop.append("__swfcnt")
@@ -297,6 +323,53 @@ def _swf_partitionless(df: DataFrame,
                 F.array_sort(F.collect_list(pair),
                              lambda a, b: (a["r"] - b["r"]).cast("int")),
                 lambda s: s["v"]).alias(f"__e{i}"))
+            continue
+        if mode == "mid":
+            # FINITE documents frame [lo, hi] — in-bucket framed
+            # aggregate (Spark clips at the bucket edge) + edge-value
+            # streams: each bucket ships its first min(hi, cnt) rows
+            # toward PRECEDING buckets and last min(|lo|, cnt) rows
+            # toward FOLLOWING ones. The flattened neighbour stream's
+            # first hi (last |lo|) elements equal the true global
+            # neighbour rows BY INDUCTION (a bucket smaller than the
+            # frame contributes itself whole, so the concatenation is
+            # a prefix/suffix of the true row stream) — multi-bucket
+            # frame spans are handled with no extra machinery.
+            arg0, flo, fhi = arg
+            x = F.lit(1) if op == "$count" else _expr(arg0, env)
+            fw = w.rowsBetween(flo, fhi)
+            if op == "$count":
+                dfb = dfb.withColumn(f"__s{i}", F.count(F.lit(1)).over(fw))
+            elif op == "$avg":
+                dfb = (dfb.withColumn(f"__s{i}", F.sum(x).over(fw))
+                       .withColumn(f"__n{i}", F.count(x).over(fw)))
+                drop.append(f"__n{i}")
+            else:
+                dfb = dfb.withColumn(
+                    f"__s{i}", getattr(F, op[1:])(x).over(fw))
+            drop.append(f"__s{i}")
+            # stream values carry the LOCAL aggregate's result type so
+            # the post-join fold widens exactly like the window did
+            # (int $sum -> long, etc.); $count streams are 1-literals
+            # (only slice SIZES are consumed)
+            stype = dfb.schema[f"__s{i}"].dataType
+            xs = F.lit(1) if op == "$count" else x.cast(stype)
+            if fhi > 0:
+                edge = F.col("__swfrn") <= fhi
+                pair = F.when(edge, F.struct(
+                    F.col("__swfrn").alias("r"), xs.alias("v")))
+                aggs.append(F.transform(
+                    F.array_sort(F.collect_list(pair),
+                                 lambda a, b: (a["r"] - b["r"]).cast("int")),
+                    lambda s: s["v"]).alias(f"__en{i}"))
+            if flo < 0:
+                edge = F.col("__swfrn") > F.col("__swfcnt") + flo
+                pair = F.when(edge, F.struct(
+                    F.col("__swfrn").alias("r"), xs.alias("v")))
+                aggs.append(F.transform(
+                    F.array_sort(F.collect_list(pair),
+                                 lambda a, b: (a["r"] - b["r"]).cast("int")),
+                    lambda s: s["v"]).alias(f"__ep{i}"))
             continue
         x = F.lit(1) if op == "$count" else _expr(arg, env)
         if op in ("$sum", "$count"):
@@ -348,6 +421,30 @@ def _swf_partitionless(df: DataFrame,
             carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
                          .alias(f"__c{i}"))
             continue
+        if mode == "mid":
+            _, flo, fhi = arg
+            if fhi > 0:
+                # following buckets' first-fhi streams, bucket order
+                nbr = ws.rowsBetween(1, Window.unboundedFollowing)
+                seq = F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("__swfb").alias("b"),
+                        F.col(f"__en{i}").alias("e"))).over(nbr),
+                    lambda a, b: (a["b"] - b["b"]).cast("int"))
+                carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                             .alias(f"__cn{i}"))
+            if flo < 0:
+                # preceding buckets' last-|flo| streams, bucket order —
+                # the flattened array's LAST element is the row
+                # immediately before this bucket's start
+                seq = F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("__swfb").alias("b"),
+                        F.col(f"__ep{i}").alias("e"))).over(prev),
+                    lambda a, b: (a["b"] - b["b"]).cast("int"))
+                carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                             .alias(f"__cp{i}"))
+            continue
         frm = prev if mode == "run" else both
         if op in ("$sum", "$count", "$avg"):
             carry.append(F.sum(f"__t{i}").over(frm).alias(f"__c{i}"))
@@ -389,6 +486,75 @@ def _swf_partitionless(df: DataFrame,
                 F.when(idx <= F.size(flat), infill).otherwise(dflt)
             ).otherwise(F.col(f"__sh{i}")))
             drop.append(f"__c{i}")
+            continue
+        if mode == "mid":
+            # contiguous halo slices of the neighbour streams: frame
+            # positions rn+flo..rn+fhi beyond the bucket's own rows.
+            # Slices past the COLLECTION ends self-clip (F.slice stops
+            # at the array end; the guards keep start ≥ 1, length ≥ 1).
+            _, flo, fhi = arg
+            rn, cnt = F.col("__swfrn"), F.col("__swfcnt")
+            nsl = psl = None
+            if fhi > 0:
+                flat = F.col(f"__cn{i}")
+                et = out.schema[f"__cn{i}"].dataType
+                lo_p = F.greatest(rn + F.lit(flo) - cnt, F.lit(1))
+                hi_p = rn + F.lit(fhi) - cnt
+                nsl = F.when(hi_p >= 1, F.slice(
+                    flat, lo_p.cast("int"), (hi_p - lo_p + 1).cast("int"))
+                ).otherwise(F.array().cast(et))
+                drop.append(f"__cn{i}")
+            if flo < 0:
+                # distances-before-bucket-start j1..j2; the flattened
+                # prev stream's LAST element is distance 1
+                flat = F.col(f"__cp{i}")
+                et = out.schema[f"__cp{i}"].dataType
+                sz = F.size(flat)
+                j2 = F.lit(1 - flo) - rn
+                j1 = F.greatest(F.lit(1 - fhi) - rn, F.lit(1))
+                p2 = sz - j1 + 1
+                p1 = F.greatest(sz - j2 + 1, F.lit(1))
+                psl = F.when((j2 >= 1) & (p2 >= 1), F.slice(
+                    flat, p1.cast("int"), (p2 - p1 + 1).cast("int"))
+                ).otherwise(F.array().cast(et))
+                drop.append(f"__cp{i}")
+            local = F.col(f"__s{i}")
+            if psl is None and nsl is None:    # frame [0, 0]
+                out = out.withColumn(name, F.try_divide(
+                    local, F.col(f"__n{i}")) if op == "$avg" else local)
+                continue
+            halo = (F.concat(psl, nsl)
+                    if psl is not None and nsl is not None
+                    else psl if psl is not None else nsl)
+            if op == "$count":
+                val = local + F.coalesce(F.size(halo), F.lit(0))
+            elif op == "$min":
+                val = F.least(local, F.array_min(halo))
+            elif op == "$max":
+                val = F.greatest(local, F.array_max(halo))
+            else:
+                # $sum/$avg: null-aware fold matching the single
+                # window's contract (NULL iff the whole frame is
+                # null/empty), in the local aggregate's result type
+                st = out.schema[f"__s{i}"].dataType
+                zero, nul = F.lit(0).cast(st), F.lit(None).cast(st)
+                contrib = F.aggregate(
+                    halo, nul,
+                    lambda acc, e: F.when(
+                        acc.isNull() & e.isNull(), nul
+                    ).otherwise(F.coalesce(acc, zero)
+                                + F.coalesce(e, zero)))
+                tot = F.when(local.isNull() & contrib.isNull(), nul) \
+                    .otherwise(F.coalesce(local, zero)
+                               + F.coalesce(contrib, zero))
+                if op == "$sum":
+                    val = tot
+                else:
+                    nn = F.col(f"__n{i}") + F.coalesce(F.size(
+                        F.filter(halo, lambda e: e.isNotNull())),
+                        F.lit(0))
+                    val = F.try_divide(tot, nn)
+            out = out.withColumn(name, val)
             continue
         if mode == "whole":
             if op == "$avg":
@@ -589,9 +755,10 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     part = spec.get("partitionBy")
     if part is None:
         # r17: the prefix-scan family (rank/running/whole accumulators,
-        # $shift, gap-fillers) distributes via range buckets + carry —
-        # only shapes outside it (mid-frame windows, range frames,
-        # string sort keys) still plan the warned single window
+        # $shift, gap-fillers) AND finite documents frames distribute
+        # via range buckets + carry — only shapes outside them (range
+        # frames, half-open document frames, string sort keys) still
+        # plan the warned single window
         out = _swf_partitionless(df, spec)
         if out is not None:
             return out

@@ -2768,11 +2768,12 @@ def test_unsupported_stage_table_and_window_warning(spark):
     sdf = spark.createDataFrame([("a", 1.0)], "s string, x double")
     stages = {
         # $setWindowFields warns only for shapes OUTSIDE the r17
-        # distributed prefix-scan family (here a mid-frame window)...
+        # distributed families (finite documents frames distribute
+        # since late r17 — here a RANGE frame, still single-window)...
         "$setWindowFields": (df, {"sortBy": {"k": 1},
                                   "output": {"s": {
                                       "$sum": "$x",
-                                      "window": {"documents": [-1, 0]}}}}),
+                                      "window": {"range": [-1, 0]}}}}),
         # ...and $fill only for sort keys with NO numeric image
         # (strings) — numeric/temporal keys distribute since r17
         "$fill": (sdf, {"sortBy": {"s": 1},
@@ -2795,6 +2796,11 @@ def test_unsupported_stage_table_and_window_warning(spark):
                                       "output": {"s": {"$sum": "$x"}}}},
                 {"$setWindowFields": {"sortBy": {"k": 1},
                                       "output": {"r": {"$rank": {}}}}},
+                {"$setWindowFields": {"sortBy": {"k": 1},
+                                      "output": {"s": {
+                                          "$sum": "$x",
+                                          "window": {
+                                              "documents": [-1, 0]}}}}},
                 {"$densify": {"field": "k",
                               "range": {"step": 1, "bounds": "full"}}}):
         with warnings.catch_warnings(record=True) as w:
@@ -2808,7 +2814,7 @@ def test_unsupported_stage_table_and_window_warning(spark):
             apply_pipeline(df, [{"$setWindowFields": {
                 "sortBy": {"k": 1},
                 "output": {"s": {"$sum": "$x",
-                                 "window": {"documents": [-1, 0]}}}}}])
+                                 "window": {"range": [-1, 0]}}}}}])
     finally:
         spark.conf.unset("spark.mongoql.strictWholeCollectionWindow")
 
@@ -4937,3 +4943,63 @@ def test_pcre_only_regex_refused(spark):
     }}])
     r = ok.collect()[0]
     assert (r.a, r.b, r.c, r.d, r.e) == (True, False, False, False, True)
+
+
+def test_swf_partitionless_mid_frames_distributed(spark):
+    """FINITE documents frames in partition-less $setWindowFields
+    distribute via the r17 halo-stream lowering: every output is
+    value-identical to the single-window reference (constant
+    partitionBy) over nulls, ascending AND descending sorts, frames
+    entirely ahead/behind, [0,0], and frames WIDER than any bucket
+    (multi-bucket spans — the flattened neighbour stream's prefix
+    equals the true row stream by induction); no whole-collection
+    warning fires, and no data window runs on a single partition."""
+    import random
+    import re
+    import warnings
+
+    from pyspark.sql import functions as SF
+
+    random.seed(23)
+    rows = [(i, random.randint(0, 9) if random.random() > 0.25 else None)
+            for i in range(160)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    spec_out = {
+        "ma": {"$avg": "$v", "window": {"documents": [-3, 2]}},
+        "ms": {"$sum": "$v", "window": {"documents": [-5, -1]}},
+        "mn": {"$min": "$v", "window": {"documents": [1, 4]}},
+        "mx": {"$max": "$v", "window": {"documents": [-2, "current"]}},
+        "mc": {"$count": {}, "window": {"documents": [-40, 40]}},
+        "cc": {"$sum": "$v", "window": {"documents": ["current", 0]}},
+        "rk": {"$rank": {}},           # modes compose in one spec
+        "run": {"$sum": "$v",
+                "window": {"documents": ["unbounded", "current"]}},
+    }
+    cols = list(spec_out)
+    for d in (1, -1):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = apply_pipeline(df, [{"$setWindowFields": {
+                "sortBy": {"k": d}, "output": dict(spec_out)}}])
+            g = {r.k: tuple(r[c] for c in cols) for r in got.collect()}
+        ref = apply_pipeline(
+            df.withColumn("c0", SF.lit(1)), [{"$setWindowFields": {
+                "partitionBy": "$c0", "sortBy": {"k": d},
+                "output": dict(spec_out)}}])
+        rr = {r.k: tuple(r[c] for c in cols) for r in ref.collect()}
+        assert g == rr, [x for x in rr if g[x] != rr[x]][:3]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    nonbucket = [s for s in specs
+                 if "__swfb" not in s and "__swfcnt" not in s]
+    assert specs and not nonbucket, nonbucket
+    # half-open documents frames stay on the warned single-window path
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        apply_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"t": {"$sum": "$v",
+                             "window": {"documents": [-2, "unbounded"]}
+                             }}}}]).collect()
+    assert any("ONE task" in str(x.message) for x in w)
