@@ -3568,6 +3568,10 @@ def q224_mongo_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "window": {"documents": [1, 4]}},
                 "band_n": {"$count": {},
                            "window": {"documents": [-10, 10]}},
+                "cum_ahead": {"$sum": "$mv",
+                              "window": {"documents": ["unbounded", 3]}},
+                "rest_max": {"$max": "$mv",
+                             "window": {"documents": [-1, "unbounded"]}},
             }}},
     ])
     return out.select(
@@ -3576,7 +3580,9 @@ def q224_mongo_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ctr_avg"), 6).alias("ctr_avg"),
         F.col("trail_min").cast("long").alias("trail_min"),
         F.col("fwd_max").cast("long").alias("fwd_max"),
-        F.col("band_n").cast("long").alias("band_n"))
+        F.col("band_n").cast("long").alias("band_n"),
+        F.col("cum_ahead").cast("long").alias("cum_ahead"),
+        F.col("rest_max").cast("long").alias("rest_max"))
 
 
 Q224_SQL = """
@@ -3595,7 +3601,13 @@ SELECT event_id,
          AS fwd_max,
        CAST(count(*) OVER (ORDER BY event_id
               ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS BIGINT)
-         AS band_n
+         AS band_n,
+       CAST(sum(mv) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING)
+            AS BIGINT) AS cum_ahead,
+       CAST(max(mv) OVER (ORDER BY event_id
+              ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS rest_max
 FROM s
 WINDOW w7 AS (ORDER BY event_id
               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)

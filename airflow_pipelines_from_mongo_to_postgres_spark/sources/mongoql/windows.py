@@ -195,9 +195,20 @@ def _swf_partitionless(df: DataFrame,
     aggregate's result type; min/max via least/greatest + array_min/
     array_max; count adds slice sizes).
 
-    Returns ``None`` when any output needs a shape outside this family
-    (range frames, half-open document frames, …) — the caller falls
-    back to the warned single-window path. Float running sums may
+    HALF-OPEN documents frames containing the current row
+    (``["unbounded", b>0]`` / ``[a<=0, "unbounded"]``) compose the two
+    machineries (r17 "pre"/"suf"): the in-bucket window's value at the
+    bucket's far end IS the bucket total (the finite bound clips
+    inward), so max_by/min_by extracts the closed-side totals carry
+    from the same window pass, and the open side's finite reach rides
+    a mid-style halo slice.
+
+    Returns ``None`` when any output needs a shape outside these
+    families (range frames, ``["unbounded", b<0]`` / ``[a>0,
+    "unbounded"]`` — their prefix would need row subtraction, not
+    decomposable for min/max; flip the sort direction to express
+    them, …) — the caller falls back to the warned single-window
+    path. Float running sums may
     differ from the single window by reassociation ulps (the carry adds
     bucket partials first); gated queries use the DECIMAL sum
     discipline, where both paths are exact."""
@@ -248,18 +259,34 @@ def _swf_partitionless(df: DataFrame,
                 elif b == ["unbounded", "unbounded"]:
                     mode = "whole"
                 else:
-                    # FINITE documents frame [a, b] (r17 "mid" halo
-                    # lowering) — "current" is 0, both bounds ints
+                    # "current" is 0; ints stay ints
                     bb = [0 if x == "current" else x for x in b]
-                    if (len(bb) == 2
-                            and all(isinstance(x, int)
-                                    and not isinstance(x, bool)
-                                    for x in bb)
-                            and bb[0] <= bb[1]):
+
+                    def _i(x):
+                        return isinstance(x, int) and not isinstance(x, bool)
+                    if len(bb) != 2:
+                        return None
+                    if _i(bb[0]) and _i(bb[1]) and bb[0] <= bb[1]:
+                        # FINITE frame [a, b] — r17 "mid" halo lowering
                         mode = "mid"
                         arg = (arg, bb[0], bb[1])
+                    elif (bb[0] == "unbounded" and _i(bb[1])
+                          and bb[1] > 0):
+                        # ["unbounded", b>0] — prefix carry + forward
+                        # halo (r17 "pre"; b=0 is "run" above). b<0
+                        # would need subtracting the trailing rows from
+                        # the prefix — not decomposable for min/max —
+                        # and stays on the warned fallback
+                        mode = "pre"
+                        arg = (arg, bb[1])
+                    elif (bb[1] == "unbounded" and _i(bb[0])
+                          and bb[0] <= 0):
+                        # [a<=0, "unbounded"] — suffix carry + backward
+                        # halo (r17 "suf"); a>0 stays on the fallback
+                        mode = "suf"
+                        arg = (arg, bb[0])
                     else:
-                        return None        # half-open / malformed
+                        return None
             else:
                 return None
             tasks.append((name, op, arg, mode))
@@ -292,7 +319,7 @@ def _swf_partitionless(df: DataFrame,
             F.count_distinct(F.struct(
                 *[F.col(k) for k in sortby])).alias("__dense")]
     drop = ["__swfb", "__swfrn"]
-    if any(m in ("shift", "mid") for *_, m in tasks):
+    if any(m in ("shift", "mid", "pre", "suf") for *_, m in tasks):
         # bucket row count (whole-partition frame, same exchange) —
         # edge-row detection for the $shift stitching and the mid-frame
         # halo slices
@@ -371,6 +398,50 @@ def _swf_partitionless(df: DataFrame,
                                  lambda a, b: (a["r"] - b["r"]).cast("int")),
                     lambda s: s["v"]).alias(f"__ep{i}"))
             continue
+        if mode in ("pre", "suf"):
+            # HALF-OPEN documents frame containing the current row:
+            # ["unbounded", b>0] ("pre") / [a<=0, "unbounded"] ("suf").
+            # In-bucket window + the run/whole-style TOTALS carry on
+            # the closed side + a mid-style halo stream on the open
+            # side's finite reach. The in-bucket window at the bucket's
+            # far end covers the WHOLE bucket (the finite bound points
+            # inward-clipped), so max_by/min_by on the row number
+            # extracts exact bucket totals from the same window pass.
+            arg0, fin = arg
+            x = F.lit(1) if op == "$count" else _expr(arg0, env)
+            fw = (w.rowsBetween(Window.unboundedPreceding, fin)
+                  if mode == "pre"
+                  else w.rowsBetween(fin, Window.unboundedFollowing))
+            pick = F.max_by if mode == "pre" else F.min_by
+            if op == "$count":
+                dfb = dfb.withColumn(f"__s{i}", F.count(F.lit(1)).over(fw))
+            elif op == "$avg":
+                dfb = (dfb.withColumn(f"__s{i}", F.sum(x).over(fw))
+                       .withColumn(f"__n{i}", F.count(x).over(fw)))
+                aggs.append(pick(F.col(f"__n{i}"),
+                                 F.col("__swfrn")).alias(f"__tn{i}"))
+                drop.append(f"__n{i}")
+            else:
+                dfb = dfb.withColumn(
+                    f"__s{i}", getattr(F, op[1:])(x).over(fw))
+            aggs.append(pick(F.col(f"__s{i}"),
+                             F.col("__swfrn")).alias(f"__t{i}"))
+            drop.append(f"__s{i}")
+            stype = dfb.schema[f"__s{i}"].dataType
+            xs = F.lit(1) if op == "$count" else x.cast(stype)
+            if mode == "pre":
+                edge = F.col("__swfrn") <= fin
+            else:
+                edge = F.col("__swfrn") > F.col("__swfcnt") + fin
+            if (mode == "pre") or fin < 0:
+                pair = F.when(edge, F.struct(
+                    F.col("__swfrn").alias("r"), xs.alias("v")))
+                aggs.append(F.transform(
+                    F.array_sort(F.collect_list(pair),
+                                 lambda a, b: (a["r"] - b["r"]).cast("int")),
+                    lambda s: s["v"]).alias(
+                        f"__en{i}" if mode == "pre" else f"__ep{i}"))
+            continue
         x = F.lit(1) if op == "$count" else _expr(arg, env)
         if op in ("$sum", "$count"):
             dfb = dfb.withColumn(f"__s{i}", F.sum(x).over(run))
@@ -437,6 +508,41 @@ def _swf_partitionless(df: DataFrame,
                 # preceding buckets' last-|flo| streams, bucket order —
                 # the flattened array's LAST element is the row
                 # immediately before this bucket's start
+                seq = F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("__swfb").alias("b"),
+                        F.col(f"__ep{i}").alias("e"))).over(prev),
+                    lambda a, b: (a["b"] - b["b"]).cast("int"))
+                carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                             .alias(f"__cp{i}"))
+            continue
+        if mode in ("pre", "suf"):
+            _, fin = arg
+            # closed-side totals carry: preceding buckets for "pre",
+            # following for "suf" (same combine rules as run/whole)
+            frm = prev if mode == "pre" \
+                else ws.rowsBetween(1, Window.unboundedFollowing)
+            if op in ("$sum", "$count", "$avg"):
+                carry.append(F.sum(f"__t{i}").over(frm).alias(f"__c{i}"))
+                if op == "$avg":
+                    carry.append(F.sum(f"__tn{i}").over(frm)
+                                 .alias(f"__ca{i}"))
+            elif op == "$min":
+                carry.append(F.min(f"__t{i}").over(frm).alias(f"__c{i}"))
+            else:
+                carry.append(F.max(f"__t{i}").over(frm).alias(f"__c{i}"))
+            # open-side halo stream (mid machinery): forward for "pre",
+            # backward for "suf" when the finite bound reaches back
+            if mode == "pre":
+                nbr = ws.rowsBetween(1, Window.unboundedFollowing)
+                seq = F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("__swfb").alias("b"),
+                        F.col(f"__en{i}").alias("e"))).over(nbr),
+                    lambda a, b: (a["b"] - b["b"]).cast("int"))
+                carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                             .alias(f"__cn{i}"))
+            elif fin < 0:
                 seq = F.array_sort(
                     F.collect_list(F.struct(
                         F.col("__swfb").alias("b"),
@@ -554,6 +660,73 @@ def _swf_partitionless(df: DataFrame,
                         F.filter(halo, lambda e: e.isNotNull())),
                         F.lit(0))
                     val = F.try_divide(tot, nn)
+            out = out.withColumn(name, val)
+            continue
+        if mode in ("pre", "suf"):
+            # three legs: in-bucket window + closed-side totals carry
+            # (scalar) + open-side halo slice (array), combined with
+            # the same null contracts as run/mid
+            _, fin = arg
+            rn, cnt = F.col("__swfrn"), F.col("__swfcnt")
+            local, c = F.col(f"__s{i}"), F.col(f"__c{i}")
+            drop.append(f"__c{i}")
+            halo = None
+            if mode == "pre":
+                flat = F.col(f"__cn{i}")
+                et = out.schema[f"__cn{i}"].dataType
+                hi_p = rn + F.lit(fin) - cnt
+                halo = F.when(hi_p >= 1, F.slice(
+                    flat, 1, hi_p.cast("int"))).otherwise(F.array().cast(et))
+                drop.append(f"__cn{i}")
+            elif fin < 0:
+                flat = F.col(f"__cp{i}")
+                et = out.schema[f"__cp{i}"].dataType
+                sz = F.size(flat)
+                j2 = F.lit(1 - fin) - rn
+                p1 = F.greatest(sz - j2 + 1, F.lit(1))
+                halo = F.when((j2 >= 1) & (sz >= 1), F.slice(
+                    flat, p1.cast("int"), (sz - p1 + 1).cast("int"))
+                ).otherwise(F.array().cast(et))
+                drop.append(f"__cp{i}")
+            if op == "$count":
+                val = local + F.coalesce(c, F.lit(0))
+                if halo is not None:
+                    val = val + F.coalesce(F.size(halo), F.lit(0))
+            elif op == "$min":
+                val = F.least(local, c) if halo is None \
+                    else F.least(local, c, F.array_min(halo))
+            elif op == "$max":
+                val = F.greatest(local, c) if halo is None \
+                    else F.greatest(local, c, F.array_max(halo))
+            else:
+                st = out.schema[f"__s{i}"].dataType
+                zero, nul = F.lit(0).cast(st), F.lit(None).cast(st)
+                legs = [local, c]
+                nn = F.col(f"__n{i}") + F.coalesce(
+                    F.col(f"__ca{i}") if op == "$avg" else F.lit(0),
+                    F.lit(0))
+                if halo is not None:
+                    legs.append(F.aggregate(
+                        halo, nul,
+                        lambda acc, e: F.when(
+                            acc.isNull() & e.isNull(), nul
+                        ).otherwise(F.coalesce(acc, zero)
+                                    + F.coalesce(e, zero))))
+                    if op == "$avg":
+                        nn = nn + F.coalesce(F.size(F.filter(
+                            halo, lambda e: e.isNotNull())), F.lit(0))
+                allnull = legs[0].isNull()
+                for leg in legs[1:]:
+                    allnull = allnull & leg.isNull()
+                tot = F.coalesce(legs[0], zero)
+                for leg in legs[1:]:
+                    tot = tot + F.coalesce(leg, zero)
+                tot = F.when(allnull, nul).otherwise(tot)
+                if op == "$sum":
+                    val = tot
+                else:
+                    val = F.try_divide(tot, nn)
+                    drop.append(f"__ca{i}")
             out = out.withColumn(name, val)
             continue
         if mode == "whole":

@@ -4974,6 +4974,13 @@ def test_swf_partitionless_mid_frames_distributed(spark):
         "rk": {"$rank": {}},           # modes compose in one spec
         "run": {"$sum": "$v",
                 "window": {"documents": ["unbounded", "current"]}},
+        # half-open frames containing the current row ("pre"/"suf")
+        "pre": {"$avg": "$v", "window": {"documents": ["unbounded", 3]}},
+        "prw": {"$min": "$v", "window": {"documents": ["unbounded", 60]}},
+        "suf": {"$max": "$v", "window": {"documents": [-2, "unbounded"]}},
+        "sfw": {"$sum": "$v", "window": {"documents": [-70, "unbounded"]}},
+        "sfc": {"$count": {},
+                "window": {"documents": ["current", "unbounded"]}},
     }
     cols = list(spec_out)
     for d in (1, -1):
@@ -4994,12 +5001,13 @@ def test_swf_partitionless_mid_frames_distributed(spark):
     nonbucket = [s for s in specs
                  if "__swfb" not in s and "__swfcnt" not in s]
     assert specs and not nonbucket, nonbucket
-    # half-open documents frames stay on the warned single-window path
+    # half-open frames EXCLUDING the current row (prefix-minus-tail:
+    # not decomposable for min/max) stay on the warned fallback
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         apply_pipeline(df, [{"$setWindowFields": {
             "sortBy": {"k": 1},
             "output": {"t": {"$sum": "$v",
-                             "window": {"documents": [-2, "unbounded"]}
+                             "window": {"documents": ["unbounded", -2]}
                              }}}}]).collect()
     assert any("ONE task" in str(x.message) for x in w)
