@@ -3614,6 +3614,73 @@ WINDOW w7 AS (ORDER BY event_id
 """
 
 
+# --- q225: partition-less $setWindowFields on a STRING sort key (r17) -----------
+def q225_mongo_string_key_window(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Global window functions sorted by a STRING leading key —
+    distributed through the r17 6-byte-prefix image in
+    ``windows.py::_range_bucket``. ``o_orderpriority`` has only five
+    distinct values, so EVERY rank tie group collapses to one image
+    value and the bucketing degenerates to ~5 effective buckets — the
+    adversarial shape for the prefix image (merged groups must never
+    straddle a bucket, and the rank/dense-rank carries must stay exact
+    across them). ``o_orderkey`` tie-breaks the compound sort (the
+    determinism convention). Outputs: global rank + dense rank over the
+    priority ties, running document count, and a centered 5-doc moving
+    cents sum (the "mid" halo path riding the same string buckets).
+
+    Reference scope: the reference has no window functions
+    (`dags/includes/user_table.py` is row-at-a-time pandas); global
+    ranking is engine-declared scope."""
+    orders = load_table(spark, "orders", sf_dir)
+    out = apply_pipeline(orders, [
+        {"$addFields": {"cents": {"$toLong": {"$round": [
+            {"$multiply": ["$o_totalprice", 100]}, 0]}}}},
+        # rank stage: ties on the bare string key (Mongo ranks over the
+        # FULL sortBy, so the tie-heavy ranking needs its own stage)
+        {"$setWindowFields": {
+            "sortBy": {"o_orderpriority": 1},
+            "output": {"rk": {"$rank": {}},
+                       "drk": {"$denseRank": {}}}}},
+        # scan stage: tie-free compound sort for the order-sensitive
+        # outputs — two distributed string-key lowerings stacked
+        {"$setWindowFields": {
+            "sortBy": {"o_orderpriority": 1, "o_orderkey": 1},
+            "output": {
+                "pos": {"$count": {},
+                        "window": {"documents": ["unbounded",
+                                                 "current"]}},
+                "ctr": {"$sum": "$cents",
+                        "window": {"documents": [-2, 2]}},
+            }}},
+    ])
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("drk").cast("long").alias("drk"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("ctr").cast("long").alias("ctr"))
+
+
+Q225_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey,
+       CAST(rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS rk,
+       CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS BIGINT)
+         AS drk,
+       CAST(count(*) OVER (ORDER BY o_orderpriority, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS pos,
+       CAST(sum(cents) OVER (ORDER BY o_orderpriority, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+         AS ctr
+FROM s
+"""
+
+
 QUERIES = {
     "q148_mongo_expr_orders": q148_mongo_expr_orders,
     "q149_ks_drift": q149_ks_drift,
@@ -3683,6 +3750,7 @@ QUERIES = {
     "q222_mongo_vector_search_exact": q222_mongo_vector_search_exact,
     "q223_mongo_vector_search_ann": q223_mongo_vector_search_ann,
     "q224_mongo_moving_window": q224_mongo_moving_window,
+    "q225_mongo_string_key_window": q225_mongo_string_key_window,
     "q165_shipping_priority": q165_shipping_priority,
     "q166_forecast_revenue": q166_forecast_revenue,
     "q167_late_shipment_priority": q167_late_shipment_priority,
@@ -3757,6 +3825,7 @@ ORACLES = {
     "q222_mongo_vector_search_exact": Q222_SQL,
     "q223_mongo_vector_search_ann": Q223_SQL,
     "q224_mongo_moving_window": Q224_SQL,
+    "q225_mongo_string_key_window": Q225_SQL,
     "q165_shipping_priority": Q165_SQL,
     "q166_forecast_revenue": Q166_SQL,
     "q167_late_shipment_priority": Q167_SQL,

@@ -98,17 +98,31 @@ def _range_bucket(df: DataFrame, field: str,
     (count of boundaries ≤ key) — deterministic BY VALUE, so full
     sort-key tie groups can never straddle buckets. NULL keys bucket to
     the walk's null end (first bucket ascending, last descending —
-    Spark's asc=nulls-first/desc=nulls-last contract). Returns ``None``
-    when the field has no numeric image (strings) — callers fall back
-    to the warned single-window path."""
+    Spark's asc=nulls-first/desc=nulls-last contract).
+
+    STRING keys bucket on a monotone 6-byte-prefix image (r17): Spark
+    compares strings bytewise on their UTF-8 encoding, so the
+    big-endian integer of the first 6 bytes (48 bits — exact in a
+    double) is order-monotone NON-strictly — strings sharing a prefix
+    collapse to one image value, which can only merge a value group
+    into one bucket, never split it across two: exactly the assignment
+    property required (prefix-heavy data degrades to fewer effective
+    buckets — skew, not wrongness). Returns ``None`` only for fields
+    with no orderable scalar image (binary, arrays, structs) — callers
+    fall back to the warned single-window path."""
     from pyspark.sql import types as ST
 
     ktype = _field_type(df.schema, field)
-    if not isinstance(ktype, (ST.NumericType, ST.DateType,
-                              ST.TimestampType, ST.TimestampNTZType,
-                              ST.BooleanType)):
+    if isinstance(ktype, ST.StringType):
+        keyd = F.conv(F.rpad(F.substring(
+            F.hex(F.encode(F.col(field), "UTF-8")), 1, 12), 12, "0"),
+            16, 10).cast("double")
+    elif not isinstance(ktype, (ST.NumericType, ST.DateType,
+                                ST.TimestampType, ST.TimestampNTZType,
+                                ST.BooleanType)):
         return None
-    keyd = _sort_key_double(df, field)
+    else:
+        keyd = _sort_key_double(df, field)
     knorm = keyd if ascending else -keyd
     nb = max(2, min(int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200") or "200"), 64))
@@ -826,8 +840,8 @@ def _fill_partitionless(df: DataFrame, methods: dict[str, str],
     k1, d1 = next(iter(sortby.items()))
     bucket = _range_bucket(df, k1, d1 == 1)  # shared helper (windows.py)
     if bucket is None:
-        # no numeric image to range-bucket on (string keys): keep the
-        # whole-collection window, warned / strict-gated as before
+        # no orderable scalar image to range-bucket on (binary/complex
+        # keys): keep the whole-collection window, warned as before
         _warn_whole_collection_window(df, "$fill")
         w = Window.orderBy(*order)
         for name, method in methods.items():
@@ -928,10 +942,12 @@ def _set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     part = spec.get("partitionBy")
     if part is None:
         # r17: the prefix-scan family (rank/running/whole accumulators,
-        # $shift, gap-fillers) AND finite documents frames distribute
-        # via range buckets + carry — only shapes outside them (range
-        # frames, half-open document frames, string sort keys) still
-        # plan the warned single window
+        # $shift, gap-fillers), finite AND current-row-containing
+        # half-open documents frames distribute via range buckets +
+        # carry, over numeric/temporal/STRING sort keys — only shapes
+        # outside them (range frames, current-row-excluding half-open
+        # frames, binary/complex keys) still plan the warned single
+        # window
         out = _swf_partitionless(df, spec)
         if out is not None:
             return out

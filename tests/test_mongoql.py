@@ -2765,7 +2765,7 @@ def test_unsupported_stage_table_and_window_warning(spark):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
         apply_pipeline(df, [{"$noSuchStage": {}}])
 
-    sdf = spark.createDataFrame([("a", 1.0)], "s string, x double")
+    bdf = spark.createDataFrame([(b"a", 1.0)], "s binary, x double")
     stages = {
         # $setWindowFields warns only for shapes OUTSIDE the r17
         # distributed families (finite documents frames distribute
@@ -2774,9 +2774,10 @@ def test_unsupported_stage_table_and_window_warning(spark):
                                   "output": {"s": {
                                       "$sum": "$x",
                                       "window": {"range": [-1, 0]}}}}),
-        # ...and $fill only for sort keys with NO numeric image
-        # (strings) — numeric/temporal keys distribute since r17
-        "$fill": (sdf, {"sortBy": {"s": 1},
+        # ...and $fill only for sort keys with NO orderable scalar
+        # image (binary here) — numeric/temporal keys distribute since
+        # r17, STRING keys via the 6-byte-prefix image since late r17
+        "$fill": (bdf, {"sortBy": {"s": 1},
                         "output": {"x": {"method": "locf"}}}),
     }
     for stage, (frame, spec) in stages.items():
@@ -5011,3 +5012,80 @@ def test_swf_partitionless_mid_frames_distributed(spark):
                              "window": {"documents": ["unbounded", -2]}
                              }}}}]).collect()
     assert any("ONE task" in str(x.message) for x in w)
+
+
+def test_swf_partitionless_string_key(spark):
+    """STRING leading sort keys range-bucket via the r17 6-byte-prefix
+    image (monotone non-strict under Spark's bytewise comparison) —
+    the whole distributed partition-less family works over them,
+    value-identical to the single window: rank/denseRank over heavy
+    tie groups (all equal strings share one image → one bucket), a
+    running sum, a mid frame, a half-open frame and $shift on a
+    compound (string, unique) sort; $fill locf on the same key; binary
+    keys keep the warned fallback."""
+    import random
+    import string as st
+    import warnings
+
+    from pyspark.sql import functions as SF
+
+    random.seed(47)
+    rows = [("".join(random.choices(st.ascii_lowercase,
+                                    k=random.randint(0, 9)))
+             if random.random() > 0.1 else None,
+             random.randint(0, 99) if random.random() > 0.3 else None, i)
+            for i in range(180)]
+    df = spark.createDataFrame(rows, "s string, v int, uid int")
+    spec_out = {
+        "run": {"$sum": "$v",
+                "window": {"documents": ["unbounded", "current"]}},
+        "ma": {"$avg": "$v", "window": {"documents": [-4, 4]}},
+        "pre": {"$min": "$v", "window": {"documents": ["unbounded", 5]}},
+        "sh": {"$shift": {"output": "$v", "by": 2, "default": -1}},
+    }
+    cols = list(spec_out)
+    for d in (1, -1):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            got = apply_pipeline(df, [{"$setWindowFields": {
+                "sortBy": {"s": d, "uid": 1},
+                "output": dict(spec_out)}}])
+            g = {r.uid: tuple(r[c] for c in cols) for r in got.collect()}
+        ref = apply_pipeline(
+            df.withColumn("c0", SF.lit(1)), [{"$setWindowFields": {
+                "partitionBy": "$c0", "sortBy": {"s": d, "uid": 1},
+                "output": dict(spec_out)}}])
+        rr = {r.uid: tuple(r[c] for c in cols) for r in ref.collect()}
+
+        def close(a, b):
+            if a is None or b is None:
+                return a == b
+            if isinstance(a, float):
+                return abs(a - b) < 1e-9
+            return a == b
+        bad = [k for k in rr
+               if not all(close(x, y) for x, y in zip(g[k], rr[k]))]
+        assert not bad, [(k, g[k], rr[k]) for k in bad[:3]]
+
+    # rank over the bare tie-heavy string key (ties never straddle the
+    # merged-image buckets; carries add preceding ROW/DISTINCT counts)
+    short = df.withColumn("s", SF.substring("s", 1, 1))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        rk = apply_pipeline(short, [{"$setWindowFields": {
+            "sortBy": {"s": 1},
+            "output": {"rk": {"$rank": {}}, "dk": {"$denseRank": {}}}}}])
+        gr = {r.uid: (r.rk, r.dk) for r in rk.collect()}
+    ref = apply_pipeline(
+        short.withColumn("c0", SF.lit(1)), [{"$setWindowFields": {
+            "partitionBy": "$c0", "sortBy": {"s": 1},
+            "output": {"rk": {"$rank": {}}, "dk": {"$denseRank": {}}}}}])
+    assert gr == {r.uid: (r.rk, r.dk) for r in ref.collect()}
+
+    # $fill locf rides the same string buckets, warning-free
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        gf = apply_pipeline(df, [{"$fill": {
+            "sortBy": {"s": 1, "uid": 1},
+            "output": {"v": {"method": "locf"}}}}])
+        gf.collect()

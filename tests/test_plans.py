@@ -234,6 +234,7 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
         "q220_mongo_global_window",
         "q221_mongo_global_shift",
         "q224_mongo_moving_window",
+        "q225_mongo_string_key_window",
     }
     offenders, cartesian = [], []
     for name, fn in entrymod.queries().items():
