@@ -393,6 +393,43 @@ _mql_stage = st.one_of(
                   "inputs": ["$arr", [9, 9, 9], [0]],
                   "useLongestLength": True}}}},
               st.sampled_from(["c", "d"])),
+    # r17 additions: partition-less $setWindowFields across the whole
+    # distributed frame family (finite/half-open documents frames over
+    # numeric AND string leading keys — compositions exercise the
+    # range-bucket + halo lowering; out-of-family shapes like
+    # ["unbounded", -1] must fall back warned, never crash), $shift,
+    # and $vectorSearch (first-stage-only rule + option validation +
+    # $meta plumbing are all declared ValueErrors mid-composition)
+    st.builds(lambda key, op, frame: {"$setWindowFields": {
+                  "sortBy": ({"a": 1} if key == "a"
+                             else {"b": 1, "a": 1}),
+                  "output": {"wf": ({op: "$a", "window":
+                                     {"documents": frame}}
+                                    if frame is not None
+                                    else {op: "$a"})}}},
+              st.sampled_from(["a", "b"]),
+              st.sampled_from(["$sum", "$avg", "$min", "$max",
+                               "$count"]),
+              st.sampled_from([None, [-2, 1], [0, 0], [1, 3],
+                               [-3, -1], ["current", 2],
+                               ["unbounded", "current"],
+                               ["unbounded", 2], [-2, "unbounded"],
+                               ["unbounded", -1], [2, "unbounded"],
+                               ["unbounded", "unbounded"]])),
+    st.builds(lambda by, d: {"$setWindowFields": {
+                  "sortBy": {"a": 1},
+                  "output": {"sh": {"$shift": {
+                      "output": "$b", "by": by, "default": d}}}}},
+              st.integers(-3, 3), st.sampled_from([None, "edge"])),
+    st.builds(lambda k, ex, nc: {"$vectorSearch": {
+                  "path": "arr", "queryVector": [1.0, 2.0],
+                  "limit": k,
+                  **({"exact": True} if ex else
+                     {"numCandidates": nc})}},
+              st.integers(1, 3), st.booleans(), st.integers(1, 20)),
+    st.builds(lambda f: {"$addFields": {f: {
+                  "$meta": "vectorSearchScore"}}},
+              st.sampled_from(["c", "d"])),
 )
 
 
