@@ -3572,6 +3572,10 @@ def q224_mongo_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "window": {"documents": ["unbounded", 3]}},
                 "rest_max": {"$max": "$mv",
                              "window": {"documents": [-1, "unbounded"]}},
+                "win_open": {"$first": "$mv",
+                             "window": {"documents": [-3, 3]}},
+                "win_close": {"$last": "$mv",
+                              "window": {"documents": [-3, 3]}},
             }}},
     ])
     return out.select(
@@ -3582,7 +3586,9 @@ def q224_mongo_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fwd_max").cast("long").alias("fwd_max"),
         F.col("band_n").cast("long").alias("band_n"),
         F.col("cum_ahead").cast("long").alias("cum_ahead"),
-        F.col("rest_max").cast("long").alias("rest_max"))
+        F.col("rest_max").cast("long").alias("rest_max"),
+        F.col("win_open").cast("long").alias("win_open"),
+        F.col("win_close").cast("long").alias("win_close"))
 
 
 Q224_SQL = """
@@ -3607,7 +3613,9 @@ SELECT event_id,
             AS BIGINT) AS cum_ahead,
        CAST(max(mv) OVER (ORDER BY event_id
               ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING)
-            AS BIGINT) AS rest_max
+            AS BIGINT) AS rest_max,
+       CAST(first_value(mv) OVER w7 AS BIGINT) AS win_open,
+       CAST(last_value(mv) OVER w7 AS BIGINT) AS win_close
 FROM s
 WINDOW w7 AS (ORDER BY event_id
               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)

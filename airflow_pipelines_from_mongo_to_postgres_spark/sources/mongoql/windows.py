@@ -217,6 +217,16 @@ def _swf_partitionless(df: DataFrame,
     from the same window pass, and the open side's finite reach rides
     a mid-style halo slice.
 
+    The POSITION operators ``$first``/``$last`` (late r17) cover the
+    same frame family: a closed-start ``$first`` (run/whole/pre) is
+    the GLOBAL first document's value — the first bucket's min_by
+    struct (struct-wrapped so a NULL first value stays
+    distinguishable from "no preceding bucket"); symmetric for
+    closed-end ``$last``; finite reaches index the halo slices with
+    size-guarded ``element_at`` (ANSI bounds), preferring the slice on
+    the frame-start (``$first``) / frame-end (``$last``) side over the
+    in-bucket framed first/last.
+
     Returns ``None`` when any output needs a shape outside these
     families (range frames, ``["unbounded", b<0]`` / ``[a>0,
     "unbounded"]`` — their prefix would need row subtraction, not
@@ -262,7 +272,7 @@ def _swf_partitionless(df: DataFrame,
                 return None
             tasks.append((name, op, arg, "shift"))
             continue
-        if op in _SWF_PREFIX_OPS:
+        if op in _SWF_PREFIX_OPS or op in ("$first", "$last"):
             if frame is None:
                 mode = "whole"
             elif (isinstance(frame, dict) and list(frame) == ["documents"]
@@ -365,6 +375,27 @@ def _swf_partitionless(df: DataFrame,
                              lambda a, b: (a["r"] - b["r"]).cast("int")),
                 lambda s: s["v"]).alias(f"__e{i}"))
             continue
+        if op in ("$first", "$last") and mode in ("whole", "run"):
+            # POSITION ops, closed-start frames (r17): $first over
+            # run/whole IS the global first document's value — carried
+            # as the first bucket's min_by struct (struct-wrapped so a
+            # NULL first value survives and stays distinguishable from
+            # "no preceding bucket"); $last over run is the current
+            # row itself (final pass only); $last over whole is the
+            # last bucket's max_by struct.
+            x = _expr(arg, env)
+            sv = F.struct(x.alias("v"))
+            if op == "$first":
+                aggs.append(F.min_by(sv, F.col("__swfrn"))
+                            .alias(f"__bf{i}"))
+                if mode == "run":
+                    dfb = dfb.withColumn(f"__s{i}", F.first(x).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+                    drop.append(f"__s{i}")
+            elif mode == "whole":
+                aggs.append(F.max_by(sv, F.col("__swfrn"))
+                            .alias(f"__bl{i}"))
+            continue
         if mode == "mid":
             # FINITE documents frame [lo, hi] — in-bucket framed
             # aggregate (Spark clips at the bucket edge) + edge-value
@@ -427,6 +458,13 @@ def _swf_partitionless(df: DataFrame,
                   if mode == "pre"
                   else w.rowsBetween(fin, Window.unboundedFollowing))
             pick = F.max_by if mode == "pre" else F.min_by
+            if op in ("$first", "$last"):
+                # position ops: the totals column must be the bucket's
+                # FIRST (for $first — the in-bucket window's value at
+                # rn=1) or LAST (rn=cnt) framed value, whatever the
+                # frame side; the carry reads it with first/last over
+                # the ordered summary (works for any value type)
+                pick = F.min_by if op == "$first" else F.max_by
             if op == "$count":
                 dfb = dfb.withColumn(f"__s{i}", F.count(F.lit(1)).over(fw))
             elif op == "$avg":
@@ -530,6 +568,42 @@ def _swf_partitionless(df: DataFrame,
                 carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
                              .alias(f"__cp{i}"))
             continue
+        if op in ("$first", "$last") and mode in ("whole", "run"):
+            if op == "$first":
+                frm2 = prev if mode == "run" else both
+                carry.append(F.first(f"__bf{i}").over(frm2)
+                             .alias(f"__c{i}"))
+            elif mode == "whole":
+                carry.append(F.last(f"__bl{i}").over(both)
+                             .alias(f"__c{i}"))
+            continue
+        if op in ("$first", "$last") and mode in ("pre", "suf"):
+            _, fin = arg
+            if (mode == "pre") == (op == "$first"):
+                # pre-$first / suf-$last: the closed side reaches the
+                # collection end, so the answer is ONE global constant
+                # — the first/last bucket's first/last framed value
+                # (include-nulls first/last works for any value type)
+                fnc = F.first if op == "$first" else F.last
+                carry.append(fnc(f"__t{i}").over(both).alias(f"__c{i}"))
+            if mode == "pre" and op == "$last":
+                nbr = ws.rowsBetween(1, Window.unboundedFollowing)
+                seq = F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("__swfb").alias("b"),
+                        F.col(f"__en{i}").alias("e"))).over(nbr),
+                    lambda a, b: (a["b"] - b["b"]).cast("int"))
+                carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                             .alias(f"__cn{i}"))
+            elif mode == "suf" and op == "$first" and fin < 0:
+                seq = F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("__swfb").alias("b"),
+                        F.col(f"__ep{i}").alias("e"))).over(prev),
+                    lambda a, b: (a["b"] - b["b"]).cast("int"))
+                carry.append(F.flatten(F.transform(seq, lambda s: s["e"]))
+                             .alias(f"__cp{i}"))
+            continue
         if mode in ("pre", "suf"):
             _, fin = arg
             # closed-side totals carry: preceding buckets for "pre",
@@ -607,6 +681,28 @@ def _swf_partitionless(df: DataFrame,
             ).otherwise(F.col(f"__sh{i}")))
             drop.append(f"__c{i}")
             continue
+        if op in ("$first", "$last") and mode in ("whole", "run"):
+            if op == "$last":
+                if mode == "run":
+                    # [unbounded, current] always ends at the current
+                    # document — the value is the expression itself
+                    out = out.withColumn(name, _expr(arg, env))
+                else:
+                    out = out.withColumn(name, F.col(f"__c{i}")["v"])
+                    drop.append(f"__c{i}")
+                continue
+            c = F.col(f"__c{i}")
+            if mode == "whole":
+                out = out.withColumn(name, c["v"])
+            else:
+                # run-$first: the first PRECEDING bucket's struct wins
+                # (struct-wrap keeps a NULL first value distinguishable
+                # from "no preceding bucket"); bucket 0 reads its own
+                # in-bucket running first
+                out = out.withColumn(name, F.when(
+                    c.isNotNull(), c["v"]).otherwise(F.col(f"__s{i}")))
+            drop.append(f"__c{i}")
+            continue
         if mode == "mid":
             # contiguous halo slices of the neighbour streams: frame
             # positions rn+flo..rn+fhi beyond the bucket's own rows.
@@ -646,7 +742,34 @@ def _swf_partitionless(df: DataFrame,
             halo = (F.concat(psl, nsl)
                     if psl is not None and nsl is not None
                     else psl if psl is not None else nsl)
-            if op == "$count":
+            if op in ("$first", "$last"):
+                # position ops: earliest/latest EXISTING frame slot —
+                # prev-slice elements precede the in-bucket span,
+                # which precedes the next slice; SIZE guards (never
+                # null tests) keep a null VALUE distinguishable from
+                # an empty slot
+                inb = (rn + F.lit(fhi) >= 1) & (rn + F.lit(flo) <= cnt)
+                tnull = F.lit(None).cast(out.schema[f"__s{i}"].dataType)
+                if op == "$first":
+                    # every element_at sits behind a size guard — ANSI
+                    # throws on an out-of-bounds index (empty slice at
+                    # the collection edge), and when-branches evaluate
+                    # lazily so the guard is sufficient
+                    tail = (F.when(F.size(nsl) > 0, F.element_at(nsl, 1))
+                            if nsl is not None else tnull)
+                    val = F.when(inb, local).otherwise(tail)
+                    if psl is not None:
+                        val = F.when(F.size(psl) > 0,
+                                     F.element_at(psl, 1)).otherwise(val)
+                else:
+                    head = (F.when(F.size(psl) > 0,
+                                   F.element_at(psl, -1))
+                            if psl is not None else tnull)
+                    val = F.when(inb, local).otherwise(head)
+                    if nsl is not None:
+                        val = F.when(F.size(nsl) > 0,
+                                     F.element_at(nsl, -1)).otherwise(val)
+            elif op == "$count":
                 val = local + F.coalesce(F.size(halo), F.lit(0))
             elif op == "$min":
                 val = F.least(local, F.array_min(halo))
@@ -685,14 +808,14 @@ def _swf_partitionless(df: DataFrame,
             local, c = F.col(f"__s{i}"), F.col(f"__c{i}")
             drop.append(f"__c{i}")
             halo = None
-            if mode == "pre":
+            if mode == "pre" and f"__cn{i}" in out.columns:
                 flat = F.col(f"__cn{i}")
                 et = out.schema[f"__cn{i}"].dataType
                 hi_p = rn + F.lit(fin) - cnt
                 halo = F.when(hi_p >= 1, F.slice(
                     flat, 1, hi_p.cast("int"))).otherwise(F.array().cast(et))
                 drop.append(f"__cn{i}")
-            elif fin < 0:
+            elif fin < 0 and f"__cp{i}" in out.columns:
                 flat = F.col(f"__cp{i}")
                 et = out.schema[f"__cp{i}"].dataType
                 sz = F.size(flat)
@@ -702,6 +825,21 @@ def _swf_partitionless(df: DataFrame,
                     flat, p1.cast("int"), (sz - p1 + 1).cast("int"))
                 ).otherwise(F.array().cast(et))
                 drop.append(f"__cp{i}")
+            if op in ("$first", "$last"):
+                if (mode == "pre") == (op == "$first"):
+                    # global constant from the closed side's carry
+                    val = c
+                elif halo is not None:
+                    # open side's halo decides when it reaches there;
+                    # size-guarded element_at (ANSI bounds), in-bucket
+                    # framed first/last otherwise
+                    pos = F.lit(1) if op == "$first" else F.lit(-1)
+                    val = F.when(F.size(halo) > 0,
+                                 F.element_at(halo, pos)).otherwise(local)
+                else:
+                    val = local
+                out = out.withColumn(name, val)
+                continue
             if op == "$count":
                 val = local + F.coalesce(c, F.lit(0))
                 if halo is not None:

@@ -5089,3 +5089,56 @@ def test_swf_partitionless_string_key(spark):
             "sortBy": {"s": 1, "uid": 1},
             "output": {"v": {"method": "locf"}}}}])
         gf.collect()
+
+
+def test_swf_partitionless_first_last_distributed(spark):
+    """$first/$last distribute over the whole partition-less frame
+    family (late r17): closed-start $first is the global first
+    document's value via the first bucket's struct-wrapped carry (a
+    NULL first value survives and stays distinguishable from "no
+    preceding bucket" — the fixture pins v=NULL at the global first
+    row); finite reaches index the halo streams with size-guarded
+    element_at; run-$last is the current row. Value-identical to the
+    single window in both sort directions; no whole-collection
+    warning."""
+    import random
+    import warnings
+
+    from pyspark.sql import functions as SF
+
+    random.seed(59)
+    rows = [(i, None if i == 0 or random.random() < 0.3
+             else random.randint(0, 9)) for i in range(160)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    spec_out = {
+        "fw": {"$first": "$v"},
+        "lw": {"$last": "$v"},
+        "fr": {"$first": "$v",
+               "window": {"documents": ["unbounded", "current"]}},
+        "lr": {"$last": "$v",
+               "window": {"documents": ["unbounded", "current"]}},
+        "fm": {"$first": "$v", "window": {"documents": [-3, 2]}},
+        "lm": {"$last": "$v", "window": {"documents": [-3, 2]}},
+        "fa": {"$first": "$v", "window": {"documents": [2, 5]}},
+        "lb": {"$last": "$v", "window": {"documents": [-6, -2]}},
+        "fp": {"$first": "$v", "window": {"documents": ["unbounded", 3]}},
+        "lp": {"$last": "$v", "window": {"documents": ["unbounded", 3]}},
+        "fs": {"$first": "$v", "window": {"documents": [-3, "unbounded"]}},
+        "ls": {"$last": "$v", "window": {"documents": [-3, "unbounded"]}},
+        "f0": {"$first": "$v", "window": {"documents": [0, 0]}},
+        "sumx": {"$sum": "$v", "window": {"documents": [-2, 2]}},
+    }
+    cols = list(spec_out)
+    for d in (1, -1):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            got = apply_pipeline(df, [{"$setWindowFields": {
+                "sortBy": {"k": d}, "output": dict(spec_out)}}])
+            g = {r.k: tuple(r[c] for c in cols) for r in got.collect()}
+        ref = apply_pipeline(
+            df.withColumn("c0", SF.lit(1)), [{"$setWindowFields": {
+                "partitionBy": "$c0", "sortBy": {"k": d},
+                "output": dict(spec_out)}}])
+        rr = {r.k: tuple(r[c] for c in cols) for r in ref.collect()}
+        bad = [k for k in rr if g[k] != rr[k]]
+        assert not bad, [(k, g[k], rr[k]) for k in bad[:3]]

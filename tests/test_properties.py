@@ -409,7 +409,7 @@ _mql_stage = st.one_of(
                                     else {op: "$a"})}}},
               st.sampled_from(["a", "b"]),
               st.sampled_from(["$sum", "$avg", "$min", "$max",
-                               "$count"]),
+                               "$count", "$first", "$last"]),
               st.sampled_from([None, [-2, 1], [0, 0], [1, 3],
                                [-3, -1], ["current", 2],
                                ["unbounded", "current"],
