@@ -208,6 +208,30 @@ def cosine_threshold_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _cell_scores(v, centroids: list) -> F.Column:
+    """``array<struct<cdist,cell>>`` scoring ``v`` against every FROZEN
+    centroid as one map-side expression — no centroid table, no join, no
+    row blowup. The arithmetic is kept IDENTICAL to the broadcast-table
+    path it replaced (``|c|² - 2·dot(v,c)`` with the same literal values
+    and the same left-fold dot), so the scores are bit-identical doubles
+    and every hash-gated consumer (q55/q108/q126/q134) is unchanged.
+
+    Plan shape (r17 optimization, guide §2.4): the old path was
+    ``Exchange → BroadcastNestedLoopJoin(nlist) → nlist× rows → Sort →
+    SortAggregate(min(struct), first(v)) → Exchange → SortAggregate`` —
+    a full-table sort-aggregate shuffle (SortAggregate, not hash: the
+    ``first(array<double>)`` buffer is not hash-aggregable) carrying the
+    unit vector. The expression path is a single Project fused into the
+    scan: at 100 TB the whole assignment costs zero network bytes."""
+    return F.array(*[
+        F.struct(
+            (F.lit(float(sum(x * x for x in ctr)))
+             - 2 * V.dot(v, F.array(*[F.lit(float(x)) for x in ctr])))
+            .alias("cdist"),
+            F.lit(i).alias("cell"))
+        for i, ctr in enumerate(centroids)])
+
+
 def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
                     vec_col: str, k: int, nlist: int = 16, nprobe: int = 4,
                     seed: int = 42, max_iter: int = 10,
@@ -263,35 +287,33 @@ def cosine_topk_ivf(probe: DataFrame, corpus: DataFrame, id_col: str,
             centroid_rows, "cell int, cvec array<double>, c2 double")
         indexed = c.join(assigned, "neighbor_id")
     else:
-        centroid_rows = [(i, [float(x) for x in ctr],
-                          float(sum(x * x for x in ctr)))
-                         for i, ctr in enumerate(centroids)]
-        cent = probe.sparkSession.createDataFrame(
-            centroid_rows, "cell int, cvec array<double>, c2 double")
-        # map-side argmin: corpus × broadcast(nlist) scored; min(struct)
-        # keeps the nearest cell (struct ordering breaks ties on cell id)
-        # and partial-aggregates map-side — one hash-agg shuffle of one
-        # row per corpus vector, no per-key sort.
-        indexed = (
-            c.join(F.broadcast(cent))
-            .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("cv"), F.col("cvec")))
-            .groupBy("neighbor_id")
-            .agg(F.min(F.struct("cdist", "cell")).alias("m"),
-                 F.first("cv").alias("cv"))
-            .select("neighbor_id", "cv", F.col("m.cell").alias("cell"))
-        )
+        # Frozen quantizer: pure map-side argmin expression over the
+        # centroid literals (see _cell_scores) — ties break on cell id via
+        # the struct ordering, exactly like the min(struct) it replaced.
+        indexed = c.withColumn(
+            "cell", F.array_min(_cell_scores(F.col("cv"), centroids))["cell"])
 
     p = probe.select(F.col(id_col).alias("query_id"),
                      V.unit(V.as_double(vec_col)).alias("qv"))
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("cell").asc())
-    probe_cells = (
-        p.join(F.broadcast(cent))
-        .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("qv"), F.col("cvec")))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
+    if centroids is None:
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("cdist").asc(), F.col("cell").asc())
+        probe_cells = (
+            p.join(F.broadcast(cent))
+            .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("qv"), F.col("cvec")))
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= nprobe)
+            .select("query_id", "qv", "cell")
+        )
+    else:
+        # nprobe nearest cells map-side: array_sort on (cdist, cell) is
+        # the same ordering as the row_number window it replaces — the
+        # probe side loses its exchange + Window too.
+        probe_cells = p.select(
+            "query_id", "qv",
+            F.explode(F.slice(F.array_sort(
+                _cell_scores(F.col("qv"), centroids)), 1, nprobe)).alias("pc")
+        ).select("query_id", "qv", F.col("pc.cell").alias("cell"))
     scored = (
         probe_cells.join(indexed, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -313,9 +335,12 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
     keeper, same policy as the text near-dedup family). Output is one
     row per input vector: ``(vec_id, cell, is_kept)``.
 
-    Scale shape: the centroid table broadcasts (map-side argmin, one
-    hash-agg shuffle of one row per vector — same plan as
-    ``cosine_topk_ivf``'s frozen branch), then the pair join is equi on
+    Scale shape (r17: assignment went map-side): the nearest cell is a
+    single argmin EXPRESSION over the frozen centroid literals
+    (``_cell_scores``) fused into the scan — zero shuffle, no nlist×
+    row blowup, no sort-aggregate (the old broadcast-table plan paid
+    ``Exchange → BNLJ → Sort → SortAggregate → Exchange →
+    SortAggregate`` carrying the unit vector). The pair join is equi on
     cell id: Σ|cell|² work, never n². Real deployments size nlist ~ √n
     so cells stay bounded; a hot cell is a quantizer-retraining signal,
     not a plan problem. This is the embedding-space analogue of the
@@ -323,12 +348,15 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
     BOUNDARY (a near-dup pair split across two cells is missed; recall
     vs the brute-force pair scan is gated in tests/test_similarity.py).
 
-    The ``assigned`` subplan feeds three consumers (both pair sides and
-    the verdict join); its hash-agg exchange is identical in all three,
-    so AQE's exchange reuse materializes the assignment ONCE and the
-    other two read the shuffle files (ReusedExchange — asserted from
-    the post-execution adaptive plan in tests/test_plans.py). No
-    persist() needed, nothing to unpersist.
+    The two pair sides shuffle by cell with canonically identical
+    children, so AQE materializes that exchange once (ReusedExchange —
+    asserted from the post-execution adaptive plan in
+    tests/test_plans.py); the verdict join's left side is a plain
+    re-scan + map (cheaper than the sort-agg materialization it
+    replaced — measured 1.6 s vs 2.2 s isolated at sf0.1, and an
+    explicit repartition("cell") materialization point measured WORSE:
+    column pruning splits the three consumers' exchanges apart).
+    No persist() needed, nothing to unpersist.
     """
     return semantic_dedup_state(df, id_col, vec_col, threshold, centroids) \
         .select(F.col("vid").alias("vec_id"), "cell", "is_kept")
@@ -336,24 +364,19 @@ def semantic_dedup_ivf(df: DataFrame, id_col: str, vec_col: str,
 
 def _assign_cells(df: DataFrame, id_col: str, vec_col: str,
                   centroids: list) -> DataFrame:
-    """(vid, unit-vector v, nearest cell) via the broadcast-argmin plan
-    shared by semantic_dedup_state and incremental_semantic_dedup: one
-    map-side score against the broadcast centroid table, one hash-agg
-    shuffle of one row per vector."""
-    c = spread(df).select(F.col(id_col).alias("vid"),
-                          V.unit(V.as_double(vec_col)).alias("v"))
-    centroid_rows = [(i, [float(x) for x in ctr],
-                      float(sum(x * x for x in ctr)))
-                     for i, ctr in enumerate(centroids)]
-    cent = df.sparkSession.createDataFrame(
-        centroid_rows, "cell int, cvec array<double>, c2 double")
+    """(vid, unit-vector v, nearest cell) shared by semantic_dedup_state
+    and incremental_semantic_dedup — computed entirely MAP-SIDE as an
+    argmin expression over the frozen centroid literals (_cell_scores):
+    one Project fused into the scan, no centroid join, no nlist× row
+    blowup, no sort-aggregate shuffle. Identical values/tie-breaks to
+    the broadcast-argmin groupBy it replaced (r17 optimization)."""
     return (
-        c.join(F.broadcast(cent))
-        .withColumn("cdist", F.col("c2") - 2 * V.dot(F.col("v"), F.col("cvec")))
-        .groupBy("vid")
-        .agg(F.min(F.struct("cdist", "cell")).alias("m"),
-             F.first("v").alias("v"))
-        .select("vid", "v", F.col("m.cell").alias("cell"))
+        spread(df)
+        .select(F.col(id_col).alias("vid"),
+                V.unit(V.as_double(vec_col)).alias("v"))
+        .withColumn("cell",
+                    F.array_min(_cell_scores(F.col("v"), centroids))["cell"])
+        .select("vid", "v", "cell")
     )
 
 

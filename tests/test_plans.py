@@ -306,12 +306,15 @@ def test_ordered_puts_red_latest_first(monkeypatch):
     assert order == ["q_never", "q_red", "q_old_green", "q_new_green"]
 
 
-def test_semantic_dedup_assignment_computed_once(spark, sf_dir):
-    """The assignment subplan feeds three consumers; AQE exchange reuse
-    must materialize it once (ReusedExchange in the post-execution
-    adaptive plan), so the corpus is scanned/assigned a single time —
-    both in bare q108 and inside the composed q134 pipeline (a
-    composition must not silently break the reuse)."""
+def test_semantic_dedup_assignment_mapside(spark, sf_dir):
+    """r17: IVF cell assignment is a pure map-side argmin expression
+    over the frozen centroid literals — the executed plan must contain
+    NO SortAggregate (the old min(struct)/first(array) aggregate pair)
+    and no assignment shuffle; the only full-table exchange left is the
+    pair join's by-cell shuffle, whose two sides are canonically
+    identical and must be materialized ONCE (ReusedExchange in the
+    post-execution adaptive plan) — both in bare q108 and inside the
+    composed q134 pipeline."""
     from airflow_pipelines_from_mongo_to_postgres_spark.plans.llmdata import (
         q108_semantic_dedup,
         q134_corpus_build_semantic,
@@ -321,7 +324,8 @@ def test_semantic_dedup_assignment_computed_once(spark, sf_dir):
         df = q(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ReusedExchange") >= 2, (q.__name__, plan)
+        assert "SortAggregate" not in plan, (q.__name__, plan)
+        assert plan.count("ReusedExchange") >= 1, (q.__name__, plan)
 
 
 def test_new_text_audits_are_shuffle_free(spark, sf_dir):
