@@ -95,15 +95,27 @@ def pagerank(edges: DataFrame, src: str, dst: str, iterations: int = 5,
     are bit-identical with no output rounding at all.
 
     Scale: one groupBy shuffle per iteration over the edge list; degree
-    is precomputed once and the edge table is cached across iterations.
-    A fixed small iteration count (not convergence detection) keeps the
-    plan finite — rank movement past ~5 rounds is below curation
-    relevance on near-dup graphs."""
+    is precomputed once and the edge table is persisted (via its local
+    checkpoint) across iterations. A fixed small iteration count (not
+    convergence detection) bounds the rounds — rank movement past ~5
+    rounds is below curation relevance on near-dup graphs.
+
+    Lineage is truncated with a LAZY ``localCheckpoint`` on the edge
+    table and on each iteration's rank table (r17 optimization, guide
+    §5): without it the returned plan embeds the edge subplan once per
+    iteration — over a near-dup pair generator that is a 9,400-operator
+    physical plan whose Catalyst analysis/AQE canonicalization alone
+    cost ~10 s per run (q81 at sf0.01), all driver-side. With the
+    checkpoints each iteration plans against a LogicalRDD (~20 ops).
+    The computed work is unchanged; like ``connected_components``, the
+    result is no longer a replayable pure plan (the standing trade for
+    iterative fixpoints — localCheckpoint also trades executor-loss
+    fault tolerance for speed, which a 5-round rank job can afford)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = (e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))))\
         .distinct().cache()
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    adj = sym.join(deg, "s").cache()
+    adj = sym.join(deg, "s").localCheckpoint(eager=False)
     ranks = deg.select(F.col("s").alias("node"),
                        F.lit(1.0).cast("double").alias("rank"))
     for _ in range(iterations):
@@ -121,6 +133,7 @@ def pagerank(edges: DataFrame, src: str, dst: str, iterations: int = 5,
                     (F.lit(1.0 - damping) + F.lit(damping)
                      * (F.col("csum").cast("double")
                         / F.lit(1000000000.0))).alias("rank"))
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
 

@@ -18,7 +18,7 @@ guarantees that by pigeonhole; MinHash banding achieves it at the chosen
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.functions import text as T
@@ -615,6 +615,24 @@ FROM ranked WHERE rank <= 5
 Q52_SQL = _q52_sql()
 
 
+def _exact_dedup_keep_min(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Rows of ``df`` whose id is the MIN id of their exact-content
+    fingerprint group — the single-scan exact-dedup shape (r17
+    optimization, guide §2.4): one window shuffle keyed on the
+    fingerprint. The groupBy(fp)+left_semi join-back it replaces
+    computed the upstream subplan TWICE (once under the aggregate, once
+    as the join's left side — for q219 that meant running the whole LM
+    scorer twice) and paid a second join shuffle at scale. Row set is
+    identical: doc_id == min(doc_id) over its own fp partition ⇔
+    doc_id ∈ {min(doc_id) per fp}."""
+    w = Window.partitionBy("__fp")
+    return (df.withColumn("__fp", T.fingerprint(text_col))
+            .withColumn("__keep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__fp", "__keep"))
+
+
 # --- q58: composed corpus build — gates → exact dedup → near-dedup → split ----------
 def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus pipeline as ONE lazy plan: language gate →
@@ -623,9 +641,11 @@ def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact SQL mirror, so the composition is value-hash-checked end to end
     — the pipeline a user of this engine actually ships.
 
-    Shuffle ledger: fingerprint groupBy (1), shingle inverted-index join +
-    pair groupBy (2-3), split is shuffle-free — the gates fuse into the
-    scan. Same count at 100 TB; only partition counts grow. The near-dedup
+    Shuffle ledger: fingerprint window (1 — single-scan exact dedup,
+    r17; the old groupBy+semi shape scanned and gated the corpus twice),
+    shingle inverted-index join + pair groupBy (2-3), split is
+    shuffle-free — the gates fuse into the scan. Same count at 100 TB;
+    only partition counts grow. The near-dedup
     stage runs PRUNED (stop shingles with df > NEAR_DUP_MAX_DF dropped, df
     counted on the post-exact-dedup corpus) — the declared pipeline is the
     skew-safe plan, not just the operator knob.
@@ -642,10 +662,7 @@ def q58_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                     T.lang_id("text").alias("plang"),
                     T.quality_score("text").alias("quality")) \
         .filter((F.col("quality") >= 0.5) & (F.col("plang") == "en"))
-    keepers = (kept.select("doc_id", T.fingerprint("text").alias("fp"))
-               .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-               .select("doc_id"))
-    exact = kept.join(keepers, "doc_id", "left_semi")
+    exact = _exact_dedup_keep_min(kept)
     deduped = dedup.drop_near_duplicates(exact, "doc_id", "text",
                                          threshold=0.2, n=3,
                                          max_df=NEAR_DUP_MAX_DF)
@@ -1521,7 +1538,13 @@ def bigram_backoff_scores(docs: DataFrame, train_flag,
                 F.col("bg.w2").alias("w2"))
     tb = bi.filter(F.col("__tr"))
     big = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
-    ctx = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    # c(w1) = Σ_w2 c(w1,w2) DERIVED from the bigram counts (r17
+    # optimization, guide §2.3): aggregating tb a second time re-ran
+    # tokenization + shuffled every training bigram occurrence again;
+    # rolling up `big` shuffles one row per DISTINCT bigram instead, and
+    # AQE reuses big's exchange for both consumers. Integer sums —
+    # bit-identical cw1.
+    ctx = big.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
     tuni = (toks.filter(F.col("__tr"))
             .select(F.explode("__ts").alias("w2"))
             .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
@@ -1631,10 +1654,7 @@ def q219_lm_band_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter((F.col("mean_lp") >= F.lit(_LM_BAND_LO))
                      & (F.col("mean_lp") <= F.lit(_LM_BAND_HI))
                      & (F.col("bo_rate") <= F.lit(_LM_BO_MAX))))
-    keepers = (gated.select("doc_id", T.fingerprint("text").alias("fp"))
-               .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-               .select("doc_id"))
-    return (gated.join(keepers, "doc_id", "left_semi")
+    return (_exact_dedup_keep_min(gated)
             .select("doc_id", "mean_lp", "bo_rate"))
 
 
