@@ -2066,6 +2066,16 @@ GROUP BY t.doc_id
 _Q94_NUM, _Q94_DEN = 3, 5
 
 
+def _global_rows():
+    """Whole-frame window over a BOUNDED summary table (quota tables:
+    per-stratum / per-cell counts) — attaches a global aggregate without
+    a second pass over the subplan that produced the summary. A function,
+    not a module constant: WindowSpec construction talks to the JVM, and
+    this module must import before any SparkSession exists."""
+    return Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+
+
 def q94_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsample equalizing the source mix:
     every source is hash-sampled toward the same quota (3/5 of the
@@ -2078,12 +2088,17 @@ def q94_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison stays in int64 up to n_s·DEN < 2^35 (≈ 7 B docs per
     stratum); past that, drop the variate to 20 bits."""
     d = load_table(spark, "documents", sf_dir)
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    target = counts.agg(F.min("n_s").alias("min_n"))
+    # Quota table: per-stratum counts AND the global min in ONE subplan
+    # (r17, guide §2.4) — `counts.agg(min)` as a separate broadcast
+    # crossJoin side re-ran the counts subplan (and everything under
+    # it); the global-window min runs over the ≤|strata|-row count
+    # table, bounded by stratum cardinality, not data (ALLOW-listed in
+    # test_no_query_windows_over_single_partition).
+    counts = (d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+              .withColumn("min_n", F.min("n_s").over(_global_rows())))
     h = T.hash28(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
     return (
         d.join(F.broadcast(counts), "source")
-        .crossJoin(F.broadcast(target))
         .filter(h * F.col("n_s") * F.lit(_Q94_DEN)
                 < F.col("min_n") * F.lit(_Q94_NUM * (1 << 28)))
         .select("doc_id", "source")
@@ -2120,12 +2135,13 @@ def q126_cluster_balanced_sample(spark: SparkSession,
     e = load_table(spark, "embeddings", sf_dir)
     assigned = similarity._assign_cells(e, "vec_id", "embedding",
                                         IVF_CENTROIDS).select("vid", "cell")
-    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
-    target = counts.agg(F.min("n_c").alias("min_n"))
+    # quota table: see q94 — the global min rides the ≤nlist-row count
+    # table as a bounded whole-frame window instead of a second agg pass
+    counts = (assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
+              .withColumn("min_n", F.min("n_c").over(_global_rows())))
     h = T.hash28(F.concat(F.lit("cbal:"), F.col("vid").cast("string")))
     return (
         assigned.join(F.broadcast(counts), "cell")
-        .crossJoin(F.broadcast(target))
         .filter(h * F.col("n_c") * F.lit(_Q94_DEN)
                 < F.col("min_n") * F.lit(_Q94_NUM * (1 << 28)))
         .select(F.col("vid").alias("vec_id"), "cell")
@@ -3004,12 +3020,16 @@ def q134_corpus_build_semantic(spark: SparkSession,
     state = similarity.semantic_dedup_state(
         vecs, "vec_id", "embedding", _SEMANTIC_DEDUP_T, IVF_CENTROIDS)
     surv = state.filter(F.col("is_kept")).select("vid", "cell")
-    counts = surv.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
-    target = counts.agg(F.min("n_c").alias("min_n"))
+    # quota table: see q94 — here the separate `counts.agg(min)`
+    # crossJoin side re-ran the WHOLE four-stage surv pipeline a third
+    # time (its agg exchange only partially reused); the bounded
+    # whole-frame window over the ≤nlist-row count table cuts that.
+    # Measured 4.33s -> 3.73s median at sf0.1, value-identical.
+    counts = (surv.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
+              .withColumn("min_n", F.min("n_c").over(_global_rows())))
     h = T.hash28(F.concat(F.lit("cbal:"), F.col("vid").cast("string")))
     return (
         surv.join(F.broadcast(counts), "cell")
-        .crossJoin(F.broadcast(target))
         .filter(h * F.col("n_c") * F.lit(_Q94_DEN)
                 < F.col("min_n") * F.lit(_Q94_NUM * (1 << 28)))
         .select(F.col("vid").alias("doc_id"), "cell")

@@ -230,6 +230,14 @@ def test_no_query_windows_over_single_partition(spark, sf_dir):
         # test_swf_partitionless_distributed); the only partition-less
         # windows are the cross-bucket carries over the ≤ B-row bucket
         # SUMMARY — bounded by cluster width (#buckets ≤ 64), not data
+        # quota-sampling family (r17): the only partition-less window is
+        # the global min over the BOUNDED per-stratum/per-cell count
+        # table (≤ |sources| / ≤ nlist rows — quantizer width, not
+        # data); it replaced a crossJoin'd counts.agg(min) that re-ran
+        # the counts subplan (for q134: the whole 4-stage pipeline)
+        "q94_stratified_sample",
+        "q126_cluster_balanced_sample",
+        "q134_corpus_build_semantic",
         "q217_mongo_fill_partitionless",
         "q220_mongo_global_window",
         "q221_mongo_global_shift",
