@@ -68,6 +68,26 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+#: r17 measurement fix (optimization guide §1.4, documented in
+#: OPTIMIZATION_r17.md): the timed action is now the NOOP SINK, which
+#: computes every column of every row, instead of .count(), which lets
+#: the optimizer prune whole subtrees — measured under-counting up to
+#: 23x (q154: count 0.10 s vs noop 2.28 s — the span-scrub compute never
+#: ran; q108: a left join to a distinct key set is ELIMINATED under
+#: count, so none of the dedup pair work was being timed; q01: the
+#: pricing sums were pruned, 5.7x). Set SPARK_GRAFT_BENCH_ACTION=count
+#: to reproduce the pre-r17 methodology; BENCH_FULL_r17_countaction.json
+#: preserves a full old-methodology record for round-over-round
+#: continuity.
+_BENCH_ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+
+
+def _run_action(df) -> None:
+    if _BENCH_ACTION == "count":
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+
 HEADLINE = [
     "q01_pricing_summary",
     "q03_revenue_by_region",
@@ -130,7 +150,7 @@ def _run_one(name: str) -> None:
     siblings = sorted(Path(sf_dir).resolve().parent.glob("sf*"))
     warm_dir = str(siblings[0]) if siblings else sf_dir
     try:
-        q(spark, warm_dir).count()
+        _run_action(q(spark, warm_dir))
     except Exception as e:
         print(f"# WARNING: warm-up {name} failed in {warm_dir}: {e}",
               file=sys.stderr)
@@ -139,7 +159,7 @@ def _run_one(name: str) -> None:
     runs = []
     for _ in range(int(os.environ.get("SPARK_GRAFT_ITERS", "3"))):
         t0 = time.perf_counter()
-        q(spark, sf_dir).count()
+        _run_action(q(spark, sf_dir))
         runs.append(time.perf_counter() - t0)
         _clear_all_caches(spark)
     # load1 pre = 1-min loadavg entering the timed loop (warm-up tax
@@ -270,7 +290,7 @@ def main() -> None:
     warm_dir = str(siblings[0]) if siblings else sf_dir
     for name in HEADLINE:
         try:
-            qs[name](spark, warm_dir).count()
+            _run_action(qs[name](spark, warm_dir))
         except Exception as e:  # warm-up must never sink the bench
             print(f"# WARNING: warm-up {name} failed in {warm_dir}: {e}",
                   file=sys.stderr)
@@ -282,16 +302,15 @@ def main() -> None:
     session_runs: dict[str, list] = {}
     for name in HEADLINE:
         runs = []
-        n = 0
         for _ in range(iters):
             t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
+            _run_action(qs[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
             _clear_all_caches(spark)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         session_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: median {timings[name]}s of "
-              f"{session_runs[name]} ({n} rows)", file=sys.stderr)
+              f"{session_runs[name]}", file=sys.stderr)
 
     if os.environ.get("SPARK_GRAFT_NO_ISOLATED"):
         isolated, iso_runs, iso_load, iso_wait = {}, {}, {}, {}
