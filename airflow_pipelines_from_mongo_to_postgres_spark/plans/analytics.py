@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_pipelines_from_mongo_to_postgres_spark.functions import text
-from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table
+from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import load_table, spread
 
 #: DuckDB twin of functions.text.tokens() — keep in lockstep with
 #: plans/llmdata.py:_TOKENS_SQL (duplicated to keep each module's oracle
@@ -744,9 +744,16 @@ def q99_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("a.nm"), F.col("b.nm"), 3)
     len_gate = F.abs(F.length(F.col("a.nm"))
                      - F.length(F.col("b.nm"))) <= 3
+    # spread() + pinned broadcast build side (r17, guide §2.5): the part
+    # fixture is a single-row-group file, so the probe side — which runs
+    # EVERY in-block Levenshtein DP — was one task on one core; widening
+    # it measured 1.55 s → 0.55 s at sf0.1. The broadcast hint keeps the
+    # un-spread copy as the build side (the planner would otherwise pick
+    # the 32-partition side). No-op widening at scale, where the scan is
+    # already thousands of splits.
     return (
-        k.alias("a")
-        .join(k.alias("b"),
+        spread(k).alias("a")
+        .join(F.broadcast(k.alias("b")),
               (F.col("a.blk") == F.col("b.blk"))
               & (F.col("a.sz") == F.col("b.sz"))
               & (F.col("a.pk") < F.col("b.pk")))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from airflow_pipelines_from_mongo_to_postgres_spark.operators import similarity
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.catalog import (
     load_table,
+    spread,
 )
 from airflow_pipelines_from_mongo_to_postgres_spark.sources.mongoql import (
     apply_pipeline,
@@ -352,7 +353,12 @@ def q154_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.dedup.scrub_repeated_spans(hash_spans=True)``, which
     ships 8-byte ``xxhash64(span)`` keys through the same plan shape
     (see its docstring for the collision trade)."""
-    docs = load_table(spark, "documents", sf_dir)
+    # spread() (r17, guide §2.5): the documents fixture is a single-row-
+    # group parquet, so tokenize + 5-gram explode ran as ONE task — and
+    # the spans subtree runs twice (frequency agg + coverage join-back).
+    # Widening the scan measured 2.69 s -> 1.76 s at sf0.1; no-op at
+    # scale where the scan splits.
+    docs = spread(load_table(spark, "documents", sf_dir))
     toks = docs.select(
         "doc_id", "source",
         F.filter(F.split(F.lower("text"), r"\s+"),
