@@ -2123,8 +2123,8 @@ def q126_cluster_balanced_sample(spark: SparkSession,
     count), so over-represented embedding clusters are cut hardest —
     q94's source-balancing rule lifted from metadata strata to
     LEARNED semantic strata (the data-mixing step that follows
-    SemDeDup-style curation). Assignment is the broadcast-argmin
-    hash-agg shared with q108/q55; membership is the pure integer
+    SemDeDup-style curation). Assignment is the map-side argmin
+    expression shared with q108/q55 (r17); membership is the pure integer
     comparison hash28(vid)·n_c·DEN < min_n·NUM·2^28 — append-stable,
     no float rate, bit-identical across engines. Cell counts are a
     broadcast scalar table; the sample itself is a map-side filter over
