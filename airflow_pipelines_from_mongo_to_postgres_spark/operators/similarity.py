@@ -98,7 +98,7 @@ def rademacher_signs(planes: int, tables: int, dim: int) -> list:
             for t in range(tables)]
 
 
-def _sign_bucket(vec, signs_t: list) -> F.Column:
+def _sign_bucket(vec, signs_t: list, checked: bool = True) -> F.Column:
     """LSH bucket id for one hash table: pack the sign bits of the
     ``planes`` Rademacher projections of ``vec`` into a long. Projections
     are taken on the RAW (double) vector — sign(dot(v, s)) is invariant
@@ -109,12 +109,24 @@ def _sign_bucket(vec, signs_t: list) -> F.Column:
     array — left-to-right element order, mirroring the oracle's sequential
     list_dot_product sum. (An unrolled element_at chain was tried and is
     3-5× SLOWER: tables·planes·dim scalar terms blow up Janino compile
-    time; the HOF interpreter amortizes better at this shape.)"""
+    time; the HOF interpreter amortizes better at this shape.)
+
+    ``checked=False`` is for callers that PRE-FILTER non-conforming
+    vectors (mongoql $vectorSearch: Atlas never indexes wrong-width/null
+    vectors, so the stage drops them before bucketing). The assert must
+    not even appear in such plans: codegen common-subexpression
+    elimination hoists the bucket expression OUT of a combined Filter's
+    short-circuiting conjunction, so the assert can fire on a row the
+    size guard in the same Filter would have dropped (r18 fuzz finding:
+    $vectorSearch over a frame with empty/null arrays crashed instead
+    of skipping them)."""
     out = F.lit(0)
     for j, srow in enumerate(signs_t):
         proj = F.aggregate(F.zip_with(vec, F.lit(srow), lambda x, s: x * s),
                            F.lit(0.0), lambda acc, x: acc + x)
         out = out + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    if not checked:
+        return out.cast("long")
     # dim-mismatch must FAIL, not degrade: zip_with null-pads a wrong-width
     # vector, the projection folds to null, every sign bit reads 0, and the
     # candidate join silently degenerates toward a cross product. The

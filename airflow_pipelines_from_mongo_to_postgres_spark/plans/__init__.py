@@ -185,19 +185,38 @@ def _evidence_rounds() -> dict:
     return latest
 
 
+#: Queries whose PLANS WERE REWRITTEN in an optimization round but whose
+#: driver oracle row predates the rewrite (VERDICT r17 "Next round #3":
+#: the rotating 50-query sample covered only 4 of r17's 13 plan-changed
+#: queries — these 9 were last driver-verified on the PRE-rewrite code).
+#: They lead the pinned block so the next driver sweep re-grounds them
+#: first. SELF-EXPIRING: the promotion only applies while the query is
+#: in the changed-since-stamped set — once a driver row lands and
+#: tools/stamp_evidence.py restamps it, it leaves the pinned block
+#: entirely and this list has no effect on it.
+PRIORITY_PINS = (
+    "q01_pricing_summary", "q55_ann_ivf_kmeans", "q58_corpus_build",
+    "q99_fuzzy_linkage", "q108_semantic_dedup", "q113_latest_shipper",
+    "q134_corpus_build_semantic", "q154_span_scrub_stats",
+    "q216_lm_bigram_backoff",
+)
+
+
 def _ordered(full: dict) -> dict:
     evidence = _evidence_rounds()
     names = list(full)
     changed = set(changed_since_stamped())
     pinned = [n for n in names if n in changed]
-    # Within the pinned block: red-in-latest-evidence entries lead, then
-    # NEVER-driver-checked queries (evidence round 0 — brand-new
-    # registrations that have no driver row at all), then the
-    # least-recently-checked re-pins; registry order breaks ties. A
-    # 50-query driver budget against a larger pin pool then spends
-    # itself on first-ever rows before re-confirming queries whose older
-    # evidence still exists.
-    pinned.sort(key=lambda n: (evidence.get(n, (0, False))[1],
+    # Within the pinned block: PRIORITY_PINS (plan rewritten, driver
+    # evidence predates the rewrite) lead outright; then
+    # red-in-latest-evidence entries, then NEVER-driver-checked queries
+    # (evidence round 0 — brand-new registrations that have no driver
+    # row at all), then the least-recently-checked re-pins; registry
+    # order breaks ties. A 50-query driver budget against a larger pin
+    # pool then spends itself on first-ever rows before re-confirming
+    # queries whose older evidence still exists.
+    pinned.sort(key=lambda n: (n not in PRIORITY_PINS,
+                               evidence.get(n, (0, False))[1],
                                evidence.get(n, (0, False))[0],
                                names.index(n)))
     rest = [n for n in names if n not in pinned]

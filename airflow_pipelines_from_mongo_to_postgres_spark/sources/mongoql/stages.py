@@ -1104,9 +1104,16 @@ def _vector_search(df: DataFrame, spec: dict[str, Any],
         signs = rademacher_signs(_VS_PLANES, _VS_TABLES, dim)
         tables = min(_VS_TABLES, -(-spec["numCandidates"] // limit))
         qb = _vs_query_buckets([float(x) for x in qv], signs[:tables])
+        # checked=False: non-conforming vectors were dropped by the size
+        # filter above (Atlas semantics — they are not indexed at all);
+        # the dim assert must not appear in this plan because codegen CSE
+        # hoists the bucket expression out of the combined Filter's
+        # short-circuit, firing the assert on rows the size guard drops
+        # (r18 fuzz finding).
         hit = None
         for t in range(tables):
-            eq = _sign_bucket(V.as_double(vec), signs[t]) == F.lit(qb[t])
+            eq = _sign_bucket(V.as_double(vec), signs[t],
+                              checked=False) == F.lit(qb[t])
             hit = eq if hit is None else (hit | eq)
         df = df.filter(hit)
     score = (F.lit(1.0) + V.dot(V.unit(V.as_double(vec)),

@@ -76,9 +76,10 @@ sys.path.insert(0, str(REPO))
 #: ran; q108: a left join to a distinct key set is ELIMINATED under
 #: count, so none of the dedup pair work was being timed; q01: the
 #: pricing sums were pruned, 5.7x). Set SPARK_GRAFT_BENCH_ACTION=count
-#: to reproduce the pre-r17 methodology; BENCH_FULL_r17_countaction.json
-#: preserves a full old-methodology record for round-over-round
-#: continuity.
+#: to reproduce the pre-r17 methodology. Committed records bridging the
+#: change: BENCH_FULL_r17_quiet.json is the last count-action record
+#: (old code); BENCH_FULL_r18_countaction.json is count-action on
+#: current code, next to the honest noop record BENCH_FULL_r18.json.
 _BENCH_ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
 
 
