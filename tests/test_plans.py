@@ -336,6 +336,54 @@ def test_semantic_dedup_assignment_mapside(spark, sf_dir):
         assert plan.count("ReusedExchange") >= 1, (q.__name__, plan)
 
 
+def test_q99_broadcast_hint_is_scale_guarded(spark, sf_dir, monkeypatch):
+    """VERDICT r17 #1: q99 may pin its self-join build side with a
+    broadcast hint ONLY behind the same narrow-scan guard spread() uses —
+    an unconditional hint overrides autoBroadcastJoinThreshold and would
+    collect a data-sized table at 100 TB. Simulate scale by forcing the
+    guard False: no broadcast hint may reach the logical plan AND the
+    spread repartition must disappear; at fixture scale both are
+    present."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.plans import analytics
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import catalog
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    narrow = analyzed(analytics.q99_fuzzy_linkage(spark, sf_dir))
+    assert "ResolvedHint" in narrow  # fixture scale: hint pinned
+
+    monkeypatch.setattr(catalog, "_estimated_scan_splits",
+                        lambda df: 10_000)  # simulate a wide lake scan
+    monkeypatch.setattr(analytics, "scan_is_narrow", catalog.scan_is_narrow)
+    wide = analyzed(analytics.q99_fuzzy_linkage(spark, sf_dir))
+    assert "ResolvedHint" not in wide
+    assert "Repartition" not in wide
+
+
+def test_spread_probe_is_metadata_only(spark, sf_dir):
+    """VERDICT r17 #7: spread()'s narrowness probe must come from file
+    metadata, not from materializing df.rdd (a physical-planning pass
+    per plan construction). Checks the estimate against the fixture
+    layout and the None fallbacks (in-memory frames → 'already wide')."""
+    from airflow_pipelines_from_mongo_to_postgres_spark.sources import catalog
+
+    d = catalog.load_table(spark, "documents", sf_dir)
+    assert catalog._estimated_scan_splits(d) == 1  # one small parquet
+    assert catalog.scan_is_narrow(d)
+    assert catalog.spread(d).rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
+
+    mem = spark.range(10)  # no files behind it → assume wide, no-op
+    assert catalog._estimated_scan_splits(mem) is None
+    assert not catalog.scan_is_narrow(mem)
+    assert catalog.spread(mem) is mem
+
+    assert catalog._parse_bytes("128m") == 128 << 20
+    assert catalog._parse_bytes("134217728") == 134217728
+    assert catalog._parse_bytes("4MB") == 4 << 20
+
+
 def test_new_text_audits_are_shuffle_free(spark, sf_dir):
     """q109 (repetition ratio) and q110 (PII redaction) are per-row
     audits — their plans must contain NO exchange at all: at 100 TB they
