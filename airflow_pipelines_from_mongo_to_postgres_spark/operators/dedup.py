@@ -5,14 +5,16 @@ Scale design
 ------------
 * Exact dedup: one hash-groupBy on a 128-bit fingerprint — a single shuffle
   on a uniformly-distributed key; no skew by construction.
-* Jaccard pairs: inverted-index self-join on shingles. Shingles whose
-  document frequency exceeds ``max_df`` are dropped before the join (a
-  stop-shingle appearing in 10^6 docs would otherwise produce 10^12 join
-  rows — the classic skew bomb). AQE skew-join covers residual imbalance.
+* Jaccard pairs, pruned (the scale path): per-shingle posting arrays
+  (r18; one grouping shuffle of the inverted index, pairs fanned out
+  array-side, ``max_df`` pruning as a free size filter on the posting
+  row). Unpruned: inverted-index self-join (unbounded postings must not
+  be collect_list'ed — a stop-shingle appearing in 10^6 docs is the
+  classic skew bomb either way; pruning is what kills it).
 * MinHash+LSH: signature is one groupBy producing ``num_perm`` min-columns;
-  candidate generation joins on (band, band_hash) buckets so the join fan-out
-  is |bucket|², never |corpus|². Candidates are verified with exact Jaccard,
-  so precision is exact and only recall depends on (bands × rows).
+  candidate generation groups on (band, band_hash) buckets so the pair
+  fan-out is |bucket|², never |corpus|². Candidates are verified with exact
+  Jaccard, so precision is exact and only recall depends on (bands × rows).
 * SimHash: 60-bit signature; pairs at Hamming distance ≤ k are found by
   splitting the signature into ``k+1`` chunks and joining on chunk equality
   — pigeonhole guarantees recall = 1 (any pair with ≤ k differing bits has
@@ -109,30 +111,82 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int,
     return sh
 
 
+def _posting_pairs(posting: DataFrame, arr_col: str = "ds") -> DataFrame:
+    """(d1, d2) with d1 < d2 from a SORTED posting-array column — the
+    array-side candidate generator shared by the Jaccard and LSH paths
+    (r18, guide §2.3/§2.4): posexplode emits each member once, then the
+    strictly-later tail slice pairs it with every larger id. Memory per
+    generated row stays O(|posting|) (the slice), never O(|posting|²) —
+    the pair volume streams through the two generators exactly like a
+    self-join's output would, but without shuffling the posting table a
+    second time or building a join hash relation over it."""
+    return (posting
+            .select(F.col(arr_col), F.posexplode(arr_col).alias("i", "d1"))
+            .select("d1", F.explode(F.slice(
+                F.col(arr_col), F.col("i") + 2, F.size(arr_col))).alias("d2")))
+
+
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   threshold: float, n: int = 3,
                   max_df: int | None = None,
                   stop_shingles: DataFrame | None = None,
                   shingle_table: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold, via inverted-index
-    self-join (intersection counts) + per-doc shingle-set sizes.
+    """Exact n-gram Jaccard similarity pairs ≥ threshold, via per-shingle
+    POSTING ARRAYS (intersection counts) + per-doc shingle-set sizes.
 
-    The join key is ``xxhash64(shingle)`` rather than the shingle string:
-    same intersection counts (collision odds across distinct shingles are
-    ~|shingles|²/2⁶⁵), but the shuffle carries 8-byte longs instead of
-    ~n·word-length strings and the hash-join compares longs.
+    The grouping key is ``xxhash64(shingle)`` rather than the shingle
+    string: same intersection counts (collision odds across distinct
+    shingles are ~|shingles|²/2⁶⁵), but the shuffle carries 8-byte longs
+    instead of ~n·word-length strings.
+
+    Plan shape (r18, guide §2.3/§2.4): on the PRUNED paths (``max_df`` /
+    ``stop_shingles`` — the declared scale operators, NEAR_DUP_MAX_DF),
+    ``groupBy(shingle).collect_list(doc)`` shuffles each posting ONCE
+    (the self-join shape shuffled/hash-built the posting table twice,
+    once per join side), the d1<d2 pair fan-out happens array-side
+    (``_posting_pairs``), and ``max_df`` pruning becomes a FREE
+    ``size(posting) <= max_df`` filter on the aggregated row — the old
+    shape paid a SECOND full aggregation over the shingle table plus a
+    broadcast anti-join just to find the hot shingles. Per-doc sizes
+    re-derive from exploding the pruned postings (cached — they feed
+    sizes AND pairs), counting exactly the rows the old post-prune
+    groupBy(doc) counted. Skew bound: |posting| ≤ max_df, so the
+    array-side blow-up is ≤ max_df·(max_df−1)/2 pairs per shingle and
+    the collect_list buffer ≤ max_df ids — both hard-bounded.
+
+    The UNPRUNED form keeps the inverted-index self-join: its posting
+    arrays have no bound (a stop-shingle's collect_list buffer would be
+    the skew bomb the pruning exists to kill), and the r18 quiet A/B
+    measured the posting shape SLOWER for q26 at sf0.1 (fresh-JVM
+    medians ~2.2-2.8 s vs ~1.8-2.2 s: at fixture scale the planner
+    broadcasts one join side, which beats the extra grouping shuffle) —
+    an examined-and-declined negative result, kept measured.
     """
-    sh = _shingle_table(df, id_col, text_col, n, max_df, stop_shingles,
-                        shingle_table) \
-        .select("doc", F.xxhash64("shingle").alias("shingle")).cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_df is not None or stop_shingles is not None:
+        sh = _shingle_table(df, id_col, text_col, n, None, stop_shingles,
+                            shingle_table) \
+            .select("doc", F.xxhash64("shingle").alias("shingle"))
+        posting = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc")).alias("ds"))
+        if max_df is not None:
+            posting = posting.filter(F.size("ds") <= max_df)
+        posting = posting.cache()
+        sizes = (posting.select(F.explode("ds").alias("doc"))
+                 .groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh")))
+        inter = (_posting_pairs(posting.filter(F.size("ds") >= 2))
+                 .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter")))
+    else:
+        sh = _shingle_table(df, id_col, text_col, n, None, None,
+                            shingle_table) \
+            .select("doc", F.xxhash64("shingle").alias("shingle")).cache()
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnsRenamed({"doc": "d1", "n_sh": "n1"}), "d1")
         .join(sizes.withColumnsRenamed({"doc": "d2", "n_sh": "n2"}), "d2")
@@ -223,12 +277,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ])
     buckets = per_doc.select(F.col("doc"), F.explode(band_cols).alias("b")) \
         .select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
-        x.join(y, (F.col("x.band") == F.col("y.band"))
-               & (F.col("x.bh") == F.col("y.bh"))
-               & (F.col("x.doc") < F.col("y.doc")))
-        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
+    # Candidate pairs from per-bucket POSTING ARRAYS (r18, guide §2.3 —
+    # replaces the (band, bh) self-join): one groupBy shuffle of the
+    # bucket table instead of two join-side shuffles + a hash relation
+    # over it. Array-side blow-up is Σ|bucket|² — identical to the join's
+    # fan-out (a bucket's rows met in one task under both shapes); the
+    # collect_list buffer is O(|bucket|) ids, and near-identical-doc mega
+    # buckets are a banding-parameter signal, not a plan problem.
+    cand = (_posting_pairs(
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2))
         .dropDuplicates()
     )
     # Verify ONLY the candidates (this is the LSH payoff: exact Jaccard is
